@@ -1,0 +1,41 @@
+"""Named-query registry: every implemented operator from SURVEY.md §2 is a
+(PySpark callable, DuckDB oracle SQL) pair keyed by name. The driver runs
+both sides at sf0.01 and hash-compares (see __spark_entry__.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_glue_data_lake_spark.queries import (
+    cdc_queries,
+    dedup,
+    multimodal,
+    relational,
+    scalars,
+    similarity,
+    textops,
+    windows,
+)
+
+_MODULES = (relational, windows, scalars, cdc_queries, dedup, similarity, textops, multimodal)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.REGISTRY.queries.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.REGISTRY.queries)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.REGISTRY.oracles)
+    return out

@@ -1,0 +1,142 @@
+"""CDC pipeline final-state queries (SURVEY.md §2.4 as oracle-checkable SQL).
+
+The reference's composite upsert isn't one SQL query, but its *final table
+state* is (SURVEY.md §5): anti-join ∪ survivors. These queries drive the
+real ``operators.cdc`` implementation over a synthesized change feed
+derived deterministically from the ``events`` fixture (op tag from
+event_type, pk = user_id, event time = ts, tiebreaker = event_id), then
+the oracle recomputes the same state in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
+from aws_glue_data_lake_spark.queries.base import Registry, t
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+#: Deterministic op tagging for the synthetic feed: errors delete the key,
+#: signups insert, purchases/views update, clicks arrive untagged (NULL op —
+#: must be kept, icberg/iceberg_tables.py:51).
+_OP_CASE_SQL = """CASE event_type
+  WHEN 'error' THEN 'D'
+  WHEN 'signup' THEN 'I'
+  WHEN 'purchase' THEN 'U'
+  WHEN 'view' THEN 'U'
+  ELSE NULL END"""
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts div 1000: ns → µs, matching DuckDB's ns→µs truncation on read
+    # (engine convention, see queries/windows.py flagship note).
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "view", "U")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return ev.withColumn("op", op)
+
+
+_FINAL_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+#: events.ts is int64 epoch-microseconds on the Spark side (see _feed);
+#: the reference's '1900-01-01 00:00:00' sentinel as epoch-µs.
+_SENTINEL_US = -2_208_988_800_000_000
+
+
+@_q(
+    "cdc_full_load_state",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+  FROM feed
+  WHERE ts > TIMESTAMP '1900-01-01 00:00:00'
+)
+SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts,
+       user_id, event_type, value, props
+FROM ranked
+WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+ORDER BY user_id
+""",
+)
+def cdc_full_load_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-run load (icberg/iceberg_tables.py:90-112): sentinel watermark →
+    latest-per-key → drop deletes → strip helpers."""
+    result = full_load(
+        _feed(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        tiebreakers=["event_id"],
+        sentinel=_SENTINEL_US,
+    )
+    return result.table.select(*_FINAL_COLS).orderBy("user_id")
+
+
+@_q(
+    "cdc_incremental_state",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+), half AS (
+  SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS h FROM events
+), early AS (
+  SELECT * FROM feed WHERE event_id <= (SELECT h FROM half)
+), late AS (
+  SELECT * FROM feed WHERE event_id > (SELECT h FROM half)
+), target AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM early WHERE ts > TIMESTAMP '1900-01-01 00:00:00')
+  WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+), wm AS (
+  SELECT MAX(ts) AS w FROM target
+), fresh AS (
+  SELECT * FROM late WHERE ts > (SELECT w FROM wm)
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM fresh)
+  WHERE row_num = 1
+), kept AS (
+  SELECT * FROM target
+  WHERE user_id NOT IN (SELECT user_id FROM latest)
+), upserts AS (
+  SELECT event_id, ts, user_id, event_type, value, props
+  FROM latest WHERE op IS NULL OR op IN ('I', 'U')
+), final AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT * FROM upserts
+)
+SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts,
+       user_id, event_type, value, props
+FROM final
+ORDER BY user_id, event_id
+""",
+)
+def cdc_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state upsert (icberg/iceberg_tables.py:115-153): the feed's
+    first half full-loads the target, the second half merges incrementally
+    (watermark = max(target.ts) → late rows below it are dropped, matched
+    keys anti-joined out, non-delete survivors appended)."""
+    feed = _feed(spark, sf_dir)
+    half = feed.agg(F.max("event_id")).first()[0] // 2
+    early = feed.where(F.col("event_id") <= half)
+    late = feed.where(F.col("event_id") > half)
+    target = full_load(
+        early, ["user_id"], "ts", tiebreakers=["event_id"], sentinel=_SENTINEL_US
+    ).table
+    merged = incremental_merge(target, late, ["user_id"], "ts", tiebreakers=["event_id"])
+    return merged.table.select(*_FINAL_COLS).orderBy("user_id", "event_id")

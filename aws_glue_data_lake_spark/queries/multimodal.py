@@ -1,0 +1,8 @@
+"""Multimodal-column operators (binary payloads + typed metadata; north
+star). Filled in Phase 4 — registry present so the package imports."""
+
+from __future__ import annotations
+
+from aws_glue_data_lake_spark.queries.base import Registry
+
+REGISTRY = Registry()

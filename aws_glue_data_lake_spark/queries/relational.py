@@ -1,0 +1,418 @@
+"""Relational operator library (SURVEY.md §2.1-§2.5, §2.7, §2.8) as named
+oracle-checked queries over the TPC-H-ish fixtures.
+
+The reference's only join is the MERGE equi-join (SURVEY.md §2.3 J1/J2) and
+its only aggregate is a scalar MAX (A1); the full join/agg family here is
+the engine surface the north star requires. Scale notes per query are in
+the docstrings — broadcast for dimension tables, exact decimal sums for
+cross-engine determinism, unique tiebreakers on every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, davg_sql, dsum_sql, t
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+
+def dsum(col: Column) -> Column:
+    """Exact decimal sum reported as double (see base.py determinism rules)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def davg(col: Column) -> Column:
+    return F.round(dsum(col) / F.count("*"), 6)
+
+
+# --------------------------------------------------------------------------
+# Grouped aggregation (TPC-H Q1 shape): scan-heavy, one shuffle, partial
+# aggregation map-side. At 100 TB the l_shipdate filter pushes to parquet
+# row-group stats and the group-by has 6 groups — the plan is scan-bound.
+# --------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql("l_quantity", "sum_qty")},
+  {dsum_sql("l_extendedprice", "sum_base_price")},
+  {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {davg_sql("l_quantity", "avg_qty")},
+  {davg_sql("l_extendedprice", "avg_price")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way star join (TPC-H Q5 shape). region/nation/supplier are tiny
+# dimensions — broadcast them so the only shuffle is the orders⋈lineitem
+# fact join (AQE turns that into a co-partitioned sort-merge at scale).
+# --------------------------------------------------------------------------
+@_q(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT
+  n.n_name AS nation,
+  {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family: inner / left outer / left semi / left anti. The anti-join is
+# the engine's MERGE-delete building block (SURVEY.md §2.4).
+# --------------------------------------------------------------------------
+@_q(
+    "join_inner_customer_nation",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       {dsum_sql("c.c_acctbal", "total_acctbal")}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_inner_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_q(
+    "join_left_customer_orders",
+    oracle=f"""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       {dsum_sql("COALESCE(o.o_totalprice, 0)", "total_spent")}
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            dsum(F.coalesce(o.o_totalprice, F.lit(0))).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c.c_custkey
+""",
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+""",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped aggregates: plain, distinct, rollup, cube (SURVEY.md §2.5 —
+# absent from the reference, required by the north star).
+# --------------------------------------------------------------------------
+@_q(
+    "agg_orders_by_status_priority",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice", "total_price")},
+       {davg_sql("o_totalprice", "avg_price")},
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def agg_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            davg(F.col("o_totalprice")).alias("avg_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@_q(
+    "agg_count_distinct_customers_per_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_count_distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "agg_rollup_lineitem_flags",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS grouping_level,
+       COUNT(*) AS n_items,
+       {dsum_sql("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY grouping_level, returnflag, linestatus
+""",
+)
+def agg_rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_level"),
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "grouping_level",
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("grouping_level", "returnflag", "linestatus")
+    )
+
+
+@_q(
+    "agg_cube_orders",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT) AS grouping_level,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice", "total_price")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY grouping_level, status, priority
+""",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("grouping_level"),
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "grouping_level",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("grouping_level", "status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (SURVEY.md §2.7): global top-k with a unique tiebreaker.
+# Spark plans this as TakeOrderedAndProject — no full sort at scale.
+# --------------------------------------------------------------------------
+@_q(
+    "sort_limit_top10_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def sort_limit_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.8): the reference composes EXCEPT∪UNION
+# implicitly via MERGE+append; here the explicit family.
+# --------------------------------------------------------------------------
+@_q(
+    "set_union_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+ORDER BY c_custkey
+""",
+)
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct().orderBy("c_custkey")
+
+
+@_q(
+    "set_intersect_buyers",
+    oracle="""
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY c_custkey
+""",
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).orderBy("c_custkey")
+
+
+@_q(
+    "set_except_nonbuyers",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+""",
+)
+def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct().orderBy("c_custkey")

@@ -1,0 +1,214 @@
+"""Scalar-function surface (SURVEY.md §2.9): string / date / math / array /
+JSON expressions, all JVM-side built-ins (no Python UDFs — whole-stage
+codegen keeps these inside the scan stage).
+
+The reference's only scalar expressions are comparisons on ``op`` and the
+event-time column (icberg/iceberg_tables.py:35,51,103); the full surface
+here is north-star requirement. Dialect notes: every function below has an
+exact DuckDB counterpart; floor/ceil are cast to BIGINT (DuckDB returns
+DOUBLE), natural log is rounded to 6 (libm vs JVM last-ulp drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+
+@_q(
+    "scalar_string_part_features",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_brand) AS brand_upper,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       SUBSTRING(p_type, 1, 8) AS type_prefix,
+       REGEXP_EXTRACT(p_type, '^([a-zA-Z]+)', 1) AS type_first_word,
+       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INT) AS name_words,
+       CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+       TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+       REPLACE(p_type, ' ', '_') AS type_snake
+FROM part
+ORDER BY p_partkey
+""",
+)
+def scalar_string_part_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.regexp_extract("p_type", r"^([a-zA-Z]+)", 1).alias("type_first_word"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "))) + 1)
+        .cast("int")
+        .alias("name_words"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    ).orderBy("p_partkey")
+
+
+@_q(
+    "scalar_date_order_calendar",
+    oracle="""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY order_year, order_month
+""",
+)
+def scalar_date_order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@_q(
+    "scalar_math_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 6) AS net_price,
+       ABS(l_discount - 0.05) AS discount_dev,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo_ceil,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       CAST(l_partkey % 10 AS BIGINT) AS part_bucket
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("discount_dev"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_kilo_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_partkey") % 10).cast("bigint").alias("part_bucket"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# JSON extraction on the events.props payload (FIXTURES.md: e.g. {"k": 87}).
+@_q(
+    "scalar_json_events_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scalar_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Conditional expressions: CASE / COALESCE / NULLIF over the event stream.
+@_q(
+    "scalar_case_event_classes",
+    oracle="""
+SELECT CASE
+         WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+         WHEN event_type = 'error' THEN 'failure'
+         ELSE 'engagement'
+       END AS event_class,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18, 6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY event_class
+""",
+)
+def scalar_case_event_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "failure")
+        .otherwise("engagement")
+    )
+    return (
+        ev.groupBy(cls.alias("event_class"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_class")
+    )
+
+
+# Array functions over the embedding vectors (SURVEY.md §2.9 array surface):
+# size / element access / element-wise transform + sequential fold. The
+# fold order is positional in both engines, and float32→double casts are
+# exact, so the L2 norm matches bit-for-bit (rounded defensively).
+@_q(
+    "scalar_array_embedding_norms",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS INT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def scalar_array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    ).orderBy("vec_id")

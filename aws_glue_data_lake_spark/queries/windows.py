@@ -1,0 +1,219 @@
+"""Window-function queries (SURVEY.md §2.6-§2.7).
+
+The reference's single window is ``row_number() over (partition by pk
+order by dt desc)`` (icberg/iceberg_tables.py:39-44); the engine surface
+adds rank/dense_rank/lag/lead and aggregates over frames. Every ORDER BY
+inside a window carries a unique tiebreaker (SURVEY.md §2.4 risk: ties are
+nondeterministic under row_number).
+
+Scale note: each distinct partitionBy key-set costs one hash-partition
+exchange; queries below share the partitioning across functions in the
+same window spec so Catalyst plans a single exchange per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+
+# The flagship (SURVEY.md §7 Phase 1): latest event per user (W1+P4) joined
+# to a per-user aggregate (A1 generalized to groups). Exercises the
+# reference's signature dedup pattern on the events stream stand-in.
+@_q(
+    "flagship_latest_event_per_user",
+    # Engine convention: events.ts (parquet TIMESTAMP(NANOS)) is handled as
+    # int64 epoch-MICROseconds — DuckDB's reader truncates ns→µs, so Spark
+    # truncates identically (ts div 1000) and ties break on event_id.
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), agg AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY user_id
+)
+SELECT r.user_id,
+       r.event_id AS last_event_id,
+       CAST(EPOCH_US(r.ts) AS BIGINT) AS last_ts,
+       r.event_type AS last_event_type,
+       a.n_events,
+       a.total_value
+FROM ranked r
+JOIN agg a ON r.user_id = a.user_id
+WHERE r.rn = 1
+ORDER BY r.user_id
+""",
+)
+def flagship_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return latest.join(agg, "user_id").orderBy("user_id")
+
+
+@_q(
+    "window_rank_orders_per_customer",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+         DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(price_rank AS BIGINT) AS price_rank,
+       CAST(price_dense_rank AS BIGINT) AS price_dense_rank
+FROM ranked
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("price_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@_q(
+    "window_lag_lead_order_gaps",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         LAG(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(DATEDIFF('day', prev_date, o_orderdate) AS INT) AS days_since_prev,
+       CAST(DATEDIFF('day', o_orderdate, next_date) AS INT) AS days_until_next
+FROM seq
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+            F.lead("o_orderdate").over(w).alias("next_date"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            .cast("int")
+            .alias("days_since_prev"),
+            F.datediff(F.col("next_date"), F.col("o_orderdate"))
+            .cast("int")
+            .alias("days_until_next"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# Aggregate-over-frame: running total + trailing-3 moving average. The
+# frame is ROWS-based so both engines sum the same elements in the same
+# order; exact decimal running sums keep the hash comparable.
+@_q(
+    "window_running_and_moving",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+         COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def window_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = order_w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec).over(running).cast("double").alias("running_spend"),
+        F.round(
+            F.sum(dec).over(trailing).cast("double") / F.count("*").over(trailing), 6
+        ).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@_q(
+    "window_ntile_customer_value",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE) AS total_spend
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT) AS spend_quartile
+FROM spend
+ORDER BY o_custkey
+""",
+)
+def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    ).orderBy("o_custkey")

@@ -1,0 +1,76 @@
+"""Drive the driver contract end-to-end, the way the round driver does:
+
+1. build a VANILLA SparkSession (none of our session-factory configs —
+   the driver owns its session, we must work inside it);
+2. import __spark_entry__; run entry(spark), check rows>0 + schema;
+3. run every queries()[name] at sf0.01 and hash-compare against
+   oracle_sql()[name] via DuckDB views (local mirror of t2).
+
+Usage: python scripts/drive_driver_contract.py [--sf-dir DIR] [--only NAME...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # Vanilla session — deliberately NOT aws_glue_data_lake_spark.get_spark().
+    spark = (
+        SparkSession.builder.appName("drive-driver-contract")
+        .master("local[8]")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as mod
+
+    print("== entry() smoke ==", flush=True)
+    df = mod.entry(spark)
+    rows = df.collect()
+    print(f"entry: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0, "entry returned 0 rows"
+
+    from aws_glue_data_lake_spark.oracle import compare_result, run_oracle
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    names = args.only or sorted(queries)
+    failures = []
+    for name in names:
+        start = time.time()
+        sdf = queries[name](spark, args.sf_dir)
+        if name in oracles:
+            problems = compare_result(sdf, run_oracle(oracles[name], args.sf_dir))
+            status = "OK " if not problems else "FAIL"
+            if problems:
+                failures.append((name, problems))
+        else:
+            sdf.limit(5).collect()
+            status = "ROWS"
+        print(f"{status} {name} ({time.time() - start:.1f}s)", flush=True)
+
+    if failures:
+        print("\n== FAILURES ==")
+        for name, problems in failures:
+            print(name)
+            for p in problems:
+                print("  ", p)
+        return 1
+    print(f"\nall {len(names)} queries verified at {args.sf_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
