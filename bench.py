@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing method: build the plan lazily, then materialize with ``collect()``.
+Every registered query returns an aggregated or top-k result (small by
+construction), so ``collect()`` measures full plan execution without driver
+blowup; a LIMIT cap guards misbehaving additions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from aws_glue_data_lake_spark.queries import all_queries
+from aws_glue_data_lake_spark.session import get_spark
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Cap on rows pulled back to the driver; headline queries are aggregates or
+#: top-k so this only guards misbehaving additions.
+COLLECT_CAP = 200_000
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bootstrap (bootstrap cost is reported separately).
+    t0 = time.perf_counter()
+    spark.range(1).count()
+    warmup = time.perf_counter() - t0
+
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.limit(COLLECT_CAP).collect()
+        dt = time.perf_counter() - start
+        timings[name] = round(dt, 4)
+        total += dt
+
+    out = {
+        "metric": "suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "warmup_sec": round(warmup, 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
