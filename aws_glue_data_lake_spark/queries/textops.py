@@ -1,8 +1,316 @@
 """Text-analysis operators over ``documents`` (north star; SURVEY.md §7
-Phase 4). Filled in Phase 4 — registry present so the package imports."""
+Phase 4): token counting, quality scoring, language-ID, document
+fingerprinting, tf-idf. The reference has no text surface (SURVEY.md §2.9 —
+its only string ops are driver-side Python), so these are engine additions
+for the LLM-data-pipeline tier.
+
+Everything stays JVM-side (`split`/`filter`/`transform`/`aggregate`/
+`explode` — no Python UDFs in the hot path) so the plans whole-stage-codegen
+and scale linearly with document bytes. Cross-engine determinism: tokens are
+non-empty single-space splits; hashes are md5 hex strings (identical in
+Spark and DuckDB); doubles are rounded to 6.
+
+Scale notes (100 TB design point): every query here is embarrassingly
+parallel per-document except tf-idf, whose document-frequency aggregate is
+one shuffle over distinct (term) — bounded by vocabulary size, not corpus
+size, after the map-side distinct-per-doc explode.
+"""
 
 from __future__ import annotations
 
-from aws_glue_data_lake_spark.queries.base import Registry
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
 
 REGISTRY = Registry()
+_q = REGISTRY.query
+
+# Shared token definition: split on single space, drop empties.
+# DuckDB twin: LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')
+TOKS_SQL = "LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')"
+
+
+def toks(col: Column = None) -> Column:
+    c = col if col is not None else F.col("text")
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+# Tiny stopword list shared with the oracle (subset of the fixture vocab).
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+# --------------------------------------------------------------------------
+# Token counting — whitespace tokens plus a BPE-ish subword estimate
+# (ceil(chars/4), the common chars-per-token heuristic). Per-language
+# aggregate: one narrow shuffle on a 5-value key.
+# --------------------------------------------------------------------------
+@_q(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN({TOKS_SQL})) AS BIGINT) AS total_tokens,
+       ROUND(SUM(LEN({TOKS_SQL})) * 1.0 / COUNT(*), 6) AS avg_tokens_per_doc,
+       CAST(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_subword_est,
+       ROUND(SUM(LENGTH(REPLACE(text, ' ', ''))) * 1.0 / SUM(LEN({TOKS_SQL})), 6)
+         AS avg_token_len
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(toks())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            F.round(F.sum(n_tok) * 1.0 / F.count("*"), 6).alias("avg_tokens_per_doc"),
+            F.sum(F.ceil(F.length("text") / 4.0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_subword_est"),
+            F.round(
+                F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+                * 1.0
+                / F.sum(n_tok),
+                6,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring — per-document heuristics an LLM-data pipeline filters on:
+# length, lexical diversity (distinct/total tokens), stopword ratio, and a
+# composite keep-score. Pure per-row map stage: no shuffle except the
+# deterministic ORDER BY for the oracle compare.
+# --------------------------------------------------------------------------
+@_q(
+    "text_quality_scores",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN({TOKS_SQL}) AS n_tokens,
+         LEN(LIST_DISTINCT({TOKS_SQL})) AS n_distinct_tokens,
+         LEN(LIST_FILTER({TOKS_SQL}, x -> x IN {_STOP_SQL})) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_distinct_tokens * 1.0 / n_tokens, 6) AS lexical_diversity,
+       ROUND(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN n_tokens >= 20
+             AND n_distinct_tokens * 1.0 / n_tokens >= 0.3
+            THEN 1 ELSE 0 END AS keep_flag
+FROM feat
+ORDER BY doc_id
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    n_tokens = F.size(tk)
+    n_distinct = F.size(F.array_distinct(tk))
+    n_stop = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS)))
+    diversity = n_distinct * 1.0 / n_tokens
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.round(diversity, 6).alias("lexical_diversity"),
+            F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+            F.when((n_tokens >= 20) & (diversity >= 0.3), 1)
+            .otherwise(0)
+            .alias("keep_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID — marker-token profile scoring (the n-gram-heuristic family:
+# score each language by marker hits, argmax with a fixed tiebreak order).
+# Reported as a (actual_lang, predicted_lang) confusion matrix so the result
+# is small regardless of corpus size. Per-row scoring → 25-cell aggregate.
+# --------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "a", "and", "scan", "merge"),
+    "de": ("der", "und", "die", "window", "batch"),
+    "es": ("el", "la", "de", "query", "table"),
+    "fr": ("le", "la", "et", "stream", "join"),
+    "zh": ("spark", "data", "row", "hash", "key"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "('" + "', '".join(_MARKERS[lang]) + "')"
+    return f"LEN(LIST_FILTER({TOKS_SQL}, x -> x IN {lst}))"
+
+
+@_q(
+    "text_language_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('fr')} AS s_fr,
+         {_marker_sql('zh')} AS s_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+           WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_es THEN 'es'
+           WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+  FROM scored
+)
+SELECT lang AS actual_lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    # NB: a two-arg lambda would be treated as (element, index) by F.filter,
+    # so bind the marker list through an outer closure instead.
+    def _marker_count(markers):
+        return F.size(F.filter(tk, lambda x: x.isin(*markers)))
+
+    scores = {lang: _marker_count(m) for lang, m in _MARKERS.items()}
+    best = F.greatest(*scores.values())
+    # Same fixed tie-break order as the oracle CASE: en, de, es, fr, else zh.
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select(F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting — (a) order-insensitive bag-of-words fingerprint
+# (md5 of the sorted distinct token list) for exact-content dedup keys, and
+# (b) a winnowing-style selected shingle hash (min md5 over word 3-grams),
+# the rolling-hash fingerprint family. Per-row map; md5 is identical across
+# engines so fingerprints are portable join keys.
+# --------------------------------------------------------------------------
+@_q(
+    "text_fingerprint",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, toks,
+         CASE WHEN LEN(toks) >= 3 THEN
+           LIST_TRANSFORM(generate_series(1, LEN(toks) - 2),
+                          i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS shingle_hashes
+  FROM tk
+)
+SELECT doc_id,
+       md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' ')) AS bow_fingerprint,
+       LIST_MIN(shingle_hashes) AS min_shingle_hash,
+       CAST(LEN(shingle_hashes) AS BIGINT) AS n_shingles
+FROM sh
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    n = F.size(F.col("toks"))
+    shingle_at = lambda i: F.md5(
+        F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        )
+    )
+    shingles = F.when(
+        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), shingle_at)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", tk.alias("toks"))
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))).alias(
+                "bow_fingerprint"
+            ),
+            F.array_min(shingles).alias("min_shingle_hash"),
+            F.size(shingles).cast("bigint").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# tf-idf top terms — explode distinct-per-doc tokens for document frequency,
+# total term frequency from the raw explode; idf = ln(N/df). Two shuffles,
+# both keyed on term (vocabulary-bounded, not corpus-bounded). Top-20 with
+# term as the unique tiebreaker.
+# --------------------------------------------------------------------------
+@_q(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (
+  SELECT t.term, COUNT(*) AS term_freq
+  FROM (SELECT UNNEST({TOKS_SQL}) AS term FROM documents) t
+  GROUP BY t.term
+),
+df AS (
+  SELECT t.term, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, UNNEST({TOKS_SQL}) AS term FROM documents) t
+  GROUP BY t.term
+)
+SELECT tf.term,
+       CAST(tf.term_freq AS BIGINT) AS term_freq,
+       CAST(df.doc_freq AS BIGINT) AS doc_freq,
+       ROUND(tf.term_freq * LN(n.n_docs * 1.0 / df.doc_freq), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+ORDER BY tfidf DESC, tf.term
+LIMIT 20
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    exploded = d.select("doc_id", F.explode(toks()).alias("term"))
+    n_docs = d.count()
+    tf = exploded.groupBy("term").agg(F.count("*").cast("bigint").alias("term_freq"))
+    df_ = (
+        exploded.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+    )
+    return (
+        tf.join(df_, "term")
+        .select(
+            "term",
+            "term_freq",
+            "doc_freq",
+            F.round(
+                F.col("term_freq") * F.log(n_docs * 1.0 / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(20)
+    )
