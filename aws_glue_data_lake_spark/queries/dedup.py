@@ -1,8 +1,509 @@
-"""Deduplication operators over ``documents`` (north star; SURVEY.md §7
-Phase 4). Filled in Phase 4 — registry present so the package imports."""
+"""Deduplication operators over ``documents`` / ``embeddings`` (north star;
+SURVEY.md §7 Phase 4): exact hash-groupBy dedup, MinHash+LSH near-dedup,
+SimHash near-dedup, n-gram Jaccard verification, and embedding-cosine
+near-dup. The reference has no dedup surface beyond latest-per-key CDC
+(SURVEY.md §2.4); these are the LLM-data-pipeline additions.
+
+All hot paths are JVM-side built-ins (split/transform/filter/aggregate/
+explode + one equi-join per method) — no Python UDFs — so every stage
+whole-stage-codegens. Hashes are md5 hex strings (bit-identical in Spark
+and DuckDB), which makes the sketches portable across engines and lets the
+oracle check exact pair sets, not just counts.
+
+Scale design (100 TB):
+- Sketching (shingles → minhash/simhash) is per-row map work: linear in
+  corpus bytes, no shuffle, embarrassingly parallel.
+- Candidate generation is a self-equi-join on a *band key* — the classic
+  LSH bucket join. Shuffle is keyed on (band_idx, band_key), whose
+  cardinality grows with the corpus, so buckets stay small and AQE handles
+  stragglers; we never materialize the O(n²) pair space.
+- Verification (exact Jaccard / hamming) runs only on candidates.
+- Embedding near-dup uses label blocking here (a stand-in for an IVF/LSH
+  bucket id at scale — see queries/similarity.py for the probed variant);
+  norms are precomputed once per vector, not per pair.
+
+MinHash parameters: 24 hashes, 8 bands × 3 rows → S-curve threshold
+(1/8)^(1/3) ≈ 0.5 Jaccard. SimHash: 60 bits (stays in signed BIGINT for
+both engines), 10 bands × 6 bits → guarantees candidate generation for
+hamming ≤ 9; we report pairs at hamming ≤ 7 (fixture near-dups land at
+1-7, random pairs at ≥ 15).
+"""
 
 from __future__ import annotations
 
-from aws_glue_data_lake_spark.queries.base import Registry
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
+from aws_glue_data_lake_spark.queries.textops import TOKS_SQL, toks
 
 REGISTRY = Registry()
+_q = REGISTRY.query
+
+# ---------------------------------------------------------------------------
+# Shared shingling: distinct word-3-grams. DuckDB twin of ``shingles()``.
+# ---------------------------------------------------------------------------
+_SHINGLE_CTES = f"""
+tk AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN LEN(t) >= 3 THEN
+           LIST_DISTINCT(LIST_TRANSFORM(generate_series(1, LEN(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END AS s
+  FROM tk
+)"""
+
+
+def shingles() -> Column:
+    tk = toks()
+    n = F.size(tk)
+    gram = lambda arr, i: F.concat_ws(
+        " ", F.element_at(arr, i), F.element_at(arr, i + 1), F.element_at(arr, i + 2)
+    )
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: gram(tk, i))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy) — corpus summary at three normalization levels:
+# raw text, whitespace-normalized token sequence, bag-of-words. One narrow
+# aggregate; at scale this is a partial/final count-distinct per level (or
+# approx_count_distinct when exactness isn't required).
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_exact",
+    oracle=f"""
+WITH {_SHINGLE_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup_rows,
+       CAST(COUNT(DISTINCT md5(ARRAY_TO_STRING({TOKS_SQL}, ' '))) AS BIGINT)
+         AS n_distinct_token_seqs,
+       CAST(COUNT(DISTINCT md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({TOKS_SQL})), ' ')))
+            AS BIGINT) AS n_distinct_bow
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_texts"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_exact_dup_rows"),
+        F.countDistinct(F.md5(F.concat_ws(" ", tk)))
+        .cast("bigint")
+        .alias("n_distinct_token_seqs"),
+        F.countDistinct(F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))))
+        .cast("bigint")
+        .alias("n_distinct_bow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup groups on the bag-of-words fingerprint: hash-groupBy, keep
+# min(doc_id) as the canonical survivor, emit only groups with duplicates.
+# The canonical pattern for "exact dedup at scale": one shuffle on the
+# 128-bit content key — uniformly distributed, no skew.
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_bow_groups",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({TOKS_SQL})), ' ')) AS bow_fingerprint
+  FROM documents
+)
+SELECT bow_fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS member_ids
+FROM fp
+GROUP BY bow_fingerprint
+HAVING COUNT(*) >= 2
+ORDER BY bow_fingerprint
+""",
+)
+def dedup_bow_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks()))))
+    return (
+        d.select("doc_id", fp.alias("bow_fingerprint"))
+        .groupBy("bow_fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("member_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("bow_fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup: shingle → 24 minhashes → 8 bands × 3 rows →
+# band-key bucket self-join → estimated Jaccard from signature agreement.
+# ---------------------------------------------------------------------------
+_N_HASH, _N_BANDS, _ROWS_PER_BAND = 24, 8, 3
+
+
+@_q(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(generate_series(0, {_N_HASH - 1}),
+           k -> LIST_MIN(LIST_TRANSFORM(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS m
+  FROM sh WHERE LEN(s) > 0
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
+  FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       ROUND(LEN(LIST_FILTER(generate_series(1, {_N_HASH}), i -> ma.m[i] = mb.m[i]))
+             * 1.0 / {_N_HASH}, 6) AS est_jaccard
+FROM cand c
+JOIN mh ma ON ma.doc_id = c.doc_a
+JOIN mh mb ON mb.doc_id = c.doc_b
+WHERE LEN(LIST_FILTER(generate_series(1, {_N_HASH}), i -> ma.m[i] = mb.m[i]))
+      * 1.0 / {_N_HASH} >= 0.35
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # Sketch stage: per-row, no shuffle. minhash_k = min over shingles of
+    # md5("k:shingle") — a k-indexed family of order-preserving hashes.
+    mh_col = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("s"), lambda x: F.md5(F.concat(k.cast("string"), F.lit(":"), x))
+            )
+        ),
+    )
+    sk = (
+        d.select("doc_id", shingles().alias("s"))
+        .where(F.size("s") > 0)
+        .select("doc_id", mh_col.alias("m"))
+    )
+    band_key = lambda j: F.md5(
+        F.concat_ws(
+            "|",
+            F.element_at("m", 3 * j + 1),
+            F.element_at("m", 3 * j + 2),
+            F.element_at("m", 3 * j + 3),
+        )
+    )
+    bands = sk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)), band_key)
+        ).alias("band_idx", "band_key"),
+    )
+    # LSH bucket join: shuffle keyed on (band_idx, band_key) — bucket sizes
+    # are bounded by collision rate, never the corpus, so this scales.
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+    ma = sk.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    mb = sk.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = agree * 1.0 / _N_HASH
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where(est >= 0.35)
+        .select("doc_a", "doc_b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dedup: blocking on the *minimum shingle hash* (a
+# 1-hash winnowing anchor — two docs sharing their global min shingle are
+# candidates), then exact 3-gram Jaccard on candidates only. Complements
+# MinHash: exact similarity, cheaper sketch, lower recall.
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+anchored AS (
+  SELECT doc_id, s, LIST_MIN(LIST_TRANSFORM(s, x -> md5(x))) AS anchor
+  FROM sh WHERE LEN(s) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS BIGINT) AS n_common_shingles,
+       ROUND(LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+             / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))), 6) AS jaccard
+FROM anchored a
+JOIN anchored b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+      / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    anchored = (
+        d.select("doc_id", shingles().alias("s"))
+        .where(F.size("s") > 0)
+        .select(
+            "doc_id",
+            "s",
+            F.array_min(F.transform("s", lambda x: F.md5(x))).alias("anchor"),
+        )
+    )
+    a = anchored.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "anchor"
+    )
+    b = anchored.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "anchor"
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter * 1.0 / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.join(b, "anchor")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_common_shingles"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup: 60-bit majority-vote fingerprint over shingle hashes,
+# banded self-join (10 bands × 6 bits guarantees candidates for hamming ≤ 9),
+# exact hamming ≤ 7 on candidates. Bit j comes from bit (3 - j%4) of md5 hex
+# nibble j//4 — portable across engines via the hex string.
+# ---------------------------------------------------------------------------
+_SIM_BITS, _SIM_BANDS, _BITS_PER_BAND, _MAX_HAM = 60, 10, 6, 7
+
+
+def _sim_bit_sql(j: int) -> str:
+    p, k = j // 4 + 1, 3 - j % 4
+    return (
+        f"CASE WHEN 2*LEN(LIST_FILTER(h, x -> "
+        f"((instr('0123456789abcdef', substr(x,{p},1))-1) >> {k}) & 1 = 1)) > LEN(h) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    )
+
+
+_SIM_EXPR_SQL = " + ".join(_sim_bit_sql(j) for j in range(_SIM_BITS))
+
+
+@_q(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+hs AS (
+  SELECT doc_id, LIST_TRANSFORM(s, x -> md5(x)) AS h FROM sh WHERE LEN(s) > 0
+),
+sim AS (
+  SELECT doc_id, {_SIM_EXPR_SQL} AS simhash FROM hs
+),
+bands AS (
+  SELECT doc_id, simhash, j AS band_idx,
+         (simhash >> ({_BITS_PER_BAND}*j)) & {(1 << _BITS_PER_BAND) - 1} AS band_val
+  FROM sim, UNNEST(generate_series(0, {_SIM_BANDS - 1})) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_MAX_HAM}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    hs = (
+        d.select("doc_id", shingles().alias("s"))
+        .where(F.size("s") > 0)
+        .select("doc_id", F.transform("s", lambda x: F.md5(x)).alias("h"))
+    )
+    n_sh = F.size("h")
+
+    def bit_term(j: int) -> Column:
+        p, k = j // 4 + 1, 3 - j % 4
+        # nibble value via base conversion (Spark's conv == DuckDB's instr map)
+        nib = lambda x: F.conv(x.substr(p, 1), 16, 10).cast("int")
+        n_set = F.size(
+            F.filter("h", lambda x: F.shiftright(nib(x), k).bitwiseAND(1) == 1)
+        )
+        return F.when(2 * n_set > n_sh, F.lit(1 << j)).otherwise(F.lit(0))
+
+    sim = hs.select(
+        "doc_id",
+        reduce(add, [bit_term(j) for j in range(_SIM_BITS)]).cast("bigint").alias(
+            "simhash"
+        ),
+    )
+    band_val = lambda j: F.shiftright("simhash", _BITS_PER_BAND * j).bitwiseAND(
+        (1 << _BITS_PER_BAND) - 1
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[band_val(j) for j in range(_SIM_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .where(ham <= _MAX_HAM)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: label-blocked pair generation (stand-in for an
+# IVF/LSH bucket id at scale — see queries/similarity.py), norms precomputed
+# once per vector, exact-decimal dot products so Spark and DuckDB agree
+# bit-for-bit, top-20 most-similar pairs.
+# ---------------------------------------------------------------------------
+_DOT_SQL = (
+    "CAST(LIST_SUM(LIST_TRANSFORM(generate_series(1, 64), "
+    "i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,12)))) "
+    "AS DOUBLE)"
+)
+
+
+def ddot(a: Column, b: Column) -> Column:
+    """Deterministic dot product: per-element double multiply, exact decimal
+    sum (order-free), reported as double. Shared with queries/similarity.py."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(38,12)"),
+    )
+    # (acc + x) widens to DECIMAL(38,11) under Spark's precision-loss rule;
+    # cast back — exact, since 64 products of unit-scale floats never overflow.
+    total = F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    )
+    return total.cast("double")
+
+
+@_q(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH nv AS (
+  SELECT vec_id, label, embedding,
+         SQRT({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (a.norm * b.norm), 6) AS cosine
+  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 20
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    nv = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = nv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = nv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cosine = F.round(
+        ddot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(20)
+    )
