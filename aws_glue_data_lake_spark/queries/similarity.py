@@ -1,8 +1,249 @@
-"""Similarity-search operators over ``embeddings`` (north star; SURVEY.md
-§7 Phase 4). Filled in Phase 4 — registry present so the package imports."""
+"""Similarity search over ``embeddings`` (north star; SURVEY.md §7 Phase 4):
+brute-force cosine top-k as the exactness baseline, and an IVF
+(inverted-file) probed variant as the scale path.
+
+Both use the deterministic decimal dot product from queries/dedup.py
+(``ddot``) so Spark and DuckDB agree bit-for-bit; vector norms are computed
+once per vector, never per pair.
+
+Scale design (100 TB):
+- Brute force is exact but O(|Q|·N): right when |Q| is small (the query set
+  is broadcast, the corpus is scanned once, per-partition top-k folds into a
+  global top-k — no full sort). Wrong as the standing index.
+- IVF: assign every vector to its nearest of K centroids (one broadcast
+  join, linear), store the corpus *bucketed by centroid*; a query probes
+  only its ``nprobe`` nearest centroid buckets, scanning ~nprobe/K of the
+  corpus. At real scale K grows with N (√N rule of thumb) and centroids come
+  from k-means (expressible as repeated Spark joins/aggregations); here the
+  centroids are a deterministic seed set (vec_id < K) so the oracle can
+  reproduce the exact index. The probed search underneath is the same
+  broadcast + top-k-per-group plan either way.
+"""
 
 from __future__ import annotations
 
-from aws_glue_data_lake_spark.queries.base import Registry
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
+from aws_glue_data_lake_spark.queries.dedup import _DOT_SQL, ddot
 
 REGISTRY = Registry()
+_q = REGISTRY.query
+
+#: Deterministic query set / IVF parameters (small, sf-independent).
+_QUERY_IDS = (0, 1, 2, 3, 4)
+_TOP_K = 10
+_N_CENTROIDS = 8
+_N_PROBE = 2
+
+_QIDS_SQL = "(" + ", ".join(str(i) for i in _QUERY_IDS) + ")"
+
+# Shared oracle CTE: vectors with precomputed norms.
+_NV_SQL = f"""
+nv AS (
+  SELECT vec_id, label, embedding,
+         SQRT({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+)"""
+
+
+def _nv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+
+
+def _cosine(ea, na, eb, nb):
+    return F.round(ddot(ea, eb) / (na * nb), 6)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: broadcast the 5 query vectors against the whole
+# corpus, rank per query. The Spark plan is a BroadcastNestedLoop-free
+# broadcast hash join on a crossable key? No — it's a broadcast cross of 5
+# rows, then per-partition partial top-k under the rank window (AQE keeps
+# the exchange small: only |Q|·k rows survive the filter).
+# ---------------------------------------------------------------------------
+@_q(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH {_NV_SQL},
+q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+               / (q.norm * c.norm), 6) AS cosine
+  FROM q JOIN nv c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, neighbor_label, cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = nv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            _cosine(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "neighbor_label", "cosine")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: deterministic centroid seeds (vec_id < K), nearest-centroid
+# assignment (broadcast join + argmax), queries probe their nprobe nearest
+# centroids and search only those buckets. Approximate by construction —
+# the oracle reproduces the identical index, so results still hash-match.
+# ---------------------------------------------------------------------------
+@_q(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH {_NV_SQL},
+cent AS (SELECT vec_id AS centroid_id, embedding, norm FROM nv
+         WHERE vec_id < {_N_CENTROIDS}),
+assign_scored AS (
+  SELECT v.vec_id, v.label, v.embedding, v.norm, c.centroid_id,
+         ROUND({_DOT_SQL.format(a='v.embedding', b='c.embedding')}
+               / (v.norm * c.norm), 6) AS cos_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({_DOT_SQL.format(a='v.embedding', b='c.embedding')}
+                          / (v.norm * c.norm), 6) DESC, c.centroid_id) AS crnk
+  FROM nv v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, norm, centroid_id
+  FROM assign_scored WHERE crnk = 1
+),
+q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL}),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                            / (q.norm * c.norm), 6) DESC, c.centroid_id) AS prnk
+    FROM q CROSS JOIN cent c
+  ) WHERE prnk <= {_N_PROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.centroid_id,
+         ROUND({_DOT_SQL.format(a='q.embedding', b='a.embedding')}
+               / (q.norm * a.norm), 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+       CAST(centroid_id AS BIGINT) AS centroid_id, cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    cent = nv.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("che"),
+        F.col("norm").alias("chn"),
+    )
+    # Index build: broadcast the K centroids, score all N·K pairs map-side,
+    # argmax per vector. One narrow window on vec_id (already the scan key).
+    v = nv.select(
+        "vec_id", "label", "embedding", "norm"
+    )
+    cos_vc = _cosine(F.col("embedding"), F.col("norm"), F.col("che"), F.col("chn"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.col("centroid_id")
+    )
+    assigned = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "label", "embedding", "norm", "centroid_id",
+                cos_vc.alias("cos_c"))
+        .withColumn("crnk", F.row_number().over(aw))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "embedding", "norm", "centroid_id")
+    )
+    q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id", "qe", "qn", "centroid_id",
+            _cosine(F.col("qe"), F.col("qn"), F.col("che"), F.col("chn")).alias(
+                "cos_q"
+            ),
+        )
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _N_PROBE)
+        .select("query_id", "qe", "qn", "centroid_id")
+    )
+    # Probed search: the corpus side stays partitioned by centroid bucket;
+    # the (query, bucket) probe list is tiny and broadcast.
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            _cosine(
+                F.col("qe"), F.col("qn"), F.col("embedding"), F.col("norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "centroid_id", "cosine")
+        .orderBy("query_id", "rnk")
+    )

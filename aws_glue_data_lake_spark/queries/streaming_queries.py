@@ -1,0 +1,165 @@
+"""Streaming queries as oracle-checkable entries (SURVEY.md §2.10/§7 Phase 5).
+
+Each query runs a real Structured Streaming pipeline (file source →
+watermarked event-time aggregation → availableNow drain into a memory
+sink) and returns the final table. Because the fixture replays as one
+batch, the final state is deterministic and — unusually for streaming —
+*SQL-expressible*, so these get full DuckDB oracles instead of rows-only
+checks: tumbling windows are epoch-µs bucket math; session windows are the
+classic gaps-and-islands rewrite.
+
+The foreachBatch CDC upsert (the streaming generalization of the
+reference's batch merge, icberg/iceberg_tables.py:115-153) drains the feed
+through ``operators.cdc.full_load``/``incremental_merge`` inside
+``foreachBatch``; its final state matches the batch pipeline's oracle.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
+from aws_glue_data_lake_spark.queries.base import Registry
+from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL, _SENTINEL_US
+from aws_glue_data_lake_spark.streaming.pipelines import (
+    read_events_stream,
+    run_available_now,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+_TEN_MIN_US = 600_000_000
+_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@_q(
+    "streaming_tumbling_counts",
+    oracle=f"""
+SELECT (CAST(EPOCH_US(ts) AS BIGINT) // {_TEN_MIN_US}) * {_TEN_MIN_US} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+""",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    final = run_available_now(tumbling_window_agg(stream), output_mode="complete")
+    return final.orderBy("window_start_us", "event_type")
+
+
+@_q(
+    "streaming_session_windows",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > {_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM e
+), islands AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_GAP_US} AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS first_ts_us,
+       MAX(ts_us) AS last_ts_us
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start_us
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    final = run_available_now(session_window_agg(stream), output_mode="complete")
+    return final.orderBy("user_id", "session_start_us")
+
+
+@_q(
+    "streaming_cdc_upsert_state",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+  FROM feed
+  WHERE ts > TIMESTAMP '1900-01-01 00:00:00'
+)
+SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts,
+       user_id, event_type, value, props
+FROM ranked
+WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+ORDER BY user_id
+""",
+)
+def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC upsert: each micro-batch runs the reference-parity
+    merge (full_load on an empty target, incremental_merge after) and
+    persists the rolling target to parquet — the Structured Streaming
+    version of the reference's job-bookmark loop (icberg/iceberg_tables.py:
+    115-153 per run). Final state == the batch full-load oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "view", "U")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    feed = stream.withColumn("op", op).withColumn("ts", F.col("ts_us")).drop(
+        "ts_us", "event_time"
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    target_path = f"{tmp}/target"
+    state = {"loaded": False}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not state["loaded"]:
+            result = full_load(
+                batch, ["user_id"], "ts", tiebreakers=["event_id"],
+                sentinel=_SENTINEL_US,
+            )
+        else:
+            target = batch.sparkSession.read.parquet(target_path)
+            result = incremental_merge(
+                target, batch, ["user_id"], "ts", tiebreakers=["event_id"]
+            )
+        if result.applied:
+            # localCheckpoint-free two-phase write: the target is re-read
+            # per batch, so write to a fresh dir then swap.
+            out = f"{tmp}/target_{batch_id}"
+            result.table.write.mode("overwrite").parquet(out)
+            shutil.rmtree(target_path, ignore_errors=True)
+            shutil.move(out, target_path)
+            state["loaded"] = True
+
+    q = (
+        feed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    final = spark.read.parquet(target_path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return final.orderBy("user_id")

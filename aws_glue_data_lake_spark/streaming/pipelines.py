@@ -1,0 +1,140 @@
+"""Streaming pipelines over the ``events`` fixture.
+
+Design notes
+------------
+- Source: file-source ``readStream`` with an explicit schema (streaming
+  readers cannot infer). ``events.ts`` is parquet TIMESTAMP(NANOS); under
+  the engine-wide ``nanosAsLong`` convention it arrives as int64 epoch-ns
+  and is normalized to epoch-µs (``ts div 1000``), then to a proper
+  timestamp via ``timestamp_micros`` for event-time operators.
+- Event time: ``withWatermark`` bounds state for late data. The fixture
+  replay arrives as one availableNow batch, so nothing is actually late —
+  the watermark is exercised as API + state-bound, with ``complete`` output
+  mode so single-batch replay still emits final results (append mode would
+  hold windows newer than the watermark in state forever on a finite
+  replay; Spark rejects update mode for session windows).
+- Sink: in-memory table per run (unique query name), the standard pattern
+  for deterministic streaming tests.
+
+Scale notes (100 TB): tumbling/session aggregation state is partitioned by
+(group key) — the shuffle is keyed exactly like the equivalent batch
+groupBy; the watermark bounds state size to the lateness horizon. At real
+scale the memory sink becomes kafka/parquet and availableNow becomes a
+continuous trigger; the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Streaming-reader schema for events.parquet (FIXTURES.md) under the
+#: nanosAsLong convention (ts = int64 epoch-ns).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_run_ids = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture; emits epoch-µs ``ts_us``
+    plus a proper ``event_time`` timestamp for windowing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-source streaming reads a *directory* (the drop-dir contract of a
+    # real ingestion pipeline). The fixture is a single file, so stage it
+    # into a temp dir via symlink — zero-copy, read-only on the fixture.
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def tumbling_window_agg(stream: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window per event_type: count + exact-decimal value
+    sum. Epoch-aligned windows, reported as epoch-µs window_start."""
+    return (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_window_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-merged session windows per user: a session extends while
+    consecutive events arrive within ``gap``; ends ``gap`` after the last."""
+    return (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_us").alias("first_ts_us"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "first_ts_us",
+            "last_ts_us",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str, timeout_s: int = 120
+) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a uniquely-named
+    in-memory table; return the final table as a batch DataFrame."""
+    name = f"stream_result_{next(_run_ids)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
