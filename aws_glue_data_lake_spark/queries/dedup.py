@@ -59,8 +59,8 @@ tk AS (
 )"""
 
 
-def shingles() -> Column:
-    tk = toks()
+def shingles(tk: Column | None = None) -> Column:
+    tk = toks() if tk is None else tk
     n = F.size(tk)
     gram = lambda arr, i: F.concat_ws(
         " ", F.element_at(arr, i), F.element_at(arr, i + 1), F.element_at(arr, i + 2)
@@ -71,6 +71,29 @@ def shingles() -> Column:
             F.transform(F.sequence(F.lit(1), n - 2), lambda i: gram(tk, i))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, s) sketch base.
+
+    The persist is load-bearing for performance, not a cache nicety:
+    Catalyst's projection collapse inlines a column's defining expression
+    into *every* downstream reference, and common-subexpression elimination
+    does not reach inside higher-order-function lambdas. Without a
+    materialization boundary, each of the 24 minhash lambdas / 60 simhash
+    bit terms / 8 band keys would re-derive the full shingle array — and
+    each ``element_at(tokens, i)`` would re-split the whole document
+    (measured 200+ s at sf0.1 vs ~5 s with the boundary). At 100 TB the
+    same boundary is a materialized sketch *table* (compute once, write,
+    reuse across dedup passes); ``persist()`` is its single-job stand-in.
+    """
+    d = t(spark, sf_dir, "documents")
+    tk_tbl = d.select("doc_id", toks().alias("tk"))
+    return (
+        tk_tbl.select("doc_id", shingles(F.col("tk")).alias("s"))
+        .where(F.size("s") > 0)
+        .persist()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +221,10 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
     # Sketch stage: per-row, no shuffle. minhash_k = min over shingles of
     # md5("k:shingle") — a k-indexed family of order-preserving hashes.
+    # Persisted: the signature feeds band keys AND both sides of the
+    # est-jaccard join (see _shingle_table on why the boundary matters).
     mh_col = F.transform(
         F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
         lambda k: F.array_min(
@@ -210,9 +234,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sk = (
-        d.select("doc_id", shingles().alias("s"))
-        .where(F.size("s") > 0)
+        _shingle_table(spark, sf_dir)
         .select("doc_id", mh_col.alias("m"))
+        .persist()
     )
     band_key = lambda j: F.md5(
         F.concat_ws(
@@ -286,15 +310,15 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # Persisted: both join sides read the anchored sketch (see _shingle_table).
     anchored = (
-        d.select("doc_id", shingles().alias("s"))
-        .where(F.size("s") > 0)
+        _shingle_table(spark, sf_dir)
         .select(
             "doc_id",
             "s",
             F.array_min(F.transform("s", lambda x: F.md5(x))).alias("anchor"),
         )
+        .persist()
     )
     a = anchored.select(
         F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "anchor"
@@ -369,11 +393,12 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # Two boundaries: h feeds 60 bit-term filters; simhash feeds 10 band
+    # projections and both join sides (see _shingle_table).
     hs = (
-        d.select("doc_id", shingles().alias("s"))
-        .where(F.size("s") > 0)
+        _shingle_table(spark, sf_dir)
         .select("doc_id", F.transform("s", lambda x: F.md5(x)).alias("h"))
+        .persist()
     )
     n_sh = F.size("h")
 
@@ -391,7 +416,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce(add, [bit_term(j) for j in range(_SIM_BITS)]).cast("bigint").alias(
             "simhash"
         ),
-    )
+    ).persist()
     band_val = lambda j: F.shiftright("simhash", _BITS_PER_BAND * j).bitwiseAND(
         (1 << _BITS_PER_BAND) - 1
     )

@@ -101,6 +101,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_partkey % 10 AS BIGINT) AS part_bucket
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber
+LIMIT 1000
 """,
 )
 def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +116,11 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         (F.col("l_partkey") % 10).cast("bigint").alias("part_bucket"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber").limit(1000)
+    # LIMIT 1000 (unique (orderkey, linenumber) tiebreaker): per-row scalar
+    # coverage doesn't need the full table shipped to the driver — Spark
+    # plans this as TakeOrderedAndProject (per-partition top-k, no global
+    # sort), the scale-correct shape.
 
 
 # JSON extraction on the events.props payload (FIXTURES.md: e.g. {"k": 87}).
