@@ -416,3 +416,130 @@ def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey")
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.exceptAll(o).distinct().orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Full outer join: per-nation customer vs supplier presence. Aggregate each
+# side BEFORE the join (partial aggregation shrinks both inputs to ≤25 rows,
+# so the full-outer is a trivial exchange regardless of fact-table scale).
+# --------------------------------------------------------------------------
+@_q(
+    "join_full_outer_nation_presence",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer
+  GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier
+  GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+""",
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross join: region × order-status scaffold (the build-a-dense-grid
+# pattern). Both sides are tiny aggregates, so the product is 15 rows —
+# cross joins are only ever sane between bounded inputs; Spark requires
+# the explicit crossJoin call as a guardrail.
+# --------------------------------------------------------------------------
+@_q(
+    "join_cross_region_status_grid",
+    oracle="""
+SELECT r.r_name, s.o_orderstatus, s.n_orders
+FROM region r
+CROSS JOIN (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+) s
+ORDER BY r_name, o_orderstatus
+""",
+)
+def join_cross_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    return r.crossJoin(s).orderBy("r_name", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS through the SQL entry path (the reference's mode of running
+# queries — SQL strings into Catalyst, icberg/iceberg_tables.py:107-109):
+# status-only, priority-only, and grand-total groupings in one pass.
+# GROUPING() flags disambiguate real NULLs from subtotal rows.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_grouping_sets_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_count_distinct (HyperLogLog++): the scale path for distinct counts
+# — no exact-distinct shuffle, constant-size sketch per group, mergeable
+# across partitions. Approx values differ by engine, so this is a
+# rows-only check (base.py determinism rules); the exact twin is
+# agg_count_distinct_customers_per_priority.
+# --------------------------------------------------------------------------
+@_q("agg_approx_distinct_customers")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )

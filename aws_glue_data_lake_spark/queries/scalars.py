@@ -217,3 +217,76 @@ def scalar_array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Map functions: parse the events.props JSON payload into a real MapType,
+# explode to (key, value), aggregate per key. The map stays JVM-side
+# (from_json → map_* / explode); no string re-parsing downstream.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_map_props_stats",
+    oracle="""
+SELECT k.key AS prop_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT)
+         AS value_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT)
+         AS value_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT)
+         AS value_max
+FROM events, UNNEST(json_keys(props)) AS k(key)
+GROUP BY prop_key
+ORDER BY prop_key
+""",
+)
+def scalar_map_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value").cast("bigint").alias("value_sum"),
+            F.min("value").cast("bigint").alias("value_min"),
+            F.max("value").cast("bigint").alias("value_max"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex functions over part names: extract / replace / match with patterns
+# kept in the common Java-regex ∩ RE2 subset so both engines agree.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_regex_part_names",
+    oracle="""
+SELECT regexp_extract(p_name, '^[a-z]+') AS first_word,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN regexp_matches(p_name, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_digit,
+       CAST(SUM(LENGTH(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT)
+         AS devoweled_len_sum
+FROM part
+GROUP BY first_word
+ORDER BY first_word
+""",
+)
+def scalar_regex_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+            F.col("p_name").rlike("[0-9]").cast("int").alias("has_digit"),
+            F.length(F.regexp_replace("p_name", "[aeiou]", "")).alias("devoweled_len"),
+        )
+        .groupBy("first_word")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("has_digit").cast("bigint").alias("n_with_digit"),
+            F.sum("devoweled_len").cast("bigint").alias("devoweled_len_sum"),
+        )
+        .orderBy("first_word")
+    )

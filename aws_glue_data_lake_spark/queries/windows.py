@@ -217,3 +217,128 @@ def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         F.ntile(4).over(w).cast("int").alias("spend_quartile"),
     ).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Analytic rank family: dense_rank / percent_rank / cume_dist over order
+# value within priority. Output is the p99 tail (deterministic: unique
+# orderkey tiebreaker everywhere) so the result stays bounded at any scale.
+# --------------------------------------------------------------------------
+@_q(
+    "window_dense_percent_cume",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+         ROUND(PERCENT_RANK() OVER w, 6) AS price_percent_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT * FROM ranked
+WHERE price_percent_rank >= 0.99
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+""",
+)
+def window_dense_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        )
+        .where(F.col("price_percent_rank") >= 0.99)
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame: 30-day trailing spend per customer — a *value-based* frame
+# (rangeBetween on days-since-epoch), not a row-count frame; rows with no
+# orders in the trailing month contribute only themselves. Restricted to
+# custkey < 100 to bound output; the window itself scales (one shuffle on
+# o_custkey, frames evaluated by an ordered scan within each partition).
+# --------------------------------------------------------------------------
+@_q(
+    "window_range_frame_trailing_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(DATEDIFF('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT)
+         AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(DATEDIFF('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, order_day, o_orderkey
+""",
+)
+def window_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("order_day"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("_price"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "order_day",
+            F.sum("_price").over(w).cast("double").alias("trailing_30d_spend"),
+        )
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k-per-group: the reference's W1+P4 keep-first generalized to k=3
+# (SURVEY.md §2.7) — top-3 orders per customer by price. The rank filter
+# prunes before any downstream join/sort; only k rows per key survive the
+# window exchange.
+# --------------------------------------------------------------------------
+@_q(
+    "window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3 AND o_custkey < 100
+ORDER BY o_custkey, rnk
+""",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .where((F.col("rnk") <= 3) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    )
