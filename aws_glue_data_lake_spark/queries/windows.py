@@ -120,6 +120,7 @@ WITH seq AS (
          LAG(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
          LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
   FROM orders
+  WHERE o_custkey < 1000
 )
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(DATEDIFF('day', prev_date, o_orderdate) AS INT) AS days_since_prev,
@@ -129,7 +130,9 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
 )
 def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    # custkey < 1000 bounds the result; filtering on the PARTITION BY key
+    # commutes with the window and pushes below it into the parquet scan.
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 1000)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         o.select(
@@ -171,11 +174,14 @@ SELECT o_custkey, o_orderkey, o_orderdate,
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3
 FROM orders
+WHERE o_custkey < 1000
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
 )
 def window_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    # Bounded like window_lag_lead_order_gaps: partition-key filter commutes
+    # with the window and reaches the scan.
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 1000)
     order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trailing = order_w.rowsBetween(-2, Window.currentRow)
