@@ -87,13 +87,22 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     same boundary is a materialized sketch *table* (compute once, write,
     reuse across dedup passes); ``persist()`` is its single-job stand-in.
     """
+    key = (id(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = t(spark, sf_dir, "documents")
     tk_tbl = d.select("doc_id", toks().alias("tk"))
-    return (
+    out = (
         tk_tbl.select("doc_id", shingles(F.col("tk")).alias("s"))
         .where(F.size("s") > 0)
         .persist()
     )
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 # ---------------------------------------------------------------------------
