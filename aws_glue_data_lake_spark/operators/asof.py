@@ -1,0 +1,88 @@
+"""As-of (point-in-time) join — an operator vanilla Spark lacks, built as a
+composition of built-in ops (SURVEY.md guidance: prefer composition over
+UDFs over custom rules). The reference has no as-of join; this is an
+engine addition for the time-series/feature-lookup family.
+
+Semantics: for each left row, attach the payload of the *latest* right row
+with the same key and ``right.time <= left.time`` (ties at equal time match
+— "at or before").
+
+Implementation — the union-and-carry pattern, not a per-key loop and not a
+range cross-join:
+
+1. tag both sides and union them into one (key, time, side, payload) stream;
+2. one window, partitioned by key, ordered by (time, side, tiebreak) with a
+   running frame; ``last(payload, ignorenulls=True)`` carries the most
+   recent right payload forward past each left row;
+3. filter back to left rows.
+
+Scale notes (100 TB): exactly ONE shuffle, keyed on the join key — the
+same exchange a plain equi-join would need — then a per-partition ordered
+scan. No range-duplicated rows, no skew amplification beyond the key's own
+frequency (salt hot keys upstream if needed). Contrast with the naive
+``left JOIN right ON key AND r.t <= l.t`` + argmax, which materializes
+every (left, earlier-right) pair before pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Return ``left`` with ``payload`` columns from the as-of-matched right
+    row (NULL when no right row is at or before the left time).
+
+    ``tiebreak`` is a right-side column giving a deterministic winner among
+    right rows that share (key, time) — the latest by that column wins.
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        "*",
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *payload,
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal time (_side 0 < 1), so an
+    # exactly-simultaneous right row is visible to the left row. _tb orders
+    # simultaneous right rows so the last one wins deterministically.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(p, ignorenulls=True).over(w).alias(f"_asof_{p}")
+            for p in payload
+        ],
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"_asof_{p}").alias(p) for p in payload],
+        )
+    )

@@ -543,3 +543,129 @@ def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join: each event picks up its customer's latest
+# order at-or-before the event time — operators/asof.py (union-and-carry:
+# ONE shuffle on the key, no range-duplicated pairs). user_id < 50 bounds
+# output (partition-key filter, commutes with the window).
+# --------------------------------------------------------------------------
+@_q(
+    "join_asof_event_order",
+    oracle="""
+WITH l AS (
+  SELECT user_id AS k, CAST(EPOCH_US(ts) AS BIGINT) AS t, 1 AS side,
+         CAST(NULL AS BIGINT) AS tb,
+         event_id, event_type, CAST(NULL AS BIGINT) AS o_orderkey,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM events WHERE user_id < 50
+), r AS (
+  SELECT o_custkey AS k, CAST(EPOCH_US(o_orderdate) AS BIGINT) AS t, 0 AS side,
+         o_orderkey AS tb,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type,
+         o_orderkey, o_totalprice
+  FROM orders WHERE o_custkey < 50
+), u AS (
+  SELECT * FROM l UNION ALL BY NAME SELECT * FROM r
+), carried AS (
+  SELECT *,
+    LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+    LAST_VALUE(o_totalprice IGNORE NULLS) OVER w AS asof_totalprice
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t, side, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, t AS ts_us, event_type, asof_orderkey, asof_totalprice
+FROM carried WHERE side = 1
+ORDER BY event_id
+""",
+)
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.operators.asof import asof_join
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select("event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            # o_orderdate is TIMESTAMP_NTZ; diff from the NTZ epoch is
+            # timezone-free (unix_micros would need an LTZ cast, which
+            # shifts by whatever the session timezone happens to be)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("order_t"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        key="k",
+        left_time="ts_us",
+        right_time="order_t",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts_us",
+        "event_type",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Salted equi-join: the skew-mitigation pattern made explicit. The fact
+# side gets a deterministic salt (orderkey mod 8); the dimension side is
+# exploded ×8; the join key becomes (custkey, salt), splitting any hot key
+# across 8 reducers. Semantically identical to the plain join — the oracle
+# IS the plain join. (AQE's skewJoin does this adaptively; the manual form
+# is for stable layouts/bucketing.)
+# --------------------------------------------------------------------------
+_N_SALT = 8
+
+
+@_q(
+    "join_salted_segment_revenue",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % _N_SALT).cast("int")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)).cast("array<int>")),
+        )
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -163,3 +163,93 @@ def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     return final.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState — the escape hatch for
+# semantics the built-in windowed aggregations can't express (per-key
+# custom accumulators, decaying counters, ML feature state...). Here the
+# state is a per-user (count, value-sum, min/max ts) accumulator updated
+# per micro-batch; on a finite availableNow replay the final emit equals
+# the batch aggregate, which is the oracle.
+# ---------------------------------------------------------------------------
+def _user_stats_state(key, pdfs, state):
+    import pandas as pd
+
+    (user_id,) = key
+    n, vsum, tmin, tmax = state.get() if state.exists else (0, 0.0, None, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        # decimal-free exact sum: fixture values have ≤6 decimals, so scale
+        # to integer micros to stay associative across batches
+        vsum += int(round(float(pdf["value"].sum()) * 1e6))
+        lo, hi = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+        tmin = lo if tmin is None else min(tmin, lo)
+        tmax = hi if tmax is None else max(tmax, hi)
+    state.update((n, vsum, tmin, tmax))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "value_sum": round(vsum / 1e6, 6),
+                "first_ts_us": tmin,
+                "last_ts_us": tmax,
+            }
+        ]
+    )
+
+
+@_q(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum,
+       MIN(CAST(EPOCH_US(ts) AS BIGINT)) AS first_ts_us,
+       MAX(CAST(EPOCH_US(ts) AS BIGINT)) AS last_ts_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+            StructField("first_ts_us", LongType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("vsum", LongType()),
+            StructField("tmin", LongType()),
+            StructField("tmax", LongType()),
+        ]
+    )
+    stats = (
+        stream.select("user_id", "ts_us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_state,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    final = run_available_now(stats, output_mode="update")
+    return final.orderBy("user_id")
