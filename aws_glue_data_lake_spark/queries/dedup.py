@@ -195,6 +195,72 @@ def dedup_bow_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH, _N_BANDS, _ROWS_PER_BAND = 24, 8, 3
 
 
+def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized (doc_id, m) minhash signature table. Sketch stage
+    is per-row, no shuffle: minhash_k = min over shingles of md5("k:shingle")
+    — a k-indexed family of order-preserving hashes. The persist boundary is
+    load-bearing (see _shingle_table); memoized because the LSH pair query
+    and the components query share the signature."""
+    key = (id(spark), sf_dir)
+    cached = _MINHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    mh_col = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("s"), lambda x: F.md5(F.concat(k.cast("string"), F.lit(":"), x))
+            )
+        ),
+    )
+    sk = (
+        _shingle_table(spark, sf_dir)
+        .select("doc_id", mh_col.alias("m"))
+        .persist()
+    )
+    _MINHASH_CACHE[key] = sk
+    return sk
+
+
+_MINHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
+    """LSH band bucket self-join → (doc_a, doc_b, n_shared_bands). The
+    shuffle is keyed on (band_idx, band_key) — bucket sizes are bounded by
+    collision rate, never the corpus, so this scales; the O(n²) pair space
+    is never materialized."""
+    band_key = lambda j: F.md5(
+        F.concat_ws(
+            "|",
+            F.element_at("m", 3 * j + 1),
+            F.element_at("m", 3 * j + 2),
+            F.element_at("m", 3 * j + 3),
+        )
+    )
+    bands = sk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)), band_key)
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+
+
+
 @_q(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -230,52 +296,8 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Sketch stage: per-row, no shuffle. minhash_k = min over shingles of
-    # md5("k:shingle") — a k-indexed family of order-preserving hashes.
-    # Persisted: the signature feeds band keys AND both sides of the
-    # est-jaccard join (see _shingle_table on why the boundary matters).
-    mh_col = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                F.col("s"), lambda x: F.md5(F.concat(k.cast("string"), F.lit(":"), x))
-            )
-        ),
-    )
-    sk = (
-        _shingle_table(spark, sf_dir)
-        .select("doc_id", mh_col.alias("m"))
-        .persist()
-    )
-    band_key = lambda j: F.md5(
-        F.concat_ws(
-            "|",
-            F.element_at("m", 3 * j + 1),
-            F.element_at("m", 3 * j + 2),
-            F.element_at("m", 3 * j + 3),
-        )
-    )
-    bands = sk.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)), band_key)
-        ).alias("band_idx", "band_key"),
-    )
-    # LSH bucket join: shuffle keyed on (band_idx, band_key) — bucket sizes
-    # are bounded by collision rate, never the corpus, so this scales.
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
-    )
+    sk = _minhash_sketch(spark, sf_dir)
+    cand = _minhash_candidate_pairs(sk)
     ma = sk.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
     mb = sk.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
     agree = F.size(
@@ -540,4 +562,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the MinHash-LSH candidate
+# graph — turns pairwise matches into dedup *groups* (pick min doc_id per
+# component as the canonical survivor). Spark side runs BSP min-label
+# propagation (each sweep: one join + one aggregate, shuffles keyed on
+# node id); converges in O(component diameter) sweeps — near-dup clusters
+# are tiny, so 2-3 sweeps in practice at any corpus size. The oracle is
+# the same fixpoint via a recursive CTE.
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+tk AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN LEN(t) >= 3 THEN
+           LIST_DISTINCT(LIST_TRANSFORM(generate_series(1, LEN(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END AS s
+  FROM tk
+),
+mh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(generate_series(0, {_N_HASH - 1}),
+           k -> LIST_MIN(LIST_TRANSFORM(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS m
+  FROM sh WHERE LEN(s) > 0
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
+  FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                           AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+),
+labeled AS (
+  SELECT node, MIN(label) AS label FROM walk GROUP BY node
+)
+SELECT CAST(label AS BIGINT) AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ARRAY_TO_STRING(LIST_SORT(LIST(node)), ',') AS members
+FROM labeled
+GROUP BY label
+ORDER BY component_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _minhash_sketch(spark, sf_dir)
+    pairs = (
+        _minhash_candidate_pairs(sk).select("doc_a", "doc_b").persist()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    # BSP min-label propagation to fixpoint. Each sweep is one shuffle join
+    # (edges ⋈ labels on dst) + one min-aggregate on src + a least() merge.
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+            ).alias("members"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("component_id"), "n_docs", "members"
+        )
+        .orderBy("component_id")
     )

@@ -669,3 +669,69 @@ def join_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot: priority × status counts as columns (groupBy().pivot() with an
+# explicit value list — at scale an explicit list avoids the extra
+# distinct-values job AND keeps the output schema static for downstream
+# consumers). Oracle = conditional aggregation, which is exactly what the
+# pivot plans to.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_pivot_status_counts",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def agg_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles: linear-interpolation quantiles per group (Spark
+# `percentile` == DuckDB `quantile_cont`). Exact percentiles need the full
+# sorted group — right for bounded group counts; for per-key percentiles
+# at scale switch to approx_percentile (t-digest, mergeable map-side).
+# --------------------------------------------------------------------------
+@_q(
+    "agg_exact_percentiles_orders",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_exact_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
