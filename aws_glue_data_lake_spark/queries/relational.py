@@ -735,3 +735,115 @@ def agg_exact_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape (shipping priority): selective dimension filter →
+# fact⋈fact join → top-10 by aggregated revenue. The c_mktsegment filter
+# shrinks customer before the join; TakeOrdered caps the result driver-side.
+# --------------------------------------------------------------------------
+@_q(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset (ALL) set operations: EXCEPT ALL / INTERSECT ALL keep duplicate
+# cardinality — the dedup-aware complement of the distinct set ops above.
+# --------------------------------------------------------------------------
+@_q(
+    "set_except_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_orderpriority
+""",
+)
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.exceptAll(b).orderBy("o_orderpriority")
+
+
+@_q(
+    "set_intersect_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_orderpriority
+""",
+)
+def set_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return a.intersectAll(b).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): wide per-nation counts back to long (nationkey, side,
+# n) — the inverse of pivot; ids stay, value columns become rows.
+# --------------------------------------------------------------------------
+@_q(
+    "unpivot_nation_presence",
+    oracle="""
+WITH wide AS (
+  SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+         CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS customers,
+         CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS suppliers
+  FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer GROUP BY 1) c
+  FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                   FROM supplier GROUP BY 1) s
+    ON c.nationkey = s.nationkey
+)
+SELECT nationkey, side, n FROM wide
+UNPIVOT (n FOR side IN (customers, suppliers))
+ORDER BY nationkey, side
+""",
+)
+def unpivot_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = join_full_outer_nation_presence(spark, sf_dir).select(
+        "nationkey",
+        F.col("n_customers").alias("customers"),
+        F.col("n_suppliers").alias("suppliers"),
+    )
+    return wide.unpivot(
+        ids=["nationkey"],
+        values=["customers", "suppliers"],
+        variableColumnName="side",
+        valueColumnName="n",
+    ).orderBy("nationkey", "side")
