@@ -201,3 +201,63 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features, schema=_FEATURE_SCHEMA
     )
     return feats.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling plumbing: treat each video payload as fixed-size frames
+# (1 KiB stand-ins for decoded frames) and emit every Nth frame index with
+# its byte offsets — the explode(sequence(...)) pattern a real video
+# pipeline uses to fan one blob out to per-frame rows BEFORE the (stubbed)
+# per-frame decode. Pure arithmetic on sizes, so fully oracle-checkable.
+# ---------------------------------------------------------------------------
+_FRAME_BYTES = 1024
+_SAMPLE_EVERY = 4
+
+
+@_q(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents
+  WHERE ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] = 'video'
+), frames AS (
+  SELECT doc_id, n,
+         CAST(CEIL(n * 1.0 / {_FRAME_BYTES}) AS BIGINT) AS n_frames
+  FROM media
+)
+SELECT doc_id,
+       CAST(u.f AS BIGINT) AS frame_idx,
+       CAST(u.f * {_FRAME_BYTES} AS BIGINT) AS byte_start,
+       CAST(LEAST((u.f + 1) * {_FRAME_BYTES}, n) AS BIGINT) AS byte_end
+FROM frames, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), {_SAMPLE_EVERY})) AS u(f)
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "video")
+    n = F.length("payload").cast("bigint")
+    n_frames = F.ceil(n * 1.0 / _FRAME_BYTES).cast("bigint")
+    return (
+        m.select("doc_id", n.alias("n"), n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("n_frames") - 1,
+                    F.lit(_SAMPLE_EVERY).cast("bigint"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * _FRAME_BYTES).cast("bigint").alias("byte_start"),
+            F.least(
+                (F.col("frame_idx") + 1) * _FRAME_BYTES, F.col("n")
+            ).cast("bigint").alias("byte_end"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

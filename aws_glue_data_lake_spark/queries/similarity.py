@@ -247,3 +247,88 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "centroid_id", "cosine")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification by majority vote: the standard embedding-quality probe
+# — top-10 neighbors vote with their labels; ties break toward the smaller
+# label for determinism. Composes the brute-force top-k with one small
+# aggregate; the heavy lifting stays in the broadcast scoring stage.
+# ---------------------------------------------------------------------------
+@_q(
+    "sim_knn_label_vote",
+    oracle=f"""
+WITH {_NV_SQL},
+q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+               / (q.norm * c.norm), 6) AS cosine
+  FROM q JOIN nv c ON c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_TOP_K}
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+)
+SELECT query_id, CAST(true_label AS INT) AS true_label,
+       CAST(predicted_label AS INT) AS predicted_label, n_votes
+FROM (
+  SELECT *, neighbor_label AS predicted_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, neighbor_label) AS vrnk
+  FROM votes
+) WHERE vrnk = 1
+ORDER BY query_id
+""",
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = nv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        _cosine(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(wk)).where(
+        F.col("rnk") <= _TOP_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vrnk", F.row_number().over(wv))
+        .where(F.col("vrnk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )
