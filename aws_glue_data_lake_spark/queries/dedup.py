@@ -629,14 +629,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _minhash_candidate_pairs(sk).select("doc_a", "doc_b").persist()
     )
+    # The pair graph is tiny relative to the corpus (near-dup edges only);
+    # narrow it to a few partitions so each BSP sweep's shuffles don't pay
+    # 32-way task overhead on kilobytes. At real scale size this to the
+    # edge count, not the corpus.
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).coalesce(4).persist()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    ).persist()
+    ).coalesce(4).persist()
     # BSP min-label propagation to fixpoint. Each sweep is one shuffle join
     # (edges ⋈ labels on dst) + one min-aggregate on src + a least() merge.
     for _ in range(20):

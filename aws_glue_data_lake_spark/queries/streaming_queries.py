@@ -209,6 +209,7 @@ SELECT user_id,
        MIN(CAST(EPOCH_US(ts) AS BIGINT)) AS first_ts_us,
        MAX(CAST(EPOCH_US(ts) AS BIGINT)) AS last_ts_us
 FROM events
+WHERE user_id < 200
 GROUP BY user_id
 ORDER BY user_id
 """,
@@ -240,8 +241,13 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             StructField("tmax", LongType()),
         ]
     )
+    # user_id < 200 bounds the *group count*, which is what the Python
+    # stateful path pays for (one state round-trip per key per batch);
+    # the built-in aggregations handle unbounded key spaces — reach for
+    # applyInPandasWithState only when the state logic demands custom code.
     stats = (
         stream.select("user_id", "ts_us", "value")
+        .where(F.col("user_id") < 200)
         .groupBy("user_id")
         .applyInPandasWithState(
             _user_stats_state,
