@@ -629,6 +629,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _minhash_candidate_pairs(sk).select("doc_a", "doc_b").persist()
     )
+    # Materialize the pair graph at full parallelism FIRST: the coalesce(4)
+    # below would otherwise fold the sketch + band self-join into 4 tasks
+    # (coalesce narrows its whole upstream stage, it does not shuffle).
+    pairs.count()
     # The pair graph is tiny relative to the corpus (near-dup edges only);
     # narrow it to a few partitions so each BSP sweep's shuffles don't pay
     # 32-way task overhead on kilobytes. At real scale size this to the

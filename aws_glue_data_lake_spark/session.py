@@ -60,6 +60,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # Local mode runs everything in the driver JVM, whose 1g default heap
+    # GC-thrashes once a long session accumulates caches + streaming state.
+    # Size it like an executor (the box has 128 GiB). Ignored if the JVM
+    # already exists (getOrCreate reuse) — harmless.
+    conf.setdefault("spark.driver.memory", "16g")
+    conf.setdefault("spark.driver.maxResultSize", "4g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
