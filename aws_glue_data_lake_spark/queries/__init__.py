@@ -16,12 +16,14 @@ from aws_glue_data_lake_spark.queries import (
     scalars,
     similarity,
     streaming_queries,
+    subqueries,
     textops,
     windows,
 )
 
 _MODULES = (
     relational,
+    subqueries,
     windows,
     scalars,
     cdc_queries,
