@@ -847,3 +847,59 @@ def unpivot_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="side",
         valueColumnName="n",
     ).orderBy("nationkey", "side")
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (operators/layout.py): both fact tables are
+# written bucketed+sorted by orderkey, after which the join plans with
+# ZERO Exchange — each task reads bucket i of both tables locally. This is
+# the ingest-side fix for the 100 TB orders⋈lineitem shuffle: the
+# partitioning cost is paid once at write time instead of on every query
+# (tests/test_plans.py pins the no-shuffle plan).
+# --------------------------------------------------------------------------
+@_q(
+    "join_bucketed_colocated_revenue",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+)
+def join_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_glue_data_lake_spark.operators.layout import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        ot,
+        ["o_orderkey"],
+        16,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        t(spark, sf_dir, "lineitem").selectExpr(
+            "l_orderkey", "l_extendedprice * (1 - l_discount) AS disc_price"
+        ),
+        lt,
+        ["l_orderkey"],
+        16,
+        sort_cols=["l_orderkey"],
+    )
+    joined = bucketed_join(
+        spark, ot, lt, on=[F.col("l_orderkey") == F.col("o_orderkey")]
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("disc_price")).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -121,20 +121,39 @@ def session_window_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, output_mode: str, timeout_s: int = 120
+    result: DataFrame,
+    output_mode: str,
+    timeout_s: int = 120,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain the stream with an availableNow trigger into a uniquely-named
-    in-memory table; return the final table as a batch DataFrame."""
+    in-memory table; return the final table as a batch DataFrame.
+
+    ``shuffle_partitions`` sizes the *state store* — a stateful streaming
+    query creates one state-store instance per shuffle partition per
+    micro-batch, and that per-instance commit overhead dominates small
+    streams (measured 3-4× on the bench fixtures: 29s → 8.5s). The knob is
+    captured in the query's offset log at start, so it must be set before
+    ``start()``; on a real cluster size it to key cardinality × throughput
+    (state shards should be ~100MB), not to the batch-side default.
+    """
+    spark = result.sparkSession
     name = f"stream_result_{next(_run_ids)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return result.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

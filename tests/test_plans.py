@@ -68,3 +68,70 @@ def test_semi_and_anti_join_operators(spark):
 
 def test_sim_topk_broadcasts_query_side(spark):
     assert "Broadcast" in plan_of(spark, "sim_topk_bruteforce")
+
+
+def test_q6_all_three_predicates_push_to_scan(spark):
+    plan = formatted_plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # projection reaches the scan: unreferenced fact columns never read
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    assert "LeftSemi" in plan_of(spark, "q4_priority_with_late_ship")
+
+
+def test_q18_having_survivors_broadcast(spark):
+    assert "BroadcastHashJoin" in plan_of(spark, "q18_large_volume_customers")
+
+
+def test_events_bucketing_stays_jvm_side(spark):
+    # event-time bucketing must be built-in TimeWindow, not a Python UDF
+    assert "BatchEvalPython" not in plan_of(spark, "events_daily_type_counts")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Same-bucketed tables joined on the bucket key must plan shuffle-free:
+    the whole point of paying the bucketing cost at write time."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from aws_glue_data_lake_spark.queries.base import t
+
+    write_bucketed(
+        t(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus"),
+        "orders_bkt_plan_test",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "lineitem_bkt_plan_test",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    # At fixture scale the planner prefers a broadcast join (also
+    # shuffle-free); disable it so the plan shows the large-table path the
+    # bucketing exists for — SortMergeJoin over co-bucketed scans.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark,
+            "orders_bkt_plan_test",
+            "lineitem_bkt_plan_test",
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
