@@ -91,7 +91,16 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
-    d = t(spark, sf_dir, "documents")
+    # The fixture is one parquet file with ONE row group, so the scan is a
+    # single partition and the sketch compute (the CPU-heavy stage: per-doc
+    # tokenize + shingle + 24 hash evals downstream) would run one-threaded.
+    # Spread the raw docs across the cluster first — shuffling ~300-byte
+    # rows is noise next to the hash math it parallelizes. At 100 TB the
+    # input arrives pre-split, but the principle stands: sketch parallelism
+    # should be sized to cores, never inherited from input file layout.
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tk_tbl = d.select("doc_id", toks().alias("tk"))
     out = (
         tk_tbl.select("doc_id", shingles(F.col("tk")).alias("s"))

@@ -211,8 +211,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload batches through the (stubbed) decoder into small feature rows —
     the shuffle-the-features-not-the-bytes pattern."""
     m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
-    feats = m.select("doc_id", "media_type", "payload").mapInPandas(
-        extract_features, schema=_FEATURE_SCHEMA
+    # Single-row-group fixture ⇒ single-partition scan ⇒ one Python worker
+    # would decode everything; spread payloads across workers first (at
+    # real scale the media files arrive pre-split and this is a no-op).
+    par = spark.sparkContext.defaultParallelism
+    feats = (
+        m.select("doc_id", "media_type", "payload")
+        .repartition(par)
+        .mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
     )
     return feats.orderBy("doc_id")
 
