@@ -13,6 +13,7 @@ from aws_glue_data_lake_spark.queries import (
     dedup,
     multimodal,
     relational,
+    sampling,
     scalars,
     similarity,
     streaming_queries,
@@ -28,6 +29,7 @@ _MODULES = (
     scalars,
     cdc_queries,
     dedup,
+    sampling,
     similarity,
     textops,
     multimodal,

@@ -1,0 +1,112 @@
+"""Dataset sampling / splitting operators (north star: training-data
+pipelines need reproducible corpus slices — train/val/test splits,
+per-class caps, debugging subsamples).
+
+Everything here is *deterministic by content hash*, not seeded-RNG: a
+hash-derived split is stable across engines, re-runs, partitionings, and
+cluster sizes, which is exactly what a 100 TB training corpus needs (the
+membership of the validation set must never depend on task scheduling).
+Seeded alternatives (``df.sample``, ``df.sampleBy``, reservoir) exist in
+Spark but are partitioning-sensitive, so the oracle-checkable hash forms
+are the engine's primary surface.
+
+Scale notes: both operators are embarrassingly parallel scans (split) or
+one bounded window shuffle (stratified cap); neither materializes more
+than the requested sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_glue_data_lake_spark.queries.base import Registry, t
+
+REGISTRY = Registry()
+_q = REGISTRY.query
+
+
+# --------------------------------------------------------------------------
+# Hash split: assign each document to train/val/test by a byte of
+# md5(doc_id) — 80/10/10. Pure per-row projection (no shuffle, no state):
+# adding data never reassigns existing rows, so the split is stable under
+# incremental ingest. The query returns per-split counts + a membership
+# checksum so the oracle verifies assignment, not just sizes.
+# --------------------------------------------------------------------------
+_SPLIT_EXPR = (
+    "CASE WHEN _b < 204 THEN 'train' WHEN _b < 230 THEN 'val' ELSE 'test' END"
+)
+
+
+@_q(
+    "sample_hash_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS _b
+  FROM documents
+), tagged AS (
+  SELECT doc_id, {_SPLIT_EXPR} AS split FROM h
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split ORDER BY split
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    byte0 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    tagged = d.select("doc_id", byte0.alias("_b")).selectExpr(
+        "doc_id", f"{_SPLIT_EXPR} AS split"
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified cap: at most k rows per label, chosen by
+# content-hash order (the hash replaces RNG so the sample is engine- and
+# partitioning-independent). Physically the W1 top-k-per-group pattern:
+# one shuffle on label, WindowGroupLimit prunes to k per partition before
+# the exchange, so the post-shuffle volume is labels×k, not the corpus.
+# --------------------------------------------------------------------------
+_CAP_PER_LABEL = 50
+
+
+@_q(
+    "sample_stratified_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings
+)
+SELECT label, vec_id FROM ranked
+WHERE rn <= {_CAP_PER_LABEL}
+ORDER BY label, vec_id
+""",
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    w = (
+        Window.partitionBy("label")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    )
+    return (
+        e.select("label", "vec_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _CAP_PER_LABEL)
+        .select("label", "vec_id")
+        .orderBy("label", "vec_id")
+    )
