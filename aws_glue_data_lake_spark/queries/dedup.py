@@ -87,7 +87,9 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     same boundary is a materialized sketch *table* (compute once, write,
     reuse across dedup passes); ``persist()`` is its single-job stand-in.
     """
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext lifetime — unlike id(spark),
+    # it can't be recycled by GC to alias a dead session's persisted plan.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -111,7 +113,18 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_shingle_cache() -> None:
+    """Unpersist and drop all cached sketch tables (test/teardown hook)."""
+    for cache in (_SHINGLE_CACHE, _MINHASH_CACHE):
+        while cache:
+            _, df = cache.popitem()
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to release
+                pass
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +223,7 @@ def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a k-indexed family of order-preserving hashes. The persist boundary is
     load-bearing (see _shingle_table); memoized because the LSH pair query
     and the components query share the signature."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MINHASH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -231,7 +244,7 @@ def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk
 
 
-_MINHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:

@@ -415,7 +415,9 @@ ORDER BY c_custkey
 def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey")
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct().orderBy("c_custkey")
+    # subtract == EXCEPT DISTINCT. exceptAll().distinct() is NOT the same:
+    # a left row with higher multiplicity than the right survives it.
+    return c.subtract(o).orderBy("c_custkey")
 
 
 # --------------------------------------------------------------------------
@@ -528,18 +530,40 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # approx_count_distinct (HyperLogLog++): the scale path for distinct counts
 # — no exact-distinct shuffle, constant-size sketch per group, mergeable
-# across partitions. Approx values differ by engine, so this is a
-# rows-only check (base.py determinism rules); the exact twin is
-# agg_count_distinct_customers_per_priority.
+# across partitions. Raw approx values differ by engine, so the checked
+# output carries the exact count plus a tolerance verdict
+# |approx − exact| ≤ 3·rsd·exact; the oracle asserts the verdict is TRUE
+# for every group, making the sketch's accuracy contract hash-checkable
+# without demanding bit-identical HLL estimates.
 # --------------------------------------------------------------------------
-@_q("agg_approx_distinct_customers")  # rows-only: HLL sketches are engine-specific
+_APPROX_RSD = 0.02
+
+
+@_q(
+    "agg_approx_distinct_customers",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_tolerance
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
 def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=_APPROX_RSD)
+    exact = F.countDistinct("o_custkey").cast("bigint")
     return (
         o.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.countDistinct("o_custkey").alias("exact_customers"),
+        .agg(approx.alias("approx_customers"), exact.alias("exact_customers"))
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 3 * _APPROX_RSD * F.col("exact_customers")
+            ).alias("within_tolerance"),
         )
         .orderBy("o_orderpriority")
     )

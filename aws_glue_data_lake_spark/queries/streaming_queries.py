@@ -156,7 +156,11 @@ def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "CDC stream did not drain within 120s — refusing to read "
+                "a stale or missing target"
+            )
     finally:
         q.stop()
     final = spark.read.parquet(target_path).select(

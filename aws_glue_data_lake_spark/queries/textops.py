@@ -294,7 +294,11 @@ LIMIT 20
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     exploded = d.select("doc_id", F.explode(toks()).alias("term"))
-    n_docs = d.count()
+    # Corpus size stays IN the plan as a 1-row aggregate broadcast-crossed
+    # onto the term table — no driver-side d.count() job, so the whole
+    # query is one Spark job and N is computed from the same snapshot of
+    # the input as the term stats.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     tf = exploded.groupBy("term").agg(F.count("*").cast("bigint").alias("term_freq"))
     df_ = (
         exploded.distinct()
@@ -303,12 +307,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "term",
             "term_freq",
             "doc_freq",
             F.round(
-                F.col("term_freq") * F.log(n_docs * 1.0 / F.col("doc_freq")), 6
+                F.col("term_freq") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
             ).alias("tfidf"),
         )
         .orderBy(F.desc("tfidf"), "term")

@@ -151,7 +151,12 @@ def run_available_now(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name!r} did not drain within "
+                    f"{timeout_s}s — refusing to read a partial sink"
+                )
         finally:
             q.stop()
     finally:

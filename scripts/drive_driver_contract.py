@@ -22,6 +22,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--sorted",
+        action="store_true",
+        help="iterate sorted by name instead of registry order (the driver "
+        "iterates registry order and may stop early, so registry order is "
+        "the faithful default)",
+    )
+    ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -29,7 +37,7 @@ def main() -> int:
     # Vanilla session — deliberately NOT aws_glue_data_lake_spark.get_spark().
     spark = (
         SparkSession.builder.appName("drive-driver-contract")
-        .master("local[8]")
+        .master(f"local[{args.cpus}]")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,8 +54,9 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    names = args.only or sorted(queries)
+    names = args.only or (sorted(queries) if args.sorted else list(queries))
     failures = []
+    total_start = time.time()
     for name in names:
         start = time.time()
         sdf = queries[name](spark, args.sf_dir)
@@ -59,7 +68,11 @@ def main() -> int:
         else:
             sdf.limit(5).collect()
             status = "ROWS"
-        print(f"{status} {name} ({time.time() - start:.1f}s)", flush=True)
+        print(
+            f"{status} {name} ({time.time() - start:.1f}s, "
+            f"cum {time.time() - total_start:.0f}s)",
+            flush=True,
+        )
 
     if failures:
         print("\n== FAILURES ==")

@@ -1,0 +1,114 @@
+"""Multimodal kernel unit tests: the batch-vectorized feature extractor
+must match a naive per-row reference, and the decode stub must be stable
+regardless of codec availability (installing PIL must not change output).
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aws_glue_data_lake_spark.queries import multimodal
+from aws_glue_data_lake_spark.queries.multimodal import (
+    decode_media,
+    extract_features,
+)
+
+
+def _naive_features(payload: bytes) -> dict:
+    samples = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(samples >> 5, minlength=8).astype("float64")
+    p = hist / max(len(samples), 1)
+    nz = p[p > 0]
+    return {
+        "n_bytes": len(samples),
+        "byte_mean": float(samples.mean()) if len(samples) else 0.0,
+        "byte_std": float(samples.std()) if len(samples) else 0.0,
+        "entropy": float(-(nz * np.log2(nz)).sum()),
+        "histogram8": p.tolist(),
+    }
+
+
+def _run_kernel(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(payloads)),
+            "media_type": ["image"] * len(payloads),
+            "payload": payloads,
+        }
+    )
+    out = list(extract_features(iter([pdf])))
+    assert len(out) == 1
+    return out[0]
+
+
+class TestExtractFeatures:
+    def test_matches_naive_reference(self):
+        payloads = [
+            b"hello world",
+            bytes(range(256)) * 3,
+            b"\x00" * 100,
+            b"a",
+            "unicode éèê text".encode(),
+        ]
+        got = _run_kernel(payloads)
+        for i, payload in enumerate(payloads):
+            want = _naive_features(payload)
+            row = got.iloc[i]
+            assert row["n_bytes"] == want["n_bytes"]
+            assert row["byte_mean"] == pytest.approx(want["byte_mean"])
+            assert row["byte_std"] == pytest.approx(want["byte_std"])
+            assert row["entropy"] == pytest.approx(want["entropy"])
+            assert list(row["histogram8"]) == pytest.approx(want["histogram8"])
+
+    def test_empty_payload_row(self):
+        got = _run_kernel([b"", b"abc"])
+        row = got.iloc[0]
+        assert row["n_bytes"] == 0
+        assert row["byte_mean"] == 0.0
+        assert row["byte_std"] == 0.0
+        assert row["entropy"] == 0.0
+        assert list(row["histogram8"]) == [0.0] * 8
+
+    def test_empty_batch(self):
+        pdf = pd.DataFrame({"doc_id": [], "media_type": [], "payload": []})
+        out = list(extract_features(iter([pdf])))
+        assert len(out) == 1 and len(out[0]) == 0
+
+    def test_no_per_row_python(self):
+        # Cost guard: 10k rows should be one bincount pass, well under a
+        # second even on a loaded box.
+        import time
+
+        payloads = [bytes([i % 256]) * 200 for i in range(10_000)]
+        start = time.time()
+        got = _run_kernel(payloads)
+        assert len(got) == 10_000
+        assert time.time() - start < 2.0
+
+
+class TestDecodeMedia:
+    def test_fake_decode_is_default_and_codec_independent(self, monkeypatch):
+        # Output must be identical whether or not a real codec is present.
+        payload = b"some media bytes"
+        monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+        with_codec = decode_media("image", payload)
+        monkeypatch.setattr(multimodal, "_HAS_PIL", False)
+        without_codec = decode_media("image", payload)
+        assert np.array_equal(with_codec, without_codec)
+        assert with_codec.dtype == np.uint8
+        assert len(with_codec) == len(payload)
+
+    def test_real_decode_raises_when_codec_absent(self, monkeypatch):
+        monkeypatch.setattr(multimodal, "_HAS_PIL", False)
+        with pytest.raises(NotImplementedError):
+            decode_media("image", b"x", use_real_codec=True)
+        with pytest.raises(NotImplementedError):
+            decode_media("audio", b"x", use_real_codec=True)
+
+    def test_entropy_uniform_bytes(self):
+        # All 256 byte values equally often -> 8 uniform buckets -> 3 bits.
+        got = _run_kernel([bytes(range(256))])
+        assert got.iloc[0]["entropy"] == pytest.approx(3.0)
+        assert math.isclose(sum(got.iloc[0]["histogram8"]), 1.0)

@@ -62,7 +62,7 @@ def test_sink_partitioned_write(spark, tmp_path):
     pruned = spark.read.parquet(path).where(F.col("event_type") == "click")
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or pruned.count() == 2
+    assert "PartitionFilters" in plan
 
 
 def test_saveastable_roundtrip(spark):
