@@ -1,0 +1,332 @@
+"""Minimal versioned-manifest lake-table layer (SURVEY.md §2 sinks tier 2).
+
+The reference gets row-level upserts, snapshot isolation, and time travel
+from table formats (Iceberg format-version-2 row-level deletes,
+icberg/iceberg_tables.py:37,112; the Delta transaction log,
+delta/delta_tables.py:8,88,159-160). Those jars are scoped out of this
+build, so this module reproduces the *protocol* on plain Parquet + JSON,
+the way Delta's log and Iceberg's manifests do it:
+
+- ``<table>/data/*.parquet``      — immutable data files, never edited;
+- ``<table>/_manifests/v{N}.json``— snapshot N: the exact file list plus
+                                    per-file row counts and key min/max
+                                    stats (read from Parquet footers —
+                                    no Spark job);
+- ``<table>/_latest``             — current-version pointer, swapped with
+                                    ``os.replace`` (atomic on POSIX).
+
+Commit protocol (optimistic concurrency, Delta-style): a writer computes
+its snapshot against version N and creates ``v{N+1}.json`` with
+O_EXCL — if another writer committed N+1 first, the create fails and the
+loser gets ``CommitConflict`` instead of silently clobbering (the
+check-then-write race the reference's plain ``saveAsTable`` path has).
+
+Row-level upsert is copy-on-write at FILE granularity (Iceberg v2's eager
+strategy): the batch's key range is intersected with each file's footer
+min/max stats, only overlapping files are read+rewritten, and every other
+file is carried into the new manifest untouched. Per-batch I/O is
+O(batch + affected files), not O(table) — the property
+``streaming_cdc_upsert_state`` needs at 100 TB, where a micro-batch
+touches a handful of recent partitions out of millions of files.
+
+Time travel: ``read(spark, version=K)`` plans the scan from snapshot K's
+file list; nothing is ever deleted by commits, so every snapshot stays
+readable until ``vacuum()`` (which drops files unreferenced by kept
+manifests — same contract as Delta VACUUM).
+
+Scale notes (100 TB): the manifest is JSON on the driver, fine to ~10^5
+files; past that Iceberg splits manifests per partition-subtree — the
+same sharding applies here (manifest-of-manifests) without changing the
+commit protocol. File pruning uses footer stats exactly like engine-side
+min/max pruning; the data plane stays entirely in Spark.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first; reload and retry."""
+
+
+class NoSuchTable(Exception):
+    pass
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _footer_stats(path: str, stat_cols: Sequence[str]) -> dict:
+    """Per-file min/max for ``stat_cols`` + row count, straight from the
+    Parquet footer — a metadata read, no data I/O."""
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {"rows": md.num_rows, "stats": {}}
+    for col in stat_cols:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out["stats"][col] = [_json_safe(lo), _json_safe(hi)]
+    return out
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    files: list[dict]  # {"path": rel, "rows": n, "stats": {col: [lo, hi]}}
+    schema: str  # DDL string
+    op: str
+    parent: int | None
+
+    @property
+    def file_names(self) -> list[str]:
+        return [f["path"] for f in self.files]
+
+
+class LakeTable:
+    """A versioned Parquet table rooted at ``path``. All mutations commit a
+    new immutable snapshot; readers pin a snapshot and never see partial
+    writes."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._data = os.path.join(path, "data")
+        self._manifests = os.path.join(path, "_manifests")
+        self._latest = os.path.join(path, "_latest")
+
+    # -- snapshot plumbing --------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._latest)
+
+    def current_version(self) -> int:
+        if not self.exists():
+            raise NoSuchTable(self.path)
+        with open(self._latest) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        mpath = os.path.join(self._manifests, f"v{v}.json")
+        if not os.path.exists(mpath):
+            raise NoSuchTable(f"{self.path} has no snapshot v{v}")
+        with open(mpath) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            files=m["files"],
+            schema=m["schema"],
+            op=m["op"],
+            parent=m.get("parent"),
+        )
+
+    def history(self) -> list[Snapshot]:
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._manifests, "v*.json"))
+        )
+        return [self.snapshot(v) for v in versions]
+
+    def _commit(self, files: list[dict], schema: str, op: str,
+                parent: int | None) -> Snapshot:
+        version = 1 if parent is None else parent + 1
+        os.makedirs(self._manifests, exist_ok=True)
+        manifest = {
+            "version": version,
+            "files": files,
+            "schema": schema,
+            "op": op,
+            "parent": parent,
+        }
+        mpath = os.path.join(self._manifests, f"v{version}.json")
+        try:
+            # O_EXCL create IS the commit: exactly one writer wins v{N}.
+            with open(mpath, "x") as f:
+                json.dump(manifest, f, indent=1)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from None
+        tmp = self._latest + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest)
+        return self.snapshot(version)
+
+    # -- data-file plumbing -------------------------------------------------
+    def _write_files(self, df: DataFrame, stat_cols: Sequence[str]) -> list[dict]:
+        """Write ``df`` through Spark into immutable uniquely-named data
+        files under data/, returning manifest entries with footer stats."""
+        os.makedirs(self._data, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        entries = []
+        for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self._data, name)
+            shutil.move(src, dst)
+            info = _footer_stats(dst, stat_cols)
+            if info["rows"] == 0:
+                os.remove(dst)
+                continue
+            entries.append(
+                {"path": f"data/{name}", "rows": info["rows"],
+                 "stats": info["stats"]}
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    # -- public API ---------------------------------------------------------
+    def create(self, df: DataFrame, stat_cols: Sequence[str] = ()) -> Snapshot:
+        """CTAS: snapshot v1. ``stat_cols`` selects the columns whose
+        min/max land in the manifest for upsert-time file pruning (the
+        merge keys, typically)."""
+        if self.exists():
+            raise FileExistsError(f"lake table already exists: {self.path}")
+        files = self._write_files(df, stat_cols)
+        return self._commit(files, df._jdf.schema().toDDL(), "create", None)
+
+    def append(self, df: DataFrame, stat_cols: Sequence[str] = ()) -> Snapshot:
+        """Blind append: new files + prior file list, one new snapshot.
+        Never reads existing data."""
+        prev = self.snapshot()
+        files = self._write_files(df, stat_cols or self._stat_cols(prev))
+        return self._commit(
+            prev.files + files, prev.schema, "append", prev.version
+        )
+
+    def upsert(
+        self,
+        upserts: DataFrame,
+        keys: Sequence[str],
+        delete_keys: DataFrame | None = None,
+    ) -> Snapshot:
+        """Row-level MERGE, copy-on-write at file granularity.
+
+        Semantics (matches operators/cdc.py's anti-join∪append rewrite and
+        therefore the reference's MERGE): every target row whose key
+        appears in ``delete_keys`` (default: the upsert batch's keys) is
+        removed; ``upserts`` rows are inserted.
+
+        Only files whose footer key-range overlaps the batch's key-range
+        are rewritten; the rest are carried by reference. The scan of
+        affected files + the batch is the entire I/O bill.
+        """
+        prev = self.snapshot()
+        spark = upserts.sparkSession
+        kill = (delete_keys if delete_keys is not None else upserts).select(
+            *keys
+        ).dropDuplicates(list(keys))
+
+        affected, untouched = self._split_by_key_range(prev, kill, keys)
+        stat_cols = sorted({*keys, *self._stat_cols(prev)})
+        new_files: list[dict] = []
+        if affected:
+            live = spark.read.parquet(*[self._abs(f["path"]) for f in affected])
+            kept = live.join(kill, on=list(keys), how="left_anti")
+            merged = kept.unionByName(upserts, allowMissingColumns=False)
+            new_files = self._write_files(merged, stat_cols)
+        else:
+            new_files = self._write_files(upserts, stat_cols)
+        return self._commit(
+            untouched + new_files, prev.schema, "upsert", prev.version
+        )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot-pinned scan (time travel via ``version``). Planning from
+        an explicit file list means readers never race a concurrent commit:
+        the snapshot IS the isolation boundary."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            return spark.createDataFrame([], snap.schema)
+        return spark.read.parquet(*[self._abs(f) for f in snap.file_names])
+
+    def stat_max(self, col: str, version: int | None = None):
+        """Table-level max of ``col`` computed purely from manifest stats —
+        zero Spark jobs (the CDC watermark probe at 100 TB should read
+        footers' worth of metadata, not the fact table). Returns None when
+        any file lacks stats for ``col`` (caller falls back to an agg)."""
+        snap = self.snapshot(version)
+        vals = []
+        for f in snap.files:
+            rng = f.get("stats", {}).get(col)
+            if rng is None:
+                return None
+            vals.append(rng[1])
+        return max(vals) if vals else None
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop data files unreferenced by the ``keep_versions`` most recent
+        snapshots (and the older manifests themselves). Returns removed
+        file paths."""
+        snaps = self.history()
+        keep, drop = snaps[-keep_versions:], snaps[:-keep_versions]
+        live = {f for s in keep for f in s.file_names}
+        removed = []
+        for s in drop:
+            for f in s.file_names:
+                if f not in live and os.path.exists(self._abs(f)):
+                    os.remove(self._abs(f))
+                    removed.append(f)
+            os.remove(os.path.join(self._manifests, f"v{s.version}.json"))
+        return removed
+
+    # -- pruning ------------------------------------------------------------
+    @staticmethod
+    def _stat_cols(snap: Snapshot) -> list[str]:
+        cols: set[str] = set()
+        for f in snap.files:
+            cols.update(f.get("stats", {}))
+        return sorted(cols)
+
+    def _split_by_key_range(
+        self, snap: Snapshot, kill: DataFrame, keys: Sequence[str]
+    ) -> tuple[list[dict], list[dict]]:
+        """Partition the snapshot's files into (affected, untouched) by
+        intersecting each file's footer min/max on the FIRST key column
+        with the batch's min/max. Files without stats are conservatively
+        affected. One tiny Spark job (2-value aggregate on the batch)."""
+        lead = keys[0]
+        from pyspark.sql import functions as F
+
+        row = kill.agg(
+            F.min(lead).alias("lo"), F.max(lead).alias("hi")
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:  # empty batch: nothing can match
+            return [], list(snap.files)
+        affected, untouched = [], []
+        for f in snap.files:
+            rng = f.get("stats", {}).get(lead)
+            if rng is None or not (hi < rng[0] or lo > rng[1]):
+                affected.append(f)
+            else:
+                untouched.append(f)
+        return affected, untouched

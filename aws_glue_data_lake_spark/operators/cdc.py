@@ -192,6 +192,49 @@ def incremental_merge(
     return CDCResult(table=new_target, applied=True, watermark=watermark)
 
 
+def merge_cdc_batch(
+    table,
+    batch: DataFrame,
+    keys: Sequence[str],
+    date_col: str,
+    tiebreakers: Sequence[str] = (),
+    sentinel: object = None,
+) -> CDCResult:
+    """One CDC micro-batch into a versioned ``lake.LakeTable``.
+
+    First batch: reference full load → CTAS snapshot v1 with footer stats
+    on the merge keys + event-time column. Steady state: watermark from
+    MANIFEST stats (``stat_max`` — zero Spark jobs, vs the reference's
+    full-column MAX scan, icberg/iceberg_tables.py:131), then the 4-stage
+    merge with the delete∪insert phases delegated to ``LakeTable.upsert``,
+    which rewrites only the data files whose key range overlaps the batch.
+    Per-batch I/O: O(batch + affected files); the reference's plain-parquet
+    fallback (and round 1 of this repo) rewrote the whole target.
+    """
+    if not table.exists():
+        result = full_load(batch, keys, date_col, tiebreakers, sentinel=sentinel)
+        table.create(result.table, stat_cols=[*keys, date_col])
+        return CDCResult(
+            table=result.table, applied=True, watermark=FULL_LOAD_SENTINEL
+        )
+    watermark = table.stat_max(date_col)
+    if watermark is None:  # stats missing (e.g. unsupported type) → agg
+        watermark = (
+            table.read(batch.sparkSession).agg(F.max(date_col)).first()[0]
+        )
+    fresh = batch.where(F.col(date_col) > F.lit(watermark)).cache()
+    try:
+        if fresh.isEmpty():
+            return CDCResult(table=None, applied=False, watermark=watermark)
+        deduped = latest_per_key(fresh, keys, date_col, tiebreakers)
+        kill = deduped.select(*keys).dropDuplicates(list(keys))
+        upserts = _clean(remove_deletes(deduped))
+        table.upsert(upserts, keys, delete_keys=kill)
+        return CDCResult(table=None, applied=True, watermark=watermark)
+    finally:
+        fresh.unpersist()
+
+
 def save_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sink: plain-Parquet stand-in for the reference's Iceberg CTAS/append
     (icberg/iceberg_tables.py:112,151) and Delta save (delta/delta_tables.py:

@@ -16,13 +16,13 @@ through ``operators.cdc.full_load``/``incremental_merge`` inside
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
+from aws_glue_data_lake_spark.lake import LakeTable
+from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
 from aws_glue_data_lake_spark.queries.base import Registry
 from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL, _SENTINEL_US
 from aws_glue_data_lake_spark.streaming.pipelines import (
@@ -109,11 +109,15 @@ ORDER BY user_id
 """,
 )
 def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch CDC upsert: each micro-batch runs the reference-parity
-    merge (full_load on an empty target, incremental_merge after) and
-    persists the rolling target to parquet — the Structured Streaming
-    version of the reference's job-bookmark loop (icberg/iceberg_tables.py:
-    115-153 per run). Final state == the batch full-load oracle."""
+    """foreachBatch CDC upsert into a versioned lake table: batch 0 runs the
+    reference-parity full load (CTAS snapshot v1); every later micro-batch
+    is a ROW-LEVEL merge — watermark from manifest stats (zero jobs), then
+    ``LakeTable.upsert`` rewrites only the data files whose key range
+    overlaps the batch. Per-batch I/O is O(batch + affected files), never
+    O(target) — the Structured Streaming version of the reference's
+    job-bookmark loop (icberg/iceberg_tables.py:115-153) with Iceberg-v2's
+    copy-on-write MERGE (:37,143-146) instead of a table rewrite. Final
+    state == the batch full-load oracle."""
     stream = read_events_stream(spark, sf_dir)
     op = (
         F.when(F.col("event_type") == "error", "D")
@@ -126,28 +130,11 @@ def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us", "event_time"
     )
     tmp = tempfile.mkdtemp(prefix="cdc_stream_")
-    target_path = f"{tmp}/target"
-    state = {"loaded": False}
+    table = LakeTable(f"{tmp}/target")
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        if not state["loaded"]:
-            result = full_load(
-                batch, ["user_id"], "ts", tiebreakers=["event_id"],
-                sentinel=_SENTINEL_US,
-            )
-        else:
-            target = batch.sparkSession.read.parquet(target_path)
-            result = incremental_merge(
-                target, batch, ["user_id"], "ts", tiebreakers=["event_id"]
-            )
-        if result.applied:
-            # localCheckpoint-free two-phase write: the target is re-read
-            # per batch, so write to a fresh dir then swap.
-            out = f"{tmp}/target_{batch_id}"
-            result.table.write.mode("overwrite").parquet(out)
-            shutil.rmtree(target_path, ignore_errors=True)
-            shutil.move(out, target_path)
-            state["loaded"] = True
+        merge_cdc_batch(table, batch, keys=["user_id"], date_col="ts",
+                        tiebreakers=["event_id"], sentinel=_SENTINEL_US)
 
     q = (
         feed.writeStream.foreachBatch(merge_batch)
@@ -163,7 +150,7 @@ def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         q.stop()
-    final = spark.read.parquet(target_path).select(
+    final = table.read(spark).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     return final.orderBy("user_id")

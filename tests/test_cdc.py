@@ -158,6 +158,85 @@ class TestIncrementalMerge:
         assert state(result.table) == {3: "raw", 4: "keep"}
 
 
+class TestMergeCdcBatch:
+    """CDC micro-batches into the versioned lake table: final state matches
+    the in-memory merge path, and steady-state batches rewrite only the
+    files their key range touches (I/O ∝ batch, the round-2 fix for the
+    full-target-rewrite streaming sink)."""
+
+    def test_multi_batch_parity_with_incremental_merge(self, spark, tmp_path):
+        from aws_glue_data_lake_spark.lake import LakeTable
+        from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
+
+        table = LakeTable(str(tmp_path / "cdc"))
+        b0 = feed(
+            spark,
+            [
+                (1, "I", ts("2024-01-01 10:00:00"), "v1", "p"),
+                (2, "I", ts("2024-01-01 11:00:00"), "v1", "p"),
+                (3, None, ts("2024-01-01 12:00:00"), "raw", "p"),
+            ],
+        )
+        b1 = feed(
+            spark,
+            [
+                (1, "U", ts("2024-01-02 10:00:00"), "v2", "p"),
+                (2, "D", ts("2024-01-02 11:00:00"), "gone", "p"),
+                (5, "I", ts("2024-01-02 12:00:00"), "new", "p"),
+            ],
+        )
+        r0 = merge_cdc_batch(table, b0, ["survey_details_id"], "process_date")
+        assert r0.applied and table.current_version() == 1
+        r1 = merge_cdc_batch(table, b1, ["survey_details_id"], "process_date")
+        assert r1.applied and table.current_version() == 2
+        assert state(table.read(spark)) == {1: "v2", 3: "raw", 5: "new"}
+        # time travel: v1 still shows the full-load state
+        assert state(table.read(spark, version=1)) == {1: "v1", 2: "v1", 3: "raw"}
+
+    def test_late_batch_is_noop_without_new_snapshot(self, spark, tmp_path):
+        from aws_glue_data_lake_spark.lake import LakeTable
+        from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
+
+        table = LakeTable(str(tmp_path / "cdc"))
+        merge_cdc_batch(
+            table,
+            feed(spark, [(1, "I", ts("2024-01-03 10:00:00"), "v3", "p")]),
+            ["survey_details_id"],
+            "process_date",
+        )
+        stale = feed(spark, [(1, "U", ts("2024-01-02 10:00:00"), "old", "p")])
+        r = merge_cdc_batch(table, stale, ["survey_details_id"], "process_date")
+        assert not r.applied
+        assert table.current_version() == 1  # no empty commit
+        assert state(table.read(spark)) == {1: "v3"}
+
+    def test_steady_state_io_proportional_to_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from aws_glue_data_lake_spark.lake import LakeTable
+        from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
+
+        table = LakeTable(str(tmp_path / "cdc"))
+        big = spark.range(1000).select(
+            F.col("id").alias("survey_details_id"),
+            F.lit("I").alias("op"),
+            F.lit(ts("2024-01-01 00:00:00")).alias("process_date"),
+            F.lit("base").alias("payload"),
+        ).repartitionByRange(4, "survey_details_id")
+        merge_cdc_batch(table, big, ["survey_details_id"], "process_date")
+        before = table.snapshot()
+        assert len(before.files) == 4
+        batch = feed(
+            spark, [(2, "U", ts("2024-01-02 00:00:00"), "upd", "p")]
+        ).drop("partition_0")
+        merge_cdc_batch(table, batch, ["survey_details_id"], "process_date")
+        after = table.snapshot()
+        carried = set(before.file_names) & set(after.file_names)
+        assert len(carried) == 3, "only the one overlapping file rewritten"
+        got = state(table.read(spark))
+        assert got[2] == "upd" and got[999] == "base" and len(got) == 1000
+
+
 class TestHelpers:
     def test_op_detection_case_insensitive(self, spark):
         df = spark.createDataFrame([(1, "I")], "id long, Op string")

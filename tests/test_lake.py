@@ -1,0 +1,133 @@
+"""Versioned-manifest lake layer: snapshot isolation, time travel,
+file-pruned copy-on-write upserts (per-batch I/O ∝ batch, not target),
+optimistic-concurrency commits, vacuum."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.lake import CommitConflict, LakeTable, NoSuchTable
+
+
+def _table(spark, tmp_path, n=1000, files=4):
+    """Target with keys 0..n-1 range-partitioned into ``files`` files with
+    disjoint key ranges — the layout footer-stats pruning exploits."""
+    t = LakeTable(str(tmp_path / "t"))
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+        )
+        .repartitionByRange(files, "k")
+    )
+    t.create(df, stat_cols=["k"])
+    return t
+
+
+class TestSnapshots:
+    def test_create_read_roundtrip(self, spark, tmp_path):
+        t = _table(spark, tmp_path)
+        assert t.current_version() == 1
+        got = t.read(spark)
+        assert got.count() == 1000
+        assert got.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(1000))
+
+    def test_append_and_time_travel(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=100)
+        extra = spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        snap = t.append(extra)
+        assert snap.version == 2
+        assert t.read(spark).count() == 150
+        assert t.read(spark, version=1).count() == 100  # time travel
+        assert [s.op for s in t.history()] == ["create", "append"]
+
+    def test_missing_table_raises(self, spark, tmp_path):
+        with pytest.raises(NoSuchTable):
+            LakeTable(str(tmp_path / "nope")).snapshot()
+
+    def test_stat_max_is_metadata_only(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=1000)
+        assert t.stat_max("k") == 999
+        assert t.stat_max("no_such_col") is None
+
+
+class TestUpsert:
+    def test_upsert_merges_rows(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=100, files=4)
+        batch = spark.createDataFrame([(5, -1), (200, -2)], "k long, v long")
+        t.upsert(batch, keys=["k"])
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[5] == -1  # updated
+        assert got[200] == -2  # inserted
+        assert got[6] == 60  # untouched
+        assert len(got) == 101
+
+    def test_upsert_io_proportional_to_batch(self, spark, tmp_path):
+        """The scale property: a batch touching one file's key range must
+        carry every other file into the new snapshot BY REFERENCE."""
+        t = _table(spark, tmp_path, n=1000, files=4)
+        before = t.snapshot()
+        lo, hi = 0, 5  # inside the first file's range only
+        batch = spark.createDataFrame(
+            [(k, -k) for k in range(lo, hi)], "k long, v long"
+        )
+        t.upsert(batch, keys=["k"])
+        after = t.snapshot()
+        carried = set(before.file_names) & set(after.file_names)
+        rewritten = set(before.file_names) - set(after.file_names)
+        assert len(rewritten) == 1, "exactly one file overlapped the batch"
+        assert len(carried) == len(before.files) - 1
+        # and the merge is still correct
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert all(got[k] == -k for k in range(lo, hi))
+        assert got[999] == 9990
+
+    def test_delete_only_batch(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=100, files=2)
+        empty = spark.createDataFrame([], "k long, v long")
+        kill = spark.createDataFrame([(0,), (1,), (2,)], "k long")
+        t.upsert(empty, keys=["k"], delete_keys=kill)
+        got = t.read(spark)
+        assert got.count() == 97
+        assert got.where(F.col("k") < 3).count() == 0
+
+    def test_disjoint_batch_is_pure_append(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=100, files=2)
+        before = t.snapshot()
+        batch = spark.createDataFrame([(10_000, 1)], "k long, v long")
+        t.upsert(batch, keys=["k"])
+        after = t.snapshot()
+        assert set(before.file_names) <= set(after.file_names)
+        assert t.read(spark).count() == 101
+
+
+class TestCommitProtocol:
+    def test_concurrent_commit_conflict(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=10, files=1)
+        # Simulate a racing writer that claimed v2 first.
+        rival = os.path.join(t._manifests, "v2.json")
+        with open(rival, "w") as f:
+            f.write("{}")
+        extra = spark.createDataFrame([(99, 0)], "k long, v long")
+        with pytest.raises(CommitConflict):
+            t.append(extra)
+
+    def test_create_twice_raises(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=10, files=1)
+        with pytest.raises(FileExistsError):
+            t.create(spark.range(1).select(F.col("id").alias("k")))
+
+    def test_vacuum_drops_only_unreferenced(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=100, files=4)
+        batch = spark.createDataFrame([(0, -1)], "k long, v long")
+        t.upsert(batch, keys=["k"])
+        removed = t.vacuum(keep_versions=1)
+        assert removed, "the rewritten v1 file should be vacuumed"
+        assert t.read(spark).count() == 100  # current snapshot intact
+        with pytest.raises(NoSuchTable):
+            t.read(spark, version=1)
