@@ -34,7 +34,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, t
@@ -216,17 +216,27 @@ def dedup_bow_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _N_HASH, _N_BANDS, _ROWS_PER_BAND = 24, 8, 3
 
+#: LSH bucket-size cap: a band bucket larger than this is dropped before
+#: the self-join. Oversized buckets are floods of (near-)identical content
+#: — a million boilerplate pages share every band, and one such bucket
+#: would cost O(bucket²) pairs, the classic adversarial-skew scale-killer.
+#: Capping is standard LSH practice: exact-duplicate floods belong to the
+#: linear hash-groupBy pass (``dedup_exact``), and genuine near-dup
+#: *clusters* that big are equally served by their exact representatives.
+#: The cap is mirrored in every oracle (QUALIFY on the bands CTE), so both
+#: engines agree for ANY input, not just inputs without hot buckets.
+_MAX_BUCKET = 100
 
-def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted+memoized (doc_id, m) minhash signature table. Sketch stage
-    is per-row, no shuffle: minhash_k = min over shingles of md5("k:shingle")
-    — a k-indexed family of order-preserving hashes. The persist boundary is
-    load-bearing (see _shingle_table); memoized because the LSH pair query
-    and the components query share the signature."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MINHASH_CACHE.get(key)
-    if cached is not None:
-        return cached
+#: DuckDB twin of the cap — appended inside each bands CTE.
+_BUCKET_CAP_SQL = (
+    f"QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {_MAX_BUCKET}"
+)
+
+
+def sketch_minhash(shingled: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle table → (doc_id, m) minhash signatures. Per-row
+    map work, no shuffle: minhash_k = min over shingles of md5("k:shingle")
+    — a k-indexed family of order-preserving hashes."""
     mh_col = F.transform(
         F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
         lambda k: F.array_min(
@@ -235,11 +245,18 @@ def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    sk = (
-        _shingle_table(spark, sf_dir)
-        .select("doc_id", mh_col.alias("m"))
-        .persist()
-    )
+    return shingled.select("doc_id", mh_col.alias("m"))
+
+
+def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized signature table over the fixture corpus. The
+    persist boundary is load-bearing (see _shingle_table); memoized because
+    the LSH pair query and the components query share the signature."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sk = sketch_minhash(_shingle_table(spark, sf_dir)).persist()
     _MINHASH_CACHE[key] = sk
     return sk
 
@@ -247,11 +264,25 @@ def _minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cap_buckets(bands: DataFrame, keys=("band_idx", "band_key")) -> DataFrame:
+    """Drop band buckets larger than ``_MAX_BUCKET`` before any self-join.
+    One window count over the SAME band key the join shuffles on — no
+    extra exchange, and the quadratic bucket blow-up is cut off at the
+    source."""
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("bucket_n", F.count("*").over(w))
+        .where(F.col("bucket_n") <= _MAX_BUCKET)
+        .drop("bucket_n")
+    )
+
+
 def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
     """LSH band bucket self-join → (doc_a, doc_b, n_shared_bands). The
     shuffle is keyed on (band_idx, band_key) — bucket sizes are bounded by
-    collision rate, never the corpus, so this scales; the O(n²) pair space
-    is never materialized."""
+    collision rate under normal content and hard-capped at ``_MAX_BUCKET``
+    under adversarial floods, so this scales; the O(n²) pair space is
+    never materialized."""
     band_key = lambda j: F.md5(
         F.concat_ws(
             "|",
@@ -260,11 +291,13 @@ def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
             F.element_at("m", 3 * j + 3),
         )
     )
-    bands = sk.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)), band_key)
-        ).alias("band_idx", "band_key"),
+    bands = _cap_buckets(
+        sk.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.lit(_N_BANDS - 1)), band_key)
+            ).alias("band_idx", "band_key"),
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -297,6 +330,7 @@ bands AS (
   SELECT doc_id, j AS band_idx,
          md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
   FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+  {_BUCKET_CAP_SQL}
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -350,6 +384,7 @@ WITH {_SHINGLE_CTES},
 anchored AS (
   SELECT doc_id, s, LIST_MIN(LIST_TRANSFORM(s, x -> md5(x))) AS anchor
   FROM sh WHERE LEN(s) > 0
+  QUALIFY COUNT(*) OVER (PARTITION BY anchor) <= {_MAX_BUCKET}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS BIGINT) AS n_common_shingles,
@@ -364,6 +399,9 @@ ORDER BY doc_a, doc_b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: both join sides read the anchored sketch (see _shingle_table).
+    # The anchor-block join has the same flood failure mode as the LSH band
+    # joins, so it gets the same bucket cap (window over the join key).
+    w = Window.partitionBy("anchor")
     anchored = (
         _shingle_table(spark, sf_dir)
         .select(
@@ -371,6 +409,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s",
             F.array_min(F.transform("s", lambda x: F.md5(x))).alias("anchor"),
         )
+        .withColumn("anchor_n", F.count("*").over(w))
+        .where(F.col("anchor_n") <= _MAX_BUCKET)
+        .drop("anchor_n")
         .persist()
     )
     a = anchored.select(
@@ -430,6 +471,7 @@ bands AS (
   SELECT doc_id, simhash, j AS band_idx,
          (simhash >> ({_BITS_PER_BAND}*j)) & {(1 << _BITS_PER_BAND) - 1} AS band_val
   FROM sim, UNNEST(generate_series(0, {_SIM_BANDS - 1})) AS u(j)
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= {_MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -473,12 +515,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_val = lambda j: F.shiftright("simhash", _BITS_PER_BAND * j).bitwiseAND(
         (1 << _BITS_PER_BAND) - 1
     )
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(*[band_val(j) for j in range(_SIM_BANDS)])
-        ).alias("band_idx", "band_val"),
+    bands = _cap_buckets(
+        sim.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(*[band_val(j) for j in range(_SIM_BANDS)])
+            ).alias("band_idx", "band_val"),
+        ),
+        keys=("band_idx", "band_val"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
@@ -535,22 +580,30 @@ def ddot(a: Column, b: Column) -> Column:
     return total.cast("double")
 
 
-# Candidate banding for the embedding self-join: quantize the first
-# _N_BAND_DIMS coordinates to _BAND_W-wide integer bands and require every
-# banded coordinate to differ by at most one band. A true near-duplicate
-# (cosine ≈ 1 ⇒ coordinates nearly equal) always lands within one band per
-# dim, while unrelated pairs survive each dim with P≈0.6 → the expensive
-# dot product runs on ~(0.6)^4 ≈ 13% of the label-block pairs. FLOOR of
-# IEEE doubles is bit-deterministic, so Spark and DuckDB band identically.
-# At corpus scale the same bands become explodable join KEYS (each vector
-# emits its 2^k adjacent band combos; hash join on the combo) — here the
-# label equi-join already bounds blocks, so the bands act as a cheap
-# pre-filter ahead of the O(dim) arithmetic.
+# Candidate banding for the embedding self-join, as JOIN KEYS (not a
+# post-join filter): quantize the first _N_BAND_DIMS *norm-scaled*
+# coordinates (x_i / ||x|| — cosine ≈ 1 implies UNIT-scaled coordinates
+# nearly equal; raw coordinates only if inputs happen to be unit-norm) to
+# _BAND_W-wide bands. Two vectors whose per-dim bands differ by ≤ 1 share
+# a double-width (2·_BAND_W) bucket at one of two phase offsets per dim,
+# so each vector emits 2^_N_BAND_DIMS = 16 (phase-vector, bucket-combo)
+# keys and candidates come from a plain hash equi-join on the key — the
+# shuffle is keyed on (label, phase, buckets), never on label alone, so
+# block size no longer scales with label frequency. FLOOR of IEEE doubles
+# is bit-deterministic, so Spark and DuckDB band identically; the same
+# bucket cap as the LSH joins guards identical-vector floods.
 _BAND_W = 0.1
 _N_BAND_DIMS = 4
-_BAND_SQL = " AND ".join(
-    f"ABS(FLOOR(a.embedding[{i}] / {_BAND_W}) - FLOOR(b.embedding[{i}] / {_BAND_W})) <= 1"
+_N_PHASES = 1 << _N_BAND_DIMS
+
+_KEY_COLS_SQL = ",\n         ".join(
+    f"FLOOR((CAST(embedding[{i}] AS DOUBLE) / norm + ((p >> {i - 1}) & 1) * {_BAND_W})"
+    f" / {2 * _BAND_W}) AS b{i}"
     for i in range(1, _N_BAND_DIMS + 1)
+)
+_KEY_EQ_SQL = " AND ".join(
+    ["a.label = b.label", "a.p = b.p"]
+    + [f"a.b{i} = b.b{i}" for i in range(1, _N_BAND_DIMS + 1)]
 )
 
 
@@ -562,12 +615,24 @@ WITH nv AS (
          SQRT({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
   FROM embeddings
 ),
+keys AS (
+  SELECT vec_id, label, p,
+         {_KEY_COLS_SQL}
+  FROM nv, UNNEST(generate_series(0, {_N_PHASES - 1})) AS u(p)
+  QUALIFY COUNT(*) OVER (
+    PARTITION BY label, p, b1, b2, b3, b4) <= {_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON {_KEY_EQ_SQL} AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT c.vec_a, c.vec_b,
          ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                / (a.norm * b.norm), 6) AS cosine
-  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
-           AND {_BAND_SQL}
+  FROM cand c
+  JOIN nv a ON a.vec_id = c.vec_a
+  JOIN nv b ON b.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine
 FROM pairs
@@ -582,38 +647,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).persist()  # both key-emission sides + both cosine joins read it
+
+    def bucket(i: int, p: int) -> Column:
+        scaled = F.element_at("embedding", i).cast("double") / F.col("norm")
+        phase = ((p >> (i - 1)) & 1) * _BAND_W
+        return F.floor((scaled + phase) / (2 * _BAND_W))
+
+    keys = nv.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    *[bucket(i, p).alias(f"b{i}")
+                      for i in range(1, _N_BAND_DIMS + 1)],
+                )
+                for p in range(_N_PHASES)
+            ])
+        ).alias("k"),
+    ).select("vec_id", "label", "k.*")
+    keys = _cap_buckets(
+        keys, keys=("label", "p", *[f"b{i}" for i in range(1, _N_BAND_DIMS + 1)])
     )
-
-    def bands(col: Column) -> list[Column]:
-        return [
-            F.floor(F.element_at(col, i) / _BAND_W)
-            for i in range(1, _N_BAND_DIMS + 1)
-        ]
-
-    a = nv.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("ea"),
+    join_cols = ["label", "p"] + [f"b{i}" for i in range(1, _N_BAND_DIMS + 1)]
+    a = keys.select(F.col("vec_id").alias("vec_a"), *join_cols)
+    b = keys.select(F.col("vec_id").alias("vec_b"), *join_cols)
+    cand = (
+        a.join(b, join_cols)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # a pair can match under several phase vectors
+    )
+    na = nv.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
-        *[bc.alias(f"ba{i}") for i, bc in enumerate(bands(F.col("embedding")))],
     )
-    b = nv.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label"),
-        F.col("embedding").alias("eb"),
+    nb = nv.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
-        *[bc.alias(f"bb{i}") for i, bc in enumerate(bands(F.col("embedding")))],
     )
-    band_ok = None
-    for i in range(_N_BAND_DIMS):
-        cond = F.abs(F.col(f"ba{i}") - F.col(f"bb{i}")) <= 1
-        band_ok = cond if band_ok is None else (band_ok & cond)
     cosine = F.round(
         ddot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
-        a.join(b, "label")
-        .where((F.col("vec_a") < F.col("vec_b")) & band_ok)
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
@@ -653,6 +733,7 @@ bands AS (
   SELECT doc_id, j AS band_idx,
          md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
   FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+  {_BUCKET_CAP_SQL}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

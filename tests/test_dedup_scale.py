@@ -1,0 +1,54 @@
+"""Adversarial-skew guards for the dedup candidate joins: a flood of
+identical documents (the common real-corpus case — boilerplate, templated
+spam) must NOT produce a quadratic band bucket. Buckets above _MAX_BUCKET
+are dropped before the self-join, in Spark and in every DuckDB oracle
+alike; exact-duplicate floods are the linear ``dedup_exact`` pass's job.
+"""
+
+import time
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.queries.dedup import (
+    _MAX_BUCKET,
+    _minhash_candidate_pairs,
+    shingles,
+    sketch_minhash,
+)
+
+FLOOD = "buy cheap pills online now best prices guaranteed click here today"
+NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank"
+NEAR_B = "the quick brown fox jumps over the lazy dog near the river shore"
+
+
+def _sketch(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select("doc_id", shingles().alias("s")).where(F.size("s") > 0)
+    return sketch_minhash(sh)
+
+
+def test_small_identical_group_below_cap_pairs_fully(spark):
+    sk = _sketch(spark, [(i, FLOOD) for i in range(10)])
+    pairs = _minhash_candidate_pairs(sk).collect()
+    assert len(pairs) == 10 * 9 // 2
+    assert all(r["n_shared_bands"] == 8 for r in pairs)
+
+
+def test_flood_above_cap_is_dropped_not_quadratic(spark):
+    n = 10_000
+    assert n > _MAX_BUCKET
+    rows = (
+        [(i, FLOOD) for i in range(n)]
+        + [(n + 1, NEAR_A), (n + 2, NEAR_B)]
+    )
+    start = time.time()
+    pairs = _minhash_candidate_pairs(_sketch(spark, rows)).collect()
+    elapsed = time.time() - start
+    # Without the cap this is ~8 * 10k² = 800M joined rows; with it the
+    # flood bucket never reaches the join.
+    assert elapsed < 120, f"flood handling took {elapsed:.0f}s"
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (n + 1, n + 2) in keys, "genuine near-dups must still be found"
+    assert not any(a < n and b < n for a, b in keys), (
+        "flood pairs must be excluded by the bucket cap"
+    )
