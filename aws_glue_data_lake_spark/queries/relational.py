@@ -73,6 +73,44 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# mergeSchema scan (S1): two generations of the orders table — an older
+# narrow schema and a newer one with an added column — land as separate
+# file groups; the read union-widens them (the DynamicFrame behavior,
+# icberg/iceberg_tables.py:23). Old-generation rows surface NULL for the
+# added column, which the aggregate makes oracle-visible. At 100 TB this
+# is the ingest reality: schema evolution happens mid-corpus and the scan
+# must absorb it without a rewrite.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_merge_schema_evolution",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS BIGINT)
+         AS n_with_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+""",
+)
+def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="merge_schema_")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{stage}/gen=1")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{stage}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(stage)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multi-way star join (TPC-H Q5 shape). region/nation/supplier are tiny
 # dimensions — broadcast them so the only shuffle is the orders⋈lineitem
 # fact join (AQE turns that into a co-partitioned sort-merge at scale).

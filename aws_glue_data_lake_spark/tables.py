@@ -71,3 +71,62 @@ def table_exists(spark: SparkSession, name: str) -> bool:
     """Catalog existence probe — the reference's try/except ``check_table_exist``
     (icberg/iceberg_tables.py:73-78) done through the catalog API instead."""
     return spark.catalog.tableExists(name)
+
+
+def clear_stale_location(spark: SparkSession, name: str) -> None:
+    """Remove a leftover managed-table directory for ``name``: a fresh
+    session's in-memory catalog has no such table, but the warehouse dir
+    from an earlier session may still hold it, and CREATE then fails with
+    LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def create_table_v2(
+    df: DataFrame, name: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """DataFrameWriterV2 CTAS — the reference's ``writeTo(...).create()``
+    (icberg/iceberg_tables.py:112). The v2 API resolves through the catalog
+    plugin, so the same call targets Iceberg/Delta when their catalogs are
+    configured; under the vanilla session catalog it creates a managed
+    parquet table."""
+    from pyspark.sql import functions as F
+
+    clear_stale_location(df.sparkSession, name)
+    writer = df.writeTo(name).using("parquet")
+    if partition_by:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    writer.create()
+
+
+def append_table_v2(df: DataFrame, name: str) -> None:
+    """DataFrameWriterV2 append — the reference's ``writeTo(...).append()``
+    (icberg/iceberg_tables.py:151). Against a real v2 catalog
+    (Iceberg/Delta) the v2 path commits through the catalog's transaction
+    machinery; the vanilla V2SessionCatalog hands back a v1 parquet table
+    that rejects v2 writes, so that one case falls back to the v1 writer —
+    same rows, catalog-native transaction semantics when available."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df.writeTo(name).append()
+    except AnalysisException as e:
+        if "v1 table" not in str(e):
+            raise
+        df.write.mode("append").saveAsTable(name)
+
+
+def register_external_table(
+    spark: SparkSession, name: str, location: str, replace: bool = True
+) -> None:
+    """Location-backed external table in the session catalog — the
+    reference's ``CREATE EXTERNAL TABLE ... LOCATION`` DDL
+    (delta/delta_tables.py:41-47). Schema comes from the parquet footers;
+    DROP TABLE leaves the data files in place (external semantics)."""
+    if replace:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{location}'")

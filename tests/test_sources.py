@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.operators.cdc import save_table
 from aws_glue_data_lake_spark.tables import (
+    append_table_v2,
+    create_table_v2,
     load_table,
+    register_external_table,
     register_views,
     table_exists,
 )
@@ -66,13 +69,55 @@ def test_sink_partitioned_write(spark, tmp_path):
 
 
 def test_saveastable_roundtrip(spark):
-    """S5 CTAS + S6 append through the session catalog (writeTo v2 API)."""
+    """S5 CTAS + S6 append through the session catalog (v1 writer API)."""
     spark.sql("DROP TABLE IF EXISTS ctas_probe")
     spark.range(4).write.saveAsTable("ctas_probe")
     assert table_exists(spark, "ctas_probe")
     spark.range(2).write.mode("append").saveAsTable("ctas_probe")
     assert spark.table("ctas_probe").count() == 6
     spark.sql("DROP TABLE ctas_probe")
+
+
+def test_writerv2_create_append(spark):
+    """S5/S6 on the DataFrameWriterV2 path the reference actually calls:
+    writeTo(...).create() then writeTo(...).append()
+    (icberg/iceberg_tables.py:112,151)."""
+    spark.sql("DROP TABLE IF EXISTS v2_probe")
+    create_table_v2(spark.range(4).withColumn("v", F.col("id") * 2), "v2_probe")
+    assert table_exists(spark, "v2_probe")
+    append_table_v2(spark.range(4, 6).withColumn("v", F.col("id") * 2), "v2_probe")
+    assert spark.table("v2_probe").count() == 6
+    spark.sql("DROP TABLE v2_probe")
+
+
+def test_writerv2_partitioned_create(spark):
+    spark.sql("DROP TABLE IF EXISTS v2_part_probe")
+    df = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click")], "event_id long, event_type string"
+    )
+    create_table_v2(df, "v2_part_probe", partition_by=("event_type",))
+    got = spark.table("v2_part_probe").where(F.col("event_type") == "click")
+    assert got.count() == 2
+    spark.sql("DROP TABLE v2_part_probe")
+
+
+def test_external_table_ddl(spark, tmp_path):
+    """S9: CREATE TABLE ... USING parquet LOCATION — a location-backed
+    external table whose data survives DROP TABLE
+    (delta/delta_tables.py:41-47)."""
+    path = str(tmp_path / "ext")
+    spark.range(5).withColumn("v", F.col("id") * 3).write.parquet(path)
+    register_external_table(spark, "ext_probe", path)
+    assert table_exists(spark, "ext_probe")
+    assert spark.table("ext_probe").count() == 5
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ext_probe").collect()
+    }
+    assert desc.get("Type") == "EXTERNAL"
+    spark.sql("DROP TABLE ext_probe")
+    # external semantics: dropping the table must not delete the data
+    assert spark.read.parquet(path).count() == 5
 
 
 def test_load_table_nanos_convention(spark, sf_dir):
