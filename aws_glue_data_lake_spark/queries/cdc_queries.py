@@ -82,9 +82,7 @@ def cdc_full_load_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.table.select(*_FINAL_COLS).orderBy("user_id")
 
 
-@_q(
-    "cdc_incremental_state",
-    oracle=f"""
+_INCREMENTAL_ORACLE = f"""
 WITH feed AS (
   SELECT *, {_OP_CASE_SQL} AS op FROM events
 ), half AS (
@@ -124,8 +122,10 @@ SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts,
        user_id, event_type, value, props
 FROM final
 ORDER BY user_id, event_id
-""",
-)
+"""
+
+
+@_q("cdc_incremental_state", oracle=_INCREMENTAL_ORACLE)
 def cdc_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state upsert (icberg/iceberg_tables.py:115-153): the feed's
     first half full-loads the target, the second half merges incrementally
@@ -140,3 +140,31 @@ def cdc_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).table
     merged = incremental_merge(target, late, ["user_id"], "ts", tiebreakers=["event_id"])
     return merged.table.select(*_FINAL_COLS).orderBy("user_id", "event_id")
+
+
+# The SAME two-phase pipeline, but THROUGH the versioned lake layer
+# (lake.py): batch 0 commits snapshot v1, batch 1 is a file-pruned
+# copy-on-write row-level merge committing v2, and the result is read back
+# from the committed snapshot — so the driver's hash check covers the
+# storage protocol (manifest commit, stats pruning, snapshot read), not
+# just the in-memory dataflow. Oracle identical to cdc_incremental_state.
+@_q("cdc_lake_upsert_state", oracle=_INCREMENTAL_ORACLE)
+def cdc_lake_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+    from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
+
+    feed = _feed(spark, sf_dir)
+    half = feed.agg(F.max("event_id")).first()[0] // 2
+    table = LakeTable(tempfile.mkdtemp(prefix="cdc_lake_") + "/t")
+    merge_cdc_batch(
+        table, feed.where(F.col("event_id") <= half), ["user_id"], "ts",
+        tiebreakers=["event_id"], sentinel=_SENTINEL_US,
+    )
+    merge_cdc_batch(
+        table, feed.where(F.col("event_id") > half), ["user_id"], "ts",
+        tiebreakers=["event_id"],
+    )
+    assert table.current_version() == 2, "expected create + one merge commit"
+    return table.read(spark).select(*_FINAL_COLS).orderBy("user_id", "event_id")

@@ -437,6 +437,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment dedup (near-superset detection): C(A,B) = |A∩B| / min(|A|,|B|)
+# over shingle sets. Jaccard misses the boilerplate-wrapped-copy case — a
+# short doc pasted inside a much longer one has low Jaccard but containment
+# ≈ 1 — and that's one of the most common duplication shapes in web-scale
+# training corpora. Candidates come from the SAME minhash band join as
+# dedup_minhash_lsh (shared persisted sketch, bucket-capped); the exact
+# set intersection runs only on candidates.
+# ---------------------------------------------------------------------------
+_CONTAIN_MIN = 0.6
+
+
+@_q(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(generate_series(0, {_N_HASH - 1}),
+           k -> LIST_MIN(LIST_TRANSFORM(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS m
+  FROM sh WHERE LEN(s) > 0
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
+  FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+  {_BUCKET_CAP_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS BIGINT) AS n_common_shingles,
+       ROUND(LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+             / LEAST(LEN(sa.s), LEN(sb.s)), 6) AS containment,
+       CASE WHEN LEN(sa.s) <= LEN(sb.s) THEN c.doc_a ELSE c.doc_b END
+         AS contained_doc
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE LEN(LIST_INTERSECT(sa.s, sb.s)) * 1.0
+      / LEAST(LEN(sa.s), LEN(sb.s)) >= {_CONTAIN_MIN}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _minhash_sketch(spark, sf_dir)
+    cand = _minhash_candidate_pairs(sk).select("doc_a", "doc_b")
+    sh = _shingle_table(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    containment = inter * 1.0 / F.least(F.size("sa"), F.size("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(containment >= _CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_common_shingles"),
+            F.round(containment, 6).alias("containment"),
+            F.when(F.size("sa") <= F.size("sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup: 60-bit majority-vote fingerprint over shingle hashes,
 # banded self-join (10 bands × 6 bits guarantees candidates for hamming ≤ 9),
 # exact hamming ≤ 7 on candidates. Bit j comes from bit (3 - j%4) of md5 hex

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from aws_glue_data_lake_spark.queries.base import Registry, t
+from aws_glue_data_lake_spark.queries.textops import TOKS_SQL, toks
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -109,4 +110,58 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _CAP_PER_LABEL)
         .select("label", "vec_id")
         .orderBy("label", "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted downsampling: keep each document with probability
+# proportional to a quality score — the standard corpus-mixing move
+# (upweight long/clean documents, downweight fragments) — but with the
+# coin flip replaced by a content hash: keep iff U(doc) < p(doc), where
+# U = md5(doc_id)[:6]/16^6 is a deterministic uniform in [0,1). Membership
+# is reproducible across engines, partitionings, and re-runs, and the
+# acceptance rate converges to E[p] without any RNG state. Pure per-row
+# projection + one aggregate — no shuffle wider than the summary.
+# --------------------------------------------------------------------------
+_P_EXPR_SQL = "LEAST(GREATEST(ntok / 200.0, 0.1), 0.9)"
+
+
+@_q(
+    "sample_quality_weighted",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, LEN({TOKS_SQL}) AS ntok,
+         CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           / 16777216.0 AS u
+  FROM documents
+), tagged AS (
+  SELECT doc_id, ntok, {_P_EXPR_SQL} AS p, u FROM feat
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN u < p THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < p THEN doc_id END) AS BIGINT) AS kept_checksum,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS expected_rate
+FROM tagged
+""",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(toks())
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") / 16777216.0
+    p = F.least(F.greatest(ntok / 200.0, F.lit(0.1)), F.lit(0.9))
+    tagged = d.select(
+        "doc_id", u.alias("u"), p.alias("p")
+    )
+    kept = F.col("u") < F.col("p")
+    return tagged.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id"))).cast("bigint").alias("kept_checksum"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(18,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("expected_rate"),
     )

@@ -250,6 +250,109 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hyperplane-LSH top-k: the third ANN strategy (vs exact brute force and
+# probed IVF) — signature bit b = sign(<v, hyperplane_b>), vectors hash to
+# 2^B buckets, a query scans only its own bucket. Sign-random-projection
+# is the classic cosine LSH (collision probability 1 − θ/π per bit);
+# bucket residency is ONE bit-packed int per vector, so the "index" is
+# just a clustered sort key at scale — cheaper to maintain than IVF
+# centroids under streaming ingest, at the cost of unbalanced buckets.
+# Hyperplanes are deterministic seed vectors (vec_id 8..11) so the oracle
+# rebuilds the identical index; sign(exact-decimal dot) is engine-stable.
+# ---------------------------------------------------------------------------
+_N_PLANES = 4
+_HP_LO = 8  # hyperplane seeds: vec_id in [_HP_LO, _HP_LO + _N_PLANES)
+
+
+@_q(
+    "sim_lsh_topk",
+    oracle=f"""
+WITH {_NV_SQL},
+hp AS (SELECT vec_id, embedding FROM nv
+       WHERE vec_id >= {_HP_LO} AND vec_id < {_HP_LO + _N_PLANES}),
+sig AS (
+  SELECT v.vec_id, CAST(SUM(
+           CASE WHEN {_DOT_SQL.format(a='v.embedding', b='h.embedding')} >= 0
+                THEN (1 << CAST(h.vec_id - {_HP_LO} AS INT)) ELSE 0 END)
+         AS BIGINT) AS bucket
+  FROM nv v CROSS JOIN hp h
+  GROUP BY v.vec_id
+),
+q AS (SELECT nv.*, sig.bucket FROM nv JOIN sig USING (vec_id)
+      WHERE vec_id IN {_QIDS_SQL}),
+c AS (SELECT nv.*, sig.bucket FROM nv JOIN sig USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+         ROUND({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+               / (q.norm * c.norm), 6) AS cosine
+  FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, bucket, cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+""",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    hp = nv.where(
+        (F.col("vec_id") >= _HP_LO) & (F.col("vec_id") < _HP_LO + _N_PLANES)
+    ).select(
+        (F.col("vec_id") - _HP_LO).cast("int").alias("plane"),
+        F.col("embedding").alias("he"),
+    )
+    # Index build: broadcast the B hyperplanes, one bit per (vector, plane)
+    # map-side, then a bit-packing SUM per vector — linear, no corpus
+    # shuffle wider than the B-row broadcast.
+    bit = F.when(
+        ddot(F.col("embedding"), F.col("he")) >= 0,
+        F.expr("shiftleft(1, plane)"),
+    ).otherwise(F.lit(0))
+    sig = (
+        nv.join(F.broadcast(hp))
+        .select("vec_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("bigint").alias("bucket"))
+    )
+    nvb = nv.join(sig, "vec_id")
+    q = nvb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "bucket",
+    )
+    c = nvb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            _cosine(F.col("qe"), F.col("qn"), F.col("ce"), F.col("cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "bucket", "cosine")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN classification by majority vote: the standard embedding-quality probe
 # — top-10 neighbors vote with their labels; ties break toward the smaller
 # label for determinism. Composes the brute-force top-k with one small
