@@ -126,6 +126,64 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P_EXPR_SQL = "LEAST(GREATEST(ntok / 200.0, 0.1), 0.9)"
 
 
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: the composition a real training-data pipeline
+# runs nightly — exact dedup (keep the smallest doc_id per content hash) →
+# quality gate (token-count floor) → deterministic train/val/test split —
+# expressed as ONE declarative plan, so Catalyst fuses the stages: the
+# dedup aggregate is the only wide shuffle, the gate and split are
+# projections on its output. Per-split counts + id checksum make every
+# stage's effect oracle-visible.
+# --------------------------------------------------------------------------
+_MIN_TOKENS = 10
+
+
+@_q(
+    "pipeline_corpus_curation",
+    oracle=f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.doc_id
+  FROM documents d JOIN canon ON canon.doc_id = d.doc_id
+  WHERE LEN({TOKS_SQL}) >= {_MIN_TOKENS}
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS _b
+  FROM kept
+), tagged AS (
+  SELECT doc_id, {_SPLIT_EXPR} AS split FROM h
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split ORDER BY split
+""",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    canon = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = (
+        d.join(canon.select("doc_id"), "doc_id")
+        .where(F.size(toks()) >= _MIN_TOKENS)
+        .select("doc_id")
+    )
+    byte0 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    tagged = kept.select("doc_id", byte0.alias("_b")).selectExpr(
+        "doc_id", f"{_SPLIT_EXPR} AS split"
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
 @_q(
     "sample_quality_weighted",
     oracle=f"""

@@ -93,6 +93,32 @@ def test_events_bucketing_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan_of(spark, "events_daily_type_counts")
 
 
+def test_embedding_dedup_joins_on_band_keys(spark):
+    """The embedding near-dup candidate join must be a hash join KEYED on
+    the (label, phase, bucket-combo) columns — never a label-only join with
+    a post-join band filter (the label-block size dependence round 2
+    removed)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    joins = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert any(
+        "b1" in l and "b4" in l and "p#" in l for l in joins
+    ), f"no band-keyed hash join found:\n{plan[:2000]}"
+
+
+def test_lsh_band_join_is_keyed_not_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_extract_is_arrow_batched(spark):
+    # mapInPandas shows as MapInPandas (Arrow), never row-at-a-time
+    # BatchEvalPython.
+    plan = plan_of(spark, "multimodal_feature_extract")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Same-bucketed tables joined on the bucket key must plan shuffle-free:
     the whole point of paying the bucketing cost at write time."""

@@ -1,0 +1,109 @@
+"""Streaming semantics under MULTI-batch replay: the registered queries
+drain the fixture as one availableNow batch, so they exercise watermarks
+as API only. This test forces several micro-batches (maxFilesPerTrigger=1)
+and pins the two watermark behaviors a 100 TB stream depends on:
+
+- **bounded state**: windows older than the watermark are EVICTED from the
+  state store — state size tracks the lateness horizon, not stream length;
+- **append finalization**: an evicted window is emitted exactly once.
+
+Empirical note (pinned by this test so a silent behavior change fails
+loudly): Spark 4.1 treats the aggregation watermark as an
+eviction/finalization bound, NOT an input filter — a late row arriving
+while its window would already be past the watermark is still aggregated
+and finalized (numRowsDroppedByWatermark == 0 here). The docs promise only
+that data later than the threshold "starts getting dropped"; correctness
+code must therefore rely on eviction, never on input-side dropping.
+"""
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.streaming.pipelines import (
+    EVENTS_STREAM_SCHEMA,
+    tumbling_window_agg,
+)
+
+US = 1_000_000
+NS = 1_000
+
+
+def _event(event_id, ts_us, event_type="view", user_id=1, value=1.0):
+    return (event_id, ts_us * NS, user_id, event_type, value, "{}")
+
+
+def _write_batch(spark, stage, sub, rows, mtime):
+    """One parquet file per micro-batch, mtime-ordered (the file source
+    picks up files oldest-first)."""
+    tmp = f"{stage}/{sub}"
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet") and not f.startswith("."):
+            os.rename(f"{tmp}/{f}", f"{stage}/{sub}_{f}")
+            os.utime(f"{stage}/{sub}_{f}", (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_watermark_evicts_state_and_append_emits_once(spark, tmp_path):
+    base = 10 * 3600 * US  # 10:00:00 in epoch-µs
+    stage = str(tmp_path / "stream_in")
+    os.makedirs(stage)
+    now = time.time()
+    # batch 0: 10:00 ×2 and 12:00 → watermark after it = 11:00, so the
+    # 10:00 window (end 10:10) finalizes at the next batch boundary
+    _write_batch(
+        spark, stage, "b1",
+        [_event(1, base), _event(2, base + 60 * US),
+         _event(3, base + 2 * 3600 * US)],
+        now - 100,
+    )
+    # batch 1: 13:00 → watermark advances to 12:00; the 12:00 window
+    # (end 12:10 > 12:00) and the 13:00 window stay live in state
+    _write_batch(
+        spark, stage, "b2", [_event(4, base + 3 * 3600 * US)], now - 50
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        tumbling_window_agg(raw)
+        .writeStream.format("memory")
+        .queryName("wm_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    data_batches = [p for p in progress if p["numInputRows"]]
+    assert len(data_batches) >= 2, "maxFilesPerTrigger must split the replay"
+
+    # Bounded state: after the final batch only windows whose end is past
+    # the 12:00 watermark (the 12:00 and 13:00 windows) remain in the
+    # store — the finalized 10:00 window was evicted.
+    final_state = [p for p in progress if p["stateOperators"]][-1]
+    assert final_state["stateOperators"][0]["numRowsTotal"] == 2
+
+    rows = spark.table("wm_probe").collect()
+    emitted = sorted(r["window_start_us"] for r in rows)
+    # Exactly-once finalization: the closed 10:00 window appears once;
+    # the still-open 12:00/13:00 windows not at all.
+    assert emitted == [base]
+    counts = {r["window_start_us"]: r["n_events"] for r in rows}
+    assert counts[base] == 2
