@@ -319,7 +319,10 @@ class LakeTable:
         row = kill.agg(
             F.min(lead).alias("lo"), F.max(lead).alias("hi")
         ).first()
-        lo, hi = row["lo"], row["hi"]
+        # Normalize through the same encoding the manifest stats use, so
+        # non-JSON-native key types (timestamps → ISO strings, which order
+        # lexicographically) compare against stats without type errors.
+        lo, hi = _json_safe(row["lo"]), _json_safe(row["hi"])
         if lo is None:  # empty batch: nothing can match
             return [], list(snap.files)
         affected, untouched = [], []

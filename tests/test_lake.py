@@ -87,6 +87,29 @@ class TestUpsert:
         assert all(got[k] == -k for k in range(lo, hi))
         assert got[999] == 9990
 
+    def test_timestamp_keyed_upsert_prunes(self, spark, tmp_path):
+        """Non-JSON-native key types: timestamp stats round-trip through the
+        manifest as ISO strings; the batch range must compare against them
+        without type errors and still prune."""
+        from datetime import datetime, timedelta
+
+        t = LakeTable(str(tmp_path / "ts"))
+        day0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(day0 + timedelta(days=d), d) for d in range(100)],
+            "d timestamp_ntz, v long",
+        ).repartitionByRange(4, "d")
+        t.create(df, stat_cols=["d"])
+        before = t.snapshot()
+        batch = spark.createDataFrame(
+            [(datetime(2024, 1, 2), -1)], "d timestamp_ntz, v long"
+        )
+        t.upsert(batch, keys=["d"])
+        after = t.snapshot()
+        assert len(set(before.file_names) & set(after.file_names)) == 3
+        got = {r["d"]: r["v"] for r in t.read(spark).collect()}
+        assert got[datetime(2024, 1, 2)] == -1 and len(got) == 100
+
     def test_delete_only_batch(self, spark, tmp_path):
         t = _table(spark, tmp_path, n=100, files=2)
         empty = spark.createDataFrame([], "k long, v long")
