@@ -111,6 +111,146 @@ def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# approx_percentile (t-digest-ish sketch): the scale path for quantiles —
+# one pass, constant-size mergeable sketch per group. The approximate
+# VALUE is engine-specific, but its defining contract is checkable: the
+# fraction of rows ≤ the reported p-quantile must lie within the sketch's
+# rank-error bound of p. The query emits the exact quantiles plus one
+# verdict boolean per percentile; the oracle asserts the verdicts.
+# --------------------------------------------------------------------------
+_PCT_ACC = 1000  # Spark's rank error ≤ 1/accuracy
+_PCT_EPS = 2.0 / _PCT_ACC  # bound + slack for ties at the boundary
+
+
+@_q(
+    "agg_approx_percentile_price",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.5) AS DOUBLE), 6) AS exact_p50,
+       ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.9) AS DOUBLE), 6) AS exact_p90,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM orders
+""",
+)
+def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    sketch = o.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array(0.5, 0.9), {_PCT_ACC})"
+        ).alias("ap"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("exact_p90"),
+    )
+    ranked = o.crossJoin(F.broadcast(sketch)).agg(
+        F.first("n_orders").alias("n_orders"),
+        F.first("exact_p50").alias("exact_p50"),
+        F.first("exact_p90").alias("exact_p90"),
+        (
+            F.count(F.when(F.col("o_totalprice") <= F.element_at("ap", 1), 1))
+            / F.first("n_orders")
+        ).alias("frac50"),
+        (
+            F.count(F.when(F.col("o_totalprice") <= F.element_at("ap", 2), 1))
+            / F.first("n_orders")
+        ).alias("frac90"),
+    )
+    return ranked.select(
+        "n_orders",
+        "exact_p50",
+        "exact_p90",
+        (F.abs(F.col("frac50") - 0.5) <= _PCT_EPS).alias("p50_within_bound"),
+        (F.abs(F.col("frac90") - 0.9) <= _PCT_EPS).alias("p90_within_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join (interval containment), bin-bucketed: each event aggregates
+# its customer's orders with order-date in [event_time − 30 d, event_time].
+# A naive range join is an equi-join on the key with a residual range
+# predicate — one hot key degenerates to O(n·m) comparisons. The scale
+# pattern (what Databricks' range-join optimization and KDB's window joins
+# do under the hood): quantize time into bins the width of the range; an
+# interval of width W overlaps at most 2 W-wide bins, so the probe side
+# explodes into its ≤2 bins and the join becomes a plain hash equi-join on
+# (key, bin) with the exact BETWEEN refining the candidates. The oracle is
+# the naive range join — semantics identical.
+# --------------------------------------------------------------------------
+_RANGE_W_US = 30 * 86_400 * 1_000_000  # 30 days in µs
+
+
+@_q(
+    "join_range_event_order_window",
+    oracle=f"""
+SELECT e.event_id,
+       e.user_id,
+       CAST(EPOCH_US(e.ts) AS BIGINT) AS ts_us,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql("o.o_totalprice", "total_spend")}
+FROM events e
+JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND CAST(EPOCH_US(o.o_orderdate) AS BIGINT)
+     BETWEEN CAST(EPOCH_US(e.ts) AS BIGINT) - {_RANGE_W_US}
+         AND CAST(EPOCH_US(e.ts) AS BIGINT)
+WHERE e.user_id < 50
+GROUP BY e.event_id, e.user_id, ts_us
+ORDER BY e.event_id
+""",
+)
+def join_range_event_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+        )
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 50)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            # NTZ-safe epoch-µs (see join_asof_event_order note)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("ot"),
+            "o_totalprice",
+        )
+        .withColumn("bin", F.expr(f"ot div {_RANGE_W_US}"))
+    )
+    # The [t − W, t] interval covers at most 2 W-wide bins.
+    ev_bins = ev.select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(ts_us - {_RANGE_W_US}) div {_RANGE_W_US}"),
+                    F.expr(f"ts_us div {_RANGE_W_US}"),
+                )
+            )
+        ).alias("bin"),
+    )
+    return (
+        ev_bins.join(od, ["user_id", "bin"])
+        .where(
+            (F.col("ot") >= F.col("ts_us") - _RANGE_W_US)
+            & (F.col("ot") <= F.col("ts_us"))
+        )
+        .groupBy("event_id", "user_id", "ts_us")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Multi-way star join (TPC-H Q5 shape). region/nation/supplier are tiny
 # dimensions — broadcast them so the only shuffle is the orders⋈lineitem
 # fact join (AQE turns that into a co-partitioned sort-merge at scale).
@@ -608,61 +748,6 @@ def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# approx_percentile (t-digest-ish sketch): the scale path for quantiles —
-# one pass, constant-size mergeable sketch per group. The approximate
-# VALUE is engine-specific, but its defining contract is checkable: the
-# fraction of rows ≤ the reported p-quantile must lie within the sketch's
-# rank-error bound of p. The query emits the exact quantiles plus one
-# verdict boolean per percentile; the oracle asserts the verdicts.
-# --------------------------------------------------------------------------
-_PCT_ACC = 1000  # Spark's rank error ≤ 1/accuracy
-_PCT_EPS = 2.0 / _PCT_ACC  # bound + slack for ties at the boundary
-
-
-@_q(
-    "agg_approx_percentile_price",
-    oracle=f"""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.5) AS DOUBLE), 6) AS exact_p50,
-       ROUND(CAST(QUANTILE_CONT(o_totalprice, 0.9) AS DOUBLE), 6) AS exact_p90,
-       TRUE AS p50_within_bound,
-       TRUE AS p90_within_bound
-FROM orders
-""",
-)
-def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_totalprice")
-    sketch = o.agg(
-        F.expr(
-            f"approx_percentile(o_totalprice, array(0.5, 0.9), {_PCT_ACC})"
-        ).alias("ap"),
-        F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("exact_p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("exact_p90"),
-    )
-    ranked = o.crossJoin(F.broadcast(sketch)).agg(
-        F.first("n_orders").alias("n_orders"),
-        F.first("exact_p50").alias("exact_p50"),
-        F.first("exact_p90").alias("exact_p90"),
-        (
-            F.count(F.when(F.col("o_totalprice") <= F.element_at("ap", 1), 1))
-            / F.first("n_orders")
-        ).alias("frac50"),
-        (
-            F.count(F.when(F.col("o_totalprice") <= F.element_at("ap", 2), 1))
-            / F.first("n_orders")
-        ).alias("frac90"),
-    )
-    return ranked.select(
-        "n_orders",
-        "exact_p50",
-        "exact_p90",
-        (F.abs(F.col("frac50") - 0.5) <= _PCT_EPS).alias("p50_within_bound"),
-        (F.abs(F.col("frac90") - 0.9) <= _PCT_EPS).alias("p90_within_bound"),
-    )
-
-
-# --------------------------------------------------------------------------
 # As-of (point-in-time) join: each event picks up its customer's latest
 # order at-or-before the event time — operators/asof.py (union-and-carry:
 # ONE shuffle on the key, no range-duplicated pairs). user_id < 50 bounds
@@ -739,91 +824,6 @@ def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_totalprice").alias("asof_totalprice"),
     ).orderBy("event_id")
-
-
-# --------------------------------------------------------------------------
-# Range join (interval containment), bin-bucketed: each event aggregates
-# its customer's orders with order-date in [event_time − 30 d, event_time].
-# A naive range join is an equi-join on the key with a residual range
-# predicate — one hot key degenerates to O(n·m) comparisons. The scale
-# pattern (what Databricks' range-join optimization and KDB's window joins
-# do under the hood): quantize time into bins the width of the range; an
-# interval of width W overlaps at most 2 W-wide bins, so the probe side
-# explodes into its ≤2 bins and the join becomes a plain hash equi-join on
-# (key, bin) with the exact BETWEEN refining the candidates. The oracle is
-# the naive range join — semantics identical.
-# --------------------------------------------------------------------------
-_RANGE_W_US = 30 * 86_400 * 1_000_000  # 30 days in µs
-
-
-@_q(
-    "join_range_event_order_window",
-    oracle=f"""
-SELECT e.event_id,
-       e.user_id,
-       CAST(EPOCH_US(e.ts) AS BIGINT) AS ts_us,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {dsum_sql("o.o_totalprice", "total_spend")}
-FROM events e
-JOIN orders o
-  ON o.o_custkey = e.user_id
- AND CAST(EPOCH_US(o.o_orderdate) AS BIGINT)
-     BETWEEN CAST(EPOCH_US(e.ts) AS BIGINT) - {_RANGE_W_US}
-         AND CAST(EPOCH_US(e.ts) AS BIGINT)
-WHERE e.user_id < 50
-GROUP BY e.event_id, e.user_id, ts_us
-ORDER BY e.event_id
-""",
-)
-def join_range_event_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        t(spark, sf_dir, "events")
-        .where(F.col("user_id") < 50)
-        .select(
-            "event_id",
-            "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
-        )
-    )
-    od = (
-        t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 50)
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            # NTZ-safe epoch-µs (see join_asof_event_order note)
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
-            ).alias("ot"),
-            "o_totalprice",
-        )
-        .withColumn("bin", F.expr(f"ot div {_RANGE_W_US}"))
-    )
-    # The [t − W, t] interval covers at most 2 W-wide bins.
-    ev_bins = ev.select(
-        "*",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.expr(f"(ts_us - {_RANGE_W_US}) div {_RANGE_W_US}"),
-                    F.expr(f"ts_us div {_RANGE_W_US}"),
-                )
-            )
-        ).alias("bin"),
-    )
-    return (
-        ev_bins.join(od, ["user_id", "bin"])
-        .where(
-            (F.col("ot") >= F.col("ts_us") - _RANGE_W_US)
-            & (F.col("ot") <= F.col("ts_us"))
-        )
-        .groupBy("event_id", "user_id", "ts_us")
-        .agg(
-            F.count("*").cast("bigint").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_spend"),
-        )
-        .orderBy("event_id")
-    )
 
 
 # --------------------------------------------------------------------------
