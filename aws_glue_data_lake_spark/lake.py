@@ -282,6 +282,30 @@ class LakeTable:
             vals.append(rng[1])
         return max(vals) if vals else None
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> Snapshot:
+        """Small-file compaction (Delta OPTIMIZE / Iceberg rewrite-data-files):
+        rewrite the current snapshot into ``target_files`` files and commit
+        it as a new snapshot — older snapshots stay readable until vacuum.
+
+        Streaming CDC produces a few small files per micro-batch; without
+        periodic compaction a long-lived table degrades into thousands of
+        tiny scans and an ever-larger manifest. Rows are range-partitioned
+        on the leading stats column when one exists, so footer min/max
+        ranges stay disjoint and upsert-time file pruning KEEPS working on
+        the compacted layout (round-robin would smear every key range
+        across every file)."""
+        prev = self.snapshot()
+        if len(prev.files) <= target_files:
+            return prev
+        stat_cols = self._stat_cols(prev)
+        df = self.read(spark)
+        if stat_cols:
+            df = df.repartitionByRange(target_files, stat_cols[0])
+        else:
+            df = df.repartition(target_files)
+        files = self._write_files(df, stat_cols)
+        return self._commit(files, prev.schema, "compact", prev.version)
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop data files unreferenced by the ``keep_versions`` most recent
         snapshots (and the older manifests themselves). Returns removed

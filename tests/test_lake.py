@@ -145,6 +145,29 @@ class TestCommitProtocol:
         with pytest.raises(FileExistsError):
             t.create(spark.range(1).select(F.col("id").alias("k")))
 
+    def test_compact_preserves_data_and_pruning(self, spark, tmp_path):
+        """OPTIMIZE-equivalent: many small files → few range-partitioned
+        files; data identical, pre-compaction snapshots still readable,
+        and upsert pruning still works on the compacted layout."""
+        t = _table(spark, tmp_path, n=400, files=4)
+        for k in (10, 150, 300):  # three upserts → extra small files
+            t.upsert(
+                spark.createDataFrame([(k, -k)], "k long, v long"), keys=["k"]
+            )
+        pre = t.snapshot()
+        assert len(pre.files) > 4
+        snap = t.compact(spark, target_files=2)
+        assert snap.op == "compact" and len(snap.files) == 2
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert len(got) == 400 and got[10] == -10 and got[399] == 3990
+        # time travel to the pre-compaction snapshot still works
+        assert t.read(spark, version=pre.version).count() == 400
+        # pruning still effective: a narrow batch rewrites 1 of the 2 files
+        before = t.snapshot()
+        t.upsert(spark.createDataFrame([(0, 1)], "k long, v long"), keys=["k"])
+        carried = set(before.file_names) & set(t.snapshot().file_names)
+        assert len(carried) == 1
+
     def test_vacuum_drops_only_unreferenced(self, spark, tmp_path):
         t = _table(spark, tmp_path, n=100, files=4)
         batch = spark.createDataFrame([(0, -1)], "k long, v long")
