@@ -353,6 +353,81 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Label centroids via grouped-map applyInPandas + a scalar pandas_udf —
+# the §2.11 vectorized-UDF surface: per-group NumPy math that the built-in
+# operators can't express (matrix mean + per-row distances in one kernel),
+# Arrow-batched both ways. Rows-only check (float reductions have no
+# bit-deterministic SQL twin); the kernel sorts by vec_id so the output is
+# deterministic for a given input regardless of shuffle arrival order.
+# Scale: one shuffle on label, kernel memory = one label block — for
+# billion-row groups switch to the two-pass built-in agg (per-dim decimal
+# sums), which this complements, not replaces.
+# ---------------------------------------------------------------------------
+@_q("sim_label_centroids")  # rows-only: float matrix math, no SQL twin
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("label", LongType()),
+            StructField("n_vectors", LongType()),
+            StructField("centroid", ArrayType(DoubleType())),
+            StructField("mean_dist", DoubleType()),
+            StructField("max_dist", DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            [
+                {
+                    "label": int(pdf["label"].iloc[0]),
+                    "n_vectors": len(pdf),
+                    "centroid": np.round(c, 6).tolist(),
+                    "mean_dist": round(float(d.mean()), 6),
+                    "max_dist": round(float(d.max()), 6),
+                }
+            ]
+        )
+
+    cents = (
+        t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+    def _centroid_norm(c):
+        return c.map(
+            lambda v: round(float(np.sqrt((np.asarray(v) ** 2).sum())), 6)
+        )
+
+    # `from __future__ import annotations` stringifies inline hints, which
+    # pandas_udf's signature inspection rejects — attach real objects.
+    _centroid_norm.__annotations__ = {"c": pd.Series, "return": pd.Series}
+    centroid_norm = SF.pandas_udf(_centroid_norm, "double")
+
+    return (
+        cents.withColumn("centroid_norm", centroid_norm("centroid"))
+        .drop("centroid")
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # kNN classification by majority vote: the standard embedding-quality probe
 # — top-10 neighbors vote with their labels; ties break toward the smaller
 # label for determinism. Composes the brute-force top-k with one small
