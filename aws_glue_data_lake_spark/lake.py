@@ -308,8 +308,18 @@ class LakeTable:
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop data files unreferenced by the ``keep_versions`` most recent
-        snapshots (and the older manifests themselves). Returns removed
-        file paths."""
+        snapshots (and the older manifests themselves), plus ORPHANS —
+        data files referenced by no manifest at all, which a writer that
+        lost a commit race (or died mid-write) leaves behind: its data
+        files land before the O_EXCL manifest create fails, exactly like
+        Delta's uncommitted files that VACUUM collects. Returns removed
+        file paths.
+
+        Do not run concurrently with active writers: an in-flight commit's
+        data files look orphaned until its manifest lands (Delta solves
+        this with a retention window on file age; at this layer the
+        contract is simply that vacuum is a maintenance operation scheduled
+        apart from writes)."""
         snaps = self.history()
         keep, drop = snaps[-keep_versions:], snaps[:-keep_versions]
         live = {f for s in keep for f in s.file_names}
@@ -320,6 +330,12 @@ class LakeTable:
                     os.remove(self._abs(f))
                     removed.append(f)
             os.remove(os.path.join(self._manifests, f"v{s.version}.json"))
+        referenced = {f for s in snaps for f in s.file_names}
+        for path in glob.glob(os.path.join(self._data, "*.parquet")):
+            rel = f"data/{os.path.basename(path)}"
+            if rel not in referenced:
+                os.remove(path)
+                removed.append(rel)
         return removed
 
     # -- pruning ------------------------------------------------------------

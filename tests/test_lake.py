@@ -177,3 +177,20 @@ class TestCommitProtocol:
         assert t.read(spark).count() == 100  # current snapshot intact
         with pytest.raises(NoSuchTable):
             t.read(spark, version=1)
+
+    def test_vacuum_collects_commit_loser_orphans(self, spark, tmp_path):
+        """A writer that loses the commit race has already written its data
+        files; they belong to no manifest and vacuum must collect them."""
+        t = _table(spark, tmp_path, n=20, files=2)
+        rival = os.path.join(t._manifests, "v2.json")
+        with open(rival, "w") as f:
+            f.write('{"version": 2, "files": [], "schema": "", "op": "append", "parent": 1}')
+        loser = spark.createDataFrame([(100, 1)], "k long, v long")
+        with pytest.raises(CommitConflict):
+            t.append(loser)
+        n_data = len(os.listdir(t._data))
+        os.remove(rival)  # rival manifest gone; orphans remain
+        removed = t.vacuum(keep_versions=1)
+        assert removed, "orphaned loser files must be collected"
+        assert len(os.listdir(t._data)) == n_data - len(removed)
+        assert t.read(spark).count() == 20
