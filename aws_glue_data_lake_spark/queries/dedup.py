@@ -277,12 +277,10 @@ def _cap_buckets(bands: DataFrame, keys=("band_idx", "band_key")) -> DataFrame:
     )
 
 
-def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
-    """LSH band bucket self-join → (doc_a, doc_b, n_shared_bands). The
-    shuffle is keyed on (band_idx, band_key) — bucket sizes are bounded by
-    collision rate under normal content and hard-capped at ``_MAX_BUCKET``
-    under adversarial floods, so this scales; the O(n²) pair space is
-    never materialized."""
+def _minhash_bands(sk: DataFrame) -> DataFrame:
+    """Capped (doc_id, band_idx, band_key) table from the signature table —
+    the shared candidate-generation input for self-join AND incremental
+    new-vs-corpus dedup."""
     band_key = lambda j: F.md5(
         F.concat_ws(
             "|",
@@ -291,7 +289,7 @@ def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
             F.element_at("m", 3 * j + 3),
         )
     )
-    bands = _cap_buckets(
+    return _cap_buckets(
         sk.select(
             "doc_id",
             F.posexplode(
@@ -299,6 +297,15 @@ def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
             ).alias("band_idx", "band_key"),
         )
     )
+
+
+def _minhash_candidate_pairs(sk: DataFrame) -> DataFrame:
+    """LSH band bucket self-join → (doc_a, doc_b, n_shared_bands). The
+    shuffle is keyed on (band_idx, band_key) — bucket sizes are bounded by
+    collision rate under normal content and hard-capped at ``_MAX_BUCKET``
+    under adversarial floods, so this scales; the O(n²) pair space is
+    never materialized."""
+    bands = _minhash_bands(sk)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -368,6 +375,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(est >= 0.35)
         .select("doc_a", "doc_b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (ingest-time) dedup: match a NEW batch against the EXISTING
+# corpus instead of self-joining everything — the shape a production
+# pipeline actually runs per ingest. The batch's bands probe the corpus
+# band table (at scale: the materialized sketch the self-join pass
+# already maintains), so per-ingest cost is O(batch × collision rate),
+# independent of corpus size. Each new doc reports its best corpus match
+# at est_jaccard ≥ 0.35 (ties → smallest corpus doc_id). "New" here is the
+# deterministic doc_id % 10 = 7 slice so the oracle reproduces the split.
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+mh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(generate_series(0, {_N_HASH - 1}),
+           k -> LIST_MIN(LIST_TRANSFORM(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS m
+  FROM sh WHERE LEN(s) > 0
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
+  FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+  {_BUCKET_CAP_SQL}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS corpus_doc_id
+  FROM bands n
+  JOIN bands o ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+              AND n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+),
+scored AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+         ROUND(LEN(LIST_FILTER(generate_series(1, {_N_HASH}),
+                               i -> mn.m[i] = mo.m[i])) * 1.0 / {_N_HASH}, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN mh mn ON mn.doc_id = c.new_doc_id
+  JOIN mh mo ON mo.doc_id = c.corpus_doc_id
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                               ORDER BY est_jaccard DESC, corpus_doc_id) AS rnk
+  FROM scored WHERE est_jaccard >= 0.35
+)
+SELECT new_doc_id, corpus_doc_id, est_jaccard
+FROM best WHERE rnk = 1
+ORDER BY new_doc_id
+""",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _minhash_sketch(spark, sf_dir)
+    bands = _minhash_bands(sk)
+    is_new = F.col("doc_id") % 10 == 7
+    n = bands.where(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_key"
+    )
+    o = bands.where(~is_new).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_key"
+    )
+    cand = (
+        n.join(o, ["band_idx", "band_key"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    mn = sk.select(F.col("doc_id").alias("new_doc_id"), F.col("m").alias("mn"))
+    mo = sk.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("m").alias("mo")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mn"), F.col("mo"), lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = F.round(agree * 1.0 / _N_HASH, 6)
+    w = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("est_jaccard"), F.col("corpus_doc_id")
+    )
+    return (
+        cand.join(mn, "new_doc_id")
+        .join(mo, "corpus_doc_id")
+        .select("new_doc_id", "corpus_doc_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.35)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("new_doc_id", "corpus_doc_id", "est_jaccard")
+        .orderBy("new_doc_id")
     )
 
 
