@@ -336,6 +336,8 @@ class LakeTable:
             if rel not in referenced:
                 os.remove(path)
                 removed.append(rel)
+        for stage in glob.glob(os.path.join(self.path, "_stage_*")):
+            shutil.rmtree(stage, ignore_errors=True)  # crashed-writer debris
         return removed
 
     # -- pruning ------------------------------------------------------------
