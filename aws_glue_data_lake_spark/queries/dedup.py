@@ -960,24 +960,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry a per-row "did this node's label shrink" marker through the
+        # SAME join that computes the new labels: the convergence probe is
+        # then a count on the persisted result — one job per sweep instead
+        # of a second join+count pass against the old labels.
+        merged = F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                merged.alias("new_label"),
+                (merged < F.col("label")).alias("chg"),
             )
+            .withColumnRenamed("new_label", "label")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where("chg").count()  # also materializes persist
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return (
