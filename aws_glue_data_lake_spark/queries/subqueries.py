@@ -185,6 +185,35 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket math. At scale: one shuffle on (bucket, event_type) with map-side
 # partial counts; the window struct is computed scan-side (no UDF).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery with ORDER BY + LIMIT: each customer picks
+# their single most expensive order — the "top-1 detail row per outer row"
+# shape ORMs and report queries generate constantly. Catalyst decorrelates
+# the correlated LIMIT into a ranked window over a plain equi-join (the
+# same physical plan the hand-written window formulation gets), so the
+# declarative SQL costs nothing extra at 100 TB: one shuffle on custkey.
+# --------------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) t
+WHERE c.c_custkey < 500
+ORDER BY c.c_custkey
+"""
+
+
+@_q("subquery_lateral_top_order", oracle=_LATERAL_SQL)
+def subquery_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
 _DAY_US = 86_400_000_000
 
 
