@@ -213,10 +213,32 @@ class LakeTable:
         files = self._write_files(df, stat_cols)
         return self._commit(files, df._jdf.schema().toDDL(), "create", None)
 
+    @staticmethod
+    def _check_schema(df: DataFrame, prev: Snapshot) -> None:
+        """Schema enforcement on the write path (Delta's write-side
+        contract): a batch whose schema differs from the table's is
+        rejected at commit time, not discovered by a reader later. Schema
+        evolution is an explicit operation (create a new table / migrate),
+        never an accident of one append."""
+        from pyspark.sql.types import StructType
+
+        def shape(st) -> list[tuple[str, str]]:
+            # names + types; nullability is ignored (parquet round-trips
+            # don't preserve it, so it can't be part of the contract)
+            return [(f.name.lower(), f.dataType.simpleString()) for f in st.fields]
+
+        table_st = StructType.fromDDL(prev.schema)
+        if shape(df.schema) != shape(table_st):
+            raise ValueError(
+                f"schema mismatch: table has [{prev.schema}], "
+                f"batch has [{df._jdf.schema().toDDL()}]"
+            )
+
     def append(self, df: DataFrame, stat_cols: Sequence[str] = ()) -> Snapshot:
         """Blind append: new files + prior file list, one new snapshot.
         Never reads existing data."""
         prev = self.snapshot()
+        self._check_schema(df, prev)
         files = self._write_files(df, stat_cols or self._stat_cols(prev))
         return self._commit(
             prev.files + files, prev.schema, "append", prev.version
@@ -240,6 +262,7 @@ class LakeTable:
         affected files + the batch is the entire I/O bill.
         """
         prev = self.snapshot()
+        self._check_schema(upserts, prev)
         spark = upserts.sparkSession
         kill = (delete_keys if delete_keys is not None else upserts).select(
             *keys

@@ -140,6 +140,18 @@ class TestCommitProtocol:
         with pytest.raises(CommitConflict):
             t.append(extra)
 
+    def test_schema_enforcement_rejects_drift(self, spark, tmp_path):
+        """Delta-style write-side schema contract: a drifting batch fails
+        at commit, not at some later read."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        drifted = spark.createDataFrame([(1, "oops")], "k long, v string")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.append(drifted)
+        extra_col = spark.createDataFrame([(1, 2, 3)], "k long, v long, w long")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.upsert(extra_col, keys=["k"])
+        assert t.current_version() == 1  # nothing committed
+
     def test_create_twice_raises(self, spark, tmp_path):
         t = _table(spark, tmp_path, n=10, files=1)
         with pytest.raises(FileExistsError):
