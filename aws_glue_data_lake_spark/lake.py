@@ -102,6 +102,8 @@ class Snapshot:
     schema: str  # DDL string
     op: str
     parent: int | None
+    txn: dict | None = None  # {"writer_id": str, "batch_id": int} for
+    # idempotent streaming appends
 
     @property
     def file_names(self) -> list[str]:
@@ -142,6 +144,7 @@ class LakeTable:
             schema=m["schema"],
             op=m["op"],
             parent=m.get("parent"),
+            txn=m.get("txn"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -152,7 +155,7 @@ class LakeTable:
         return [self.snapshot(v) for v in versions]
 
     def _commit(self, files: list[dict], schema: str, op: str,
-                parent: int | None) -> Snapshot:
+                parent: int | None, txn: dict | None = None) -> Snapshot:
         version = 1 if parent is None else parent + 1
         os.makedirs(self._manifests, exist_ok=True)
         manifest = {
@@ -162,6 +165,8 @@ class LakeTable:
             "op": op,
             "parent": parent,
         }
+        if txn is not None:
+            manifest["txn"] = txn
         mpath = os.path.join(self._manifests, f"v{version}.json")
         try:
             # O_EXCL create IS the commit: exactly one writer wins v{N}.
@@ -242,6 +247,42 @@ class LakeTable:
         files = self._write_files(df, stat_cols or self._stat_cols(prev))
         return self._commit(
             prev.files + files, prev.schema, "append", prev.version
+        )
+
+    def last_committed_batch(self, writer_id: str) -> int | None:
+        """Highest micro-batch id this writer has committed, from the
+        manifest chain (Delta's txn appId/version pattern)."""
+        best = None
+        for s in self.history():
+            txn = s.txn or {}
+            if txn.get("writer_id") == writer_id:
+                b = txn.get("batch_id")
+                best = b if best is None else max(best, b)
+        return best
+
+    def append_stream_batch(
+        self,
+        df: DataFrame,
+        writer_id: str,
+        batch_id: int,
+        stat_cols: Sequence[str] = (),
+    ) -> Snapshot | None:
+        """Idempotent foreachBatch append: Structured Streaming replays a
+        micro-batch after a failure, so a plain append would duplicate
+        rows. The (writer_id, batch_id) pair rides in the manifest; a
+        replayed batch is detected and skipped, upgrading at-least-once
+        delivery to exactly-once table contents — the same transactional
+        dedup Delta's ``txnAppId``/``txnVersion`` options provide.
+        Returns None when the batch was already committed."""
+        last = self.last_committed_batch(writer_id)
+        if last is not None and batch_id <= last:
+            return None
+        prev = self.snapshot()
+        self._check_schema(df, prev)
+        files = self._write_files(df, stat_cols or self._stat_cols(prev))
+        return self._commit(
+            prev.files + files, prev.schema, "append", prev.version,
+            txn={"writer_id": writer_id, "batch_id": batch_id},
         )
 
     def upsert(

@@ -57,6 +57,32 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("window_start_us", "event_type")
 
 
+# Same aggregation, but drained as SIX genuine micro-batches
+# (maxFilesPerTrigger=1 over a 6-file split): window state merges across
+# batches and the watermark advances at every boundary, so the green hash
+# match certifies cross-batch state-store correctness — not just a
+# single-batch replay wearing streaming clothes. Final state of a finite
+# replay is batch-order-independent, hence the same oracle.
+@_q(
+    "streaming_tumbling_multibatch",
+    oracle=f"""
+SELECT (CAST(EPOCH_US(ts) AS BIGINT) // {_TEN_MIN_US}) * {_TEN_MIN_US} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+""",
+)
+def streaming_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(
+        spark, sf_dir, n_files=6, max_files_per_trigger=1
+    )
+    final = run_available_now(tumbling_window_agg(stream), output_mode="complete")
+    return final.orderBy("window_start_us", "event_type")
+
+
 @_q(
     "streaming_session_windows",
     oracle=f"""

@@ -55,23 +55,36 @@ EVENTS_STREAM_SCHEMA = StructType(
 _run_ids = itertools.count()
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events fixture; emits epoch-µs ``ts_us``
-    plus a proper ``event_time`` timestamp for windowing."""
+    plus a proper ``event_time`` timestamp for windowing.
+
+    Default: the fixture file is symlinked into a drop-dir and replays as
+    ONE batch. Pass ``n_files``/``max_files_per_trigger`` to split the
+    fixture into n files and drain them k-per-micro-batch — a genuine
+    multi-batch replay that exercises cross-batch state merge and
+    watermark advancement."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # File-source streaming reads a *directory* (the drop-dir contract of a
-    # real ingestion pipeline). The fixture is a single file, so stage it
-    # into a temp dir via symlink — zero-copy, read-only on the fixture.
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(stage)
-    )
+    if n_files is None:
+        # Zero-copy staging, read-only on the fixture.
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+    else:
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(stage)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.format("parquet").load(stage)
     return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )

@@ -129,6 +129,23 @@ class TestUpsert:
         assert t.read(spark).count() == 101
 
 
+class TestIdempotentStreamAppend:
+    def test_replayed_batch_commits_once(self, spark, tmp_path):
+        """foreachBatch replays a micro-batch after failure; the
+        (writer_id, batch_id) txn in the manifest must dedupe it."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        b = spark.createDataFrame([(100, 1), (101, 2)], "k long, v long")
+        snap = t.append_stream_batch(b, writer_id="w1", batch_id=0)
+        assert snap is not None and snap.txn == {"writer_id": "w1", "batch_id": 0}
+        assert t.append_stream_batch(b, writer_id="w1", batch_id=0) is None
+        assert t.read(spark).count() == 12  # not 14
+        # a later batch and a different writer both commit normally
+        assert t.append_stream_batch(b, writer_id="w1", batch_id=1) is not None
+        assert t.append_stream_batch(b, writer_id="w2", batch_id=0) is not None
+        assert t.last_committed_batch("w1") == 1
+        assert t.last_committed_batch("nope") is None
+
+
 class TestCommitProtocol:
     def test_concurrent_commit_conflict(self, spark, tmp_path):
         t = _table(spark, tmp_path, n=10, files=1)
