@@ -319,3 +319,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram frequencies — the n-gram statistic LM-data work leans on for
+# boilerplate detection and corpus fingerprinting. Adjacent-pair explode is
+# a per-row map; the count shuffle is keyed on the bigram (vocabulary²-
+# bounded in principle, Zipf-bounded in practice); top-k via the ranked
+# limit, bigram itself as the tiebreaker.
+# --------------------------------------------------------------------------
+@_q(
+    "text_top_bigrams",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT UNNEST(LIST_TRANSFORM(generate_series(1, LEN(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM tk WHERE LEN(t) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bg
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+""",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    n = F.size(tk)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+        ),
+    )
+    return (
+        d.where(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )

@@ -119,6 +119,28 @@ def test_multimodal_extract_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_range_join_is_bin_keyed_not_nested_loop(spark):
+    """The bin-bucketed range join must plan as a hash equi-join on
+    (user_id, bin) — never a nested-loop over the raw range predicate."""
+    plan = plan_of(spark, "join_range_event_order_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    fplan = formatted_plan_of(spark, "join_range_event_order_window")
+    assert "LessThan(user_id,50)" in fplan  # outer filter reaches the scan
+
+
+def test_lateral_subquery_decorrelates(spark):
+    plan = plan_of(spark, "subquery_lateral_top_order")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_band_join_keyed(spark):
+    plan = plan_of(spark, "dedup_incremental_new_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Same-bucketed tables joined on the bucket key must plan shuffle-free:
     the whole point of paying the bucketing cost at write time."""
