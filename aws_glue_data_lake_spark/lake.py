@@ -98,12 +98,14 @@ def _footer_stats(path: str, stat_cols: Sequence[str]) -> dict:
 @dataclass(frozen=True)
 class Snapshot:
     version: int
-    files: list[dict]  # {"path": rel, "rows": n, "stats": {col: [lo, hi]}}
+    files: list[dict]  # {"path": rel, "rows": n, "stats": {col: [lo, hi]},
+    # "partition": {col: "value"} when the table is partitioned}
     schema: str  # DDL string
     op: str
     parent: int | None
     txn: dict | None = None  # {"writer_id": str, "batch_id": int} for
     # idempotent streaming appends
+    partition_by: tuple[str, ...] = ()
 
     @property
     def file_names(self) -> list[str]:
@@ -145,6 +147,7 @@ class LakeTable:
             op=m["op"],
             parent=m.get("parent"),
             txn=m.get("txn"),
+            partition_by=tuple(m.get("partition_by", ())),
         )
 
     def history(self) -> list[Snapshot]:
@@ -155,7 +158,8 @@ class LakeTable:
         return [self.snapshot(v) for v in versions]
 
     def _commit(self, files: list[dict], schema: str, op: str,
-                parent: int | None, txn: dict | None = None) -> Snapshot:
+                parent: int | None, txn: dict | None = None,
+                partition_by: Sequence[str] = ()) -> Snapshot:
         version = 1 if parent is None else parent + 1
         os.makedirs(self._manifests, exist_ok=True)
         manifest = {
@@ -167,6 +171,8 @@ class LakeTable:
         }
         if txn is not None:
             manifest["txn"] = txn
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
         mpath = os.path.join(self._manifests, f"v{version}.json")
         try:
             # O_EXCL create IS the commit: exactly one writer wins v{N}.
@@ -183,25 +189,46 @@ class LakeTable:
         return self.snapshot(version)
 
     # -- data-file plumbing -------------------------------------------------
-    def _write_files(self, df: DataFrame, stat_cols: Sequence[str]) -> list[dict]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        stat_cols: Sequence[str],
+        partition_by: Sequence[str] = (),
+    ) -> list[dict]:
         """Write ``df`` through Spark into immutable uniquely-named data
-        files under data/, returning manifest entries with footer stats."""
+        files under data/ (Hive-style ``col=value`` subdirs when the table
+        is partitioned), returning manifest entries with footer stats and
+        partition values."""
         os.makedirs(self._data, exist_ok=True)
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
         entries = []
-        for src in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+        for src in sorted(
+            glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
+        ):
+            rel_dir = os.path.relpath(os.path.dirname(src), stage)
+            partition = dict(
+                seg.split("=", 1)
+                for seg in (rel_dir.split(os.sep) if rel_dir != "." else [])
+            )
             name = f"{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self._data, name)
+            rel = os.path.join(
+                "data", *(rel_dir.split(os.sep) if rel_dir != "." else []), name
+            )
+            dst = self._abs(rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(src, dst)
             info = _footer_stats(dst, stat_cols)
             if info["rows"] == 0:
                 os.remove(dst)
                 continue
-            entries.append(
-                {"path": f"data/{name}", "rows": info["rows"],
-                 "stats": info["stats"]}
-            )
+            entry = {"path": rel, "rows": info["rows"], "stats": info["stats"]}
+            if partition:
+                entry["partition"] = partition
+            entries.append(entry)
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
@@ -209,14 +236,24 @@ class LakeTable:
         return os.path.join(self.path, rel)
 
     # -- public API ---------------------------------------------------------
-    def create(self, df: DataFrame, stat_cols: Sequence[str] = ()) -> Snapshot:
+    def create(
+        self,
+        df: DataFrame,
+        stat_cols: Sequence[str] = (),
+        partition_by: Sequence[str] = (),
+    ) -> Snapshot:
         """CTAS: snapshot v1. ``stat_cols`` selects the columns whose
         min/max land in the manifest for upsert-time file pruning (the
-        merge keys, typically)."""
+        merge keys, typically); ``partition_by`` lays files out in
+        Hive-style value subdirs and records per-file partition values in
+        the manifest for read-side partition pruning."""
         if self.exists():
             raise FileExistsError(f"lake table already exists: {self.path}")
-        files = self._write_files(df, stat_cols)
-        return self._commit(files, df._jdf.schema().toDDL(), "create", None)
+        files = self._write_files(df, stat_cols, partition_by)
+        return self._commit(
+            files, df._jdf.schema().toDDL(), "create", None,
+            partition_by=partition_by,
+        )
 
     @staticmethod
     def _check_schema(df: DataFrame, prev: Snapshot) -> None:
@@ -244,9 +281,12 @@ class LakeTable:
         Never reads existing data."""
         prev = self.snapshot()
         self._check_schema(df, prev)
-        files = self._write_files(df, stat_cols or self._stat_cols(prev))
+        files = self._write_files(
+            df, stat_cols or self._stat_cols(prev), prev.partition_by
+        )
         return self._commit(
-            prev.files + files, prev.schema, "append", prev.version
+            prev.files + files, prev.schema, "append", prev.version,
+            partition_by=prev.partition_by,
         )
 
     def last_committed_batch(self, writer_id: str) -> int | None:
@@ -279,10 +319,13 @@ class LakeTable:
             return None
         prev = self.snapshot()
         self._check_schema(df, prev)
-        files = self._write_files(df, stat_cols or self._stat_cols(prev))
+        files = self._write_files(
+            df, stat_cols or self._stat_cols(prev), prev.partition_by
+        )
         return self._commit(
             prev.files + files, prev.schema, "append", prev.version,
             txn={"writer_id": writer_id, "batch_id": batch_id},
+            partition_by=prev.partition_by,
         )
 
     def upsert(
@@ -313,24 +356,62 @@ class LakeTable:
         stat_cols = sorted({*keys, *self._stat_cols(prev)})
         new_files: list[dict] = []
         if affected:
-            live = spark.read.parquet(*[self._abs(f["path"]) for f in affected])
+            live = self._read_files(spark, [f["path"] for f in affected], prev)
             kept = live.join(kill, on=list(keys), how="left_anti")
             merged = kept.unionByName(upserts, allowMissingColumns=False)
-            new_files = self._write_files(merged, stat_cols)
+            new_files = self._write_files(merged, stat_cols, prev.partition_by)
         else:
-            new_files = self._write_files(upserts, stat_cols)
+            new_files = self._write_files(upserts, stat_cols, prev.partition_by)
         return self._commit(
-            untouched + new_files, prev.schema, "upsert", prev.version
+            untouched + new_files, prev.schema, "upsert", prev.version,
+            partition_by=prev.partition_by,
         )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def _read_files(
+        self, spark: SparkSession, rels: list[str], snap: Snapshot
+    ) -> DataFrame:
+        """Plan a scan over an explicit file subset. Partitioned tables
+        read with basePath so the ``col=value`` path segments come back as
+        partition columns; the result is then normalized to the manifest
+        schema — partition-value type inference would otherwise retype a
+        string partition column from its path values, and basePath reads
+        reorder partition columns to the end."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        paths = [self._abs(r) for r in rels]
+        reader = spark.read
+        if snap.partition_by:
+            reader = reader.option("basePath", self._data)
+        df = reader.parquet(*paths)
+        st = StructType.fromDDL(snap.schema)
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
         """Snapshot-pinned scan (time travel via ``version``). Planning from
         an explicit file list means readers never race a concurrent commit:
-        the snapshot IS the isolation boundary."""
+        the snapshot IS the isolation boundary. ``partition_filter``
+        ({col: value}) prunes files by manifest partition values BEFORE the
+        scan is planned — list-then-scan partition pruning, no directory
+        walk of irrelevant partitions."""
         snap = self.snapshot(version)
-        if not snap.files:
+        files = snap.files
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            files = [
+                f for f in files
+                if all(f.get("partition", {}).get(k) == v for k, v in want.items())
+            ]
+        if not files:
             return spark.createDataFrame([], snap.schema)
-        return spark.read.parquet(*[self._abs(f) for f in snap.file_names])
+        return self._read_files(spark, [f["path"] for f in files], snap)
 
     def stat_max(self, col: str, version: int | None = None):
         """Table-level max of ``col`` computed purely from manifest stats —
@@ -363,12 +444,17 @@ class LakeTable:
             return prev
         stat_cols = self._stat_cols(prev)
         df = self.read(spark)
-        if stat_cols:
+        if prev.partition_by:
+            df = df.repartition(target_files, *prev.partition_by)
+        elif stat_cols:
             df = df.repartitionByRange(target_files, stat_cols[0])
         else:
             df = df.repartition(target_files)
-        files = self._write_files(df, stat_cols)
-        return self._commit(files, prev.schema, "compact", prev.version)
+        files = self._write_files(df, stat_cols, prev.partition_by)
+        return self._commit(
+            files, prev.schema, "compact", prev.version,
+            partition_by=prev.partition_by,
+        )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop data files unreferenced by the ``keep_versions`` most recent
@@ -395,8 +481,10 @@ class LakeTable:
                     removed.append(f)
             os.remove(os.path.join(self._manifests, f"v{s.version}.json"))
         referenced = {f for s in snaps for f in s.file_names}
-        for path in glob.glob(os.path.join(self._data, "*.parquet")):
-            rel = f"data/{os.path.basename(path)}"
+        for path in glob.glob(
+            os.path.join(self._data, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(path, self.path)
             if rel not in referenced:
                 os.remove(path)
                 removed.append(rel)

@@ -129,6 +129,72 @@ class TestUpsert:
         assert t.read(spark).count() == 101
 
 
+class TestPartitionedTable:
+    def _ptable(self, spark, tmp_path):
+        t = LakeTable(str(tmp_path / "pt"))
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            (F.col("id") * 10).alias("v"),
+        )
+        t.create(df, stat_cols=["k"], partition_by=["part"])
+        return t
+
+    def test_partitioned_layout_and_roundtrip(self, spark, tmp_path):
+        t = self._ptable(spark, tmp_path)
+        snap = t.snapshot()
+        assert snap.partition_by == ("part",)
+        assert all(f.get("partition", {}).get("part") in {"0", "1", "2"}
+                   for f in snap.files)
+        assert os.path.isdir(os.path.join(t._data, "part=0"))
+        got = t.read(spark)
+        assert got.count() == 300
+        assert set(got.columns) == {"k", "part", "v"}  # partition col restored
+        assert got.where(F.col("part") == "1").count() == 100
+
+    def test_partition_filter_prunes_file_list(self, spark, tmp_path):
+        t = self._ptable(spark, tmp_path)
+        got = t.read(spark, partition_filter={"part": 1})
+        assert got.count() == 100
+        assert got.select("part").distinct().first()["part"] == "1"
+        # the plan touches only part=1 files (manifest-level pruning)
+        scanned = [
+            f for f in t.snapshot().files
+            if f.get("partition", {}).get("part") == "1"
+        ]
+        assert got.inputFiles() and len(got.inputFiles()) == len(scanned)
+        empty = t.read(spark, partition_filter={"part": "nope"})
+        assert empty.count() == 0
+
+    def test_partitioned_upsert_and_append_keep_layout(self, spark, tmp_path):
+        t = self._ptable(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(5, "2", -5)], "k long, part string, v long"
+        )
+        t.upsert(batch, keys=["k"])
+        got = {r["k"]: (r["part"], r["v"]) for r in t.read(spark).collect()}
+        assert got[5] == ("2", -5) and len(got) == 300
+        t.append(spark.createDataFrame([(1000, "0", 1)],
+                                       "k long, part string, v long"))
+        snap = t.snapshot()
+        assert all("partition" in f for f in snap.files)
+        assert t.read(spark, partition_filter={"part": 0}).count() == 101
+
+    def test_partitioned_compact_preserves_layout(self, spark, tmp_path):
+        t = self._ptable(spark, tmp_path)
+        for k in (1, 2):
+            t.upsert(
+                spark.createDataFrame([(1000 + k, str(k % 3), 0)],
+                                      "k long, part string, v long"),
+                keys=["k"],
+            )
+        snap = t.compact(spark, target_files=3)
+        assert snap.op == "compact"
+        assert all("partition" in f for f in snap.files)
+        assert t.read(spark).count() == 302
+        assert t.read(spark, partition_filter={"part": 1}).count() == 101
+
+
 class TestIdempotentStreamAppend:
     def test_replayed_batch_commits_once(self, spark, tmp_path):
         """foreachBatch replays a micro-batch after failure; the
