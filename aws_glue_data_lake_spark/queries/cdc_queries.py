@@ -168,3 +168,55 @@ def cdc_lake_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert table.current_version() == 2, "expected create + one merge commit"
     return table.read(spark).select(*_FINAL_COLS).orderBy("user_id", "event_id")
+
+
+# Partitioned lake table end-to-end: CTAS partitioned by event_type →
+# row-level upsert of a correction batch (negate purchase values for
+# user_id < 10) → partition-pruned read of ONE partition → aggregate.
+# The green hash certifies the whole storage path: Hive-layout write,
+# manifest partition values, copy-on-write upsert on a partitioned
+# layout, manifest-level pruning, and schema-normalized read-back.
+@_q(
+    "lake_partitioned_upsert_prune",
+    oracle="""
+WITH fixed AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'purchase' AND user_id < 10
+              THEN -value ELSE value END AS value
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM fixed
+WHERE event_type = 'purchase' AND user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def lake_partitioned_upsert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = LakeTable(tempfile.mkdtemp(prefix="lake_part_") + "/t")
+    table.create(ev, stat_cols=["event_id"], partition_by=["event_type"])
+    corrections = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+    ).withColumn("value", -F.col("value"))
+    table.upsert(corrections, keys=["event_id"])
+    purchases = table.read(spark, partition_filter={"event_type": "purchase"})
+    return (
+        purchases.where(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("user_id")
+    )
