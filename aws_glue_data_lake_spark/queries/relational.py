@@ -1105,3 +1105,66 @@ def join_bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical moments (stddev / variance / correlation): the built-in
+# stddev_samp/corr aggregate in ANY engine sums doubles in partition order,
+# so two engines (or two runs) disagree in the last bits. Derived from
+# EXACT decimal power sums instead — n, Σx, Σx², Σy, Σy², Σxy are
+# order-free exact decimals, the moments are computed from them in double
+# and rounded — one pass, map-side partial sums, bit-identical everywhere.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_stats_moments",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS sx,
+         SUM(CAST(o_totalprice AS DECIMAL(38,8)) * CAST(o_totalprice AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(o_custkey AS DECIMAL(38,8))) AS sy,
+         SUM(CAST(o_custkey AS DECIMAL(38,8)) * CAST(o_custkey AS DECIMAL(38,8))) AS syy,
+         SUM(CAST(o_totalprice AS DECIMAL(38,8)) * CAST(o_custkey AS DECIMAL(38,8))) AS sxy
+  FROM orders
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_price,
+       ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6)
+         AS var_price,
+       ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6)
+         AS stddev_price,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_price_custkey
+FROM s
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(38,8)")
+    y = F.col("o_custkey").cast("decimal(38,8)")
+    s = o.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        n.cast("bigint").alias("n_orders"),
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round(var, 6).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_custkey"),
+    )

@@ -348,3 +348,44 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# first_value / last_value / nth_value over the full partition frame: each
+# order row carries its customer's first, latest, and second order — the
+# navigation-function family the rank/lag queries don't touch. last_value
+# and nth_value need the UNBOUNDED FOLLOWING frame (the default frame stops
+# at CURRENT ROW, the classic silent-wrong-answer); ordering carries the
+# orderkey tiebreaker so both engines pick identical rows.
+# --------------------------------------------------------------------------
+@_q(
+    "window_first_last_nth",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER w AS last_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
