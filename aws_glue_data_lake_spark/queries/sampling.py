@@ -223,3 +223,64 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-mix rebalancing: training corpora are dominated by their largest
+# source; the standard fix downsamples every source toward a target mix
+# (uniform here — each source capped at the smallest source's size) with
+# per-source keep rates. The coin is the same deterministic content hash
+# as sample_quality_weighted, so the kept set is reproducible; rates come
+# from exact counts inside the plan (one tiny aggregate broadcast-crossed
+# onto the scan, no driver round trip).
+# --------------------------------------------------------------------------
+@_q(
+    "sample_source_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), m AS (
+  SELECT MIN(n) AS min_n FROM counts
+), tagged AS (
+  SELECT d.doc_id, d.source, c.n, m.min_n,
+         CAST(('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           / 16777216.0 AS u
+  FROM documents d JOIN counts c USING (source) CROSS JOIN m
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       ROUND(MAX(min_n * 1.0 / n), 6) AS keep_rate,
+       CAST(COUNT(CASE WHEN u < min_n * 1.0 / n THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < min_n * 1.0 / n THEN doc_id END) AS BIGINT)
+         AS kept_checksum
+FROM tagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    m = counts.agg(F.min("n").alias("min_n"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint") / 16777216.0
+    rate = F.col("min_n") * 1.0 / F.col("n")
+    kept = F.col("u") < rate
+    tagged = (
+        d.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(m))
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.round(F.max(rate), 6).alias("keep_rate"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).cast("bigint").alias(
+                "kept_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
