@@ -45,38 +45,64 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _checked_in_prior_rounds() -> set[str]:
-    """Query names that already hold a row in any driver CORRECTNESS file.
-    The driver checks a bounded prefix of the registry, so queries WITHOUT
-    a prior row are ordered first (below) to maximize cumulative coverage;
-    an empty set (round 1, or files missing) leaves the order unchanged."""
+def _green_round_by_query() -> dict[str, int]:
+    """Latest round in which each query held a fully GREEN driver row
+    (rows_match AND schema_match AND hash_match). Err/partial rows do NOT
+    count as checked — a query that erred must sort ahead of green ones so
+    the driver's bounded per-round prefix re-checks it (round 2 lost
+    ``agg_approx_distinct_customers`` to exactly that bug: its r1 err row
+    made it look 'checked' and the 50-query cap cut it again)."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    seen: set[str] = set()
+    green: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            ):
+                green[name] = max(green.get(name, 0), rnd)
+    return green
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """Registry, ordered for the driver's bounded per-round check: queries
+    with no green row ever (new, or erred last time) first in module order,
+    then green queries rotated oldest-green-round-first so every query gets
+    re-confirmed every couple of rounds under a 50-query cap. Set
+    SPARK_GRAFT_NO_REORDER=1 for plain module order (reproducible runs
+    independent of which CORRECTNESS_r*.json files are on disk)."""
+    import os
+
     out: dict[str, QueryFn] = {}
     for m in _MODULES:
         overlap = out.keys() & m.REGISTRY.queries.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.REGISTRY.queries)
-    checked = _checked_in_prior_rounds()
-    if checked:
+    if os.environ.get("SPARK_GRAFT_NO_REORDER"):
+        return out
+    green = _green_round_by_query()
+    if green:
+        # sorted() is stable: ties keep module order within each tier.
         out = dict(
-            sorted(out.items(), key=lambda kv: (kv[0] in checked,))
-        )  # stable: unchecked keep module order first, checked follow
+            sorted(out.items(), key=lambda kv: green.get(kv[0], -1))
+        )
     return out
 
 

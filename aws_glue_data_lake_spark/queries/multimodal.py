@@ -233,7 +233,59 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@_q("multimodal_feature_extract")  # rows-only: NumPy byte math has no SQL twin
+# The fake decode is byte-identity, so the whole feature kernel IS
+# SQL-expressible: hex() the payload, lateral-unnest byte positions, and
+# every statistic is an exact integer sum (SUM(b), SUM(b*b), per-bucket
+# counts) divided in double — bit-identical to the kernel's float64
+# `exact-int / n` divisions. Only log2 ulps and the 8-term entropy sum
+# order can differ between NumPy and DuckDB (~1e-15), vastly inside the
+# ROUND(·, 6) slack.
+_HIST_TERMS_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN b // 32 = {k} THEN 1 ELSE 0 END) AS h{k}" for k in range(8)
+)
+_ENTROPY_SQL = " + ".join(
+    f"(CASE WHEN h{k} > 0 THEN (h{k} / CAST(n_bytes AS DOUBLE))"
+    f" * LOG2(h{k} / CAST(n_bytes AS DOUBLE)) ELSE 0 END)"
+    for k in range(8)
+)
+_HIST_COLS_SQL = ",\n       ".join(
+    f"ROUND(h{k} / CAST(n_bytes AS DOUBLE), 6) AS hist_{k}" for k in range(8)
+)
+
+_FEATURE_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id, hex(ENCODE(text)) AS h,
+         OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+),
+bytes AS (
+  SELECT doc_id, n,
+         strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) * 16
+         + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 17 AS b
+  -- list-typed generate_series under UNNEST: the table-function form
+  -- rejects lateral (per-row) bounds, the list form doesn't
+  FROM img, UNNEST(generate_series(1, n)) AS g(i)
+),
+feat AS (
+  SELECT doc_id, MAX(n) AS n_bytes, SUM(b) AS s, SUM(b * b) AS ss,
+         {_HIST_TERMS_SQL}
+  FROM bytes GROUP BY doc_id
+),
+m AS (
+  SELECT *, CAST(s AS DOUBLE) / n_bytes AS mean FROM feat
+)
+SELECT doc_id, 'image' AS media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+       ROUND(mean, 6) AS byte_mean,
+       ROUND(SQRT(GREATEST(CAST(ss AS DOUBLE) / n_bytes - mean * mean, 0)), 6)
+         AS byte_std,
+       ROUND(-({_ENTROPY_SQL}), 6) AS entropy,
+       {_HIST_COLS_SQL}
+FROM m
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_feature_extract", oracle=_FEATURE_ORACLE)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media featurization: metadata predicates prune first
     (only 'image' items reach the decoder), then mapInPandas streams
@@ -249,7 +301,22 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
     )
-    return feats.orderBy("doc_id")
+    # Registered output flattens histogram8 to scalar columns: the driver's
+    # rows-only canonicalizer sorts a pandas frame, and Python lists are
+    # unhashable there; the array form stays available via extract_features
+    # for composition (tests/test_multimodal.py covers it).
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.round("entropy", 6).alias("entropy"),
+        *[
+            F.round(F.col("histogram8")[i], 6).alias(f"hist_{i}")
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

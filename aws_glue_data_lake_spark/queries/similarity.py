@@ -356,14 +356,65 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Label centroids via grouped-map applyInPandas + a scalar pandas_udf —
 # the §2.11 vectorized-UDF surface: per-group NumPy math that the built-in
 # operators can't express (matrix mean + per-row distances in one kernel),
-# Arrow-batched both ways. Rows-only check (float reductions have no
-# bit-deterministic SQL twin); the kernel sorts by vec_id so the output is
+# Arrow-batched both ways. The kernel sorts by vec_id so the output is
 # deterministic for a given input regardless of shuffle arrival order.
 # Scale: one shuffle on label, kernel memory = one label block — for
 # billion-row groups switch to the two-pass built-in agg (per-dim decimal
 # sums), which this complements, not replaces.
+#
+# Oracle: the centroid/distance math IS SQL-expressible through the repo's
+# exact-decimal trick — unnest the 64 dimensions, per-(label, dim) exact
+# DECIMAL sums ÷ count give the centroid, per-(label, vec) exact sums of
+# squared deviations give the distances. Kernel (float64, pairwise NumPy
+# sums) and oracle (exact decimal sums) differ by ~1e-12 before the final
+# ROUND(·, 6), orders of magnitude inside the 5e-7 rounding slack, same
+# argument every embedding oracle in queries/dedup.py relies on.
 # ---------------------------------------------------------------------------
-@_q("sim_label_centroids")  # rows-only: float matrix math, no SQL twin
+@_q(
+    "sim_label_centroids",
+    oracle="""
+WITH dims AS (
+  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(x AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY label, i
+),
+counts AS (
+  SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+),
+dist AS (
+  SELECT d.label, d.vec_id,
+         SQRT(CAST(SUM(CAST((d.x - c.c) * (d.x - c.c)
+                            AS DECIMAL(38, 20))) AS DOUBLE)) AS dist
+  FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+  GROUP BY d.label, d.vec_id
+),
+cnorm AS (
+  -- kernel rounds the centroid to 6 decimals BEFORE taking its norm
+  SELECT label,
+         ROUND(SQRT(CAST(SUM(CAST(ROUND(c, 6) * ROUND(c, 6)
+                                  AS DECIMAL(38, 18))) AS DOUBLE)), 6)
+           AS centroid_norm
+  FROM cent GROUP BY label
+),
+dstats AS (
+  SELECT label,
+         ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_dist,
+         ROUND(MAX(dist), 6) AS max_dist
+  FROM dist GROUP BY label
+)
+SELECT n.label, CAST(n.n_vectors AS BIGINT) AS n_vectors,
+       d.mean_dist, d.max_dist, c.centroid_norm
+FROM counts n
+JOIN cnorm c USING (label)
+JOIN dstats d USING (label)
+ORDER BY label
+""",
+)
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
