@@ -12,14 +12,22 @@ the way Delta's log and Iceberg's manifests do it:
                                     per-file row counts and key min/max
                                     stats (read from Parquet footers —
                                     no Spark job);
-- ``<table>/_latest``             — current-version pointer, swapped with
-                                    ``os.replace`` (atomic on POSIX).
+- ``<table>/_latest``             — current-version HINT for humans/tools,
+                                    swapped with ``os.replace``; never
+                                    authoritative.
 
 Commit protocol (optimistic concurrency, Delta-style): a writer computes
 its snapshot against version N and creates ``v{N+1}.json`` with
 O_EXCL — if another writer committed N+1 first, the create fails and the
 loser gets ``CommitConflict`` instead of silently clobbering (the
 check-then-write race the reference's plain ``saveAsTable`` path has).
+
+The manifest listing is the SINGLE source of truth for the current
+version (exactly how Delta derives state from LIST of _delta_log): the
+O_EXCL manifest create IS the commit, so a writer that dies between that
+create and the ``_latest`` swap has still committed — readers, vacuum,
+and later commits all agree because they all take max(v*.json), and the
+stale pointer can neither lose the snapshot nor wedge future commits.
 
 Row-level upsert is copy-on-write at FILE granularity (Iceberg v2's eager
 strategy): the batch's key range is intersected with each file's footer
@@ -47,6 +55,7 @@ import glob
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from dataclasses import dataclass
 from typing import Sequence
@@ -106,6 +115,10 @@ class Snapshot:
     txn: dict | None = None  # {"writer_id": str, "batch_id": int} for
     # idempotent streaming appends
     partition_by: tuple[str, ...] = ()
+    txns: dict | None = None  # cumulative {writer_id: max committed
+    # batch_id}, carried forward commit-to-commit so vacuuming old
+    # manifests never forgets replay-dedup state (Delta keeps the same
+    # state in checkpoints)
 
     @property
     def file_names(self) -> list[str]:
@@ -124,14 +137,26 @@ class LakeTable:
         self._latest = os.path.join(path, "_latest")
 
     # -- snapshot plumbing --------------------------------------------------
+    def _manifest_versions(self) -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._manifests, "v*.json"))
+        )
+
     def exists(self) -> bool:
-        return os.path.exists(self._latest)
+        return bool(self._manifest_versions())
 
     def current_version(self) -> int:
-        if not self.exists():
+        """Max committed manifest version. The listing — not the
+        ``_latest`` pointer — is authoritative: the O_EXCL manifest create
+        is the commit point, so a writer that crashed before swapping the
+        pointer has still committed, and trusting the pointer would make
+        vacuum delete the snapshot the pointer names (data loss) and wedge
+        every later commit in permanent CommitConflict."""
+        versions = self._manifest_versions()
+        if not versions:
             raise NoSuchTable(self.path)
-        with open(self._latest) as f:
-            return int(f.read().strip())
+        return versions[-1]
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
@@ -148,14 +173,11 @@ class LakeTable:
             parent=m.get("parent"),
             txn=m.get("txn"),
             partition_by=tuple(m.get("partition_by", ())),
+            txns=m.get("txns"),
         )
 
     def history(self) -> list[Snapshot]:
-        versions = sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self._manifests, "v*.json"))
-        )
-        return [self.snapshot(v) for v in versions]
+        return [self.snapshot(v) for v in self._manifest_versions()]
 
     def _commit(self, files: list[dict], schema: str, op: str,
                 parent: int | None, txn: dict | None = None,
@@ -169,8 +191,23 @@ class LakeTable:
             "op": op,
             "parent": parent,
         }
+        # Cumulative per-writer txn state rides in EVERY manifest so that
+        # vacuuming old manifests can't forget it (a replayed micro-batch
+        # older than the retained snapshots must still be detected).
+        txns: dict = {}
+        if parent is not None:
+            parent_snap = self.snapshot(parent)
+            txns.update(parent_snap.txns or {})
+            if parent_snap.txn:  # pre-carry-forward manifests
+                w = parent_snap.txn["writer_id"]
+                b = parent_snap.txn["batch_id"]
+                txns[w] = max(b, txns.get(w, b))
         if txn is not None:
+            w, b = txn["writer_id"], txn["batch_id"]
+            txns[w] = max(b, txns.get(w, b))
             manifest["txn"] = txn
+        if txns:
+            manifest["txns"] = txns
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         mpath = os.path.join(self._manifests, f"v{version}.json")
@@ -210,10 +247,17 @@ class LakeTable:
             glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
         ):
             rel_dir = os.path.relpath(os.path.dirname(src), stage)
-            partition = dict(
-                seg.split("=", 1)
-                for seg in (rel_dir.split(os.sep) if rel_dir != "." else [])
-            )
+            # Spark percent-escapes special characters (space, '/', '=',
+            # ':') in Hive-style partition path segments; the manifest
+            # records the REAL value so read(partition_filter=...) compares
+            # against what the user wrote, not the escaped form.
+            partition = {
+                k: urllib.parse.unquote(v)
+                for k, v in (
+                    seg.split("=", 1)
+                    for seg in (rel_dir.split(os.sep) if rel_dir != "." else [])
+                )
+            }
             name = f"{uuid.uuid4().hex}.parquet"
             rel = os.path.join(
                 "data", *(rel_dir.split(os.sep) if rel_dir != "." else []), name
@@ -290,14 +334,25 @@ class LakeTable:
         )
 
     def last_committed_batch(self, writer_id: str) -> int | None:
-        """Highest micro-batch id this writer has committed, from the
-        manifest chain (Delta's txn appId/version pattern)."""
-        best = None
-        for s in self.history():
-            txn = s.txn or {}
-            if txn.get("writer_id") == writer_id:
-                b = txn.get("batch_id")
-                best = b if best is None else max(best, b)
+        """Highest micro-batch id this writer has committed (Delta's txn
+        appId/version pattern). Read from the CURRENT manifest's cumulative
+        ``txns`` map — one JSON read, and immune to vacuum dropping old
+        manifests. Legacy chains without the map fall back to a history
+        scan."""
+        if not self.exists():
+            return None
+        snap = self.snapshot()
+        best = (snap.txns or {}).get(writer_id)
+        txn = snap.txn or {}
+        if txn.get("writer_id") == writer_id:
+            b = txn.get("batch_id")
+            best = b if best is None else max(best, b)
+        if best is None and snap.txns is None and snap.parent is not None:
+            for s in self.history():
+                t = s.txn or {}
+                if t.get("writer_id") == writer_id:
+                    b = t.get("batch_id")
+                    best = b if best is None else max(best, b)
         return best
 
     def append_stream_batch(
@@ -338,8 +393,12 @@ class LakeTable:
 
         Semantics (matches operators/cdc.py's anti-join∪append rewrite and
         therefore the reference's MERGE): every target row whose key
-        appears in ``delete_keys`` (default: the upsert batch's keys) is
-        removed; ``upserts`` rows are inserted.
+        appears in ``delete_keys`` OR in the upsert batch is removed, then
+        ``upserts`` rows are inserted. The union is load-bearing: driving
+        the anti-join from ``delete_keys`` alone would leave stale copies
+        of keys that are upserted but not listed for delete — silent
+        duplicate keys for any caller whose delete set doesn't cover the
+        batch.
 
         Only files whose footer key-range overlaps the batch's key-range
         are rewritten; the rest are carried by reference. The scan of
@@ -348,9 +407,10 @@ class LakeTable:
         prev = self.snapshot()
         self._check_schema(upserts, prev)
         spark = upserts.sparkSession
-        kill = (delete_keys if delete_keys is not None else upserts).select(
-            *keys
-        ).dropDuplicates(list(keys))
+        kill = upserts.select(*keys)
+        if delete_keys is not None:
+            kill = kill.unionByName(delete_keys.select(*keys))
+        kill = kill.dropDuplicates(list(keys))
 
         affected, untouched = self._split_by_key_range(prev, kill, keys)
         stat_cols = sorted({*keys, *self._stat_cols(prev)})

@@ -2,6 +2,7 @@
 file-pruned copy-on-write upserts (per-batch I/O ∝ batch, not target),
 optimistic-concurrency commits, vacuum."""
 
+import json
 import os
 
 import pytest
@@ -214,14 +215,83 @@ class TestIdempotentStreamAppend:
 
 class TestCommitProtocol:
     def test_concurrent_commit_conflict(self, spark, tmp_path):
+        """True race: both writers compute against v1; the one that reaches
+        the O_EXCL v2 create second must get CommitConflict."""
         t = _table(spark, tmp_path, n=10, files=1)
-        # Simulate a racing writer that claimed v2 first.
+        prev = t.snapshot()  # loser reads v1 ...
         rival = os.path.join(t._manifests, "v2.json")
-        with open(rival, "w") as f:
-            f.write("{}")
-        extra = spark.createDataFrame([(99, 0)], "k long, v long")
+        with open(rival, "w") as f:  # ... rival lands v2 first
+            json.dump(
+                {"version": 2, "files": prev.files, "schema": prev.schema,
+                 "op": "append", "parent": 1},
+                f,
+            )
         with pytest.raises(CommitConflict):
-            t.append(extra)
+            t._commit(prev.files, prev.schema, "append", parent=prev.version)
+
+    def test_committed_rival_is_simply_the_new_base(self, spark, tmp_path):
+        """A COMMITTED v2 (even one whose writer died before swapping
+        ``_latest``) is authoritative: the next append builds on it rather
+        than conflicting — the manifest listing, not the pointer, is the
+        source of truth."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        b1 = spark.createDataFrame([(100, 1)], "k long, v long")
+        t.append(b1)  # v2
+        # Simulate the crash window: pointer still says 1.
+        with open(t._latest, "w") as f:
+            f.write("1")
+        assert t.current_version() == 2
+        assert t.read(spark).count() == 11
+        b2 = spark.createDataFrame([(101, 2)], "k long, v long")
+        assert t.append(b2).version == 3  # no wedged CommitConflict
+        assert t.read(spark).count() == 12
+
+    def test_stale_pointer_survives_vacuum(self, spark, tmp_path):
+        """Crashed-writer scenario from the round-2 advice: v{N+1} committed
+        but ``_latest`` still N. Vacuum(keep_versions=1) must keep v{N+1}
+        (the real current snapshot) and must NOT leave the table unreadable."""
+        t = _table(spark, tmp_path, n=100, files=4)
+        t.upsert(
+            spark.createDataFrame([(0, -1)], "k long, v long"), keys=["k"]
+        )  # v2 rewrites one file
+        with open(t._latest, "w") as f:
+            f.write("1")  # crash before pointer swap
+        t.vacuum(keep_versions=1)
+        assert t.current_version() == 2
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert len(got) == 100 and got[0] == -1
+
+    def test_two_writers_conflict_and_retry(self, spark, tmp_path):
+        """Optimistic concurrency end-to-end under real contention: two
+        threads append concurrently; at most one wins each version, the
+        loser sees CommitConflict, reloads, retries, and succeeds — no
+        lost update, no duplicate."""
+        import threading
+
+        t = _table(spark, tmp_path, n=10, files=1)
+        barrier = threading.Barrier(2)
+        outcomes: dict[str, list] = {"conflicts": [], "errors": []}
+
+        def writer(tag: int) -> None:
+            df = spark.createDataFrame([(100 + tag, tag)], "k long, v long")
+            barrier.wait()
+            for _ in range(10):  # retry loop a real writer runs
+                try:
+                    t.append(df)
+                    return
+                except CommitConflict:
+                    outcomes["conflicts"].append(tag)
+            outcomes["errors"].append(tag)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not outcomes["errors"]
+        got = {r["k"] for r in t.read(spark).collect()}
+        assert {101, 102} <= got and t.read(spark).count() == 12
+        assert t.current_version() == 3  # one commit per writer
 
     def test_schema_enforcement_rejects_drift(self, spark, tmp_path):
         """Delta-style write-side schema contract: a drifting batch fails
@@ -277,15 +347,76 @@ class TestCommitProtocol:
         """A writer that loses the commit race has already written its data
         files; they belong to no manifest and vacuum must collect them."""
         t = _table(spark, tmp_path, n=20, files=2)
-        rival = os.path.join(t._manifests, "v2.json")
-        with open(rival, "w") as f:
-            f.write('{"version": 2, "files": [], "schema": "", "op": "append", "parent": 1}')
+        prev = t.snapshot()  # loser computes against v1 ...
         loser = spark.createDataFrame([(100, 1)], "k long, v long")
-        with pytest.raises(CommitConflict):
-            t.append(loser)
-        n_data = len(os.listdir(t._data))
-        os.remove(rival)  # rival manifest gone; orphans remain
+        loser_files = t._write_files(loser, ["k"])  # ... lands data files ...
+        rival = os.path.join(t._manifests, "v2.json")
+        with open(rival, "w") as f:  # ... rival commits v2 first ...
+            json.dump(
+                {"version": 2, "files": prev.files, "schema": prev.schema,
+                 "op": "append", "parent": 1},
+                f,
+            )
+        with pytest.raises(CommitConflict):  # ... loser's commit fails
+            t._commit(
+                prev.files + loser_files, prev.schema, "append",
+                parent=prev.version,
+            )
+        n_data = sum(len(fs) for _, _, fs in os.walk(t._data))
         removed = t.vacuum(keep_versions=1)
         assert removed, "orphaned loser files must be collected"
-        assert len(os.listdir(t._data)) == n_data - len(removed)
+        assert sum(len(fs) for _, _, fs in os.walk(t._data)) == n_data - len(removed)
         assert t.read(spark).count() == 20
+
+
+class TestUpsertKillUnion:
+    def test_partial_delete_keys_leaves_no_duplicates(self, spark, tmp_path):
+        """MERGE must replace upserted keys even when an explicit
+        delete_keys set doesn't mention them — kill = delete_keys ∪
+        batch keys, otherwise stale copies survive as duplicate keys."""
+        t = _table(spark, tmp_path, n=20, files=2)
+        ups = spark.createDataFrame([(5, -5), (6, -6)], "k long, v long")
+        kill_only = spark.createDataFrame([(7,)], "k long")  # not 5 or 6
+        t.upsert(ups, keys=["k"], delete_keys=kill_only)
+        got = t.read(spark)
+        assert got.count() == 19  # 20 - deleted(7) - replaced(5,6) + 2
+        by_k = {r["k"]: r["v"] for r in got.collect()}
+        assert by_k[5] == -5 and by_k[6] == -6 and 7 not in by_k
+        assert got.groupBy("k").count().where("count > 1").count() == 0
+
+
+class TestTxnCarryForward:
+    def test_replay_dedup_survives_vacuum(self, spark, tmp_path):
+        """Exactly-once must hold across vacuum: the cumulative per-writer
+        txn map rides in every manifest, so a replayed micro-batch older
+        than the retained snapshots is still skipped."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        b = spark.createDataFrame([(100, 1)], "k long, v long")
+        t.append_stream_batch(b, writer_id="w1", batch_id=0)
+        t.append_stream_batch(b, writer_id="w1", batch_id=1)
+        t.compact(spark, target_files=1)
+        t.vacuum(keep_versions=1)  # drops the manifests carrying both txns
+        assert t.last_committed_batch("w1") == 1
+        assert t.append_stream_batch(b, writer_id="w1", batch_id=0) is None
+        assert t.append_stream_batch(b, writer_id="w1", batch_id=1) is None
+        assert t.read(spark).count() == 12  # replays added nothing
+
+
+class TestPartitionValueEscaping:
+    def test_escaped_partition_values_round_trip(self, spark, tmp_path):
+        """Spark percent-escapes space/'/'/':' in partition paths; the
+        manifest must record the real value so partition_filter matches."""
+        t = LakeTable(str(tmp_path / "esc"))
+        df = spark.createDataFrame(
+            [(1, "north america"), (2, "emea/uk"), (3, "apac:jp")],
+            "k long, region string",
+        )
+        t.create(df, stat_cols=["k"], partition_by=["region"])
+        snap = t.snapshot()
+        vals = {f["partition"]["region"] for f in snap.files}
+        assert vals == {"north america", "emea/uk", "apac:jp"}
+        got = t.read(spark, partition_filter={"region": "emea/uk"})
+        assert [r["k"] for r in got.collect()] == [2]
+        assert t.read(
+            spark, partition_filter={"region": "north america"}
+        ).count() == 1
