@@ -92,8 +92,27 @@ FROM orders
 """,
 )
 def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _two_generation_dir(spark, sf_dir)
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def _two_generation_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-generation fixture ONCE per (session, sf_dir) — the
+    same memo discipline as dedup's sketch tables — so repeat invocations
+    (bench, back-to-back driver checks) plan a pure read instead of
+    re-writing the fixture every time."""
     import tempfile
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _MERGE_SCHEMA_STAGE.get(key)
+    if stage is not None:
+        return stage
     o = t(spark, sf_dir, "orders")
     stage = tempfile.mkdtemp(prefix="merge_schema_")
     o.where(F.col("o_orderkey") % 2 == 0).select(
@@ -102,12 +121,11 @@ def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.where(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     ).write.mode("overwrite").parquet(f"{stage}/gen=2")
-    merged = spark.read.option("mergeSchema", "true").parquet(stage)
-    return merged.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
-    )
+    _MERGE_SCHEMA_STAGE[key] = stage
+    return stage
+
+
+_MERGE_SCHEMA_STAGE: dict[tuple[str, str], str] = {}
 
 
 # --------------------------------------------------------------------------

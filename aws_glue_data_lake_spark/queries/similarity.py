@@ -561,3 +561,209 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with k-means-refined centroids: the real index-build path. Seeds are
+# the deterministic vec_id < K set, then _KM_ITERS Lloyd iterations run as
+# plain Spark relational ops — assign = broadcast-join + per-vector argmax,
+# update = posexplode(dims) + per-(centroid, dim) exact-decimal mean — and
+# the probed search runs against the refined centroids. Every float the
+# two engines must agree on is either an exact-decimal sum cast to double
+# or an IEEE double op on identical inputs, so the oracle replays the
+# *identical* iterations in SQL and the result hash-matches.
+#
+# Scale: each iteration is one broadcast join (K rows), one 64×N explode,
+# and one (K·64)-group aggregate — all map-side-combinable; nothing scales
+# with N² and the centroid table never leaves broadcast range (K ~ √N
+# stays tiny relative to the corpus even at 100 TB).
+# ---------------------------------------------------------------------------
+_KM_ITERS = 2
+_DIM = 64
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment step in SQL: nearest refined centroid per
+    vector (rounded-cosine argmax, centroid_id tiebreak)."""
+    dot = _DOT_SQL.format(a="v.embedding", b="c.cvec")
+    return f"""{out} AS (
+  SELECT vec_id, embedding, norm, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, v.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({dot} / (v.norm * c.cnorm), 6) DESC,
+                      c.centroid_id) AS crnk
+    FROM nv v CROSS JOIN {cent} c
+  ) WHERE crnk = 1
+)"""
+
+
+def _km_oracle() -> str:
+    blocks = [
+        _NV_SQL.strip(),
+        f"""cent0 AS (
+  SELECT vec_id AS centroid_id,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+         norm AS cnorm
+  FROM nv WHERE vec_id < {_N_CENTROIDS}
+)""",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        blocks.append(_km_assign_sql(f"cent{it - 1}", f"assign{it}"))
+        blocks.append(f"""dims{it} AS (
+  SELECT centroid_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM assign{it}, UNNEST(generate_series(1, {_DIM})) AS g(i)
+)""")
+        blocks.append(f"""centc{it} AS (
+  SELECT centroid_id, i,
+         CAST(SUM(CAST(x AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims{it} GROUP BY centroid_id, i
+)""")
+        blocks.append(f"""centv{it} AS (
+  SELECT centroid_id, LIST(c ORDER BY i) AS cvec
+  FROM centc{it} GROUP BY centroid_id
+)""")
+        blocks.append(f"""cent{it} AS (
+  SELECT centroid_id, cvec,
+         SQRT({_DOT_SQL.format(a='cvec', b='cvec')}) AS cnorm
+  FROM centv{it}
+)""")
+    final = f"cent{_KM_ITERS}"
+    blocks.append(_km_assign_sql(final, "assigned"))
+    blocks.append(f"q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL})")
+    qdot = _DOT_SQL.format(a="q.embedding", b="c.cvec")
+    blocks.append(f"""probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({qdot} / (q.norm * c.cnorm), 6) DESC,
+                      c.centroid_id) AS prnk
+    FROM q CROSS JOIN {final} c
+  ) WHERE prnk <= {_N_PROBE}
+)""")
+    sdot = _DOT_SQL.format(a="q.embedding", b="a.embedding")
+    blocks.append(f"""scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.centroid_id,
+         ROUND({sdot} / (q.norm * a.norm), 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> q.vec_id
+)""")
+    blocks.append("""ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)""")
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+       CAST(centroid_id AS BIGINT) AS centroid_id, cosine
+FROM ranked WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+"""
+    )
+
+
+def _km_assign(nv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Spark twin of _km_assign_sql: broadcast centroids, rounded-cosine
+    argmax per vector."""
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.col("centroid_id")
+    )
+    return (
+        nv.select("vec_id", "embedding", "norm")
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "centroid_id",
+            _cosine(
+                F.col("embedding"), F.col("norm"), F.col("cvec"), F.col("cnorm")
+            ).alias("cos_c"),
+        )
+        .withColumn("crnk", F.row_number().over(aw))
+        .where(F.col("crnk") == 1)
+        .drop("crnk", "cos_c")
+    )
+
+
+@_q("sim_ivf_kmeans_topk", oracle=_km_oracle())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    cent = nv.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(_KM_ITERS):
+        assigned = _km_assign(nv, cent)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("i", "x")
+        )
+        newc = dims.groupBy("centroid_id", "i").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        cvec = F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        )
+        cent = (
+            newc.groupBy("centroid_id")
+            .agg(cvec.alias("cvec"))
+            .select(
+                "centroid_id",
+                "cvec",
+                F.sqrt(ddot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+            )
+        )
+    assigned = _km_assign(nv, cent)
+    q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            "centroid_id",
+            _cosine(F.col("qe"), F.col("qn"), F.col("cvec"), F.col("cnorm")).alias(
+                "cos_q"
+            ),
+        )
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _N_PROBE)
+        .select("query_id", "qe", "qn", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            _cosine(
+                F.col("qe"), F.col("qn"), F.col("embedding"), F.col("norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "centroid_id", "cosine")
+        .orderBy("query_id", "rnk")
+    )
