@@ -27,8 +27,10 @@ from aws_glue_data_lake_spark.queries.base import Registry
 from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL, _SENTINEL_US
 from aws_glue_data_lake_spark.streaming.pipelines import (
     read_events_stream,
+    read_staged_batches_stream,
     run_available_now,
     session_window_agg,
+    stage_ordered_batches,
     tumbling_window_agg,
 )
 
@@ -276,3 +278,116 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     final = run_available_now(stats, output_mode="update")
     return final.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving data under a real watermark: events replay as FOUR
+# deterministic micro-batches —
+#   b0: older rows (ts ≤ tmax−90min) with even event_id — establish the wm;
+#   b1: the middle-fresh band (tmax−90min, tmax−30min] — advances the wm
+#       and, crucially, puts one full batch between b0 and the late rows;
+#   b2: the odd-id old rows arrive LATE — the watermark filter drops those
+#       whose 10-minute window already closed, keeps the rest;
+#   b3: the freshest 30 minutes — push the wm so surviving windows
+#       finalize in APPEND mode (the trailing no-data batch flushes state).
+#
+# The oracle replays Spark's watermark arithmetic in SQL, with two
+# empirically pinned micro-batch-engine facts (verified against
+# numRowsDroppedByWatermark and the sink hash, Spark 4.1.2):
+#   1. the LATE-INPUT filter for batch N uses the watermark computed from
+#      data through batch N−2 (one batch behind the eviction watermark —
+#      so b2's filter is wm(b0) = max_ms(b0) − delay_ms, in µs), dropping
+#      rows with window_end ≤ wm;
+#   2. APPEND emits a window exactly once, when the end-of-batch watermark
+#      passes window_end — after the final no-data batch that is
+#      window_end ≤ wm(all data).
+# Both drop and keep are visible in the output: windows in
+# (wm(b0), wm(all)] finalize WITH their late b2 contributions, older
+# windows finalize without them.
+#
+# Scale: this is the operational core of every streaming aggregate at
+# 100 TB — state size is bounded by the lateness horizon, and what the
+# watermark drops is *defined*, not incidental.
+# ---------------------------------------------------------------------------
+_LATE_DELAY = "3599 seconds"  # odd on purpose: never lands on a window edge
+_LATE_DELAY_MS = 3_599_000
+_FRESH_US = 1_800_000_000  # b3 = freshest 30 minutes
+_MID_US = 5_400_000_000  # b1 = (tmax-90min, tmax-30min]
+_WIN_US = _TEN_MIN_US
+
+
+@_q(
+    "streaming_late_data_drop",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, event_type, value
+  FROM events
+),
+p AS (SELECT MAX(ts_us) AS tmax FROM e),
+b AS (
+  SELECT e.*, CASE WHEN ts_us > tmax - {_FRESH_US} THEN 3
+                   WHEN ts_us > tmax - {_MID_US} THEN 1
+                   WHEN event_id % 2 = 0 THEN 0 ELSE 2 END AS batch
+  FROM e, p
+),
+wm0 AS (
+  SELECT (MAX(ts_us) // 1000 - {_LATE_DELAY_MS}) * 1000 AS wm
+  FROM b WHERE batch = 0
+),
+wmf AS (
+  SELECT (MAX(ts_us) // 1000 - {_LATE_DELAY_MS}) * 1000 AS wm FROM e
+),
+kept AS (
+  SELECT * FROM b WHERE batch <> 2
+  UNION ALL
+  SELECT b.* FROM b, wm0
+  WHERE batch = 2
+    AND (ts_us // {_WIN_US}) * {_WIN_US} + {_WIN_US} > wm0.wm
+)
+SELECT (ts_us // {_WIN_US}) * {_WIN_US} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM kept, wmf
+WHERE (ts_us // {_WIN_US}) * {_WIN_US} + {_WIN_US} <= wmf.wm
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+""",
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _late_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    final = run_available_now(
+        tumbling_window_agg(stream, watermark=_LATE_DELAY),
+        output_mode="append",
+    )
+    return final.orderBy("window_start_us", "event_type")
+
+
+def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the four-batch late-data fixture once per (session, sf_dir)."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _LATE_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    tmax = ev.agg(F.max(F.expr("ts div 1000"))).first()[0]
+    ts_us = F.expr("ts div 1000")
+    old = ts_us <= F.lit(tmax - _MID_US)
+    mid = (ts_us > F.lit(tmax - _MID_US)) & (ts_us <= F.lit(tmax - _FRESH_US))
+    even = F.col("event_id") % 2 == 0
+    stage = stage_ordered_batches(
+        [
+            ev.where(old & even),
+            ev.where(mid),
+            ev.where(old & ~even),
+            ev.where(ts_us > F.lit(tmax - _FRESH_US)),
+        ]
+    )
+    _LATE_STAGE[key] = stage
+    return stage
+
+
+_LATE_STAGE: dict[tuple[str, str], str] = {}

@@ -90,11 +90,55 @@ def read_events_stream(
     )
 
 
-def tumbling_window_agg(stream: DataFrame, width: str = "10 minutes") -> DataFrame:
+def stage_ordered_batches(batches: list[DataFrame]) -> str:
+    """Write each DataFrame as ONE parquet file in a fresh drop-dir with
+    strictly increasing mtimes, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as micro-batches in exactly this
+    order (FileStreamSource schedules by modification time). This is the
+    deterministic stand-in for 'events arriving out of order over time' —
+    the late-data fixture a watermark test needs."""
+    import shutil
+    import time
+
+    stage = tempfile.mkdtemp(prefix="events_batches_")
+    now = time.time()
+    for i, df in enumerate(batches):
+        tmp = os.path.join(stage, f"_tmp_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = [
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        ]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    return stage
+
+
+def read_staged_batches_stream(
+    spark: SparkSession, stage: str
+) -> DataFrame:
+    """File-source stream over a ``stage_ordered_batches`` drop-dir, one
+    staged file per micro-batch, with the engine's ts_us/event_time
+    convention (staged ``ts`` is already int64 epoch-ns)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def tumbling_window_agg(
+    stream: DataFrame, width: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
     """Tumbling event-time window per event_type: count + exact-decimal value
     sum. Epoch-aligned windows, reported as epoch-µs window_start."""
     return (
-        stream.withWatermark("event_time", "1 hour")
+        stream.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", width).alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
