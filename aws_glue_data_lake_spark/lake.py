@@ -320,18 +320,69 @@ class LakeTable:
                 f"batch has [{df._jdf.schema().toDDL()}]"
             )
 
-    def append(self, df: DataFrame, stat_cols: Sequence[str] = ()) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        stat_cols: Sequence[str] = (),
+        merge_schema: bool = False,
+    ) -> Snapshot:
         """Blind append: new files + prior file list, one new snapshot.
-        Never reads existing data."""
+        Never reads existing data.
+
+        ``merge_schema=True`` is the explicit schema-evolution path
+        (Delta's mergeSchema / the DynamicFrame union-widening the
+        reference leans on, icberg/iceberg_tables.py:23): columns the
+        batch adds are appended to the table schema, columns the batch
+        omits are filled with NULLs, and existing columns must keep their
+        types. Old data files are untouched — readers surface NULL for
+        the added columns because scans plan with the manifest schema."""
         prev = self.snapshot()
-        self._check_schema(df, prev)
+        if merge_schema:
+            df, schema = self._evolve(df, prev)
+        else:
+            self._check_schema(df, prev)
+            schema = prev.schema
         files = self._write_files(
             df, stat_cols or self._stat_cols(prev), prev.partition_by
         )
         return self._commit(
-            prev.files + files, prev.schema, "append", prev.version,
+            prev.files + files, schema, "append", prev.version,
             partition_by=prev.partition_by,
         )
+
+    @staticmethod
+    def _evolve(df: DataFrame, prev: Snapshot) -> tuple[DataFrame, str]:
+        """Union-widen the batch against the table schema: table columns
+        first (missing ones NULL-filled), genuinely new columns appended;
+        a type change on an existing column is rejected (that's a
+        migration, not evolution)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        table_st = StructType.fromDDL(prev.schema)
+        table_by_name = {f.name.lower(): f for f in table_st.fields}
+        batch_by_name = {f.name.lower(): f for f in df.schema.fields}
+        for name, f in batch_by_name.items():
+            old = table_by_name.get(name)
+            if old is not None and (
+                old.dataType.simpleString() != f.dataType.simpleString()
+            ):
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"table has {old.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()}"
+                )
+        merged = list(table_st.fields) + [
+            f for f in df.schema.fields if f.name.lower() not in table_by_name
+        ]
+        cols = [
+            F.col(batch_by_name[f.name.lower()].name).alias(f.name)
+            if f.name.lower() in batch_by_name
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged
+        ]
+        out = df.select(*cols)
+        return out, out._jdf.schema().toDDL()
 
     def last_committed_batch(self, writer_id: str) -> int | None:
         """Highest micro-batch id this writer has committed (Delta's txn
@@ -430,24 +481,25 @@ class LakeTable:
     def _read_files(
         self, spark: SparkSession, rels: list[str], snap: Snapshot
     ) -> DataFrame:
-        """Plan a scan over an explicit file subset. Partitioned tables
-        read with basePath so the ``col=value`` path segments come back as
-        partition columns; the result is then normalized to the manifest
-        schema — partition-value type inference would otherwise retype a
-        string partition column from its path values, and basePath reads
-        reorder partition columns to the end."""
+        """Plan a scan over an explicit file subset WITH the manifest
+        schema declared on the reader. Declaring the schema (rather than
+        inferring + casting) does three jobs at once: partition-value
+        type inference can't retype a string partition column from its
+        path values; files written before a schema evolution surface
+        NULL for the added columns (parquet reader semantics — no
+        per-file footer merge, which at 10^5 files would be a planning
+        stall); and basePath partition-column reordering is undone by
+        the final select."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         paths = [self._abs(r) for r in rels]
-        reader = spark.read
+        st = StructType.fromDDL(snap.schema)
+        reader = spark.read.schema(st)
         if snap.partition_by:
             reader = reader.option("basePath", self._data)
         df = reader.parquet(*paths)
-        st = StructType.fromDDL(snap.schema)
-        return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields]
-        )
+        return df.select(*[F.col(f.name) for f in st.fields])
 
     def read(
         self,
