@@ -54,6 +54,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import urllib.parse
 import uuid
@@ -137,11 +138,18 @@ class LakeTable:
         self._latest = os.path.join(path, "_latest")
 
     # -- snapshot plumbing --------------------------------------------------
+    _MANIFEST_NAME = re.compile(r"^v(\d+)\.json$")
+
     def _manifest_versions(self) -> list[int]:
-        return sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self._manifests, "v*.json"))
-        )
+        # Strict-match the basename: a stray file that happens to glob
+        # (v2.json.bak copied to v2.json.json, a hand-dropped vNOTES.json)
+        # must be ignored, not brick every table operation with ValueError.
+        out = []
+        for p in glob.glob(os.path.join(self._manifests, "v*.json")):
+            m = self._MANIFEST_NAME.match(os.path.basename(p))
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def exists(self) -> bool:
         return bool(self._manifest_versions())
@@ -180,8 +188,13 @@ class LakeTable:
         return [self.snapshot(v) for v in self._manifest_versions()]
 
     def _commit(self, files: list[dict], schema: str, op: str,
-                parent: int | None, txn: dict | None = None,
+                prev: Snapshot | None, txn: dict | None = None,
                 partition_by: Sequence[str] = ()) -> Snapshot:
+        """``prev`` is the parent snapshot the caller already holds (None
+        for the initial commit) — passing it avoids re-reading and
+        re-parsing the whole parent manifest (O(#files) JSON) just to
+        carry the txns map forward."""
+        parent = None if prev is None else prev.version
         version = 1 if parent is None else parent + 1
         os.makedirs(self._manifests, exist_ok=True)
         manifest = {
@@ -195,13 +208,29 @@ class LakeTable:
         # vacuuming old manifests can't forget it (a replayed micro-batch
         # older than the retained snapshots must still be detected).
         txns: dict = {}
-        if parent is not None:
-            parent_snap = self.snapshot(parent)
-            txns.update(parent_snap.txns or {})
-            if parent_snap.txn:  # pre-carry-forward manifests
-                w = parent_snap.txn["writer_id"]
-                b = parent_snap.txn["batch_id"]
-                txns[w] = max(b, txns.get(w, b))
+        if prev is not None:
+            if prev.txns is None and prev.parent is not None:
+                # One-time upgrade of a pre-carry-forward manifest chain:
+                # fold EVERY historical txn record into the map, not just
+                # the chain tip's. Seeding from the tip alone would drop
+                # replay-dedup state for any stream writer whose last
+                # commit isn't the most recent one, and the history
+                # fallback in last_committed_batch stops applying the
+                # moment this commit lands (it requires txns is None) —
+                # a replayed micro-batch would then re-append.
+                for s in self.history():
+                    if s.version > prev.version:
+                        continue
+                    t = s.txn or {}
+                    if "writer_id" in t:
+                        w, b = t["writer_id"], t["batch_id"]
+                        txns[w] = max(b, txns.get(w, b))
+            else:
+                txns.update(prev.txns or {})
+                if prev.txn:  # single-record manifests (v1 or legacy tip)
+                    w = prev.txn["writer_id"]
+                    b = prev.txn["batch_id"]
+                    txns[w] = max(b, txns.get(w, b))
         if txn is not None:
             w, b = txn["writer_id"], txn["batch_id"]
             txns[w] = max(b, txns.get(w, b))
@@ -346,7 +375,7 @@ class LakeTable:
             df, stat_cols or self._stat_cols(prev), prev.partition_by
         )
         return self._commit(
-            prev.files + files, schema, "append", prev.version,
+            prev.files + files, schema, "append", prev,
             partition_by=prev.partition_by,
         )
 
@@ -429,7 +458,7 @@ class LakeTable:
             df, stat_cols or self._stat_cols(prev), prev.partition_by
         )
         return self._commit(
-            prev.files + files, prev.schema, "append", prev.version,
+            prev.files + files, prev.schema, "append", prev,
             txn={"writer_id": writer_id, "batch_id": batch_id},
             partition_by=prev.partition_by,
         )
@@ -474,7 +503,7 @@ class LakeTable:
         else:
             new_files = self._write_files(upserts, stat_cols, prev.partition_by)
         return self._commit(
-            untouched + new_files, prev.schema, "upsert", prev.version,
+            untouched + new_files, prev.schema, "upsert", prev,
             partition_by=prev.partition_by,
         )
 
@@ -564,7 +593,7 @@ class LakeTable:
             df = df.repartition(target_files)
         files = self._write_files(df, stat_cols, prev.partition_by)
         return self._commit(
-            files, prev.schema, "compact", prev.version,
+            files, prev.schema, "compact", prev,
             partition_by=prev.partition_by,
         )
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
-from aws_glue_data_lake_spark.queries.base import Registry, t
+from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir, t
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -150,14 +150,12 @@ def cdc_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # just the in-memory dataflow. Oracle identical to cdc_incremental_state.
 @_q("cdc_lake_upsert_state", oracle=_INCREMENTAL_ORACLE)
 def cdc_lake_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from aws_glue_data_lake_spark.lake import LakeTable
     from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
 
     feed = _feed(spark, sf_dir)
     half = feed.agg(F.max("event_id")).first()[0] // 2
-    table = LakeTable(tempfile.mkdtemp(prefix="cdc_lake_") + "/t")
+    table = LakeTable(session_tmpdir("cdc_lake_") + "/t")
     merge_cdc_batch(
         table, feed.where(F.col("event_id") <= half), ["user_id"], "ts",
         tiebreakers=["event_id"], sentinel=_SENTINEL_US,
@@ -195,14 +193,12 @@ ORDER BY user_id
 """,
 )
 def lake_partitioned_upsert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from aws_glue_data_lake_spark.lake import LakeTable
 
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    table = LakeTable(tempfile.mkdtemp(prefix="lake_part_") + "/t")
+    table = LakeTable(session_tmpdir("lake_part_") + "/t")
     table.create(ev, stat_cols=["event_id"], partition_by=["event_type"])
     corrections = ev.where(
         (F.col("event_type") == "purchase") & (F.col("user_id") < 10)

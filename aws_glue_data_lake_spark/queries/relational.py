@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_glue_data_lake_spark.queries.base import Registry, davg_sql, dsum_sql, t
+from aws_glue_data_lake_spark.queries.base import Registry, davg_sql, dsum_sql, session_tmpdir, t
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -107,14 +107,12 @@ def _two_generation_dir(spark: SparkSession, sf_dir: str) -> str:
     same memo discipline as dedup's sketch tables — so repeat invocations
     (bench, back-to-back driver checks) plan a pure read instead of
     re-writing the fixture every time."""
-    import tempfile
-
     key = (spark.sparkContext.applicationId, sf_dir)
     stage = _MERGE_SCHEMA_STAGE.get(key)
     if stage is not None:
         return stage
     o = t(spark, sf_dir, "orders")
-    stage = tempfile.mkdtemp(prefix="merge_schema_")
+    stage = session_tmpdir("merge_schema_")
     o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     ).write.mode("overwrite").parquet(f"{stage}/gen=1")

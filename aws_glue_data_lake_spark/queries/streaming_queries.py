@@ -16,14 +16,13 @@ through ``operators.cdc.full_load``/``incremental_merge`` inside
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.lake import LakeTable
 from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
-from aws_glue_data_lake_spark.queries.base import Registry
+from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir
 from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL, _SENTINEL_US
 from aws_glue_data_lake_spark.streaming.pipelines import (
     read_events_stream,
@@ -157,7 +156,7 @@ def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = stream.withColumn("op", op).withColumn("ts", F.col("ts_us")).drop(
         "ts_us", "event_time"
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    tmp = session_tmpdir("cdc_stream_")
     table = LakeTable(f"{tmp}/target")
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:

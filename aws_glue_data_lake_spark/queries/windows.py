@@ -273,7 +273,13 @@ def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: (appId, sf_dir) → (persisted range-partitioned spend, pid→rank offset, N).
-_NTILE_CACHE: dict[str, tuple] = {}
+#: Lifetime: one entry per (application, fixture) pair for the life of the
+#: Spark application — bounded because a session touches a handful of
+#: sf_dirs, and keying by appId means a restarted session can't resurrect
+#: another app's unpersisted handle. clear_ntile_cache() is the explicit
+#: release (tests/teardown); bench runs are warm-cache after the first hit,
+#: per the memo discipline note in queries/__init__.
+_NTILE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def clear_ntile_cache() -> None:

@@ -25,8 +25,10 @@ continuous trigger; the dataflow is unchanged.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +56,24 @@ EVENTS_STREAM_SCHEMA = StructType(
 
 _run_ids = itertools.count()
 
+#: Every mkdtemp drop-dir this module creates, removed at interpreter exit
+#: so repeated sessions don't leak staged parquet into the temp dir (the
+#: per-applicationId memos in streaming_queries keep dirs alive for the
+#: session, so cleanup can't happen any earlier than exit).
+_STAGED_DIRS: list[str] = []
+
+
+def _staged_tmpdir(prefix: str) -> str:
+    stage = tempfile.mkdtemp(prefix=prefix)
+    _STAGED_DIRS.append(stage)
+    return stage
+
+
+@atexit.register
+def _cleanup_staged_dirs() -> None:
+    while _STAGED_DIRS:
+        shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -70,7 +90,7 @@ def read_events_stream(
     multi-batch replay that exercises cross-batch state merge and
     watermark advancement."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = _staged_tmpdir("events_stream_")
     if n_files is None:
         # Zero-copy staging, read-only on the fixture.
         os.symlink(
@@ -97,10 +117,9 @@ def stage_ordered_batches(batches: list[DataFrame]) -> str:
     order (FileStreamSource schedules by modification time). This is the
     deterministic stand-in for 'events arriving out of order over time' —
     the late-data fixture a watermark test needs."""
-    import shutil
     import time
 
-    stage = tempfile.mkdtemp(prefix="events_batches_")
+    stage = _staged_tmpdir("events_batches_")
     now = time.time()
     for i, df in enumerate(batches):
         tmp = os.path.join(stage, f"_tmp_{i}")

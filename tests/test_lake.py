@@ -227,7 +227,7 @@ class TestCommitProtocol:
                 f,
             )
         with pytest.raises(CommitConflict):
-            t._commit(prev.files, prev.schema, "append", parent=prev.version)
+            t._commit(prev.files, prev.schema, "append", prev=prev)
 
     def test_committed_rival_is_simply_the_new_base(self, spark, tmp_path):
         """A COMMITTED v2 (even one whose writer died before swapping
@@ -359,8 +359,7 @@ class TestCommitProtocol:
             )
         with pytest.raises(CommitConflict):  # ... loser's commit fails
             t._commit(
-                prev.files + loser_files, prev.schema, "append",
-                parent=prev.version,
+                prev.files + loser_files, prev.schema, "append", prev=prev,
             )
         n_data = sum(len(fs) for _, _, fs in os.walk(t._data))
         removed = t.vacuum(keep_versions=1)
@@ -400,6 +399,47 @@ class TestTxnCarryForward:
         assert t.append_stream_batch(b, writer_id="w1", batch_id=0) is None
         assert t.append_stream_batch(b, writer_id="w1", batch_id=1) is None
         assert t.read(spark).count() == 12  # replays added nothing
+
+
+class TestLegacyManifests:
+    def test_legacy_txn_chain_upgrade_keeps_all_writers(self, spark, tmp_path):
+        """Round-3 advice (medium): on a pre-carry-forward manifest chain
+        with several stream writers, the first new-format commit must fold
+        EVERY historical txn record into the cumulative map — seeding from
+        the chain tip alone forgets any writer not at the tip, and the
+        history fallback no longer applies once a txns map exists, so a
+        replayed micro-batch would re-append (exactly-once violated)."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        b = spark.createDataFrame([(100, 1)], "k long, v long")
+        t.append_stream_batch(b, writer_id="w1", batch_id=3)
+        t.append_stream_batch(b, writer_id="w2", batch_id=7)  # w2 is the tip
+        # Rewrite every manifest to the legacy format: txn only, no txns.
+        for v in t._manifest_versions():
+            mpath = os.path.join(t._manifests, f"v{v}.json")
+            with open(mpath) as f:
+                m = json.load(f)
+            m.pop("txns", None)
+            with open(mpath, "w") as f:
+                json.dump(m, f)
+        # First new-format commit on the legacy chain.
+        extra = spark.createDataFrame([(200, 2)], "k long, v long")
+        snap = t.append(extra)
+        assert snap.txns == {"w1": 3, "w2": 7}  # both writers survive
+        # Replays of either writer are still deduped.
+        assert t.append_stream_batch(b, writer_id="w1", batch_id=3) is None
+        assert t.append_stream_batch(b, writer_id="w2", batch_id=7) is None
+        assert t.last_committed_batch("w1") == 3
+
+    def test_stray_manifest_names_are_ignored(self, spark, tmp_path):
+        """A stray file matching the v*.json glob (backup copies, notes)
+        must be skipped by the strict name filter, not raise ValueError
+        and brick every table operation including exists()."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        open(os.path.join(t._manifests, "v1.json.json"), "w").write("{}")
+        open(os.path.join(t._manifests, "vNOTES.json"), "w").write("junk")
+        assert t.exists()
+        assert t.current_version() == 1
+        assert t.read(spark).count() == 10
 
 
 class TestPartitionValueEscaping:
