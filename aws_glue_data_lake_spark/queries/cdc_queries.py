@@ -216,3 +216,62 @@ def lake_partitioned_upsert_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Write-side schema evolution (the lake counterpart of
+# scan_merge_schema_evolution): the table is created with the narrow
+# orders schema, then a batch carrying an extra column lands via
+# append(merge_schema=True) — the explicit evolution path mirroring the
+# DynamicFrame union-widening the reference leans on
+# (icberg/iceberg_tables.py:23). Pre-evolution rows must surface NULL for
+# the added column on every later read (scans plan with the manifest
+# schema; old files are untouched). The per-priority aggregate makes the
+# NULL backfill, row routing, and value integrity oracle-visible while
+# keeping the result bounded at any scale.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_schema_evolution_state",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '(pre-evolution)' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def lake_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    table = LakeTable(session_tmpdir("lake_evolve_") + "/t")
+    table.create(gen1, stat_cols=["o_orderkey"])
+    snap = table.append(gen2, merge_schema=True)
+    assert "o_orderpriority" in snap.schema, "evolved column must be committed"
+    evolved = table.read(spark)
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("priority")
+    )

@@ -401,6 +401,76 @@ class TestTxnCarryForward:
         assert t.read(spark).count() == 12  # replays added nothing
 
 
+class TestSchemaEvolution:
+    """append(merge_schema=True): the explicit write-side evolution path
+    (Delta mergeSchema / the reference's DynamicFrame union-widening,
+    icberg/iceberg_tables.py:23)."""
+
+    def test_added_column_null_backfills_old_rows(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=10, files=1)
+        wide = spark.createDataFrame([(100, 1, "x")], "k long, v long, tag string")
+        snap = t.append(wide, merge_schema=True)
+        assert "tag" in snap.schema
+        got = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+        assert got[100] == "x"
+        assert got[0] is None  # pre-evolution row surfaces NULL
+        # time travel: the pre-evolution snapshot keeps its narrow schema
+        assert "tag" not in t.read(spark, version=1).columns
+
+    def test_batch_missing_columns_are_null_filled(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=10, files=1)
+        narrow = spark.createDataFrame([(200,)], "k long")
+        t.append(narrow, merge_schema=True)
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[200] is None and got[3] == 30
+
+    def test_type_change_is_rejected(self, spark, tmp_path):
+        t = _table(spark, tmp_path, n=10, files=1)
+        drifted = spark.createDataFrame([(1, "oops")], "k long, v string")
+        with pytest.raises(ValueError, match="cannot change column"):
+            t.append(drifted, merge_schema=True)
+
+    def test_case_insensitive_column_match(self, spark, tmp_path):
+        """A batch whose column names differ only in case must bind to the
+        existing columns (Spark's default resolution, which the reference
+        depends on — it drops 'Op' against an 'op' data column), not add
+        duplicate columns."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        upper = spark.createDataFrame([(300, 5)], "K long, V long")
+        snap = t.append(upper, merge_schema=True)
+        # no new columns (nullability is outside the schema contract)
+        from pyspark.sql.types import StructType
+
+        def shape(ddl):
+            return [
+                (f.name.lower(), f.dataType.simpleString())
+                for f in StructType.fromDDL(ddl).fields
+            ]
+
+        assert shape(snap.schema) == shape(t.snapshot(1).schema)
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[300] == 5
+
+    def test_evolved_schema_is_enforced_and_upsertable(self, spark, tmp_path):
+        """After evolution the NEW schema is the write contract: a plain
+        append of the old narrow shape is rejected, and upserts carrying
+        the evolved shape merge correctly."""
+        t = _table(spark, tmp_path, n=10, files=1)
+        t.append(
+            spark.createDataFrame([(100, 1, "x")], "k long, v long, tag string"),
+            merge_schema=True,
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.append(spark.createDataFrame([(1, 1)], "k long, v long"))
+        t.upsert(
+            spark.createDataFrame([(0, -1, "patched")], "k long, v long, tag string"),
+            keys=["k"],
+        )
+        got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+        assert got[0] == (-1, "patched") and got[100] == (1, "x")
+        assert len(got) == 11
+
+
 class TestLegacyManifests:
     def test_legacy_txn_chain_upgrade_keeps_all_writers(self, spark, tmp_path):
         """Round-3 advice (medium): on a pre-carry-forward manifest chain
