@@ -36,6 +36,11 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
+    # Bench runs must be comparable across rounds: registry order normally
+    # rotates by green-correctness history (which CORRECTNESS_r*.json files
+    # happen to be on disk), so pin plain module order here, then execute
+    # sorted by name. The effective order is recorded in the output.
+    os.environ["SPARK_GRAFT_NO_REORDER"] = "1"
     spark = get_spark("bench")
     queries = all_queries()
 
@@ -63,6 +68,11 @@ def main() -> int:
         "sf": sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "warmup_sec": round(warmup, 4),
+        # Execution order: alphabetical by query name (the loop above runs
+        # sorted(queries)), independent of CORRECTNESS history. Warm-cache
+        # memo families (dedup sketch, NTILE spend, staged fixtures) always
+        # charge the build to the alphabetically-first member.
+        "order": "sorted-by-name",
     }
     # The driver captures only a ~2 KB tail of stdout, and a single JSON
     # line with all 74 per-query timings exceeds that (BENCH_r01 recorded
