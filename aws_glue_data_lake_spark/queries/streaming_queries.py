@@ -390,3 +390,159 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 _LATE_STAGE: dict[tuple[str, str], str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Stream–stream windowed join (the §2.10 capability step past aggregation):
+# a view→purchase funnel — every purchase by a user within 30 minutes of
+# one of their views. Both sides are WATERMARKED STREAMS drained as six
+# genuine micro-batches (maxFilesPerTrigger=1 over a hash-split of the
+# fixture), so a view arriving in batch 0 must wait in the join state
+# store until its matching purchase lands in a later batch: the green hash
+# certifies cross-batch join-state correctness, not a single-batch replay.
+#
+# Inner stream–stream joins emit a pair in the micro-batch where the
+# second side arrives; the time-bound condition (purchase within
+# [view, view+30min]) plus the watermarks are what let Spark evict state.
+# The replay spans the fixture's full 30-day history, so the delay is
+# sized past it and no state is evicted — eviction semantics are already
+# pinned by streaming_late_data_drop; THIS query pins matching. At 100 TB
+# the delay becomes the real lateness horizon (minutes), and state per
+# key is bounded by horizon × arrival rate exactly as in batch 0 here.
+# ---------------------------------------------------------------------------
+_FUNNEL_BOUND_US = 1_800_000_000  # purchase within 30 min of the view
+
+
+@_q(
+    "streaming_stream_join_funnel",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, user_id, event_type
+  FROM events
+)
+SELECT v.user_id AS user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       p.ts_us - v.ts_us AS gap_us
+FROM e v JOIN e p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + {_FUNNEL_BOUND_US}
+ORDER BY user_id, view_event_id, purchase_event_id
+""",
+)
+def streaming_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(
+        spark, sf_dir, n_files=6, max_files_per_trigger=1
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "40 days")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "40 days")
+    )
+    pairs = views.join(
+        purchases,
+        on=[
+            views.v_user_id == purchases.p_user_id,
+            purchases.purchase_time >= views.view_time,
+            purchases.purchase_time
+            <= views.view_time + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+    final = run_available_now(pairs, output_mode="append")
+    return final.orderBy("user_id", "view_event_id", "purchase_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (dropDuplicatesWithinWatermark) — the LLM-ingest shape:
+# an at-least-once source replays a whole slab of already-delivered rows
+# (here micro-batch 1 re-sends a third of batch 0), and the dedup operator
+# must restore exactly-once without a lake-side txn. Key state is kept
+# only within the watermark horizon, so state size is bounded by
+# (horizon × arrival rate), not corpus size — the property that makes
+# this viable for a 100 TB document firehose where a full-corpus
+# dropDuplicates would need unbounded state. The replay spans the whole
+# fixture history, so the horizon is sized past it here; in production
+# it's the redelivery window (minutes/hours).
+#
+# After dedup the stream equals the original events table exactly, so the
+# oracle is a plain aggregate over events — any duplicate surviving (or
+# any original dropped) breaks n_events, distinct ids, and the exact sum.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_dedup_replayed_ingest",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_dedup_replayed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _replay_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    deduped = stream.withWatermark(
+        "event_time", "40 days"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    final = run_available_now(deduped, output_mode="append")
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _replay_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the three-batch replayed-ingest fixture once per
+    (session, sf_dir): b0 = two thirds of events, b1 = an exact replay of
+    half of b0 (the at-least-once redelivery), b2 = the final third."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _REPLAY_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    first = F.col("event_id") % 3 != 2
+    stage = stage_ordered_batches(
+        [
+            ev.where(first),
+            ev.where(F.col("event_id") % 6 == 0),  # replayed slab of b0
+            ev.where(~first),
+        ]
+    )
+    _REPLAY_STAGE[key] = stage
+    return stage
+
+
+_REPLAY_STAGE: dict[tuple[str, str], str] = {}

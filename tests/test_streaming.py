@@ -107,3 +107,76 @@ def test_watermark_evicts_state_and_append_emits_once(spark, tmp_path):
     assert emitted == [base]
     counts = {r["window_start_us"]: r["n_events"] for r in rows}
     assert counts[base] == 2
+
+
+def test_dedup_within_watermark_state_is_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps a key's dedup state only within
+    the watermark horizon. Within it, a replayed row is dropped
+    (exactly-once restored). After the watermark passes the key's
+    event time + delay, its state is gone — a LATE replay (old ts) is
+    still dropped, but by the late-input filter, while the same key with
+    a FRESH event time is re-emitted: dedup scope is the horizon, not the
+    corpus. A 100 TB ingest sizes the horizon to the source's redelivery
+    window, never to corpus lifetime."""
+    base = 10 * 3600 * US
+    stage = str(tmp_path / "dedup_in")
+    os.makedirs(stage)
+    now = time.time()
+    # b0: key 1 at 10:00.
+    _write_batch(spark, stage, "b1", [_event(1, base)], now - 100)
+    # b1: key 1 REPLAYED (same ts) + key 2 at 10:30 — the replay is inside
+    # the 1h horizon, so it must be dropped; wm advances to 09:30.
+    _write_batch(
+        spark, stage, "b2",
+        [_event(1, base), _event(2, base + 1800 * US)],
+        now - 80,
+    )
+    # b2: key 3 at 13:00 — advances the end-of-batch watermark to 12:00,
+    # past key 1's expiry (10:00 + 1h).
+    _write_batch(
+        spark, stage, "b3", [_event(3, base + 3 * 3600 * US)], now - 60
+    )
+    # b3: spacer. Eviction during batch N applies the watermark computed
+    # at the end of batch N−1 (empirically pinned, Spark 4.1 — same
+    # one-batch lag family as the late-input filter), so key 1 leaves the
+    # state store during THIS batch, not b2.
+    _write_batch(
+        spark, stage, "b4",
+        [_event(4, base + 3 * 3600 * US + 600 * US)], now - 50,
+    )
+    # b4: key 1 again. The old-ts replay is dropped as late input; the
+    # fresh-ts occurrence finds no state (expired) and is re-emitted.
+    _write_batch(
+        spark, stage, "b5",
+        [_event(1, base), _event(1, base + 3 * 3600 * US + 1800 * US)],
+        now - 40,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    deduped = raw.withWatermark("event_time", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    emitted = sorted(r["event_id"] for r in spark.table("dedup_probe").collect())
+    # key 1 twice (once per state lifetime), keys 2-4 once each; the
+    # in-horizon replay in b1 and the late old-ts replay in b4 were dropped.
+    assert emitted == [1, 1, 2, 3, 4]
