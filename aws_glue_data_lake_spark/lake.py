@@ -507,6 +507,79 @@ class LakeTable:
             partition_by=prev.partition_by,
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        update: dict | None = None,
+        insert: bool = True,
+    ) -> Snapshot:
+        """Full MERGE with WHEN MATCHED UPDATE semantics, copy-on-write at
+        file granularity — the update-in-place counterpart of ``upsert``
+        (which is the reference's delete+insert rewrite,
+        icberg/iceberg_tables.py:45-50).
+
+        - **matched** target rows: each column named in ``update`` is
+          replaced by its expression, which may reference both sides as
+          ``target.<col>`` / ``source.<col>``; every OTHER column keeps
+          the TARGET value (column-level update — unlike ``upsert``,
+          which replaces whole rows with the batch's).
+        - **unmatched source** rows are inserted when ``insert=True``
+          (WHEN NOT MATCHED THEN INSERT *), else discarded.
+        - **unmatched target** rows are untouched — files whose footer
+          key range doesn't overlap the source's are carried by
+          reference, so I/O is O(source + affected files), not O(table).
+
+        ``update`` values are Spark Columns (or SQL strings via
+        ``F.expr``). Updating a key column is unsupported (that's a
+        delete+insert — use ``upsert``). A source key matching several
+        target rows updates all of them."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        prev = self.snapshot()
+        self._check_schema(source, prev)
+        spark = source.sparkSession
+        update = dict(update or {})
+        bad = set(update) & set(keys)
+        if bad:
+            raise ValueError(f"cannot update merge key columns: {sorted(bad)}")
+
+        keyset = source.select(*keys).dropDuplicates(list(keys))
+        affected, untouched = self._split_by_key_range(prev, keyset, keys)
+        stat_cols = sorted({*keys, *self._stat_cols(prev)})
+        st = StructType.fromDDL(prev.schema)
+
+        if affected:
+            live = self._read_files(spark, [f["path"] for f in affected], prev)
+        else:
+            live = spark.createDataFrame([], prev.schema)
+        tgt = live.withColumn("_tgt", F.lit(True)).alias("target")
+        src = source.withColumn("_src", F.lit(True)).alias("source")
+        cond = [
+            F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}")) for k in keys
+        ]
+        joined = tgt.join(src, on=cond, how="full_outer")
+        if not insert:
+            joined = joined.where(F.col("_tgt").isNotNull())
+        matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+        out_cols = []
+        for f in st.fields:
+            tcol = F.col(f"target.{f.name}")
+            scol = F.col(f"source.{f.name}")
+            val = (
+                F.when(matched, update.get(f.name, tcol))
+                .when(F.col("_tgt").isNotNull(), tcol)
+                .otherwise(scol)  # source-only: INSERT *
+            )
+            out_cols.append(val.cast(f.dataType).alias(f.name))
+        merged = joined.select(*out_cols)
+        new_files = self._write_files(merged, stat_cols, prev.partition_by)
+        return self._commit(
+            untouched + new_files, prev.schema, "merge", prev,
+            partition_by=prev.partition_by,
+        )
+
     def _read_files(
         self, spark: SparkSession, rels: list[str], snap: Snapshot
     ) -> DataFrame:

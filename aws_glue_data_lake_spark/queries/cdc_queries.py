@@ -275,3 +275,86 @@ def lake_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Full MERGE with WHEN MATCHED UPDATE (column-level, update-in-place) —
+# the other half of MERGE beyond the reference's delete+insert rewrite
+# (icberg/iceberg_tables.py:45-50). Every 10th order is repriced via an
+# update expression that touches ONLY o_totalprice; the source rows carry
+# a poisoned o_orderstatus ('X') that must NOT surface — proof the update
+# is column-level, not whole-row. Unmatched source rows (keys shifted
+# past the table's max) take the INSERT path. File pruning still applies:
+# only key-range-overlapping files are rewritten.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_merge_update_state",
+    oracle="""
+WITH t0 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+updated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS o_totalprice
+  FROM t0
+),
+ins AS (
+  SELECT t0.o_orderkey + mx.mk + 1 AS o_orderkey,
+         'N' AS o_orderstatus,
+         1.5 AS o_totalprice
+  FROM t0, mx WHERE t0.o_orderkey % 1000 = 0
+),
+merged AS (
+  SELECT * FROM updated UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def lake_merge_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = LakeTable(session_tmpdir("lake_merge_") + "/t")
+    table.create(o, stat_cols=["o_orderkey"])
+    mk = int(table.stat_max("o_orderkey"))  # manifest stats — zero jobs
+    repriced = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),  # must NOT reach the table
+        "o_totalprice",
+    )
+    fresh = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(mk + 1)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.5).alias("o_totalprice"),
+    )
+    table.merge(
+        repriced.unionByName(fresh),
+        keys=["o_orderkey"],
+        update={
+            "o_totalprice": F.col("source.o_totalprice") + F.lit(1000.0)
+        },
+    )
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -130,6 +130,66 @@ class TestUpsert:
         assert t.read(spark).count() == 101
 
 
+class TestMergeUpdate:
+    """merge(): WHEN MATCHED UPDATE (column-level, update-in-place) +
+    WHEN NOT MATCHED INSERT — the full-MERGE counterpart of upsert()'s
+    delete+insert rewrite."""
+
+    def test_updates_only_named_columns(self, spark, tmp_path):
+        t = LakeTable(str(tmp_path / "m"))
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, tag string"
+        )
+        t.create(df, stat_cols=["k"])
+        src = spark.createDataFrame([(1, 99, "SRC")], "k long, v long, tag string")
+        t.merge(src, keys=["k"], update={"v": F.col("source.v")})
+        got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+        assert got[1] == (99, "a")  # v updated, tag KEPT from target
+        assert got[2] == (20, "b")  # unmatched target untouched
+
+    def test_update_expr_may_reference_both_sides(self, spark, tmp_path):
+        t = LakeTable(str(tmp_path / "m"))
+        t.create(spark.createDataFrame([(1, 10)], "k long, v long"), stat_cols=["k"])
+        src = spark.createDataFrame([(1, 5)], "k long, v long")
+        t.merge(
+            src, keys=["k"],
+            update={"v": F.col("target.v") + F.col("source.v")},
+            insert=False,
+        )
+        assert t.read(spark).first()["v"] == 15
+
+    def test_unmatched_source_inserted_or_discarded(self, spark, tmp_path):
+        t = LakeTable(str(tmp_path / "m"))
+        t.create(spark.createDataFrame([(1, 10)], "k long, v long"), stat_cols=["k"])
+        src = spark.createDataFrame([(2, 20)], "k long, v long")
+        t.merge(src, keys=["k"], insert=False)
+        assert t.read(spark).count() == 1
+        t.merge(src, keys=["k"])  # insert=True default
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == {1: 10, 2: 20}
+
+    def test_merge_io_proportional_to_batch(self, spark, tmp_path):
+        """Same file-pruning contract as upsert: a source touching one
+        file's key range carries every other file by reference."""
+        t = _table(spark, tmp_path, n=1000, files=4)
+        before = t.snapshot()
+        src = spark.createDataFrame([(3, 1)], "k long, v long")
+        t.merge(src, keys=["k"], update={"v": F.col("target.v") + F.lit(1)})
+        after = t.snapshot()
+        assert len(set(before.file_names) - set(after.file_names)) == 1
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got[3] == 31 and got[999] == 9990 and len(got) == 1000
+
+    def test_updating_key_column_rejected(self, spark, tmp_path):
+        t = LakeTable(str(tmp_path / "m"))
+        t.create(spark.createDataFrame([(1, 10)], "k long, v long"), stat_cols=["k"])
+        with pytest.raises(ValueError, match="key columns"):
+            t.merge(
+                spark.createDataFrame([(1, 2)], "k long, v long"),
+                keys=["k"], update={"k": F.lit(7)},
+            )
+
+
 class TestPartitionedTable:
     def _ptable(self, spark, tmp_path):
         t = LakeTable(str(tmp_path / "pt"))
