@@ -4,8 +4,9 @@ feature extraction via ``mapInPandas``.
 
 The pipeline always uses a deterministic fake decode (raw bytes as uint8
 samples) so output is reproducible whether or not codecs are installed;
-``decode_media(..., use_real_codec=True)`` opts into a real PIL decode
-and raises only when that codec is absent. The Spark-side plumbing is
+``decode_media(..., use_real_codec=True)`` opts into a real decode (PIL
+for image when installed; stdlib-wave WAV/PCM for audio) and raises only
+when no codec is wired for the media type. The Spark-side plumbing is
 real and tested: binary column schema, typed metadata struct, Arrow batch transfer,
 per-batch vectorized feature extraction, and the partition layout a media
 pipeline needs.
@@ -152,9 +153,14 @@ def decode_media(media_type: str, payload: bytes, *, use_real_codec: bool = Fals
     The pipeline always uses the deterministic fake (raw bytes as uint8
     samples) so results are reproducible regardless of which codecs happen
     to be installed — installing Pillow must not change query output. A
-    real decode (PIL for image; soundfile/ffmpeg for audio/video would
-    slot in the same way) runs only when explicitly requested, and raises
-    if the codec is absent so the gap stays explicit.
+    real decode runs only when explicitly requested, and raises if the
+    codec is absent so the gap stays explicit. Wired real codecs:
+
+    - ``image`` → PIL (when installed; absent in the base container);
+    - ``audio`` → WAV/PCM via the stdlib ``wave`` module (always
+      available): frames decode to int16/uint8 samples. ffmpeg-backed
+      formats would slot in behind the same gate;
+    - ``video`` → no codec wired; the NotImplementedError IS the contract.
     """
     import numpy as np
 
@@ -165,10 +171,69 @@ def decode_media(media_type: str, payload: bytes, *, use_real_codec: bool = Fals
             import PIL.Image
 
             return np.asarray(PIL.Image.open(io.BytesIO(payload))).ravel()
+        if media_type == "audio":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                width = w.getsampwidth()
+                frames = w.readframes(w.getnframes())
+            if width == 2:
+                return np.frombuffer(frames, dtype=np.int16)
+            if width == 1:
+                return np.frombuffer(frames, dtype=np.uint8)
+            raise NotImplementedError(
+                f"unsupported WAV sample width: {width} bytes"
+            )
         raise NotImplementedError(
             f"no real codec available for media_type={media_type!r}"
         )
     return np.frombuffer(payload, dtype=np.uint8)
+
+
+_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_mean", DoubleType()),
+        StructField("sample_std", DoubleType()),
+    ]
+)
+
+
+def make_extract_samples(use_real_codec: bool = False):
+    """mapInPandas kernel factory over ``decode_media``: per-item decode
+    (a real codec is inherently per-payload), NumPy-vectorized stats per
+    item. Unlike ``extract_features`` (fake-decode-specialized, whole-
+    batch vectorized), this is the generic slot real image/audio decoders
+    plug into — same schema either way, so flipping the flag changes the
+    decode, not the pipeline shape."""
+
+    def extract_samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                samples = decode_media(
+                    mtype, bytes(payload), use_real_codec=use_real_codec
+                ).astype(np.float64)
+                n = samples.size
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mtype,
+                        "n_samples": n,
+                        "sample_mean": float(samples.mean()) if n else 0.0,
+                        "sample_std": float(samples.std()) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _SAMPLE_SCHEMA])
+
+    return extract_samples
 
 
 _FEATURE_SCHEMA = StructType(

@@ -105,10 +105,86 @@ class TestDecodeMedia:
         with pytest.raises(NotImplementedError):
             decode_media("image", b"x", use_real_codec=True)
         with pytest.raises(NotImplementedError):
-            decode_media("audio", b"x", use_real_codec=True)
+            decode_media("video", b"x", use_real_codec=True)
 
     def test_entropy_uniform_bytes(self):
         # All 256 byte values equally often -> 8 uniform buckets -> 3 bits.
         got = _run_kernel([bytes(range(256))])
         assert got.iloc[0]["entropy"] == pytest.approx(3.0)
         assert math.isclose(sum(got.iloc[0]["histogram8"]), 1.0)
+
+
+def _wav_bytes(samples, width=2, rate=8000):
+    """Deterministic WAV payload from int samples via the stdlib writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        dtype = np.int16 if width == 2 else np.uint8
+        w.writeframes(np.asarray(samples, dtype=dtype).tobytes())
+    return buf.getvalue()
+
+
+class TestRealAudioCodec:
+    """The opt-in real-codec slot, wired for WAV via the stdlib wave
+    module: a genuine decode (RIFF header parsed, PCM frames extracted),
+    not the byte-identity fake — and rows-only, since real decode output
+    is not SQL-expressible. The fake stays the oracle path."""
+
+    def test_wav_int16_roundtrip(self):
+        samples = [0, 1000, -1000, 32767, -32768, 7]
+        got = decode_media("audio", _wav_bytes(samples), use_real_codec=True)
+        assert got.dtype == np.int16
+        assert got.tolist() == samples
+
+    def test_wav_uint8_roundtrip(self):
+        samples = [0, 17, 255, 128]
+        got = decode_media(
+            "audio", _wav_bytes(samples, width=1), use_real_codec=True
+        )
+        assert got.dtype == np.uint8
+        assert got.tolist() == samples
+
+    def test_real_decode_differs_from_fake(self):
+        payload = _wav_bytes([300, -300])
+        real = decode_media("audio", payload, use_real_codec=True)
+        fake = decode_media("audio", payload)
+        # The fake sees 44 header bytes + frames; the real codec sees
+        # exactly the 2 PCM samples.
+        assert real.size == 2 and fake.size == len(payload)
+
+    def test_mapinpandas_pipeline_with_real_codec(self, spark):
+        """Rows-only end-to-end: binary WAV payloads through the generic
+        mapInPandas sample-extraction kernel with the real codec on —
+        same plumbing (schema, Arrow batches, partitioning) as the fake
+        path, different decode."""
+        from aws_glue_data_lake_spark.queries.multimodal import (
+            _SAMPLE_SCHEMA,
+            make_extract_samples,
+        )
+
+        rows = [
+            (0, "audio", _wav_bytes([100, 200, 300])),
+            (1, "audio", _wav_bytes([-5, 5])),
+            (2, "audio", _wav_bytes(list(range(50)))),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, media_type string, payload binary"
+        ).repartition(2)
+        got = {
+            r["doc_id"]: r
+            for r in df.mapInPandas(
+                make_extract_samples(use_real_codec=True), schema=_SAMPLE_SCHEMA
+            ).collect()
+        }
+        assert got[0]["n_samples"] == 3
+        assert got[0]["sample_mean"] == pytest.approx(200.0)
+        assert got[1]["n_samples"] == 2 and got[1]["sample_mean"] == 0.0
+        assert got[2]["n_samples"] == 50
+        assert got[2]["sample_std"] == pytest.approx(
+            float(np.std(np.arange(50.0)))
+        )
