@@ -84,3 +84,66 @@ def test_model_check_smoke(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {2: -2, 3: 30}
     assert t.read(spark, version=1).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (_evolve) under random schema pairs: for any table
+# schema and batch schema drawn from a shared field pool, either a shared
+# name changes type (→ ValueError, evolution is never a cast) or the
+# merged output is exactly [table fields in table order, then genuinely
+# new batch fields in batch order], with table columns keeping their
+# types and batch-missing columns present (NULL-filled). Schema-only:
+# empty DataFrames keep each example driver-side cheap, so the example
+# budget can be bigger than the I/O-bound model check above.
+# ---------------------------------------------------------------------------
+import pytest
+
+from aws_glue_data_lake_spark.lake import Snapshot
+
+_FIELD_NAMES = ("alpha", "beta", "gamma", "delta", "eps")
+_FIELD_TYPES = ("bigint", "string", "double")
+_SCHEMAS = st.dictionaries(
+    st.sampled_from(_FIELD_NAMES),
+    st.sampled_from(_FIELD_TYPES),
+    min_size=1,
+    max_size=len(_FIELD_NAMES),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(table=_SCHEMAS, batch=_SCHEMAS)
+def test_evolve_on_random_schema_pairs(spark, table, batch):
+    def ddl(d):
+        return ", ".join(f"{n} {t}" for n, t in d.items())
+
+    prev = Snapshot(
+        version=1, files=[], schema=ddl(table), op="create", parent=None
+    )
+    df = spark.createDataFrame([], ddl(batch))
+    conflict = any(
+        n in table and table[n] != bt for n, bt in batch.items()
+    )
+    if conflict:
+        with pytest.raises(ValueError, match="cannot change column"):
+            LakeTable._evolve(df, prev)
+        return
+    out, schema_ddl = LakeTable._evolve(df, prev)
+    got = [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+    want = list(table.items()) + [
+        (n, t) for n, t in batch.items() if n not in table
+    ]
+    assert got == want
+    # the committed DDL round-trips to the same shape
+    from pyspark.sql.types import StructType
+
+    assert [
+        (f.name, f.dataType.simpleString())
+        for f in StructType.fromDDL(schema_ddl).fields
+    ] == want

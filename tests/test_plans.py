@@ -183,3 +183,40 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_salted_join_splits_forced_hot_key(spark):
+    """Skew stress for the join_salted_segment_revenue pattern: force 90%
+    of sf0.1 fact rows onto ONE customer key and measure shuffle balance.
+    Keyed by the raw join key, the hot key's rows all land in a single
+    reducer (the straggler that stalls a 1000-executor job); keyed by
+    (key, salt) they spread across the salt fan-out. This pins the WIN,
+    not just the plan shape — if salting silently stopped spreading rows,
+    this fails before the bench cliff does."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.queries.base import t as load
+
+    o = load(spark, "/root/testdata/sf0.1", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    hot = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 != 0, F.lit(7)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    salted = hot.withColumn("salt", (F.col("o_orderkey") % 8).cast("int"))
+
+    def max_partition_share(df, *cols):
+        sizes = (
+            df.repartition(8, *[F.col(c) for c in cols])
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in sizes]
+        return max(counts) / sum(counts)
+
+    assert max_partition_share(hot, "o_custkey") > 0.85  # the straggler
+    assert max_partition_share(salted, "o_custkey", "salt") < 0.35
