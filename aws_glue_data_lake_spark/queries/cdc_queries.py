@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
 from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir, t
+from aws_glue_data_lake_spark.tables import with_ts_us
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -31,9 +32,10 @@ _OP_CASE_SQL = """CASE event_type
 
 
 def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ts div 1000: ns → µs, matching DuckDB's ns→µs truncation on read
-    # (engine convention, see queries/windows.py flagship note).
-    ev = t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    # Normalize event time to epoch-µs by inspected dtype (tables.ts_us_col),
+    # matching the oracle's EPOCH_US(ts) whatever physical type the fixture
+    # was written with (engine convention, see queries/windows.py flagship).
+    ev = with_ts_us(t(spark, sf_dir, "events"))
     op = (
         F.when(F.col("event_type") == "error", "D")
         .when(F.col("event_type") == "signup", "I")

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, davg_sql, dsum_sql, session_tmpdir, t
+from aws_glue_data_lake_spark.tables import ts_us_col
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -216,25 +217,19 @@ ORDER BY e.event_id
 """,
 )
 def join_range_event_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        t(spark, sf_dir, "events")
-        .where(F.col("user_id") < 50)
-        .select(
-            "event_id",
-            "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
-        )
+    ev_raw = t(spark, sf_dir, "events")
+    ev = ev_raw.where(F.col("user_id") < 50).select(
+        "event_id",
+        "user_id",
+        ts_us_col(ev_raw).alias("ts_us"),
     )
+    od_raw = t(spark, sf_dir, "orders")
     od = (
-        t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 50)
+        od_raw.where(F.col("o_custkey") < 50)
         .select(
             F.col("o_custkey").alias("user_id"),
-            # NTZ-safe epoch-µs (see join_asof_event_order note)
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
-            ).alias("ot"),
+            # dtype-dispatched epoch-µs (drift-proof, see tables.ts_us_col)
+            ts_us_col(od_raw, "o_orderdate").alias("ot"),
             "o_totalprice",
         )
         .withColumn("bin", F.expr(f"ot div {_RANGE_W_US}"))
@@ -802,26 +797,18 @@ ORDER BY event_id
 def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_glue_data_lake_spark.operators.asof import asof_join
 
-    ev = (
-        t(spark, sf_dir, "events")
-        .where(F.col("user_id") < 50)
-        .select("event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type")
+    ev_raw = t(spark, sf_dir, "events")
+    ev = ev_raw.where(F.col("user_id") < 50).select(
+        "event_id", "user_id", ts_us_col(ev_raw).alias("ts_us"), "event_type"
     )
-    orders = (
-        t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 50)
-        .select(
-            "o_custkey",
-            # o_orderdate is TIMESTAMP_NTZ; diff from the NTZ epoch is
-            # timezone-free (unix_micros would need an LTZ cast, which
-            # shifts by whatever the session timezone happens to be)
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
-            ).alias("order_t"),
-            "o_orderkey",
-            "o_totalprice",
-        )
+    o_raw = t(spark, sf_dir, "orders")
+    orders = o_raw.where(F.col("o_custkey") < 50).select(
+        "o_custkey",
+        # dtype-dispatched epoch-µs: for TIMESTAMP_NTZ this diffs from the
+        # NTZ epoch, timezone-free (an LTZ cast would shift by session TZ)
+        ts_us_col(o_raw, "o_orderdate").alias("order_t"),
+        "o_orderkey",
+        "o_totalprice",
     )
     joined = asof_join(
         ev.withColumnRenamed("user_id", "k"),

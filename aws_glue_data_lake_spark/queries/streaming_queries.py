@@ -24,6 +24,7 @@ from aws_glue_data_lake_spark.lake import LakeTable
 from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
 from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir
 from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL, _SENTINEL_US
+from aws_glue_data_lake_spark.tables import ts_us_col
 from aws_glue_data_lake_spark.streaming.pipelines import (
     read_events_stream,
     read_staged_batches_stream,
@@ -372,8 +373,8 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     if stage is not None:
         return stage
     ev = t(spark, sf_dir, "events")
-    tmax = ev.agg(F.max(F.expr("ts div 1000"))).first()[0]
-    ts_us = F.expr("ts div 1000")
+    ts_us = ts_us_col(ev)
+    tmax = ev.agg(F.max(ts_us)).first()[0]
     old = ts_us <= F.lit(tmax - _MID_US)
     mid = (ts_us > F.lit(tmax - _MID_US)) & (ts_us <= F.lit(tmax - _FRESH_US))
     even = F.col("event_id") % 2 == 0

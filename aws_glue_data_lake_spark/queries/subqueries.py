@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, dsum_sql, t
+from aws_glue_data_lake_spark.tables import ts_us_col
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -230,9 +231,8 @@ ORDER BY window_start_us, event_type
 """,
 )
 def events_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", F.timestamp_micros(ts_us_col(ev)))
     return (
         ev.groupBy(F.window("event_time", "1 day").alias("w"), "event_type")
         .agg(

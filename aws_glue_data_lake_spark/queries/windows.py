@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, t
+from aws_glue_data_lake_spark.tables import with_ts_us
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -27,9 +28,9 @@ _q = REGISTRY.query
 # reference's signature dedup pattern on the events stream stand-in.
 @_q(
     "flagship_latest_event_per_user",
-    # Engine convention: events.ts (parquet TIMESTAMP(NANOS)) is handled as
-    # int64 epoch-MICROseconds — DuckDB's reader truncates ns→µs, so Spark
-    # truncates identically (ts div 1000) and ties break on event_id.
+    # Engine convention: events.ts is normalized to int64 epoch-MICROseconds
+    # by inspected dtype (tables.ts_us_col) — matching DuckDB's EPOCH_US on
+    # any producer's physical type; ties break on event_id.
     oracle="""
 WITH ranked AS (
   SELECT user_id, event_id, ts, event_type, value,
@@ -55,7 +56,7 @@ ORDER BY r.user_id
 """,
 )
 def flagship_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    ev = with_ts_us(t(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     latest = (
         ev.withColumn("rn", F.row_number().over(w))

@@ -3,10 +3,13 @@
 Design notes
 ------------
 - Source: file-source ``readStream`` with an explicit schema (streaming
-  readers cannot infer). ``events.ts`` is parquet TIMESTAMP(NANOS); under
-  the engine-wide ``nanosAsLong`` convention it arrives as int64 epoch-ns
-  and is normalized to epoch-µs (``ts div 1000``), then to a proper
-  timestamp via ``timestamp_micros`` for event-time operators.
+  readers cannot infer). The schema is peeked from the staged parquet
+  footers with a one-off batch read at stream-build time — never assumed —
+  because ``events.ts``'s physical type drifts across producers
+  (TIMESTAMP(NANOS) → int64 epoch-ns under ``nanosAsLong``,
+  TIMESTAMP(MICROS) → TIMESTAMP_NTZ). Whatever arrives is normalized to
+  epoch-µs ``ts_us`` via the dtype-dispatching ``tables.ts_us_col``, then
+  to a proper timestamp via ``timestamp_micros`` for event-time operators.
 - Event time: ``withWatermark`` bounds state for late data. The fixture
   replay arrives as one availableNow batch, so nothing is actually late —
   the watermark is exercised as API + state-bound, with ``complete`` output
@@ -41,8 +44,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Streaming-reader schema for events.parquet (FIXTURES.md) under the
-#: nanosAsLong convention (ts = int64 epoch-ns).
+#: Events schema with the LEGACY int64 epoch-ns event time. Kept as the
+#: synthetic-fixture schema for tests that pin the legacy-producer path;
+#: real readers peek the staged footers instead (see module docstring).
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -53,6 +57,22 @@ EVENTS_STREAM_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def _stream_with_event_time(spark: SparkSession, stage: str, reader_opts) -> DataFrame:
+    """Build the file-source stream over ``stage`` with the schema its
+    parquet footers actually carry (one metadata-only batch read — streaming
+    sources can't infer), then attach the canonical epoch-µs ``ts_us`` and
+    ``event_time`` columns via the same dtype dispatch the batch side uses."""
+    from aws_glue_data_lake_spark.tables import ts_us_col
+
+    schema = spark.read.parquet(stage).schema
+    reader = spark.readStream.schema(schema)
+    reader = reader_opts(reader)
+    raw = reader.format("parquet").load(stage)
+    return raw.withColumn("ts_us", ts_us_col(raw)).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
 
 _run_ids = itertools.count()
 
@@ -101,13 +121,12 @@ def read_events_stream(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
             n_files
         ).write.mode("overwrite").parquet(stage)
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.format("parquet").load(stage)
-    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us"))
-    )
+    def _opts(reader):
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader
+
+    return _stream_with_event_time(spark, stage, _opts)
 
 
 def stage_ordered_batches(batches: list[DataFrame]) -> str:
@@ -139,15 +158,10 @@ def read_staged_batches_stream(
 ) -> DataFrame:
     """File-source stream over a ``stage_ordered_batches`` drop-dir, one
     staged file per micro-batch, with the engine's ts_us/event_time
-    convention (staged ``ts`` is already int64 epoch-ns)."""
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(stage)
-    )
-    return raw.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us"))
+    convention (staged ``ts`` keeps whatever dtype the batch writer had —
+    the footer peek + dtype dispatch normalizes either way)."""
+    return _stream_with_event_time(
+        spark, stage, lambda r: r.option("maxFilesPerTrigger", 1)
     )
 
 

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, LongType, TimestampNTZType, TimestampType
 
 #: Driver-fixture tables (TESTDATA.md) — one parquet file per table.
 TABLES: tuple[str, ...] = (
@@ -38,15 +40,59 @@ def load_table(
 ) -> DataFrame:
     """Scan one fixture table. ``merge_schema`` union-widens schemas across
     files, matching the reference's ``{"mergeSchema": "true"}`` read option."""
-    # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it unless nanos
-    # are read as int64. Set here (not only in our session factory) so
-    # driver-provided sessions work too. Engine-wide convention: nanosecond
-    # event time = BIGINT epoch-ns (DuckDB twin: epoch_ns(ts)).
+    # If a producer wrote event time as parquet TIMESTAMP(NANOS), Spark
+    # rejects the file unless nanos are read as int64 — keep the escape
+    # hatch on (harmless for µs files). Set here (not only in our session
+    # factory) so driver-provided sessions work too. Consumers must NOT
+    # assume which physical type they got: normalize via ts_us_col, which
+    # dispatches on the dtype actually read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_us_col(df: DataFrame, name: str = "ts") -> Column:
+    """Epoch-µs Column for an event-time column, dispatched on the dtype the
+    scan ACTUALLY produced — never on an assumed parquet physical type.
+
+    On a real lake the same logical column is written by many producers over
+    years: TIMESTAMP(NANOS) (Spark surfaces it as int64 epoch-ns under
+    ``nanosAsLong``), TIMESTAMP(MICROS) not adjusted to UTC (TIMESTAMP_NTZ),
+    or adjusted (TIMESTAMP). All three normalize to the engine-wide event-time
+    convention, int64 epoch-µs — exactly what DuckDB's ``EPOCH_US(ts)`` yields
+    on each of those physical types (its reader truncates ns→µs), so oracle
+    comparisons hold regardless of which producer wrote the file.
+
+    - LongType: legacy int64 epoch-ns → ``div 1000`` (truncating, like DuckDB).
+    - TimestampNTZType: wall-clock micros; diff from the NTZ epoch is
+      timezone-free (an LTZ cast would shift by the session timezone).
+    - TimestampType: ``unix_micros`` (UTC-adjusted by definition).
+    """
+    dt = df.schema[name].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"{name} div 1000")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+        )
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(name))
+    if isinstance(dt, DateType):
+        return (F.unix_date(F.col(name)).cast("bigint") * F.lit(86_400_000_000)).cast(
+            "bigint"
+        )
+    raise TypeError(
+        f"column {name!r} has unsupported event-time dtype {dt}; "
+        "expected int64 epoch-ns, TIMESTAMP_NTZ, TIMESTAMP, or DATE"
+    )
+
+
+def with_ts_us(df: DataFrame, name: str = "ts", out: str | None = None) -> DataFrame:
+    """Replace (or add) an epoch-µs normalization of ``name`` (see ts_us_col)."""
+    return df.withColumn(out or name, ts_us_col(df, name))
 
 
 def load_tables(

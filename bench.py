@@ -51,11 +51,20 @@ def main() -> int:
     spark.range(1).count()
     warmup = time.perf_counter() - t0
 
+    # Fault isolation: one broken query must never zero out the round's
+    # perf signal (BENCH_r04 recorded "parsed": null because the run died
+    # mid-suite). Each query gets its own try/except; failures land in
+    # "errors" with a one-line cause and the suite keeps timing the rest.
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in sorted(queries.items()):
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.limit(COLLECT_CAP).collect()
+        try:
+            df = fn(spark, sf_dir)
+            df.limit(COLLECT_CAP).collect()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         dt = time.perf_counter() - start
         timings[name] = round(dt, 4)
         total += dt
@@ -65,8 +74,10 @@ def main() -> int:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf_from_dir(sf_dir),
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "warmup_sec": round(warmup, 4),
         # Execution order: alphabetical by query name (the loop above runs
         # sorted(queries)), independent of CORRECTNESS history. Warm-cache
@@ -85,7 +96,14 @@ def main() -> int:
 
     budget = 1600
     slowest = sorted(timings, key=timings.get, reverse=True)
-    line_out = dict(out, queries={}, queries_full="BENCH_FULL.json")
+    # On the one-line output keep only the failing names (full tracebacked
+    # messages live in BENCH_FULL.json) so errors can't eat the byte budget.
+    line_out = dict(
+        out,
+        queries={},
+        queries_full="BENCH_FULL.json",
+        errors=sorted(errors)[:20],
+    )
     for name in slowest:
         candidate = dict(line_out)
         candidate["queries"] = dict(line_out["queries"], **{name: timings[name]})

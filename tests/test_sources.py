@@ -120,8 +120,34 @@ def test_external_table_ddl(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5
 
 
-def test_load_table_nanos_convention(spark, sf_dir):
-    """events.ts (TIMESTAMP NANOS) loads as int64 epoch-ns under the
-    engine convention regardless of caller session defaults."""
-    ev = load_table(spark, sf_dir, "events")
+def test_ts_us_col_dispatches_every_physical_type(spark):
+    """Event-time normalization is by INSPECTED dtype, never by an assumed
+    parquet physical type (the r4 fixture drift broke the old hard-coded
+    convention). All four producer shapes must yield the same epoch-µs."""
+    from aws_glue_data_lake_spark.tables import ts_us_col
+
+    us = 1_706_000_000_123_456  # some µs instant with sub-second precision
+    legacy_ns = spark.createDataFrame([(us * 1000,)], "ts bigint")
+    ntz = spark.sql(f"SELECT timestampadd(MICROSECOND, {us}, TIMESTAMP_NTZ '1970-01-01') AS ts")
+    ltz = spark.sql(f"SELECT timestamp_micros({us}) AS ts")
+    assert ntz.dtypes == [("ts", "timestamp_ntz")]
+    assert ltz.dtypes == [("ts", "timestamp")]
+    for df in (legacy_ns, ntz, ltz):
+        assert df.select(ts_us_col(df)).first()[0] == us
+    date = spark.sql("SELECT DATE '2024-01-23' AS d")
+    day_us = date.select(ts_us_col(date, "d")).first()[0]
+    assert day_us == 19_745 * 86_400_000_000
+    bad = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported event-time dtype"):
+        ts_us_col(bad)
+
+
+def test_load_table_events_ts_normalizes(spark, sf_dir):
+    """Whatever physical type the current fixture carries, the engine's
+    normalization must agree with itself across a write/read round-trip."""
+    from aws_glue_data_lake_spark.tables import with_ts_us
+
+    ev = with_ts_us(load_table(spark, sf_dir, "events"))
     assert dict(ev.dtypes)["ts"] == "bigint"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert 0 < lo <= hi
