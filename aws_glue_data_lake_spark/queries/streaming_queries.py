@@ -476,6 +476,127 @@ def streaming_stream_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The TIGHT-horizon funnel: same view→purchase join, but with a realistic
+# (minutes) watermark over a time-ORDERED multi-batch replay, so join-state
+# EVICTION is exercised, not just matching (the 40-day variant above sizes
+# its horizon past the replay on purpose and never evicts).
+#
+# Staging: events split into four time-quartile batches replayed in order,
+# plus a fifth batch that re-delivers every quartile-0 PURCHASE days late.
+# With time-ordered batches the correctness of on-time pairs needs no
+# empirical micro-batch facts: when a purchase in quartile i is processed,
+# every watermark the engine can be using is ≤ max(earlier quartiles) − Δ
+# < purchase_ts − Δ ≤ view_ts + 30min − Δ, so the matching view is still in
+# state for ANY eviction-lag convention — while the slab's views went out
+# of state quartiles ago (days ≫ 30min + Δ), so slab purchases can never
+# pair, whether the engine drops them as late input or probes empty state.
+# The oracle is therefore exact: all within-bound pairs whose purchase is
+# NOT in quartile 0. Dropped-vs-kept differs from the unbounded variant at
+# every sf (5 of 20 pairs vanish at sf0.01).
+#
+# Scale: this is the shape a 100 TB funnel actually ships — state per key
+# bounded by (lateness horizon × arrival rate), with eviction doing real
+# work every micro-batch instead of accumulating a month of views.
+# ---------------------------------------------------------------------------
+_TIGHT_DELAY = "5 minutes"
+
+
+@_q(
+    "streaming_stream_join_funnel_tight",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, user_id, event_type
+  FROM events
+),
+span AS (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e),
+banded AS (
+  SELECT e.*, (4 * (ts_us - tmin)) // (tmax - tmin + 1) AS band FROM e, span
+)
+SELECT v.user_id AS user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       p.ts_us - v.ts_us AS gap_us
+FROM banded v JOIN banded p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + {_FUNNEL_BOUND_US}
+WHERE p.band > 0
+ORDER BY user_id, view_event_id, purchase_event_id
+""",
+)
+def streaming_stream_join_funnel_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _funnel_tight_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", _TIGHT_DELAY)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", _TIGHT_DELAY)
+    )
+    pairs = views.join(
+        purchases,
+        on=[
+            views.v_user_id == purchases.p_user_id,
+            purchases.purchase_time >= views.view_time,
+            purchases.purchase_time
+            <= views.view_time + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+    final = run_available_now(pairs, output_mode="append")
+    return final.orderBy("user_id", "view_event_id", "purchase_event_id")
+
+
+def _funnel_tight_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the five-batch tight-funnel fixture once per (session, sf_dir):
+    four time-quartile batches in order, then quartile-0's purchases
+    re-delivered days late as the final batch."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _TIGHT_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    ts_us = ts_us_col(ev)
+    tmin, tmax = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    # Exact integer floor-div, mirrored by the oracle's `//`.
+    banded = ev.withColumn("_us", ts_us).withColumn(
+        "_band", F.expr(f"(4 * (_us - {tmin})) div {tmax - tmin + 1}")
+    )
+    slab = (F.col("_band") == 0) & (F.col("event_type") == "purchase")
+    helper_cols = ("_us", "_band")
+    stage = stage_ordered_batches(
+        [banded.where((F.col("_band") == i) & ~slab).drop(*helper_cols) for i in range(4)]
+        + [banded.where(slab).drop(*helper_cols)]
+    )
+    _TIGHT_STAGE[key] = stage
+    return stage
+
+
+_TIGHT_STAGE: dict[tuple[str, str], str] = {}
+
+
+# ---------------------------------------------------------------------------
 # Streaming dedup (dropDuplicatesWithinWatermark) — the LLM-ingest shape:
 # an at-least-once source replays a whole slab of already-delivered rows
 # (here micro-batch 1 re-sends a third of batch 0), and the dedup operator

@@ -18,6 +18,8 @@ size, after the map-side distinct-per-doc explode.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -361,4 +363,53 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11's second UDF surface: a VECTORIZED pandas UDF registered by NAME
+# into the SQL function catalog (spark.udf.register) and called from a SQL
+# string — the path a SQL-only engine user takes, distinct from the
+# column-API pandas_udf/mapInPandas family the similarity/multimodal
+# queries exercise. The body stays Arrow-batched (Series.str.count, no
+# per-row Python), so registration changes the call surface, not the
+# execution profile; at 100 TB the UDF runs inside the scan's codegen
+# stage with Arrow transfer exactly like its column-API twin.
+# ---------------------------------------------------------------------------
+@_q(
+    "text_sql_registered_udf",
+    oracle=r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_glue_data_lake_spark.tables import register_views
+
+    @pandas_udf("bigint")
+    def _token_count(s: pd.Series) -> pd.Series:
+        # \S+ runs ≡ whitespace-separated tokens; mirrors the oracle's
+        # regexp_extract_all length. documents.text is non-null by fixture
+        # contract, so the int64 cast is total.
+        return s.str.count(r"\S+").astype("int64")
+
+    spark.udf.register("token_count", _token_count)
+    register_views(spark, sf_dir, names=("documents",))
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(SUM(token_count(text)) AS BIGINT) AS total_tokens,
+               CAST(MAX(token_count(text)) AS BIGINT) AS max_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+        """
     )

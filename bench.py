@@ -51,6 +51,20 @@ def main() -> int:
     spark.range(1).count()
     warmup = time.perf_counter() - t0
 
+    # Machine-speed calibration (round 5): identical code measured 72.7s at
+    # r3 and ~160s at r5 with zero plan changes on the regressed queries —
+    # the host drifts between rounds. Report two fixed reference workloads
+    # (pure codegen CPU; parquet scan+agg) so suite seconds are comparable
+    # across rounds as value/calib ratios, not raw wall-clock.
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
+    calib_cpu = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_extendedprice * (1 - l_discount))", "count(*)"
+    ).collect()
+    calib_scan = time.perf_counter() - t0
+
     # Fault isolation: one broken query must never zero out the round's
     # perf signal (BENCH_r04 recorded "parsed": null because the run died
     # mid-suite). Each query gets its own try/except; failures land in
@@ -79,6 +93,8 @@ def main() -> int:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "warmup_sec": round(warmup, 4),
+        "calib_cpu_sec": round(calib_cpu, 4),
+        "calib_scan_sec": round(calib_scan, 4),
         # Execution order: alphabetical by query name (the loop above runs
         # sorted(queries)), independent of CORRECTNESS history. Warm-cache
         # memo families (dedup sketch, NTILE spend, staged fixtures) always

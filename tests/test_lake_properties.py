@@ -87,6 +87,96 @@ def test_model_check_smoke(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Legacy-manifest upgrade under ≥3 INTERLEAVED stream writers (VERDICT r4
+# item 7): a chain written before the cumulative txns map existed is
+# "legacy-ified" at a random point mid-stream (txns stripped from every
+# manifest so far, leaving only per-commit txn records), then more commits
+# land. The first post-legacy commit must fold EVERY writer's history into
+# the map — on the pre-62f9994 code (seed from chain tip only) any writer
+# not at the tip loses its replay-dedup state and this test's replay phase
+# re-appends, breaking both the txns assertion and the exactly-once row
+# count.
+# ---------------------------------------------------------------------------
+import json
+import os
+
+
+def _strip_txns_maps(t):
+    for v in t._manifest_versions():
+        mpath = os.path.join(t._manifests, f"v{v}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m.pop("txns", None)
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+
+_WRITER_BATCHES = st.lists(
+    st.lists(st.integers(0, 9), unique=True, min_size=1, max_size=3).map(sorted),
+    min_size=3,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(per_writer=_WRITER_BATCHES, data=st.data())
+def test_legacy_upgrade_keeps_three_interleaved_writers(
+    spark, tmp_path_factory, per_writer, data
+):
+    # Random interleaving that preserves each writer's batch order (stream
+    # writers commit their own batches in order; interleaving across
+    # writers is arbitrary).
+    slots = [w for w, batches in enumerate(per_writer) for _ in batches]
+    order = data.draw(st.permutations(slots))
+    commits = []
+    cursor = [0, 0, 0]
+    for w in order:
+        commits.append((w, per_writer[w][cursor[w]]))
+        cursor[w] += 1
+    # Legacy-ify after a random prefix (≥1 stream commit so there is
+    # history to fold, ≤ len-1 so a post-legacy commit triggers upgrade).
+    cut = data.draw(st.integers(1, max(1, len(commits) - 1)))
+
+    tmp = tmp_path_factory.mktemp("lake_legacy")
+    t = LakeTable(str(tmp / "t"))
+    t.create(spark.createDataFrame([(0, 0)], "k long, v long"), stat_cols=["k"])
+    expect_last = {}
+    n_rows = 1
+    for i, (w, b) in enumerate(commits):
+        if i == cut:
+            _strip_txns_maps(t)
+        row = spark.createDataFrame([(100 * (w + 1) + b, i)], "k long, v long")
+        snap = t.append_stream_batch(row, writer_id=f"w{w}", batch_id=b)
+        assert snap is not None  # per-writer ids are strictly increasing
+        expect_last[f"w{w}"] = b
+        n_rows += 1
+    if cut == len(commits):  # permutation put the strip at the very end
+        _strip_txns_maps(t)
+    # One new-format commit triggers the one-time upgrade fold.
+    t.append(spark.createDataFrame([(999, 999)], "k long, v long"))
+    n_rows += 1
+    assert t.snapshot().txns == expect_last
+    # Exactly-once under replay of EVERY historical micro-batch, in the
+    # original interleaved order — the non-tip writers are the regression.
+    for w, b in commits:
+        assert t.append_stream_batch(
+            spark.createDataFrame([(-1, -1)], "k long, v long"),
+            writer_id=f"w{w}",
+            batch_id=b,
+        ) is None, f"replayed (w{w}, {b}) re-appended after legacy upgrade"
+    for w in range(3):
+        assert t.last_committed_batch(f"w{w}") == per_writer[w][-1]
+    assert t.read(spark).count() == n_rows
+
+
+# ---------------------------------------------------------------------------
 # Schema evolution (_evolve) under random schema pairs: for any table
 # schema and batch schema drawn from a shared field pool, either a shared
 # name changes type (→ ValueError, evolution is never a cast) or the
