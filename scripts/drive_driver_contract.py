@@ -30,16 +30,27 @@ def main() -> int:
         "the faithful default)",
     )
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="driver heap override (e.g. 8g). Default None = the vanilla "
+        "1g, matching the round driver at sf0.01. A full 99-query session "
+        "at sf0.1 holds ~all the memoized sketches + streaming state and "
+        "OOMs the 1g default around query 60 — heap sizing is an "
+        "operational knob, not part of the session-config contract the "
+        "vanilla default exists to catch, so scale probes pass 8g.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     # Vanilla session — deliberately NOT aws_glue_data_lake_spark.get_spark().
-    spark = (
-        SparkSession.builder.appName("drive-driver-contract")
-        .master(f"local[{args.cpus}]")
-        .getOrCreate()
+    builder = SparkSession.builder.appName("drive-driver-contract").master(
+        f"local[{args.cpus}]"
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as mod
