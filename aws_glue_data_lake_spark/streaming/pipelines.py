@@ -76,6 +76,9 @@ def _stream_with_event_time(spark: SparkSession, stage: str, reader_opts) -> Dat
 
 _run_ids = itertools.count()
 
+#: (applicationId, sf_dir, n_files) → staged drop-dir (see read_events_stream).
+_EVENTS_STAGE: dict[tuple[str, str, int | None], str] = {}
+
 #: Every mkdtemp drop-dir this module creates, removed at interpreter exit
 #: so repeated sessions don't leak staged parquet into the temp dir (the
 #: per-applicationId memos in streaming_queries keep dirs alive for the
@@ -110,17 +113,25 @@ def read_events_stream(
     multi-batch replay that exercises cross-batch state merge and
     watermark advancement."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = _staged_tmpdir("events_stream_")
-    if n_files is None:
-        # Zero-copy staging, read-only on the fixture.
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(stage, "events.parquet"),
-        )
-    else:
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
-            n_files
-        ).write.mode("overwrite").parquet(stage)
+    # The staged drop-dir is immutable once written — memoize per
+    # (session, sf_dir, n_files) so every query over the same replay shape
+    # (tumbling_multibatch and the funnel both drain the 6-file split)
+    # shares one staging write instead of re-partitioning the fixture.
+    memo_key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    stage = _EVENTS_STAGE.get(memo_key)
+    if stage is None:
+        stage = _staged_tmpdir("events_stream_")
+        if n_files is None:
+            # Zero-copy staging, read-only on the fixture.
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(stage, "events.parquet"),
+            )
+        else:
+            spark.read.parquet(
+                os.path.join(sf_dir, "events.parquet")
+            ).repartition(n_files).write.mode("overwrite").parquet(stage)
+        _EVENTS_STAGE[memo_key] = stage
     def _opts(reader):
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
