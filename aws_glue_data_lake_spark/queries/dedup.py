@@ -60,16 +60,25 @@ tk AS (
 
 
 def shingles(tk: Column | None = None) -> Column:
+    """Word-trigram shingles, built by zipping the token array with its own
+    1- and 2-shifted slices (positional order preserved, first-occurrence
+    dedup — identical output to the naive indexed form).
+
+    Why zip_with and not ``transform(sequence(1, n-2), i ->
+    element_at(tk, i)...)``: Catalyst inlines a projected column's defining
+    expression into every reference, and an ``element_at(tk, i)`` INSIDE a
+    lambda re-evaluates the whole inlined tokenizer per element — the
+    indexed form is O(tokens²) splits per document (measured 6.1 s → 0.86 s
+    at sf0.1 for the shingle stage alone). zip_with iterates all three
+    arrays in lockstep, evaluating the token expression once per row."""
     tk = toks() if tk is None else tk
     n = F.size(tk)
-    gram = lambda arr, i: F.concat_ws(
-        " ", F.element_at(arr, i), F.element_at(arr, i + 1), F.element_at(arr, i + 2)
-    )
+    rest = lambda k: F.slice(tk, k, F.greatest(n - (k - 2), F.lit(0)))
+    g2 = F.zip_with(tk, rest(2), lambda a, b: F.concat_ws(" ", a, b))
+    g3 = F.zip_with(g2, rest(3), lambda a, b: F.concat_ws(" ", a, b))
     return F.when(
         n >= 3,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n - 2), lambda i: gram(tk, i))
-        ),
+        F.array_distinct(F.slice(g3, 1, F.greatest(n - 2, F.lit(0)))),
     ).otherwise(F.array().cast("array<string>"))
 
 
