@@ -85,6 +85,61 @@ def streaming_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame
     return final.orderBy("window_start_us", "event_type")
 
 
+# Sliding (hopping) windows — the §2.10 member between tumbling and
+# session: width 20 min, slide 10 min, so every event lands in EXACTLY two
+# epoch-aligned windows (width/slide = 2) and the oracle is a 2-way UNNEST
+# of the event's slide bucket b → window starts {b−slide, b}. State per
+# key is (width/slide)× the tumbling equivalent — the scale cost of
+# overlap is explicit and bounded by the ratio, not the stream.
+_SLIDE_US = _TEN_MIN_US
+
+
+@_q(
+    "streaming_sliding_counts",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, event_type, value FROM events
+), b AS (
+  SELECT event_type, value, (ts_us // {_SLIDE_US}) * {_SLIDE_US} AS bucket
+  FROM e
+), x AS (
+  SELECT event_type, value,
+         UNNEST([bucket - {_SLIDE_US}, bucket]) AS window_start_us
+  FROM b
+)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM x
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.window("event_time", "20 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    final = run_available_now(agg, output_mode="complete")
+    return final.orderBy("window_start_us", "event_type")
+
+
 @_q(
     "streaming_session_windows",
     oracle=f"""
