@@ -38,6 +38,22 @@ def toks(col: Column = None) -> Column:
     return F.filter(F.split(c, " "), lambda x: x != "")
 
 
+def trigrams(tk: Column) -> Column:
+    """All word trigrams in positional order, duplicates kept, built by
+    zipping the token array with its own 1-/2-shifted slices. The naive
+    ``transform(sequence, i -> element_at(tk, i)...)`` form re-evaluates
+    the inlined tokenizer per element (Catalyst inlines projected columns
+    into every reference and CSE can't reach inside HOF lambdas) — O(n²)
+    splits per document; this form evaluates it once per row."""
+    n = F.size(tk)
+    rest = lambda k: F.slice(tk, k, F.greatest(n - (k - 2), F.lit(0)))
+    g2 = F.zip_with(tk, rest(2), lambda a, b: F.concat_ws(" ", a, b))
+    g3 = F.zip_with(g2, rest(3), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(
+        n >= 3, F.slice(g3, 1, F.greatest(n - 2, F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # Tiny stopword list shared with the oracle (subset of the fixture vocab).
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -238,18 +254,7 @@ ORDER BY doc_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = toks()
-    n = F.size(F.col("toks"))
-    shingle_at = lambda i: F.md5(
-        F.concat_ws(
-            " ",
-            F.element_at("toks", i),
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-        )
-    )
-    shingles = F.when(
-        n >= 3, F.transform(F.sequence(F.lit(1), n - 2), shingle_at)
-    ).otherwise(F.array().cast("array<string>"))
+    shingles = F.transform(trigrams(F.col("toks")), lambda x: F.md5(x))
     return (
         d.select("doc_id", tk.alias("toks"))
         .select(
