@@ -38,6 +38,18 @@ def toks(col: Column = None) -> Column:
     return F.filter(F.split(c, " "), lambda x: x != "")
 
 
+def bigrams(tk: Column) -> Column:
+    """All word bigrams in positional order, duplicates kept — zip_with
+    self-shift, same rationale as trigrams()."""
+    n = F.size(tk)
+    g2 = F.zip_with(
+        tk,
+        F.slice(tk, 2, F.greatest(n, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.slice(g2, 1, F.greatest(n - 1, F.lit(0)))
+
+
 def trigrams(tk: Column) -> Column:
     """All word trigrams in positional order, duplicates kept, built by
     zipping the token array with its own 1-/2-shifted slices. The naive
@@ -355,15 +367,9 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tk = toks()
     n = F.size(tk)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tk, i), F.element_at(tk, i + 1)
-        ),
-    )
     return (
         d.where(n >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(bigrams(tk)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "bigram")
