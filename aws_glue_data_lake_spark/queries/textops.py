@@ -466,3 +466,75 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the training-data pass that flags corpus
+# documents sharing any word trigram with a held-out eval set (here: every
+# 97th document stands in for the benchmark). Scale shape: the eval side
+# is benchmark-sized (thousands of documents, MBs of distinct n-grams), so
+# its distinct-gram set is BROADCAST and the corpus side never shuffles —
+# each scan task probes the in-memory gram set and the only exchange is
+# the final per-source aggregate. At 100 TB the broadcast is the same
+# (eval sets don't grow with the corpus); a Bloom filter over the grams is
+# the drop-in refinement if the exact set outgrows memory.
+# ---------------------------------------------------------------------------
+_EVAL_MOD = 97
+
+_TRIGRAM_SQL = f"""CASE WHEN LEN({TOKS_SQL}) >= 3 THEN
+  LIST_TRANSFORM(generate_series(1, LEN({TOKS_SQL}) - 2),
+    i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2])
+  ELSE [] END"""
+
+
+@_q(
+    "text_decontaminate_overlap",
+    oracle=f"""
+WITH tg AS (
+  SELECT doc_id, source, UNNEST(LIST_DISTINCT({_TRIGRAM_SQL})) AS g
+  FROM documents
+), eval_grams AS (
+  SELECT DISTINCT g FROM tg WHERE doc_id % {_EVAL_MOD} = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, source FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id, t.source
+  FROM tg t JOIN eval_grams e USING (g)
+  WHERE t.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(x.doc_id) AS BIGINT) AS n_contaminated
+FROM corpus c LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+GROUP BY c.source
+ORDER BY c.source
+""",
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(trigrams(toks()))).alias("g"),
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+    corpus = d.where(F.col("doc_id") % _EVAL_MOD != 0)
+    contaminated = (
+        grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
