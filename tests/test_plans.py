@@ -220,3 +220,32 @@ def test_salted_join_splits_forced_hot_key(spark):
 
     assert max_partition_share(hot, "o_custkey") > 0.85  # the straggler
     assert max_partition_share(salted, "o_custkey", "salt") < 0.35
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination's scale contract: the eval-side gram set is
+    broadcast, so the corpus side is probed in place — no shuffle of
+    corpus trigrams onto a join key. A SortMergeJoin here would shuffle
+    the whole corpus's gram explosion at 100 TB."""
+    plan = plan_of(spark, "text_decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_token_count_stays_in_codegen(spark):
+    """The pre-tokenizer regex runs JVM-side: no Python evaluation
+    operators may appear, the scan reads only the referenced columns, and
+    the only exchanges are the final per-source aggregate + ORDER BY."""
+    plan = plan_of(spark, "text_bpe_token_count")
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    assert "ReadSchema: struct<text:string,source:string" in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg + ORDER BY
+
+
+def test_sql_registered_udf_is_arrow_vectorized(spark):
+    """The SQL-catalog-registered UDF must plan as an Arrow-batched
+    ArrowEvalPython, never a row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, "text_sql_registered_udf")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
