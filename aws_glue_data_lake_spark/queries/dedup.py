@@ -766,15 +766,17 @@ _KEY_COLS_SQL = ",\n         ".join(
     f" / {2 * _BAND_W}) AS b{i}"
     for i in range(1, _N_BAND_DIMS + 1)
 )
-_KEY_EQ_SQL = " AND ".join(
-    ["a.label = b.label", "a.p = b.p"]
-    + [f"a.b{i} = b.b{i}" for i in range(1, _N_BAND_DIMS + 1)]
-)
 
 
-@_q(
-    "dedup_embedding_cosine",
-    oracle=f"""
+def _embedding_cosine_oracle(with_label: bool) -> str:
+    """DuckDB twin of ``_embedding_cosine_topk`` — the cap partition and the
+    candidate equi-join use exactly the Spark join key (with or without
+    ``label``), so both engines agree for any input."""
+    key_cols = (["label"] if with_label else []) + ["p"] + [
+        f"b{i}" for i in range(1, _N_BAND_DIMS + 1)
+    ]
+    key_eq = " AND ".join(f"a.{c} = b.{c}" for c in key_cols)
+    return f"""
 WITH nv AS (
   SELECT vec_id, label, embedding,
          SQRT({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm
@@ -785,11 +787,11 @@ keys AS (
          {_KEY_COLS_SQL}
   FROM nv, UNNEST(generate_series(0, {_N_PHASES - 1})) AS u(p)
   QUALIFY COUNT(*) OVER (
-    PARTITION BY label, p, b1, b2, b3, b4) <= {_MAX_BUCKET}
+    PARTITION BY {', '.join(key_cols)}) <= {_MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM keys a JOIN keys b ON {_KEY_EQ_SQL} AND a.vec_id < b.vec_id
+  FROM keys a JOIN keys b ON {key_eq} AND a.vec_id < b.vec_id
 ),
 pairs AS (
   SELECT c.vec_a, c.vec_b,
@@ -803,9 +805,14 @@ SELECT vec_a, vec_b, cosine
 FROM pairs
 ORDER BY cosine DESC, vec_a, vec_b
 LIMIT 20
-""",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, with_label: bool
+) -> DataFrame:
+    """All banded candidate pairs with exact cosine — shared by the
+    per-label and global top-k variants (and by the superset test)."""
     e = t(spark, sf_dir, "embeddings")
     nv = e.select(
         "vec_id",
@@ -833,10 +840,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("k"),
     ).select("vec_id", "label", "k.*")
-    keys = _cap_buckets(
-        keys, keys=("label", "p", *[f"b{i}" for i in range(1, _N_BAND_DIMS + 1)])
-    )
-    join_cols = ["label", "p"] + [f"b{i}" for i in range(1, _N_BAND_DIMS + 1)]
+    join_cols = (["label"] if with_label else []) + ["p"] + [
+        f"b{i}" for i in range(1, _N_BAND_DIMS + 1)
+    ]
+    keys = _cap_buckets(keys, keys=tuple(join_cols))
     a = keys.select(F.col("vec_id").alias("vec_a"), *join_cols)
     b = keys.select(F.col("vec_id").alias("vec_b"), *join_cols)
     cand = (
@@ -860,9 +867,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(na, "vec_a")
         .join(nb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
+    )
+
+
+def _embedding_cosine_topk(
+    spark: SparkSession, sf_dir: str, with_label: bool
+) -> DataFrame:
+    return (
+        _embedding_cosine_pairs(spark, sf_dir, with_label)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+@_q("dedup_embedding_cosine", oracle=_embedding_cosine_oracle(True))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_cosine_topk(spark, sf_dir, with_label=True)
+
+
+@_q("dedup_embedding_cosine_global", oracle=_embedding_cosine_oracle(False))
+def dedup_embedding_cosine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-FREE embedding near-dedup: identical banding scheme, but the
+    candidate join key is (phase, buckets) only — near-identical vectors
+    with different labels ARE candidates. This is the training-corpus
+    dedup story: cross-source duplicates (the dominant duplication mode in
+    web-scale corpora) never share a source/label, so a label-blocked
+    scheme structurally misses them. The bucket cap still bounds every
+    block at ``_MAX_BUCKET``; dropping label only merges buckets, so the
+    shuffle stays keyed and flood-proof. Candidate recall is a strict
+    superset of the per-label variant whenever no merged bucket trips the
+    cap (pinned by tests/test_dedup_scale.py)."""
+    return _embedding_cosine_topk(spark, sf_dir, with_label=False)
 
 
 # ---------------------------------------------------------------------------

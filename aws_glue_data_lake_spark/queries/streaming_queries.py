@@ -639,6 +639,18 @@ def _funnel_tight_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = t(spark, sf_dir, "events")
     ts_us = ts_us_col(ev)
     tmin, tmax = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    # The oracle's "slab purchases can never pair" premise needs the late
+    # slab to be unpairable: quartile width must exceed the 30-minute join
+    # bound plus the watermark delay. Fail loudly on a short-span fixture
+    # instead of silently diverging from the oracle.
+    quartile_us = (tmax - tmin) // 4
+    min_span_us = _FUNNEL_BOUND_US + 5 * 60 * 1_000_000  # 30min bound + 5min delay
+    if quartile_us <= min_span_us:
+        raise AssertionError(
+            f"events span too short for the tight-funnel oracle: quartile "
+            f"width {quartile_us}us must exceed join bound + watermark delay "
+            f"({min_span_us}us); regenerate or widen the fixture"
+        )
     # Exact integer floor-div, mirrored by the oracle's `//`.
     banded = ev.withColumn("_us", ts_us).withColumn(
         "_band", F.expr(f"(4 * (_us - {tmin})) div {tmax - tmin + 1}")

@@ -436,8 +436,14 @@ def text_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mixed text before pinning). Pure JVM codegen regex (regexp_extract_all
 # + size): no UDF, no Arrow hop; at 100 TB this runs inside the scan's
 # whole-stage codegen with only the final per-source agg shuffling.
+# Whitespace is an explicit character class, not \s: Java's \s includes
+# \x0B where RE2's does not, so the cross-engine identity would otherwise
+# hold only fixture-by-fixture instead of by construction.
 # ---------------------------------------------------------------------------
-_BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_WS = r" \t\n\r\f"
+_BPE_RE = (
+    rf" ?\p{{L}}+| ?\p{{N}}+| ?[^{_BPE_WS}\p{{L}}\p{{N}}]+|[{_BPE_WS}]+"
+)
 
 
 @_q(
@@ -529,7 +535,10 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
+        # DISTINCT mirrors the oracle's `SELECT DISTINCT doc_id, source` so
+        # the count stays right even if a producer emits duplicate doc_ids.
         corpus.select("doc_id", "source")
+        .distinct()
         .join(contaminated, "doc_id", "left")
         .groupBy("source")
         .agg(

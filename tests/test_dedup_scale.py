@@ -34,6 +34,29 @@ def test_small_identical_group_below_cap_pairs_fully(spark):
     assert all(r["n_shared_bands"] == 8 for r in pairs)
 
 
+def test_embedding_global_pairs_superset_of_per_label(spark):
+    """The label-free banding variant must recover every per-label
+    candidate pair AND find cross-label pairs the blocked scheme
+    structurally misses (on the fixture no merged bucket trips the cap,
+    so recall can only grow)."""
+    from aws_glue_data_lake_spark.queries.dedup import _embedding_cosine_pairs
+
+    sf_dir = "/root/testdata/sf0.01"
+    per_label = {
+        (r["vec_a"], r["vec_b"])
+        for r in _embedding_cosine_pairs(spark, sf_dir, True).collect()
+    }
+    global_ = {
+        (r["vec_a"], r["vec_b"])
+        for r in _embedding_cosine_pairs(spark, sf_dir, False).collect()
+    }
+    assert per_label <= global_, sorted(per_label - global_)[:10]
+    assert len(global_) > len(per_label), (
+        "fixture should contain cross-label near-dups; if this starts "
+        "failing the fixture generator changed"
+    )
+
+
 def test_flood_above_cap_is_dropped_not_quadratic(spark):
     n = 10_000
     assert n > _MAX_BUCKET

@@ -10,6 +10,8 @@ What must hold at any scale:
 - global LIMIT+ORDER BY uses TakeOrderedAndProject (no full sort).
 """
 
+import re
+
 import pytest
 
 from aws_glue_data_lake_spark.queries import all_queries
@@ -239,7 +241,12 @@ def test_bpe_token_count_stays_in_codegen(spark):
     plan = plan_of(spark, "text_bpe_token_count")
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan
-    assert "ReadSchema: struct<text:string,source:string" in plan
+    # Pruning pin, order-insensitive: the scan must read exactly the
+    # referenced columns, whatever order the scan happens to emit them in.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"text", "source", "n_chars"}
     assert plan.count("Exchange") <= 2  # partial->final agg + ORDER BY
 
 
