@@ -177,6 +177,118 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Left join + COUNT distribution (TPC-H Q13 shape): "how many customers
+# have how many orders" — the histogram every analyst writes, with a
+# predicate on the order side (here: exclude urgent orders, standing in
+# for Q13's comment filter; the fixture has no o_comment). Scale shape:
+# orders is pre-aggregated to ONE ROW PER CUSTKEY *before* the left join
+# — the filter and a two-column projection reach the parquet scan, so the
+# join never shuffles the unfiltered orders table, and customers with no
+# orders surface via COALESCE(cnt, 0). Pinned in tests/test_plans.py.
+# --------------------------------------------------------------------------
+@_q(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) t ON c.c_custkey = t.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("cnt", F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested semi-join chain (TPC-H Q20 shape, adapted: the fixture has no
+# partsupp, so "availability exceeds half the shipped quantity" becomes a
+# HAVING over shipped quantity per (supplier, part)): suppliers in the
+# NATION_1x block who shipped > 30 units of some small-named part during
+# 1997. Three nesting levels, each decorrelated the way Catalyst would:
+# part-filter → broadcast semi into lineitem (the filtered part list is
+# dimension-sized at any scale); grouped HAVING → the heavy reduction, one
+# shuffle on (suppkey, partkey); survivor keys and the nation filter →
+# broadcast semis into supplier. The quantity threshold compares an exact
+# decimal sum so Spark and DuckDB agree on boundary rows.
+# --------------------------------------------------------------------------
+@_q(
+    "q20_small_part_bulk_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18, 6))) AS DOUBLE) > 30
+)
+AND s_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%'
+)
+ORDER BY s_suppkey
+""",
+)
+def q20_small_part_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    small_parts = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    bulk_suppliers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation_keys = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_name").startswith("NATION_1"))
+        .select("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(bulk_suppliers), s.s_suppkey == bulk_suppliers.l_suppkey, "left_semi")
+        .join(F.broadcast(nation_keys), s.s_nationkey == nation_keys.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch event-time bucketing: tumbling 1-day windows over `events` via
 # F.window — the batch twin of streaming_tumbling_counts (§2.10). Follows
 # the engine-wide event-time convention (tables.py): parquet nano

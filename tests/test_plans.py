@@ -250,6 +250,38 @@ def test_bpe_token_count_stays_in_codegen(spark):
     assert plan.count("Exchange") <= 2  # partial->final agg + ORDER BY
 
 
+def test_q13_aggregates_filtered_orders_before_left_join(spark):
+    """Q13's scale contract: the priority filter and a two-column
+    projection reach the orders scan, and orders is reduced to per-custkey
+    counts BEFORE the left join — the join must never shuffle the
+    unfiltered orders table."""
+    plan = formatted_plan_of(spark, "q13_customer_order_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*o_custkey[^>]*)>", plan)
+    assert m, plan
+    orders_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert orders_cols == {"o_custkey", "o_orderpriority"}
+    # the left join's build side is the aggregated counts: a HashAggregate
+    # must appear below the LeftOuter join in the tree
+    tree = plan.split("(1) Scan")[0]
+    join_at = tree.index("LeftOuter")
+    assert "HashAggregate" in tree[join_at:], tree
+
+
+def test_q20_plans_semi_join_chain(spark):
+    """Q20's three nesting levels must each plan as a broadcast semi join
+    (part-filter into lineitem, survivors and nation keys into supplier) —
+    cf. the EXISTS pin above; a SortMergeJoin would shuffle the fact side
+    for dimension-sized probe lists."""
+    plan = plan_of(spark, "q20_small_part_bulk_suppliers")
+    assert plan.count("LeftSemi") >= 3
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    fplan = formatted_plan_of(spark, "q20_small_part_bulk_suppliers")
+    assert "StringStartsWith(p_name,small)" in fplan
+    assert "GreaterThanOrEqual(l_shipdate" in fplan
+
+
 def test_sql_registered_udf_is_arrow_vectorized(spark):
     """The SQL-catalog-registered UDF must plan as an Arrow-batched
     ArrowEvalPython, never a row-at-a-time BatchEvalPython."""
