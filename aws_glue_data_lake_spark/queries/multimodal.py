@@ -148,6 +148,68 @@ def _real_codec_available() -> bool:
 _HAS_PIL: bool | None = None
 
 
+#: Y4M chroma subsampling → bytes per pixel numerator/denominator
+#: (frame bytes = W*H*num//den). C420 family variants (jpeg/mpeg2/paldv)
+#: share the 4:2:0 layout.
+_Y4M_PLANES = {
+    "mono": (1, 1),
+    "420": (3, 2),
+    "420jpeg": (3, 2),
+    "420mpeg2": (3, 2),
+    "420paldv": (3, 2),
+    "422": (2, 1),
+    "444": (3, 1),
+}
+
+
+def _decode_y4m(payload: bytes):
+    """Real video decode for the uncompressed YUV4MPEG2 container (the
+    format ffmpeg/mjpegtools pipe raw video through): parse the stream
+    header for geometry and chroma mode, then concatenate every FRAME's
+    raw planar YUV bytes into one uint8 sample array — the per-pixel
+    analogue of the WAV path's PCM samples. Pure stdlib; compressed
+    codecs (h264 etc.) would slot in behind the same seam."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "no real codec available for this video container "
+            "(only uncompressed YUV4MPEG2 is wired)"
+        )
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="replace")
+    width = height = None
+    chroma = "420jpeg"  # the Y4M default when no C tag is present
+    for tag in header.split(" ")[1:]:
+        if tag.startswith("W"):
+            width = int(tag[1:])
+        elif tag.startswith("H"):
+            height = int(tag[1:])
+        elif tag.startswith("C"):
+            chroma = tag[1:]
+    if not width or not height:
+        raise ValueError(f"Y4M header missing geometry: {header!r}")
+    if chroma not in _Y4M_PLANES:
+        raise NotImplementedError(f"unsupported Y4M chroma mode: {chroma}")
+    num, den = _Y4M_PLANES[chroma]
+    frame_bytes = width * height * num // den
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("Y4M frame marker missing")
+        start = fnl + 1
+        if start + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(payload[start:start + frame_bytes],
+                                    dtype=np.uint8))
+        pos = start + frame_bytes
+    if not frames:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(frames)
+
+
 def decode_media(media_type: str, payload: bytes, *, use_real_codec: bool = False):
     """Decode an opaque payload into a sample array.
 
@@ -161,7 +223,9 @@ def decode_media(media_type: str, payload: bytes, *, use_real_codec: bool = Fals
     - ``audio`` → WAV/PCM via the stdlib ``wave`` module (always
       available): frames decode to int16/uint8 samples. ffmpeg-backed
       formats would slot in behind the same gate;
-    - ``video`` → no codec wired; the NotImplementedError IS the contract.
+    - ``video`` → uncompressed YUV4MPEG2 (pure stdlib parse; raw planar
+      YUV frame bytes as uint8 samples). Other containers raise — the
+      seam is the contract, compressed codecs plug in behind it.
     """
     import numpy as np
 
@@ -186,6 +250,8 @@ def decode_media(media_type: str, payload: bytes, *, use_real_codec: bool = Fals
             raise NotImplementedError(
                 f"unsupported WAV sample width: {width} bytes"
             )
+        if media_type == "video":
+            return _decode_y4m(payload)
         raise NotImplementedError(
             f"no real codec available for media_type={media_type!r}"
         )

@@ -129,6 +129,18 @@ def _wav_bytes(samples, width=2, rate=8000):
     return buf.getvalue()
 
 
+def _y4m_bytes(frames, width, height, rate="25:1", chroma=None):
+    """Deterministic YUV4MPEG2 payload: stream header + FRAME-marked raw
+    planar bytes (the format ffmpeg emits for `-f yuv4mpegpipe`)."""
+    header = f"YUV4MPEG2 W{width} H{height} F{rate} Ip A1:1"
+    if chroma:
+        header += f" C{chroma}"
+    out = header.encode() + b"\n"
+    for f in frames:
+        out += b"FRAME\n" + bytes(f)
+    return out
+
+
 class TestRealAudioCodec:
     """The opt-in real-codec slot, wired for WAV via the stdlib wave
     module: a genuine decode (RIFF header parsed, PCM frames extracted),
@@ -156,6 +168,43 @@ class TestRealAudioCodec:
         # The fake sees 44 header bytes + frames; the real codec sees
         # exactly the 2 PCM samples.
         assert real.size == 2 and fake.size == len(payload)
+
+    def test_y4m_roundtrip_420(self):
+        # 4×2 C420: frame = 8 luma + 2×2 chroma bytes = 12 bytes.
+        frames = [list(range(12)), list(range(100, 112))]
+        got = decode_media("video", _y4m_bytes(frames, 4, 2), use_real_codec=True)
+        assert got.dtype == np.uint8
+        assert got.tolist() == frames[0] + frames[1]
+
+    def test_y4m_roundtrip_444_and_mono(self):
+        # 2×2 C444: 12 bytes/frame; mono: 4 bytes/frame.
+        got = decode_media(
+            "video", _y4m_bytes([list(range(12))], 2, 2, chroma="444"),
+            use_real_codec=True,
+        )
+        assert got.tolist() == list(range(12))
+        got = decode_media(
+            "video", _y4m_bytes([[9, 8, 7, 6]], 2, 2, chroma="mono"),
+            use_real_codec=True,
+        )
+        assert got.tolist() == [9, 8, 7, 6]
+
+    def test_y4m_non_container_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_media("video", b"RIFF....AVI LIST", use_real_codec=True)
+
+    def test_y4m_truncated_frame_raises(self):
+        payload = _y4m_bytes([list(range(12))], 4, 2)[:-3]
+        with pytest.raises(ValueError):
+            decode_media("video", payload, use_real_codec=True)
+
+    def test_y4m_real_decode_differs_from_fake(self):
+        payload = _y4m_bytes([list(range(12))], 4, 2)
+        real = decode_media("video", payload, use_real_codec=True)
+        fake = decode_media("video", payload)
+        # The fake sees header + FRAME markers + bytes; the real codec
+        # sees exactly the 12 frame samples.
+        assert real.size == 12 and fake.size == len(payload)
 
     def test_mapinpandas_pipeline_with_real_codec(self, spark):
         """Rows-only end-to-end: binary WAV payloads through the generic
