@@ -808,18 +808,35 @@ LIMIT 20
 """
 
 
+def _norm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized (vec_id, label, embedding, norm) — the exact-
+    decimal norm is the expensive shared input of BOTH banding variants
+    (key emission reads it twice, the cosine join twice more), so one
+    persist per (session, fixture) serves all four reads of each variant
+    and both variants of the same suite run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NORM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    nv = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).persist()
+    _NORM_CACHE[key] = nv
+    return nv
+
+
+_NORM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _embedding_cosine_pairs(
     spark: SparkSession, sf_dir: str, with_label: bool
 ) -> DataFrame:
     """All banded candidate pairs with exact cosine — shared by the
     per-label and global top-k variants (and by the superset test)."""
-    e = t(spark, sf_dir, "embeddings")
-    nv = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    ).persist()  # both key-emission sides + both cosine joins read it
+    nv = _norm_table(spark, sf_dir)
 
     def bucket(i: int, p: int) -> Column:
         scaled = F.element_at("embedding", i).cast("double") / F.col("norm")
@@ -843,7 +860,10 @@ def _embedding_cosine_pairs(
     join_cols = (["label"] if with_label else []) + ["p"] + [
         f"b{i}" for i in range(1, _N_BAND_DIMS + 1)
     ]
-    keys = _cap_buckets(keys, keys=tuple(join_cols))
+    # Persist the capped key table: it feeds both sides of the self-join,
+    # and without the boundary the 16-way explode + window count runs
+    # twice (projection collapse — same trap as _shingle_table).
+    keys = _cap_buckets(keys, keys=tuple(join_cols)).persist()
     a = keys.select(F.col("vec_id").alias("vec_a"), *join_cols)
     b = keys.select(F.col("vec_id").alias("vec_b"), *join_cols)
     cand = (

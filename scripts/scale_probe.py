@@ -1,0 +1,217 @@
+"""Scale-stress probe (VERDICT r5 #4): run the cap/state-machinery query
+families at sf0.1 and at the ~10× slab (scripts/gen_scale_slab.py) in ONE
+session per scale, and report:
+
+- per-query wall seconds at both scales + the slab/base ratio (the slab
+  carries 10× the rows, so ratio ≤ ~10 = linear-or-better; the probe
+  flags anything above --max-ratio as superlinear);
+- bucket-cap drop rates for the MinHash-LSH bands and both embedding
+  banding schemes (how much work the _MAX_BUCKET guard actually sheds);
+- streaming state rows (max across micro-batches, from the progress
+  telemetry of a representative run).
+
+Prints one JSON document; paste the summary into BASELINE.md.
+
+Usage: python scripts/scale_probe.py [--base /root/testdata/sf0.1]
+       [--slab .slab/x10] [--max-ratio 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Probe order is fixed; first dedup query pays the memoized minhash
+#: sketch build at each scale (same attribution at both scales).
+PROBE_QUERIES = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_global",
+    "text_decontaminate_overlap",
+    "streaming_tumbling_counts",
+    "streaming_stateful_user_stats",
+    "streaming_stream_join_funnel",
+    "streaming_stream_join_funnel_tight",
+)
+
+
+def cap_stats(spark, sf_dir: str) -> dict:
+    """Fraction of band keys the _MAX_BUCKET cap drops, per scheme."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_glue_data_lake_spark.queries import dedup as dd
+    from aws_glue_data_lake_spark.queries.base import t
+
+    out = {}
+
+    # Pre-cap minhash band table: same construction as dd._minhash_bands
+    # minus the _cap_buckets call, so the measured drop rate is exactly
+    # what the cap sheds in production.
+    sk = dd._minhash_sketch(spark, sf_dir)
+    band_key = lambda j: F.md5(  # noqa: E731 — mirrors _minhash_bands
+        F.concat_ws(
+            "|",
+            F.element_at("m", 3 * j + 1),
+            F.element_at("m", 3 * j + 2),
+            F.element_at("m", 3 * j + 3),
+        )
+    )
+    pre = sk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(dd._N_BANDS - 1)), band_key)
+        ).alias("band_idx", "band_key"),
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    counted = pre.withColumn("n", F.count("*").over(w))
+    total, dropped, maxb = counted.agg(
+        F.count("*"),
+        F.sum((F.col("n") > dd._MAX_BUCKET).cast("long")),
+        F.max("n"),
+    ).first()
+    out["minhash_bands"] = {
+        "keys": total, "dropped": int(dropped or 0),
+        "drop_rate": round((dropped or 0) / max(total, 1), 6),
+        "max_bucket": maxb,
+    }
+
+    for with_label, tag in ((True, "embedding_per_label"),
+                            (False, "embedding_global")):
+        e = t(spark, sf_dir, "embeddings")
+        nv = e.select(
+            "vec_id", "label", "embedding",
+            F.sqrt(dd.ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+
+        def bucket(i: int, p: int):
+            scaled = F.element_at("embedding", i).cast("double") / F.col("norm")
+            return F.floor(
+                (scaled + ((p >> (i - 1)) & 1) * dd._BAND_W) / (2 * dd._BAND_W)
+            )
+
+        keys = nv.select(
+            "vec_id", "label",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        *[bucket(i, p).alias(f"b{i}")
+                          for i in range(1, dd._N_BAND_DIMS + 1)],
+                    )
+                    for p in range(dd._N_PHASES)
+                ])
+            ).alias("k"),
+        ).select("vec_id", "label", "k.*")
+        key_cols = ((["label"] if with_label else []) + ["p"]
+                    + [f"b{i}" for i in range(1, dd._N_BAND_DIMS + 1)])
+        w = Window.partitionBy(*key_cols)
+        counted = keys.withColumn("n", F.count("*").over(w))
+        total, dropped, maxb = counted.agg(
+            F.count("*"),
+            F.sum((F.col("n") > dd._MAX_BUCKET).cast("long")),
+            F.max("n"),
+        ).first()
+        out[tag] = {
+            "keys": total, "dropped": int(dropped or 0),
+            "drop_rate": round((dropped or 0) / max(total, 1), 6),
+            "max_bucket": maxb,
+        }
+    return out
+
+
+def state_rows(spark, sf_dir: str) -> dict:
+    """Max state rows across micro-batches for a representative stateful
+    stream (tumbling counts), from the progress telemetry."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.queries.streaming_queries import (
+        _replay_batches_dir,  # staged fixture reuse
+    )
+    from aws_glue_data_lake_spark.streaming.pipelines import (
+        read_staged_batches_stream,
+    )
+
+    stage = _replay_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    agg = (
+        stream.withWatermark("event_time", "40 days")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation",
+                os.path.join(stage, "probe_ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators") or []:
+            rows = max(rows, op.get("numRowsTotal", 0))
+    return {"tumbling_agg_max_state_rows": rows}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--slab",
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".slab", "x10"),
+    )
+    ap.add_argument("--max-ratio", type=float, default=12.0)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from aws_glue_data_lake_spark.queries import all_queries
+
+    os.environ["SPARK_GRAFT_NO_REORDER"] = "1"
+    result: dict = {"base": args.base, "slab": args.slab, "timings": {}}
+
+    for scale, sf_dir in (("base", args.base), ("slab", args.slab)):
+        spark = (
+            SparkSession.builder.appName(f"scale-probe-{scale}")
+            .master(f"local[{args.cpus}]")
+            .config("spark.driver.memory", "16g")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        queries = all_queries()
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).limit(200_000).collect()
+            result["timings"].setdefault(name, {})[scale] = round(
+                time.perf_counter() - t0, 3)
+        result[f"cap_stats_{scale}"] = cap_stats(spark, sf_dir)
+        result[f"state_{scale}"] = state_rows(spark, sf_dir)
+        spark.stop()
+
+    superlinear = {}
+    for name, t in result["timings"].items():
+        ratio = round(t["slab"] / max(t["base"], 1e-9), 2)
+        t["ratio"] = ratio
+        if ratio > args.max_ratio:
+            superlinear[name] = ratio
+    result["superlinear"] = superlinear
+    result["verdict"] = "FAIL" if superlinear else "PASS"
+    print(json.dumps(result, indent=1))
+    return 1 if superlinear else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
