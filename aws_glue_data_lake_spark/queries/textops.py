@@ -547,3 +547,135 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals per document — the Gopher-style rules a
+# training-data pipeline gates on (C4/Gopher/RefinedWeb all filter on
+# repetition): distinct-word ratio, most-frequent-word dominance, and the
+# duplicate-bigram fraction. Scale shape: the array-local stats (sizes,
+# distinct sizes) are computed scan-side with zero shuffle; only the
+# top-word count needs a real aggregation, and its shuffle is keyed on
+# (doc_id, word) with map-side partial counts — never on the raw text.
+# ---------------------------------------------------------------------------
+_BIGRAM_LIST_SQL = (
+    "CASE WHEN LEN(t) >= 2 THEN LIST_TRANSFORM("
+    "generate_series(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE [] END"
+)
+
+
+@_q(
+    "text_repetition_signals",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({TOKS_SQL}) AS w FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+),
+words AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, LEN({_BIGRAM_LIST_SQL}) AS nb,
+         LEN(LIST_DISTINCT({_BIGRAM_LIST_SQL})) AS ndb
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+)
+SELECT w.doc_id,
+       w.n_tokens,
+       ROUND(w.n_distinct * 1.0 / w.n_tokens, 6) AS distinct_ratio,
+       ROUND(w.top_c * 1.0 / w.n_tokens, 6) AS top_word_frac,
+       CASE WHEN b.nb > 0 THEN ROUND(1.0 - b.ndb * 1.0 / b.nb, 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM words w JOIN bg b ON w.doc_id = b.doc_id
+ORDER BY w.doc_id
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", toks().alias("tk"))
+    arr = d.select(
+        "doc_id",
+        F.size(bigrams(F.col("tk"))).alias("nb"),
+        F.size(F.array_distinct(bigrams(F.col("tk")))).alias("ndb"),
+    )
+    wc = (
+        d.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    words = wc.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_c"),
+    )
+    return (
+        words.join(arr, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") * 1.0 / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_c") * 1.0 / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.when(
+                F.col("nb") > 0,
+                F.round(1.0 - F.col("ndb") * 1.0 / F.col("nb"), 6),
+            )
+            .otherwise(0.0)
+            .alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document passage detection — exact copy-paste passages shared by
+# ≥ 2 documents (the passage-granular twin of document-level dedup, and
+# the standard way boilerplate/licenses/templates surface in a web
+# corpus). Passages are non-overlapping 3-token chunks (stride 3 over the
+# O(n) trigram builder — the chunking itself never re-tokenizes). Scale
+# shape: one shuffle keyed on the passage, map-side partial counts, top-k
+# via TakeOrdered; no self-join anywhere, so cost is O(total tokens).
+# ---------------------------------------------------------------------------
+@_q(
+    "text_common_passages",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(
+           generate_series(1, GREATEST(LEN(t) - 2, 0), 3),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS passage
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+)
+SELECT passage,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM ch
+GROUP BY passage
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, passage
+LIMIT 20
+""",
+)
+def text_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    # Trigram j (0-based) covers tokens j+1..j+3; keeping j % 3 == 0 gives
+    # the non-overlapping stride-3 chunking, mirroring the oracle's
+    # generate_series(1, len-2, 3) 1-based stride.
+    chunks = F.filter(trigrams(toks()), lambda x, i: i % 3 == 0)
+    return (
+        d.select("doc_id", F.explode(chunks).alias("passage"))
+        .groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "passage")
+        .limit(20)
+    )
