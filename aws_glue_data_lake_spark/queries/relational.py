@@ -432,6 +432,197 @@ def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Threshold-vs-global-aggregate (TPC-H Q11 shape, partkey inventory value
+# without a partsupp table): parts whose lineitem revenue exceeds a fixed
+# fraction of TOTAL revenue. The global scalar re-aggregates the per-part
+# table (one row per part — tiny) and enters the plan as a broadcast
+# 1-row cross join, NOT a single-partition window: the per-part aggregate
+# shuffles once on partkey and nothing else moves. Both sums re-cast
+# through DECIMAL(18,6) so the 0.1% threshold compares exact values on
+# both engines.
+# --------------------------------------------------------------------------
+@_q(
+    "q11_important_part_value",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey,
+         {dsum_sql("l_extendedprice * (1 - l_discount)", "value")}
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         COUNT(*) AS n_parts
+  FROM pv
+)
+SELECT l_partkey, ROUND(value, 6) AS value
+FROM pv, tot
+WHERE value > 1.25 * total / n_parts
+ORDER BY value DESC, l_partkey
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    # Threshold is 1.25× the MEAN per-part value, not a fixed fraction of
+    # the total — TPC-H's own Q11 scales its fraction by 1/SF for the same
+    # reason: a fixed fraction degenerates as the part count grows.
+    tot = pv.agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > 1.25 * F.col("total") / F.col("n_parts"))
+        .select("l_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-aggregation mix (TPC-H Q12 shape, priority mix of late
+# shipments): one join, CASE-counting two priority classes per line
+# status. The 90-day lateness predicate is join-side (compares two
+# columns), so it evaluates inside the join stage; the aggregate shuffles
+# a 2-value key.
+# --------------------------------------------------------------------------
+@_q(
+    "q12_late_shipment_priority_mix",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+)
+def q12_late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("long")).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional-aggregate ratio (TPC-H Q14 shape): share of one month's
+# revenue from PROMO-type parts. part is dimension-sized → broadcast; the
+# whole query is one pruned fact scan + one 1-row aggregate, and the
+# ratio divides two exact decimal sums in double (ROUND 6 for the pin).
+# --------------------------------------------------------------------------
+@_q(
+    "q14_promo_revenue_share",
+    oracle="""
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(18,6))
+                        ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive bracket predicates (TPC-H Q19 shape): an OR of three
+# (brand, size-range, quantity-range) brackets across the join. Catalyst
+# splits the disjunction: part-only conjuncts (brand OR'd with brand)
+# can't prune alone, but the common join key + broadcast keep this a
+# single pruned fact scan; the revenue is one exact 1-row aggregate.
+# --------------------------------------------------------------------------
+@_q(
+    "q19_bracketed_revenue",
+    oracle=f"""
+SELECT {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    def bracket(brand: str, smin: int, smax: int, qmin: int, qmax: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            bracket("Brand#1", 1, 15, 1, 20)
+            | bracket("Brand#13", 10, 30, 10, 40)
+            | bracket("Brand#20", 20, 50, 20, 50)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Join family: inner / left outer / left semi / left anti. The anti-join is
 # the engine's MERGE-delete building block (SURVEY.md §2.4).
 # --------------------------------------------------------------------------

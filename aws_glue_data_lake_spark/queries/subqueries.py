@@ -289,6 +289,199 @@ def q20_small_part_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# NOT IN exclusion + distinct count (TPC-H Q16 shape): supplier variety
+# per part attribute group, excluding one brand, one type, and every
+# supplier from a nation block. The NOT IN decorb: supplier keys are
+# non-null by schema, so it is exactly a left ANTI join against the
+# (dimension-sized, broadcast) excluded-supplier list — the null-aware
+# NAAJ machinery is never needed, which is the formulation that scales.
+# --------------------------------------------------------------------------
+@_q(
+    "q16_part_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_nationkey < 3
+  )
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+""",
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    excluded = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 3)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# EXISTS + NOT EXISTS combination (TPC-H Q21 shape): suppliers who were
+# the ONLY late shipper on multi-supplier orders. "Late" = shipped ≥ 60
+# days after the order date (the fixture has no receipt/commit dates).
+# Decorrelation: the late (orderkey, suppkey) pair set is built once;
+# EXISTS(another supplier on the order) → left SEMI against the full
+# pair set, NOT EXISTS(another LATE supplier) → left ANTI against the
+# late set, both on (orderkey, suppkey≠) composite conditions. Both
+# probe sides are order-keyed — at scale each is one co-partitioned
+# shuffle, no correlated re-execution anywhere.
+# --------------------------------------------------------------------------
+@_q(
+    "q21_sole_late_shipper",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+),
+late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM pairs l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 10
+""",
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    sole_late = l1.join(
+        pairs,
+        (l1.ok == pairs.l_orderkey) & (l1.sk != pairs.l_suppkey),
+        "left_semi",
+    ).join(
+        late,
+        (l1.ok == late.l_orderkey) & (l1.sk != late.l_suppkey),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.sk == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-average subquery + NOT EXISTS (TPC-H Q22 shape): market segments
+# of well-funded customers who never ordered. The global average enters
+# as a broadcast 1-row cross join (same pattern as q11's total); the NOT
+# EXISTS is a left anti join on custkey. Exact decimal sum / count keeps
+# the threshold bit-identical across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "q22_idle_funded_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS threshold
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {dsum_sql("c.c_acctbal", "totacctbal")}
+FROM customer c, avg_bal a
+WHERE c.c_acctbal > a.threshold
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q22_idle_funded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "Idle" = no order since 1999 (the fixture has no order-less
+    # customers at small SFs, so never-ordered would be vacuous); the
+    # recency predicate prunes the orders scan before the anti join.
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("threshold")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch event-time bucketing: tumbling 1-day windows over `events` via
 # F.window — the batch twin of streaming_tumbling_counts (§2.10). Follows
 # the engine-wide event-time convention (tables.py): parquet nano
