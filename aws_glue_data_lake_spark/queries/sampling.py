@@ -284,3 +284,84 @@ def sample_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal split — the leakage-free eval protocol for time-ordered data:
+# everything before a cutoff trains, everything after evaluates (a hash
+# split would leak future information into training). The cutoff is the
+# 80% point of the time RANGE in exact integer µs (tmin + (tmax-tmin)*4//5)
+# so both engines compute the identical boundary — no float percentile at
+# the split point. The scalar span enters as a broadcast 1-row cross
+# join; per-split stats shuffle a 2-value key. The user-overlap column
+# measures train→eval contamination pressure (users active on both
+# sides), the thing a temporal split exists to control.
+# --------------------------------------------------------------------------
+@_q(
+    "sample_temporal_split",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, value FROM events
+),
+span AS (
+  SELECT MIN(ts_us) AS tmin,
+         MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) * 4 // 5 AS cutoff
+  FROM e
+),
+tagged AS (
+  SELECT CASE WHEN ts_us <= cutoff THEN 'train' ELSE 'eval' END AS split,
+         user_id, value
+  FROM e, span
+),
+overlap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_users FROM (
+    SELECT user_id FROM tagged GROUP BY user_id
+    HAVING COUNT(DISTINCT split) = 2
+  )
+)
+SELECT t.split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(t.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       o.n_overlap_users
+FROM tagged t, overlap o
+GROUP BY t.split, o.n_overlap_users
+ORDER BY t.split
+""",
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import ts_us_col
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_us_col(ev).alias("ts_us"), "value")
+    # Integer `div`, not float `/`: a double quotient can land an ulp
+    # under the exact integer and truncate differently than DuckDB's `//`.
+    span = e.agg(F.min("ts_us").alias("tmin"), F.max("ts_us").alias("tmax")).select(
+        F.expr("tmin + ((tmax - tmin) * 4) div 5").alias("cutoff")
+    )
+    tagged = e.crossJoin(F.broadcast(span)).select(
+        F.when(F.col("ts_us") <= F.col("cutoff"), "train")
+        .otherwise("eval")
+        .alias("split"),
+        "user_id",
+        "value",
+    )
+    overlap = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") == 2)
+        .agg(F.count("*").cast("bigint").alias("n_overlap_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .select("split", "n_events", "n_users", "value_sum", "n_overlap_users")
+        .orderBy("split")
+    )

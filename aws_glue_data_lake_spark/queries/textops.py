@@ -679,3 +679,85 @@ def text_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "passage")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate funnel — the C4/Gopher-style filter cascade every corpus
+# curation run reports: how many documents survive each successive gate
+# (token-count band → repetition ceiling → stopword floor → language).
+# One scan computes every per-doc flag array-locally; the funnel is a
+# single 1-row aggregate of cumulative conjunctions, unpivoted to one row
+# per stage — so the whole report costs one pass over the corpus and
+# shuffles five numbers, at any scale. Gates are ANDed in order, so each
+# row is "survivors through stage k" (monotonically non-increasing).
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGES = ("total", "token_count", "repetition", "stopword", "language")
+
+
+@_q(
+    "pipeline_quality_filter_funnel",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents
+),
+m AS (
+  SELECT lang,
+         LEN(t) AS n_tok,
+         LEN(LIST_FILTER(t, x -> x IN {_STOP_SQL})) AS n_stop,
+         CASE WHEN LEN(t) >= 2 THEN
+           1.0 - LEN(LIST_DISTINCT({_BIGRAM_LIST_SQL})) * 1.0 / (LEN(t) - 1)
+         ELSE 0.0 END AS dup_frac
+  FROM d
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 80
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 80 AND dup_frac <= 0.05
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 80 AND dup_frac <= 0.05
+                        AND n_stop >= 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 80 AND dup_frac <= 0.05
+                        AND n_stop >= 1 AND lang = 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM m
+)
+SELECT 0 AS stage, 'total' AS gate, s0 AS n_docs FROM g
+UNION ALL SELECT 1, 'token_count', s1 FROM g
+UNION ALL SELECT 2, 'repetition', s2 FROM g
+UNION ALL SELECT 3, 'stopword', s3 FROM g
+UNION ALL SELECT 4, 'language', s4 FROM g
+ORDER BY stage
+""",
+)
+def pipeline_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks().alias("tk")
+    )
+    n_tok = F.size("tk")
+    n_stop = F.size(F.filter(F.col("tk"), lambda x: x.isin(*STOPWORDS)))
+    dup_frac = F.when(
+        n_tok >= 2,
+        1.0
+        - F.size(F.array_distinct(bigrams(F.col("tk")))) * 1.0 / (n_tok - 1),
+    ).otherwise(0.0)
+    gates = [
+        F.lit(True),
+        n_tok.between(20, 80),
+    ]
+    gates.append(gates[1] & (dup_frac <= 0.05))
+    gates.append(gates[2] & (n_stop >= 1))
+    gates.append(gates[3] & (F.col("lang") == "en"))
+    agg = d.agg(
+        *[
+            F.sum(g.cast("long")).cast("bigint").alias(f"s{i}")
+            for i, g in enumerate(gates)
+        ]
+    )
+    stack = ", ".join(
+        f"{i}, '{name}', s{i}" for i, name in enumerate(_FUNNEL_STAGES)
+    )
+    return agg.selectExpr(
+        f"stack({len(_FUNNEL_STAGES)}, {stack}) AS (stage, gate, n_docs)"
+    ).orderBy("stage")
