@@ -282,6 +282,44 @@ def test_q20_plans_semi_join_chain(spark):
     assert "GreaterThanOrEqual(l_shipdate" in fplan
 
 
+def test_q19_pushes_bracket_predicates(spark):
+    """The OR-of-AND brackets must not defeat pushdown entirely: the
+    lineitem scan needs the quantity bounds as pushed filters (the
+    cross-bracket OR pushes as a range union) and part must broadcast."""
+    plan = formatted_plan_of(spark, "q19_bracketed_revenue")
+    assert "BroadcastHashJoin" in plan_of(spark, "q19_bracketed_revenue")
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q21_plans_composite_semi_and_anti(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one semi and one anti
+    join with the suppkey inequality as a join condition — never a
+    correlated re-execution or a cartesian."""
+    plan = plan_of(spark, "q21_sole_late_shipper")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_broadcast_cross_joins(spark):
+    """q11/q22-style global scalars must enter as broadcast nested-loop
+    cross joins of ONE row, not a shuffle: BroadcastNestedLoopJoin (or a
+    broadcast exchange feeding the cross) and no CartesianProduct."""
+    for name in ("q11_important_part_value", "q22_idle_funded_customers",
+                 "sample_temporal_split"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_quality_funnel_is_single_pass(spark):
+    """The funnel must stay one corpus scan + a 1-row aggregate: no join,
+    no Python operators, at most the two agg exchanges + final sort."""
+    plan = plan_of(spark, "pipeline_quality_filter_funnel")
+    for op in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan
+    assert plan.count("Exchange") <= 3
+
+
 def test_sql_registered_udf_is_arrow_vectorized(spark):
     """The SQL-catalog-registered UDF must plan as an Arrow-batched
     ArrowEvalPython, never a row-at-a-time BatchEvalPython."""
