@@ -457,3 +457,97 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch gap-sessionization — the canonical lag + cumulative-sum pattern:
+# a new session starts where the gap since the user's previous event
+# exceeds 30 minutes; session_id is the running count of session starts.
+# This is the BATCH twin of streaming_session_windows (same 30-minute gap
+# semantics, computed retrospectively): one shuffle partitions by
+# user_id, both window passes (lag, running sum) reuse that partitioning,
+# and the per-session aggregate re-shuffles only (user_id, session_id).
+# Reported per user (user_id < 200 bounds the output, not the compute):
+# session count, events, and exact total in-session dwell time.
+# --------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@_q(
+    "window_gap_sessionization",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, event_id
+  FROM events WHERE user_id < 200
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+               OR LAG(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         MAX(ts_us) - MIN(ts_us) AS dwell_us
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def window_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        with_ts_us(t(spark, sf_dir, "events"))  # normalizes `ts` to epoch-µs
+        .where(F.col("user_id") < 200)
+        .withColumnRenamed("ts", "ts_us")
+    )
+    # ts ties broken by event_id so LAG sees the identical order on both
+    # engines (ts_us alone can repeat within a user).
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts_us").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (
+            prev.isNull()
+            | ((F.col("ts_us") - prev) > _SESSION_GAP_US)
+        )
+        .cast("long")
+        .alias("is_start"),
+    )
+    sessions = flagged.select(
+        "user_id", "ts_us", F.sum("is_start").over(run).alias("session_id")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dwell_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+            F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+        )
+        .orderBy("user_id")
+    )
