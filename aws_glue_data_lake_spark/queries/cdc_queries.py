@@ -360,3 +360,89 @@ def lake_merge_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD TYPE-2 HISTORY — the other standard consumption of a CDC feed: not
+# just the latest state (§2.4) but the full versioned dimension, one row
+# per change with [valid_from, valid_to) effectivity. The reference's
+# merge discards history; warehouses keep it — this is the
+# `whenMatchedUpdate` + history-preservation pattern the reference's
+# Delta variant gestures at, done relationally:
+#
+#   - every change (I/U/NULL-op) OPENS a version at its event time;
+#   - the version CLOSES at the key's next change of ANY op — so a
+#     delete ('D') closes the current version without opening one, and
+#     deleted keys correctly end with no current row;
+#   - the last surviving change per key is the current version
+#     (valid_to NULL, is_current = 1).
+#
+# Plan shape: one shuffle on user_id; the LEAD and the per-key version
+# numbers reuse that partitioning (no second exchange); deletes drop
+# AFTER the lead so their timestamps still close predecessors. Both
+# engines order by (ts, event_id), so effectivity intervals are
+# bit-identical.
+# --------------------------------------------------------------------------
+@_q(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+),
+chg AS (
+  SELECT user_id, event_id, event_type, op,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM feed
+),
+led AS (
+  SELECT *,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS valid_to_us
+  FROM chg
+),
+versions AS (
+  SELECT user_id, event_id, event_type, ts_us AS valid_from_us, valid_to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS version
+  FROM led
+  WHERE op IS NULL OR op IN ('I', 'U')
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_id, event_type,
+       valid_from_us, valid_to_us,
+       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM versions
+WHERE user_id < 200
+ORDER BY user_id, version
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    feed = _feed(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "op", F.col("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    led = feed.withColumn("valid_to_us", F.lead("ts_us").over(w))
+    versions = (
+        led.where(F.col("op").isNull() | F.col("op").isin("I", "U"))
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+        # row_number AFTER the delete filter re-ranks survivors only —
+        # same windowing key, so Catalyst keeps it in the same exchange.
+    )
+    return (
+        versions.where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "version",
+            "event_id",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+            F.when(F.col("valid_to_us").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
