@@ -311,6 +311,16 @@ def test_scalar_broadcast_cross_joins(spark):
         assert "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_ivf_persisted_probe_prunes_partitions(spark):
+    """The persisted IVF store is partitioned by centroid bucket and the
+    probe must read only the probed buckets: the assignments scan needs a
+    dynamic-pruning PartitionFilter on centroid_id (directory-level
+    pruning — the inverted-file property that makes the index an index)."""
+    plan = formatted_plan_of(spark, "sim_ivf_persisted_probe")
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "dynamicpruning" in seg and "centroid_id" in seg
+
+
 def test_quality_funnel_is_single_pass(spark):
     """The funnel must stay one corpus scan + a 1-row aggregate: no join,
     no Python operators, at most the two agg exchanges + final sort."""
