@@ -365,3 +365,86 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_events", "n_users", "value_sum", "n_overlap_users")
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-packing accounting — GPT-style concat-and-chunk: each source's
+# documents are concatenated in doc_id order into one token stream and
+# cut into fixed 1024-token training sequences. Reports, per source, the
+# sequence count and how many documents straddle a cut (the boundary-
+# crossing rate that motivates doc-aware packing). All window passes
+# partition by source — embarrassingly parallel across sources, and
+# within a source the running sum is one pass; at 100 TB the same query
+# runs per (source, shard) with shard-local budgets.
+# --------------------------------------------------------------------------
+_SEQ_LEN = 1024
+
+
+@_q(
+    "sample_sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id, LEN({TOKS_SQL}) AS n_tok FROM documents
+),
+pos AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM d
+),
+marked AS (
+  SELECT source, n_tok, cum_end,
+         (cum_end - n_tok) // {_SEQ_LEN} AS start_seq,
+         CASE WHEN cum_end % {_SEQ_LEN} = 0
+              THEN cum_end // {_SEQ_LEN} - 1
+              ELSE cum_end // {_SEQ_LEN} END AS end_seq
+  FROM pos
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(CAST(CEIL(SUM(n_tok) * 1.0 / {_SEQ_LEN}) AS BIGINT) AS BIGINT)
+         AS n_sequences,
+       CAST(SUM(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary_docs
+FROM marked
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.textops import toks
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(toks()).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = d.select(
+        "source", "n_tok", F.sum("n_tok").over(w).alias("cum_end")
+    )
+    start_seq = F.expr(f"(cum_end - n_tok) div {_SEQ_LEN}")
+    end_seq = F.when(
+        F.col("cum_end") % _SEQ_LEN == 0,
+        F.expr(f"cum_end div {_SEQ_LEN}") - 1,
+    ).otherwise(F.expr(f"cum_end div {_SEQ_LEN}"))
+    return (
+        pos.select(
+            "source",
+            "n_tok",
+            (end_seq > start_seq).cast("long").alias("crosses"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.ceil(F.sum("n_tok") * 1.0 / _SEQ_LEN)
+            .cast("bigint")
+            .alias("n_sequences"),
+            F.sum("crosses").cast("bigint").alias("n_boundary_docs"),
+        )
+        .orderBy("source")
+    )
