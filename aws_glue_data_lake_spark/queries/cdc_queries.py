@@ -362,6 +362,35 @@ def lake_merge_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(feed: DataFrame) -> DataFrame:
+    """Core SCD2 transform over a change feed with columns
+    (user_id, event_id, event_type, op, ts_us) — see the query docstring
+    above for the interval semantics. Exposed separately so property
+    tests can drive it with generated feeds."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    led = feed.withColumn("valid_to_us", F.lead("ts_us").over(w))
+    versions = (
+        led.where(F.col("op").isNull() | F.col("op").isin("I", "U"))
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+        # row_number AFTER the delete filter re-ranks survivors only —
+        # same windowing key, so Catalyst keeps it in the same exchange.
+    )
+    return versions.select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        "valid_to_us",
+        F.when(F.col("valid_to_us").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SCD TYPE-2 HISTORY — the other standard consumption of a CDC feed: not
 # just the latest state (§2.4) but the full versioned dimension, one row
@@ -417,32 +446,11 @@ ORDER BY user_id, version
 """,
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     feed = _feed(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "op", F.col("ts").alias("ts_us")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    led = feed.withColumn("valid_to_us", F.lead("ts_us").over(w))
-    versions = (
-        led.where(F.col("op").isNull() | F.col("op").isin("I", "U"))
-        .withColumn("version", F.row_number().over(w).cast("bigint"))
-        # row_number AFTER the delete filter re-ranks survivors only —
-        # same windowing key, so Catalyst keeps it in the same exchange.
-    )
     return (
-        versions.where(F.col("user_id") < 200)
-        .select(
-            "user_id",
-            "version",
-            "event_id",
-            "event_type",
-            F.col("ts_us").alias("valid_from_us"),
-            "valid_to_us",
-            F.when(F.col("valid_to_us").isNull(), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("is_current"),
-        )
+        scd2_history(feed)
+        .where(F.col("user_id") < 200)
         .orderBy("user_id", "version")
     )

@@ -740,3 +740,68 @@ def _replay_batches_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 _REPLAY_STAGE: dict[tuple[str, str], str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Stream–static enrichment — the most common production streaming shape:
+# each event joins a SLOWLY-CHANGING dimension (here: customer market
+# segment) before the windowed aggregate. The static side is
+# dimension-sized, so Spark broadcasts it into every micro-batch — no
+# stream-side shuffle for the join, no join state at all (unlike
+# stream-stream): the only state is the downstream window aggregate's.
+# At 100 TB the dim refreshes per batch via the broadcast re-resolution;
+# key-cardinality state cost is unchanged from the unenriched aggregate.
+# Events with no dimension row survive with segment 'UNKNOWN' (left join
+# — enrichment must never drop facts).
+# ---------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@_q(
+    "streaming_enriched_segment_counts",
+    oracle=f"""
+SELECT (CAST(EPOCH_US(e.ts) AS BIGINT) // {_HOUR_US}) * {_HOUR_US}
+         AS window_start_us,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY window_start_us, segment
+""",
+)
+def streaming_enriched_segment_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.base import t as _t
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dim_key"), "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.dim_key, "left"
+    ).select(
+        "event_time",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "value",
+    )
+    agg = (
+        enriched.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "segment",
+            "n_events",
+            "value_sum",
+        )
+    )
+    final = run_available_now(agg, output_mode="complete")
+    return final.orderBy("window_start_us", "segment")
