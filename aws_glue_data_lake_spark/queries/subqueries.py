@@ -552,3 +552,101 @@ def events_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + LOCF — the resample step every monitoring /
+# feature pipeline runs: bucket events hourly, materialize EVERY hour of
+# the span per series (missing hours included), zero-fill counts, and
+# carry the last observed value forward (LOCF) across gaps. Scale shape:
+# the aggregate is the only corpus-sized shuffle; the dense grid comes
+# from one explode(sequence) over (types × 1-row span broadcast) — grid
+# size is span-hours × series, independent of event volume — and the
+# LOCF window rides the grid's (series, bucket) partitioning.
+# --------------------------------------------------------------------------
+_GAP_HOUR_US = 3_600_000_000
+
+
+@_q(
+    "events_gap_fill_hourly",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, value FROM events
+),
+span AS (
+  SELECT (MIN(ts_us) // {_GAP_HOUR_US}) * {_GAP_HOUR_US} AS bmin,
+         (MAX(ts_us) // {_GAP_HOUR_US}) * {_GAP_HOUR_US} AS bmax
+  FROM e
+),
+agg AS (
+  SELECT event_type, (ts_us // {_GAP_HOUR_US}) * {_GAP_HOUR_US} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM e GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, u.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM e) t, span,
+       UNNEST(generate_series(bmin, bmax, {_GAP_HOUR_US})) AS u(b)
+),
+filled AS (
+  SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n_events, a.v
+  FROM grid g LEFT JOIN agg a
+    ON a.event_type = g.event_type AND a.bucket = g.bucket
+)
+SELECT event_type, bucket AS window_start_us,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS value_sum_locf
+FROM filled
+ORDER BY event_type, window_start_us
+""",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("event_type", ts_us_col(ev).alias("ts_us"), "value")
+    bucket = F.expr(f"(ts_us div {_GAP_HOUR_US}) * {_GAP_HOUR_US}")
+    agg = (
+        e.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    span = e.agg(
+        F.expr(f"(min(ts_us) div {_GAP_HOUR_US}) * {_GAP_HOUR_US}").alias("bmin"),
+        F.expr(f"(max(ts_us) div {_GAP_HOUR_US}) * {_GAP_HOUR_US}").alias("bmax"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("bmin", "bmax", F.lit(_GAP_HOUR_US).cast("bigint"))
+            ).alias("bucket"),
+        )
+    )
+    filled = grid.join(agg, ["event_type", "bucket"], "left")
+    locf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_events = F.coalesce("n", F.lit(0)).cast("bigint")
+    return (
+        filled.select(
+            "event_type",
+            F.col("bucket").alias("window_start_us"),
+            n_events.alias("n_events"),
+            (n_events == 0).cast("bigint").alias("is_gap"),
+            F.last("v", ignorenulls=True).over(locf).alias("value_sum_locf"),
+        )
+        .orderBy("event_type", "window_start_us")
+    )
