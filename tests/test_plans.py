@@ -305,7 +305,7 @@ def test_scalar_broadcast_cross_joins(spark):
     cross joins of ONE row, not a shuffle: BroadcastNestedLoopJoin (or a
     broadcast exchange feeding the cross) and no CartesianProduct."""
     for name in ("q11_important_part_value", "q22_idle_funded_customers",
-                 "sample_temporal_split"):
+                 "sample_temporal_split", "events_gap_fill_hourly"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
