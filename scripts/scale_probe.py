@@ -40,6 +40,13 @@ PROBE_QUERIES = (
     "streaming_stateful_user_stats",
     "streaming_stream_join_funnel",
     "streaming_stream_join_funnel_tight",
+    # round-6 additions with non-trivial scale shapes
+    "text_common_passages",
+    "text_repetition_signals",
+    "window_gap_sessionization",
+    "cdc_scd2_history",
+    "sample_sequence_packing",
+    "q21_sole_late_shipper",
 )
 
 
