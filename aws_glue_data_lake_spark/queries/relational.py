@@ -378,6 +378,132 @@ def q7_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# National market share (TPC-H Q8 shape): NATION_3's share of ASIA-market
+# ECONOMY-part revenue, per order year. The share is a conditional sum
+# over the same joined fact rows — numerator and denominator come out of
+# ONE aggregation (sum of CASE), never two passes. All five dimensions
+# broadcast; the only corpus shuffles are lineitem⋈orders on orderkey and
+# orders⋈customer on custkey. Both sums are exact-decimal, so the final
+# double ÷ double share is bit-identical across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "q8_national_market_share",
+    oracle="""
+SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0 END AS DECIMAL(18, 6))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18, 6))) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n2.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY YEAR(o.o_orderdate)
+ORDER BY o_year
+""",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), "n_regionkey")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((dsum(nat_vol) / dsum(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-type profit by nation and year (TPC-H Q9 shape). The fixture
+# has no partsupp, so supply cost is proxied as 60% of the part's retail
+# price — profit = l_extendedprice·(1−l_discount) − 0.6·p_retailprice·
+# l_quantity, computed per line BEFORE the exact-decimal cast so both
+# engines aggregate the same doubles. part carries the name predicate and
+# the cost column (broadcast); supplier/nation broadcast; the one heavy
+# exchange is lineitem⋈orders on orderkey, then a (nation, year) agg.
+# --------------------------------------------------------------------------
+@_q(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql(
+           "l.l_extendedprice * (1 - l.l_discount)"
+           " - 0.6 * p.p_retailprice * l.l_quantity",
+           "sum_profit",
+       )}
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Returned-item revenue ranking (TPC-H Q10 shape): customers ranked by
 # revenue lost to returns in one quarter. The order-date predicate prunes
 # the orders scan; the returnflag predicate prunes lineitem; nation

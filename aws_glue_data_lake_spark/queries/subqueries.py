@@ -419,6 +419,145 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlated MIN-equality subquery (TPC-H Q2 shape): for each qualifying
+# part, the EUROPE supplier(s) offering the minimum cost. The fixture has
+# no partsupp, so "supply cost" is derived from shipment history — the
+# cheapest observed unit price per (part, supplier), MIN(l_extendedprice /
+# l_quantity): a double ÷ double on identical parquet inputs, so both
+# engines compute bit-identical costs and the Q2 equality predicate
+# `cost = MIN(cost) over the part` is safe cross-engine. Decorrelation:
+# the correlated MIN becomes a window MIN over l_partkey on the
+# EUROPE-restricted cost table — ONE shuffle on partkey; the part filter
+# and the region-restricted supplier list are both dimension-sized and
+# broadcast, so no corpus-sized side ever re-executes per outer row.
+# --------------------------------------------------------------------------
+@_q(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name AS nation,
+       p.p_partkey, e.s_suppkey, c.supplycost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN eu e   ON e.s_suppkey = c.l_suppkey
+WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+  AND c.supplycost = (
+    SELECT MIN(c2.supplycost)
+    FROM cost c2 JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+    WHERE c2.l_partkey = p.p_partkey
+  )
+ORDER BY e.s_acctbal DESC, nation, e.s_name, p.p_partkey, e.s_suppkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"))
+    )
+    # EUROPE-restricted cost table for the filtered parts only: both
+    # probe lists broadcast, so the scan-side work is one semi-filtered
+    # pass over lineitem + one partkey shuffle for the agg/window.
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(eu.select("s_suppkey")),
+              li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supplycost").over(w)).where(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(eu), best.l_suppkey == eu.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "nation",
+            F.col("l_partkey").alias("p_partkey"), "s_suppkey", "supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate view + scalar MAX equality (TPC-H Q15 shape): the quarter's
+# top supplier(s) by revenue. The revenue "view" is one shuffle on
+# suppkey; the scalar MAX re-enters as a broadcast 1-row cross join (the
+# engine's standard scalar-subquery pattern, cf. q11/q22) so the equality
+# filter runs scan-side on the aggregated rows — never a second pass over
+# lineitem. Revenue is the exact-decimal sum, so the MAX-equality
+# boundary is bit-identical across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        ))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Scalar-average subquery + NOT EXISTS (TPC-H Q22 shape): market segments
 # of well-funded customers who never ordered. The global average enters
 # as a broadcast 1-row cross join (same pattern as q11's total); the NOT

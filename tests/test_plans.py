@@ -311,6 +311,52 @@ def test_scalar_broadcast_cross_joins(spark):
         assert "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_q2_min_cost_probes_broadcast_and_window_once(spark):
+    """Q2's scale contract: the part filter pushes to the scan, both probe
+    lists (filtered parts, EUROPE suppliers) enter lineitem as broadcast
+    semi joins, and the correlated MIN decorrelates into ONE window over
+    the aggregated cost table — never a per-part re-execution or a
+    cartesian."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("LeftSemi") >= 2
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    fplan = formatted_plan_of(spark, "q2_min_cost_supplier")
+    assert "EqualTo(p_size,15)" in fplan and "EqualTo(p_type,LARGE)" in fplan
+
+
+def test_q8_q9_broadcast_all_dimensions(spark):
+    """Q8/Q9 are the widest star joins in the suite: every dimension side
+    (part/supplier/nation/region) must broadcast so the only exchanges are
+    the fact joins + the final agg, and the selective dimension predicate
+    must reach the scan."""
+    p8 = plan_of(spark, "q8_national_market_share")
+    assert p8.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p8
+    assert "EqualTo(p_type,ECONOMY)" in formatted_plan_of(
+        spark, "q8_national_market_share"
+    )
+    p9 = plan_of(spark, "q9_product_type_profit")
+    assert p9.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,gear)" in formatted_plan_of(
+        spark, "q9_product_type_profit"
+    )
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """Q15's scalar MAX must enter broadcast-side — Catalyst actually
+    upgrades the equality-filtered 1-row cross join to a BroadcastHashJoin
+    KEYED ON the scalar itself (stronger than the q11/q22 BNLJ: the
+    equality becomes the join key), and the quarter predicate must prune
+    the lineitem scan."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert re.search(r"Broadcast(Hash|NestedLoop)Join .*max_revenue", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in formatted_plan_of(
+        spark, "q15_top_supplier"
+    )
+
+
 def test_ivf_persisted_probe_prunes_partitions(spark):
     """The persisted IVF store is partitioned by centroid bucket and the
     probe must read only the probed buckets: the assignments scan needs a
