@@ -235,6 +235,63 @@ def merge_cdc_batch(
         fresh.unpersist()
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Changeset between two table states — the change-data-feed the
+    reference's Iceberg/Delta sinks expose natively (table_changes /
+    CDF); here derived from plain states so ANY pair of snapshots diffs.
+
+    Emits one row per changed key with ``change_op`` ∈ {I, U, D}:
+    key only in ``new`` → I; only in ``old`` → D; in both with any
+    compare column differing (null-safe) → U. Unchanged keys are dropped.
+    Output: keys, ``change_op``, then ``old_<c>``/``new_<c>`` for every
+    compare column.
+
+    Scale: ONE full-outer join, co-partitioned on the keys (the same
+    exchange both snapshots' own upserts use, so AQE reuses partitioning
+    where the inputs are key-clustered); the null-safe comparisons are
+    codegen'd scan-side. No skew risk beyond the key distribution itself.
+    """
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__old_present"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__new_present"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    joined = o.join(n, on=list(keys), how="full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("__old_present").isNull(), "I")
+        .when(F.col("__new_present").isNull(), "D")
+        .otherwise("U")
+    )
+    return (
+        joined.withColumn("change_op", op)
+        .where((F.col("change_op") != "U") | changed)
+        .select(
+            *keys,
+            "change_op",
+            *[f"old_{c}" for c in compare],
+            *[f"new_{c}" for c in compare],
+        )
+    )
+
+
 def save_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sink: plain-Parquet stand-in for the reference's Iceberg CTAS/append
     (icberg/iceberg_tables.py:112,151) and Delta save (delta/delta_tables.py:

@@ -454,3 +454,77 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") < 200)
         .orderBy("user_id", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff / change-data-feed generation: the changeset between the
+# half-feed state and the full-feed state — what Iceberg/Delta expose as
+# table_changes, derived here from plain states so ANY two snapshots diff
+# (operators.cdc.snapshot_diff). 'I' = key materialized in the second
+# half, 'D' = the key's latest op became a delete, 'U' = the surviving
+# row changed. One co-partitioned full-outer join; classification and the
+# null-safe change test are codegen'd scan-side.
+# --------------------------------------------------------------------------
+@_q(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+), half AS (
+  SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS h FROM events
+), old_state AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM feed
+    WHERE event_id <= (SELECT h FROM half)
+      AND ts > TIMESTAMP '1900-01-01 00:00:00')
+  WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+), new_state AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM feed
+    WHERE ts > TIMESTAMP '1900-01-01 00:00:00')
+  WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'I'
+            WHEN n.user_id IS NULL THEN 'D'
+            ELSE 'U' END AS change_op,
+       o.event_id AS old_event_id,
+       n.event_id AS new_event_id,
+       CAST(EPOCH_US(n.ts) AS BIGINT) AS new_ts,
+       n.event_type AS new_event_type
+FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.event_id IS DISTINCT FROM n.event_id
+   OR o.ts IS DISTINCT FROM n.ts
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.value IS DISTINCT FROM n.value
+   OR o.props IS DISTINCT FROM n.props
+ORDER BY user_id
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.operators.cdc import snapshot_diff
+
+    feed = _feed(spark, sf_dir)
+    half = feed.agg(F.max("event_id")).first()[0] // 2
+    old_state = full_load(
+        feed.where(F.col("event_id") <= half),
+        ["user_id"], "ts", tiebreakers=["event_id"], sentinel=_SENTINEL_US,
+    ).table
+    new_state = full_load(
+        feed, ["user_id"], "ts", tiebreakers=["event_id"], sentinel=_SENTINEL_US
+    ).table
+    diff = snapshot_diff(
+        old_state, new_state, ["user_id"],
+        compare_cols=["event_id", "ts", "event_type", "value", "props"],
+    )
+    return diff.select(
+        "user_id", "change_op",
+        "old_event_id", "new_event_id",
+        F.col("new_ts").alias("new_ts"),
+        "new_event_type",
+    ).orderBy("user_id")

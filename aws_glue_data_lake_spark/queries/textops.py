@@ -761,3 +761,219 @@ def pipeline_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.selectExpr(
         f"stack({len(_FUNNEL_STAGES)}, {stack}) AS (stage, gate, n_docs)"
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM likelihood scoring — the perplexity-proxy filter (the KenLM
+# step of a web-corpus pipeline, reduced to its distributed skeleton): fit
+# a corpus unigram LM (one word-count aggregate), score every document by
+# its mean token log-probability, and surface the 20 least-likely docs —
+# the OOD/noise tail a curation pipeline would drop. Scale shape: the LM
+# is vocabulary-bounded (not corpus-bounded) after the map-side partial
+# agg, so it BROADCASTS into the scoring join — the corpus side never
+# shuffles on the (heavily skewed) word key; if the vocabulary outgrew the
+# broadcast ceiling the fallback is the salted-join pattern pinned in
+# tests/test_plans.py. Determinism: each ln(p) is cast to DECIMAL(18,6)
+# before summing (order-independent; half-ulp libm divergence would need
+# to land within an ulp of a 0.5e-6 boundary to matter), and the top-k
+# carries the doc_id tiebreak.
+# ---------------------------------------------------------------------------
+@_q(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({TOKS_SQL}) AS word FROM documents
+),
+lm AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM lm
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(LN(CAST(lm.c AS DOUBLE) / tot.n)
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_logprob
+  FROM tok t JOIN lm USING (word) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, mean_logprob
+FROM scored
+ORDER BY mean_logprob, doc_id
+LIMIT 20
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", toks().alias("tk"))
+    tok = d.select("doc_id", F.explode("tk").alias("word"))
+    lm = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c"))
+    tot = lm.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log(F.col("c").cast("double") / F.col("n")).cast("decimal(18,6)"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return scored.select("doc_id", "n_tokens", "mean_logprob").orderBy(
+        "mean_logprob", "doc_id"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub step of a training-data pipeline. The fixture
+# corpus is synthetic and PII-free, so deterministic synthetic PII is
+# injected FIRST (identically on both engine sides, keyed off doc_id — the
+# injection is fixture augmentation, the operator under test is the
+# redaction kernel): every 3rd doc gains an email, every 5th a phone
+# number. Redaction is regexp_replace with dialect-safe patterns (plain
+# character classes — no \\d, \\b, or lookaround, so Java regex and RE2
+# agree by construction). Pure codegen scan→project→agg: embarrassingly
+# parallel per document, one 20-group shuffle, at any scale.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@_q(
+    "text_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com now'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT source,
+         LENGTH(text) AS raw_len,
+         LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                               '{_PHONE_RE}', '<PHONE>', 'g')) AS red_len,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}')) AS n_emails,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}')) AS n_phones
+  FROM aug
+)
+SELECT source,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(raw_len - red_len) AS BIGINT) AS chars_delta
+FROM red
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    red = d.select(
+        "source",
+        F.length(aug).alias("raw_len"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("red_len"),
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.sum("n_emails").cast("bigint").alias("emails_redacted"),
+            F.sum("n_phones").cast("bigint").alias("phones_redacted"),
+            F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("long"))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum(F.col("raw_len") - F.col("red_len"))
+            .cast("bigint")
+            .alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram — the corpus-shape report every curation run
+# starts with: docs bucketed by token count (width-16 integer buckets; no
+# float math anywhere) per language, with each bucket's share of its
+# language. One scan + one (lang, bucket) agg; the share window runs over
+# the ~dozens-of-rows aggregate, so the whole report shuffles kilobytes
+# regardless of corpus size.
+# ---------------------------------------------------------------------------
+@_q(
+    "text_token_histogram",
+    oracle=f"""
+WITH m AS (
+  SELECT lang, (LEN({TOKS_SQL}) // 16) * 16 AS bucket_lo FROM documents
+),
+g AS (
+  SELECT lang, bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m
+  GROUP BY lang, bucket_lo
+)
+SELECT lang, CAST(bucket_lo AS BIGINT) AS bucket_lo, n_docs,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY lang), 6)
+         AS lang_share
+FROM g
+ORDER BY lang, bucket_lo
+""",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.size(toks()).cast("bigint") / 16).cast("bigint") * 16).alias(
+            "bucket_lo"
+        ),
+    )
+    g = d.groupBy("lang", "bucket_lo").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        g.select(
+            "lang",
+            "bucket_lo",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6).alias(
+                "lang_share"
+            ),
+        )
+        .orderBy("lang", "bucket_lo")
+    )

@@ -261,3 +261,42 @@ class TestHelpers:
         )
         top2 = latest_per_key(df, ["k"], "dt", tiebreakers=["seq"], keep=2)
         assert sorted(r["seq"] for r in top2.collect()) == [3, 4]
+
+
+class TestSnapshotDiff:
+    def test_classifies_and_drops_unchanged(self, spark):
+        from aws_glue_data_lake_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)],
+            "k long, s string, v double",
+        )
+        rows = {
+            r["k"]: r
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        # key 1 unchanged -> dropped; 2 updated; 3 deleted; 4 inserted
+        assert set(rows) == {2, 3, 4}
+        assert rows[2]["change_op"] == "U" and rows[2]["new_s"] == "B"
+        assert rows[3]["change_op"] == "D" and rows[3]["new_s"] is None
+        assert rows[4]["change_op"] == "I" and rows[4]["old_s"] is None
+
+    def test_null_safe_value_compare(self, spark):
+        from aws_glue_data_lake_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+        new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+        rows = snapshot_diff(old, new, ["k"]).collect()
+        # NULL == NULL must count as unchanged; NULL -> 'x' as update
+        assert [(r["k"], r["change_op"]) for r in rows] == [(2, "U")]
+
+    def test_compare_subset_ignores_other_columns(self, spark):
+        from aws_glue_data_lake_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 10)], "k long, s string, aud int")
+        new = spark.createDataFrame([(1, "a", 99)], "k long, s string, aud int")
+        assert snapshot_diff(old, new, ["k"], compare_cols=["s"]).isEmpty()
