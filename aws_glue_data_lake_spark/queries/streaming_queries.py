@@ -805,3 +805,146 @@ def streaming_enriched_segment_counts(
     )
     final = run_available_now(agg, output_mode="complete")
     return final.orderBy("window_start_us", "segment")
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream–stream join — the §2.10 semantics the inner funnels
+# can't pin: views with NO within-bound purchase must surface with a NULL
+# right side, and Spark may emit that null row only when the watermark
+# proves no match can still arrive (state eviction). Reuses the tight
+# funnel's time-ordered quartile replay (+ the late-slab batch), so every
+# class of output is provable, not empirical:
+# - matched pairs = exactly the tight variant's (slab purchases arrive
+#   below the watermark and are dropped on input; every band>0 purchase
+#   arrives while its view is provably still in state — see the tight
+#   funnel's quartile argument);
+# - null rows = views with no band>0 within-bound purchase whose eviction
+#   point (view_time + 30min) falls strictly below the FINAL watermark.
+#   The final watermark is NOT global-max − 5min: with two watermarked
+#   inputs Spark advances the query watermark to the MINIMUM across
+#   operators (multipleWatermarkPolicy=min default), so it is
+#   least(max view time, max purchase time) − 5min — on this fixture the
+#   purchase side runs ~30min dry at the end and is the binding side.
+#   Views above that point stay in state when the drain ends and emit
+#   nothing — the oracle excludes them, mirroring a production stream
+#   where "no match yet" ≠ "no match".
+# The staging helper asserts no view sits within ±4 ms of the eviction
+# boundary (watermarks are millisecond-granular), so the strict-vs-lax
+# eviction convention can never flip a fixture row.
+# At 100 TB this is the shape of every "sessionless attribution" job:
+# outer state per key is bounded by the lateness horizon exactly like the
+# inner join's, plus one pending-eviction row per unmatched view.
+# ---------------------------------------------------------------------------
+_OUTER_DELAY_US = 300_000_000  # 5 minutes, matches _TIGHT_DELAY
+
+
+@_q(
+    "streaming_stream_join_funnel_outer",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, user_id, event_type
+  FROM events
+),
+span AS (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax,
+                LEAST(MAX(CASE WHEN event_type = 'view' THEN ts_us END),
+                      MAX(CASE WHEN event_type = 'purchase' THEN ts_us END))
+                  AS wm_src
+         FROM e),
+banded AS (
+  SELECT e.*, (4 * (ts_us - tmin)) // (tmax - tmin + 1) AS band FROM e, span
+),
+matched AS (
+  SELECT v.user_id AS user_id,
+         v.event_id AS view_event_id,
+         p.event_id AS purchase_event_id,
+         p.ts_us - v.ts_us AS gap_us
+  FROM banded v JOIN banded p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + {_FUNNEL_BOUND_US}
+  WHERE p.band > 0
+),
+nulls AS (
+  SELECT v.user_id AS user_id,
+         v.event_id AS view_event_id,
+         CAST(NULL AS BIGINT) AS purchase_event_id,
+         CAST(NULL AS BIGINT) AS gap_us
+  FROM banded v, span
+  WHERE v.event_type = 'view'
+    AND v.ts_us + {_FUNNEL_BOUND_US} < wm_src - {_OUTER_DELAY_US}
+    AND v.event_id NOT IN (SELECT view_event_id FROM matched)
+)
+SELECT * FROM (
+  SELECT * FROM matched
+  UNION ALL
+  SELECT * FROM nulls
+)
+ORDER BY user_id, view_event_id, COALESCE(purchase_event_id, -1)
+""",
+)
+def streaming_stream_join_funnel_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.base import t
+
+    # Boundary guard: eviction compares at watermark (ms) granularity, so
+    # a view whose expiry lands within ±4 ms of the final watermark could
+    # classify differently under the engine's strict-vs-lax convention.
+    ev = t(spark, sf_dir, "events")
+    us = ts_us_col(ev)
+    wm_src = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", us)),
+            F.max(F.when(F.col("event_type") == "purchase", us)),
+        )
+    ).first()[0]
+    boundary = wm_src - _OUTER_DELAY_US - _FUNNEL_BOUND_US
+    near = ev.where(
+        (F.col("event_type") == "view")
+        & (F.abs(us - F.lit(boundary)) <= 4000)
+    )
+    if not near.isEmpty():
+        raise AssertionError(
+            "a view's eviction point sits within 4ms of the final "
+            "watermark; the outer-join oracle would be convention-"
+            "dependent — regenerate or widen the fixture"
+        )
+    stage = _funnel_tight_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", _TIGHT_DELAY)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", _TIGHT_DELAY)
+    )
+    pairs = views.join(
+        purchases,
+        on=[
+            views.v_user_id == purchases.p_user_id,
+            purchases.purchase_time >= views.view_time,
+            purchases.purchase_time
+            <= views.view_time + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="left_outer",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+    final = run_available_now(pairs, output_mode="append", shuffle_partitions=4)
+    return final.orderBy(
+        "user_id", "view_event_id", F.coalesce("purchase_event_id", F.lit(-1))
+    )
