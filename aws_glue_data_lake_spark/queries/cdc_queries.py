@@ -528,3 +528,122 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_ts").alias("new_ts"),
         "new_event_type",
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# POINT-IN-TIME (feature-store) JOIN: each (user, probe-time) pair gets
+# the SCD2 dimension version valid AT that instant — the lookup every
+# leakage-free training pipeline runs ("the feature value as of the
+# example's timestamp", cf. sample_temporal_split). Probes are a
+# deterministic 8-point integer time grid per user; the dimension is the
+# scd2_history above, so pre-creation probes, mid-life probes, and
+# post-delete probes (a 'D' closes the current version without opening
+# one) all occur and all three must resolve correctly.
+#
+# Spark-first: operators.asof.asof_join (union-and-carry: ONE shuffle on
+# user_id, no range-duplicated pairs) attaches the latest version with
+# valid_from <= probe_ts; a scan-side validity mask nulls it back out
+# when that version closed at or before the probe ([from, to) interval
+# semantics). The naive interval join the oracle runs would materialize
+# every (probe, earlier-version) candidate pair at scale.
+# --------------------------------------------------------------------------
+@_q(
+    "join_point_in_time",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+),
+chg AS (
+  SELECT user_id, event_id, event_type, op,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM feed
+),
+led AS (
+  SELECT *,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS valid_to_us
+  FROM chg
+),
+versions AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us, valid_to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS version
+  FROM led
+  WHERE op IS NULL OR op IN ('I', 'U')
+),
+span AS (
+  SELECT MIN(CAST(EPOCH_US(ts) AS BIGINT)) AS tmin,
+         (MAX(CAST(EPOCH_US(ts) AS BIGINT))
+          - MIN(CAST(EPOCH_US(ts) AS BIGINT))) // 8 AS step
+  FROM events
+),
+probes AS (
+  SELECT u.user_id, s.tmin + k.k * s.step AS probe_ts_us
+  FROM (SELECT DISTINCT user_id FROM events) u, span s,
+       UNNEST(generate_series(0, 7)) AS k(k)
+)
+SELECT p.user_id, p.probe_ts_us,
+       CAST(v.version AS BIGINT) AS version,
+       v.event_type AS dim_event_type,
+       CAST(CASE WHEN v.version IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_active
+FROM probes p
+LEFT JOIN versions v
+  ON v.user_id = p.user_id
+ AND v.valid_from_us <= p.probe_ts_us
+ AND (v.valid_to_us IS NULL OR p.probe_ts_us < v.valid_to_us)
+ORDER BY p.user_id, p.probe_ts_us
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.operators.asof import asof_join
+
+    feed = _feed(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "op", F.col("ts").alias("ts_us")
+    )
+    dim = scd2_history(feed).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("dim_event_type"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    ev = _feed(spark, sf_dir)
+    span = ev.agg(
+        F.min("ts").alias("tmin"),
+        ((F.max("ts") - F.min("ts")) / F.lit(8)).cast("bigint").alias("step"),
+    )
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+            "tmin",
+            "step",
+        )
+        .select(
+            "user_id",
+            (F.col("tmin") + F.col("k") * F.col("step")).alias("probe_ts_us"),
+        )
+    )
+    hit = asof_join(
+        probes,
+        dim,
+        key="user_id",
+        left_time="probe_ts_us",
+        right_time="valid_from_us",
+        payload=["version", "dim_event_type", "valid_to_us"],
+        tiebreak="version",
+    )
+    valid = F.col("valid_to_us").isNull() | (
+        F.col("probe_ts_us") < F.col("valid_to_us")
+    )
+    return hit.select(
+        "user_id",
+        "probe_ts_us",
+        F.when(valid, F.col("version")).alias("version"),
+        F.when(valid, F.col("dim_event_type")).alias("dim_event_type"),
+        (valid & F.col("version").isNotNull()).cast("bigint").alias("is_active"),
+    ).orderBy("user_id", "probe_ts_us")

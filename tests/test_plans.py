@@ -357,6 +357,19 @@ def test_q15_scalar_max_broadcasts(spark):
     )
 
 
+def test_point_in_time_join_is_union_carry_not_interval_join(spark):
+    """The PIT lookup must plan as the asof union-and-carry (one window
+    carrying the latest version forward) — NEVER an interval join that
+    materializes (probe, earlier-version) pairs: no join operator at all
+    except the broadcast 1-row span cross that builds the probe grid."""
+    plan = plan_of(spark, "join_point_in_time")
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+               "BroadcastHashJoin"):
+        assert op not in plan, op
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "last(" in plan  # the carry window
+
+
 def test_ivf_persisted_probe_prunes_partitions(spark):
     """The persisted IVF store is partitioned by centroid bucket and the
     probe must read only the probed buckets: the assignments scan needs a
