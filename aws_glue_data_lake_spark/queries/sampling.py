@@ -448,3 +448,65 @@ def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Token/char-budget source mixing — the "data mixology" step that turns
+# per-source weights into an actual corpus: each source contributes a
+# greedy hash-ordered prefix of documents until its character budget is
+# reached (the crossing document is included, so a source with enough
+# data always covers its budget). The hash order replaces RNG per this
+# module's convention, so the mix is engine- and partitioning-stable.
+# One shuffle on source; the running sum rides that partitioning.
+# --------------------------------------------------------------------------
+_MIX_BUDGET_CHARS = 20_000
+
+
+@_q(
+    "sample_token_budget_mix",
+    oracle=f"""
+WITH ordered AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+),
+picked AS (
+  SELECT * FROM ordered WHERE cum_before < {_MIX_BUDGET_CHARS}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_selected,
+       ROUND(SUM(n_chars) * 1.0 / {_MIX_BUDGET_CHARS}, 6) AS budget_fill
+FROM picked
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        ordered.where(F.col("cum_before") < _MIX_BUDGET_CHARS)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_selected"),
+            F.round(
+                F.sum("n_chars") * 1.0 / _MIX_BUDGET_CHARS, 6
+            ).alias("budget_fill"),
+        )
+        .orderBy("source")
+    )

@@ -861,3 +861,56 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "centroid_id", "cosine")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall evaluation — the measurement every ANN deployment ships with:
+# recall@k of the IVF probe against the exact brute-force top-k, per
+# query. Composes the two registered searches (and their oracles — the
+# oracle below nests both as CTEs), so the recall number the driver
+# hash-verifies is the recall of exactly the index this engine serves.
+# Scale: the eval join runs over two (n_queries × k)-row relations — the
+# cost is the underlying searches, the comparison is free; in production
+# this runs over a sampled query set against the same persisted index
+# the serving path probes (sim_ivf_persisted_probe).
+# ---------------------------------------------------------------------------
+@_q(
+    "sim_ivf_recall",
+    oracle=f"""
+WITH exact AS ({{exact}}),
+ivf AS ({{ivf}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(
+        exact=REGISTRY.oracles["sim_topk_bruteforce"],
+        ivf=REGISTRY.oracles["sim_ivf_topk"],
+    ),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = REGISTRY.queries["sim_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = REGISTRY.queries["sim_ivf_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
