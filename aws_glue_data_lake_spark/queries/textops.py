@@ -977,3 +977,174 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket_lo")
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size chunking with overlap — the long-document splitting mode of a
+# training pipeline (sequence_packing covers the concat-and-chunk mode):
+# each doc yields char windows of _CHUNK_LEN with stride _CHUNK_STRIDE, so
+# consecutive chunks overlap by LEN-STRIDE chars and every char lands in
+# at least one chunk. Pure per-document map work (sequence -> transform ->
+# explode), no shuffle at all until the final bounded ORDER BY — at 100 TB
+# this is a scan-shaped pass whose output is input_bytes x LEN/STRIDE.
+# Chunk identity is md5 so the oracle verifies contents, not just counts.
+# --------------------------------------------------------------------------
+_CHUNK_LEN = 120
+_CHUNK_STRIDE = 90
+
+
+@_q(
+    "text_chunk_stride",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN}) AS chunk
+  FROM documents,
+       UNNEST(generate_series(0,
+         CAST(CEIL(GREATEST(len(text) - {_CHUNK_LEN}, 0)
+                   / {_CHUNK_STRIDE}.0) AS BIGINT))) AS g(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+WHERE doc_id < 120
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    n = F.length("text")
+    # Number of windows: 1 + ceil(max(n - LEN, 0) / STRIDE) — the last
+    # window starts at the smallest i*STRIDE with i*STRIDE + LEN >= n.
+    last_idx = F.ceil(
+        F.greatest(n - F.lit(_CHUNK_LEN), F.lit(0)) / F.lit(float(_CHUNK_STRIDE))
+    ).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), last_idx),
+                # Column.substr takes Column offsets, so the window start can
+                # depend on the lambda variable without leaving the HOF.
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.col("text")
+                    .substr(
+                        (i * _CHUNK_STRIDE + 1).cast("int"),
+                        F.lit(_CHUNK_LEN),
+                    )
+                    .alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.length("c.chunk").cast("bigint").alias("chunk_len"),
+        F.md5("c.chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-block fraction — the RefinedWeb/Dolma per-document dedup
+# signal: cut each doc into NON-overlapping _BLK-word blocks, find blocks
+# shared verbatim by >= 2 distinct docs, and report what fraction of each
+# doc is made of such shared blocks (then roll up per source — the output
+# stays dimension-sized at any corpus scale). Distinct from
+# text_common_passages (which *lists* cross-doc passages): this scores
+# docs for a filter gate. Plan: per-doc map explode -> one shuffle keyed
+# on the block string (bounded by block-vocabulary, heavy blocks are
+# exactly the interesting ones) -> join back on block -> per-doc, then
+# per-source aggregates. No self-join, no all-pairs.
+# --------------------------------------------------------------------------
+_BLK = 3
+
+
+@_q(
+    "text_dup_block_fraction",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source, {TOKS_SQL} AS w FROM documents
+),
+blocks AS (
+  SELECT doc_id, source, b.blk
+  FROM (
+    SELECT doc_id, source,
+           [array_to_string(w[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ')
+            for i in generate_series(0,
+              CAST(CEIL(len(w) / {_BLK}.0) AS BIGINT) - 1)] AS blks
+    FROM tk
+  ), UNNEST(blks) AS b(blk)
+),
+shared AS (
+  SELECT blk FROM blocks GROUP BY blk HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT b.doc_id, b.source,
+         COUNT(*) AS n_blocks,
+         SUM(CASE WHEN s.blk IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM blocks b LEFT JOIN shared s ON b.blk = s.blk
+  GROUP BY b.doc_id, b.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_blocks) AS BIGINT) AS total_blocks,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_blocks,
+       ROUND(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_blocks), 6) AS dup_frac,
+       CAST(SUM(CASE WHEN n_dup * 2 >= n_blocks THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_dup_block_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", toks().alias("w"))
+    n = F.size("w")
+    n_blocks = F.ceil(n / F.lit(float(_BLK))).cast("bigint")
+    blocks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), n_blocks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), (i * _BLK + 1).cast("int"), _BLK)
+                ),
+            )
+        ).alias("blk"),
+    )
+    shared = (
+        blocks.groupBy("blk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("blk")
+    )
+    per_doc = (
+        blocks.join(shared.withColumn("is_dup", F.lit(1)), "blk", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_blocks").cast("bigint").alias("total_blocks"),
+            F.sum("n_dup").cast("bigint").alias("dup_blocks"),
+            F.round(
+                F.sum("n_dup").cast("double") / F.sum("n_blocks"), 6
+            ).alias("dup_frac"),
+            F.sum(
+                (F.col("n_dup") * 2 >= F.col("n_blocks")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

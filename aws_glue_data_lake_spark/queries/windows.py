@@ -551,3 +551,160 @@ def window_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch conversion funnel — the product-analytics staple: how many users
+# progress view -> click -> purchase, where each stage must happen STRICTLY
+# AFTER the user's entry into the previous stage (first-touch attribution).
+# Sequential dependency = per-stage MIN over the events that postdate the
+# previous stage's timestamp, so each stage is one keyed aggregate plus one
+# user_id-keyed join against the (|users|-sized, events-sized NOT) stage
+# table from the step before. At 100 TB: three shuffles on user_id that AQE
+# coalesces, never an event×event self-join; the per-user stage table is
+# |users| rows, orders of magnitude under the event count.
+# --------------------------------------------------------------------------
+@_q(
+    "funnel_user_conversion",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, MIN(ts_us) AS v_ts FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts_us) AS c_ts
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts_us) AS p_ts
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS stage_name,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(0 AS BIGINT) AS total_delay_us
+  FROM v
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(c.c_ts - v.v_ts) AS BIGINT)
+  FROM c JOIN v ON c.user_id = v.user_id
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(p.p_ts - c.c_ts) AS BIGINT)
+  FROM p JOIN c ON p.user_id = c.user_id
+) ORDER BY stage
+""",
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).withColumnRenamed("ts", "ts_us")
+    e = ev.select("user_id", "event_type", "ts_us")
+
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"), F.first("v_ts").alias("v_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .where(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"), F.first("c_ts").alias("c_ts"))
+    )
+
+    s1 = v.agg(
+        F.lit(1).alias("stage"),
+        F.lit("view").alias("stage_name"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.lit(0).cast("bigint").alias("total_delay_us"),
+    )
+    s2 = c.agg(
+        F.lit(2).alias("stage"),
+        F.lit("click").alias("stage_name"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("c_ts") - F.col("v_ts")).cast("bigint").alias("total_delay_us"),
+    )
+    s3 = p.agg(
+        F.lit(3).alias("stage"),
+        F.lit("purchase").alias("stage_name"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("p_ts") - F.col("c_ts")).cast("bigint").alias("total_delay_us"),
+    )
+    return s1.unionAll(s2).unionAll(s3).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention — the other analyst staple: bucket users by
+# first-seen week (their cohort), then count how many are still active k
+# weeks later. Weeks are epoch-µs integer division (no calendar functions:
+# identical arithmetic on both engines). Plan shape: one user_id aggregate
+# for first-seen, one user_id-keyed join back to events (the first-seen
+# side is |users| rows — at cluster scale a shuffle join keyed on user_id,
+# which AQE will broadcast when |users| fits), then a (cohort, offset)
+# aggregate whose output is weeks x weeks — tiny regardless of data scale.
+# Retention rate divides by the cohort's offset-0 size via a window over
+# the tiny aggregate, not another pass over events.
+# --------------------------------------------------------------------------
+_WEEK_US = 7 * 24 * 3_600 * 1_000_000
+
+
+@_q(
+    "cohort_weekly_retention",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) // {_WEEK_US} AS week FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+),
+activity AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY f.cohort_week, e.week - f.cohort_week
+)
+SELECT cohort_week, week_offset, CAST(n_active AS BIGINT) AS n_active,
+       ROUND(CAST(n_active AS DOUBLE) / MAX(CASE WHEN week_offset = 0
+             THEN n_active END) OVER (PARTITION BY cohort_week), 6)
+         AS retention
+FROM activity
+ORDER BY cohort_week, week_offset
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).withColumnRenamed("ts", "ts_us")
+    # Integer division (not float-divide-then-cast): ts_us sits near 2^51
+    # where double division is still exact, but `div` keeps it provably so.
+    e = ev.select(
+        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    base = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(base)
+    return activity.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / cohort_size, 6).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
