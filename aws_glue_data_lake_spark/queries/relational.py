@@ -1613,3 +1613,69 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_price_custkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch rollup — the pre-aggregation pattern that makes
+# distinct-count dashboards viable at 100 TB: build one Datasketches HLL
+# sketch of user_id PER DAY (the granularity a rollup table would
+# persist), then answer the weekly question by UNIONING the daily
+# sketches — never re-touching the raw events. hll_sketch_agg is a true
+# partial aggregate (map-side combine, bytes-sized state per day);
+# hll_union_agg merges 7 fixed-size sketches per output row, so the
+# weekly pass costs O(days), not O(events). DuckDB can't reproduce the
+# sketch registers, so (same contract as agg_approx_distinct_customers)
+# the hashed columns are the EXACT weekly distincts plus a tolerance
+# verdict on the estimate; the estimate itself stays out of the hash.
+# --------------------------------------------------------------------------
+_DAY_US = 24 * 3_600 * 1_000_000
+
+
+@_q(
+    "agg_hll_sketch_rollup",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(EPOCH_US(ts) AS BIGINT) // {_DAY_US} AS day
+  FROM events
+)
+SELECT day // 7 AS week,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tolerance
+FROM e
+GROUP BY day // 7
+ORDER BY week
+""",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", ts_us_col(ev).alias("_us")).select(
+        "user_id", F.expr(f"_us div {_DAY_US}").alias("day")
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("day_exact"),
+    )
+    weekly = daily.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    # The exact weekly distinct needs the raw rows (daily exacts don't
+    # merge); one extra aggregate over e, joined on the tiny week key.
+    exact = e.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tolerance"),
+        )
+        .orderBy("week")
+    )

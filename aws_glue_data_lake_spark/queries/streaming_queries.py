@@ -948,3 +948,267 @@ def streaming_stream_join_funnel_outer(spark: SparkSession, sf_dir: str) -> Data
     return final.orderBy(
         "user_id", "view_event_id", F.coalesce("purchase_event_id", F.lit(-1))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators — dropDuplicatesWithinWatermark feeding a
+# windowed aggregate in ONE streaming query (Spark's multiple-stateful-
+# operator support): the production ingest topology where an at-least-once
+# source is deduped and aggregated without landing an intermediate table.
+# The replay fixture delivers four time-ordered slabs, each followed by a
+# redelivery of half of it; the watermark delay (_CHAIN_DELAY_US) exceeds
+# one slab's width, so every redelivered row arrives above the watermark
+# while its first copy's dedup state is still alive — duplicates are
+# removed by STATE, not by late-arrival drop (a delay shorter than the
+# slab would make the green hash vacuous).
+#
+# Append mode only emits windows the final watermark (global max event
+# time - delay) has closed, and the watermark is min'd across both
+# stateful operators (same column + same delay here, so it equals the
+# single-operator value). The oracle replays that arithmetic: deduped
+# stream == the events table, windows capped at tmax - delay. State cost
+# at 100 TB: dedup state = redelivery horizon x arrival rate; window
+# state = horizon x key cardinality — both horizon-bound, never
+# corpus-bound.
+# ---------------------------------------------------------------------------
+_CHAIN_DELAY_US = 9 * 24 * 3_600 * 1_000_000  # 9 days > 30-day span / 4
+
+
+@_q(
+    "streaming_dedup_then_tumbling",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, event_type, value FROM events
+),
+span AS (SELECT MAX(ts_us) AS tmax FROM e)
+SELECT (ts_us // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM e, span
+WHERE (ts_us // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US} <= tmax - {_CHAIN_DELAY_US}
+GROUP BY 1, 2
+ORDER BY window_start_us, event_type
+""",
+)
+def streaming_dedup_then_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _chain_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    deduped = stream.withWatermark(
+        "event_time", f"{_CHAIN_DELAY_US // 1_000_000} seconds"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    agg = (
+        deduped.groupBy(
+            F.window("event_time", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    final = run_available_now(agg, output_mode="append")
+    return final.orderBy("window_start_us", "event_type")
+
+
+def _chain_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the eight-batch chained-stateful fixture once per
+    (session, sf_dir): four time-quartile slabs in order, each immediately
+    followed by an exact redelivery of its even-event_id half."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _CHAIN_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    ts_us = ts_us_col(ev)
+    tmin, tmax = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    quartile_us = (tmax - tmin) // 4
+    # Dedup-by-state premise: redelivered rows must sit above the watermark
+    # (delay > slab width). Append-emission premise: the final watermark
+    # must close at least one window (delay < full span). Fail loudly on a
+    # fixture that breaks either, instead of silently diverging.
+    if not (quartile_us < _CHAIN_DELAY_US < (tmax - tmin)):
+        raise AssertionError(
+            f"events span unfit for the chained-stateful oracle: need "
+            f"quartile width {quartile_us}us < delay {_CHAIN_DELAY_US}us "
+            f"< span {tmax - tmin}us; regenerate or widen the fixture"
+        )
+    banded = ev.withColumn("_us", ts_us).withColumn(
+        "_band", F.expr(f"(4 * (_us - {tmin})) div {tmax - tmin + 1}")
+    )
+    batches = []
+    for i in range(4):
+        slab = banded.where(F.col("_band") == i).drop("_us", "_band")
+        batches.append(slab)
+        batches.append(slab.where(F.col("event_id") % 2 == 0))
+    stage = stage_ordered_batches(batches)
+    _CHAIN_STAGE[key] = stage
+    return stage
+
+
+_CHAIN_STAGE: dict[tuple[str, str], str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance — the versioned-dimension twin of
+# streaming_cdc_upsert_state: each micro-batch of CDC ops is merged into
+# an SCD type-2 lake table via foreachBatch, incrementally. Per batch and
+# per affected key: re-open the key's current version as a pseudo-change,
+# recompute the LEAD-closed intervals over (open version ∪ batch ops),
+# shift version numbers past the key's stored history, and upsert keyed
+# on (user_id, version) — the re-closed current version updates IN PLACE
+# (same key), new versions insert, deletes close without opening. Batches
+# are time-banded, so per-key change order across batches matches the
+# batch recomputation and the final table equals cdc_scd2_history's
+# oracle exactly.
+#
+# Scale: per batch the work is O(batch + affected keys' open rows + the
+# lake files they live in) — never O(history). The offsets/open-rows
+# lookups are keyed joins against a batch-keys-sized side that Spark
+# broadcasts; at 100 TB the dimension is file-pruned by the lake layer's
+# user_id manifest stats.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_scd2_foreachbatch",
+    oracle=f"""
+WITH feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+),
+chg AS (
+  SELECT user_id, event_id, event_type, op,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM feed
+),
+led AS (
+  SELECT *,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS valid_to_us
+  FROM chg
+),
+versions AS (
+  SELECT user_id, event_id, event_type, ts_us AS valid_from_us, valid_to_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS version
+  FROM led
+  WHERE op IS NULL OR op IN ('I', 'U')
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_id, event_type,
+       valid_from_us, valid_to_us,
+       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM versions
+WHERE user_id < 200
+ORDER BY user_id, version
+""",
+)
+def streaming_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.cdc_queries import scd2_history
+
+    stage = _scd2_batches_dir(spark, sf_dir)
+    stream = read_staged_batches_stream(spark, stage)
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "view", "U")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    feed = stream.select(
+        "user_id", "event_id", "event_type", op.alias("op"), "ts_us"
+    )
+    tmp = session_tmpdir("scd2_stream_")
+    table = LakeTable(f"{tmp}/dim")
+    dim_cols = [
+        "user_id", "version", "event_id", "event_type",
+        "valid_from_us", "valid_to_us", "is_current",
+    ]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch
+        if b.isEmpty():
+            return
+        if not table.exists():
+            table.create(scd2_history(b).select(*dim_cols), stat_cols=["user_id"])
+            return
+        bspark = b.sparkSession
+        keys = b.select("user_id").distinct()
+        dim = table.read(bspark).join(F.broadcast(keys), "user_id")
+        open_rows = dim.where(F.col("is_current") == 1)
+        offsets = dim.groupBy("user_id").agg(F.max("version").alias("voff"))
+        pseudo = open_rows.select(
+            "user_id", "event_id", "event_type",
+            F.lit("I").alias("op"),
+            F.col("valid_from_us").alias("ts_us"),
+        )
+        combined = pseudo.unionByName(
+            b.select("user_id", "event_id", "event_type", "op", "ts_us")
+        )
+        had_open = open_rows.select("user_id").withColumn("had_open", F.lit(1))
+        adj = (
+            scd2_history(combined)
+            .join(F.broadcast(offsets), "user_id", "left")
+            .join(F.broadcast(had_open), "user_id", "left")
+            .withColumn(
+                "version",
+                F.col("version")
+                + F.coalesce(F.col("voff"), F.lit(0))
+                - F.coalesce(F.col("had_open"), F.lit(0)),
+            )
+        )
+        table.upsert(adj.select(*dim_cols), keys=["user_id", "version"])
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "SCD2 stream did not drain within 120s — refusing to read "
+                "a stale or missing dimension"
+            )
+    finally:
+        q.stop()
+    return (
+        table.read(spark)
+        .where(F.col("user_id") < 200)
+        .select(*dim_cols)
+        .orderBy("user_id", "version")
+    )
+
+
+def _scd2_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the CDC feed as four time-band batches (no replays): SCD2
+    increments assume per-key change order across batches, and banding by
+    ts guarantees it (equal timestamps land in the same band)."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _SCD2_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    ts_us = ts_us_col(ev)
+    tmin, tmax = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    banded = ev.withColumn("_us", ts_us).withColumn(
+        "_band", F.expr(f"(4 * (_us - {tmin})) div {tmax - tmin + 1}")
+    )
+    stage = stage_ordered_batches(
+        [banded.where(F.col("_band") == i).drop("_us", "_band") for i in range(4)]
+    )
+    _SCD2_STAGE[key] = stage
+    return stage
+
+
+_SCD2_STAGE: dict[tuple[str, str], str] = {}
