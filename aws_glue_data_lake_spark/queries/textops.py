@@ -1148,3 +1148,77 @@ def text_dup_block_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed heavy hitters — Misra-Gries summaries per partition, merged
+# candidates, exact recount. The two-phase shape that finds frequent items
+# in one pass over 100 TB without a full word-count shuffle:
+#
+#   phase 1 (map): each partition keeps a _MG_K-counter Misra-Gries
+#     summary (weighted updates from per-Arrow-batch value_counts, so the
+#     Python work is vocabulary-sized, not row-sized). Pigeonhole + the
+#     MG decrement bound guarantee any word with GLOBAL count >
+#     N/(_MG_K+1) exceeds its partition threshold somewhere, so the
+#     candidate union is a superset of the true heavy set — for ANY
+#     partitioning, which is why the query stays deterministic even
+#     though the summaries themselves aren't.
+#   phase 2 (verify): exact counts for candidates only (broadcast semi
+#     join — the corpus-side explode never shuffles), filtered by the
+#     same integer threshold n*(K+1) > N. Superset + exact filter =>
+#     output EQUALS the exact heavy-hitter set; the oracle recomputes it
+#     from scratch.
+#
+# The fixture's near-uniform 31-word vocabulary exercises the
+# all-fit-in-counters path (every real word survives, the rare 'dup'
+# marker is correctly cut); skewed corpora exercise the decrement path,
+# covered by the MG unit test in tests/test_textops_sketch.py.
+# --------------------------------------------------------------------------
+_MG_K = 32
+
+
+def _mg_summaries(pdf_iter):
+    """Per-partition weighted Misra-Gries over a `word` column stream."""
+    counters: dict[str, int] = {}
+    for pdf in pdf_iter:
+        for word, cnt in pdf["word"].value_counts().items():
+            counters[word] = counters.get(word, 0) + int(cnt)
+            if len(counters) > _MG_K:
+                m = min(counters.values())
+                counters = {w: c - m for w, c in counters.items() if c > m}
+    yield pd.DataFrame({"word": list(counters.keys())})
+
+
+@_q(
+    "text_heavy_hitters_mg",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({TOKS_SQL}) AS word FROM documents
+),
+total AS (SELECT COUNT(*) AS n FROM w)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM w, total
+GROUP BY word, n
+HAVING COUNT(*) * {_MG_K + 1} > n
+ORDER BY word
+""",
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks()).alias("word"))
+    )
+    candidates = (
+        words.mapInPandas(_mg_summaries, schema="word string")
+        .distinct()
+    )
+    total = words.agg(F.count("*").alias("n"))
+    return (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .join(F.broadcast(total))
+        .where(F.col("n_occurrences") * (_MG_K + 1) > F.col("n"))
+        .select("word", "n_occurrences")
+        .orderBy("word")
+    )

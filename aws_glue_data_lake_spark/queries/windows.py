@@ -708,3 +708,98 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active").cast("double") / cohort_size, 6).alias("retention"),
     ).orderBy("cohort_week", "week_offset")
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection — the streaming-adjacent monitoring
+# shape, batch form: each event's value is z-scored against the PRECEDING
+# _ZWIN events of the same type (frame excludes the current row, so the
+# anomaly can't suppress itself), flagged when (v-mean)^2 > 9*var with at
+# least _ZMIN prior points. Mean/variance derive from exact DECIMAL power
+# sums over the frame (the agg_stats_moments recipe) and the flag
+# comparison is written with the identical expression tree on both
+# engines, so the boolean is bit-stable. One shuffle on event_type; the
+# frame reuses it. Output is per-type counts — dimension-sized at any
+# scale.
+# --------------------------------------------------------------------------
+_ZWIN = 200
+_ZMIN = 50
+
+
+@_q(
+    "window_trailing_zscore_anomalies",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+framed AS (
+  SELECT event_type, value,
+         COUNT(*) OVER w AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN {_ZWIN} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type,
+         CASE WHEN cnt >= {_ZMIN} THEN 1 ELSE 0 END AS scored,
+         CASE WHEN cnt >= {_ZMIN}
+               AND (value - s1 / cnt) * (value - s1 / cnt)
+                   > 9 * ((s2 - s1 * s1 / cnt) / (cnt - 1))
+              THEN 1 ELSE 0 END AS is_anomaly,
+         CASE WHEN cnt >= {_ZMIN}
+               AND (value - s1 / cnt) * (value - s1 / cnt)
+                   > 9 * ((s2 - s1 * s1 / cnt) / (cnt - 1))
+              THEN value END AS anom_value
+  FROM framed
+)
+SELECT event_type,
+       CAST(SUM(scored) AS BIGINT) AS n_scored,
+       CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies,
+       CAST(SUM(CAST(anom_value AS DECIMAL(18,6))) AS DOUBLE) AS anomaly_value_sum
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def window_trailing_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).withColumnRenamed("ts", "ts_us")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    framed = ev.select(
+        "event_type",
+        "value",
+        F.count("*").over(w).alias("cnt"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+    )
+    cnt, s1, s2, v = (F.col(c) for c in ("cnt", "s1", "s2", "value"))
+    dev2 = (v - s1 / cnt) * (v - s1 / cnt)
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    enough = cnt >= _ZMIN
+    is_anom = enough & (dev2 > 9 * var)
+    scored = framed.select(
+        "event_type",
+        enough.cast("int").alias("scored"),
+        is_anom.cast("int").alias("is_anomaly"),
+        F.when(is_anom, v).alias("anom_value"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("scored").cast("bigint").alias("n_scored"),
+            F.sum("is_anomaly").cast("bigint").alias("n_anomalies"),
+            F.sum(F.col("anom_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("anomaly_value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -395,3 +395,66 @@ def test_sql_registered_udf_is_arrow_vectorized(spark):
     plan = plan_of(spark, "text_sql_registered_udf")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_conversion_pushes_stage_filters(spark):
+    """Each funnel stage scans only its event_type — the predicate must
+    reach the parquet scan, and nothing may degenerate to a cartesian."""
+    plan = formatted_plan_of(spark, "funnel_user_conversion")
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_prunes_columns(spark):
+    """The events scan feeds first-seen + activity from (user_id, ts)
+    only — no other column may survive into ReadSchema."""
+    plan = formatted_plan_of(spark, "cohort_weekly_retention")
+    for seg in plan.split("ReadSchema:")[1:]:
+        schema = seg.splitlines()[0]
+        assert "user_id" in schema and "ts" in schema
+        for col in ("event_type", "value", "props"):
+            assert col not in schema
+
+
+def test_chunk_stride_is_scan_shaped(spark):
+    """Chunking is pure per-doc map work: no join, no Python operator,
+    no aggregate — the only exchange is the final deterministic sort."""
+    plan = plan_of(spark, "text_chunk_stride")
+    for op in ("Join", "ArrowEvalPython", "BatchEvalPython", "HashAggregate"):
+        assert op not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_dup_block_join_is_keyed(spark):
+    """The shared-block probe joins ON the block string — a keyed join
+    (broadcast or shuffle), never an unkeyed nested-loop flood."""
+    plan = plan_of(spark, "text_dup_block_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_rollup_uses_mergeable_partial_agg(spark):
+    """The daily sketch build must plan as an ObjectHashAggregate with a
+    partial phase (map-side sketch merge) — that partial/final split IS
+    the mergeable-rollup property the query exists to demonstrate."""
+    plan = plan_of(spark, "agg_hll_sketch_rollup")
+    assert "ObjectHashAggregate" in plan
+    assert "partialhllsketchagg" in plan.lower().replace("_", "")
+
+
+def test_zscore_shares_the_event_type_exchange(spark):
+    """Frame window and the per-type aggregate both key on event_type —
+    Catalyst must not add a third hash exchange for the final groupBy."""
+    plan = plan_of(spark, "window_trailing_zscore_anomalies")
+    assert plan.count("hashpartitioning(event_type") <= 2
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """Phase 2 must be a broadcast LEFT SEMI against the tiny candidate
+    set (the corpus-side explode never shuffles for the probe), and the
+    MG phase must be Arrow-batched mapInPandas."""
+    plan = plan_of(spark, "text_heavy_hitters_mg")
+    assert "MapInPandas" in plan
+    assert re.search(r"BroadcastHashJoin \[word[^\]]*\], \[word[^\]]*\], LeftSemi", plan)
