@@ -1679,3 +1679,136 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# CSV source scan (S1 family, format breadth): the orders table staged as
+# headered CSV and read back with an EXPLICIT schema — never inferSchema
+# in a pipeline (inference is a full extra pass over 100 TB and can flip
+# types between runs; the declared schema is the contract). Malformed
+# rows surface as nulls under the default PERMISSIVE mode rather than
+# killing the job. The staged content equals the fixture, so the oracle
+# runs on the orders view directly.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_csv_source",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(EPOCH_US(o_orderdate)) AS BIGINT) AS first_order_us,
+       CAST(MAX(EPOCH_US(o_orderdate)) AS BIGINT) AS last_order_us
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _csv_stage_dir(spark, sf_dir)
+    # o_orderdate travels as epoch-µs int64 (the engine's transport-safe
+    # time convention — CSV timestamp round-trips are format/zone traps).
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate_us BIGINT"
+    )
+    o = spark.read.schema(schema).option("header", "true").csv(path)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderdate_us").alias("first_order_us"),
+            F.max("o_orderdate_us").alias("last_order_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _csv_stage_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _CSV_STAGE.get(key)
+    if stage is not None:
+        return stage
+    o_t = t(spark, sf_dir, "orders")
+    o = o_t.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        ts_us_col(o_t, "o_orderdate").alias("o_orderdate_us"),
+    )
+    stage = session_tmpdir("csv_source_") + "/orders"
+    o.write.mode("overwrite").option("header", "true").csv(stage)
+    _CSV_STAGE[key] = stage
+    return stage
+
+
+_CSV_STAGE: dict[tuple[str, str], str] = {}
+
+
+# --------------------------------------------------------------------------
+# JSON-lines source scan: the events table staged as JSONL (ts carried as
+# epoch-µs int64 — the transport-safe convention; ISO strings round-trip
+# timezone bugs) and read back with an explicit schema, then the nested
+# `props` JSON string parsed in-plan with from_json into a typed struct.
+# Schema'd read + from_json is the production JSONL path: one pass, typed
+# at the scan, no inference job.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_jsonl_source",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(EPOCH_US(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scan_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _jsonl_stage_dir(spark, sf_dir)
+    schema = (
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    ev = spark.read.schema(schema).json(path)
+    parsed = ev.withColumn(
+        "props_t", F.from_json("props", "k BIGINT")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.sum(F.col("props_t.k")).cast("bigint").alias("sum_k"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _jsonl_stage_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _JSONL_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        ts_us_col(ev).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    stage = session_tmpdir("jsonl_source_") + "/events"
+    out.write.mode("overwrite").json(stage)
+    _JSONL_STAGE[key] = stage
+    return stage
+
+
+_JSONL_STAGE: dict[tuple[str, str], str] = {}
