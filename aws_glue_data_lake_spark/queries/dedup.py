@@ -1052,3 +1052,88 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall evaluation — the approximation itself under test
+# (the dedup twin of sim_ivf_recall): ground truth is the EXACT Jaccard
+# pair set over a bounded 200-doc slice (an all-pairs diagnostic — cheap
+# and explicitly not the production path; the production operator is the
+# banded LSH it measures), candidates are the capped band join restricted
+# to the same slice. Recall = caught/true at the 0.5 threshold. Both
+# sides derive from the same md5 minhash family, so the measured recall
+# is bit-deterministic and the oracle recomputes it exactly.
+# ---------------------------------------------------------------------------
+_RECALL_SLICE = 200
+_RECALL_J = 0.5
+
+
+@_q(
+    "dedup_minhash_recall",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+sl AS (SELECT * FROM sh WHERE doc_id < {_RECALL_SLICE} AND LEN(s) > 0),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sl a JOIN sl b ON a.doc_id < b.doc_id
+  WHERE LEN(LIST_INTERSECT(a.s, b.s)) * 1.0
+        / (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= {_RECALL_J}
+),
+mh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(generate_series(0, {_N_HASH - 1}),
+           k -> LIST_MIN(LIST_TRANSFORM(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS m
+  FROM sh WHERE LEN(s) > 0
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(m[3*j+1] || '|' || m[3*j+2] || '|' || m[3*j+3]) AS band_key
+  FROM mh, UNNEST(generate_series(0, {_N_BANDS - 1})) AS u(j)
+  {_BUCKET_CAP_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {_RECALL_SLICE} AND b.doc_id < {_RECALL_SLICE}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+""",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _shingle_table(spark, sf_dir).where(F.col("doc_id") < _RECALL_SLICE)
+    a = sl.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sl.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter * 1.0 / (F.size("sa") + F.size("sb") - inter)
+    # Bounded all-pairs (|slice|^2 = 40k rows max) — intentional: this is
+    # the ground-truth diagnostic, so the explicit crossJoin guardrail
+    # applies, and the broadcast keeps the big side un-shuffled.
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .where((F.col("doc_a") < F.col("doc_b")) & (jac >= _RECALL_J))
+        .select("doc_a", "doc_b")
+    )
+    sk = _minhash_sketch(spark, sf_dir)
+    cand = (
+        _minhash_candidate_pairs(sk)
+        .where(
+            (F.col("doc_a") < _RECALL_SLICE) & (F.col("doc_b") < _RECALL_SLICE)
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return truth.join(cand, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_caught"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 6
+        ).alias("recall"),
+    )
