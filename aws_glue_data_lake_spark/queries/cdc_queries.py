@@ -647,3 +647,95 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid, F.col("dim_event_type")).alias("dim_event_type"),
         (valid & F.col("version").isNotNull()).cast("bigint").alias("is_active"),
     ).orderBy("user_id", "probe_ts_us")
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure propagation — right-to-be-forgotten across the lake: one
+# deletion list (user_ids) must disappear from BOTH the fact table (all
+# of the user's events) and the latest-state dimension (their current
+# row), atomically per table, without rewriting either table wholesale.
+# `LakeTable.upsert(delete_keys=...)` does the row-level delete
+# copy-on-write at file granularity: only files whose footer user_id
+# range overlaps the erasure set are rewritten — at 100 TB the I/O bill
+# is the affected files, and a user_id-clustered layout (the compaction
+# path) makes that a handful. The query materializes both tables, runs
+# the erasure, and reports post-state aggregates from BOTH tables plus
+# the erased-row accounting; the oracle recomputes the post-state from
+# the fixture directly.
+# --------------------------------------------------------------------------
+_ERASE_MOD = 37
+
+
+@_q(
+    "pipeline_gdpr_erasure",
+    oracle=f"""
+WITH erased AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {_ERASE_MOD} = 0
+),
+fact_after AS (
+  SELECT * FROM events WHERE user_id % {_ERASE_MOD} <> 0
+),
+feed AS (
+  SELECT *, {_OP_CASE_SQL} AS op FROM events
+),
+state AS (
+  SELECT user_id, event_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS row_num
+    FROM feed
+    WHERE ts > TIMESTAMP '1900-01-01 00:00:00')
+  WHERE row_num = 1 AND (op IS NULL OR op IN ('I', 'U'))
+),
+dim_after AS (
+  SELECT * FROM state WHERE user_id % {_ERASE_MOD} <> 0
+)
+SELECT CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS n_erased_users,
+       CAST((SELECT COUNT(*) FROM fact_after) AS BIGINT) AS fact_rows_after,
+       CAST((SELECT COUNT(*) FROM dim_after) AS BIGINT) AS dim_rows_after,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM fact_after) AS BIGINT)
+         AS fact_users_after,
+       CAST((SELECT SUM(CAST(value AS DECIMAL(18,6))) FROM fact_after)
+            AS DOUBLE) AS fact_value_after
+""",
+)
+def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = _feed(spark, sf_dir).drop("op")
+    tmp = session_tmpdir("gdpr_")
+    fact = LakeTable(f"{tmp}/fact")
+    # Stat/cluster on user_id — erasure is keyed on it, so file pruning
+    # applies to the delete pass itself.
+    fact.create(ev, stat_cols=["user_id"])
+    dim = LakeTable(f"{tmp}/dim")
+    dim.create(
+        full_load(
+            _feed(spark, sf_dir), ["user_id"], "ts",
+            tiebreakers=["event_id"], sentinel=_SENTINEL_US,
+        ).table.select("user_id", "event_id"),
+        stat_cols=["user_id"],
+    )
+    erased = ev.where(F.col("user_id") % _ERASE_MOD == 0).select("user_id").distinct()
+    empty_fact = spark.createDataFrame([], fact.read(spark).schema)
+    empty_dim = spark.createDataFrame([], dim.read(spark).schema)
+    fact.upsert(empty_fact, keys=["user_id"], delete_keys=erased)
+    dim.upsert(empty_dim, keys=["user_id"], delete_keys=erased)
+    fact_after = fact.read(spark)
+    dim_after = dim.read(spark)
+    n_erased = erased.agg(F.count("*").cast("bigint").alias("n_erased_users"))
+    f_stats = fact_after.agg(
+        F.count("*").cast("bigint").alias("fact_rows_after"),
+        F.countDistinct("user_id").cast("bigint").alias("fact_users_after"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("fact_value_after"),
+    )
+    d_stats = dim_after.agg(F.count("*").cast("bigint").alias("dim_rows_after"))
+    return (
+        n_erased.crossJoin(F.broadcast(f_stats))
+        .crossJoin(F.broadcast(d_stats))
+        .select(
+            "n_erased_users", "fact_rows_after", "dim_rows_after",
+            "fact_users_after", "fact_value_after",
+        )
+    )

@@ -47,6 +47,14 @@ PROBE_QUERIES = (
     "cdc_scd2_history",
     "sample_sequence_packing",
     "q21_sole_late_shipper",
+    # round-6c additions with non-trivial scale shapes
+    "funnel_user_conversion",
+    "text_dup_block_fraction",
+    "text_heavy_hitters_mg",
+    "window_trailing_zscore_anomalies",
+    "streaming_dedup_then_tumbling",
+    "streaming_scd2_foreachbatch",
+    "dedup_minhash_recall",
 )
 
 
