@@ -739,3 +739,65 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fact_users_after", "fact_value_after",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel as a query surface: three commits (CTAS → append → keyed
+# upsert) leave three pinned snapshots; reading v1/v2/v3 side by side
+# proves snapshot isolation (each read plans from ITS version's file
+# list, immune to later commits) and gives the audit shape every lake
+# user runs after an incident — "what did the table hold before that
+# write?". The oracle recomputes each version's expected state from the
+# fixture; any file-carry bug (v2 leaking v3's rewrite, v1 seeing the
+# append) breaks counts and the exact sums.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_time_travel_versions",
+    oracle="""
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+v3 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <= 1
+)
+SELECT * FROM (
+  SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+  FROM v1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM v2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM v3
+) ORDER BY version
+""",
+)
+def lake_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = LakeTable(session_tmpdir("time_travel_") + "/t")
+    table.create(o.where(F.col("o_orderkey") % 3 == 0), stat_cols=["o_orderkey"])
+    table.append(o.where(F.col("o_orderkey") % 3 == 1))
+    repriced = o.where(F.col("o_orderkey") % 6 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    table.upsert(repriced, keys=["o_orderkey"])
+
+    def stats(version: int):
+        return table.read(spark, version=version).agg(
+            F.lit(version).alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return stats(1).unionAll(stats(2)).unionAll(stats(3)).orderBy("version")
