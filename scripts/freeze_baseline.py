@@ -20,7 +20,7 @@ FAMILY_PREFIXES = (
     "dedup_", "sim_", "text_", "streaming_", "cdc_", "lake_", "scan_",
     "join_", "agg_", "set_", "sort_", "window_", "scalar_", "subquery_",
     "sample_", "pipeline_", "multimodal_", "unpivot_", "events_",
-    "flagship_",
+    "flagship_", "funnel_", "cohort_",
 )
 
 
