@@ -1812,3 +1812,72 @@ def _jsonl_stage_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 _JSONL_STAGE: dict[tuple[str, str], str] = {}
+
+
+# --------------------------------------------------------------------------
+# GROUPED_AGG pandas UDAF — the custom-aggregate leg of §2.11: a
+# pandas_udf aggregating a whole group's values to one scalar, planned as
+# AggregateInPandas (Arrow transfer, one scalar back per group — state is
+# group-bounded, not corpus-bounded). The kernel is a 10%-trimmed mean:
+# sort, drop k = floor(n/10) from each tail, math.fsum the rest (exact —
+# no pairwise-summation drift) — and the oracle mirrors it with an exact
+# DECIMAL sum over the same sorted slice, so both engines agree to the
+# rounded 6th decimal by construction.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_grouped_pandas_trimmed_mean",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             / MAX(n - 2 * (n // 10)), 6) AS trimmed_mean
+FROM ordered
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_grouped_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_mean(v):
+        s = v.sort_values(kind="mergesort").to_numpy()
+        k = len(s) // 10
+        kept = s[k : len(s) - k]
+        return round(math.fsum(kept) / len(kept), 6)
+
+    # Annotations set as live objects (module has `from __future__ import
+    # annotations`, which stringifies inline hints; get_type_hints can't
+    # resolve 'pd.Series' from a function-local import), so the GROUPED_AGG
+    # eval type is inferred from Series -> float as usual.
+    _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = pandas_udf(_trimmed_mean, "double")
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one Aggregate ([INVALID_PANDAS_UDF_PLACEMENT]), so the group size is
+    # a second pandas UDAF sharing the same Arrow batch.
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_events = pandas_udf(_n, "bigint")
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_events(F.col("value")).alias("n_events"),
+            trimmed_mean(F.col("value")).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

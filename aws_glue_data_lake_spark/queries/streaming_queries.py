@@ -1212,3 +1212,220 @@ def _scd2_batches_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 _SCD2_STAGE: dict[tuple[str, str], str] = {}
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API that
+# supersedes applyInPandasWithState: typed state handles (ValueState +
+# MapState here), a RocksDB-backed store, and (unused here) timers/TTL.
+# Drained as SIX genuine micro-batches so both handles round-trip through
+# RocksDB across batch boundaries — the green hash certifies cross-batch
+# typed-state correctness, not a single-batch replay. Update mode appends
+# one running-totals row per key per batch to the memory sink; n_events is
+# strictly monotone between a key's emits, so "the row with the max
+# n_events per key" is the final state, selected with one small window
+# over the users-sized sink table.
+#
+# Environment seams (protobuf runtime discovery + worker PYTHONPATH
+# propagation over sc.environment + scoped RocksDB provider) live in
+# streaming/tws.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_transform_with_state",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM events
+WHERE user_id < 150
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_glue_data_lake_spark.streaming.tws import (
+        HAVE_TWS,
+        UserTypeStatsProcessor,
+        ensure_protobuf_env,
+        rocksdb_state_store,
+    )
+
+    if not HAVE_TWS or not ensure_protobuf_env(spark):
+        raise RuntimeError(
+            "transformWithState needs PySpark >= 4.0 and a google.protobuf "
+            "runtime (none importable and no on-disk fallback found)"
+        )
+    stream = read_events_stream(spark, sf_dir, n_files=6, max_files_per_trigger=1)
+    # user_id < 150 bounds the GROUP count (one Python state round-trip
+    # per key per batch), same reasoning as the applyInPandasWithState twin.
+    tws = (
+        stream.select("user_id", "event_type", "value")
+        .where(F.col("user_id") < 150)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTypeStatsProcessor(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, n_types BIGINT, "
+                "value_sum DOUBLE"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    with rocksdb_state_store(spark):
+        final = run_available_now(tws, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState + initialState — the batch→streaming migration seam:
+# ValueState is BOOTSTRAPPED from a batch aggregate over history (events
+# at or before the time midpoint), then the stream replays only the newer
+# half; emitted totals cover rows the stream never saw. Update mode emits
+# only keys that received streamed rows, so the oracle filters to users
+# with at least one post-midpoint event (HAVING) while aggregating their
+# FULL history — the hash match proves the seed and the stream delta
+# merged in state, not in the sink.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_tws_initial_state",
+    oracle="""
+WITH p AS (
+  SELECT (MIN(CAST(EPOCH_US(ts) AS BIGINT)) + MAX(CAST(EPOCH_US(ts) AS BIGINT))) // 2 AS mid
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM events, p
+WHERE user_id < 150
+GROUP BY user_id
+HAVING SUM(CASE WHEN CAST(EPOCH_US(ts) AS BIGINT) > mid THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+""",
+)
+def streaming_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.base import t
+    from aws_glue_data_lake_spark.streaming.tws import (
+        HAVE_TWS,
+        SeededUserStatsProcessor,
+        ensure_protobuf_env,
+        rocksdb_state_store,
+    )
+
+    if not HAVE_TWS or not ensure_protobuf_env(spark):
+        raise RuntimeError(
+            "transformWithState needs PySpark >= 4.0 and a google.protobuf "
+            "runtime (none importable and no on-disk fallback found)"
+        )
+    ev = t(spark, sf_dir, "events")
+    us = ts_us_col(ev)
+    tmin, tmax = ev.agg(F.min(us), F.max(us)).first()  # scalar split point
+    mid = (tmin + tmax) // 2
+    # Seed: exact micro-unit aggregate over history (ts <= mid). The
+    # decimal cast keeps the seed drift-free; the processor adds streamed
+    # micro-units on top.
+    seed = (
+        ev.withColumn("_us", us)
+        .where((F.col("_us") <= mid) & (F.col("user_id") < 150))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+            .cast("long")
+            .alias("vsum_us"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    delta = stream.where(
+        (F.col("ts_us") > mid) & (F.col("user_id") < 150)
+    ).select("user_id", "value")
+    tws = delta.groupBy("user_id").transformWithStateInPandas(
+        SeededUserStatsProcessor(),
+        outputStructType="user_id BIGINT, n_events BIGINT, value_sum DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+        initialState=seed.groupBy("user_id"),
+    )
+    with rocksdb_state_store(spark):
+        final = run_available_now(tws, output_mode="update")
+    return final.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState + ListState — an honestly non-mergeable statistic
+# (exact median) whose state IS the per-key value list. Six micro-batches
+# append to RocksDB list entries (appendList is an O(delta) write); each
+# emit re-reads the accumulated list and reports median2_us = lower +
+# upper middle in exact int64 micro-units (×2 keeps it integral — no
+# cross-engine double rounding to reconcile). Final row per key = max
+# n_events, as in the other Update-mode TWS queries.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_tws_list_state_median",
+    oracle="""
+WITH v AS (
+  SELECT user_id, CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+  FROM events WHERE user_id < 100
+),
+o AS (
+  SELECT user_id, v_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v_us) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM v
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN idx = n // 2 THEN v_us ELSE 0 END)
+          + SUM(CASE WHEN idx = (n - 1) // 2 THEN v_us ELSE 0 END) AS BIGINT)
+         AS median2_us
+FROM o
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_tws_list_state_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_glue_data_lake_spark.streaming.tws import (
+        HAVE_TWS,
+        ListStateMedianProcessor,
+        ensure_protobuf_env,
+        rocksdb_state_store,
+    )
+
+    if not HAVE_TWS or not ensure_protobuf_env(spark):
+        raise RuntimeError(
+            "transformWithState needs PySpark >= 4.0 and a google.protobuf "
+            "runtime (none importable and no on-disk fallback found)"
+        )
+    stream = read_events_stream(spark, sf_dir, n_files=6, max_files_per_trigger=1)
+    tws = (
+        stream.select("user_id", "value")
+        .where(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            ListStateMedianProcessor(),
+            outputStructType="user_id BIGINT, n_events BIGINT, median2_us BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    with rocksdb_state_store(spark):
+        final = run_available_now(tws, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -1222,3 +1222,62 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "n_occurrences")
         .orderBy("word")
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF — the table-function leg of the §2.11 surface (pandas_udf /
+# applyInPandas / mapInPandas / applyInPandasWithState / spark.udf.register
+# cover the rest): a row-to-rows generator registered into the SQL catalog
+# with spark.udtf.register and invoked via LATERAL, the idiomatic home for
+# "one document in, N typed rows out" logic that doesn't fit a scalar
+# UDF. Kept OFF the hot path by design (UDTFs are row-at-a-time Python —
+# the builtin-explode chunker text_chunk_stride is the 100 TB path; this
+# query pins the SURFACE on a bounded doc_id < 60 slice, pushed into the
+# scan). Non-overlapping fixed windows, so the oracle is plain substring
+# arithmetic.
+# --------------------------------------------------------------------------
+_UDTF_CHUNK = 100
+
+
+@_q(
+    "text_udtf_lateral_chunks",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         substr(text, i * {_UDTF_CHUNK} + 1, {_UDTF_CHUNK}) AS chunk
+  FROM documents,
+       UNNEST(generate_series(0,
+         CAST(CEIL(len(text) / {_UDTF_CHUNK}.0) AS BIGINT) - 1)) AS g(i)
+  WHERE doc_id < 60
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            if not text:
+                return
+            for i in range(0, len(text), size):
+                yield i // size, text[i : i + size]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx,
+               CAST(length(c.chunk) AS BIGINT) AS chunk_len,
+               md5(c.chunk) AS chunk_md5
+        FROM documents_v d, LATERAL chunk_doc(d.text, {_UDTF_CHUNK}) c
+        WHERE d.doc_id < 60
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
