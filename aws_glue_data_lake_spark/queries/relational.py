@@ -1881,3 +1881,79 @@ def agg_grouped_pandas_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set algebra — the mergeable-sketch story beyond plain
+# distinct counts: HLL can only union, but audience/overlap questions
+# ("users who did BOTH / ONLY clicked") need intersection and difference,
+# which is exactly what Datasketches theta sketches add. One
+# theta_sketch_agg per event_type (true partial aggregate, bytes-sized
+# state), then the set algebra runs on two fixed-size sketches — never
+# re-touching events. Same hash contract as the HLL rollup: DuckDB can't
+# reproduce sketch registers, so the hashed columns are the EXACT set-op
+# counts plus tolerance verdicts (relative to the union size, so the
+# empty-difference case stays well-defined); estimates stay out of the
+# hash. Below ~4k distincts theta sketches are in exact mode, so the
+# verdicts also pass trivially at small sf — estimation mode is what the
+# sf0.1 sweep exercises.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_theta_sketch_setops",
+    oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS BIGINT)
+    AS exact_both,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS BIGINT)
+    AS exact_click_only,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS BIGINT)
+    AS exact_union,
+  TRUE AS both_ok, TRUE AS click_only_ok, TRUE AS union_ok
+""",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    sk = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    # two one-row sides -> one broadcast cross: the algebra runs on two
+    # fixed-size sketches regardless of corpus size
+    c = sk.where(F.col("event_type") == "click").select(F.col("sk").alias("c_sk"))
+    p = sk.where(F.col("event_type") == "purchase").select(F.col("sk").alias("p_sk"))
+    est = c.crossJoin(F.broadcast(p)).select(
+        F.theta_sketch_estimate(F.theta_intersection("c_sk", "p_sk")).alias("est_both"),
+        F.theta_sketch_estimate(F.theta_difference("c_sk", "p_sk")).alias("est_click_only"),
+        F.theta_sketch_estimate(F.theta_union("c_sk", "p_sk")).alias("est_union"),
+    )
+    cu = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    pu = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        cu.join(pu, "user_id", "semi").agg(F.count("*").cast("bigint").alias("exact_both"))
+        .crossJoin(
+            F.broadcast(
+                cu.join(pu, "user_id", "anti").agg(
+                    F.count("*").cast("bigint").alias("exact_click_only")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cu.union(pu).distinct().agg(
+                    F.count("*").cast("bigint").alias("exact_union")
+                )
+            )
+        )
+    )
+    tol = lambda e, x: (F.abs(F.col(e) - F.col(x)) <= 0.05 * F.col("exact_union"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_both",
+        "exact_click_only",
+        "exact_union",
+        tol("est_both", "exact_both").alias("both_ok"),
+        tol("est_click_only", "exact_click_only").alias("click_only_ok"),
+        tol("est_union", "exact_union").alias("union_ok"),
+    )

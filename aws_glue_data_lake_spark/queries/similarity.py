@@ -914,3 +914,78 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass Gram (second-moment) matrix over the embedding corpus — the
+# accumulation PCA/whitening starts from, in the only shape that works at
+# 100 TB: mapInPandas computes a per-batch 64×64 partial matrix (map-side
+# combine — each Arrow batch collapses to 2,080 upper-triangle cells), and
+# the shuffle then carries batches×2080 tiny rows into a final keyed sum,
+# never the vectors themselves. Products are quantized PER (row, i, j) to
+# int64 via floor(x*y*1e12 + 0.5) BEFORE any cross-row summation, so the
+# accumulated matrix is exact integer math — order-independent and
+# bit-identical to DuckDB's lateral double-unnest, with no float summation
+# drift to reconcile.
+# --------------------------------------------------------------------------
+@_q(
+    "emb_gram_matrix",
+    oracle="""
+SELECT CAST(g.i AS INT) AS i,
+       CAST(h.j AS INT) AS j,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE)
+                           * CAST(embedding[h.j + 1] AS DOUBLE)
+                           * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS gram_q,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings,
+     (SELECT UNNEST(generate_series(0,
+        (SELECT MAX(len(embedding)) FROM embeddings) - 1)) AS i) AS g,
+     (SELECT UNNEST(generate_series(0,
+        (SELECT MAX(len(embedding)) FROM embeddings) - 1)) AS j) AS h
+WHERE g.i <= h.j
+GROUP BY g.i, h.j
+ORDER BY i, j
+""",
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            if iu is None:
+                d = x.shape[1]
+                iu, ju = np.triu_indices(d)
+            acc = np.zeros(len(iu), dtype="int64")
+            # chunk rows so the n×d×d product tensor stays ~32 MB
+            step = max(1, (1 << 22) // (x.shape[1] * x.shape[1]))
+            for s in range(0, len(x), step):
+                c = x[s : s + step]
+                p = np.einsum("ni,nj->nij", c, c)[:, iu, ju]
+                acc += np.floor(p * 1e12 + 0.5).astype("int64").sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "gram_q": acc,
+                    "n_vectors": np.int64(len(x)),
+                }
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+    partials = e.mapInPandas(
+        partial_gram, "i INT, j INT, gram_q BIGINT, n_vectors BIGINT"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("gram_q").cast("bigint").alias("gram_q"),
+            F.sum("n_vectors").cast("bigint").alias("n_vectors"),
+        )
+        .orderBy("i", "j")
+    )
