@@ -1429,3 +1429,102 @@ def streaming_tws_list_state_median(spark: SparkSession, sf_dir: str) -> DataFra
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState + event-time TIMERS: handleInputRows only
+# accumulates (and re-arms a watermark+1ms timer, at most one per key via
+# listTimers/deleteTimer); ALL emission happens in handleExpiredTimer
+# when the watermark clock passes the armed point — so a non-empty result
+# is itself proof the timer path fired, including the trailing no-data
+# batch that flushes the final timers. Six micro-batches advance the
+# watermark stepwise; mid-stream expirations emit running totals that the
+# final max-n_events selection supersedes, exactly as in the other
+# Update-mode TWS queries.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_tws_event_timers",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM events
+WHERE user_id < 60
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_tws_event_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_glue_data_lake_spark.streaming.tws import (
+        HAVE_TWS,
+        TimerFlushStatsProcessor,
+        ensure_protobuf_env,
+        rocksdb_state_store,
+    )
+
+    if not HAVE_TWS or not ensure_protobuf_env(spark):
+        raise RuntimeError(
+            "transformWithState needs PySpark >= 4.0 and a google.protobuf "
+            "runtime (none importable and no on-disk fallback found)"
+        )
+    # Time-BANDED batches (not the hash 6-file split): timers armed at
+    # watermark+1 can only ever fire if the watermark keeps advancing, and
+    # a hash split delivers the global max ts in batch 1, freezing the
+    # watermark for the rest of the replay. Banding by ts makes the
+    # watermark step once per batch, so every re-arm expires — and the
+    # final expiry (during the last band, after its input is applied)
+    # carries the complete totals.
+    stream = read_staged_batches_stream(spark, _banded_events_dir(spark, sf_dir, 6))
+    tws = (
+        stream.withWatermark("event_time", "10 minutes")
+        .select("user_id", "event_time", "value")
+        .where(F.col("user_id") < 60)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TimerFlushStatsProcessor(),
+            outputStructType="user_id BIGINT, n_events BIGINT, value_sum DOUBLE",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+    with rocksdb_state_store(spark):
+        final = run_available_now(tws, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+def _banded_events_dir(spark: SparkSession, sf_dir: str, n_bands: int) -> str:
+    """Stage events as ``n_bands`` time-ordered bands (band k holds the
+    k-th ts quantile slab), memoized per session — the replay shape whose
+    watermark advances at EVERY batch boundary, which event-time timers
+    require (see streaming_tws_event_timers)."""
+    from aws_glue_data_lake_spark.queries.base import t
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_bands)
+    stage = _BANDED_STAGE.get(key)
+    if stage is not None:
+        return stage
+    ev = t(spark, sf_dir, "events")
+    ts_us = ts_us_col(ev)
+    tmin, tmax = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    banded = ev.withColumn("_us", ts_us).withColumn(
+        "_band", F.expr(f"({n_bands} * (_us - {tmin})) div {tmax - tmin + 1}")
+    )
+    stage = stage_ordered_batches(
+        [
+            banded.where(F.col("_band") == i).drop("_us", "_band")
+            for i in range(n_bands)
+        ]
+    )
+    _BANDED_STAGE[key] = stage
+    return stage
+
+
+_BANDED_STAGE: dict[tuple[str, str, int], str] = {}

@@ -299,3 +299,59 @@ class ListStateMedianProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+class TimerFlushStatsProcessor(StatefulProcessor):
+    """Event-time TIMERS — the last transformWithState leg: emission is
+    driven by the watermark clock, not by data arrival.
+
+    ``handleInputRows`` only accumulates (it yields nothing) and arms a
+    single per-key timer just past the current watermark — replacing any
+    pending timer via listTimers/deleteTimer, so each key holds at most
+    one. When the watermark passes the armed point (next micro-batch, or
+    the trailing no-data batch after the final data batch), Spark calls
+    ``handleExpiredTimer``, which emits the running totals. Because every
+    data batch re-arms the timer, the LAST expiry per key necessarily
+    fires after all of that key's data — so the final emission equals the
+    batch aggregate, and any output at all proves the timer path ran
+    (nothing else emits).
+
+    This is the streaming shape of "flush on quiesce": per-key session
+    dumps, TTL'd feature snapshots, inactivity-triggered exports — all
+    watermark-clocked, state-bounded by key count.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._agg = handle.getValueState("agg", "n BIGINT, vsum_us BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, vsum_us = self._agg.get() if self._agg.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            vsum_us += int((pdf["value"] * 1e6).round().astype("int64").sum())
+        self._agg.update((n, vsum_us))
+        for t_ms in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t_ms)
+        self._handle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+        return iter(())  # accumulation only — emission belongs to the timer
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        (user_id,) = key
+        if not self._agg.exists():  # pragma: no cover - defensive
+            return
+        n, vsum_us = self._agg.get()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "value_sum": round(vsum_us / 1e6, 6),
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
