@@ -1957,3 +1957,53 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol("est_click_only", "exact_click_only").alias("click_only_ok"),
         tol("est_union", "exact_union").alias("union_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom connector via the Python DataSource API (§2.1): partitioned
+# Arrow-vectorized parallel read of the synthetic CDC feed with id-range
+# filter PUSHDOWN — the predicate lands in the reader's partition planner
+# (the scan plans 8 range slices over [10000, 50000) only; the physical
+# plan keeps just the isnotnull residue). The feed is pure arithmetic on
+# the row id, so the oracle regenerates it with generate_series — the
+# connector's entire output contract is hash-checked.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_python_datasource",
+    oracle="""
+WITH g AS (
+  SELECT UNNEST(generate_series(10000, 49999)) AS id
+), f AS (""" + __import__("aws_glue_data_lake_spark.pydatasource", fromlist=["FEED_SQL"]).FEED_SQL + """)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+       CAST(MAX(ts_us) AS BIGINT) AS last_ts_us
+FROM f
+GROUP BY op
+ORDER BY op
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.pydatasource import register_feed_source
+
+    register_feed_source(spark)
+    feed = (
+        spark.read.format("cdc_feed")
+        .option("n_rows", 60_000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        feed.where((F.col("id") >= 10_000) & (F.col("id") < 50_000))
+        .groupBy("op")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.min("ts_us").cast("bigint").alias("first_ts_us"),
+            F.max("ts_us").cast("bigint").alias("last_ts_us"),
+        )
+        .orderBy("op")
+    )

@@ -1528,3 +1528,48 @@ def _banded_events_dir(spark: SparkSession, sf_dir: str, n_bands: int) -> str:
 
 
 _BANDED_STAGE: dict[tuple[str, str, int], str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING connector via the Python DataSource API: the same
+# synthetic CDC feed read through SimpleDataSourceStreamReader offsets —
+# initialOffset / read(start)→(rows, nextOffset) / readBetweenOffsets
+# (recovery replay) / commit. The finite feed advances one 4000-row slab
+# per micro-batch, so the drain is 5 genuine batches with cross-batch
+# aggregate state merge; the oracle regenerates the feed arithmetically.
+# availableNow can't pace Python sources (no read-limit hook), so the
+# drain uses processAllAvailable — see streaming/pipelines.run_drain_all.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_python_datasource",
+    oracle="""
+WITH g AS (
+  SELECT UNNEST(generate_series(0, 19999)) AS id
+), f AS (""" + __import__("aws_glue_data_lake_spark.pydatasource", fromlist=["FEED_SQL"]).FEED_SQL + """)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM f
+GROUP BY op
+ORDER BY op
+""",
+)
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.pydatasource import register_feed_source
+    from aws_glue_data_lake_spark.streaming.pipelines import run_drain_all
+
+    register_feed_source(spark)
+    stream = (
+        spark.readStream.format("cdc_feed")
+        .option("n_rows", 20_000)
+        .option("slab", 4_000)
+        .load()
+    )
+    agg = stream.groupBy("op").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    final = run_drain_all(agg, output_mode="complete")
+    return final.orderBy("op")

@@ -263,3 +263,40 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_drain_all(
+    result: DataFrame,
+    output_mode: str,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Drain a stream whose source paces itself by offsets (e.g. a custom
+    Python data source emitting one slab per micro-batch) into a
+    uniquely-named memory table, then return it as a batch DataFrame.
+
+    ``Trigger.AvailableNow`` cannot be used here: for Python stream
+    readers it only consumes the first prefetched slab (the admission
+    control API has no Python read-limit hook), so this helper runs an
+    unpaced micro-batch trigger and blocks on ``processAllAvailable()`` —
+    which returns once the source reports no new offsets, i.e. after
+    exactly ceil(total/slab) batches for a finite feed."""
+    spark = result.sparkSession
+    name = f"stream_result_{next(_run_ids)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
