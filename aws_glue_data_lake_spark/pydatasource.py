@@ -171,3 +171,72 @@ def register_feed_source(spark) -> None:
     (a runtime conf — safe to set on the caller's vanilla session)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(CdcFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side of the API: a JSON-lines directory SINK with the two-phase
+# commit every distributed sink needs — executor tasks stage part files
+# and return a WriterCommitMessage; the DRIVER promotes staged files to
+# their final names and stamps a _SUCCESS manifest only in commit()
+# (abort() discards the staging dir), so readers never observe a torn
+# write: a task can fail and retry after staging, and nothing it staged
+# becomes visible unless the whole job commits.
+# ---------------------------------------------------------------------------
+import json as _json
+import os as _os
+import shutil as _shutil
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class JsonDirWriter(DataSourceWriter):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_dir_sink requires a 'path' option")
+        self.columns = schema.fieldNames()
+        self.stage_dir = _os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        _os.makedirs(self.stage_dir, exist_ok=True)
+        tmp = _os.path.join(self.stage_dir, f"task-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return _StagedFile(tmp, n)
+
+    def commit(self, messages):
+        parts = [m for m in messages if m is not None and m.n_rows > 0]
+        total = 0
+        for i, m in enumerate(sorted(parts, key=lambda m: m.path)):
+            _os.replace(m.path, _os.path.join(self.path, f"part-{i:05d}.json"))
+            total += m.n_rows
+        _shutil.rmtree(self.stage_dir, ignore_errors=True)
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"n_files": len(parts), "n_rows": total}, f)
+
+    def abort(self, messages):
+        _shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+
+class JsonDirSinkDataSource(DataSource):
+    """``df.write.format("json_dir_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls):
+        return "json_dir_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonDirWriter(self.options, schema)
+
+
+def register_sink_source(spark) -> None:
+    spark.dataSource.register(JsonDirSinkDataSource)

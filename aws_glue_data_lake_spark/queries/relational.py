@@ -2007,3 +2007,59 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+# --------------------------------------------------------------------------
+# Custom SINK via the Python DataSource API (§2.1 write side): the orders
+# aggregate flows through json_dir_sink's two-phase commit (tasks stage
+# part files + WriterCommitMessages; only driver-side commit() promotes
+# them and stamps _SUCCESS), then the query reads the COMMITTED files
+# back with an explicit schema and returns them — so the hash match
+# certifies the sink's atomic-visibility contract, not just the
+# aggregate. Epoch-µs transport for the date column, as with the CSV/JSONL
+# staging scans.
+# --------------------------------------------------------------------------
+@_q(
+    "sink_python_datasource",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(EPOCH_US(o_orderdate)) AS BIGINT) AS first_order_us
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from aws_glue_data_lake_spark.pydatasource import register_sink_source
+
+    register_sink_source(spark)
+    o = t(spark, sf_dir, "orders")
+    # epoch-µs transport for the date column, computed pre-write
+    agg = (
+        o.withColumn("_us", ts_us_col(o, "o_orderdate"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("_us").cast("bigint").alias("first_order_us"),
+        )
+    )
+    out_dir = os.path.join(session_tmpdir("json_sink_"), uuid.uuid4().hex)
+    os.makedirs(out_dir, exist_ok=True)
+    agg.write.format("json_dir_sink").option("path", out_dir).mode("append").save()
+    schema = (
+        "o_orderstatus STRING, n_orders BIGINT, total_price DOUBLE, "
+        "first_order_us BIGINT"
+    )
+    return (
+        spark.read.schema(schema)
+        .json(os.path.join(out_dir, "part-*.json"))
+        .orderBy("o_orderstatus")
+    )

@@ -458,3 +458,33 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark):
     plan = plan_of(spark, "text_heavy_hitters_mg")
     assert "MapInPandas" in plan
     assert re.search(r"BroadcastHashJoin \[word[^\]]*\], \[word[^\]]*\], LeftSemi", plan)
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """The id-range predicate must be absorbed by the custom reader's
+    pushFilters (partition pruning at the source): the physical plan keeps
+    only the isnotnull residue, and the reader plans partitions for the
+    narrowed range only."""
+    plan = plan_of(spark, "scan_python_datasource")
+    assert "BatchScan cdc_feed" in plan
+    scan_filter = [ln for ln in plan.splitlines() if "Filter" in ln and "id#" in ln]
+    for ln in scan_filter:
+        assert ">=" not in ln and "<" not in ln, ln  # range absorbed by source
+
+    from aws_glue_data_lake_spark.pydatasource import CdcFeedReader
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, EqualTo
+
+    r = CdcFeedReader({"n_rows": 60_000, "n_parts": 8})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 10_000),
+                LessThan(("id",), 50_000),
+                EqualTo(("op",), "I"),
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]  # op is Spark's
+    parts = r.partitions()
+    assert parts[0].lo == 10_000 and parts[-1].hi == 50_000
+    assert len(parts) == 8

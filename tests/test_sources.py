@@ -151,3 +151,32 @@ def test_load_table_events_ts_normalizes(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "bigint"
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert 0 < lo <= hi
+
+
+def test_json_dir_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python sink's atomic-visibility contract: a successful
+    job leaves only committed part files + a _SUCCESS manifest whose
+    counts match, and no staging residue."""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.pydatasource import register_sink_source
+
+    register_sink_source(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+    df.write.format("json_dir_sink").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert "_staging" not in names  # no torn-write residue
+    parts = [n for n in names if n.startswith("part-")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_files"] == len(parts)
+    assert manifest["n_rows"] == 100
+    back = spark.read.schema("id BIGINT, doubled BIGINT").json(
+        os.path.join(out, "part-*.json")
+    )
+    assert back.count() == 100
+    assert back.selectExpr("sum(doubled)").first()[0] == 9900
