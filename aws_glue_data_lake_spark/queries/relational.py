@@ -2063,3 +2063,76 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(os.path.join(out_dir, "part-*.json"))
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4's |> operator chain — query stages written in
+# execution order instead of inside-out SQL): WHERE → EXTEND (computed
+# column) → AGGREGATE ... GROUP BY → ORDER BY over lineitem. Same
+# Catalyst plan as the classic form — the feature is surface, not
+# semantics — so the classic-SQL DuckDB oracle is the exact twin. Decimal
+# sum discipline as everywhere else.
+# --------------------------------------------------------------------------
+@_q(
+    "sql_pipe_syntax_pricing",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql("l_quantity", "sum_qty")},
+       {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")}
+FROM lineitem
+WHERE l_quantity < 40
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem_v")
+    return spark.sql(
+        """
+FROM pipe_lineitem_v
+|> WHERE l_quantity < 40
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18, 6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(disc_price AS DECIMAL(18, 6))) AS DOUBLE)
+               AS sum_disc_price
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL — named :params bound via spark.sql(..., args=...),
+# the injection-safe templating surface (values travel as literals in the
+# parsed plan, never string-spliced, so Catalyst still constant-folds and
+# pushes them down). The oracle inlines the same constants.
+# --------------------------------------------------------------------------
+@_q(
+    "sql_parameterized_query",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("param_orders_v")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM param_orders_v
+WHERE o_totalprice > :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        args={"min_price": 150000.0, "status": "F"},
+    )

@@ -290,3 +290,61 @@ def scalar_regex_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_word")
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4's semi-structured type — the open-format answer to
+# schema-on-read JSON columns): build a nested JSON document in-plan,
+# parse_json it into a real VariantType, then navigate with typed
+# variant_get paths (object field, nested object, array index, map key)
+# and try_variant_get for an absent path. Variant navigation is
+# O(path) over the binary encoding — no re-parse per access, unlike
+# get_json_object chains — which is why it's the 100 TB semi-structured
+# path. The oracle computes the same facts DIRECTLY from the base
+# columns, so the hash match certifies the construct→parse→navigate
+# round-trip end-to-end rather than mirroring it.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_variant_navigation",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(SUM(user_id % 7) AS BIGINT) AS tag1_sum,
+       CAST(COUNT(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT) AS n_missing,
+       CAST(COUNT(DISTINCT 'fixed') AS BIGINT) AS n_distinct_schemas
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scalar_variant_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(F.col("event_type").alias("type")).alias("meta"),
+            F.array(F.col("user_id"), F.col("user_id") % 7).alias("tags"),
+            F.from_json("props", "map<string,bigint>").alias("props"),
+        )
+    )
+    v = ev.select("event_type", F.parse_json(doc).alias("v"))
+    nav = v.select(
+        F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.variant_get("v", "$.tags[1]", "bigint").alias("tag1"),
+        F.variant_get("v", "$.props.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.absent.path", "bigint").alias("missing"),
+        F.schema_of_variant("v").alias("vschema"),
+    )
+    return (
+        nav.groupBy(F.col("vtype").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.sum("tag1").cast("bigint").alias("tag1_sum"),
+            F.count("missing").cast("bigint").alias("n_missing"),
+            F.countDistinct("vschema").cast("bigint").alias("n_distinct_schemas"),
+        )
+        .orderBy("event_type")
+    )

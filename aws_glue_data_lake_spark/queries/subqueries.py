@@ -789,3 +789,84 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start_us")
     )
+
+
+# --------------------------------------------------------------------------
+# WITH RECURSIVE (Spark 4 SQL recursion): a dense 28-day-period calendar
+# spine generated by the recursive CTE itself (anchor = first period,
+# recursive step = +1 until the last), LEFT JOINed with per-period order
+# aggregates so empty periods surface as explicit zero rows. The period
+# key is pure epoch-µs integer division — timezone-free, so both engines
+# derive identical spines. Depth = #periods (~86 on the TPC-H-ish span),
+# safely under spark.sql.cteRecursionLevelLimit's default 100; the bound
+# travels IN the recursion state (wmax column) instead of a correlated
+# subquery in the recursive step, the most portable recursion shape.
+# Scale note: recursion here generates a driver-tiny spine; the corpus
+# pass is the ordinary keyed aggregate it joins to.
+# --------------------------------------------------------------------------
+_PERIOD_US = 28 * 86_400 * 1_000_000
+
+
+@_q(
+    "subquery_recursive_calendar",
+    oracle=f"""
+WITH RECURSIVE
+o AS (
+  SELECT CAST(EPOCH_US(o_orderdate) AS BIGINT) // {_PERIOD_US} AS period_id,
+         o_totalprice
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(period_id) AS pmin, MAX(period_id) AS pmax FROM o
+),
+spine(period_id, pmax) AS (
+  SELECT pmin, pmax FROM bounds
+  UNION ALL
+  SELECT period_id + 1, pmax FROM spine WHERE period_id < pmax
+),
+agg AS (
+  SELECT period_id,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {{dsum}}
+  FROM o GROUP BY period_id
+)
+SELECT s.period_id,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.total_price, 0.0) AS total_price
+FROM spine s LEFT JOIN agg a USING (period_id)
+ORDER BY s.period_id
+""".format(dsum=dsum_sql("o_totalprice", "total_price")),
+)
+def subquery_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    o.select(
+        ts_us_col(o, "o_orderdate").alias("_us"), "o_totalprice"
+    ).selectExpr(
+        f"_us div {_PERIOD_US} AS period_id", "o_totalprice"
+    ).createOrReplaceTempView("recursive_orders_v")
+    return spark.sql(
+        f"""
+WITH RECURSIVE
+bounds AS (
+  SELECT MIN(period_id) AS pmin, MAX(period_id) AS pmax
+  FROM recursive_orders_v
+),
+spine(period_id, pmax) AS (
+  SELECT pmin, pmax FROM bounds
+  UNION ALL
+  SELECT period_id + 1, pmax FROM spine WHERE period_id < pmax
+),
+agg AS (
+  SELECT period_id,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE)
+           AS total_price
+  FROM recursive_orders_v GROUP BY period_id
+)
+SELECT s.period_id,
+       COALESCE(a.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       COALESCE(a.total_price, CAST(0.0 AS DOUBLE)) AS total_price
+FROM spine s LEFT JOIN agg a USING (period_id)
+ORDER BY s.period_id
+"""
+    )
