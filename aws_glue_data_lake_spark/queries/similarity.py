@@ -989,3 +989,125 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 quantized search + recall — the memory-bandwidth optimization every
+# large ANN deployment ships first (4× less to scan than float32, SIMD
+# int8 dot kernels): per-dimension symmetric quantization q = round(x/s ·
+# 127) with s = max|x| per dim, then top-k by INTEGER dot product, then
+# recall@k against the exact-cosine baseline. All post-quantization math
+# is int64 — exact in both engines — and the only float steps (scale
+# division, ×127, round) are single per-element IEEE ops, so the
+# quantized index is bit-identical to the oracle's; the recall metric
+# itself is what's hash-verified, same contract as sim_ivf_recall. Scale:
+# scales are a 64-value broadcast; the quantized corpus scan is the same
+# broadcast-5-queries × corpus plan as the float brute force, at a
+# quarter of the bytes.
+# --------------------------------------------------------------------------
+@_q(
+    "sim_quantized_recall",
+    oracle=f"""
+WITH dims AS (
+  SELECT UNNEST(generate_series(1,
+    (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+),
+sc AS (
+  SELECT i, GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-30) AS s
+  FROM embeddings CROSS JOIN dims
+  GROUP BY i
+),
+q AS (
+  SELECT vec_id, sc.i,
+         CAST(ROUND(CAST(embedding[sc.i] AS DOUBLE) / sc.s * 127) AS BIGINT)
+           AS qv
+  FROM embeddings CROSS JOIN sc
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         SUM(a.qv * b.qv) AS dot
+  FROM q a JOIN q b ON a.i = b.i
+  WHERE a.vec_id IN {_QIDS_SQL} AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+quant AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS rn
+    FROM dots
+  ) WHERE rn <= {_TOP_K}
+),
+exact AS ({{exact}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN qx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN qx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN quant qx
+  ON qx.query_id = e.query_id AND qx.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(exact=REGISTRY.oracles["sim_topk_bruteforce"]),
+)
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # per-dim scales -> one 64-element array on a broadcast 1-row side
+    sc = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.greatest(F.max(F.abs(F.col("x").cast("double"))), F.lit(1e-30)).alias("s"))
+    )
+    scales_row = sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"],
+        ).alias("scales")
+    )
+    q = e.crossJoin(F.broadcast(scales_row)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            "scales",
+            lambda x, s: F.round(x.cast("double") / s * 127).cast("long"),
+        ).alias("qv"),
+    )
+    probes = q.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    dots = (
+        q.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("q_qv", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    quant = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = REGISTRY.queries["sim_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(quant, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

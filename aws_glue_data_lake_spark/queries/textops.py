@@ -1281,3 +1281,87 @@ def text_udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining — the phrase-discovery primitive (word2vec-style
+# phrase merging, collocation dictionaries): pointwise mutual information
+# ln(c_xy * N / (c_x * c_y)) over word bigrams, thresholded at
+# c_xy >= 5 so rare-pair noise can't top the list. One corpus pass builds
+# bigram counts; unigram counts broadcast into the scoring join twice
+# (w1/w2), so the skewed word keys never shuffle the bigram table.
+# Determinism: each PMI is ONE libm ln on an exact integer ratio, rounded
+# to 6 before the order-by (with the bigram itself as tiebreak) — same
+# discipline as text_unigram_logprob.
+# ---------------------------------------------------------------------------
+@_q(
+    "text_pmi_bigrams",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT UNNEST(LIST_TRANSFORM(generate_series(1, LEN(t) - 1),
+                               i -> [t[i], t[i+1]])) AS pair
+  FROM tk WHERE LEN(t) >= 2
+),
+bc AS (
+  SELECT pair[1] AS w1, pair[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bg GROUP BY 1, 2
+),
+uc AS (
+  SELECT UNNEST(t) AS w FROM tk
+),
+u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uc GROUP BY w),
+n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS total FROM bc)
+SELECT b.w1, b.w2, b.c_xy,
+       ROUND(LN(CAST(b.c_xy AS DOUBLE) * n.total
+                / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+FROM bc b
+JOIN u u1 ON b.w1 = u1.w
+JOIN u u2 ON b.w2 = u2.w
+CROSS JOIN n
+WHERE b.c_xy >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 15
+""",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = toks()
+    pairs = (
+        d.where(F.size(tk) >= 2)
+        .select(F.explode(bigrams(tk)).alias("bigram"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    u = (
+        d.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = bc.agg(F.sum("c_xy").cast("bigint").alias("total"))
+    u1 = u.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.where(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("total")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(15)
+    )
