@@ -2136,3 +2136,74 @@ ORDER BY o_orderpriority
 """,
         args={"min_price": 150000.0, "status": "F"},
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy join — the data-cleaning "almost the same name" matcher
+# (catalog reconciliation, entity resolution). Names are DISTINCT-ed
+# first (the name table is vocabulary-bounded, so the pair space stays
+# fixed as the corpus scales — never self-join a fact table fuzzily), and
+# candidates are BLOCKED on (first character equal, |len diff| <= 2)
+# before the levenshtein <= 2 verify — the standard blocking-recall
+# tradeoff, stated as the operator's semantics so the oracle mirrors it
+# exactly. Levenshtein agrees across engines (classic unit-cost edit
+# distance in both).
+# --------------------------------------------------------------------------
+@_q(
+    "join_fuzzy_part_names",
+    oracle="""
+WITH names AS (
+  SELECT p_name,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(MIN(p_partkey) AS BIGINT) AS first_key
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= 2
+ AND a.p_name < b.p_name
+ AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+ORDER BY name_a, name_b
+""",
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.min("p_partkey").cast("bigint").alias("first_key"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("len_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("len_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+            & (F.col("name_a") < F.col("name_b"))
+            & dist.between(1, 2)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -55,6 +55,14 @@ PROBE_QUERIES = (
     "streaming_dedup_then_tumbling",
     "streaming_scd2_foreachbatch",
     "dedup_minhash_recall",
+    # round-6d additions with non-trivial scale shapes
+    "emb_gram_matrix",
+    "sim_quantized_recall",
+    "text_pmi_bigrams",
+    "agg_theta_sketch_setops",
+    "streaming_transform_with_state",
+    "streaming_tws_list_state_median",
+    "streaming_tws_event_timers",
 )
 
 

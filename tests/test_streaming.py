@@ -180,3 +180,73 @@ def test_dedup_within_watermark_state_is_bounded(spark, tmp_path):
     # key 1 twice (once per state lifetime), keys 2-4 once each; the
     # in-horizon replay in b1 and the late old-ts replay in b4 were dropped.
     assert emitted == [1, 1, 2, 3, 4]
+
+
+def test_checkpoint_restart_resumes_from_offsets(spark, tmp_path):
+    """Exactly-once across a RESTART: run a windowed aggregate with a
+    checkpoint, stop it, drop MORE files into the source, restart with the
+    SAME checkpoint — the second run must (a) resume from the committed
+    offsets (progress telemetry shows only the new files' rows), and
+    (b) produce the same final state as a single batch pass over
+    everything: recovered window state + new data, nothing reprocessed,
+    nothing lost."""
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+
+    h = 3_600 * US
+    rows_a = [_event(i, i * h, value=1.0) for i in range(4)]
+    rows_b = [_event(10 + i, (10 + i) * h, value=2.0) for i in range(4)]
+    _write_batch(spark, stage, "a", rows_a, now)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream = stream.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        agg = (
+            stream.withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "2 hours").alias("w"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+            )
+            .select(F.unix_micros("w.start").alias("ws"), "n", "v")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"ckpt_restart_{int(run_once.calls)}")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        progress = q.recentProgress
+        q.stop()
+        run_once.calls += 1
+        return progress
+
+    run_once.calls = 0
+    p1 = run_once()
+    n1 = sum(p.numInputRows for p in p1)
+    assert n1 == 4  # first run saw exactly batch A
+
+    _write_batch(spark, stage, "b", rows_b, now + 60)
+    p2 = run_once()
+    n2 = sum(p.numInputRows for p in p2)
+    assert n2 == 4  # restart consumed ONLY the new file's rows
+
+    final = spark.table("ckpt_restart_1")
+    got = {r["ws"]: (r["n"], r["v"]) for r in final.collect()}
+    expect = {}
+    for _, ts_ns, _, _, v, _ in rows_a + rows_b:
+        ws = (ts_ns // NS) // (2 * h) * (2 * h)
+        n, s = expect.get(ws, (0, 0.0))
+        expect[ws] = (n + 1, s + v)
+    assert got == expect  # recovered state + new data == one batch pass
