@@ -250,3 +250,91 @@ def test_checkpoint_restart_resumes_from_offsets(spark, tmp_path):
         n, s = expect.get(ws, (0, 0.0))
         expect[ws] = (n + 1, s + v)
     assert got == expect  # recovered state + new data == one batch pass
+
+
+def test_tws_state_survives_checkpoint_restart(spark, tmp_path):
+    """transformWithState recovery: run the ValueState+MapState processor
+    over half the files with a checkpoint, stop, add the rest, restart
+    from the SAME checkpoint — the second run's emissions must include
+    counts from the first run's batches (RocksDB state recovered, not
+    rebuilt), and only the new files' rows are consumed."""
+    import pandas as pd
+
+    from aws_glue_data_lake_spark.streaming.tws import (
+        HAVE_TWS,
+        UserTypeStatsProcessor,
+        ensure_protobuf_env,
+        rocksdb_state_store,
+    )
+
+    if not HAVE_TWS or not ensure_protobuf_env(spark):
+        import pytest
+
+        pytest.skip("transformWithState unavailable (no protobuf runtime)")
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "emissions")
+    now = time.time()
+    h = 3_600 * US
+
+    # user 1: 3 events in phase A, 2 in phase B; types differ per phase
+    rows_a = [_event(i, i * h, event_type="view", value=1.0) for i in range(3)]
+    rows_b = [
+        _event(10 + i, (10 + i) * h, event_type="click", value=2.0)
+        for i in range(2)
+    ]
+    _write_batch(spark, stage, "a", rows_a, now)
+
+    def run_once(tag):
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        tws = (
+            stream.select("user_id", "event_type", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                UserTypeStatsProcessor(),
+                outputStructType=(
+                    "user_id BIGINT, n_events BIGINT, n_types BIGINT, "
+                    "value_sum DOUBLE"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        # memory sink refuses checkpoint recovery; foreachBatch + parquet
+        # append is the recoverable pattern
+        with rocksdb_state_store(spark):
+            q = (
+                tws.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .queryName(f"tws_restart_{tag}")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+            n_in = sum(p.numInputRows for p in q.recentProgress)
+            q.stop()
+        return n_in
+
+    assert run_once("a") == 3
+    _write_batch(spark, stage, "b", rows_b, now + 60)
+    assert run_once("b") == 2  # only the new file consumed
+
+    final = (
+        spark.read.parquet(out_dir)
+        .orderBy(F.desc("n_events"))
+        .limit(1)
+        .collect()[0]
+    )
+    # 3 recovered + 2 new events, 2 distinct types, exact value sum
+    assert final["n_events"] == 5
+    assert final["n_types"] == 2
+    assert final["value_sum"] == 7.0
