@@ -2207,3 +2207,276 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiling — the ANALYZE/describe primitive every
+# warehouse runs before anything else: per-column null count, exact
+# distinct count, and min/max, computed in ONE scan of orders (all
+# aggregates fold into a single Aggregate node — no per-column passes).
+# Numeric min/max report as strings alongside the lexical ones so one
+# tall (column, metric) layout covers heterogeneous types; the epoch-µs
+# transport convention covers the timestamp column.
+# --------------------------------------------------------------------------
+@_q(
+    "profile_table_summary",
+    oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT col, n_rows, n_nulls, n_distinct, min_value, max_value
+FROM n, (
+  SELECT 'o_custkey' AS col,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate_us',
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+         CAST(MIN(CAST(EPOCH_US(o_orderdate) AS BIGINT)) AS VARCHAR),
+         CAST(MAX(CAST(EPOCH_US(o_orderdate) AS BIGINT)) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority),
+         MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus),
+         MAX(o_orderstatus)
+  FROM orders
+)
+ORDER BY col
+""",
+)
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    o = o.withColumn("o_orderdate_us", ts_us_col(o, "o_orderdate"))
+    cols = ["o_custkey", "o_orderdate_us", "o_orderpriority", "o_orderstatus"]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)  # ONE scan, one Aggregate
+    tall = one.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m"),
+    )
+    return tall.select(
+        "m.col", "n_rows", "m.n_nulls", "m.n_distinct", "m.min_value", "m.max_value"
+    ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit — the validation pass a lakehouse runs on
+# every ingest batch, as one query: referential integrity (lineitem rows
+# whose order key has no parent — anti-join probe), domain constraints
+# (status/priority outside their enum), and range constraints (negative
+# or absurd prices, quantity bounds). Each rule reports its violation
+# count; the fixture is clean, so nonzero anywhere means the CHECK logic
+# itself regressed — which is exactly what the oracle hash pins.
+# --------------------------------------------------------------------------
+@_q(
+    "dq_constraint_violations",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_status_domain',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_price_range',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_quantity_range',
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+)
+ORDER BY rule
+""",
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "anti")
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), "n_violations")
+    )
+
+    def rule(df, name, cond):
+        return df.agg(
+            F.sum(cond.cast("long")).cast("bigint").alias("n_violations")
+        ).select(F.lit(name).alias("rule"), "n_violations")
+
+    checks = [
+        orphans,
+        rule(o, "orders_status_domain", ~F.col("o_orderstatus").isin("F", "O", "P")),
+        rule(
+            o,
+            "orders_price_range",
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1_000_000),
+        ),
+        rule(
+            li,
+            "lineitem_quantity_range",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        rule(
+            li,
+            "lineitem_discount_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Iterative graph dataflow — PageRank over the nation trade graph (edge
+# u→v weighted by the COUNT of shipments a supplier in u sold to a
+# customer in v; self-loops dropped). Three damped iterations,
+# r_{k+1}(v) = 0.15 + 0.85 · Σ_{u→v} r_k(u) · w/outw, r_0 ≡ 1 — the
+# canonical "loop of joins + keyed aggregation" every iterative algorithm
+# (PageRank, label propagation, BP) compiles to on Spark. Each
+# iteration's cross-row sum goes through DECIMAL(28,12) casts of the
+# per-edge contribution (deterministic single IEEE ops per edge), so the
+# result is partition-order-independent; the oracle UNROLLS the three
+# iterations as chained CTEs. The graph here is nation-sized, but the
+# plan — edges join rank on src, shuffle by dst, aggregate — is the exact
+# shape that scales: rank state partitions by vertex, edges by src.
+# --------------------------------------------------------------------------
+_PR_ITER_SQL = """
+SELECT n.v,
+       ROUND(0.15 + 0.85 * COALESCE(CAST(SUM(
+         CAST(r.rank * e.w / e.outw AS DECIMAL(28,12))) AS DOUBLE), 0.0), 12)
+         AS rank
+FROM nodes n
+LEFT JOIN edges e ON e.dst = n.v
+LEFT JOIN {prev} r ON r.v = e.src
+GROUP BY n.v
+"""
+
+
+@_q(
+    "graph_pagerank_trade",
+    oracle=f"""
+WITH raw AS (
+  SELECT n1.n_name AS src, n2.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, w,
+         CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+  FROM raw
+),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+),
+r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+r1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+r2 AS ({_PR_ITER_SQL.format(prev="r1")}),
+r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+SELECT v AS nation, ROUND(rank, 6) AS pagerank
+FROM r3
+ORDER BY nation
+""",
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    raw = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    from pyspark.sql import Window as W
+
+    edges = raw.withColumn(
+        "outw", F.sum("w").over(W.partitionBy("src")).cast("bigint")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    rank = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(3):
+        contrib = edges.join(
+            rank.select(F.col("v").alias("src"), "rank"), "src"
+        ).select(
+            F.col("dst").alias("v"),
+            (F.col("rank") * F.col("w") / F.col("outw"))
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        rank = (
+            nodes.join(contrib, "v", "left")
+            .groupBy("v")
+            .agg(
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.coalesce(F.sum("c").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank")
+            )
+        )
+    return rank.select(
+        F.col("v").alias("nation"), F.round("rank", 6).alias("pagerank")
+    ).orderBy("nation")
