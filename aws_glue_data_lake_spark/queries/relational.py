@@ -2480,3 +2480,56 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         F.col("v").alias("nation"), F.round("rank", 6).alias("pagerank")
     ).orderBy("nation")
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram — the optimizer-statistics / data-exploration
+# primitive: 10 equal-population price buckets via NTILE over a total
+# order (price, then key — the tiebreak makes bucket assignment
+# deterministic), reporting population, bounds, and exact decimal mass
+# per bucket. NTILE is SQL-standard in both engines, so the oracle is the
+# literal twin. Scale note: a single total sort is the honest cost of
+# exact equi-depth; the approximate path at 100 TB is
+# approx_percentile-derived bounds (agg_approx_percentile_price), with
+# this as the exactness reference.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS mass
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("mass"),
+        )
+        .orderBy("bucket")
+    )
