@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, t
-from aws_glue_data_lake_spark.tables import with_ts_us
+from aws_glue_data_lake_spark.tables import ts_us_col, with_ts_us
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -803,3 +803,115 @@ def window_trailing_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch LINEAR attribution — the ad-analytics counterpart of the
+# first-touch funnel: each purchase's value is split EQUALLY across that
+# user's view events in the preceding hour (inclusive of ties at the
+# purchase instant? no — strictly before), then credit rolls up per view
+# hour. The candidate join is user-keyed + time-banded, so it shuffles on
+# user_id and never goes cartesian: at 100 TB this is the same bounded
+# range-join family as join_range_event_order_window. Purchases with no
+# preceding view keep their mass in an explicit 'unattributed' bucket so
+# the credit ledger always sums to total purchase value (conservation is
+# part of the contract the hash checks).
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@_q(
+    "window_attribution_linear",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(EPOCH_US(ts) AS BIGINT) AS us
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+v AS (SELECT * FROM e WHERE event_type = 'view'),
+cand AS (
+  SELECT p.event_id AS p_id, p.value AS p_value, p.user_id,
+         v.event_id AS v_id, v.us AS v_us
+  FROM p JOIN v
+    ON v.user_id = p.user_id
+   AND v.us < p.us AND v.us >= p.us - {_ATTR_WINDOW_US}
+),
+split AS (
+  SELECT p_id, v_id, v_us,
+         CAST(CAST(p_value AS DECIMAL(18,6))
+              / COUNT(*) OVER (PARTITION BY p_id) AS DECIMAL(28,12)) AS credit
+  FROM cand
+),
+attributed AS (
+  SELECT CAST(v_us // 3600000000 AS BIGINT) AS view_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_credits,
+         ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit_sum
+  FROM split GROUP BY 1
+),
+unattributed AS (
+  SELECT CAST(-1 AS BIGINT) AS view_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_credits,
+         ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS credit_sum
+  FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.p_id = p.event_id)
+)
+SELECT * FROM attributed
+UNION ALL
+SELECT * FROM unattributed WHERE n_credits > 0
+ORDER BY view_hour
+""",
+)
+def window_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value", ts_us_col(ev).alias("us")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("value").alias("p_value"),
+        F.col("us").alias("p_us"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("us").alias("v_us")
+    )
+    cand = p.join(v, "user_id").where(
+        (F.col("v_us") < F.col("p_us"))
+        & (F.col("v_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+    )
+    w = Window.partitionBy("p_id")
+    split = cand.select(
+        "p_id",
+        "v_id",
+        "v_us",
+        (F.col("p_value").cast("decimal(18,6)") / F.count("*").over(w))
+        .cast("decimal(28,12)")
+        .alias("credit"),
+    )
+    attributed = (
+        split.groupBy(
+            F.expr("v_us div 3600000000").cast("bigint").alias("view_hour")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.round(F.sum("credit").cast("double"), 6).alias("credit_sum"),
+        )
+    )
+    unattributed = (
+        p.join(cand.select("p_id").distinct(), "p_id", "anti")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.round(
+                F.sum(F.col("p_value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("credit_sum"),
+        )
+        .select(
+            F.lit(-1).cast("bigint").alias("view_hour"),
+            "n_credits",
+            "credit_sum",
+        )
+        .where(F.col("n_credits") > 0)
+    )
+    return attributed.unionByName(unattributed).orderBy("view_hour")
