@@ -488,3 +488,29 @@ def test_python_datasource_filter_pushdown(spark):
     parts = r.partitions()
     assert parts[0].lo == 10_000 and parts[-1].hi == 50_000
     assert len(parts) == 8
+
+
+def test_attribution_join_is_keyed_not_cartesian(spark):
+    """The attribution candidate join must shuffle on user_id (keyed
+    equi-join with banded range residual) — a nested-loop/cartesian plan
+    here would be quadratic in events at scale."""
+    plan = plan_of(spark, "window_attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_broadcasts_unigram_model(spark):
+    """Both unigram-model sides and the 1-row total must broadcast: the
+    skewed word keys must never shuffle the bigram table."""
+    plan = plan_of(spark, "text_pmi_bigrams")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_broadcasts_dimensions(spark):
+    """The edge build joins fact tables to nation/supplier/customer dims —
+    all dimension sides must broadcast; no cartesian anywhere in the
+    3-iteration loop."""
+    plan = plan_of(spark, "graph_pagerank_trade")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
