@@ -2533,3 +2533,61 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# ORC source scan (S1 family, format breadth alongside CSV/JSONL): orders
+# staged as ORC and read back — columnar like parquet, so predicate
+# pushdown and column pruning apply on read, unlike the row-oriented
+# staging formats. Same epoch-µs time transport; the staged content
+# equals the fixture, so the oracle runs on the orders view directly.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_orc_source",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(EPOCH_US(o_orderdate)) AS BIGINT) AS first_order_us,
+       CAST(MAX(EPOCH_US(o_orderdate)) AS BIGINT) AS last_order_us
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orc_stage_dir(spark, sf_dir)
+    o = spark.read.orc(path)
+    return (
+        o.where(F.col("o_orderstatus") != "P")  # pushed into the ORC scan
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderdate_us").alias("first_order_us"),
+            F.max("o_orderdate_us").alias("last_order_us"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _orc_stage_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _ORC_STAGE.get(key)
+    if stage is not None:
+        return stage
+    o_t = t(spark, sf_dir, "orders")
+    o = o_t.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        ts_us_col(o_t, "o_orderdate").alias("o_orderdate_us"),
+    )
+    stage = session_tmpdir("orc_source_") + "/orders"
+    o.write.mode("overwrite").orc(stage)
+    _ORC_STAGE[key] = stage
+    return stage
+
+
+_ORC_STAGE: dict[tuple[str, str], str] = {}
