@@ -348,3 +348,49 @@ def scalar_variant_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array function suite — the lambda-expression surface
+# (exists / forall / filter / slice / sort + dedup), all JVM-side
+# codegen, over the embedding vectors: per-vector predicates (any
+# coordinate above a threshold, all finite-range), a filtered count, and
+# order statistics from a sorted slice. DuckDB's list_* family mirrors
+# each 1:1. Doubles only pass through per-element comparisons and an
+# element pick — no cross-row float accumulation — so values hash
+# exactly after the defensive round.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_array_hof_suite",
+    oracle="""
+SELECT vec_id,
+       LIST_COUNT(LIST_FILTER(embedding, x -> CAST(x AS DOUBLE) > 0.1))
+         AS n_above,
+       CAST(LEN(embedding) - LEN(LIST_DISTINCT(embedding)) AS BIGINT)
+         AS n_dup_values,
+       LIST_BOOL_OR(
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) > 0.25)) AS any_big,
+       LIST_BOOL_AND(
+         LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)) <= 1.0))
+         AS all_unit,
+       ROUND(CAST(LIST_SORT(embedding)[3] AS DOUBLE), 6) AS third_smallest
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+""",
+)
+def scalar_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x.cast("double") > 0.1)).alias("n_above"),
+        (F.size(emb) - F.size(F.array_distinct(emb)))
+        .cast("bigint")
+        .alias("n_dup_values"),
+        F.exists(emb, lambda x: x.cast("double") > 0.25).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x.cast("double")) <= 1.0).alias("all_unit"),
+        F.round(
+            F.element_at(F.array_sort(emb), 3).cast("double"), 6
+        ).alias("third_smallest"),
+    ).orderBy("vec_id")
