@@ -240,3 +240,70 @@ class JsonDirSinkDataSource(DataSource):
 
 def register_sink_source(spark) -> None:
     spark.dataSource.register(JsonDirSinkDataSource)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING write side: same staged-files protocol, but per micro-batch
+# with the batchId in the commit — which is what makes redelivery safe:
+# a batch that was already committed (its marker file exists) is skipped
+# wholesale, so at-least-once delivery from the engine folds to
+# exactly-once visibility in the directory. This is the Python-API
+# mirror of the lake layer's idempotent txn appends.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class JsonStreamDirWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_stream_sink requires a 'path' option")
+        self.columns = schema.fieldNames()
+        self.stage_dir = _os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        _os.makedirs(self.stage_dir, exist_ok=True)
+        tmp = _os.path.join(self.stage_dir, f"task-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return _StagedFile(tmp, n)
+
+    def commit(self, messages, batchId):
+        marker = _os.path.join(self.path, f"_commit-{batchId:05d}")
+        parts = [m for m in messages if m is not None and m.n_rows > 0]
+        if _os.path.exists(marker):  # redelivered batch: drop the restage
+            for m in parts:
+                _os.unlink(m.path)
+            return
+        total = 0
+        for i, m in enumerate(sorted(parts, key=lambda m: m.path)):
+            _os.replace(
+                m.path,
+                _os.path.join(self.path, f"batch-{batchId:05d}-{i:05d}.json"),
+            )
+            total += m.n_rows
+        with open(marker, "w") as f:
+            _json.dump({"batch_id": batchId, "n_files": len(parts), "n_rows": total}, f)
+
+    def abort(self, messages, batchId):
+        for m in messages or []:
+            if m is not None and _os.path.exists(m.path):
+                _os.unlink(m.path)
+
+
+class JsonStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("json_stream_sink").option("path", dir)``."""
+
+    @classmethod
+    def name(cls):
+        return "json_stream_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return JsonStreamDirWriter(self.options, schema)
+
+
+def register_stream_sink_source(spark) -> None:
+    spark.dataSource.register(JsonStreamSinkDataSource)

@@ -516,3 +516,97 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode round-trip (oracle-checked, no stub): stage 1 encodes
+# genuine RIFF/WAV payloads (mono 16-bit PCM, stdlib `wave` writer) whose
+# samples are closed-form arithmetic in (doc_id, i); stage 2 is a
+# separate mapInPandas pass that parses the BYTES back with the stdlib
+# reader and reports per-file stats. Because the samples are arithmetic,
+# the DuckDB oracle recomputes the decoded stats in SQL without ever
+# seeing a WAV — the hash certifies that real bytes went through a real
+# parser and came back exact. Both stages are Arrow-batched; payloads
+# stay inside the executor (never collected), which is the only layout
+# that survives 100 TB of media.
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_audio_decode_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 100 + doc_id % 200 AS n
+  FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM d
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(SUM((31 * doc_id + 17 * i) % 2001 - 1000) AS BIGINT) AS sum_samples,
+       CAST(MAX(ABS((31 * doc_id + 17 * i) % 2001 - 1000)) AS BIGINT) AS max_abs
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def encode_wav(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 100 + doc_id % 200
+                samples = ((31 * doc_id + 17 * np.arange(n)) % 2001 - 1000).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(samples.tobytes())
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    def decode_wav(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                r = wave.open(io.BytesIO(bytes(payload)), "rb")
+                n = r.getnframes()
+                rate = r.getframerate()
+                samples = np.frombuffer(r.readframes(n), dtype="<i2").astype("int64")
+                r.close()
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "sum_samples": int(samples.sum()),
+                        "max_abs": int(np.abs(samples).max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    encoded = d.mapInPandas(encode_wav, "doc_id BIGINT, wav BINARY")
+    decoded = encoded.mapInPandas(
+        decode_wav,
+        "doc_id BIGINT, n_samples BIGINT, sample_rate BIGINT, "
+        "sum_samples BIGINT, max_abs BIGINT",
+    )
+    return decoded.orderBy("doc_id")

@@ -1573,3 +1573,77 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = run_drain_all(agg, output_mode="complete")
     return final.orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Custom Python STREAMING SINK closing the connector quadrant (batch
+# read / stream read / batch write / stream write): the offset-paced
+# cdc_feed stream drains through json_stream_sink, whose per-batch
+# commit stamps a batchId marker — redelivered batches are dropped
+# wholesale, so at-least-once delivery folds to exactly-once visibility
+# (the Python-API mirror of the lake layer's idempotent txn appends).
+# The query then reads the COMMITTED files back and aggregates; the
+# oracle regenerates the feed arithmetically, so the hash certifies the
+# whole source→sink→read-back loop.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_python_sink",
+    oracle="""
+WITH g AS (
+  SELECT UNNEST(generate_series(0, 19999)) AS id
+), f AS (""" + __import__("aws_glue_data_lake_spark.pydatasource", fromlist=["FEED_SQL"]).FEED_SQL + """)
+SELECT op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM f
+GROUP BY op
+ORDER BY op
+""",
+)
+def streaming_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from aws_glue_data_lake_spark.pydatasource import (
+        register_feed_source,
+        register_stream_sink_source,
+    )
+
+    register_feed_source(spark)
+    register_stream_sink_source(spark)
+    out_dir = os.path.join(session_tmpdir("json_stream_sink_"), uuid.uuid4().hex)
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.format("cdc_feed")
+        .option("n_rows", 20_000)
+        .option("slab", 4_000)
+        .load()
+        .select("id", "op", "value")
+    )
+    q = (
+        stream.writeStream.format("json_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.schema("id BIGINT, op STRING, value DOUBLE").json(
+        os.path.join(out_dir, "batch-*.json")
+    )
+    return (
+        back.groupBy("op")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("op")
+    )
