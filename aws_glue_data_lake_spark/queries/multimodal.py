@@ -610,3 +610,127 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "sum_samples BIGINT, max_abs BIGINT",
     )
     return decoded.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode round-trip, same contract as the WAV query: stage 1
+# writes genuine 24-bit uncompressed BMP files (hand-built BITMAPFILE/
+# INFOHEADER via struct — pure stdlib, including the 4-byte row padding
+# the format requires), pixels closed-form in (doc_id, x, y); stage 2
+# re-parses the BYTES (header offsets, bottom-up row order, padding) and
+# reports dimensions plus channel sums. The oracle recomputes the pixel
+# arithmetic in SQL — a real binary format crossed the executor boundary
+# twice and still hashed exact.
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_image_decode_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < 150
+),
+px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         (doc_id + 7 * x.x + 13 * y.y) % 256 AS r,
+         (2 * doc_id + 5 * x.x + 3 * y.y) % 256 AS g,
+         (3 * doc_id + 11 * x.x + y.y) % 256 AS b
+  FROM d,
+       LATERAL (SELECT UNNEST(generate_series(0, w - 1)) AS x) AS x,
+       LATERAL (SELECT UNNEST(generate_series(0, h - 1)) AS y) AS y
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def encode_bmp(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                r = (doc_id + 7 * xs + 13 * ys) % 256
+                g = (2 * doc_id + 5 * xs + 3 * ys) % 256
+                b = (3 * doc_id + 11 * xs + ys) % 256
+                # BGR byte order, bottom-up rows, rows padded to 4 bytes
+                bgr = np.stack(
+                    [b, g, r], axis=-1
+                ).astype("uint8")  # (h, w, 3)
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    rows.append(bgr[y].tobytes() + b"\x00" * pad)
+                pixel_data = b"".join(rows)
+                pixel_offset = 14 + 40
+                file_size = pixel_offset + len(pixel_data)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", file_size, 0, 0, pixel_offset
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + pixel_data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": payloads})
+
+    def decode_bmp(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                data = bytes(payload)
+                magic, _fsize, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
+                assert magic == b"BM"
+                (_hsz, w, h, _planes, bpp) = struct.unpack("<IiiHH", data[14:30])
+                assert bpp == 24
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = []
+                for i in range(h):
+                    s = off + i * (row_bytes + pad)
+                    rows.append(
+                        np.frombuffer(data[s : s + row_bytes], dtype="uint8")
+                        .reshape(w, 3)
+                    )
+                img = np.stack(rows[::-1])  # back to top-down (h, w, 3) BGR
+                sums = img.astype("int64").sum(axis=(0, 1))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "r_sum": int(sums[2]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[0]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 150).select("doc_id")
+    encoded = d.mapInPandas(encode_bmp, "doc_id BIGINT, bmp BINARY")
+    decoded = encoded.mapInPandas(
+        decode_bmp,
+        "doc_id BIGINT, width BIGINT, height BIGINT, "
+        "r_sum BIGINT, g_sum BIGINT, b_sum BIGINT",
+    )
+    return decoded.orderBy("doc_id")
