@@ -510,3 +510,72 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (α = 0.5) — the multilingual/multi-
+# source LM sampling standard: sampling mass ∝ N_s^α, realized as a
+# per-document keep rate r_s = (N_min / N_s)^(1-α) (the smallest source
+# keeps everything, larger sources shrink toward sqrt scaling — no
+# upsampling, so it stays a pure filter). Membership is hash-derandomized
+# (md5 prefix as a uniform in [0, 16^6)) against an INTEGER threshold
+# floor(r_s·16^6), so the cut is an exact integer compare — no float
+# boundary to disagree on — and any subset/shard of the corpus makes the
+# same decisions. Source counts broadcast; the corpus pass is one
+# filtered scan.
+# ---------------------------------------------------------------------------
+@_q(
+    "sample_temperature_mix",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+),
+thr AS (
+  SELECT source, n_total,
+         CAST(FLOOR(SQRT(CAST((SELECT MIN(n_total) FROM counts) AS DOUBLE)
+                         / n_total) * 16777216) AS BIGINT) AS threshold
+  FROM counts
+),
+kept AS (
+  SELECT d.source,
+         CAST(('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           AS h
+  FROM documents d
+)
+SELECT t.source, t.n_total, t.threshold,
+       CAST(SUM(CASE WHEN k.h < t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM kept k JOIN thr t USING (source)
+GROUP BY t.source, t.n_total, t.threshold
+ORDER BY t.source
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_total"))
+    nmin = counts.agg(F.min("n_total").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n_total",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_total"))
+            * F.lit(16_777_216)
+        )
+        .cast("bigint")
+        .alias("threshold"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    kept = d.select("source", h.alias("h"))
+    return (
+        kept.join(F.broadcast(thr), "source")
+        .groupBy("source", "n_total", "threshold")
+        .agg(
+            F.sum((F.col("h") < F.col("threshold")).cast("long"))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select("source", "n_total", "threshold", "n_kept")
+        .orderBy("source")
+    )
