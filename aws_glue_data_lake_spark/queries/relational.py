@@ -2591,3 +2591,88 @@ def _orc_stage_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 _ORC_STAGE: dict[tuple[str, str], str] = {}
+
+
+# --------------------------------------------------------------------------
+# Mergeable QUANTILE rollup — Datasketches KLL, completing the sketch
+# triptych (HLL: distinct counts; theta: set algebra; KLL: quantiles).
+# One KLL sketch of `value` per DAY (true partial aggregate, bytes-sized),
+# MERGED to weekly — the rollup-table pattern that answers "weekly p50"
+# without re-touching raw events. DuckDB can't reproduce the sketch, so
+# the contract is the strongest checkable one for a quantile sketch: the
+# estimate's EXACT rank (fraction of the week's rows at or below it,
+# computed from raw rows) must lie within the sketch's rank-error band
+# of 0.5; hashed columns are exacts + verdict, the estimate stays out.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_kll_quantile_rollup",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(EPOCH_US(ts) AS BIGINT) // {_DAY_US} AS day
+  FROM events
+)
+SELECT day // 7 AS week,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS median_rank_ok
+FROM e
+GROUP BY day // 7
+ORDER BY week
+""",
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("value").cast("double").alias("v"), ts_us_col(ev).alias("_us")
+    ).select("v", F.expr(f"_us div {_DAY_US}").alias("day"))
+    daily = e.groupBy("day").agg(
+        F.expr("kll_sketch_agg_double(v)").alias("sk"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    # kll_sketch_merge_double is a binary scalar, so the weekly merge is
+    # a fold over the week's daily sketches (first sketch seeds the
+    # accumulator, the rest merge in — 6 merges per week)
+    weekly = (
+        daily.groupBy(F.expr("day div 7").alias("week"))
+        .agg(
+            F.collect_list("sk").alias("sks"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "week",
+            "n_days",
+            "n_events",
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "  aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+                "            (acc, x) -> kll_sketch_merge_double(acc, x)),"
+                "  0.5)"
+            ).alias("est_p50"),
+        )
+    )
+    # exact rank of the estimate, from raw rows (broadcast the tiny
+    # weekly table into the rank join — events never reshuffle)
+    ranked = (
+        e.select(F.expr("day div 7").alias("week"), "v")
+        .join(F.broadcast(weekly.select("week", "est_p50")), "week")
+        .groupBy("week")
+        .agg(
+            (
+                F.sum((F.col("v") <= F.col("est_p50")).cast("long"))
+                / F.count("*")
+            ).alias("rank_of_est")
+        )
+    )
+    return (
+        weekly.join(ranked, "week")
+        .select(
+            "week",
+            "n_days",
+            "n_events",
+            # default KLL k=200 → rank error ~1.65%; 5% band is generous
+            (F.abs(F.col("rank_of_est") - 0.5) <= 0.05).alias("median_rank_ok"),
+        )
+        .orderBy("week")
+    )
