@@ -125,6 +125,11 @@ class Snapshot:
     def file_names(self) -> list[str]:
         return [f["path"] for f in self.files]
 
+    @property
+    def dv_paths(self) -> list[str]:
+        """Deletion-vector sidecar files referenced by this snapshot."""
+        return sorted({f["dv"]["path"] for f in self.files if f.get("dv")})
+
 
 class LakeTable:
     """A versioned Parquet table rooted at ``path``. All mutations commit a
@@ -601,6 +606,42 @@ class LakeTable:
         if snap.partition_by:
             reader = reader.option("basePath", self._data)
         df = reader.parquet(*paths)
+        # Merge-on-read DELETION VECTORS: every read path (time travel,
+        # upsert/merge rewrites, compaction) flows through here, so
+        # applying DVs at this chokepoint keeps all of them consistent.
+        # A DV row is (file_name, row_index); _metadata.row_index gives
+        # the scan-side position and file basenames are uuid-unique, so
+        # the anti join restores exactly the undeleted rows. DV sidecars
+        # are tiny next to data (positions only), so the anti join's
+        # build side stays broadcastable far beyond any realistic delete
+        # churn; compaction folds DVs away entirely.
+        rel_set = set(rels)
+        dv_rels = sorted(
+            {
+                e["dv"]["path"]
+                for e in snap.files
+                if e.get("dv") and e["path"] in rel_set
+            }
+        )
+        if dv_rels:
+            dv = (
+                spark.read.parquet(*[self._abs(r) for r in dv_rels])
+                .select("file_name", "row_index")
+                .distinct()
+            )
+            df = (
+                df.select(
+                    *[F.col(f.name) for f in st.fields],
+                    F.col("_metadata.file_name").alias("__dv_fn"),
+                    F.col("_metadata.row_index").alias("__dv_ri"),
+                )
+                .join(
+                    F.broadcast(dv),
+                    (F.col("__dv_fn") == F.col("file_name"))
+                    & (F.col("__dv_ri") == F.col("row_index")),
+                    "anti",
+                )
+            )
         return df.select(*[F.col(f.name) for f in st.fields])
 
     def read(
@@ -640,6 +681,77 @@ class LakeTable:
                 return None
             vals.append(rng[1])
         return max(vals) if vals else None
+
+    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
+        """MERGE-ON-READ row-level delete via deletion vectors: instead of
+        rewriting data files (the copy-on-write path ``upsert``/``merge``
+        take), record the deleted row POSITIONS in a sidecar parquet and
+        leave every data file untouched. One delete commit costs O(matched
+        rows) writes regardless of file sizes — the Delta/Iceberg v2
+        "deletion vectors" trade: cheap deletes, a small anti-join tax on
+        every read until ``compact`` folds the DVs away.
+
+        The DV sidecar holds (file_name, row_index) with any PRIOR DV rows
+        for the affected files folded in, so each file entry references
+        exactly one DV file and superseded sidecars become vacuumable.
+        Readers apply DVs inside ``_read_files`` — the single scan
+        chokepoint — so time travel, upserts, and compaction all see the
+        deleted rows gone. Note ``stat_max`` stays manifest-level (an
+        upper bound that ignores DVs): fine for pruning, which only needs
+        conservative bounds.
+
+        ``condition`` is a SQL boolean over the table's columns.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        snap = self.snapshot()
+        st = StructType.fromDDL(snap.schema)
+        reader = spark.read.schema(st)
+        if snap.partition_by:
+            reader = reader.option("basePath", self._data)
+        scan = reader.parquet(*[self._abs(r) for r in snap.file_names]).select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+            F.expr(condition).alias("__del"),
+        )
+        fresh = scan.where("__del").select("file_name", "row_index")
+        prior_rels = snap.dv_paths
+        if prior_rels:
+            prior = spark.read.parquet(
+                *[self._abs(r) for r in prior_rels]
+            ).select("file_name", "row_index")
+            fresh = fresh.union(prior).distinct()
+        per_file = {
+            r["file_name"]: r["n"]
+            for r in fresh.groupBy("file_name")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return snap  # nothing matched and no prior DVs: no-op
+        dv_dir = os.path.join(self.path, "_dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        fresh.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        rel = os.path.join("_dv", f"{uuid.uuid4().hex}.parquet")
+        shutil.move(src, self._abs(rel))
+        shutil.rmtree(stage, ignore_errors=True)
+        files = []
+        for e in snap.files:
+            e = dict(e)
+            name = os.path.basename(e["path"])
+            if name in per_file:
+                e["dv"] = {"path": rel, "rows": int(per_file[name])}
+            # (a file with a prior DV always lands in per_file — its old
+            # rows are folded into the new sidecar — so no entry ever
+            # silently loses its DV here)
+            files.append(e)
+        return self._commit(
+            files, snap.schema, "delete-dv", snap,
+            partition_by=snap.partition_by,
+        )
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> Snapshot:
         """Small-file compaction (Delta OPTIMIZE / Iceberg rewrite-data-files):
@@ -687,14 +799,21 @@ class LakeTable:
         snaps = self.history()
         keep, drop = snaps[-keep_versions:], snaps[:-keep_versions]
         live = {f for s in keep for f in s.file_names}
+        live |= {d for s in keep for d in s.dv_paths}
         removed = []
         for s in drop:
-            for f in s.file_names:
+            for f in s.file_names + s.dv_paths:
                 if f not in live and os.path.exists(self._abs(f)):
                     os.remove(self._abs(f))
                     removed.append(f)
             os.remove(os.path.join(self._manifests, f"v{s.version}.json"))
         referenced = {f for s in snaps for f in s.file_names}
+        referenced |= {d for s in snaps for d in s.dv_paths}
+        for path in glob.glob(os.path.join(self.path, "_dv", "*.parquet")):
+            rel = os.path.relpath(path, self.path)
+            if rel not in referenced:
+                os.remove(path)
+                removed.append(rel)
         for path in glob.glob(
             os.path.join(self._data, "**", "*.parquet"), recursive=True
         ):

@@ -801,3 +801,75 @@ def lake_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(1).unionAll(stats(2)).unionAll(stats(3)).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read): two row-level deletes land WITHOUT
+# rewriting a single data file — each writes a positions sidecar and a
+# new snapshot (the second folds the first's positions in, superseding
+# it); an append in between proves new files coexist with DV-carrying
+# old ones. Every read applies the DVs at the scan chokepoint, so the
+# final state below must hash-equal the plain relational twin. The
+# data-file invariance and DV fold/vacuum mechanics are pinned by
+# tests/test_lake.py; this query is the user-facing state contract.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_deletion_vector_state",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE user_id < 300
+),
+appended AS (
+  SELECT event_id + 10000000 AS event_id, user_id, event_type, value
+  FROM events WHERE user_id >= 300 AND user_id < 350
+),
+merged AS (
+  SELECT * FROM base WHERE event_type <> 'error'
+  UNION ALL
+  SELECT * FROM appended
+),
+final AS (
+  SELECT * FROM merged WHERE NOT (event_type = 'click' AND user_id % 5 = 0)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def lake_deletion_vector_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = LakeTable(session_tmpdir("lake_dv_") + "/t")
+    table.create(ev.where(F.col("user_id") < 300).repartition(4))
+    table.delete_where(spark, "event_type = 'error'")
+    table.append(
+        ev.where((F.col("user_id") >= 300) & (F.col("user_id") < 350)).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    table.delete_where(spark, "event_type = 'click' AND user_id % 5 = 0")
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

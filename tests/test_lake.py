@@ -590,3 +590,51 @@ class TestPartitionValueEscaping:
         assert t.read(
             spark, partition_filter={"region": "north america"}
         ).count() == 1
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """DV mechanics: (a) deletes never rewrite data files; (b) a second
+    delete folds the first's positions into one sidecar per entry and
+    supersedes the old sidecar; (c) reads at every version apply exactly
+    that version's DVs (time travel sees deleted rows again); (d) compact
+    folds DVs away; (e) vacuum collects superseded sidecars."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path / "dv_tbl"))
+    df = spark.range(200).selectExpr("id", "id % 9 AS grp")
+    t.create(df.repartition(4))
+    v1_files = t.snapshot().file_names
+
+    s2 = t.delete_where(spark, "grp = 4")
+    assert s2.op == "delete-dv"
+    assert t.snapshot().file_names == v1_files  # (a) no rewrite
+    first_dvs = set(t.snapshot().dv_paths)
+    assert len(first_dvs) == 1
+
+    s3 = t.delete_where(spark, "id < 20")
+    assert t.snapshot().file_names == v1_files  # still no rewrite
+    second_dvs = set(t.snapshot().dv_paths)
+    assert len(second_dvs) == 1 and second_dvs != first_dvs  # (b) folded
+
+    live = [i for i in range(200) if i % 9 != 4 and i >= 20]
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == live
+    # (c) time travel: v1 sees everything, v2 only the first delete
+    assert t.read(spark, version=1).count() == 200
+    assert t.read(spark, version=s2.version).count() == 200 - len(
+        [i for i in range(200) if i % 9 == 4]
+    )
+    # delete with no matches is a no-op commit-wise
+    assert t.delete_where(spark, "id = -1").version == s3.version + 1
+    # (the prior DVs still exist, so a fold still commits; state unchanged)
+    assert t.read(spark).count() == len(live)
+
+    s_c = t.compact(spark)
+    assert t.snapshot().dv_paths == []  # (d) DVs folded into rewrite
+    assert sorted(r["id"] for r in t.read(spark).collect()) == live
+
+    removed = t.vacuum(keep_versions=1)
+    assert any(r.startswith("_dv/") for r in removed)  # (e)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == live
