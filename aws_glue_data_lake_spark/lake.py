@@ -311,7 +311,9 @@ class LakeTable:
         return entries
 
     def _abs(self, rel: str) -> str:
-        return os.path.join(self.path, rel)
+        # absolute entries are foreign references (shallow clones hold
+        # them — see clone_to); they resolve as-is
+        return rel if os.path.isabs(rel) else os.path.join(self.path, rel)
 
     # -- public API ---------------------------------------------------------
     def create(
@@ -682,6 +684,42 @@ class LakeTable:
             vals.append(rng[1])
         return max(vals) if vals else None
 
+    def clone_to(self, dest_path: str) -> "LakeTable":
+        """SHALLOW CLONE: a new table whose v1 manifest references this
+        table's CURRENT data files by absolute path — zero bytes copied,
+        O(#files) manifest write. The clone then evolves independently:
+        its own appends/upserts/deletes write clone-local files, while
+        the source never learns the clone exists. The standard caveat
+        carries over from Delta/Iceberg shallow clones: vacuuming the
+        SOURCE can remove files a clone still references (the clone's
+        vacuum, conversely, never touches foreign absolute paths).
+        Dev/test forks of production tables are the use case — clone,
+        experiment, drop."""
+        snap = self.snapshot()
+        if snap.partition_by:
+            # partitioned scans rebuild partition columns from paths via a
+            # single basePath, which can't span source-local and
+            # clone-local files at once
+            raise NotImplementedError(
+                "shallow clone of a partitioned table is not supported"
+            )
+        clone = LakeTable(dest_path)
+        if clone.exists():
+            raise ValueError(f"clone target {dest_path} already exists")
+        files = []
+        for e in snap.files:
+            e = dict(e)
+            e["path"] = self._abs(e["path"])
+            if e.get("dv"):
+                e["dv"] = dict(e["dv"], path=self._abs(e["dv"]["path"]))
+            files.append(e)
+        os.makedirs(dest_path, exist_ok=True)
+        clone._commit(
+            files, snap.schema, f"clone:{self.path}@v{snap.version}", None,
+            partition_by=snap.partition_by,
+        )
+        return clone
+
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """MERGE-ON-READ row-level delete via deletion vectors: instead of
         rewriting data files (the copy-on-write path ``upsert``/``merge``
@@ -803,6 +841,9 @@ class LakeTable:
         removed = []
         for s in drop:
             for f in s.file_names + s.dv_paths:
+                if os.path.isabs(f):
+                    continue  # foreign reference (shallow clone): never
+                    # delete another table's data
                 if f not in live and os.path.exists(self._abs(f)):
                     os.remove(self._abs(f))
                     removed.append(f)

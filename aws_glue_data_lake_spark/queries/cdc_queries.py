@@ -873,3 +873,83 @@ def lake_deletion_vector_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone divergence: fork the orders lake table with ZERO bytes
+# copied (clone_to references the source files absolutely), then mutate
+# BOTH sides — the clone deletes low-value orders and appends a repriced
+# slab; the source deletes a different band. The query reads both final
+# states side-by-side (side column), so the hash certifies isolation in
+# both directions: no clone write reaches the source, no source mutation
+# reaches the clone. The zero-copy/foreign-file-vacuum mechanics are
+# pinned by tests/test_lake.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_shallow_clone_divergence",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+clone_final AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE o_totalprice >= 1000
+    UNION ALL
+    SELECT o_orderkey + 50000000 AS o_orderkey, 'R' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice
+    FROM base WHERE o_orderkey % 100 = 0
+  ) WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+),
+src_final AS (
+  SELECT * FROM base WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
+)
+SELECT side, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT 'clone' AS side, * FROM clone_final
+  UNION ALL
+  SELECT 'source' AS side, * FROM src_final
+)
+GROUP BY side, o_orderstatus
+ORDER BY side, o_orderstatus
+""",
+)
+def lake_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = session_tmpdir("lake_clone_")
+    src = LakeTable(root + "/src")
+    src.create(o.repartition(4))
+    clone = src.clone_to(root + "/fork")
+    # clone-side: DV-delete the cheap orders, append a repriced slab,
+    # then a second delete over the merged state
+    clone.delete_where(spark, "o_totalprice < 1000")
+    clone.append(
+        o.where(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+            F.lit("R").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    clone.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    # source-side: an unrelated delete — must not leak into the clone
+    src.delete_where(spark, "o_orderstatus = 'O' AND o_orderkey % 7 = 0")
+    both = clone.read(spark).select(F.lit("clone").alias("side"), "*").unionByName(
+        src.read(spark).select(F.lit("source").alias("side"), "*")
+    )
+    return (
+        both.groupBy("side", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("side", "o_orderstatus")
+    )

@@ -638,3 +638,37 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     removed = t.vacuum(keep_versions=1)
     assert any(r.startswith("_dv/") for r in removed)  # (e)
     assert sorted(r["id"] for r in t.read(spark).collect()) == live
+
+
+def test_shallow_clone_diverges_independently(spark, tmp_path):
+    """clone_to copies ZERO data bytes (v1 references the source's files
+    absolutely), then both tables evolve independently: clone writes are
+    clone-local, source mutations never reach the clone, and the clone's
+    vacuum refuses to touch foreign files."""
+    import os
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "src"))
+    src.create(spark.range(100).selectExpr("id", "id % 5 AS grp").repartition(3))
+    clone = src.clone_to(str(tmp_path / "fork"))
+
+    assert clone.read(spark).count() == 100
+    assert not os.path.isdir(os.path.join(str(tmp_path / "fork"), "data"))
+
+    # diverge: clone appends + deletes; source deletes differently
+    clone.append(spark.range(100, 120).selectExpr("id", "id % 5 AS grp"))
+    clone.delete_where(spark, "grp = 0")
+    src.delete_where(spark, "grp = 1")
+
+    clone_ids = sorted(r["id"] for r in clone.read(spark).collect())
+    src_ids = sorted(r["id"] for r in src.read(spark).collect())
+    assert clone_ids == [i for i in range(120) if i % 5 != 0]
+    assert src_ids == [i for i in range(100) if i % 5 != 1]
+
+    # clone's vacuum must never delete the source's (foreign) files
+    before = set(src.snapshot(1).file_names)
+    clone.vacuum(keep_versions=1)
+    for rel in before:
+        assert os.path.exists(src._abs(rel))
+    assert src.read(spark, version=1).count() == 100
