@@ -791,7 +791,85 @@ class LakeTable:
             partition_by=snap.partition_by,
         )
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> Snapshot:
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned scan: plan only the files whose footer [min, max]
+        interval OVERLAPS every requested ``{col: (lo, hi)}`` range (both
+        ends inclusive; None = unbounded), then apply the exact residual
+        predicate in-plan. This is manifest-level data skipping — the
+        scan cost tracks the selected region, not the table; pair with
+        ``compact(zorder_by=[...])`` to make multi-column boxes prune
+        well. Files with no recorded stats for a column are conservatively
+        kept."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(version)
+
+        def overlaps(f: dict) -> bool:
+            for col, (lo, hi) in ranges.items():
+                st = (f.get("stats") or {}).get(col)
+                if st is None:
+                    continue  # unknown → keep (conservative)
+                fmin, fmax = st
+                if lo is not None and fmax is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin is not None and fmin > hi:
+                    return False
+            return True
+
+        files = [f for f in snap.files if overlaps(f)]
+        if not files:
+            return spark.createDataFrame([], snap.schema)
+        df = self._read_files(spark, [f["path"] for f in files], snap)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
+
+    @staticmethod
+    def _zorder_key(df: DataFrame, cols: Sequence[str]):
+        """Morton (bit-interleaved) key over rank-normalized columns: each
+        column maps to a 16-bit integer by linear min-max scaling (one tiny
+        agg job for the bounds), then bits interleave round-robin — pure
+        codegen arithmetic, no UDF. Files range-partitioned on this key
+        cover compact z-regions, so footer stats stay narrow on EVERY
+        clustered column at once (single-column range clustering narrows
+        only its own column)."""
+        from pyspark.sql import functions as F
+
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"{c}__lo") for c in cols],
+            *[F.max(c).cast("double").alias(f"{c}__hi") for c in cols],
+        ).first()
+        scaled = []
+        for c in cols:
+            lo, hi = bounds[f"{c}__lo"], bounds[f"{c}__hi"]
+            span = (hi - lo) or 1.0
+            scaled.append(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535
+                ).cast("bigint")
+            )
+        n = len(cols)
+        key = F.lit(0).cast("bigint")
+        for bit in range(16):
+            for j, sc in enumerate(scaled):
+                key = key.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(sc, bit).bitwiseAND(F.lit(1)),
+                        bit * n + j,
+                    ).cast("bigint")
+                )
+        return key
+
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                zorder_by: Sequence[str] = ()) -> Snapshot:
         """Small-file compaction (Delta OPTIMIZE / Iceberg rewrite-data-files):
         rewrite the current snapshot into ``target_files`` files and commit
         it as a new snapshot — older snapshots stay readable until vacuum.
@@ -804,11 +882,19 @@ class LakeTable:
         the compacted layout (round-robin would smear every key range
         across every file)."""
         prev = self.snapshot()
-        if len(prev.files) <= target_files:
+        if len(prev.files) <= target_files and not zorder_by:
             return prev
         stat_cols = self._stat_cols(prev)
+        if zorder_by:
+            # record stats for every clustered column so read_pruned can
+            # skip on each of them
+            stat_cols = sorted(set(stat_cols) | set(zorder_by))
         df = self.read(spark)
-        if prev.partition_by:
+        if zorder_by:
+            df = df.repartitionByRange(
+                target_files, self._zorder_key(df, list(zorder_by))
+            )
+        elif prev.partition_by:
             df = df.repartition(target_files, *prev.partition_by)
         elif stat_cols:
             df = df.repartitionByRange(target_files, stat_cols[0])

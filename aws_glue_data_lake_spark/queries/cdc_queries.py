@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
 from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir, t
-from aws_glue_data_lake_spark.tables import with_ts_us
+from aws_glue_data_lake_spark.tables import ts_us_col, with_ts_us
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -952,4 +952,68 @@ def lake_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("total_price"),
         )
         .orderBy("side", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering + stats-pruned scan: events land as many small
+# files, get Z-ORDER compacted on (user_id, ts_us) — Morton interleave of
+# rank-normalized columns, pure codegen — and a two-dimensional box
+# filter then reads through read_pruned, which plans only the files whose
+# footer stats overlap the box on BOTH columns. The hash certifies the
+# pruned scan returns exactly the filtered state; that the box actually
+# skips files (and that single-column clustering cannot skip on the
+# second dimension) is pinned by tests/test_lake.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_zorder_pruned_scan",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us,
+         event_type, value
+  FROM events
+),
+b AS (SELECT MIN(ts_us) AS t0, MAX(ts_us) AS t1 FROM e),
+box AS (
+  SELECT e.* FROM e, b
+  WHERE user_id BETWEEN 100 AND 300
+    AND ts_us BETWEEN t0 + (t1 - t0) // 4 AND t0 + (t1 - t0) // 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM box
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def lake_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", ts_us_col(ev).alias("ts_us"), "event_type", "value"
+    )
+    t0, t1 = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+    table = LakeTable(session_tmpdir("lake_zorder_") + "/t")
+    table.create(e.repartition(8), stat_cols=["user_id", "ts_us"])
+    table.compact(spark, target_files=16, zorder_by=["user_id", "ts_us"])
+    lo = t0 + (t1 - t0) // 4
+    hi = t0 + (t1 - t0) // 2
+    pruned = table.read_pruned(
+        spark, {"user_id": (100, 300), "ts_us": (lo, hi)}
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+        .orderBy("event_type")
     )

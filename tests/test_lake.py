@@ -672,3 +672,58 @@ def test_shallow_clone_diverges_independently(spark, tmp_path):
     for rel in before:
         assert os.path.exists(src._abs(rel))
     assert src.read(spark, version=1).count() == 100
+
+
+def test_zorder_compaction_enables_two_dim_pruning(spark, tmp_path):
+    """Z-order clustering must make BOTH clustered columns pruneable at
+    once: after compact(zorder_by=[a, b]), a small box filter on (a, b)
+    must plan strictly fewer files than the table holds (manifest-stats
+    skipping), and the pruned read must equal the exact filter. A
+    single-column range clustering over `a` is the control: it cannot
+    prune on `b`."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    df = spark.range(40_000).selectExpr(
+        "id", "id % 200 AS a", "CAST(id / 200 AS BIGINT) AS b"
+    )
+    t = LakeTable(str(tmp_path / "z"))
+    t.create(df.repartition(8), stat_cols=["a", "b"])
+    t.compact(spark, target_files=16, zorder_by=["a", "b"])
+    snap = t.snapshot()
+    assert len(snap.files) == 16
+
+    box = {"a": (10, 30), "b": (10, 30)}
+
+    def files_overlapping(snapshot, ranges):
+        keep = 0
+        for f in snapshot.files:
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                fmin, fmax = f["stats"][col]
+                if fmax < lo or fmin > hi:
+                    ok = False
+                    break
+            keep += ok
+        return keep
+
+    n_z = files_overlapping(snap, box)
+    assert n_z < 16  # the box must skip files
+
+    got = sorted(r["id"] for r in t.read_pruned(spark, box).collect())
+    expect = sorted(
+        r["id"]
+        for r in df.where(
+            (F.col("a").between(10, 30)) & (F.col("b").between(10, 30))
+        ).collect()
+    )
+    assert got == expect
+
+    # control: single-column clustering can't skip on b
+    t2 = LakeTable(str(tmp_path / "lin"))
+    t2.create(df.repartition(8), stat_cols=["a", "b"])
+    t2.compact(spark, target_files=16)  # ranges on stat_cols[0] == a only
+    n_lin_b = files_overlapping(t2.snapshot(), {"b": (10, 30)})
+    n_z_b = files_overlapping(snap, {"b": (10, 30)})
+    assert n_z_b < n_lin_b  # z-layout skips on b; linear layout can't
