@@ -70,6 +70,11 @@ class CommitConflict(Exception):
     """Another writer committed the same version first; reload and retry."""
 
 
+class ConstraintViolation(Exception):
+    """A write batch (or existing data, when adding a constraint) contains
+    rows that fail a CHECK constraint."""
+
+
 class NoSuchTable(Exception):
     pass
 
@@ -120,6 +125,9 @@ class Snapshot:
     # batch_id}, carried forward commit-to-commit so vacuuming old
     # manifests never forgets replay-dedup state (Delta keeps the same
     # state in checkpoints)
+    constraints: dict | None = None  # {name: boolean SQL} CHECK
+    # constraints, enforced on every write path and carried forward
+    # commit-to-commit
 
     @property
     def file_names(self) -> list[str]:
@@ -187,6 +195,7 @@ class LakeTable:
             txn=m.get("txn"),
             partition_by=tuple(m.get("partition_by", ())),
             txns=m.get("txns"),
+            constraints=m.get("constraints"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -194,7 +203,8 @@ class LakeTable:
 
     def _commit(self, files: list[dict], schema: str, op: str,
                 prev: Snapshot | None, txn: dict | None = None,
-                partition_by: Sequence[str] = ()) -> Snapshot:
+                partition_by: Sequence[str] = (),
+                constraints: dict | None = None) -> Snapshot:
         """``prev`` is the parent snapshot the caller already holds (None
         for the initial commit) — passing it avoids re-reading and
         re-parsing the whole parent manifest (O(#files) JSON) just to
@@ -244,6 +254,15 @@ class LakeTable:
             manifest["txns"] = txns
         if partition_by:
             manifest["partition_by"] = list(partition_by)
+        # CHECK constraints ride every manifest (carried forward unless
+        # this commit explicitly replaces them)
+        eff_constraints = (
+            constraints
+            if constraints is not None
+            else (prev.constraints if prev is not None else None)
+        )
+        if eff_constraints:
+            manifest["constraints"] = eff_constraints
         mpath = os.path.join(self._manifests, f"v{version}.json")
         try:
             # O_EXCL create IS the commit: exactly one writer wins v{N}.
@@ -335,6 +354,60 @@ class LakeTable:
             partition_by=partition_by,
         )
 
+    def _check_constraints(self, df: DataFrame, prev: Snapshot) -> None:
+        """Write-side CHECK enforcement (Delta table constraints): ONE
+        validation pass counts violations of every constraint at once; a
+        nonzero count rejects the whole batch before any file lands."""
+        from pyspark.sql import functions as F
+
+        cons = prev.constraints or {}
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum((~F.expr(sql)).cast("long")).alias(name)
+                for name, sql in sorted(cons.items())
+            ]
+        ).first()
+        bad = {n: int(counts[n] or 0) for n in cons if counts[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"batch rejected: CHECK constraint violations {bad}"
+            )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, sql: str
+    ) -> Snapshot:
+        """Register a CHECK constraint — after proving the EXISTING table
+        state satisfies it (one scan; a constraint the data already
+        violates is rejected, as in Delta ALTER TABLE ADD CONSTRAINT).
+        Commits a data-unchanged snapshot carrying the new constraint."""
+        from pyspark.sql import functions as F
+
+        prev = self.snapshot()
+        n_bad = (
+            self.read(spark).where(~F.expr(sql)).limit(1).count()
+        )
+        if n_bad:
+            raise ConstraintViolation(
+                f"existing rows violate CHECK {name!r}: {sql}"
+            )
+        cons = dict(prev.constraints or {})
+        cons[name] = sql
+        return self._commit(
+            prev.files, prev.schema, f"add-constraint:{name}", prev,
+            partition_by=prev.partition_by, constraints=cons,
+        )
+
+    def drop_check_constraint(self, name: str) -> Snapshot:
+        prev = self.snapshot()
+        cons = dict(prev.constraints or {})
+        cons.pop(name, None)
+        return self._commit(
+            prev.files, prev.schema, f"drop-constraint:{name}", prev,
+            partition_by=prev.partition_by, constraints=cons,
+        )
+
     @staticmethod
     def _check_schema(df: DataFrame, prev: Snapshot) -> None:
         """Schema enforcement on the write path (Delta's write-side
@@ -378,6 +451,7 @@ class LakeTable:
         else:
             self._check_schema(df, prev)
             schema = prev.schema
+        self._check_constraints(df, prev)
         files = self._write_files(
             df, stat_cols or self._stat_cols(prev), prev.partition_by
         )
@@ -461,6 +535,7 @@ class LakeTable:
             return None
         prev = self.snapshot()
         self._check_schema(df, prev)
+        self._check_constraints(df, prev)
         files = self._write_files(
             df, stat_cols or self._stat_cols(prev), prev.partition_by
         )
@@ -493,6 +568,7 @@ class LakeTable:
         """
         prev = self.snapshot()
         self._check_schema(upserts, prev)
+        self._check_constraints(upserts, prev)
         spark = upserts.sparkSession
         kill = upserts.select(*keys)
         if delete_keys is not None:
@@ -546,6 +622,7 @@ class LakeTable:
 
         prev = self.snapshot()
         self._check_schema(source, prev)
+        self._check_constraints(source, prev)
         spark = source.sparkSession
         update = dict(update or {})
         bad = set(update) & set(keys)

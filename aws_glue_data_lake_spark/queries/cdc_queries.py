@@ -1017,3 +1017,71 @@ def lake_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (write-side data contracts): the table carries
+# `o_totalprice > 0` from creation; a conforming append lands, a
+# violating batch is rejected WHOLESALE at the gate (the query catches
+# the ConstraintViolation — no file lands, which tests/test_lake.py pins
+# across every write path) and the final state therefore contains the
+# base and the good batch only. The hash certifies the gate's
+# all-or-nothing semantics as user-visible state.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_check_constraint_state",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+good AS (
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_orderstatus,
+         o_totalprice + 1 AS o_totalprice
+  FROM base WHERE o_orderkey % 50 = 0
+),
+final AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def lake_check_constraint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import ConstraintViolation, LakeTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = LakeTable(session_tmpdir("lake_con_") + "/t")
+    table.create(o.repartition(4))
+    table.add_check_constraint(spark, "price_positive", "o_totalprice > 0")
+    table.append(
+        o.where(F.col("o_orderkey") % 50 == 0).select(
+            (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+    )
+    bad = o.limit(10).select(
+        "o_orderkey", "o_orderstatus", F.lit(-5.0).alias("o_totalprice")
+    )
+    try:
+        table.append(bad)
+        raise AssertionError("violating batch must be rejected")
+    except ConstraintViolation:
+        pass
+    return (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

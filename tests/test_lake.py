@@ -727,3 +727,38 @@ def test_zorder_compaction_enables_two_dim_pruning(spark, tmp_path):
     n_lin_b = files_overlapping(t2.snapshot(), {"b": (10, 30)})
     n_z_b = files_overlapping(snap, {"b": (10, 30)})
     assert n_z_b < n_lin_b  # z-layout skips on b; linear layout can't
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    """CHECK constraints: adding one validates existing data first; every
+    subsequent write path (append, streaming append, upsert) rejects a
+    violating batch wholesale before any file lands; dropping the
+    constraint reopens the gate; constraints survive unrelated commits."""
+    import pytest
+
+    from aws_glue_data_lake_spark.lake import ConstraintViolation, LakeTable
+
+    t = LakeTable(str(tmp_path / "con"))
+    t.create(spark.range(50).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS v"))
+    t.add_check_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.add_check_constraint(spark, "impossible", "id > 1000")
+
+    files_before = t.snapshot().file_names
+    bad = spark.range(50, 60).selectExpr("id", "CAST(-1.0 AS DOUBLE) AS v")
+    with pytest.raises(ConstraintViolation):
+        t.append(bad)
+    with pytest.raises(ConstraintViolation):
+        t.append_stream_batch(bad, writer_id="w1", batch_id=0)
+    with pytest.raises(ConstraintViolation):
+        t.upsert(bad, keys=["id"])
+    assert t.snapshot().file_names == files_before  # nothing landed
+    assert t.read(spark).count() == 50
+
+    good = spark.range(50, 60).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t.append(good)  # passes the gate
+    assert t.snapshot().constraints == {"v_nonneg": "v >= 0"}  # carried
+
+    t.drop_check_constraint("v_nonneg")
+    t.append(bad)  # gate open again
+    assert t.read(spark).count() == 70
