@@ -1647,3 +1647,64 @@ def streaming_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake CHANGE-DATA-FEED stream — the lake layer and the Python DataSource
+# API composed: four time-banded appends build the table, then a
+# streaming query consumes the commit log via the lake_cdf source
+# (offsets = snapshot versions, one commit per micro-batch, one executor
+# partition per added data file) into a cross-batch aggregate. The final
+# totals must equal the table's full content — which the oracle computes
+# straight from events — proving the feed delivered every commit's delta
+# exactly once. AvailableNow can't pace Python sources, so the drain is
+# run_drain_all.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_lake_cdf_feed",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_lake_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+    from aws_glue_data_lake_spark.lakecdf import register_lake_cdf_source
+    from aws_glue_data_lake_spark.queries.base import t as _t
+    from aws_glue_data_lake_spark.streaming.pipelines import run_drain_all
+
+    register_lake_cdf_source(spark)
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value", ts_us_col(ev).alias("_us")
+    )
+    tmin, tmax = e.agg(F.min("_us"), F.max("_us")).first()
+    banded = e.withColumn(
+        "_band", F.expr(f"(4 * (_us - {tmin})) div {tmax - tmin + 1}")
+    )
+    table = LakeTable(session_tmpdir("lake_cdf_") + "/t")
+    for i in range(4):  # four commits -> four micro-batches in the feed
+        band = banded.where(F.col("_band") == i).drop("_us", "_band")
+        if i == 0:
+            table.create(band.repartition(2))
+        else:
+            table.append(band)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", table.path)
+        .load()
+    )
+    agg = feed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("value_sum"),
+    )
+    final = run_drain_all(agg, output_mode="complete")
+    return final.orderBy("event_type")
