@@ -338,3 +338,50 @@ def test_tws_state_survives_checkpoint_restart(spark, tmp_path):
     assert final["n_events"] == 5
     assert final["n_types"] == 2
     assert final["value_sum"] == 7.0
+
+
+def test_lake_cdf_stream_checkpoint_resume(spark, tmp_path):
+    """The CDF source's version offsets must survive a restart: consume
+    two commits with a checkpoint, stop, commit two more, restart — the
+    second run must deliver ONLY versions 3-4 (progress telemetry), and
+    the final aggregate must equal the whole table."""
+    from aws_glue_data_lake_spark.lake import LakeTable
+    from aws_glue_data_lake_spark.lakecdf import register_lake_cdf_source
+
+    register_lake_cdf_source(spark)
+    t = LakeTable(str(tmp_path / "cdf_tbl"))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rows")
+
+    def commit_slab(k):
+        df = spark.range(k * 10, k * 10 + 10).selectExpr("id", f"{k} AS slab")
+        if k == 0:
+            t.create(df)
+        else:
+            t.append(df)
+
+    def drain(tag):
+        feed = spark.readStream.format("lake_cdf").option("path", t.path).load()
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .queryName(f"cdf_resume_{tag}")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        n = sum(p.numInputRows for p in q.recentProgress)
+        q.stop()
+        return n
+
+    commit_slab(0)
+    commit_slab(1)
+    assert drain("a") == 20
+    commit_slab(2)
+    commit_slab(3)
+    assert drain("b") == 20  # only the two NEW commits replayed
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(40))
