@@ -63,6 +63,15 @@ PROBE_QUERIES = (
     "streaming_transform_with_state",
     "streaming_tws_list_state_median",
     "streaming_tws_event_timers",
+    # round-6e additions with non-trivial scale shapes
+    "window_attribution_linear",
+    "graph_pagerank_trade",
+    "agg_kll_quantile_rollup",
+    "lake_deletion_vector_state",
+    "lake_zorder_pruned_scan",
+    "streaming_lake_cdf_feed",
+    "multimodal_audio_decode_stats",
+    "sample_temperature_mix",
 )
 
 
