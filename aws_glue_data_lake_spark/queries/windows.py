@@ -915,3 +915,60 @@ def window_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_credits") > 0)
     )
     return attributed.unionByName(unattributed).orderBy("view_hour")
+
+
+# ---------------------------------------------------------------------------
+# Next-event path mining — the product-analytics "what do users do next"
+# query (and, for an LLM pipeline, the source of next-action training
+# sequences): per user, order events by time and emit every consecutive
+# 3-step event_type path, then count paths globally and keep the top 20.
+#
+# Scale: LEAD shares ONE hash exchange on user_id (both offsets live in the
+# same window spec), the path count is a map-side-combinable agg over a
+# low-cardinality key (|event_type|^3), and the top-k plans as
+# TakeOrderedAndProject — no global sort materializes. Per-user history
+# length never matters: state is two lookahead rows per partition stream.
+# ---------------------------------------------------------------------------
+@_q(
+    "events_path_triples",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS nxt1,
+         LEAD(event_type, 2) OVER w AS nxt2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH_US(ts) AS BIGINT), event_id)
+),
+paths AS (
+  SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path, user_id
+  FROM ordered WHERE nxt2 IS NOT NULL
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_paths DESC, path
+LIMIT 20
+""",
+)
+def events_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).where(F.col("nxt2").isNotNull())
+    path = F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+    return (
+        stepped.select(path, "user_id")
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paths"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )

@@ -514,3 +514,15 @@ def test_pagerank_broadcasts_dimensions(spark):
     plan = plan_of(spark, "graph_pagerank_trade")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_path_triples_single_window_exchange_and_topk(spark):
+    """Path mining's scale contract: both LEAD offsets share one window
+    spec (one hash exchange on user_id), the path count partial-aggregates
+    before its exchange, and the top-20 plans as TakeOrderedAndProject —
+    never a global Sort."""
+    plan = plan_of(spark, "events_path_triples")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 1
+    # one exchange for the window partition, one for the final agg
+    assert plan.count("Exchange") == 2, plan
