@@ -112,7 +112,7 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def clear_shingle_cache() -> None:
     """Unpersist and drop all cached sketch tables (test/teardown hook)."""
-    for cache in (_SHINGLE_CACHE, _MINHASH_CACHE):
+    for cache in (_SHINGLE_CACHE, _MINHASH_CACHE, _BLOOM_GRAM_CACHE):
         while cache:
             _, df = cache.popitem()
             try:
@@ -1136,4 +1136,201 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 6
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered passage-overlap screen — the scale pattern for "does
+# this ingest batch share any verbatim passage with the corpus" when the
+# corpus gram set is far too large to broadcast: compact the corpus's
+# distinct word-8-grams into a Bloom bitmap (k=7 double-hashed positions
+# per gram, 24 bits/key), probe every batch gram against the bitmap, and
+# run the exact (shuffling) gram join ONLY for docs with at least one
+# full-k bloom hit. Bloom misses are definitive (no false negatives), so
+# the final answer is exactly the exact-join answer — the filter buys the
+# skip, never changes the result — and the oracle replays the identical
+# position arithmetic (md5-derived Kirsch-Mitzenmacher double hashing is
+# bit-identical in both engines), so even the false-positive count is
+# hash-checked.
+#
+# Scale: the bitmap lives as a (word_idx, word) relational table of
+# m/64 rows — built by one bit_or aggregate, probed by an equi-join on
+# word_idx — so NOTHING requires a driver-side or broadcast bitmap: at
+# fixture scale Catalyst broadcasts it (it's tiny), at 100 TB the same
+# plan shuffles probes and words on word_idx (both sides hash-partition;
+# probe volume is batch grams × k rows of 16 bytes). Bits/key = 24 with
+# k = 7 keeps per-gram FP ≈ 7e-5 so doc-level FP (1-(1-p)^grams — the
+# any-of-G amplification) stays ~1% for kilotoken docs. The one scalar
+# action (corpus gram count, sizing m) is the same A1-class read as the
+# reference's watermark MAX (icberg/iceberg_tables.py:131).
+# ---------------------------------------------------------------------------
+_BLOOM_GRAM_N = 8   # passage width (tokens) — selective but dup-sensitive
+_BLOOM_K = 7        # hash functions
+_BLOOM_BPK = 24     # bits per key
+_BLOOM_BATCH_MOD = 10  # doc_id % 10 == 0 → ingest batch, else corpus
+
+_BLOOM_GRAMS_SQL = f"""
+btk AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+bgrams AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+{_BLOOM_GRAM_N - 1}], ' ') AS g
+  FROM btk, UNNEST(generate_series(1, GREATEST(LEN(t) - {_BLOOM_GRAM_N - 1}, 0))) AS u(i)
+),
+cg AS (SELECT DISTINCT g FROM bgrams WHERE doc_id % {_BLOOM_BATCH_MOD} <> 0),
+params AS (SELECT {_BLOOM_BPK} * COUNT(*) AS m FROM cg),
+hashed_cg AS (
+  SELECT CAST('0x' || SUBSTR(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || SUBSTR(md5(g), 9, 8) AS BIGINT) | 1 AS h2
+  FROM cg
+),
+cpos AS (
+  SELECT DISTINCT (h1 + j * h2) % m AS pos
+  FROM hashed_cg, params, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS u(j)
+),
+bg AS (SELECT doc_id, g FROM bgrams WHERE doc_id % {_BLOOM_BATCH_MOD} = 0),
+bpos AS (
+  SELECT doc_id, g, j,
+         (CAST('0x' || SUBSTR(md5(g), 1, 8) AS BIGINT)
+          + j * (CAST('0x' || SUBSTR(md5(g), 9, 8) AS BIGINT) | 1)) % m AS pos
+  FROM bg, params, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, g FROM bpos JOIN cpos USING (pos)
+    GROUP BY doc_id, g HAVING COUNT(*) = {_BLOOM_K}
+  )
+),
+conf AS (SELECT DISTINCT doc_id FROM bg JOIN cg USING (g))
+"""
+
+
+
+def _bloom_gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized (doc_id, g) distinct word-8-gram table — one
+    tokenize+gram pass serves the corpus filter build, the batch probe,
+    and the exact confirmation join (same materialization-boundary
+    rationale as _shingle_table; the repartition spreads the single-row-
+    group fixture scan across cores before the CPU-heavy gram build)."""
+    from aws_glue_data_lake_spark.queries.textops import ngrams
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BLOOM_GRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams(toks(), _BLOOM_GRAM_N))).alias("g"),
+    ).persist()
+    _BLOOM_GRAM_CACHE[key] = out
+    return out
+
+
+_BLOOM_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@_q(
+    "dedup_bloom_gram_prefilter",
+    oracle=f"""
+WITH {_BLOOM_GRAMS_SQL.strip()}
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_candidates,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_confirmed,
+       CAST(COUNT(c.doc_id) - COUNT(f.doc_id) AS BIGINT) AS n_false_pos,
+       CAST(COUNT(*) - COUNT(f.doc_id) AS BIGINT) AS n_new
+FROM documents d
+LEFT JOIN cand c ON d.doc_id = c.doc_id
+LEFT JOIN conf f ON d.doc_id = f.doc_id
+WHERE d.doc_id % {_BLOOM_BATCH_MOD} = 0
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def dedup_bloom_gram_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _BLOOM_BATCH_MOD == 0
+    grams = _bloom_gram_table(spark, sf_dir)
+    # Persist the distinct corpus gram set: it feeds the bitmap build AND
+    # the exact confirmation join, and the sizing count materializes it —
+    # without the boundary each subtree re-runs the distinct shuffle.
+    # Memoized alongside the gram table so repeat calls don't stack
+    # persisted copies.
+    cg_key = (spark.sparkContext.applicationId, sf_dir + "#cg")
+    cg = _BLOOM_GRAM_CACHE.get(cg_key)
+    if cg is None:
+        cg = grams.where(~is_batch).select("g").distinct().persist()
+        _BLOOM_GRAM_CACHE[cg_key] = cg
+    # Scalar A1-class read: the corpus gram count sizes the bitmap so
+    # bits-per-key stays constant at any corpus scale.
+    m = _BLOOM_BPK * cg.count()
+
+    h = F.md5("g")
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1")
+    h2 = (
+        F.conv(F.substring(h, 9, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseOR(F.lit(1))
+        .alias("h2")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+
+    def with_pos(df: DataFrame) -> DataFrame:
+        return df.select(*df.columns, js).withColumn(
+            "pos", (F.col("h1") + F.col("j") * F.col("h2")) % m
+        )
+
+    words = (
+        with_pos(cg.select(h1, h2))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    bg = grams.where(is_batch)
+    bpos = with_pos(bg.select("doc_id", "g", h1, h2)).select(
+        "doc_id",
+        "g",
+        F.expr("pos div 64").alias("w"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+    )
+    passed = (
+        bpos.join(words, "w")
+        .where(F.col("word").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("nhit"))
+        .where(F.col("nhit") == _BLOOM_K)
+    )
+    cand = passed.select("doc_id").distinct().withColumn("c", F.lit(1))
+    # Exact confirmation runs on bloom-PASSED grams only — the whole point
+    # of the filter. No false negatives ⇒ exact-matching grams are always
+    # a subset of passed grams, so this is semantically bg ∩ cg; the
+    # passed set is candidate-sized (tiny), so the semi-join broadcasts it
+    # instead of shuffling every batch gram.
+    conf = (
+        passed.join(cg, "g", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("f", F.lit(1))
+    )
+    return (
+        d.where(is_batch)
+        .select("doc_id", "source")
+        .join(cand, "doc_id", "left")
+        .join(conf, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_batch"),
+            F.count("c").cast("bigint").alias("n_candidates"),
+            F.count("f").cast("bigint").alias("n_confirmed"),
+            (F.count("c") - F.count("f")).cast("bigint").alias("n_false_pos"),
+            (F.count("*") - F.count("f")).cast("bigint").alias("n_new"),
+        )
+        .orderBy("source")
     )

@@ -66,6 +66,22 @@ def trigrams(tk: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ngrams(tk: Column, width: int) -> Column:
+    """All word ``width``-grams in positional order, duplicates kept — the
+    generalization of trigrams() to any width via the same zip_with
+    self-shift chain (one tokenizer evaluation per row; see trigrams() on
+    the HOF inlining trap). zip_with pads the shorter side with nulls and
+    concat_ws skips them, so the partial tail grams are sliced off."""
+    n = F.size(tk)
+    rest = lambda k: F.slice(tk, k, F.greatest(n - (k - 2), F.lit(0)))
+    g = tk
+    for k in range(2, width + 1):
+        g = F.zip_with(g, rest(k), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(
+        n >= width, F.slice(g, 1, F.greatest(n - (width - 1), F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # Tiny stopword list shared with the oracle (subset of the fixture vocab).
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"

@@ -75,3 +75,21 @@ def test_flood_above_cap_is_dropped_not_quadratic(spark):
     assert not any(a < n and b < n for a, b in keys), (
         "flood pairs must be excluded by the bucket cap"
     )
+
+
+def test_bloom_prefilter_invariants(spark):
+    """Bloom screens never lose a duplicate (no false negatives): every
+    exact-confirmed doc must also be a bloom candidate, batch counts add
+    up, and false positives are exactly candidates minus confirmed."""
+    from aws_glue_data_lake_spark.queries import all_queries
+
+    rows = (
+        all_queries()["dedup_bloom_gram_prefilter"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows, "batch split produced no sources"
+    for r in rows:
+        assert r.n_confirmed <= r.n_candidates
+        assert r.n_false_pos == r.n_candidates - r.n_confirmed
+        assert r.n_new == r.n_batch - r.n_confirmed
+        assert 0 <= r.n_confirmed <= r.n_batch

@@ -526,3 +526,15 @@ def test_path_triples_single_window_exchange_and_topk(spark):
     assert plan.count("Window") == 1
     # one exchange for the window partition, one for the final agg
     assert plan.count("Exchange") == 2, plan
+
+
+def test_bloom_prefilter_probe_joins_on_word_index(spark):
+    """The bloom bitmap is a relational (word_idx, word) table probed by an
+    equi-join — never a driver-side structure: the plan must contain the
+    bit_or bitmap aggregate, the probe join, and a LeftSemi for the exact
+    confirmation pass (which runs only on candidates' grams)."""
+    plan = plan_of(spark, "dedup_bloom_gram_prefilter")
+    assert "bit_or" in plan
+    assert "LeftSemi" in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in plan
