@@ -692,7 +692,9 @@ def _km_assign_sql(cent: str, out: str) -> str:
 )"""
 
 
-def _km_oracle() -> str:
+def _km_assigned_blocks() -> list[str]:
+    """Oracle CTE chain up to the refined-centroid final assignment
+    (``assigned``) — shared by the k-means probe query and semantic dedup."""
     blocks = [
         _NV_SQL.strip(),
         f"""cent0 AS (
@@ -722,8 +724,13 @@ def _km_oracle() -> str:
          SQRT({_DOT_SQL.format(a='cvec', b='cvec')}) AS cnorm
   FROM centv{it}
 )""")
+    blocks.append(_km_assign_sql(f"cent{_KM_ITERS}", "assigned"))
+    return blocks
+
+
+def _km_oracle() -> str:
     final = f"cent{_KM_ITERS}"
-    blocks.append(_km_assign_sql(final, "assigned"))
+    blocks = _km_assigned_blocks()
     blocks.append(f"q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL})")
     qdot = _DOT_SQL.format(a="q.embedding", b="c.cvec")
     blocks.append(f"""probes AS (
@@ -784,9 +791,10 @@ def _km_assign(nv: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@_q("sim_ivf_kmeans_topk", oracle=_km_oracle())
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nv = _nv(spark, sf_dir)
+def _km_refined_centroids(nv: DataFrame) -> DataFrame:
+    """Lloyd-refined centroids from the deterministic vec_id < K seeds —
+    the shared index-build step of the k-means probe query and semantic
+    dedup (Spark twin of the cent0..centN oracle chain)."""
     cent = nv.where(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
@@ -816,7 +824,32 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(ddot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
             )
         )
-    assigned = _km_assign(nv, cent)
+    return cent
+
+
+def _km_assigned(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Memoized (refined centroids, final assignment) — the k-means index
+    is built once per (session, fixture) and shared by every consumer in
+    the suite (probe search, semantic dedup), exactly as a real deployment
+    materializes the assignment table once per index build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    nv = _nv(spark, sf_dir)
+    cent = _km_refined_centroids(nv).persist()
+    assigned = _km_assign(nv, cent).persist()
+    _KM_CACHE[key] = (cent, assigned)
+    return cent, assigned
+
+
+_KM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+@_q("sim_ivf_kmeans_topk", oracle=_km_oracle())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    cent, assigned = _km_assigned(spark, sf_dir)
     q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1110,4 +1143,101 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, Abbas et al. 2023): k-means-cluster the
+# embedding space, compute pairwise cosine ONLY within each cluster, and
+# drop every vector that has an ε-similar neighbor with a lower vec_id
+# (keep-lowest-id, the deterministic twin of the paper's keep-one rule).
+# Reuses the relational Lloyd iterations (_km_refined_centroids /
+# _km_assigned_blocks) — the clustering IS the candidate blocker, so the
+# pair space is Σ cluster_size² instead of N².
+#
+# Scale: K grows with N (√N rule) keeping clusters bounded; the per-cluster
+# member cap below is the flood guard for a degenerate clustering (same
+# rationale as the LSH _MAX_BUCKET — deterministic by vec_id rank and
+# mirrored in the oracle, so the capped semantics are what's verified).
+# ε is corpus-tuned: the fixture's synthetic vectors are near-orthogonal
+# (max pairwise cosine ≈ 0.51), so 0.4 exercises the removal path the way
+# 0.95+ would on a real embedding corpus.
+# ---------------------------------------------------------------------------
+_SEM_EPS = 0.4
+_SEM_CAP = 128
+
+
+def _semdedup_oracle() -> str:
+    blocks = _km_assigned_blocks()
+    pdot = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    blocks.append(f"""capped AS (
+  SELECT vec_id, embedding, norm, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS mrnk
+    FROM assigned
+  ) WHERE mrnk <= {_SEM_CAP}
+)""")
+    blocks.append(f"""removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM capped a JOIN capped b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND({pdot} / (a.norm * b.norm), 6) >= {_SEM_EPS}
+)""")
+    return (
+        "WITH " + ",\n".join(blocks) + """
+SELECT CAST(e.label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(r.vec_id) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.vec_id
+GROUP BY e.label
+ORDER BY label
+"""
+    )
+
+
+@_q("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = _nv(spark, sf_dir)
+    _, assigned = _km_assigned(spark, sf_dir)
+    mw = Window.partitionBy("centroid_id").orderBy("vec_id")
+    # Both self-join arms read the memoized persisted assignment (at real
+    # scale: the written cluster-assignment table).
+    capped = (
+        assigned.withColumn("mrnk", F.row_number().over(mw))
+        .where(F.col("mrnk") <= _SEM_CAP)
+        .select("vec_id", "embedding", "norm", "centroid_id")
+    )
+    a = capped.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = capped.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    removed = (
+        a.join(b, "centroid_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            _cosine(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb"))
+            >= _SEM_EPS
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("r", F.lit(1))
+    )
+    return (
+        nv.select("vec_id", "label")
+        .join(removed, "vec_id", "left")
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count("r").cast("bigint").alias("n_removed"),
+            (F.count("*") - F.count("r")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("label")
     )
