@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, t
 from aws_glue_data_lake_spark.queries.dedup import _DOT_SQL, ddot
+from aws_glue_data_lake_spark.queries.textops import TOKS_SQL
 
 REGISTRY = Registry()
 _q = REGISTRY.query
@@ -728,7 +729,9 @@ def _km_assigned_blocks() -> list[str]:
     return blocks
 
 
-def _km_oracle() -> str:
+def _km_ranked_blocks() -> list[str]:
+    """Oracle CTE chain through the probed, per-query-ranked neighbor set
+    (``ranked``) — shared by the k-means probe query and context packing."""
     final = f"cent{_KM_ITERS}"
     blocks = _km_assigned_blocks()
     blocks.append(f"q AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL})")
@@ -757,6 +760,11 @@ def _km_oracle() -> str:
                                ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM scored
 )""")
+    return blocks
+
+
+def _km_oracle() -> str:
+    blocks = _km_ranked_blocks()
     return (
         "WITH " + ",\n".join(blocks) + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
@@ -846,8 +854,10 @@ def _km_assigned(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 _KM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-@_q("sim_ivf_kmeans_topk", oracle=_km_oracle())
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _km_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probed top-k against the memoized k-means index: (query_id, rnk,
+    neighbor_id, centroid_id, cosine) — the retrieval core shared by the
+    ranked search and context packing."""
     nv = _nv(spark, sf_dir)
     cent, assigned = _km_assigned(spark, sf_dir)
     q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
@@ -892,8 +902,12 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= _TOP_K)
         .select("query_id", "rnk", "neighbor_id", "centroid_id", "cosine")
-        .orderBy("query_id", "rnk")
     )
+
+
+@_q("sim_ivf_kmeans_topk", oracle=_km_oracle())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km_topk(spark, sf_dir).orderBy("query_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -1240,4 +1254,72 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("r")).cast("bigint").alias("n_kept"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval + context packing — the RAG serving shape end-to-end: probe
+# the ANN index for each query vector, join the neighbor ids back to the
+# documents table for the actual text, and greedily pack retrieved docs
+# (in relevance order) into a fixed token budget via a running-sum window.
+# A doc that would overflow the budget is dropped WITH its tail (prefix
+# packing — the deterministic rule real context assemblers use), so the
+# output is exactly the docs a serving node would concatenate.
+#
+# Scale: retrieval cost is the probed search (nprobe/K of the corpus);
+# the doc join is an equi-join of |Q|·k rows against the documents table
+# (broadcast the retrieval side — it is always tiny); packing is one
+# window over |Q|·k rows. Nothing scales with corpus size but the probe.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 180  # tokens — tight enough to cut the top-10 mid-list
+
+
+@_q(
+    "sim_rag_context_pack",
+    oracle=f"""
+WITH {{ranked}},
+retrieved AS (
+  SELECT r.query_id, r.rnk, r.neighbor_id, r.cosine,
+         LEN({TOKS_SQL}) AS n_tokens
+  FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+  WHERE r.rnk <= {_TOP_K}
+),
+packed AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY query_id ORDER BY rnk) AS cum_tokens
+  FROM retrieved
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id AS doc_id,
+       cosine, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed
+WHERE cum_tokens <= {_PACK_BUDGET}
+ORDER BY query_id, rnk
+""".format(ranked=",\n".join(_km_ranked_blocks())),
+)
+def sim_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.textops import toks
+
+    topk = _km_topk(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.size(toks()).alias("n_tokens"),
+    )
+    # Broadcast the |Q|·k retrieval result into the documents scan — the
+    # join must never shuffle the corpus for a handful of lookups.
+    retrieved = docs.join(F.broadcast(topk), "neighbor_id")
+    pw = Window.partitionBy("query_id").orderBy("rnk")
+    return (
+        retrieved.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(pw).cast("bigint")
+        )
+        .where(F.col("cum_tokens") <= _PACK_BUDGET)
+        .select(
+            "query_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("neighbor_id").alias("doc_id"),
+            "cosine",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "cum_tokens",
+        )
+        .orderBy("query_id", "rnk")
     )
