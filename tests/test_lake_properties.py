@@ -237,3 +237,36 @@ def test_evolve_on_random_schema_pairs(spark, table, batch):
         (f.name, f.dataType.simpleString())
         for f in StructType.fromDDL(schema_ddl).fields
     ] == want
+
+
+def test_incremental_mv_matches_recompute_at_every_commit(spark, tmp_path):
+    """MV-maintenance invariant: after EACH commit's delta is merged, the
+    MV equals a full recompute over the data ingested so far — not just at
+    the end (queries/cdc_queries.py maintain_mv_batch)."""
+    from aws_glue_data_lake_spark.queries.cdc_queries import (
+        _MV_KEYS,
+        maintain_mv_batch,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    mv = LakeTable(str(tmp_path / "mv"))
+    seen = None
+    for i in range(4):
+        batch = o.where(F.col("o_orderkey") % 4 == i)
+        maintain_mv_batch(mv, batch)
+        seen = batch if seen is None else seen.unionByName(batch)
+        expect = {
+            tuple(r)
+            for r in seen.groupBy(*_MV_KEYS)
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("tp"),
+            )
+            .collect()
+        }
+        got = {tuple(r) for r in mv.read(spark).collect()}
+        assert got == expect, f"MV diverged from recompute after commit {i}"
