@@ -72,6 +72,12 @@ PROBE_QUERIES = (
     "streaming_lake_cdf_feed",
     "multimodal_audio_decode_stats",
     "sample_temperature_mix",
+    # round-6f additions with non-trivial scale shapes
+    "events_path_triples",
+    "dedup_bloom_gram_prefilter",
+    "dedup_semdedup",
+    "sim_rag_context_pack",
+    "lake_incremental_mv_state",
 )
 
 

@@ -50,3 +50,34 @@ def test_mg_superset_holds_under_any_partitioning():
         for p in parts:
             union |= _mg_candidates(p)
         assert heavy <= union
+
+
+def test_ngrams_matches_naive_sliding_window(spark):
+    """The zip_with self-shift n-gram chain (textops.ngrams) must equal the
+    naive sliding window for every width and for token lists shorter than,
+    equal to, and longer than the width."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.queries.textops import ngrams, toks
+
+    rows = [
+        ("",),
+        ("one",),
+        ("a b",),
+        ("a b c d e f g h",),  # len == 8
+        ("the quick brown fox jumps over the lazy dog again and again",),
+        ("  double   spaced   tokens  ",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for width in (2, 3, 5, 8):
+        got = [
+            r[0]
+            for r in df.select(ngrams(toks(), width).alias("g")).collect()
+        ]
+        for (text,), grams in zip(rows, got):
+            tk = [w for w in text.split(" ") if w]
+            want = [
+                " ".join(tk[i : i + width])
+                for i in range(len(tk) - width + 1)
+            ]
+            assert grams == want, (text, width, grams, want)
