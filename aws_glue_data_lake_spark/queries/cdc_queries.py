@@ -1173,6 +1173,12 @@ def lake_incremental_mv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", base.path)
         .load()
     )
+    # Every job in the maintenance path is dimension-sized (deltas and the
+    # MV are |status|x|priority| rows), so run the stream's many small jobs
+    # at few shuffle partitions — 32-task rounds would be pure scheduling
+    # overhead (same save/restore contract as streaming/pipelines.py).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     q = (
         feed.writeStream.foreachBatch(
             lambda batch, _bid: maintain_mv_batch(mv, batch)
@@ -1188,6 +1194,7 @@ def lake_incremental_mv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         mv.read(spark)
         .select(

@@ -36,6 +36,15 @@ _BASE_CONF: dict[str, str] = {
     # micros-only, so nanos surface as int64 epoch-nanoseconds (exactly
     # ordered, exactly comparable to DuckDB's epoch_ns(ts)).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Long-lived sessions run hundreds of queries (the bench suite, the
+    # driver's correctness sweep): the UI server and its listeners retain
+    # per-execution plan graphs and job/stage data for all of them, which
+    # is pure heap churn for a headless engine. Off, and retention capped
+    # for any externally-enabled UI.
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "20",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
 }
 
 
