@@ -40,13 +40,29 @@ def asof_join(
     right_time: str,
     payload: Sequence[str],
     tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """Return ``left`` with ``payload`` columns from the as-of-matched right
-    row (NULL when no right row is at or before the left time).
+    row (NULL when no right row qualifies).
+
+    ``direction`` selects the match:
+    - ``"backward"`` (default): latest right row with ``right.time <=
+      left.time`` — the classic as-of lookup;
+    - ``"forward"``: earliest right row with ``right.time >= left.time``;
+    - ``"nearest"``: whichever of the two is closer in time (exact ties go
+      backward — the information-leak-free default). The extra column
+      ``_asof_direction`` ('B'/'F'/NULL) reports which side matched.
 
     ``tiebreak`` is a right-side column giving a deterministic winner among
-    right rows that share (key, time) — the latest by that column wins.
+    right rows that share (key, time): latest wins backward, earliest wins
+    forward.
+
+    All three directions keep the single-shuffle plan: nearest adds a
+    second Window over the SAME key partitioning (one exchange, two
+    in-partition sorts), never a second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -54,6 +70,7 @@ def asof_join(
         F.lit(None).cast("long").alias("_tb"),
         "*",
         *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None).cast("long").alias("_rt"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -62,27 +79,58 @@ def asof_join(
         F.col(tiebreak).cast("long").alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
         *payload,
+        F.col(right_time).cast("long").alias("_rt"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # Right rows sort before left rows at equal time (_side 0 < 1), so an
-    # exactly-simultaneous right row is visible to the left row. _tb orders
-    # simultaneous right rows so the last one wins deterministically.
-    w = (
+    carry = list(payload) + ["_rt"]
+    # Backward: right rows sort before left rows at equal time (_side 0 <
+    # 1), so an exactly-simultaneous right row is visible to the left row;
+    # _tb orders simultaneous right rows so the LAST one wins.
+    wb = (
         Window.partitionBy("_k")
         .orderBy("_t", "_side", F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(p, ignorenulls=True).over(w).alias(f"_asof_{p}")
-            for p in payload
-        ],
+    # Forward mirror: left rows sort before right rows at equal time
+    # (1 - _side), so the simultaneous right row is in the following
+    # frame; the FIRST simultaneous right row (smallest _tb) wins.
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_t", (1 - F.col("_side")), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        carried = unioned.select(
+            "*",
+            *[F.last(p, ignorenulls=True).over(wb).alias(f"_b_{p}") for p in carry],
+        )
+        picked = [F.col(f"_b_{p}").alias(p) for p in payload]
+    elif direction == "forward":
+        carried = unioned.select(
+            "*",
+            *[F.first(p, ignorenulls=True).over(wf).alias(f"_f_{p}") for p in carry],
+        )
+        picked = [F.col(f"_f_{p}").alias(p) for p in payload]
+    else:  # nearest
+        carried = unioned.select(
+            "*",
+            *[F.last(p, ignorenulls=True).over(wb).alias(f"_b_{p}") for p in carry],
+            *[F.first(p, ignorenulls=True).over(wf).alias(f"_f_{p}") for p in carry],
+        )
+        bt, ft = F.col("_b__rt"), F.col("_f__rt")
+        use_f = bt.isNull() | (
+            ft.isNotNull() & ((ft - F.col("_t")) < (F.col("_t") - bt))
+        )
+        picked = [
+            F.when(use_f, F.col(f"_f_{p}")).otherwise(F.col(f"_b_{p}")).alias(p)
+            for p in payload
+        ] + [
+            F.when(bt.isNull() & ft.isNull(), F.lit(None).cast("string"))
+            .when(use_f, F.lit("F"))
+            .otherwise(F.lit("B"))
+            .alias("_asof_direction")
+        ]
     return (
         carried.where(F.col("_side") == 1)
-        .select(
-            *left.columns,
-            *[F.col(f"_asof_{p}").alias(p) for p in payload],
-        )
+        .select(*left.columns, *picked)
     )

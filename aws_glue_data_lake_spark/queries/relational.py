@@ -2676,3 +2676,99 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join — the third direction of operators/asof.py: each
+# purchase matches the user's CLOSEST error event in time, backward or
+# forward (exact ties go backward), with the matched direction reported —
+# the root-cause-correlation shape ("which error surrounds this
+# purchase"). Event times interleave, so both directions genuinely fire.
+# Plan stays one shuffle on the key: the forward carry is a second Window
+# over the same partitioning (a second in-partition sort, never a second
+# exchange).
+# --------------------------------------------------------------------------
+@_q(
+    "join_asof_nearest_event_order",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, CAST(EPOCH_US(ts) AS BIGINT) AS t, event_type, value
+  FROM events WHERE user_id < 100
+), l AS (
+  SELECT user_id AS k, t, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+         event_id, CAST(NULL AS BIGINT) AS error_event_id,
+         CAST(NULL AS DOUBLE) AS error_value, CAST(NULL AS BIGINT) AS rt
+  FROM e WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id AS k, t, 0 AS side, event_id AS tb,
+         CAST(NULL AS BIGINT) AS event_id, event_id AS error_event_id,
+         value AS error_value, t AS rt
+  FROM e WHERE event_type = 'error'
+), u AS (
+  SELECT * FROM l UNION ALL BY NAME SELECT * FROM r
+), carried AS (
+  SELECT *,
+    LAST_VALUE(error_event_id IGNORE NULLS) OVER wb AS b_id,
+    LAST_VALUE(error_value IGNORE NULLS) OVER wb AS b_v,
+    LAST_VALUE(rt IGNORE NULLS) OVER wb AS b_rt,
+    FIRST_VALUE(error_event_id IGNORE NULLS) OVER wf AS f_id,
+    FIRST_VALUE(error_value IGNORE NULLS) OVER wf AS f_v,
+    FIRST_VALUE(rt IGNORE NULLS) OVER wf AS f_rt
+  FROM u
+  WINDOW wb AS (PARTITION BY k ORDER BY t, side, tb ASC NULLS LAST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY k ORDER BY t, 1 - side, tb ASC NULLS LAST
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), picked AS (
+  SELECT event_id, k, t,
+         b_rt IS NULL OR (f_rt IS NOT NULL AND (f_rt - t) < (t - b_rt)) AS use_f,
+         b_id, b_v, b_rt, f_id, f_v, f_rt
+  FROM carried WHERE side = 1
+)
+SELECT event_id, k AS user_id, t AS ts_us,
+       CASE WHEN use_f THEN f_id ELSE b_id END AS error_event_id,
+       CASE WHEN use_f THEN f_v ELSE b_v END AS error_value,
+       CASE WHEN b_rt IS NULL AND f_rt IS NULL THEN NULL
+            WHEN use_f THEN 'F' ELSE 'B' END AS matched_dir
+FROM picked
+ORDER BY event_id
+""",
+)
+def join_asof_nearest_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.operators.asof import asof_join
+
+    ev_raw = t(spark, sf_dir, "events")
+    e = ev_raw.where(F.col("user_id") < 100).select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        ts_us_col(ev_raw).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "k", "ts_us"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "k",
+        F.col("ts_us").alias("err_t"),
+        F.col("event_id").alias("error_event_id"),
+        F.col("value").alias("error_value"),
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        key="k",
+        left_time="ts_us",
+        right_time="err_t",
+        payload=["error_event_id", "error_value"],
+        tiebreak="error_event_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts_us",
+        "error_event_id",
+        "error_value",
+        F.col("_asof_direction").alias("matched_dir"),
+    ).orderBy("event_id")

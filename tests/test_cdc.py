@@ -300,3 +300,51 @@ class TestSnapshotDiff:
         old = spark.createDataFrame([(1, "a", 10)], "k long, s string, aud int")
         new = spark.createDataFrame([(1, "a", 99)], "k long, s string, aud int")
         assert snapshot_diff(old, new, ["k"], compare_cols=["s"]).isEmpty()
+
+
+def test_asof_directions_on_synthetic_edges(spark):
+    """asof_join's three directions on hand-built edges: backward takes
+    at-or-before (ties at equal time match; latest tiebreak wins), forward
+    takes at-or-after (earliest tiebreak wins), nearest takes the smaller
+    gap with exact ties going backward, and reports which side matched."""
+    from aws_glue_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 100), (4, 5)], "lid long, t long"
+    )
+    right = spark.createDataFrame(
+        # key rows: t=10 has two simultaneous rows (tb 1, 2);
+        # t=40/60 straddle the left t=50 with an exact tie;
+        # nothing at-or-before t=5 except nothing (lid=4 -> forward only)
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 40, 300.0), (4, 60, 400.0),
+         (5, 90, 500.0)],
+        "rid long, t long, v double",
+    )
+    l = left.selectExpr("lid", "t", "1 as k")
+    r = right.selectExpr("rid", "t as rt", "v", "1 as k")
+
+    def run(direction):
+        out = asof_join(
+            l, r, key="k", left_time="t", right_time="rt",
+            payload=["rid", "v"], tiebreak="rid", direction=direction,
+        )
+        return {row["lid"]: row for row in out.collect()}
+
+    b = run("backward")
+    assert b[1]["rid"] == 2          # simultaneous rows match; latest tb wins
+    assert b[2]["rid"] == 3          # t=40 is the latest at-or-before 50
+    assert b[3]["rid"] == 5
+    assert b[4]["rid"] is None       # nothing at-or-before t=5
+
+    f = run("forward")
+    assert f[1]["rid"] == 1          # simultaneous match; earliest tb wins
+    assert f[2]["rid"] == 4          # t=60 is the earliest at-or-after 50
+    assert f[3]["rid"] is None       # nothing at-or-after t=100 except... t=90<100
+    assert f[4]["rid"] == 1          # earliest row overall (t=10, tb 1)
+
+    n = run("nearest")
+    assert n[1]["rid"] == 2 and n[1]["_asof_direction"] == "B"  # gap 0 ties -> B
+    assert n[2]["_asof_direction"] == "B"  # |50-40| == |60-50| -> tie -> B
+    assert n[2]["rid"] == 3
+    assert n[3]["rid"] == 5 and n[3]["_asof_direction"] == "B"
+    assert n[4]["rid"] == 1 and n[4]["_asof_direction"] == "F"
