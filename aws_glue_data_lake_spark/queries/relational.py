@@ -2772,3 +2772,75 @@ def join_asof_nearest_event_order(spark: SparkSession, sf_dir: str) -> DataFrame
         "error_value",
         F.col("_asof_direction").alias("matched_dir"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Count-min frequency sketch — the fourth mergeable sketch (HLL: distinct;
+# theta: set algebra; KLL: quantiles; CMS: per-key frequency). One
+# fixed-size sketch of the event user stream answers "how often did key k
+# appear" without a per-key groupBy; the driver decodes the aggregated
+# sketch (a few KB — the same A1-class scalar read as a watermark) and the
+# verdict contract is CMS's guarantee: NEVER an underestimate, and over-
+# estimate bounded by eps·N. Hashed columns are the exact counts + the
+# verdict; the raw estimate stays out of the hash (same contract as the
+# HLL/KLL/theta queries).
+#
+# Scale: count_min_sketch is a true partial aggregate (map-side sketches
+# merged pairwise), so the shuffle carries one sketch per partition, not
+# the key space; at 100 TB this replaces a billion-group aggregation with
+# a constant-size rollup per slice.
+# --------------------------------------------------------------------------
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBE_KEYS = 10  # user_id < 10
+
+
+@_q(
+    "agg_cms_frequency",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events
+WHERE user_id < {_CMS_PROBE_KEYS}
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = t(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr(
+            f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
+        ).alias("sk"),
+        F.count("*").alias("n"),
+    ).first()
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
+    )
+    margin = int(math.ceil(_CMS_EPS * row["n"]))
+    est = spark.createDataFrame(
+        [(k, int(cms.estimateCount(k))) for k in range(_CMS_PROBE_KEYS)],
+        "user_id long, est long",
+    )
+    exact = (
+        ev.where(F.col("user_id") < _CMS_PROBE_KEYS)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    return (
+        exact.join(F.broadcast(est), "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            (
+                (F.col("est") >= F.col("n_events"))
+                & (F.col("est") <= F.col("n_events") + F.lit(margin))
+            ).alias("within_bound"),
+        )
+        .orderBy("user_id")
+    )
