@@ -2844,3 +2844,167 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Plain-text source scan (S1 family, format breadth): documents staged as
+# raw text lines — the WET/one-doc-per-line ingest shape every web-corpus
+# pipeline starts from — read back with spark.read.text and parsed
+# IN-PLAN: doc_id \\x1f text (unit separator — absent from the corpus by
+# construction, asserted at stage time). spark.read.text is the only scan
+# with zero parsing cost at read; the split happens in codegen, so the
+# parse IS the first projection. The staged content equals the fixture,
+# so the oracle runs on the documents view directly.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_text_source",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN({{toks}})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""".format(toks="LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')"),
+)
+def scan_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.textops import toks
+
+    path = _text_stage_dir(spark, sf_dir)
+    lines = spark.read.text(path)
+    sep = "\x1f"
+    d = lines.select(
+        F.split_part(F.col("value"), F.lit(sep), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit(sep), F.lit(2)).alias("source"),
+        # text may itself be empty — element_at past the last separator
+        # would fail; substring_index keeps everything after the 2nd sep.
+        F.expr(f"substring(value, length(split_part(value, '{sep}', 1)) + "
+               f"length(split_part(value, '{sep}', 2)) + 3)").alias("text"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(toks())).cast("bigint").alias("total_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _text_stage_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stage = _TEXT_STAGE.get(key)
+    if stage is not None:
+        return stage
+    d = t(spark, sf_dir, "documents")
+    sep = "\x1f"
+    bad = d.where(
+        F.col("text").contains(sep)
+        | F.col("source").contains(sep)
+        | F.col("text").contains("\n")
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} documents contain the record separator or newlines — "
+            "the one-doc-per-line staging contract does not hold"
+        )
+    stage = session_tmpdir("text_source_") + "/docs"
+    d.select(
+        F.concat_ws(sep, F.col("doc_id"), F.col("source"), F.col("text"))
+        .alias("value")
+    ).write.mode("overwrite").text(stage)
+    _TEXT_STAGE[key] = stage
+    return stage
+
+
+_TEXT_STAGE: dict[tuple[str, str], str] = {}
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift audit — the data-quality gate a daily ingest runs
+# before publishing: per-day mean/stddev of the event value stream from
+# exact decimal power sums, then each day tested against the PREVIOUS
+# day via lag: |mean_t − mean_{t−1}| > _DRIFT_Z · se, with se the pooled
+# standard error. Catches the silent unit change / producer bug that a
+# schema check can't. Everything is exact-decimal or IEEE-identical, so
+# the flag itself hash-verifies.
+#
+# Scale: one map-side-combinable aggregate to |days| rows, one window
+# over that dimension-sized table. The raw stream is touched once.
+# --------------------------------------------------------------------------
+_DRIFT_Z = 2.0
+
+
+@_q(
+    "dq_daily_value_drift",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(EPOCH_US(ts) AS BIGINT) // {_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT day, n,
+         s1 / n AS mean,
+         SQRT((s2 - s1 * s1 / n) / n) AS sd
+  FROM daily
+), lagged AS (
+  SELECT *, LAG(mean) OVER w AS prev_mean, LAG(sd) OVER w AS prev_sd,
+         LAG(n) OVER w AS prev_n
+  FROM stats WINDOW w AS (ORDER BY day)
+)
+SELECT day, n, ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd,
+       CASE WHEN prev_mean IS NULL THEN NULL
+            ELSE ABS(mean - prev_mean) >
+                 {_DRIFT_Z} * SQRT(sd * sd / n + prev_sd * prev_sd / prev_n)
+       END AS drifted
+FROM lagged
+ORDER BY day
+""",
+)
+def dq_daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    daily = (
+        ev.select(ts_us_col(ev).alias("_us"), "value")
+        .groupBy(F.expr(f"_us div {_DAY_US}").cast("bigint").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(vdec).cast("double").alias("s1"),
+            F.sum(vdec * vdec).cast("double").alias("s2"),
+        )
+    )
+    stats = daily.select(
+        "day",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias("sd"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    lagged = stats.select(
+        "*",
+        F.lag("mean").over(w).alias("prev_mean"),
+        F.lag("sd").over(w).alias("prev_sd"),
+        F.lag("n").over(w).alias("prev_n"),
+    )
+    se = F.sqrt(
+        F.col("sd") * F.col("sd") / F.col("n")
+        + F.col("prev_sd") * F.col("prev_sd") / F.col("prev_n")
+    )
+    return lagged.select(
+        "day",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("sd", 6).alias("sd"),
+        F.when(F.col("prev_mean").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(F.col("mean") - F.col("prev_mean")) > _DRIFT_Z * se)
+        .alias("drifted"),
+    ).orderBy("day")
