@@ -734,3 +734,93 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "r_sum BIGINT, g_sum BIGINT, b_sum BIGINT",
     )
     return decoded.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode round-trip — the video leg of the codec triptych
+# (WAV audio / BMP image / Y4M video), same contract: stage 1 encodes
+# genuine YUV4MPEG2 streams whose pixel bytes are closed-form arithmetic
+# in (doc_id, i); stage 2 re-parses the BYTES with the engine's Y4M
+# decoder (_decode_y4m — stream header, chroma geometry, per-FRAME planar
+# reads) and reports per-stream stats the DuckDB oracle recomputes in SQL
+# without ever seeing a video. Both stages Arrow-batched; payloads never
+# leave the executors.
+# ---------------------------------------------------------------------------
+_Y4M_W, _Y4M_H = 16, 8
+_Y4M_FRAME_BYTES = _Y4M_W * _Y4M_H * 3 // 2  # C420: Y + U/4 + V/4
+
+
+@_q(
+    "multimodal_video_decode_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id < 100
+),
+s AS (
+  SELECT doc_id, nf,
+         UNNEST(generate_series(0, nf * {_Y4M_FRAME_BYTES} - 1)) AS i
+  FROM d
+)
+SELECT doc_id,
+       CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(MAX(nf) * {_Y4M_FRAME_BYTES} AS BIGINT) AS n_bytes,
+       CAST(SUM((7 * doc_id + 3 * i) % 256) AS BIGINT) AS sum_bytes,
+       CAST(MAX((7 * doc_id + 3 * i) % 256) AS BIGINT) AS max_byte
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, h, fb = _Y4M_W, _Y4M_H, _Y4M_FRAME_BYTES
+
+    def encode_y4m(batches):
+        import numpy as np
+        import pandas as pd
+
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 1 + doc_id % 4
+                pix = ((7 * doc_id + 3 * np.arange(nf * fb)) % 256).astype(
+                    np.uint8
+                )
+                parts = [header]
+                for f in range(nf):
+                    parts.append(b"FRAME\n")
+                    parts.append(pix[f * fb : (f + 1) * fb].tobytes())
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video": payloads})
+
+    def decode_y4m_stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from aws_glue_data_lake_spark.queries.multimodal import _decode_y4m
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                samples = _decode_y4m(bytes(payload)).astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": len(samples) // fb,
+                        "n_bytes": len(samples),
+                        "sum_bytes": int(samples.sum()),
+                        "max_byte": int(samples.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+    encoded = d.mapInPandas(encode_y4m, "doc_id BIGINT, video BINARY")
+    decoded = encoded.mapInPandas(
+        decode_y4m_stats,
+        "doc_id BIGINT, n_frames BIGINT, n_bytes BIGINT, "
+        "sum_bytes BIGINT, max_byte BIGINT",
+    )
+    return decoded.orderBy("doc_id")
