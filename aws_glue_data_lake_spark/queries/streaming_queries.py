@@ -1708,3 +1708,78 @@ def streaming_lake_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = run_drain_all(agg, output_mode="complete")
     return final.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# DYNAMIC-gap session windows — the gap is an expression of the event, not
+# a constant: purchases hold the session open 30 minutes, everything else
+# 10 (the "checkout intent keeps the visit alive" convention every product
+# analytics stack ships). Spark merges the per-event proposals
+# [t, t + gap(e)) whenever the next start falls at or before the running
+# session end; the oracle replays exactly that recurrence with a
+# running-max window (new session ⇔ ts exceeds MAX(prev ts+gap)), so the
+# merge semantics themselves are hash-verified. State per key is bounded
+# by the watermark exactly as with a constant gap.
+# ---------------------------------------------------------------------------
+_DYN_GAP_LONG_US = 1_800_000_000  # purchases: 30 min
+_DYN_GAP_SHORT_US = 600_000_000   # everything else: 10 min
+
+
+@_q(
+    "streaming_session_dynamic_gap",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN {_DYN_GAP_LONG_US}
+              ELSE {_DYN_GAP_SHORT_US} END AS gap_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN ts_us > MAX(ts_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), islands AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us + gap_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_purchase) AS BIGINT) AS n_purchases
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start_us
+""",
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+    final = run_available_now(agg, output_mode="complete")
+    return final.orderBy("user_id", "session_start_us")
