@@ -538,3 +538,35 @@ def test_bloom_prefilter_probe_joins_on_word_index(spark):
     assert "LeftSemi" in plan
     for py_op in ("BatchEvalPython", "ArrowEvalPython"):
         assert py_op not in plan
+
+
+def test_asof_nearest_single_shuffle_two_windows(spark):
+    """Nearest as-of keeps the operator's core contract: ONE exchange on
+    the join key feeding BOTH direction windows (the forward carry is a
+    second in-partition sort, never a second shuffle). The final ORDER BY
+    is the only other exchange."""
+    plan = plan_of(spark, "join_asof_nearest_event_order")
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") <= 2, plan  # key hash + final range
+
+
+def test_text_scan_parses_in_codegen(spark):
+    """The plain-text ingest path must parse in-plan: no Python operators,
+    and the whole aggregate reads the staged text exactly once."""
+    plan = plan_of(spark, "scan_text_source")
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    assert plan.count("Scan text") == 1, plan
+
+
+def test_drift_audit_is_one_pass(spark):
+    """The drift audit touches the raw stream once: a single parquet scan
+    reading only (ts, value), partial-aggregated to |days| rows before the
+    exchange; the lag window runs over the dimension-sized result."""
+    # formatted mode prints each node twice (tree + detail) — count scans
+    # in the executed-plan string instead.
+    assert plan_of(spark, "dq_daily_value_drift").count("Scan parquet") == 1
+    plan = formatted_plan_of(spark, "dq_daily_value_drift")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"ts", "value"}, read_cols
