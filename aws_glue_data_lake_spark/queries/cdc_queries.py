@@ -1204,3 +1204,73 @@ def lake_incremental_mv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*_MV_KEYS)
     )
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE + VACUUM through the correctness gate — the table-maintenance
+# pair every long-lived CDC target needs: streaming appends leave small
+# files (staged here as 4 deterministic appends × 4 files), compaction
+# rewrites the live snapshot into 2 range-clustered files, vacuum drops
+# every superseded data file. The query certifies BOTH invariants at
+# once: the data is bit-identical after maintenance (the per-flag
+# aggregate hash-matches the raw fixture) AND the file accounting is
+# exact (16 → 2 data files, 16 vacuumed) — maintenance that silently
+# dropped or duplicated rows would flip the hash.
+#
+# Scale: compaction I/O is one read+write of the live bytes,
+# range-partitioned so the rewrite parallelizes; vacuum is manifest-diff
+# + deletes, no data reads. Both are the same operations at 100 TB, run
+# per-partition instead of per-table.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_compact_vacuum_state",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(16 AS BIGINT) AS n_files_before,
+       CAST(2 AS BIGINT) AS n_files_after,
+       CAST(16 AS BIGINT) AS n_vacuumed
+FROM lineitem
+WHERE l_orderkey % 8 = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def lake_compact_vacuum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 8 == 0).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    table = LakeTable(session_tmpdir("lake_compact_") + "/t")
+    for i in range(4):  # 4 commits × 4 files = the small-file problem
+        band = li.where(F.col("l_linenumber") % 4 == i).repartition(4)
+        if i == 0:
+            table.create(band, stat_cols=["l_orderkey"])
+        else:
+            table.append(band)
+    n_before = len(table.snapshot().file_names)
+    table.compact(spark, target_files=2)
+    n_after = len(table.snapshot().file_names)
+    removed = table.vacuum(keep_versions=1)
+    n_vacuumed = sum(1 for p in removed if p.endswith(".parquet"))
+    return (
+        table.read(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "sum_qty",
+            F.lit(n_before).cast("bigint").alias("n_files_before"),
+            F.lit(n_after).cast("bigint").alias("n_files_after"),
+            F.lit(n_vacuumed).cast("bigint").alias("n_vacuumed"),
+        )
+        .orderBy("l_returnflag")
+    )
