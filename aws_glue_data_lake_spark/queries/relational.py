@@ -3008,3 +3008,49 @@ def dq_daily_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("mean") - F.col("prev_mean")) > _DRIFT_Z * se)
         .alias("drifted"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Deterministic MODE per group — most frequent order priority per order
+# status, with the tie broken lexicographically. Built as count + rank
+# rather than Spark's `mode()` (whose tie winner is unspecified), so both
+# engines agree for any input. One map-side-combinable count over the
+# (status, priority) grid, then a rank over that dimension-sized table.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_mode_order_priority",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rnk
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+FROM r WHERE rnk = 1
+ORDER BY o_orderstatus
+""",
+)
+def agg_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

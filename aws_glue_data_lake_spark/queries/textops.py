@@ -1381,3 +1381,82 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-slope corpus diagnostic — the one-number sanity check corpus
+# curators run per source: least-squares slope of ln(freq) ~ ln(rank)
+# over the top-_ZIPF_K words (natural text ≈ −1; templated/boilerplate
+# sources flatten toward 0). Each ln term is rounded into DECIMAL(18,6)
+# BEFORE the regression sums (the engine's established order-free-log
+# trick, cf. text_unigram_logprob), so the slope hash-matches across
+# engines. One word-count shuffle, one dimension-sized rank + regression.
+# --------------------------------------------------------------------------
+_ZIPF_K = 100
+
+
+@_q(
+    "text_zipf_slope",
+    oracle=f"""
+WITH w AS (
+  SELECT UNNEST({TOKS_SQL}) AS word, source FROM documents
+), c AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM w GROUP BY 1, 2
+), r AS (
+  SELECT source, freq,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY freq DESC, word) AS rnk
+  FROM c
+), pts AS (
+  SELECT source,
+         CAST(ROUND(LN(rnk), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(LN(freq), 6) AS DECIMAL(18,6)) AS y
+  FROM r WHERE rnk <= {_ZIPF_K}
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_ranks,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM s
+ORDER BY source
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(toks()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "word")
+    pts = (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ZIPF_K)
+        .select(
+            "source",
+            F.round(F.log("rnk"), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log("freq"), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+    ).orderBy("source")
