@@ -394,3 +394,64 @@ def scalar_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.array_sort(emb), 3).cast("double"), 6
         ).alias("third_smallest"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# URL parsing — the web-corpus provenance scalar family (every crawl
+# pipeline partitions by host and dedups by normalized URL). URLs are
+# synthesized deterministically from fixture columns, parsed with Spark's
+# parse_url (HOST/PATH/QUERY/PROTOCOL), and the oracle recomputes each
+# part CLOSED-FORM from the same columns — certifying the parser against
+# ground truth rather than against another parser. Pure codegen scalar
+# work; the only shuffle is the per-host rollup.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'crawl' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         '/docs/' || source || '/' || CAST(doc_id AS VARCHAR) AS path,
+         'lang=' || lang AS query
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(SUM(CASE WHEN query = 'lang=en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_english,
+       MIN(path) AS first_path
+FROM u
+GROUP BY host
+ORDER BY host
+""",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://crawl"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+            F.sum(F.when(F.col("query") == "lang=en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_english"),
+            F.min("path").alias("first_path"),
+        )
+        .orderBy("host")
+    )
