@@ -797,6 +797,52 @@ class LakeTable:
         )
         return clone
 
+    def restore(self, version: int) -> Snapshot:
+        """RESTORE the table to an earlier snapshot as a NEW commit
+        (Delta's ``RESTORE TABLE ... VERSION AS OF n``): the new tip
+        re-references the target snapshot's file list, schema, partition
+        layout, and CHECK constraints — zero data movement — while
+        history is preserved: every intermediate version stays time-
+        travelable, and the restore itself is an ordinary commit that a
+        later restore can roll away again. Two deliberate asymmetries vs
+        a naive manifest copy:
+
+        - per-writer txn replay state is cumulative and carried FORWARD,
+          never rolled back (``_commit`` folds the current tip's txns
+          map in): a restored table must still recognize streaming
+          batches committed after the target version, or an
+          at-least-once redelivery would re-append them;
+        - files the target references may have been vacuumed away (only
+          the retained tail of history pins files); that fails loudly
+          here rather than committing a tip that cannot be scanned —
+          the same post-VACUUM caveat Delta documents for RESTORE.
+        """
+        tip = self.snapshot()
+        target = self.snapshot(version)
+        missing = [
+            f["path"] for f in target.files
+            if not os.path.exists(self._abs(f["path"]))
+        ] + [
+            f["dv"]["path"] for f in target.files
+            if f.get("dv") and not os.path.exists(self._abs(f["dv"]["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {self.path} to v{version}: vacuum already "
+                f"removed {sorted(missing)}"
+            )
+        return self._commit(
+            [dict(f) for f in target.files],
+            target.schema,
+            f"restore:v{version}",
+            tip,
+            partition_by=target.partition_by,
+            # {} (not None) when the target had no constraints: constraints
+            # added AFTER the target version are dropped by the restore,
+            # exactly like the rest of table state.
+            constraints=dict(target.constraints or {}),
+        )
+
     def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
         """MERGE-ON-READ row-level delete via deletion vectors: instead of
         rewriting data files (the copy-on-write path ``upsert``/``merge``

@@ -803,6 +803,73 @@ def lake_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(1).unionAll(stats(2)).unionAll(stats(3)).orderBy("version")
 
 
+# --------------------------------------------------------------------------
+# RESTORE as a query surface (Delta's RESTORE TABLE ... VERSION AS OF): an
+# incident rollback that is itself a commit. Three writes build history
+# (CTAS → append → row-level delete), then restore(2) re-references v2's
+# files as a NEW v4 tip — zero data movement, nothing erased. Reading all
+# four versions side by side certifies the two things a rollback must get
+# right: v4 hash-equals v2 (the bad delete is undone), and v3 is STILL
+# time-travelable (restore rewinds state, not history). The oracle
+# recomputes each version's expected rows from the fixture.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_restore_version_state",
+    oracle="""
+WITH v1 AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+), v2 AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 3 <= 1
+), v3 AS (
+  SELECT o_totalprice FROM orders
+  WHERE o_orderkey % 3 <= 1 AND o_orderkey % 6 <> 1
+)
+SELECT * FROM (
+  SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+  FROM v1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM v2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM v3
+  UNION ALL
+  SELECT 4, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM v2
+) ORDER BY version
+""",
+)
+def lake_restore_version_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = LakeTable(session_tmpdir("restore_") + "/t")
+    table.create(o.where(F.col("o_orderkey") % 3 == 0), stat_cols=["o_orderkey"])
+    table.append(o.where(F.col("o_orderkey") % 3 == 1))
+    # the "incident": a row-level delete lands via deletion vectors (v3)
+    table.delete_where(spark, "o_orderkey % 6 = 1")
+    restored = table.restore(2)
+    assert restored.version == 4 and restored.op == "restore:v2"
+
+    def stats(version: int):
+        return table.read(spark, version=version).agg(
+            F.lit(version).alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return (
+        stats(1).unionAll(stats(2)).unionAll(stats(3)).unionAll(stats(4))
+        .orderBy("version")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deletion vectors (merge-on-read): two row-level deletes land WITHOUT
 # rewriting a single data file — each writes a positions sidecar and a

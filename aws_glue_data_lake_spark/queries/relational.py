@@ -3054,3 +3054,108 @@ def agg_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG ... WITHIN GROUP, SQL:2016 — added to
+# Spark in 4.0): the "denormalize the dimension" shape every report query
+# uses. Per region, nations concatenated in (customer count DESC, name)
+# order — the multi-key WITHIN GROUP ordering is the part ad-hoc
+# concat_ws(collect_list()) gets nondeterministically wrong. Scale shape:
+# the LEFT JOIN's right side aggregates to nation cardinality BEFORE the
+# listagg, so the string agg runs over a dimension-sized input; customer
+# never shuffles on anything but its own group-by key.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_listagg_ordered",
+    oracle="""
+WITH nc AS (
+  SELECT n.n_regionkey, n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT r.r_name AS region,
+       string_agg(nc.n_name, ',' ORDER BY nc.n_customers DESC, nc.n_name)
+         AS nations_by_customers,
+       CAST(SUM(nc.n_customers) AS BIGINT) AS n_customers
+FROM region r JOIN nc ON nc.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("region", "nation", "customer"))
+    return spark.sql(
+        """
+        WITH nc AS (
+          SELECT n.n_regionkey, n.n_name,
+                 CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+          FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_regionkey, n.n_name
+        )
+        SELECT r.r_name AS region,
+               listagg(nc.n_name, ',')
+                 WITHIN GROUP (ORDER BY nc.n_customers DESC, nc.n_name)
+                 AS nations_by_customers,
+               CAST(SUM(nc.n_customers) AS BIGINT) AS n_customers
+        FROM region r JOIN nc ON nc.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): joining on a
+# DERIVED nullable key — here a JSON attribute bucket where the NULL
+# bucket ("attribute absent or out of domain") must match itself, which a
+# plain equi-join silently drops. Scale shape: each side pre-aggregates to
+# key cardinality (≤6 rows) BEFORE the join, so the null-safe comparison —
+# which Spark still hash-partitions, treating NULL as an ordinary key —
+# runs over two dimension-sized inputs instead of fanning out the raw
+# event pairs.
+# --------------------------------------------------------------------------
+@_q(
+    "join_null_safe_eq",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         NULLIF(CAST(json_extract_string(props, '$.k') AS INT) % 5, 0) AS kb
+  FROM events
+), clicks AS (
+  SELECT kb, CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM keyed WHERE event_type = 'click' GROUP BY kb
+), purchases AS (
+  SELECT kb, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM keyed WHERE event_type = 'purchase' GROUP BY kb
+)
+SELECT c.kb AS key_bucket, c.n_clicks, p.n_purchases
+FROM clicks c JOIN purchases p ON c.kb IS NOT DISTINCT FROM p.kb
+ORDER BY key_bucket NULLS FIRST
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    kb = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
+    ).alias("kb")
+    keyed = ev.select("event_type", kb)
+    clicks = (
+        keyed.where(F.col("event_type") == "click")
+        .groupBy("kb")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+    )
+    purchases = (
+        keyed.where(F.col("event_type") == "purchase")
+        .groupBy("kb")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, clicks["kb"].eqNullSafe(purchases["kb"]))
+        .select(
+            clicks["kb"].alias("key_bucket"), "n_clicks", "n_purchases"
+        )
+        .orderBy(F.asc_nulls_first("key_bucket"))
+    )

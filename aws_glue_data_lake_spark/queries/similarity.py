@@ -1323,3 +1323,210 @@ def sim_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization with ADC (Jégou et al. 2011, the workhorse of every
+# billion-scale ANN index): split each vector into M=4 subspaces of 16
+# dims, encode each subvector as the id of its nearest of K=16 codewords,
+# and answer queries by summing M one-table lookups — the scan touches
+# only the CODES table (M small ints per vector, a 64× compression of the
+# float32 row) plus a broadcast query×(M·K) lookup table; full-precision
+# vectors are never read at query time. That codes-only scan shape is the
+# whole point at 100 TB: the index fits in memory where the vectors don't.
+#
+# Cross-engine exactness: everything after the int8 per-dim quantization
+# (same single-IEEE-op scheme as sim_quantized_recall) is int64 —
+# codewords are the quantized subvectors of the 16 lowest vec_ids,
+# encoding argmin is an exact integer L2 with ties to the lowest code id,
+# the ADC table is an exact integer inner product. So the PQ index, the
+# top-k, and the recall@k vs the exact baseline all hash-match the
+# oracle; recall is what's verified, same contract as sim_ivf_recall.
+# --------------------------------------------------------------------------
+_PQ_M = 4        # subspaces
+_PQ_DSUB = 16    # dims per subspace
+_PQ_K = 16       # codewords per subspace (seeded from the 16 lowest vec_ids)
+
+
+@_q(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH dims AS (
+  SELECT UNNEST(generate_series(1,
+    (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+),
+sc AS (
+  SELECT i, GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-30) AS s
+  FROM embeddings CROSS JOIN dims
+  GROUP BY i
+),
+q AS (
+  SELECT vec_id, sc.i,
+         CAST(ROUND(CAST(embedding[sc.i] AS DOUBLE) / sc.s * 127) AS BIGINT)
+           AS qv
+  FROM embeddings CROSS JOIN sc
+),
+sub AS (
+  SELECT vec_id, (i - 1) // {_PQ_DSUB} AS m, (i - 1) % {_PQ_DSUB} AS d, qv
+  FROM q
+),
+cb AS (
+  SELECT vec_id AS c, m, d, qv AS cv FROM sub WHERE vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT s.vec_id, s.m, c.c, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS dist
+  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, c.m, c.c AS code, SUM(s.qv * c.cv) AS ip
+  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+  WHERE s.vec_id IN {_QIDS_SQL}
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.ip) AS dot
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_TOP_K}
+),
+exact AS ({{exact}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN pq p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(exact=REGISTRY.oracles["sim_topk_bruteforce"]),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # per-dim int8 scales -> one broadcast 64-element array (as in
+    # sim_quantized_recall)
+    sc = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.greatest(
+                F.max(F.abs(F.col("x").cast("double"))), F.lit(1e-30)
+            ).alias("s")
+        )
+    )
+    scales_row = sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"],
+        ).alias("scales")
+    )
+    qv = e.crossJoin(F.broadcast(scales_row)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            "scales",
+            lambda x, s: F.round(x.cast("double") / s * 127).cast("long"),
+        ).alias("qv"),
+    )
+    # subvectors: one row per (vec_id, subspace), carrying the 16-dim slice
+    sub = qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qv", m * _PQ_DSUB + 1, _PQ_DSUB)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    cb = sub.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), F.col("m").alias("cb_m"),
+        F.col("sub").alias("csub"),
+    )
+    int_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    int_ip = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # ENCODE: nearest codeword per (vector, subspace) — corpus × broadcast
+    # (M·K = 64 rows), exact integer L2, ties to the lowest code id via
+    # MIN over a (dist, c) struct (one shuffle keyed on vec_id, m).
+    enc = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            "vec_id", "m", "c",
+            int_l2(F.col("sub"), F.col("csub")).alias("dist"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "c")).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+    # ADC lookup table: query × (subspace, codeword) inner products —
+    # |Q|·M·K = 320 rows, broadcast into the codes scan.
+    lut = (
+        sub.where(F.col("vec_id").isin(*_QUERY_IDS))
+        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lut_m"),
+            F.col("c").alias("code"),
+            int_ip(F.col("sub"), F.col("csub")).alias("ip"),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lut_m")) & (enc["code"] == lut["code"]),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ip").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    pq = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    exact = REGISTRY.queries["sim_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

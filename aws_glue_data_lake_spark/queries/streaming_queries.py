@@ -1783,3 +1783,77 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     final = run_available_now(agg, output_mode="complete")
     return final.orderBy("user_id", "session_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT SEMI join — "which views converted", without paying
+# for the pair fan-out: a view is emitted ONCE when its first in-bound
+# purchase arrives, then its "already emitted" mark persists in state so a
+# second purchase in a later micro-batch cannot re-emit it (the inner
+# funnel would emit one row per pair). Same 6-file hash-split replay and
+# over-sized watermark as the inner variant — matching semantics are
+# what's pinned here; eviction is pinned by the _tight variant. Scale:
+# semi-join state is strictly smaller than inner-join state (left rows
+# retire at first match instead of waiting out the horizon for more
+# pairs), which is why funnels that only need conversion FLAGS should ship
+# this shape instead of the inner join.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_stream_join_semi",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, user_id, event_type
+  FROM events
+)
+SELECT v.user_id, v.event_id AS view_event_id, v.ts_us AS view_ts_us
+FROM e v
+WHERE v.event_type = 'view' AND EXISTS (
+  SELECT 1 FROM e p
+  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+    AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + {_FUNNEL_BOUND_US}
+)
+ORDER BY user_id, view_event_id
+""",
+)
+def streaming_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.streaming.pipelines import read_events_stream
+
+    stream = read_events_stream(
+        spark, sf_dir, n_files=6, max_files_per_trigger=1
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "40 days")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "40 days")
+    )
+    converted = views.join(
+        purchases,
+        on=[
+            views.v_user_id == purchases.p_user_id,
+            purchases.purchase_time >= views.view_time,
+            purchases.purchase_time
+            <= views.view_time + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="left_semi",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id",
+        "view_ts_us",
+    )
+    final = run_available_now(
+        converted, output_mode="append", shuffle_partitions=4
+    )
+    return final.orderBy("user_id", "view_event_id")

@@ -870,3 +870,34 @@ FROM spine s LEFT JOIN agg a USING (period_id)
 ORDER BY s.period_id
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Modern SQL ergonomics in one shape: GROUP BY ALL + ORDER BY ALL + the
+# standard FILTER clause on aggregates (all in Spark 4 and DuckDB). The
+# analyst writes the projection once and the engine derives grouping keys
+# and output order from it — no positional lists to keep in sync. FILTER
+# replaces the CASE-WHEN-inside-SUM idiom for conditional counts. Plan is
+# identical to an explicit GROUP BY: one partial+final hash aggregate.
+# --------------------------------------------------------------------------
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT)
+         AS n_big_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            FILTER (WHERE o_totalprice > 100000.0) AS DOUBLE)
+         AS big_order_value
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@_q("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -972,3 +972,74 @@ def events_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing over an ordered frame — the trailing exponentially
+# weighted average every metrics pipeline wants, which has no built-in
+# window function because it's a sequential recurrence. Expressed as
+# collect-the-frame + left fold: collect_list over a ROWS frame gathers
+# values in frame order, then `aggregate` folds alpha*x + (1-alpha)*acc
+# seeded with the oldest element — both engines fold the same values in
+# the same order, so the doubles are bit-identical with no rounding. The
+# frame is bounded (8 rows), so state per row is O(8) and the whole query
+# costs one user-keyed exchange shared by both window specs; the user_id
+# filter pushes down to the parquet scan. (An unbounded EWMA would be a
+# streaming stateful op — that shape lives in streaming_queries.)
+# --------------------------------------------------------------------------
+@_q(
+    "window_ewma_smoothing",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id < 40
+), sm AS (
+  SELECT user_id, event_id, ts_us,
+         list_reduce(
+           list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+           (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc
+         ) AS ewma,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts, ewma
+FROM sm WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).where(F.col("user_id") < 40)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    frame = F.collect_list(F.col("value").cast("double")).over(wf)
+    ewma = F.aggregate(
+        F.slice(frame, 2, F.size(frame) - 1),
+        F.element_at(frame, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("ts_us"),
+            ewma.alias("ewma"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts"),
+            "ewma",
+        )
+        .orderBy("user_id")
+    )

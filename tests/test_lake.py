@@ -762,3 +762,82 @@ def test_check_constraints_guard_every_write_path(spark, tmp_path):
     t.drop_check_constraint("v_nonneg")
     t.append(bad)  # gate open again
     assert t.read(spark).count() == 70
+
+
+def test_restore_rewinds_state_preserves_history(spark, tmp_path):
+    """RESTORE is a commit, not an erase: the new tip re-references the
+    target version's files, every intermediate version stays
+    time-travelable, and a later restore can roll the rollback away."""
+    t = _table(spark, tmp_path, n=100, files=2)           # v1: 0..99
+    extra = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.append(extra)                                       # v2: 0..149
+    t.delete_where(spark, "k % 2 = 0")                    # v3: odds only
+    snap = t.restore(2)                                   # v4 == v2
+    assert snap.version == 4 and snap.op == "restore:v2"
+    assert t.read(spark).count() == 150                   # delete undone
+    assert t.read(spark, version=3).count() == 75         # history intact
+    assert sorted(t.snapshot().file_names) == sorted(
+        t.snapshot(2).file_names
+    )  # zero-copy: same files, re-referenced
+    t.restore(3)                                          # roll the rollback
+    assert t.read(spark).count() == 75
+
+
+def test_restore_fails_after_vacuum(spark, tmp_path):
+    """Within one table vacuum drops old manifests along with their files,
+    so an un-restorable version is simply NoSuchTable. The dangling-file
+    path needs a FOREIGN reference: a shallow clone still points (by
+    absolute path) at source files the source's own vacuum collected —
+    restore must fail loudly instead of committing an unscannable tip."""
+    src = _table(spark, tmp_path, n=50, files=2)
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.append(
+        spark.createDataFrame([(100, 1)], "k long, v long")
+    )  # clone v2: survives on clone-local files
+    # source rewrites everything and vacuums — the clone's v1 now dangles
+    src.upsert(
+        spark.range(50).selectExpr("id AS k", "id * 20 AS v"), keys=["k"]
+    )
+    src.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuum already removed"):
+        clone.restore(1)
+
+    # plain-table variant: the vacuumed version's manifest is gone too
+    src.upsert(spark.createDataFrame([(0, -1)], "k long, v long"), keys=["k"])
+    src.vacuum(keep_versions=1)
+    from aws_glue_data_lake_spark.lake import NoSuchTable
+
+    with pytest.raises(NoSuchTable):
+        src.restore(2)
+
+
+def test_restore_carries_txn_replay_state_forward(spark, tmp_path):
+    """Exactly-once survives a rollback: txn state is cumulative, so a
+    micro-batch committed AFTER the restore target is still recognized
+    as committed and its redelivery no-ops."""
+    t = _table(spark, tmp_path, n=10, files=1)
+    b = spark.createDataFrame([(100, 1)], "k long, v long")
+    t.append_stream_batch(b, writer_id="w1", batch_id=0)  # v2
+    t.append_stream_batch(b, writer_id="w1", batch_id=1)  # v3
+    t.restore(2)                                          # v4: batch 1 rolled back
+    assert t.last_committed_batch("w1") == 1              # ... but remembered
+    assert t.append_stream_batch(b, writer_id="w1", batch_id=1) is None
+    assert t.read(spark).count() == 11                    # replay added nothing
+
+
+def test_restore_drops_constraints_added_later(spark, tmp_path):
+    """Constraints are table STATE: restoring to a pre-constraint version
+    drops the constraint along with the data it guarded."""
+    from aws_glue_data_lake_spark.lake import ConstraintViolation
+
+    t = _table(spark, tmp_path, n=10, files=1)
+    t.add_check_constraint(spark, "v_nonneg", "v >= 0")   # v2
+    bad = spark.createDataFrame([(100, -1)], "k long, v long")
+    with pytest.raises(ConstraintViolation):
+        t.append(bad)
+    t.restore(1)                                          # v3: constraint gone
+    assert t.snapshot().constraints is None
+    t.append(bad)                                         # gate open
+    assert t.read(spark).count() == 11
