@@ -1341,3 +1341,65 @@ def lake_compact_vacuum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# DESCRIBE HISTORY as a query surface (Delta's audit command): the commit
+# log itself — version, operation, file count, row count — read from
+# manifest METADATA only (no data file is scanned; file row counts ride
+# in every manifest entry, as in Delta's commit stats). The staged chain
+# exercises one commit of each maintenance class: create → append →
+# compact (rewrites 3 files into 1, same rows) → restore (re-references
+# v2's files). Writers repartition deterministically so file counts are
+# closed-form; the oracle recomputes rows from the fixture and pins the
+# expected (op, n_files) ladder.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_describe_history",
+    oracle="""
+WITH c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n1,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <= 1) AS BIGINT) AS n2
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 1 AS version, 'create' AS op, 2 AS n_files, n1 AS n_rows FROM c
+  UNION ALL
+  SELECT 2, 'append', 3, n2 FROM c
+  UNION ALL
+  SELECT 3, 'compact', 1, n2 FROM c
+  UNION ALL
+  SELECT 4, 'restore:v2', 3, n2 FROM c
+) ORDER BY version
+""",
+)
+def lake_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = LakeTable(session_tmpdir("history_") + "/t")
+    table.create(
+        o.where(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+            2, "o_orderkey"
+        ),
+        stat_cols=["o_orderkey"],
+    )
+    table.append(
+        o.where(F.col("o_orderkey") % 3 == 1).repartitionByRange(
+            1, "o_orderkey"
+        )
+    )
+    table.compact(spark, target_files=1)
+    table.restore(2)
+    rows = [
+        (
+            s.version,
+            s.op,
+            len(s.files),
+            sum(f["rows"] for f in s.files),
+        )
+        for s in table.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_files int, n_rows bigint"
+    ).orderBy("version")

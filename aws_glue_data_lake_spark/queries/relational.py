@@ -3159,3 +3159,58 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("key_bucket"))
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth — the KPI shape every revenue dashboard runs:
+# aggregate to a month grid, then LAG over the (tiny) aggregate for the
+# deltas. Scale shape: the window runs over #months rows, never over the
+# fact table — the only fact-table cost is one partial+final aggregate.
+# Growth ratios divide two exact-decimal-derived doubles (bit-identical
+# in both engines), rounded to 6 per the determinism conventions.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_mom_growth",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {dsum_sql("o_totalprice", "revenue")}
+  FROM orders
+  GROUP BY 1
+)
+SELECT ym, n_orders, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY ym))
+             / LAG(revenue) OVER (ORDER BY ym), 6) AS mom_growth
+FROM m
+ORDER BY ym
+""",
+)
+def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("ym")
+    return (
+        m.withColumn(
+            "mom_growth",
+            F.round(
+                (F.col("revenue") - F.lag("revenue").over(w))
+                / F.lag("revenue").over(w),
+                6,
+            ),
+        )
+        .orderBy("ym")
+    )

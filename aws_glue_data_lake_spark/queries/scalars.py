@@ -455,3 +455,86 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# Error-safe TRY arithmetic — the ANSI-mode migration surface: under ANSI
+# SQL semantics (Spark 4's default) division by zero and bad casts THROW,
+# and the sanctioned fix is the try_* family, which yields NULL instead.
+# Certified here against DuckDB's equivalents (NULLIF-guarded division,
+# TRY_CAST, native out-of-bounds-NULL list indexing): try_divide hits a
+# real zero denominator (l_quantity = 30 rows), try_cast fails on
+# non-numeric strings, try_element_at probes past the end of a real
+# array column. All per-row codegen — no shuffle beyond the final
+# dimension-sized aggregate.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_try_arithmetic",
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag,
+         l_extendedprice / NULLIF(l_quantity - 30.0, 0.0) AS unit_margin,
+         TRY_CAST(l_shipinstruct_like AS DOUBLE) AS parsed
+  FROM (
+    SELECT l_returnflag, l_extendedprice, l_quantity,
+           CASE WHEN l_linenumber % 2 = 0
+                THEN CAST(l_extendedprice AS VARCHAR)
+                ELSE 'N/A' END AS l_shipinstruct_like
+    FROM lineitem
+  )
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN unit_margin IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(SUM(CAST(COALESCE(unit_margin, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+         AS margin_sum,
+       CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed,
+       CAST(SUM(CAST(COALESCE(parsed, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+         AS parsed_sum
+FROM li
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        "l_returnflag",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(30.0)
+        ).alias("unit_margin"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.col("l_extendedprice").cast("string"),
+        )
+        .otherwise(F.lit("N/A"))
+        .try_cast("double")
+        .alias("parsed"),
+    )
+    return (
+        raw.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("unit_margin").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_by_zero"),
+            F.sum(
+                F.coalesce(F.col("unit_margin"), F.lit(0.0)).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("margin_sum"),
+            F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unparsed"),
+            F.sum(
+                F.coalesce(F.col("parsed"), F.lit(0.0)).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("parsed_sum"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -78,6 +78,11 @@ PROBE_QUERIES = (
     "dedup_semdedup",
     "sim_rag_context_pack",
     "lake_incremental_mv_state",
+    # round-6g additions with non-trivial scale shapes
+    "sim_pq_adc_topk",
+    "streaming_stream_join_semi",
+    "lake_restore_version_state",
+    "window_ewma_smoothing",
 )
 
 

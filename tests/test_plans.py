@@ -570,3 +570,41 @@ def test_drift_audit_is_one_pass(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert read_cols == {"ts", "value"}, read_cols
+
+
+def test_ewma_filter_pushdown_single_exchange(spark):
+    """The user_id slice must reach the parquet scan, and both window specs
+    (ordered frame + latest-row rank) share ONE user_id exchange."""
+    plan = formatted_plan_of(spark, "window_ewma_smoothing")
+    assert "LessThan(user_id,40)" in plan
+    full = plan_of(spark, "window_ewma_smoothing")
+    # one hash exchange shared by both window specs (the second Exchange
+    # in the plan is the final ORDER BY's range partitioning)
+    assert full.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must plan as a hash join on the null-safe key — never a
+    BroadcastNestedLoopJoin (the silent O(n*m) fallback for non-equi
+    conditions)."""
+    plan = plan_of(spark, "join_null_safe_eq")
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_pq_adc_broadcasts_lut_and_codebook(spark):
+    """PQ query time must be a codes-side scan with broadcast lookup
+    structures: the codebook (M*K rows) and the query LUT (|Q|*M*K rows)
+    broadcast; nothing may plan a cartesian product."""
+    plan = plan_of(spark, "sim_pq_adc_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_listagg_aggregates_before_join(spark):
+    """The customer side must aggregate to nation cardinality BEFORE any
+    join with the region dimension — customer may only shuffle on its own
+    group-by key, never on a post-join composite."""
+    plan = plan_of(spark, "agg_listagg_ordered")
+    # no exchange may partition customer rows by a region/join-derived key
+    assert "Exchange hashpartitioning(c_custkey" not in plan
