@@ -1029,6 +1029,38 @@ class LakeTable:
             partition_by=prev.partition_by,
         )
 
+    def repartition_layout(
+        self, spark: SparkSession, partition_by: Sequence[str]
+    ) -> Snapshot:
+        """Partition-layout MIGRATION by rewrite — the portable answer to
+        Iceberg's partition evolution: rewrite the current snapshot into a
+        new Hive layout (or back to unpartitioned with ``()``) and commit
+        it. Layout is per-snapshot state, so older versions keep their old
+        layout and stay time-travelable — the read path plans each version
+        from ITS manifest's ``partition_by``. A full rewrite (not
+        Iceberg's metadata-only evolution, which leaves mixed-layout files
+        behind): one pass over the table buys a uniform layout, which is
+        what keeps the downstream scan planner simple and every
+        partition-pruned read exact. Rows are pre-shuffled onto the new
+        partition columns so each partition lands as few files, not one
+        file per (input task × partition)."""
+        prev = self.snapshot()
+        if list(partition_by) == list(prev.partition_by):
+            return prev
+        df = self.read(spark)
+        if partition_by:
+            df = df.repartition(*partition_by)
+        files = self._write_files(
+            df, self._stat_cols(prev), partition_by
+        )
+        return self._commit(
+            files,
+            prev.schema,
+            "repartition:" + (",".join(partition_by) or "none"),
+            prev,
+            partition_by=tuple(partition_by),
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop data files unreferenced by the ``keep_versions`` most recent
         snapshots (and the older manifests themselves), plus ORPHANS —

@@ -1403,3 +1403,82 @@ def lake_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op string, n_files int, n_rows bigint"
     ).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Partition-layout evolution (Iceberg partition evolution, by rewrite):
+# a table born unpartitioned accumulates commits, then migrates to a
+# Hive layout on event_type in ONE rewrite commit — after which (a) the
+# pre-migration snapshots still read with THEIR layout (layout is
+# per-manifest state), (b) a partition-pruned read plans only the target
+# partition's files, and (c) the migrated state is row-identical to the
+# pre-migration state. The oracle recomputes every phase from the
+# fixture; the phase rows certify all three properties in one hash.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_partition_evolution_state",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE user_id < 200
+),
+extra AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE user_id >= 200 AND user_id < 300
+),
+both_ AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+SELECT * FROM (
+  SELECT 'v1_unpartitioned' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM base
+  UNION ALL
+  SELECT 'v2_appended', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM both_
+  UNION ALL
+  SELECT 'v3_migrated', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM both_
+  UNION ALL
+  SELECT 'v3_pruned_purchase', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM both_ WHERE event_type = 'purchase'
+) ORDER BY phase
+""",
+)
+def lake_partition_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = LakeTable(session_tmpdir("partevo_") + "/t")
+    table.create(ev.where(F.col("user_id") < 200), stat_cols=["user_id"])
+    table.append(
+        ev.where((F.col("user_id") >= 200) & (F.col("user_id") < 300))
+    )
+    snap = table.repartition_layout(spark, ["event_type"])
+    assert snap.version == 3 and snap.partition_by == ("event_type",)
+
+    def stats(phase: str, df: DataFrame):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+
+    return (
+        stats("v1_unpartitioned", table.read(spark, version=1))
+        .unionAll(stats("v2_appended", table.read(spark, version=2)))
+        .unionAll(stats("v3_migrated", table.read(spark)))
+        .unionAll(
+            stats(
+                "v3_pruned_purchase",
+                table.read(
+                    spark, partition_filter={"event_type": "purchase"}
+                ),
+            )
+        )
+        .orderBy("phase")
+    )

@@ -3214,3 +3214,208 @@ def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the nation trade graph — the second classic
+# iterative-graph shape (after PageRank above), and the standard cluster-
+# coefficient building block. Uses the ordered-edge convention: undirected
+# edges canonicalized to a < b, triangles found as the 3-chain
+# (a,b)(b,c)(a,c) with a < b < c, so each triangle is produced exactly
+# once and the join fan-out is halved. Scale note: on a big graph the
+# ordering would be by (degree, id) — the standard heavy-hitter guard that
+# bounds each vertex's join fan-out by its ordered out-degree; on the
+# 25-node trade graph plain name ordering pins the same plan shape.
+# --------------------------------------------------------------------------
+@_q(
+    "graph_triangle_trade",
+    oracle="""
+WITH raw AS (
+  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE n1.n_name <> n2.n_name
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT v AS nation, n_triangles FROM pernode
+ORDER BY n_triangles DESC, nation
+""",
+)
+def graph_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    raw = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("b2a"))
+        .join(
+            e3,
+            (F.col("e3a") == F.col("e1.a")) & (F.col("e3b") == F.col("c")),
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return pernode.select(F.col("v").alias("nation"), "n_triangles").orderBy(
+        F.desc("n_triangles"), "nation"
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join — the genomics/observability classic: two interval
+# sets, find same-key overlapping pairs. Distinct from the point-in-
+# interval range join above (`join_range_event_order_window`): BOTH sides
+# are intervals. Scale design: each interval replicates to the fixed-width
+# bins it touches, the join runs on (user, bin) — never all-pairs — and
+# the canonical-bin guard (pair reported only in the bin containing the
+# overlap's START) makes each pair appear exactly once WITHOUT a distinct:
+# the dedup that usually costs a shuffle is free. View sessions
+# [ts, ts+30min] against error windows [ts, ts+10min], per user.
+# --------------------------------------------------------------------------
+_IVL_BIN_US = 1_800_000_000  # 30-minute bins = the longer interval width
+_IVL_VIEW_US = 1_800_000_000
+_IVL_ERR_US = 600_000_000
+
+
+@_q(
+    "join_interval_overlap",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+v AS (
+  SELECT user_id, event_id AS v_id, ts_us AS v_start,
+         ts_us + {_IVL_VIEW_US} AS v_end
+  FROM e WHERE event_type = 'view'
+),
+x AS (
+  SELECT user_id, event_id AS x_id, ts_us AS x_start,
+         ts_us + {_IVL_ERR_US} AS x_end
+  FROM e WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT v.user_id, v.v_id, x.x_id,
+         LEAST(v.v_end, x.x_end) - GREATEST(v.v_start, x.x_start) AS overlap_us
+  FROM v JOIN x ON v.user_id = x.user_id
+   AND v.v_start <= x.x_end AND x.x_start <= v.v_end
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us,
+       CAST(MIN(v_id) AS BIGINT) AS first_view_id
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import with_ts_us
+
+    ev = with_ts_us(t(spark, sf_dir, "events"))
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.lit(_IVL_VIEW_US)).alias("v_end"),
+    )
+    x = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("x_user_id"),
+        F.col("event_id").alias("x_id"),
+        F.col("ts").alias("x_start"),
+        (F.col("ts") + F.lit(_IVL_ERR_US)).alias("x_end"),
+    )
+    bin_of = lambda col: (F.col(col) / F.lit(_IVL_BIN_US)).cast("bigint")  # noqa: E731
+    vb = v.withColumn(
+        "bin",
+        F.explode(F.sequence(bin_of("v_start"), bin_of("v_end"))),
+    )
+    xb = x.withColumn(
+        "bin",
+        F.explode(F.sequence(bin_of("x_start"), bin_of("x_end"))),
+    )
+    pairs = (
+        vb.join(
+            xb,
+            (F.col("user_id") == F.col("x_user_id"))
+            & (vb["bin"] == xb["bin"])
+            & (F.col("v_start") <= F.col("x_end"))
+            & (F.col("x_start") <= F.col("v_end")),
+        )
+        # canonical-bin guard: emit the pair only in the bin holding the
+        # overlap's start, so replicated bins can't double-report
+        .where(
+            vb["bin"]
+            == (
+                F.greatest("v_start", "x_start") / F.lit(_IVL_BIN_US)
+            ).cast("bigint")
+        )
+        .select(
+            "user_id",
+            "v_id",
+            "x_id",
+            (
+                F.least("v_end", "x_end") - F.greatest("v_start", "x_start")
+            ).alias("overlap_us"),
+        )
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+            F.min("v_id").cast("bigint").alias("first_view_id"),
+        )
+        .orderBy("user_id")
+    )

@@ -841,3 +841,28 @@ def test_restore_drops_constraints_added_later(spark, tmp_path):
     assert t.snapshot().constraints is None
     t.append(bad)                                         # gate open
     assert t.read(spark).count() == 11
+
+
+def test_repartition_layout_migrates_and_preserves_history(spark, tmp_path):
+    """Layout migration is a rewrite commit: data identical, new Hive
+    layout prunes, old versions keep their old layout, later writes land
+    partitioned, and migrating back to unpartitioned works too."""
+    t = LakeTable(str(tmp_path / "m"))
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 10 AS v"
+    )
+    t.create(df, stat_cols=["k"])                          # v1 unpartitioned
+    snap = t.repartition_layout(spark, ["bucket"])         # v2 partitioned
+    assert snap.partition_by == ("bucket",)
+    assert t.read(spark).count() == 100                    # row-identical
+    assert t.read(spark, version=1).count() == 100         # old layout reads
+    pruned = t.read(spark, partition_filter={"bucket": "1"})
+    assert pruned.count() == 33 and {r.bucket for r in pruned.collect()} == {"1"}
+    assert all(f.get("partition") for f in t.snapshot().files)
+    t.append(spark.range(100, 110).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 10 AS v"
+    ))                                                     # v3 stays partitioned
+    assert all(f.get("partition") for f in t.snapshot().files)
+    assert t.repartition_layout(spark, ["bucket"]).version == 3  # no-op
+    back = t.repartition_layout(spark, ())                 # v4 unpartitioned
+    assert back.partition_by == () and t.read(spark).count() == 110
