@@ -550,6 +550,7 @@ class LakeTable:
         upserts: DataFrame,
         keys: Sequence[str],
         delete_keys: DataFrame | None = None,
+        merge_schema: bool = False,
     ) -> Snapshot:
         """Row-level MERGE, copy-on-write at file granularity.
 
@@ -567,7 +568,24 @@ class LakeTable:
         affected files + the batch is the entire I/O bill.
         """
         prev = self.snapshot()
-        self._check_schema(upserts, prev)
+        schema = prev.schema
+        if merge_schema:
+            # Delta's mergeSchema-on-MERGE: union-widen the batch against
+            # the table schema (new columns appended, table columns
+            # NULL-filled in the batch). Carried untouched files surface
+            # NULL for the added columns at read time — the declared-
+            # schema read (_read_files) makes the widen metadata-only for
+            # every file this commit doesn't rewrite.
+            upserts, schema = self._evolve(upserts, prev)
+            evolved = Snapshot(
+                version=prev.version, files=prev.files, schema=schema,
+                op=prev.op, parent=prev.parent, txn=prev.txn,
+                partition_by=prev.partition_by, txns=prev.txns,
+                constraints=prev.constraints,
+            )
+        else:
+            self._check_schema(upserts, prev)
+            evolved = prev
         self._check_constraints(upserts, prev)
         spark = upserts.sparkSession
         kill = upserts.select(*keys)
@@ -579,14 +597,16 @@ class LakeTable:
         stat_cols = sorted({*keys, *self._stat_cols(prev)})
         new_files: list[dict] = []
         if affected:
-            live = self._read_files(spark, [f["path"] for f in affected], prev)
+            # read affected files under the (possibly evolved) schema so
+            # kept rows union cleanly with the widened batch
+            live = self._read_files(spark, [f["path"] for f in affected], evolved)
             kept = live.join(kill, on=list(keys), how="left_anti")
             merged = kept.unionByName(upserts, allowMissingColumns=False)
             new_files = self._write_files(merged, stat_cols, prev.partition_by)
         else:
             new_files = self._write_files(upserts, stat_cols, prev.partition_by)
         return self._commit(
-            untouched + new_files, prev.schema, "upsert", prev,
+            untouched + new_files, schema, "upsert", prev,
             partition_by=prev.partition_by,
         )
 
@@ -1028,6 +1048,57 @@ class LakeTable:
             files, prev.schema, "compact", prev,
             partition_by=prev.partition_by,
         )
+
+    @classmethod
+    def convert_in_place(
+        cls,
+        spark: SparkSession,
+        parquet_path: str,
+        table_path: str,
+        stat_cols: Sequence[str] = (),
+    ) -> "LakeTable":
+        """CONVERT an existing plain-parquet dataset into a lake table
+        WITHOUT rewriting a byte (Delta's ``CONVERT TO DELTA`` / Iceberg's
+        ``add_files``): the v1 manifest references the source files by
+        absolute path, footer stats are harvested for pruning, and every
+        subsequent operation works normally — upserts rewrite only the
+        affected files into table-local storage while untouched source
+        files stay referenced in place; this table's vacuum never deletes
+        foreign absolute paths. This is the 100 TB onboarding path: a
+        petabyte of historical parquet becomes ACID-managed in O(#files)
+        metadata work instead of an O(data) rewrite. The source files
+        must be treated as immutable from then on (same contract as
+        Delta's in-place convert)."""
+        table = cls(table_path)
+        if table.exists():
+            raise FileExistsError(f"lake table already exists: {table_path}")
+        if os.path.isdir(parquet_path):
+            srcs = sorted(
+                glob.glob(
+                    os.path.join(parquet_path, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+        else:
+            srcs = [parquet_path]
+        if not srcs:
+            raise ValueError(f"no parquet files under {parquet_path}")
+        schema = spark.read.parquet(*srcs)._jdf.schema().toDDL()
+        files = []
+        for src in srcs:
+            info = _footer_stats(os.path.abspath(src), list(stat_cols))
+            if info["rows"] == 0:
+                continue
+            files.append(
+                {
+                    "path": os.path.abspath(src),
+                    "rows": info["rows"],
+                    "stats": info["stats"],
+                }
+            )
+        os.makedirs(table_path, exist_ok=True)
+        table._commit(files, schema, f"convert:{parquet_path}", None)
+        return table
 
     def repartition_layout(
         self, spark: SparkSession, partition_by: Sequence[str]

@@ -1482,3 +1482,136 @@ def lake_partition_evolution_state(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("phase")
     )
+
+
+# --------------------------------------------------------------------------
+# CONVERT TO lake-table in place (Delta CONVERT / Iceberg add_files): the
+# fixture's raw orders.parquet becomes an ACID table in metadata-only
+# work — v1 references the source file by absolute path, zero bytes
+# copied — then a keyed price-correction upsert proves the converted
+# table behaves like any other (copy-on-write lands in table-local
+# storage; the source file is never touched). The onboarding path for
+# historical data at 100 TB: O(#files) manifest work, not an O(data)
+# rewrite. Oracle recomputes both phases from the fixture.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_convert_in_place_state",
+    oracle="""
+WITH fixed AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'v1_converted' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+  FROM orders
+  UNION ALL
+  SELECT 'v2_upserted', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM fixed
+) ORDER BY phase
+""",
+)
+def lake_convert_in_place_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    table = LakeTable.convert_in_place(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        session_tmpdir("convert_") + "/t",
+        stat_cols=["o_orderkey"],
+    )
+    assert all(os.path.isabs(f["path"]) for f in table.snapshot().files)
+    v1 = table.read(spark).agg(
+        F.lit("v1_converted").alias("phase"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    # force the v1 aggregate to materialize before the upsert commits v2
+    v1_rows = v1.collect()
+    corrections = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+    )
+    table.upsert(corrections, keys=["o_orderkey"])
+    v2 = table.read(spark).agg(
+        F.lit("v2_upserted").alias("phase"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return (
+        spark.createDataFrame(v1_rows, v1.schema).unionAll(v2).orderBy("phase")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution ON THE MERGE PATH (Delta mergeSchema-on-MERGE; the
+# append-side twin is lake_schema_evolution_state): a quality-tagging
+# backfill upserts re-scored rows that carry a NEW quality_tier column —
+# the same commit widens the table schema, rewrites only the affected
+# rows, and every carried row surfaces NULL for the new column via the
+# declared-schema read (metadata-only for untouched files). The oracle
+# recomputes the merged state incl. the NULL bucket from the fixture.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_upsert_schema_evolution",
+    oracle="""
+WITH rescored AS (
+  SELECT event_id, user_id, value * 2.0 AS value,
+         CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'silver' END AS quality_tier
+  FROM events WHERE user_id < 50
+),
+merged AS (
+  SELECT e.event_id, e.user_id, e.value, CAST(NULL AS VARCHAR) AS quality_tier
+  FROM events e
+  WHERE e.event_id NOT IN (SELECT event_id FROM rescored)
+  UNION ALL
+  SELECT * FROM rescored
+)
+SELECT COALESCE(quality_tier, 'legacy') AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM merged
+GROUP BY 1
+ORDER BY tier
+""",
+)
+def lake_upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table = LakeTable(session_tmpdir("upsert_evo_") + "/t")
+    table.create(
+        ev.repartitionByRange(4, "event_id"), stat_cols=["event_id"]
+    )
+    batch = (
+        ev.where(F.col("user_id") < 50)
+        .withColumn("value", F.col("value") * 2.0)
+        .withColumn(
+            "quality_tier",
+            F.when(F.col("user_id") % 2 == 0, "gold").otherwise("silver"),
+        )
+    )
+    table.upsert(batch, keys=["event_id"], merge_schema=True)
+    return (
+        table.read(spark)
+        .groupBy(
+            F.coalesce("quality_tier", F.lit("legacy")).alias("tier")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("tier")
+    )

@@ -901,3 +901,87 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# POLYMORPHIC Python UDTF — the analyze-time-schema leg of the UDTF
+# surface (`text_udtf_lateral_chunks` pins the static-schema leg): the
+# output columns are derived from a literal argument by the UDTF's
+# static ``analyze`` method at plan time, the way built-in generators
+# like inline() shape themselves to their input. The function splits an
+# epoch-µs timestamp into the REQUESTED calendar parts — one column per
+# part name in the literal — so the same registration serves any
+# projection. Python eval is per-row (the deliberate slow path: this
+# query certifies the API seam over a pushed-down user slice; calendar
+# math in bulk stays codegen via the scalar_date query), and the
+# conversion floors to whole seconds in INTEGER math so an exactly-on-
+# boundary timestamp can't flip parts under float division error.
+# --------------------------------------------------------------------------
+_UDTF_PARTS = "year,month,day,hour"
+
+
+@_q(
+    "events_udtf_polymorphic",
+    oracle="""
+WITH p AS (
+  SELECT CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS year,
+         CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS month,
+         CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+         CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour
+  FROM events WHERE user_id < 20
+)
+SELECT year, month,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(MIN(hour) AS BIGINT) AS min_hour,
+       CAST(MAX(hour) AS BIGINT) AS max_hour
+FROM p
+GROUP BY year, month
+ORDER BY year, month
+""",
+)
+def events_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from aws_glue_data_lake_spark.tables import with_ts_us
+
+    class DateParts:
+        @staticmethod
+        def analyze(ts: AnalyzeArgument, parts: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for p in parts.value.split(","):
+                schema = schema.add(p.strip(), LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, ts_us, parts):
+            import datetime
+
+            if ts_us is None:
+                return
+            dt = datetime.datetime.utcfromtimestamp(ts_us // 1_000_000)
+            vals = {
+                "year": dt.year,
+                "month": dt.month,
+                "day": dt.day,
+                "hour": dt.hour,
+            }
+            yield tuple(vals[p.strip()] for p in parts.split(","))
+
+    spark.udtf.register("date_parts", udtf(DateParts))
+    with_ts_us(t(spark, sf_dir, "events")).where(
+        F.col("user_id") < 20
+    ).createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        f"""
+        SELECT p.year, p.month,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT p.day) AS BIGINT) AS n_days,
+               CAST(MIN(p.hour) AS BIGINT) AS min_hour,
+               CAST(MAX(p.hour) AS BIGINT) AS max_hour
+        FROM events_udtf_v e, LATERAL date_parts(e.ts, '{_UDTF_PARTS}') p
+        GROUP BY p.year, p.month
+        ORDER BY p.year, p.month
+        """
+    )

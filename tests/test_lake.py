@@ -866,3 +866,59 @@ def test_repartition_layout_migrates_and_preserves_history(spark, tmp_path):
     assert t.repartition_layout(spark, ["bucket"]).version == 3  # no-op
     back = t.repartition_layout(spark, ())                 # v4 unpartitioned
     assert back.partition_by == () and t.read(spark).count() == 110
+
+
+def test_convert_in_place_zero_copy(spark, tmp_path):
+    """CONVERT references source parquet by absolute path (no copy);
+    upserts rewrite only affected files into table-local storage while
+    untouched source files stay referenced; vacuum never deletes the
+    foreign source files."""
+    src_dir = str(tmp_path / "raw")
+    spark.range(100).selectExpr("id AS k", "id * 10 AS v").repartitionByRange(
+        4, "k"
+    ).write.parquet(src_dir)
+    t = LakeTable.convert_in_place(
+        spark, src_dir, str(tmp_path / "t"), stat_cols=["k"]
+    )
+    snap = t.snapshot()
+    assert len(snap.files) == 4
+    assert all(os.path.isabs(f["path"]) for f in snap.files)
+    assert t.read(spark).count() == 100
+    assert t.stat_max("k") == 99  # footer stats harvested at convert
+
+    n_src = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    t.upsert(spark.createDataFrame([(0, -1)], "k long, v long"), keys=["k"])
+    after = t.snapshot()
+    foreign = [f for f in after.files if os.path.isabs(f["path"])]
+    assert len(foreign) == 3  # three source files carried by reference
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[0] == -1 and got[99] == 990 and len(got) == 100
+
+    t.vacuum(keep_versions=1)
+    assert (
+        len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+        == n_src
+    ), "vacuum must never delete foreign source files"
+    assert t.read(spark).count() == 100
+
+
+def test_upsert_merge_schema_widens(spark, tmp_path):
+    """mergeSchema on the MERGE path: an upsert batch carrying a new
+    column widens the table schema in the same commit; carried untouched
+    files surface NULL for the new column at read time; a type change is
+    still rejected."""
+    t = _table(spark, tmp_path, n=100, files=4)
+    batch = spark.createDataFrame(
+        [(5, -1, "gold"), (200, -2, "silver")], "k long, v long, tier string"
+    )
+    with pytest.raises(ValueError):
+        t.upsert(batch, keys=["k"])  # without merge_schema: rejected
+    t.upsert(batch, keys=["k"], merge_schema=True)
+    got = {r["k"]: (r["v"], r["tier"]) for r in t.read(spark).collect()}
+    assert got[5] == (-1, "gold") and got[200] == (-2, "silver")
+    assert got[6] == (60, None)  # carried row: NULL-backfilled
+    assert len(got) == 101
+    assert "tier" in t.snapshot().schema
+    bad = spark.createDataFrame([(1, 1, 2.5)], "k long, v long, tier double")
+    with pytest.raises(ValueError):
+        t.upsert(bad, keys=["k"], merge_schema=True)  # type change = migration
