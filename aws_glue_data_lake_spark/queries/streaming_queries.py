@@ -1857,3 +1857,62 @@ def streaming_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         converted, output_mode="append", shuffle_partitions=4
     )
     return final.orderBy("user_id", "view_event_id")
+
+
+# ---------------------------------------------------------------------------
+# UPDATE output mode — the third output-mode leg (append and complete are
+# pinned by the window/join queries): a running per-type aggregate over a
+# time-ordered 4-quartile replay emits, in each micro-batch, ONLY the
+# keys whose state changed — so the memory sink accumulates the full
+# update HISTORY, one row per (type, quartile-with-arrivals) holding the
+# cumulative count/sum at that point. That history is exactly SQL: the
+# running window over per-quartile deltas, filtered to quartiles with a
+# delta. Exact-decimal running sums make every emitted snapshot
+# hash-comparable. Scale: update mode is what a live dashboard sink
+# consumes — per-batch output is |changed keys|, not |all keys|.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_update_mode_counts",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+span AS (SELECT MIN(ts_us) AS tmin, MAX(ts_us) AS tmax FROM e),
+banded AS (
+  SELECT e.*, (4 * (ts_us - tmin)) // (tmax - tmin + 1) AS band FROM e, span
+),
+per_band AS (
+  SELECT event_type, band,
+         CAST(COUNT(*) AS BIGINT) AS dn, SUM(v) AS dv
+  FROM banded GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(dn) OVER w AS BIGINT) AS n_events,
+       CAST(SUM(dv) OVER w AS DOUBLE) AS value_sum
+FROM per_band
+WINDOW w AS (PARTITION BY event_type ORDER BY band)
+ORDER BY event_type, n_events
+""",
+)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.queries.base import t as t_
+
+    ev = t_(spark, sf_dir, "events")
+    us = ts_us_col(ev)
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    band = (F.lit(4) * (us - F.lit(lo))) / F.lit(hi - lo + 1)
+    batches = [
+        ev.where(band.cast("bigint") == i) for i in range(4)
+    ]
+    stage = stage_ordered_batches(batches)
+    stream = read_staged_batches_stream(spark, stage)
+    running = stream.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    final = run_available_now(running, output_mode="update")
+    return final.orderBy("event_type", "n_events")
