@@ -3419,3 +3419,149 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Observation API (df.observe) — free-rider data-quality counters: audit
+# metrics computed ON THE SAME PASS as the query's own work, no second
+# scan (the production pattern: every write job observes row counts and
+# violation tallies for its lineage system at zero marginal cost). The
+# observe node's metrics are collected driver-side after the action and
+# returned next to the query's own aggregate; the oracle recomputes all
+# four from the fixture, so the green hash certifies the metric values
+# themselves — not just that the API ran.
+# --------------------------------------------------------------------------
+@_q(
+    "scan_observe_metrics",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted,
+       {dsum_sql("l_quantity", "qty_sum")},
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+FROM lineitem
+""",
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+        dsum(F.col("l_quantity")).alias("qty_sum"),
+    )
+    # the query's "own work": a distinct count that consumes every row,
+    # pulling the full table through the observe node in one pass
+    n_flags = (
+        observed.agg(F.countDistinct("l_returnflag").cast("bigint")).first()[0]
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_discounted"], m["qty_sum"], n_flags)],
+        "n_rows bigint, n_discounted bigint, qty_sum double, n_flags bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted median — the importance-weighted quantile every sampling
+# pipeline needs (median price weighted by shipped quantity, here), for
+# which neither engine has an exact builtin: computed as the classic
+# cumulative-weight rule — sort the group, take the first value whose
+# running weight reaches half the total. Exact decimal weights make the
+# comparison tie-free cross-engine, and the ORDER BY carries the unique
+# (orderkey, linenumber) tiebreak. One window exchange per group key.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_weighted_median_price",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS p,
+         CAST(l_quantity AS DECIMAL(18,6)) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT *,
+         SUM(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY p, l_orderkey, l_linenumber) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       MIN(p) AS weighted_median,
+       CAST(MIN(tw) AS DOUBLE) AS total_weight
+FROM c WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy(
+        "p", "l_orderkey", "l_linenumber"
+    )
+    wt_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "p",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_all).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregate fold (BIT_AND / BIT_OR / BIT_XOR + bit_count) — the
+# flag-mask algebra ops pipelines use for permission masks and feature
+# flags, and the order-independent XOR checksum used to cheaply compare
+# table contents across systems. All integer-exact, all map-side
+# combinable (each is associative+commutative), so the plan is a plain
+# partial+final aggregate.
+# --------------------------------------------------------------------------
+@_q(
+    "scalar_bitwise_fold",
+    oracle="""
+SELECT event_type,
+       CAST(BIT_XOR(event_id) AS BIGINT) AS id_xor_checksum,
+       CAST(BIT_AND(event_id) AS BIGINT) AS id_and_mask,
+       CAST(BIT_OR(event_id % 256) AS BIGINT) AS low_byte_or,
+       CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_set_bits
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def scalar_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_xor("event_id").cast("bigint").alias("id_xor_checksum"),
+            F.bit_and("event_id").cast("bigint").alias("id_and_mask"),
+            F.bit_or(F.col("event_id") % 256)
+            .cast("bigint")
+            .alias("low_byte_or"),
+            F.sum(F.bit_count("event_id")).cast("bigint").alias("total_set_bits"),
+        )
+        .orderBy("event_type")
+    )
