@@ -1348,78 +1348,12 @@ _PQ_DSUB = 16    # dims per subspace
 _PQ_K = 16       # codewords per subspace (seeded from the 16 lowest vec_ids)
 
 
-@_q(
-    "sim_pq_adc_topk",
-    oracle=f"""
-WITH dims AS (
-  SELECT UNNEST(generate_series(1,
-    (SELECT MAX(len(embedding)) FROM embeddings))) AS i
-),
-sc AS (
-  SELECT i, GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-30) AS s
-  FROM embeddings CROSS JOIN dims
-  GROUP BY i
-),
-q AS (
-  SELECT vec_id, sc.i,
-         CAST(ROUND(CAST(embedding[sc.i] AS DOUBLE) / sc.s * 127) AS BIGINT)
-           AS qv
-  FROM embeddings CROSS JOIN sc
-),
-sub AS (
-  SELECT vec_id, (i - 1) // {_PQ_DSUB} AS m, (i - 1) % {_PQ_DSUB} AS d, qv
-  FROM q
-),
-cb AS (
-  SELECT vec_id AS c, m, d, qv AS cv FROM sub WHERE vec_id < {_PQ_K}
-),
-enc AS (
-  SELECT s.vec_id, s.m, c.c, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS dist
-  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
-  GROUP BY 1, 2, 3
-),
-codes AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                 ORDER BY dist, c) AS rn
-    FROM enc
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT s.vec_id AS query_id, c.m, c.c AS code, SUM(s.qv * c.cv) AS ip
-  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
-  WHERE s.vec_id IN {_QIDS_SQL}
-  GROUP BY 1, 2, 3
-),
-adc AS (
-  SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.ip) AS dot
-  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
-  WHERE cd.vec_id <> l.query_id
-  GROUP BY 1, 2
-),
-pq AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY dot DESC, neighbor_id) AS rn
-    FROM adc
-  ) WHERE rn <= {_TOP_K}
-),
-exact AS ({{exact}})
-SELECT e.query_id,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_hit,
-       ROUND(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-             * 1.0 / COUNT(*), 6) AS recall_at_k
-FROM exact e
-LEFT JOIN pq p
-  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id
-""".format(exact=REGISTRY.oracles["sim_topk_bruteforce"]),
-)
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codes_and_lut(spark: SparkSession, sf_dir: str):
+    """Build the PQ index pieces shared by sim_pq_adc_topk and
+    sim_ivfpq_topk: ``enc`` (vec_id, m, code — the compressed corpus, M
+    small ints per vector) and ``lut`` (query_id, lut_m, code, ip — the
+    broadcastable |Q|·M·K ADC lookup table). All math after the int8
+    per-dim quantization is int64 — exact in both engines."""
     e = t(spark, sf_dir, "embeddings")
     # per-dim int8 scales -> one broadcast 64-element array (as in
     # sim_quantized_recall)
@@ -1497,10 +1431,251 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_ip(F.col("sub"), F.col("csub")).alias("ip"),
         )
     )
+    return enc, lut
+
+
+#: Shared PQ-index CTE pyramid (quantize -> subvectors -> codebook ->
+#: encode -> codes + query LUT), reused by sim_pq_adc_topk and sim_ivfpq_topk.
+_PQ_INDEX_CTES = f"""dims AS (
+  SELECT UNNEST(generate_series(1,
+    (SELECT MAX(len(embedding)) FROM embeddings))) AS i
+),
+sc AS (
+  SELECT i, GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-30) AS s
+  FROM embeddings CROSS JOIN dims
+  GROUP BY i
+),
+q AS (
+  SELECT vec_id, sc.i,
+         CAST(ROUND(CAST(embedding[sc.i] AS DOUBLE) / sc.s * 127) AS BIGINT)
+           AS qv
+  FROM embeddings CROSS JOIN sc
+),
+sub AS (
+  SELECT vec_id, (i - 1) // {_PQ_DSUB} AS m, (i - 1) % {_PQ_DSUB} AS d, qv
+  FROM q
+),
+cb AS (
+  SELECT vec_id AS c, m, d, qv AS cv FROM sub WHERE vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT s.vec_id, s.m, c.c, SUM((s.qv - c.cv) * (s.qv - c.cv)) AS dist
+  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, c.m, c.c AS code, SUM(s.qv * c.cv) AS ip
+  FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+  WHERE s.vec_id IN {_QIDS_SQL}
+  GROUP BY 1, 2, 3
+)"""
+
+
+@_q(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_INDEX_CTES},
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.ip) AS dot
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_TOP_K}
+),
+exact AS ({{exact}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN pq p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(exact=REGISTRY.oracles["sim_topk_bruteforce"]),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc, lut = _pq_codes_and_lut(spark, sf_dir)
     adc = (
         enc.join(
             F.broadcast(lut),
             (F.col("m") == F.col("lut_m")) & (enc["code"] == lut["code"]),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ip").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    pq = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    exact = REGISTRY.queries["sim_topk_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — the composition faiss ships as its production default
+# (IndexIVFPQ): the IVF coarse quantizer restricts each query to nprobe
+# centroid buckets, and within those buckets the scan reads ONLY the PQ
+# codes (M small ints/vector) scored via the broadcast ADC lookup table.
+# Query cost is |probed fraction of corpus| × M lookups — both the
+# partition pruning AND the 64× row compression compound, which is the
+# whole reason billion-scale indexes are IVF-PQ rather than either half
+# alone. Same exact-integer PQ pieces as sim_pq_adc_topk (shared
+# _pq_codes_and_lut) and the same ROUND-6 cosine IVF assignment as
+# sim_ivf_topk, so the composed index is oracle-reproducible; recall@k
+# vs the exact baseline is the hash-verified contract.
+# --------------------------------------------------------------------------
+@_q(
+    "sim_ivfpq_topk",
+    oracle=f"""
+WITH {{pq_ctes}},{_NV_SQL},
+cent AS (SELECT vec_id AS centroid_id, embedding, norm FROM nv
+         WHERE vec_id < {_N_CENTROIDS}),
+assign_scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({_DOT_SQL.format(a='v.embedding', b='c.embedding')}
+                          / (v.norm * c.norm), 6) DESC, c.centroid_id) AS crnk
+  FROM nv v CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, centroid_id FROM assign_scored WHERE crnk = 1),
+qq AS (SELECT * FROM nv WHERE vec_id IN {_QIDS_SQL}),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qq.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.vec_id
+             ORDER BY ROUND({_DOT_SQL.format(a='qq.embedding', b='c.embedding')}
+                            / (qq.norm * c.norm), 6) DESC, c.centroid_id) AS prnk
+    FROM qq CROSS JOIN cent c
+  ) WHERE prnk <= {_N_PROBE}
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.ip) AS dot
+  FROM codes cd
+  JOIN assigned a ON a.vec_id = cd.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN lut l ON l.m = cd.m AND l.code = cd.code AND l.query_id = p.query_id
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_TOP_K}
+),
+exact AS ({{exact}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN pq p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(
+        pq_ctes=_PQ_INDEX_CTES,
+        exact=REGISTRY.oracles["sim_topk_bruteforce"],
+    ),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc, lut = _pq_codes_and_lut(spark, sf_dir)
+    nv = _nv(spark, sf_dir)
+    cent = nv.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("che"),
+        F.col("norm").alias("chn"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.col("centroid_id")
+    )
+    assigned = (
+        nv.join(F.broadcast(cent))
+        .select(
+            "vec_id", "centroid_id",
+            _cosine(
+                F.col("embedding"), F.col("norm"), F.col("che"), F.col("chn")
+            ).alias("cos_c"),
+        )
+        .withColumn("crnk", F.row_number().over(aw))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = nv.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("pq_query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pw = Window.partitionBy("pq_query_id").orderBy(
+        F.desc("cos_q"), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "pq_query_id", "centroid_id",
+            _cosine(F.col("qe"), F.col("qn"), F.col("che"), F.col("chn")).alias(
+                "cos_q"
+            ),
+        )
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _N_PROBE)
+        .select("pq_query_id", "centroid_id")
+    )
+    # the serving scan: codes ⨝ bucket assignment, pruned to the probed
+    # (query, bucket) pairs, ADC-scored via the broadcast LUT
+    bucketed = (
+        enc.withColumnRenamed("code", "v_code")
+        .join(assigned, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+    )
+    adc = (
+        bucketed.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lut_m"))
+            & (F.col("v_code") == F.col("code"))
+            & (F.col("pq_query_id") == F.col("query_id")),
         )
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
