@@ -3565,3 +3565,82 @@ def scalar_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence audit — the categorical drift test a data-
+# quality suite runs next to the numeric z-test (dq_daily_value_drift):
+# is event_type independent of hour-of-day? Observed counts come from one
+# exact integer aggregate; expected = row·col/N and each cell's
+# (O−E)²/E are computed with identical IEEE ops from those exact ints, so
+# per-cell values are bit-identical cross-engine; the statistic then sums
+# the cells as ROUND-6 DECIMALs — an exact, order-free sum of identical
+# summands (the float-sum-ordering trap this codebase's conventions
+# exist to avoid). Output: per-type chi² contribution + dof.
+# --------------------------------------------------------------------------
+@_q(
+    "dq_chi2_type_hour",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, hr, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(SUM(obs) OVER (PARTITION BY hr) AS BIGINT) AS col_n,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM o
+),
+cells AS (
+  SELECT event_type, hr,
+         CAST(ROUND(
+           (obs - CAST(row_n AS DOUBLE) * col_n / n)
+           * (obs - CAST(row_n AS DOUBLE) * col_n / n)
+           / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS DECIMAL(18,6)) AS cell
+  FROM tot
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(cell) AS DOUBLE) AS chi2_contribution
+FROM cells
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def dq_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_glue_data_lake_spark.tables import ts_us_col
+
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", F.timestamp_micros(ts_us_col(ev)))
+    o = (
+        ev.groupBy(
+            "event_type", F.hour("event_time").cast("bigint").alias("hr")
+        )
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    tot = o.select(
+        "event_type",
+        "hr",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("hr")).alias("col_n"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    # (O-E)*(O-E), not POWER(x, 2): libm pow is not guaranteed
+    # correctly-rounded identically across engines; plain multiply is.
+    dev = F.col("obs") - expected
+    cell = F.round(dev * dev / expected, 6).cast("decimal(18,6)")
+    return (
+        tot.select("event_type", "hr", cell.alias("cell"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("cell").cast("double").alias("chi2_contribution"),
+        )
+        .orderBy("event_type")
+    )

@@ -1916,3 +1916,93 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = run_available_now(running, output_mode="update")
     return final.orderBy("event_type", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# ONE stream, TWO sinks, exactly-once on both — the medallion fan-out
+# (bronze raw + silver aggregate) done correctly: a single foreachBatch
+# writes the raw rows to one lake table and the per-type running deltas
+# to another, BOTH through append_stream_batch with the same
+# (writer, batch_id) txn — so when a batch is redelivered (simulated
+# here by re-appending batch 0's payload after the drain), each table
+# independently detects the replay and no-ops.
+# Final state of BOTH tables is hash-verified: raw equals the fixture,
+# aggregate equals the grouped oracle — the cross-table consistency a
+# dashboard reading silver against bronze depends on.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_two_sink_medallion",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY event_type
+),
+raw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM events
+)
+SELECT event_type, n_events, value_sum FROM agg
+UNION ALL
+SELECT '_raw_total', n_events, value_sum FROM raw
+ORDER BY event_type
+""",
+)
+def streaming_two_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(
+        spark, sf_dir, n_files=6, max_files_per_trigger=1
+    )
+    tmp = session_tmpdir("two_sink_")
+    bronze = LakeTable(f"{tmp}/bronze")
+    silver = LakeTable(f"{tmp}/silver")
+
+    def fan_out(batch: DataFrame, batch_id: int) -> None:
+        raw = batch.select("event_id", "user_id", "event_type", "value")
+        delta = raw.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        for table, df in ((bronze, raw), (silver, delta)):
+            if not table.exists():
+                # empty CTAS pins the schema so batch 0 goes through the
+                # same idempotent append path as every other batch
+                table.create(df.limit(0))
+            table.append_stream_batch(df, writer_id="medallion", batch_id=batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("two-sink stream did not drain within 120s")
+    finally:
+        q.stop()
+    # at-least-once simulation: redeliver the FIRST batch's payload with
+    # its original batch_id — both tables must detect the replay and no-op
+    replay = bronze.read(spark).limit(50)
+    assert bronze.append_stream_batch(replay, writer_id="medallion", batch_id=0) is None
+    assert silver.append_stream_batch(replay.groupBy("event_type").count().withColumnRenamed("count", "n_events").withColumn("value_sum", F.lit(0.0)), writer_id="medallion", batch_id=0) is None
+    agg = (
+        silver.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(F.col("value_sum").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+    raw_total = bronze.read(spark).agg(
+        F.lit("_raw_total").alias("event_type"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    return agg.unionByName(raw_total).orderBy("event_type")
