@@ -41,6 +41,7 @@ def asof_join(
     payload: Sequence[str],
     tiebreak: str,
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Return ``left`` with ``payload`` columns from the as-of-matched right
     row (NULL when no right row qualifies).
@@ -60,6 +61,14 @@ def asof_join(
     All three directions keep the single-shuffle plan: nearest adds a
     second Window over the SAME key partitioning (one exchange, two
     in-partition sorts), never a second shuffle.
+
+    ``tolerance`` (same unit as the time columns; typically epoch-µs)
+    bounds the match distance, as in pandas ``merge_asof(tolerance=...)``:
+    a carried right row farther than ``tolerance`` from the left row's
+    time yields NULL payload instead — applied per side BEFORE nearest
+    chooses, so nearest falls back to the other side when only one is in
+    range. Plan-neutral: the bound is a scan-side predicate on the
+    already-carried times, never a join condition.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
@@ -99,18 +108,34 @@ def asof_join(
         .orderBy("_t", (1 - F.col("_side")), F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    def _b_ok():
+        ok = F.col("_b__rt").isNotNull()
+        if tolerance is not None:
+            ok = ok & ((F.col("_t") - F.col("_b__rt")) <= F.lit(tolerance))
+        return ok
+
+    def _f_ok():
+        ok = F.col("_f__rt").isNotNull()
+        if tolerance is not None:
+            ok = ok & ((F.col("_f__rt") - F.col("_t")) <= F.lit(tolerance))
+        return ok
+
     if direction == "backward":
         carried = unioned.select(
             "*",
             *[F.last(p, ignorenulls=True).over(wb).alias(f"_b_{p}") for p in carry],
         )
-        picked = [F.col(f"_b_{p}").alias(p) for p in payload]
+        picked = [
+            F.when(_b_ok(), F.col(f"_b_{p}")).alias(p) for p in payload
+        ]
     elif direction == "forward":
         carried = unioned.select(
             "*",
             *[F.first(p, ignorenulls=True).over(wf).alias(f"_f_{p}") for p in carry],
         )
-        picked = [F.col(f"_f_{p}").alias(p) for p in payload]
+        picked = [
+            F.when(_f_ok(), F.col(f"_f_{p}")).alias(p) for p in payload
+        ]
     else:  # nearest
         carried = unioned.select(
             "*",
@@ -118,16 +143,19 @@ def asof_join(
             *[F.first(p, ignorenulls=True).over(wf).alias(f"_f_{p}") for p in carry],
         )
         bt, ft = F.col("_b__rt"), F.col("_f__rt")
-        use_f = bt.isNull() | (
-            ft.isNotNull() & ((ft - F.col("_t")) < (F.col("_t") - bt))
+        b_ok, f_ok = _b_ok(), _f_ok()
+        use_f = f_ok & (
+            ~b_ok | ((ft - F.col("_t")) < (F.col("_t") - bt))
         )
         picked = [
-            F.when(use_f, F.col(f"_f_{p}")).otherwise(F.col(f"_b_{p}")).alias(p)
+            F.when(use_f, F.col(f"_f_{p}"))
+            .when(b_ok, F.col(f"_b_{p}"))
+            .alias(p)
             for p in payload
         ] + [
-            F.when(bt.isNull() & ft.isNull(), F.lit(None).cast("string"))
-            .when(use_f, F.lit("F"))
-            .otherwise(F.lit("B"))
+            F.when(use_f, F.lit("F"))
+            .when(b_ok, F.lit("B"))
+            .otherwise(F.lit(None).cast("string"))
             .alias("_asof_direction")
         ]
     return (

@@ -3644,3 +3644,84 @@ def dq_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with TOLERANCE (pandas merge_asof(tolerance=...)): the
+# staleness bound every feature-store lookup needs — a feature older than
+# the budget is worse than no feature (training would learn from expired
+# state). Same single-shuffle union-and-carry as the other as-of
+# directions; the bound is a scan-side predicate on the carried right
+# time, never a join condition, so the plan is unchanged. Events match
+# their user's latest order only if it is at most 30 days old.
+# --------------------------------------------------------------------------
+_ASOF_TOL_US = 30 * 86_400_000_000  # 30 days
+
+
+@_q(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH l AS (
+  SELECT user_id AS k, CAST(EPOCH_US(ts) AS BIGINT) AS t, 1 AS side,
+         CAST(NULL AS BIGINT) AS tb,
+         event_id, CAST(NULL AS BIGINT) AS o_orderkey,
+         CAST(NULL AS DOUBLE) AS o_totalprice,
+         CAST(NULL AS BIGINT) AS ort
+  FROM events WHERE user_id < 50
+), r AS (
+  SELECT o_custkey AS k, CAST(EPOCH_US(o_orderdate) AS BIGINT) AS t, 0 AS side,
+         o_orderkey AS tb,
+         CAST(NULL AS BIGINT) AS event_id,
+         o_orderkey, o_totalprice,
+         CAST(EPOCH_US(o_orderdate) AS BIGINT) AS ort
+  FROM orders WHERE o_custkey < 50
+), u AS (
+  SELECT * FROM l UNION ALL BY NAME SELECT * FROM r
+), carried AS (
+  SELECT *,
+    LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS c_orderkey,
+    LAST_VALUE(o_totalprice IGNORE NULLS) OVER w AS c_totalprice,
+    LAST_VALUE(ort IGNORE NULLS) OVER w AS c_t
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t, side, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, t AS ts_us,
+       CASE WHEN t - c_t <= {_ASOF_TOL_US} THEN c_orderkey END AS asof_orderkey,
+       CASE WHEN t - c_t <= {_ASOF_TOL_US} THEN c_totalprice END AS asof_totalprice
+FROM carried WHERE side = 1
+ORDER BY event_id
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.operators.asof import asof_join
+
+    ev_raw = t(spark, sf_dir, "events")
+    ev = ev_raw.where(F.col("user_id") < 50).select(
+        "event_id", F.col("user_id").alias("k"),
+        ts_us_col(ev_raw).alias("ts_us"),
+    )
+    o_raw = t(spark, sf_dir, "orders")
+    orders = o_raw.where(F.col("o_custkey") < 50).select(
+        F.col("o_custkey").alias("k"),
+        ts_us_col(o_raw, "o_orderdate").alias("order_t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key="k",
+        left_time="ts_us",
+        right_time="order_t",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        tolerance=_ASOF_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts_us",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    ).orderBy("event_id")
