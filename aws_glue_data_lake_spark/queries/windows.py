@@ -1043,3 +1043,54 @@ def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over user event sequences — the behavioral
+# model behind next-action prediction and session simulation: P(next
+# type | current type), estimated from each user's time-ordered stream.
+# One LEAD over the user-keyed window (single exchange), then a
+# |types|²-sized aggregate; probabilities are exact-integer ratios
+# rounded to 6, so the matrix hash-matches cross-engine. The path-mining
+# twin (events_path_triples) ranks raw trigrams; this one normalizes to
+# per-state distributions.
+# --------------------------------------------------------------------------
+@_q(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(EPOCH_US(ts) AS BIGINT), event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+FROM c
+ORDER BY event_type, next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        c.withColumn(
+            "p",
+            F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6),
+        )
+        .orderBy("event_type", "next_type")
+    )
