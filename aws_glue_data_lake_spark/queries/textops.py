@@ -1460,3 +1460,78 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_ranks"),
         F.round(slope, 6).alias("zipf_slope"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Source-concentration audit (Gini coefficient + top-share) — the "is my
+# corpus dominated by a few crawls?" diagnostic run before fixing a
+# training mixture: Gini over per-source char mass via the rank formula
+# G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n on the sorted sizes. Everything stays
+# exact integer math (ranks × bigint sizes) until the one final division,
+# rounded to 6 — so the coefficient hash-matches cross-engine. The rank
+# window runs over the source-cardinality aggregate, never the corpus.
+# --------------------------------------------------------------------------
+@_q(
+    "text_source_gini",
+    oracle="""
+WITH x AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sz
+  FROM documents GROUP BY source
+), r AS (
+  SELECT sz,
+         ROW_NUMBER() OVER (ORDER BY sz, source) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(sz) OVER () AS BIGINT) AS total
+  FROM x
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_sources,
+       CAST(MIN(total) AS BIGINT) AS total_chars,
+       ROUND(2.0 * SUM(i * sz) / (MIN(n) * CAST(MIN(total) AS DOUBLE))
+             - (MIN(n) + 1.0) / MIN(n), 6) AS gini,
+       ROUND(CAST(MAX(CASE WHEN i > n - 5 THEN run5 END) AS DOUBLE)
+             / MIN(total), 6) AS top5_share
+FROM (
+  SELECT *, SUM(CASE WHEN i > n - 5 THEN sz ELSE 0 END) OVER () AS run5
+  FROM r
+)
+GROUP BY ()
+""",
+)
+def text_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("sz"))
+    )
+    wr = Window.orderBy("sz", "source")
+    wall = Window.partitionBy()
+    r = x.select(
+        "sz",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("sz").over(wall).cast("bigint").alias("total"),
+    )
+    r = r.withColumn(
+        "run5",
+        F.sum(F.when(F.col("i") > F.col("n") - 5, F.col("sz")).otherwise(0))
+        .over(wall),
+    )
+    return r.agg(
+        F.min("n").cast("bigint").alias("n_sources"),
+        F.min("total").cast("bigint").alias("total_chars"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("sz"))
+            / (F.min("n") * F.min("total").cast("double"))
+            - (F.min("n") + F.lit(1.0)) / F.min("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.max(
+                F.when(F.col("i") > F.col("n") - 5, F.col("run5"))
+            ).cast("double")
+            / F.min("total"),
+            6,
+        ).alias("top5_share"),
+    )
