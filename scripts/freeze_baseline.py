@@ -20,7 +20,8 @@ FAMILY_PREFIXES = (
     "dedup_", "sim_", "text_", "streaming_", "cdc_", "lake_", "scan_",
     "join_", "agg_", "set_", "sort_", "window_", "scalar_", "subquery_",
     "sample_", "pipeline_", "multimodal_", "unpivot_", "events_",
-    "flagship_", "funnel_", "cohort_",
+    "flagship_", "funnel_", "cohort_", "graph_", "dq_", "emb_",
+    "profile_", "sql_",
 )
 
 

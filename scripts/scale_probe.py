@@ -83,6 +83,10 @@ PROBE_QUERIES = (
     "streaming_stream_join_semi",
     "lake_restore_version_state",
     "window_ewma_smoothing",
+    "sim_ivfpq_topk",
+    "streaming_two_sink_medallion",
+    "join_interval_overlap",
+    "lake_partition_evolution_state",
 )
 
 
