@@ -1535,3 +1535,87 @@ def text_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top5_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier quality report — per-language precision / recall / F1 of the
+# n-gram language-ID heuristic against the fixture's true labels: the
+# eval table every model-in-the-loop pipeline publishes next to its
+# confusion matrix (text_language_id IS that matrix; this derives the
+# metrics). tp/fp/fn are exact integers; precision and recall are single
+# divisions rounded to 6, and F1 is computed FROM the rounded pair —
+# identical inputs, identical ops, so the report hash-matches. Work is
+# two aggregations over the 25-cell confusion matrix.
+# --------------------------------------------------------------------------
+@_q(
+    "text_lang_id_quality",
+    oracle="""
+WITH conf AS (SELECT * FROM ({conf})),
+byactual AS (
+  SELECT actual_lang AS lang,
+         CAST(SUM(CASE WHEN actual_lang = predicted_lang THEN n_docs
+                       ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(n_docs) AS BIGINT) AS actual_total
+  FROM conf GROUP BY 1
+),
+bypred AS (
+  SELECT predicted_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS pred_total
+  FROM conf GROUP BY 1
+),
+pr AS (
+  SELECT a.lang, a.tp, a.actual_total,
+         COALESCE(p.pred_total, 0) AS pred_total,
+         ROUND(a.tp * 1.0 / NULLIF(p.pred_total, 0), 6) AS precision_,
+         ROUND(a.tp * 1.0 / a.actual_total, 6) AS recall_
+  FROM byactual a LEFT JOIN bypred p ON p.lang = a.lang
+)
+SELECT lang, tp, actual_total, pred_total,
+       precision_ AS precision, recall_ AS recall,
+       ROUND(2 * precision_ * recall_ / NULLIF(precision_ + recall_, 0), 6)
+         AS f1
+FROM pr
+ORDER BY lang
+""".format(conf=REGISTRY.oracles["text_language_id"]),
+)
+def text_lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = REGISTRY.queries["text_language_id"](spark, sf_dir)
+    byactual = conf.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.sum(
+            F.when(
+                F.col("actual_lang") == F.col("predicted_lang"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum("n_docs").cast("bigint").alias("actual_total"),
+    )
+    bypred = conf.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("bigint").alias("pred_total")
+    )
+    pr = (
+        byactual.join(bypred, "lang", "left")
+        .withColumn("pred_total", F.coalesce("pred_total", F.lit(0)))
+        .withColumn(
+            "precision",
+            F.round(
+                F.col("tp") * 1.0 / F.nullif(F.col("pred_total"), F.lit(0)), 6
+            ),
+        )
+        .withColumn(
+            "recall", F.round(F.col("tp") * 1.0 / F.col("actual_total"), 6)
+        )
+    )
+    return pr.select(
+        "lang",
+        "tp",
+        "actual_total",
+        "pred_total",
+        "precision",
+        "recall",
+        F.round(
+            2 * F.col("precision") * F.col("recall")
+            / F.nullif(F.col("precision") + F.col("recall"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("lang")
