@@ -608,3 +608,19 @@ def test_listagg_aggregates_before_join(spark):
     plan = plan_of(spark, "agg_listagg_ordered")
     # no exchange may partition customer rows by a region/join-derived key
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_interval_overlap_is_keyed_join(spark):
+    """The interval-overlap join must plan as a hash join on (user, bin) —
+    bin replication bounds the pair space; no nested-loop fallback."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_exchange_before_agg(spark):
+    """LEAD and the per-state normalization must not shuffle the events
+    table twice: one user-keyed exchange feeds the window; the aggregate
+    and the probability window run over the types-squared table."""
+    plan = plan_of(spark, "events_transition_matrix")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
