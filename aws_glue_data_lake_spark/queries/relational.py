@@ -3725,3 +3725,66 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_totalprice").alias("asof_totalprice"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Rank WITHIN rollup levels (TPC-DS q67's shape): the "top performers at
+# every aggregation level" report — one ROLLUP pass computes all levels,
+# then a rank window partitioned by grouping level picks the top 3 of
+# each. The window runs over the rollup OUTPUT (levels × groups rows),
+# never re-scanning the fact table — the composite the naive per-level
+# UNION ALL rewrite pays L scans for.
+# --------------------------------------------------------------------------
+@_q(
+    "agg_rollup_ranked",
+    oracle=f"""
+WITH r AS (
+  SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+              AS INT) AS lvl,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {dsum_sql("o_totalprice", "revenue")}
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+)
+SELECT * FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY lvl
+                              ORDER BY revenue DESC, status, priority)
+                 AS BIGINT) AS rnk
+  FROM r
+) WHERE rnk <= 3
+ORDER BY lvl, rnk, status, priority
+""",
+)
+def agg_rollup_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    r = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            )
+            .cast("int")
+            .alias("lvl"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "lvl",
+            "n_orders",
+            "revenue",
+        )
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.desc("revenue"), "status", "priority"
+    )
+    return (
+        r.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("lvl", "rnk", "status", "priority")
+    )

@@ -1619,3 +1619,45 @@ def text_lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# ARROW-OPTIMIZED scalar Python UDF (`@udf(useArrow=True)`, Spark 4) —
+# the remaining scalar-UDF leg: same per-row Python semantics as a
+# classic UDF but Arrow-batched transfer instead of pickled rows (the
+# upgrade path for legacy UDF code that can't be rewritten as pandas
+# vectorized). Plan shows ArrowEvalPython, pinned in tests/test_plans.py.
+# The kernel counts vowels per document (pure-Python string loop on a
+# deterministic ASCII fixture); the oracle recomputes via TRANSLATE
+# length arithmetic, so the values — not just the API seam — are
+# verified.
+# --------------------------------------------------------------------------
+@_q(
+    "text_arrow_udf_vowels",
+    oracle="""
+SELECT source,
+       CAST(SUM(len(text) - len(translate(text, 'aeiou', ''))) AS BIGINT)
+         AS n_vowels,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_arrow_udf_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType="long", useArrow=True)
+    def vowel_count(s: str) -> int:
+        if s is None:
+            return 0
+        return sum(1 for ch in s if ch in "aeiou")
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", vowel_count("text").alias("nv"))
+        .groupBy("source")
+        .agg(
+            F.sum("nv").cast("bigint").alias("n_vowels"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1094,3 +1094,86 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative cross-channel comparison (TPC-DS q51's shape): two event
+# channels aggregated to a shared day grid (FULL OUTER join keeps days
+# where only one channel moved), running totals per channel, and the
+# crossover days where the cumulative purchase value overtakes cumulative
+# view value. Exact-decimal running sums make both series — and therefore
+# the crossover classification — hash-stable. All windows run over the
+# day-grid aggregate, never the raw events.
+# --------------------------------------------------------------------------
+_DAY_US_C = 86_400_000_000
+
+
+@_q(
+    "window_cumulative_channel_compare",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         (CAST(EPOCH_US(ts) AS BIGINT) // {_DAY_US_C}) AS day
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+vd AS (SELECT day, SUM(v) AS views FROM e WHERE event_type = 'view' GROUP BY day),
+pd AS (SELECT day, SUM(v) AS purchases FROM e WHERE event_type = 'purchase' GROUP BY day),
+grid AS (
+  SELECT COALESCE(vd.day, pd.day) AS day,
+         COALESCE(vd.views, 0) AS views,
+         COALESCE(pd.purchases, 0) AS purchases
+  FROM vd FULL OUTER JOIN pd ON vd.day = pd.day
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(views) OVER (ORDER BY day) AS DOUBLE) AS cum_views,
+         CAST(SUM(purchases) OVER (ORDER BY day) AS DOUBLE) AS cum_purchases
+  FROM grid
+)
+SELECT day, cum_views, cum_purchases,
+       cum_purchases > cum_views AS purchases_lead
+FROM cum
+ORDER BY day
+""",
+)
+def window_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    e = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("ts") / F.lit(_DAY_US_C)).cast("bigint").alias("day"),
+    )
+    vd = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("day")
+        .agg(F.sum("v").alias("views"))
+    )
+    pd_ = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(F.sum("v").alias("purchases"))
+    )
+    grid = (
+        vd.join(pd_, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("views", F.lit(0).cast("decimal(18,6)")).alias("views"),
+            F.coalesce("purchases", F.lit(0).cast("decimal(18,6)")).alias(
+                "purchases"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "day",
+        F.sum("views").over(w).cast("double").alias("cum_views"),
+        F.sum("purchases").over(w).cast("double").alias("cum_purchases"),
+    )
+    return cum.select(
+        "day",
+        "cum_views",
+        "cum_purchases",
+        (F.col("cum_purchases") > F.col("cum_views")).alias("purchases_lead"),
+    ).orderBy("day")

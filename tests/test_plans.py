@@ -624,3 +624,11 @@ def test_transition_matrix_single_exchange_before_agg(spark):
     and the probability window run over the types-squared table."""
     plan = plan_of(spark, "events_transition_matrix")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_arrow_udf_is_arrow_eval(spark):
+    """useArrow=True scalar UDF must plan as ArrowEvalPython (Arrow batch
+    transfer), never pickled row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, "text_arrow_udf_vowels")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
