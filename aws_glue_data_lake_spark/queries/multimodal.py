@@ -824,3 +824,165 @@ def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "sum_bytes BIGINT, max_byte BIGINT",
     )
     return decoded.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Perceptual block-hash image dedup — the multimodal twin of the text
+# near-dup family: images are encoded as REAL 24-bit BMPs (pixels keyed
+# on doc_id % 37, so ~37 distinct images recur across 200 docs — genuine
+# duplicate groups), decoded in an Arrow-batched stage, and hashed with
+# a 4-bit block-mean signature (each quadrant's luminance mean vs the
+# global mean — blockhash/aHash family). All hash bits come from exact
+# int64 cross-multiplied comparisons (sum_q·n_total ≥ sum_total·n_q), so
+# Python's signature equals the oracle's closed-form pixel arithmetic
+# bit for bit. Output: duplicate groups per (dims, hash) with the
+# distinct-content count as the collision diagnostic — at 100 TB the
+# signature is the shuffle key and full images never co-locate.
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_image_blockhash",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, doc_id % 37 AS key,
+         4 + (doc_id % 37) % 13 AS w,
+         3 + (doc_id % 37) % 7 AS h
+  FROM documents WHERE doc_id < 200
+),
+px AS (
+  SELECT doc_id, key, w, h, x.x, y.y,
+         (key + 7 * x.x + 13 * y.y) % 256
+         + (2 * key + 5 * x.x + 3 * y.y) % 256
+         + (3 * key + 11 * x.x + y.y) % 256 AS lum,
+         CASE WHEN x.x < w // 2 THEN 0 ELSE 1 END AS qx,
+         CASE WHEN y.y < h // 2 THEN 0 ELSE 1 END AS qy
+  FROM k,
+       LATERAL (SELECT UNNEST(generate_series(0, w - 1)) AS x) AS x,
+       LATERAL (SELECT UNNEST(generate_series(0, h - 1)) AS y) AS y
+),
+q AS (
+  SELECT doc_id, key, w, h, qx, qy,
+         CAST(SUM(lum) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM px GROUP BY 1, 2, 3, 4, 5, 6
+),
+g AS (
+  SELECT doc_id, key, w, h,
+         CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS ct
+  FROM q GROUP BY 1, 2, 3, 4
+),
+bits AS (
+  SELECT q.doc_id, q.key, q.w, q.h,
+         CAST(SUM(CASE WHEN q.s * g.ct >= g.st * q.c
+                       THEN CASE
+                         WHEN q.qy = 0 AND q.qx = 0 THEN 8
+                         WHEN q.qy = 0 AND q.qx = 1 THEN 4
+                         WHEN q.qy = 1 AND q.qx = 0 THEN 2
+                         ELSE 1 END
+                       ELSE 0 END) AS BIGINT) AS hash
+  FROM q JOIN g ON g.doc_id = q.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, hash,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_contents,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM bits
+GROUP BY w, h, hash
+HAVING COUNT(*) > 1
+ORDER BY width, height, hash
+""",
+)
+def dedup_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def encode(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = int(doc_id) % 37
+                w, h = 4 + key % 13, 3 + key % 7
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                r = (key + 7 * xs + 13 * ys) % 256
+                g = (2 * key + 5 * xs + 3 * ys) % 256
+                b = (3 * key + 11 * xs + ys) % 256
+                bgr = np.stack([b, g, r], axis=-1).astype("uint8")
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = [
+                    bgr[y].tobytes() + b"\x00" * pad
+                    for y in range(h - 1, -1, -1)
+                ]
+                pixel_data = b"".join(rows)
+                off = 54
+                header = struct.pack(
+                    "<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + pixel_data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": payloads})
+
+    def decode_hash(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                data = bytes(payload)
+                magic, _sz, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
+                assert magic == b"BM"
+                _hsz, w, h, _pl, bpp = struct.unpack("<IiiHH", data[14:30])
+                assert bpp == 24
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                rows = [
+                    np.frombuffer(
+                        data[off + i * (row_bytes + pad):][:row_bytes],
+                        dtype="uint8",
+                    ).reshape(w, 3)
+                    for i in range(h)
+                ]
+                img = np.stack(rows[::-1]).astype("int64")  # (h, w, 3) BGR
+                lum = img.sum(axis=-1)  # r+g+b per pixel
+                st, ct = int(lum.sum()), w * h
+                hx, hy = w // 2, h // 2
+                quads = [
+                    lum[:hy, :hx], lum[:hy, hx:], lum[hy:, :hx], lum[hy:, hx:]
+                ]
+                bits = 0
+                for weight, qd in zip((8, 4, 2, 1), quads):
+                    s, c = int(qd.sum()), qd.size
+                    if s * ct >= st * c:
+                        bits += weight
+                out.append((int(doc_id), w, h, bits))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "hash"]
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    bmps = d.mapInPandas(encode, "doc_id long, bmp binary")
+    hashed = bmps.mapInPandas(
+        decode_hash, "doc_id long, width long, height long, hash long"
+    )
+    return (
+        hashed.withColumn("key", F.col("doc_id") % 37)
+        .groupBy("width", "height", "hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.countDistinct("key").cast("bigint").alias("n_contents"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .where(F.col("n_images") > 1)
+        .orderBy("width", "height", "hash")
+    )

@@ -985,3 +985,41 @@ def events_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.year, p.month
         """
     )
+
+
+# --------------------------------------------------------------------------
+# The NOT IN null trap, certified: when the subquery produces even ONE
+# NULL, `x NOT IN (subquery)` is UNKNOWN for every row (three-valued
+# logic) and returns ZERO rows, while the NOT EXISTS rewrite returns the
+# expected complement — the single most common silent-wrong-answer
+# migration bug. Both engines implement the standard semantics; this
+# query pins that the engine does too, side by side with the safe
+# rewrite and the null count that triggers the trap. Spark plans the
+# NOT IN as a null-aware anti join — correct but broadcast-bound, which
+# is exactly why production code should write NOT EXISTS (the plain anti
+# join); the docstring IS the advisory.
+# --------------------------------------------------------------------------
+_NOT_IN_TRAP_SQL = """
+WITH refs AS (
+  SELECT NULLIF(o_custkey % 1000, 7) AS ref
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT ref FROM refs)) AS BIGINT)
+    AS n_not_in,
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM refs r WHERE r.ref = c.c_custkey))
+        AS BIGINT)
+    AS n_not_exists,
+  CAST((SELECT COUNT(*) FROM refs WHERE ref IS NULL) AS BIGINT)
+    AS n_null_refs
+"""
+
+
+@_q("subquery_not_in_null_trap", oracle=_NOT_IN_TRAP_SQL)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_NOT_IN_TRAP_SQL)
