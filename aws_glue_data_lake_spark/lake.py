@@ -1100,6 +1100,54 @@ class LakeTable:
         table._commit(files, schema, f"convert:{parquet_path}", None)
         return table
 
+    # -- tags (named snapshot refs, Iceberg-style) -------------------------
+    def tags(self) -> dict:
+        """{tag name: version} — named immutable refs into the commit log."""
+        p = os.path.join(self.path, "_tags.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named tag to ``version`` (default: current tip), like
+        Iceberg's tagged snapshots / a release label on the commit log.
+        Tagged versions are PROTECTED FROM VACUUM: their manifests and
+        files survive any retention window until the tag is deleted —
+        that's the whole point (a 'model-v3-training-set' tag must outlive
+        the daily retention policy). Tag writes are last-writer-wins via
+        atomic replace; tags are refs, not commits, so they don't need
+        the O_EXCL commit race."""
+        v = self.current_version() if version is None else version
+        self.snapshot(v)  # validates the version exists
+        tags = self.tags()
+        tags[name] = v
+        p = os.path.join(self.path, "_tags.json")
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, p)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no such tag {name!r} on {self.path}")
+        del tags[name]
+        p = os.path.join(self.path, "_tags.json")
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, p)
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Scan the snapshot a tag points at (exactly read(version=...))."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no such tag {name!r} on {self.path}")
+        return self.read(spark, version=tags[name])
+
     def repartition_layout(
         self, spark: SparkSession, partition_by: Sequence[str]
     ) -> Snapshot:
@@ -1147,7 +1195,14 @@ class LakeTable:
         contract is simply that vacuum is a maintenance operation scheduled
         apart from writes)."""
         snaps = self.history()
-        keep, drop = snaps[-keep_versions:], snaps[:-keep_versions]
+        tagged = set(self.tags().values())
+        n = len(snaps)
+        keep = [
+            s for i, s in enumerate(snaps)
+            if i >= n - keep_versions or s.version in tagged
+        ]
+        keep_versions_set = {s.version for s in keep}
+        drop = [s for s in snaps if s.version not in keep_versions_set]
         live = {f for s in keep for f in s.file_names}
         live |= {d for s in keep for d in s.dv_paths}
         removed = []

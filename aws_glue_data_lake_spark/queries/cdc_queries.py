@@ -1615,3 +1615,74 @@ def lake_upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Tagged releases through retention (Iceberg snapshot tags): a training
+# run pins its exact input with a named tag; daily maintenance keeps
+# vacuuming by the normal window, and the tagged snapshot — manifest and
+# data files — survives until the tag is deleted. The query stages
+# create → tag → two upserts → vacuum(keep_versions=1) and reads the
+# tag next to the tip: reproducibility (the tag equals the ORIGINAL
+# subset) and currency (the tip shows both corrections) in one hash.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_tagged_release_state",
+    oracle="""
+WITH v1 AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+),
+tip AS (
+  SELECT CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice + 50.0
+              WHEN o_orderkey % 30 = 3 THEN o_totalprice - 25.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT * FROM (
+  SELECT 'tagged_release' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+  FROM v1
+  UNION ALL
+  SELECT 'tip_after_vacuum', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  FROM tip
+) ORDER BY phase
+""",
+)
+def lake_tagged_release_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.where(F.col("o_orderkey") % 3 == 0)
+    table = LakeTable(session_tmpdir("tagged_") + "/t")
+    table.create(base, stat_cols=["o_orderkey"])
+    table.tag("release-v1")
+    table.upsert(
+        base.where(F.col("o_orderkey") % 30 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(50.0)
+        ),
+        keys=["o_orderkey"],
+    )
+    table.upsert(
+        base.where(F.col("o_orderkey") % 30 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") - F.lit(25.0)
+        ),
+        keys=["o_orderkey"],
+    )
+    removed = table.vacuum(keep_versions=1)
+    assert removed is not None  # maintenance ran; the tag must survive it
+
+    def stats(phase: str, df: DataFrame):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return (
+        stats("tagged_release", table.read_tag(spark, "release-v1"))
+        .unionAll(stats("tip_after_vacuum", table.read(spark)))
+        .orderBy("phase")
+    )

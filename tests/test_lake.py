@@ -922,3 +922,25 @@ def test_upsert_merge_schema_widens(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1, 2.5)], "k long, v long, tier double")
     with pytest.raises(ValueError):
         t.upsert(bad, keys=["k"], merge_schema=True)  # type change = migration
+
+
+def test_tags_pin_snapshots_through_vacuum(spark, tmp_path):
+    """A tagged version's manifest AND files survive vacuum regardless of
+    the retention window; deleting the tag releases them."""
+    t = _table(spark, tmp_path, n=50, files=2)              # v1
+    t.tag("release-v1")
+    t.upsert(spark.createDataFrame([(0, -1)], "k long, v long"), keys=["k"])  # v2
+    t.upsert(spark.createDataFrame([(1, -2)], "k long, v long"), keys=["k"])  # v3
+    t.vacuum(keep_versions=1)
+    assert t.read_tag(spark, "release-v1").count() == 50    # still scannable
+    with pytest.raises(NoSuchTable):
+        t.read(spark, version=2)                            # untagged: gone
+    assert t.read(spark).count() == 50                      # tip intact
+    t.delete_tag("release-v1")
+    t.vacuum(keep_versions=1)
+    with pytest.raises(NoSuchTable):
+        t.read(spark, version=1)                            # released
+    with pytest.raises(KeyError):
+        t.read_tag(spark, "release-v1")
+    with pytest.raises(NoSuchTable):
+        t.tag("bad", version=99)                            # must exist
