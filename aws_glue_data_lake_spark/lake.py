@@ -701,10 +701,64 @@ class LakeTable:
 
         paths = [self._abs(r) for r in rels]
         st = StructType.fromDDL(snap.schema)
-        reader = spark.read.schema(st)
-        if snap.partition_by:
-            reader = reader.option("basePath", self._data)
-        df = reader.parquet(*paths)
+        rel_set = set(rels)
+        dv_rels = sorted(
+            {
+                e["dv"]["path"]
+                for e in snap.files
+                if e.get("dv") and e["path"] in rel_set
+            }
+        )
+
+        def with_meta(d: DataFrame) -> DataFrame:
+            # metadata columns resolve only on a direct scan, so when DVs
+            # apply they must be attached BEFORE any union
+            return d.select(
+                "*",
+                F.col("_metadata.file_name").alias("__dv_fn"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+
+        if snap.partition_by and any(os.path.isabs(r) for r in rels):
+            # MIXED-ROOT partitioned scan (a shallow clone of a partitioned
+            # table holds foreign absolute paths; after clone-local writes
+            # the file set spans two data roots, which a single basePath
+            # cannot express). Partition VALUES come from the manifest, so
+            # group files by partition tuple, scan each group with the
+            # non-partition schema, attach the partition columns as typed
+            # literals, and union — planning is O(#partition groups),
+            # documented as the clone-of-partitioned cost.
+            by_name = {e["path"]: e for e in snap.files}
+            part_fields = [f for f in st.fields if f.name in snap.partition_by]
+            data_st = StructType(
+                [f for f in st.fields if f.name not in snap.partition_by]
+            )
+            groups: dict[tuple, list[str]] = {}
+            for r in rels:
+                part = by_name[r].get("partition", {})
+                key = tuple(part.get(f.name) for f in part_fields)
+                groups.setdefault(key, []).append(self._abs(r))
+            parts_dfs = []
+            for key, gpaths in sorted(groups.items()):
+                g = spark.read.schema(data_st).parquet(*gpaths)
+                if dv_rels:
+                    g = with_meta(g)
+                for f, v in zip(part_fields, key):
+                    g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
+                out_cols = [f.name for f in st.fields]
+                if dv_rels:
+                    out_cols += ["__dv_fn", "__dv_ri"]
+                parts_dfs.append(g.select(*out_cols))
+            df = parts_dfs[0]
+            for g in parts_dfs[1:]:
+                df = df.unionByName(g)
+        else:
+            reader = spark.read.schema(st)
+            if snap.partition_by:
+                reader = reader.option("basePath", self._data)
+            df = reader.parquet(*paths)
+            if dv_rels:
+                df = with_meta(df)
         # Merge-on-read DELETION VECTORS: every read path (time travel,
         # upsert/merge rewrites, compaction) flows through here, so
         # applying DVs at this chokepoint keeps all of them consistent.
@@ -714,32 +768,17 @@ class LakeTable:
         # are tiny next to data (positions only), so the anti join's
         # build side stays broadcastable far beyond any realistic delete
         # churn; compaction folds DVs away entirely.
-        rel_set = set(rels)
-        dv_rels = sorted(
-            {
-                e["dv"]["path"]
-                for e in snap.files
-                if e.get("dv") and e["path"] in rel_set
-            }
-        )
         if dv_rels:
             dv = (
                 spark.read.parquet(*[self._abs(r) for r in dv_rels])
                 .select("file_name", "row_index")
                 .distinct()
             )
-            df = (
-                df.select(
-                    *[F.col(f.name) for f in st.fields],
-                    F.col("_metadata.file_name").alias("__dv_fn"),
-                    F.col("_metadata.row_index").alias("__dv_ri"),
-                )
-                .join(
-                    F.broadcast(dv),
-                    (F.col("__dv_fn") == F.col("file_name"))
-                    & (F.col("__dv_ri") == F.col("row_index")),
-                    "anti",
-                )
+            df = df.join(
+                F.broadcast(dv),
+                (F.col("__dv_fn") == F.col("file_name"))
+                & (F.col("__dv_ri") == F.col("row_index")),
+                "anti",
             )
         return df.select(*[F.col(f.name) for f in st.fields])
 
@@ -793,13 +832,10 @@ class LakeTable:
         Dev/test forks of production tables are the use case — clone,
         experiment, drop."""
         snap = self.snapshot()
-        if snap.partition_by:
-            # partitioned scans rebuild partition columns from paths via a
-            # single basePath, which can't span source-local and
-            # clone-local files at once
-            raise NotImplementedError(
-                "shallow clone of a partitioned table is not supported"
-            )
+        # Partitioned tables clone too: the mixed-root read path in
+        # _read_files reconstructs partition columns from MANIFEST values
+        # (grouped typed literals) whenever the file set spans data roots,
+        # so a single basePath is no longer required.
         clone = LakeTable(dest_path)
         if clone.exists():
             raise ValueError(f"clone target {dest_path} already exists")

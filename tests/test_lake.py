@@ -944,3 +944,32 @@ def test_tags_pin_snapshots_through_vacuum(spark, tmp_path):
         t.read_tag(spark, "release-v1")
     with pytest.raises(NoSuchTable):
         t.tag("bad", version=99)                            # must exist
+
+
+def test_shallow_clone_of_partitioned_table(spark, tmp_path):
+    """Partitioned tables clone too: the mixed-root read reconstructs
+    partition columns from manifest values, partition-filtered reads
+    stay correct, and clone-local appends coexist with foreign files."""
+    src = LakeTable(str(tmp_path / "psrc"))
+    df = spark.range(90).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 10 AS v"
+    )
+    src.create(df, stat_cols=["k"], partition_by=["bucket"])
+    clone = src.clone_to(str(tmp_path / "pclone"))
+    assert clone.snapshot().partition_by == ("bucket",)
+    assert clone.read(spark).count() == 90
+    got = clone.read(spark, partition_filter={"bucket": "1"})
+    assert got.count() == 30 and {r.bucket for r in got.collect()} == {"1"}
+    # clone-local append -> mixed roots in one snapshot
+    clone.append(spark.createDataFrame(
+        [(100, "1", 1000)], "k long, bucket string, v long"
+    ))
+    assert clone.read(spark).count() == 91
+    assert clone.read(
+        spark, partition_filter={"bucket": "1"}
+    ).count() == 31
+    # source untouched, and the clone's full scan sums correctly
+    assert src.read(spark).count() == 90
+    assert clone.read(spark).agg(F.sum("v")).first()[0] == sum(
+        i * 10 for i in range(90)
+    ) + 1000
