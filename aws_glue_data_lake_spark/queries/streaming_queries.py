@@ -2006,3 +2006,124 @@ def streaming_two_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_sum"),
     )
     return agg.unionByName(raw_total).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter-queue ingest — the quarantine pattern every production
+# stream ships instead of crash-on-bad-row: each micro-batch splits on a
+# validity predicate (here the CDC contract: op must be NULL/I/U/D and
+# value non-negative for purchases), good rows land in the main table and
+# violations in a DLQ table WITH the failure reason — both through
+# idempotent per-batch txns, so a redelivered batch duplicates neither
+# side. The final hash certifies conservation (main + dlq = input), the
+# reason histogram, and that the main table holds only valid rows.
+# ---------------------------------------------------------------------------
+@_q(
+    "streaming_dlq_quarantine",
+    oracle=f"""
+WITH feed AS (
+  SELECT event_id, user_id, event_type, value,
+         {_OP_CASE_SQL} AS op,
+         CASE WHEN event_id % 97 = 0 THEN 'X'
+              ELSE {_OP_CASE_SQL} END AS op_wire
+  FROM events
+),
+classified AS (
+  SELECT *,
+         CASE
+           WHEN op_wire IS NOT NULL AND op_wire NOT IN ('I','U','D')
+             THEN 'bad_op'
+           WHEN event_type = 'purchase' AND value < 0.5 THEN 'low_value'
+           ELSE NULL END AS reject_reason
+  FROM feed
+)
+SELECT * FROM (
+  SELECT 'main' AS sink, CAST(NULL AS VARCHAR) AS reason,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM classified WHERE reject_reason IS NULL
+  UNION ALL
+  SELECT 'dlq', reject_reason, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM classified WHERE reject_reason IS NOT NULL
+  GROUP BY reject_reason
+) ORDER BY sink, reason NULLS FIRST
+""",
+)
+def streaming_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(
+        spark, sf_dir, n_files=6, max_files_per_trigger=1
+    )
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "view", "U")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # wire-level corruption: every 97th event carries an unknown op tag
+    op_wire = F.when(F.col("event_id") % 97 == 0, "X").otherwise(op)
+    feed = stream.select(
+        "event_id", "user_id", "event_type", "value",
+        op_wire.alias("op_wire"),
+    )
+    tmp = session_tmpdir("dlq_")
+    main = LakeTable(f"{tmp}/main")
+    dlq = LakeTable(f"{tmp}/dlq")
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        reason = (
+            F.when(
+                F.col("op_wire").isNotNull()
+                & ~F.col("op_wire").isin("I", "U", "D"),
+                "bad_op",
+            )
+            .when(
+                (F.col("event_type") == "purchase") & (F.col("value") < 0.5),
+                "low_value",
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        classified = batch.withColumn("reject_reason", reason)
+        good = classified.where(F.col("reject_reason").isNull()).drop(
+            "reject_reason"
+        )
+        bad = classified.where(F.col("reject_reason").isNotNull())
+        for table, df in ((main, good), (dlq, bad)):
+            if not table.exists():
+                table.create(df.limit(0))
+            table.append_stream_batch(df, writer_id="dlq_route", batch_id=batch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{tmp}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("DLQ stream did not drain within 120s")
+    finally:
+        q.stop()
+    main_row = main.read(spark).agg(
+        F.lit("main").alias("sink"),
+        F.lit(None).cast("string").alias("reason"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    dlq_rows = (
+        dlq.read(spark)
+        .groupBy(F.col("reject_reason").alias("reason"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(F.lit("dlq").alias("sink"), "reason", "n_rows", "value_sum")
+    )
+    return main_row.unionByName(dlq_rows).orderBy(
+        "sink", F.asc_nulls_first("reason")
+    )
