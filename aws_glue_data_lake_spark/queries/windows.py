@@ -1177,3 +1177,111 @@ def window_cumulative_channel_compare(spark: SparkSession, sf_dir: str) -> DataF
         "cum_purchases",
         (F.col("cum_purchases") > F.col("cum_views")).alias("purchases_lead"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Rolling correlation between two channels — the co-movement diagnostic
+# (are purchases tracking views this week?) that has no built-in windowed
+# form: Pearson r over a trailing 7-day frame, assembled from frame sums.
+# Determinism discipline: every frame aggregate (Σv, Σp, Σvp, Σv², Σp²,
+# n) is an EXACT decimal sum — products pinned to DECIMAL(38,12) before
+# summing — then cast to double once; the r formula is identical IEEE
+# ops on identical inputs (sqrt is correctly rounded per IEEE-754), so
+# ROUND-6 agrees cross-engine. Windows run over the day grid, not the
+# raw events.
+# --------------------------------------------------------------------------
+@_q(
+    "window_rolling_correlation",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         (CAST(EPOCH_US(ts) AS BIGINT) // {86_400_000_000}) AS day
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+vd AS (SELECT day, SUM(v) AS vv FROM e WHERE event_type = 'view' GROUP BY day),
+pd AS (SELECT day, SUM(v) AS pv FROM e WHERE event_type = 'purchase' GROUP BY day),
+grid AS (
+  SELECT COALESCE(vd.day, pd.day) AS day,
+         COALESCE(vd.vv, 0) AS vv, COALESCE(pd.pv, 0) AS pv
+  FROM vd FULL OUTER JOIN pd ON vd.day = pd.day
+),
+fr AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(vv) OVER w AS DOUBLE) AS sv,
+         CAST(SUM(pv) OVER w AS DOUBLE) AS sp,
+         CAST(SUM(CAST(vv * pv AS DECIMAL(38,12))) OVER w AS DOUBLE) AS svp,
+         CAST(SUM(CAST(vv * vv AS DECIMAL(38,12))) OVER w AS DOUBLE) AS svv,
+         CAST(SUM(CAST(pv * pv AS DECIMAL(38,12))) OVER w AS DOUBLE) AS spp
+  FROM grid
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n,
+       ROUND((n * svp - sv * sp)
+             / NULLIF(SQRT((n * svv - sv * sv) * (n * spp - sp * sp)), 0),
+             6) AS rolling_corr_7d
+FROM fr
+WHERE n >= 3
+ORDER BY day
+""",
+)
+def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = with_ts_us(t(spark, sf_dir, "events")).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    e = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+    )
+    vd = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("day")
+        .agg(F.sum("v").alias("vv"))
+    )
+    pd_ = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(F.sum("v").alias("pv"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    grid = vd.join(pd_, "day", "full_outer").select(
+        "day",
+        F.coalesce("vv", zero).alias("vv"),
+        F.coalesce("pv", zero).alias("pv"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    fr = grid.select(
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("vv").over(w).cast("double").alias("sv"),
+        F.sum("pv").over(w).cast("double").alias("sp"),
+        F.sum((F.col("vv") * F.col("pv")).cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("svp"),
+        F.sum((F.col("vv") * F.col("vv")).cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("svv"),
+        F.sum((F.col("pv") * F.col("pv")).cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("spp"),
+    )
+    corr = F.round(
+        (F.col("n") * F.col("svp") - F.col("sv") * F.col("sp"))
+        / F.nullif(
+            F.sqrt(
+                (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+                * (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        fr.where(F.col("n") >= 3)
+        .select("day", "n", corr.alias("rolling_corr_7d"))
+        .orderBy("day")
+    )
