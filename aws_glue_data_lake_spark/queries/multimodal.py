@@ -986,3 +986,129 @@ def dedup_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_images") > 1)
         .orderBy("width", "height", "hash")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio energy-fingerprint dedup — the audio twin of dedup_image_blockhash
+# (the multimodal near-dup pair complete): clips are encoded as REAL WAV
+# files (samples keyed on doc_id % 29, so ~29 distinct clips recur across
+# 200 docs), decoded with the stdlib parser, and fingerprinted by a 4-bit
+# segment-energy signature — each quarter's Σsample² against the clip
+# mean, compared by exact int64 cross-multiplication, the skeleton of
+# chromaprint-style audio hashing. Oracle recomputes the signature from
+# the closed-form sample formula; duplicate groups and the hash-collision
+# diagnostic are both hash-verified. Scale: the 4-bit+length signature is
+# the shuffle key; raw audio never co-locates.
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_audio_fingerprint",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, doc_id % 29 AS key, 100 + (doc_id % 29) % 200 AS n
+  FROM documents WHERE doc_id < 200
+),
+smp AS (
+  SELECT doc_id, key, n, i.i,
+         ((31 * key + 17 * i.i) % 2001 - 1000) AS s,
+         (i.i * 4) // n AS seg
+  FROM k, LATERAL (SELECT UNNEST(generate_series(0, n - 1)) AS i) AS i
+),
+q AS (
+  SELECT doc_id, key, n, seg,
+         CAST(SUM(s * s) AS BIGINT) AS e, CAST(COUNT(*) AS BIGINT) AS c
+  FROM smp GROUP BY 1, 2, 3, 4
+),
+g AS (
+  SELECT doc_id, CAST(SUM(e) AS BIGINT) AS et, CAST(SUM(c) AS BIGINT) AS ct
+  FROM q GROUP BY 1
+),
+bits AS (
+  SELECT q.doc_id, q.key, q.n,
+         CAST(SUM(CASE WHEN q.e * g.ct >= g.et * q.c
+                       THEN CASE q.seg WHEN 0 THEN 8 WHEN 1 THEN 4
+                                       WHEN 2 THEN 2 ELSE 1 END
+                       ELSE 0 END) AS BIGINT) AS hash
+  FROM q JOIN g ON g.doc_id = q.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n_samples, hash,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_contents,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM bits
+GROUP BY n, hash
+HAVING COUNT(*) > 1
+ORDER BY n_samples, hash
+""",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def encode(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = int(doc_id) % 29
+                n = 100 + key % 200
+                samples = (
+                    (31 * key + 17 * np.arange(n)) % 2001 - 1000
+                ).astype("<i2")
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(samples.tobytes())
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    def decode_fp(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                r = wave.open(io.BytesIO(bytes(payload)), "rb")
+                n = r.getnframes()
+                s = np.frombuffer(r.readframes(n), dtype="<i2").astype(
+                    "int64"
+                )
+                r.close()
+                seg = (np.arange(n) * 4) // n
+                et, ct = int((s * s).sum()), n
+                bits = 0
+                for weight, j in zip((8, 4, 2, 1), range(4)):
+                    m = seg == j
+                    e, c = int((s[m] * s[m]).sum()), int(m.sum())
+                    if e * ct >= et * c:
+                        bits += weight
+                out.append((int(doc_id), n, bits))
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples", "hash"])
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    wavs = d.mapInPandas(encode, "doc_id long, wav binary")
+    fps = wavs.mapInPandas(decode_fp, "doc_id long, n_samples long, hash long")
+    return (
+        fps.withColumn("key", F.col("doc_id") % 29)
+        .groupBy("n_samples", "hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clips"),
+            F.countDistinct("key").cast("bigint").alias("n_contents"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .where(F.col("n_clips") > 1)
+        .orderBy("n_samples", "hash")
+    )
