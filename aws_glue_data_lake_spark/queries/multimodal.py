@@ -839,10 +839,87 @@ def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 # distinct-content count as the collision diagnostic — at 100 TB the
 # signature is the shuffle key and full images never co-locate.
 # --------------------------------------------------------------------------
-@_q(
-    "dedup_image_blockhash",
-    oracle="""
-WITH k AS (
+# Arrow-batched BMP encode / block-hash stages shared by
+# dedup_image_blockhash and pipeline_multimodal_curation.
+def _bmp_encode(batches):
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            key = int(doc_id) % 37
+            w, h = 4 + key % 13, 3 + key % 7
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            r = (key + 7 * xs + 13 * ys) % 256
+            g = (2 * key + 5 * xs + 3 * ys) % 256
+            b = (3 * key + 11 * xs + ys) % 256
+            bgr = np.stack([b, g, r], axis=-1).astype("uint8")
+            row_bytes = w * 3
+            pad = (-row_bytes) % 4
+            rows = [
+                bgr[y].tobytes() + b"\x00" * pad
+                for y in range(h - 1, -1, -1)
+            ]
+            pixel_data = b"".join(rows)
+            off = 54
+            header = struct.pack(
+                "<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                2835, 2835, 0, 0,
+            )
+            payloads.append(header + pixel_data)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": payloads})
+
+def _bmp_blockhash(batches):
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+            data = bytes(payload)
+            magic, _sz, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
+            assert magic == b"BM"
+            _hsz, w, h, _pl, bpp = struct.unpack("<IiiHH", data[14:30])
+            assert bpp == 24
+            row_bytes = w * 3
+            pad = (-row_bytes) % 4
+            rows = [
+                np.frombuffer(
+                    data[off + i * (row_bytes + pad):][:row_bytes],
+                    dtype="uint8",
+                ).reshape(w, 3)
+                for i in range(h)
+            ]
+            img = np.stack(rows[::-1]).astype("int64")  # (h, w, 3) BGR
+            lum = img.sum(axis=-1)  # r+g+b per pixel
+            st, ct = int(lum.sum()), w * h
+            hx, hy = w // 2, h // 2
+            quads = [
+                lum[:hy, :hx], lum[:hy, hx:], lum[hy:, :hx], lum[hy:, hx:]
+            ]
+            bits = 0
+            for weight, qd in zip((8, 4, 2, 1), quads):
+                s, c = int(qd.sum()), qd.size
+                if s * ct >= st * c:
+                    bits += weight
+            out.append((int(doc_id), w, h, bits))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "width", "height", "hash"]
+        )
+
+
+#: Shared block-hash CTE pyramid (keyed pixels -> quadrant sums ->
+#: 4-bit signature), reused by dedup_image_blockhash and the
+#: curation composition.
+_BLOCKHASH_CTES = """k AS (
   SELECT doc_id, doc_id % 37 AS key,
          4 + (doc_id % 37) % 13 AS w,
          3 + (doc_id % 37) % 7 AS h
@@ -880,7 +957,13 @@ bits AS (
                        ELSE 0 END) AS BIGINT) AS hash
   FROM q JOIN g ON g.doc_id = q.doc_id
   GROUP BY 1, 2, 3, 4
-)
+)"""
+
+
+@_q(
+    "dedup_image_blockhash",
+    oracle="""
+WITH {ctes}
 SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, hash,
        CAST(COUNT(*) AS BIGINT) AS n_images,
        CAST(COUNT(DISTINCT key) AS BIGINT) AS n_contents,
@@ -889,91 +972,17 @@ FROM bits
 GROUP BY w, h, hash
 HAVING COUNT(*) > 1
 ORDER BY width, height, hash
-""",
+""".format(ctes=_BLOCKHASH_CTES),
 )
 def dedup_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def encode(batches):
-        import struct
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                key = int(doc_id) % 37
-                w, h = 4 + key % 13, 3 + key % 7
-                xs = np.arange(w)[None, :]
-                ys = np.arange(h)[:, None]
-                r = (key + 7 * xs + 13 * ys) % 256
-                g = (2 * key + 5 * xs + 3 * ys) % 256
-                b = (3 * key + 11 * xs + ys) % 256
-                bgr = np.stack([b, g, r], axis=-1).astype("uint8")
-                row_bytes = w * 3
-                pad = (-row_bytes) % 4
-                rows = [
-                    bgr[y].tobytes() + b"\x00" * pad
-                    for y in range(h - 1, -1, -1)
-                ]
-                pixel_data = b"".join(rows)
-                off = 54
-                header = struct.pack(
-                    "<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off
-                ) + struct.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
-                    2835, 2835, 0, 0,
-                )
-                payloads.append(header + pixel_data)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bmp": payloads})
-
-    def decode_hash(batches):
-        import struct
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
-                data = bytes(payload)
-                magic, _sz, _r1, _r2, off = struct.unpack("<2sIHHI", data[:14])
-                assert magic == b"BM"
-                _hsz, w, h, _pl, bpp = struct.unpack("<IiiHH", data[14:30])
-                assert bpp == 24
-                row_bytes = w * 3
-                pad = (-row_bytes) % 4
-                rows = [
-                    np.frombuffer(
-                        data[off + i * (row_bytes + pad):][:row_bytes],
-                        dtype="uint8",
-                    ).reshape(w, 3)
-                    for i in range(h)
-                ]
-                img = np.stack(rows[::-1]).astype("int64")  # (h, w, 3) BGR
-                lum = img.sum(axis=-1)  # r+g+b per pixel
-                st, ct = int(lum.sum()), w * h
-                hx, hy = w // 2, h // 2
-                quads = [
-                    lum[:hy, :hx], lum[:hy, hx:], lum[hy:, :hx], lum[hy:, hx:]
-                ]
-                bits = 0
-                for weight, qd in zip((8, 4, 2, 1), quads):
-                    s, c = int(qd.sum()), qd.size
-                    if s * ct >= st * c:
-                        bits += weight
-                out.append((int(doc_id), w, h, bits))
-            yield pd.DataFrame(
-                out, columns=["doc_id", "width", "height", "hash"]
-            )
-
     d = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 200)
         .select("doc_id")
     )
-    bmps = d.mapInPandas(encode, "doc_id long, bmp binary")
+    bmps = d.mapInPandas(_bmp_encode, "doc_id long, bmp binary")
     hashed = bmps.mapInPandas(
-        decode_hash, "doc_id long, width long, height long, hash long"
+        _bmp_blockhash, "doc_id long, width long, height long, hash long"
     )
     return (
         hashed.withColumn("key", F.col("doc_id") % 37)
@@ -1111,4 +1120,88 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_clips") > 1)
         .orderBy("n_samples", "hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal curation composition — the end-to-end slice of a paired
+# text+image corpus build: (1) image near-dup removal (block-hash groups,
+# keep lowest doc_id — shared stages with dedup_image_blockhash), then
+# (2) a text length gate on the survivors, reported per source with doc
+# and char accounting at every stage. The composition is the point: the
+# dedup keep-set is computed on the image modality and applied to the
+# text rows — the cross-modal filter every CLIP-style dataset build runs.
+# Survivor selection joins on the tiny (dims, hash, keep_doc_id) group
+# table, so the corpus never self-joins.
+# --------------------------------------------------------------------------
+_CUR_MIN_CHARS = 200
+_CUR_MAX_CHARS = 2500
+
+
+@_q(
+    "pipeline_multimodal_curation",
+    oracle="""
+WITH {ctes},
+keeps AS (
+  SELECT MIN(doc_id) AS doc_id FROM bits GROUP BY w, h, hash
+),
+staged AS (
+  SELECT d.source, d.n_chars,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept_dedup,
+         CASE WHEN k.doc_id IS NOT NULL
+               AND d.n_chars BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END
+           AS kept_final
+  FROM documents d LEFT JOIN keeps k ON k.doc_id = d.doc_id
+  WHERE d.doc_id < 200
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(kept_dedup) AS BIGINT) AS n_after_imgdedup,
+       CAST(SUM(kept_final) AS BIGINT) AS n_after_quality,
+       CAST(SUM(CASE WHEN kept_final = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_final
+FROM staged
+GROUP BY source
+ORDER BY source
+""".format(ctes=_BLOCKHASH_CTES, lo=_CUR_MIN_CHARS, hi=_CUR_MAX_CHARS),
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    bmps = d.select("doc_id").mapInPandas(
+        _bmp_encode, "doc_id long, bmp binary"
+    )
+    hashed = bmps.mapInPandas(
+        _bmp_blockhash, "doc_id long, width long, height long, hash long"
+    )
+    keeps = (
+        hashed.groupBy("width", "height", "hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("kept", F.lit(1))
+    )
+    staged = d.join(F.broadcast(keeps), "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.coalesce("kept", F.lit(0)).alias("kept_dedup"),
+        F.when(
+            F.col("kept").isNotNull()
+            & F.col("n_chars").between(_CUR_MIN_CHARS, _CUR_MAX_CHARS),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept_final"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_input"),
+            F.sum("kept_dedup").cast("bigint").alias("n_after_imgdedup"),
+            F.sum("kept_final").cast("bigint").alias("n_after_quality"),
+            F.sum(
+                F.when(F.col("kept_final") == 1, F.col("n_chars")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("chars_final"),
+        )
+        .orderBy("source")
     )
