@@ -744,7 +744,16 @@ class LakeTable:
                 if dv_rels:
                     g = with_meta(g)
                 for f, v in zip(part_fields, key):
-                    g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
+                    # The Hive path writer records a null partition value as
+                    # the __HIVE_DEFAULT_PARTITION__ sentinel; Spark's own
+                    # basePath read surfaces it as NULL, so this manifest
+                    # -literal path must too (missing keys likewise).
+                    if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+                        g = g.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                    else:
+                        g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
                 out_cols = [f.name for f in st.fields]
                 if dv_rels:
                     out_cols += ["__dv_fn", "__dv_ri"]
@@ -1092,6 +1101,7 @@ class LakeTable:
         parquet_path: str,
         table_path: str,
         stat_cols: Sequence[str] = (),
+        partition_by: Sequence[str] = (),
     ) -> "LakeTable":
         """CONVERT an existing plain-parquet dataset into a lake table
         WITHOUT rewriting a byte (Delta's ``CONVERT TO DELTA`` / Iceberg's
@@ -1104,7 +1114,18 @@ class LakeTable:
         petabyte of historical parquet becomes ACID-managed in O(#files)
         metadata work instead of an O(data) rewrite. The source files
         must be treated as immutable from then on (same contract as
-        Delta's in-place convert)."""
+        Delta's in-place convert).
+
+        A Hive-partitioned source (``col=value`` subdirs) must be converted
+        with an explicit ``partition_by`` naming those columns — like
+        Delta's ``CONVERT TO DELTA ... PARTITIONED BY``, which fails
+        without one. Per-file partition values are parsed from the path
+        segments into the manifest (percent-unescaped; the read side maps
+        the __HIVE_DEFAULT_PARTITION__ sentinel back to NULL), so
+        partition pruning and partitioned reads work exactly as if the
+        table had been written partitioned."""
+        from pyspark.sql.types import StructType
+
         table = cls(table_path)
         if table.exists():
             raise FileExistsError(f"lake table already exists: {table_path}")
@@ -1119,21 +1140,64 @@ class LakeTable:
             srcs = [parquet_path]
         if not srcs:
             raise ValueError(f"no parquet files under {parquet_path}")
-        schema = spark.read.parquet(*srcs)._jdf.schema().toDDL()
+        root = os.path.abspath(parquet_path)
+
+        def _path_partition(src: str) -> dict:
+            """{col: raw string value} from col=value dirs between the
+            dataset root and the file (empty for a flat layout)."""
+            rel_dir = os.path.relpath(os.path.dirname(os.path.abspath(src)), root)
+            out = {}
+            for seg in rel_dir.split(os.sep) if rel_dir != "." else []:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    out[k] = urllib.parse.unquote(v)
+            return out
+
+        discovered = sorted({k for s in srcs for k in _path_partition(s)})
+        if discovered and not partition_by:
+            raise ValueError(
+                f"{parquet_path} has Hive partition directories "
+                f"({discovered}); pass partition_by= naming them — schema "
+                "inference over explicit file paths would silently drop "
+                "those columns (Delta's CONVERT TO DELTA requires "
+                "PARTITIONED BY for the same reason)"
+            )
+        if partition_by:
+            missing = [c for c in partition_by if c not in discovered]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} not found in the "
+                    f"path layout (found: {discovered})"
+                )
+            # basePath discovery infers the partition-column TYPES the same
+            # way a normal partitioned read would; data columns keep their
+            # file schema. Partition columns go last, matching Spark's own
+            # partitioned-read column order.
+            full = spark.read.option("basePath", root).parquet(root).schema
+            part_fields = [f for f in full.fields if f.name in partition_by]
+            data_fields = [f for f in full.fields if f.name not in partition_by]
+            schema = StructType(data_fields + part_fields).toDDL()
+        else:
+            schema = spark.read.parquet(*srcs)._jdf.schema().toDDL()
         files = []
         for src in srcs:
             info = _footer_stats(os.path.abspath(src), list(stat_cols))
             if info["rows"] == 0:
                 continue
-            files.append(
-                {
-                    "path": os.path.abspath(src),
-                    "rows": info["rows"],
-                    "stats": info["stats"],
-                }
-            )
+            entry = {
+                "path": os.path.abspath(src),
+                "rows": info["rows"],
+                "stats": info["stats"],
+            }
+            part = _path_partition(src)
+            if part:
+                entry["partition"] = part
+            files.append(entry)
         os.makedirs(table_path, exist_ok=True)
-        table._commit(files, schema, f"convert:{parquet_path}", None)
+        table._commit(
+            files, schema, f"convert:{parquet_path}", None,
+            partition_by=tuple(partition_by),
+        )
         return table
 
     # -- tags (named snapshot refs, Iceberg-style) -------------------------
@@ -1146,36 +1210,66 @@ class LakeTable:
         except (OSError, ValueError):
             return {}
 
+    def _tags_mutate(self, mutate) -> None:
+        """Serialized read-modify-write of the whole-file tag map. _tags.json
+        holds EVERY tag, so two concurrent writers for *different* names
+        would otherwise lose one entirely (not just last-writer-wins on the
+        same name) — silently dropping that version's vacuum protection.
+        An O_EXCL lock file serializes the RMW, matching the care the
+        commit path takes; stale locks (crashed writer) expire after 10 s."""
+        import time
+
+        lock = os.path.join(self.path, "_tags.lock")
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if os.path.getmtime(lock) < time.time() - 10.0:
+                        os.remove(lock)  # crashed-writer stale lock
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"tag lock busy: {lock}")
+                time.sleep(0.01)
+        try:
+            tags = self.tags()
+            mutate(tags)
+            p = os.path.join(self.path, "_tags.json")
+            tmp = p + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(tags, f, indent=1)
+            os.replace(tmp, p)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin a named tag to ``version`` (default: current tip), like
         Iceberg's tagged snapshots / a release label on the commit log.
         Tagged versions are PROTECTED FROM VACUUM: their manifests and
         files survive any retention window until the tag is deleted —
         that's the whole point (a 'model-v3-training-set' tag must outlive
-        the daily retention policy). Tag writes are last-writer-wins via
-        atomic replace; tags are refs, not commits, so they don't need
-        the O_EXCL commit race."""
+        the daily retention policy). The read-modify-write of the whole
+        tag map is serialized by a lock file (see _tags_mutate)."""
         v = self.current_version() if version is None else version
         self.snapshot(v)  # validates the version exists
-        tags = self.tags()
-        tags[name] = v
-        p = os.path.join(self.path, "_tags.json")
-        tmp = p + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(tags, f, indent=1)
-        os.replace(tmp, p)
+        self._tags_mutate(lambda tags: tags.__setitem__(name, v))
         return v
 
     def delete_tag(self, name: str) -> None:
-        tags = self.tags()
-        if name not in tags:
-            raise KeyError(f"no such tag {name!r} on {self.path}")
-        del tags[name]
-        p = os.path.join(self.path, "_tags.json")
-        tmp = p + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(tags, f, indent=1)
-        os.replace(tmp, p)
+        def _drop(tags: dict) -> None:
+            if name not in tags:
+                raise KeyError(f"no such tag {name!r} on {self.path}")
+            del tags[name]
+
+        self._tags_mutate(_drop)
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
         """Scan the snapshot a tag points at (exactly read(version=...))."""
@@ -1230,6 +1324,15 @@ class LakeTable:
         this with a retention window on file age; at this layer the
         contract is simply that vacuum is a maintenance operation scheduled
         apart from writes)."""
+        if keep_versions < 1:
+            # keep_versions=0 would compute keep = snaps[i >= n] = nothing
+            # and delete the CURRENT TIP (manifest + data). No retention
+            # policy ever means "destroy the table", so fail loudly instead
+            # of guessing (Delta's VACUUM likewise refuses retention < safe
+            # minimum unless explicitly overridden).
+            raise ValueError(
+                f"vacuum keep_versions must be >= 1, got {keep_versions}"
+            )
         snaps = self.history()
         tagged = set(self.tags().values())
         n = len(snaps)

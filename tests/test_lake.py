@@ -973,3 +973,112 @@ def test_shallow_clone_of_partitioned_table(spark, tmp_path):
     assert clone.read(spark).agg(F.sum("v")).first()[0] == sum(
         i * 10 for i in range(90)
     ) + 1000
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    """keep_versions=0 would delete the current tip (manifest + data) —
+    a retention policy can never mean 'destroy the table', so vacuum
+    fails loudly instead (ADVICE r6: the old index math kept nothing)."""
+    t = _table(spark, tmp_path, n=20, files=2)
+    with pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=0)
+    with pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=-1)
+    # table fully intact afterwards
+    assert t.read(spark).count() == 20
+    assert t.current_version() == 1
+
+
+def test_convert_in_place_partitioned_source(spark, tmp_path):
+    """CONVERT of a Hive-partitioned dataset: without partition_by it
+    fails loudly (Delta's CONVERT TO DELTA requires PARTITIONED BY);
+    with it, per-file partition values land in the manifest, partition
+    columns survive with inferred types, and pruning works."""
+    src_dir = str(tmp_path / "praw")
+    spark.range(90).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS bucket", "id * 10 AS v"
+    ).write.partitionBy("bucket").parquet(src_dir)
+
+    with pytest.raises(ValueError, match="partition"):
+        LakeTable.convert_in_place(spark, src_dir, str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="not found"):
+        LakeTable.convert_in_place(
+            spark, src_dir, str(tmp_path / "bad2"), partition_by=["nope"]
+        )
+
+    t = LakeTable.convert_in_place(
+        spark, src_dir, str(tmp_path / "t"),
+        stat_cols=["k"], partition_by=["bucket"],
+    )
+    snap = t.snapshot()
+    assert snap.partition_by == ("bucket",)
+    assert all("partition" in f for f in snap.files)
+    got = t.read(spark)
+    assert "bucket" in got.columns
+    assert got.count() == 90
+    # partition values + types round-trip (basePath inference: int)
+    assert got.agg(F.sum("bucket")).first()[0] == sum(i % 3 for i in range(90))
+    pruned = t.read(spark, partition_filter={"bucket": "1"})
+    assert pruned.count() == 30
+    assert {r.bucket for r in pruned.collect()} == {1}
+
+
+def test_mixed_root_null_partition_reads_as_null(spark, tmp_path):
+    """A null partition value (written as the __HIVE_DEFAULT_PARTITION__
+    sentinel by the Hive path writer) must surface as NULL on the
+    manifest-literal mixed-root read path, matching the single-root
+    basePath read of the same snapshot (ADVICE r6)."""
+    src = LakeTable(str(tmp_path / "nsrc"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "a", 30)],
+        "k long, bucket string, v long",
+    )
+    src.create(df, stat_cols=["k"], partition_by=["bucket"])
+    single = src.read(spark)  # single-root basePath read
+    assert single.filter(F.col("bucket").isNull()).count() == 1
+
+    clone = src.clone_to(str(tmp_path / "nclone"))
+    clone.append(
+        spark.createDataFrame([(4, "b", 40)], "k long, bucket string, v long")
+    )
+    mixed = clone.read(spark)  # mixed-root manifest-literal path
+    nulls = mixed.filter(F.col("bucket").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0].k == 2
+    # no sentinel string leaks through
+    assert (
+        mixed.filter(F.col("bucket") == "__HIVE_DEFAULT_PARTITION__").count()
+        == 0
+    )
+    assert mixed.count() == 4
+
+
+def test_concurrent_tag_writers_keep_both_tags(spark, tmp_path):
+    """Two concurrent tag() calls for DIFFERENT names must both land —
+    the whole-file read-modify-write is serialized by the tag lock
+    (ADVICE r6: an unlocked RMW lost one tag entirely, silently
+    dropping its vacuum protection)."""
+    import threading
+
+    t = _table(spark, tmp_path, n=20, files=2)
+    barrier = threading.Barrier(8)
+    errs = []
+
+    def _tagger(name):
+        try:
+            barrier.wait(timeout=10)
+            t.tag(name, version=1)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_tagger, args=(f"tag-{i}",)) for i in range(8)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert set(t.tags()) == {f"tag-{i}" for i in range(8)}
+    # and delete_tag under the same lock
+    t.delete_tag("tag-3")
+    assert "tag-3" not in t.tags() and len(t.tags()) == 7
