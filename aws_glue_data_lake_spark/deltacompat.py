@@ -1,0 +1,474 @@
+"""Delta Lake transaction-log compatibility — jar-free, read AND write.
+
+The reference engine's destination *is* a Delta table
+(reference delta/delta_tables.py:8 ``from delta.tables import *``, :131
+``write.format("delta")``): a user switching from it holds real
+``_delta_log`` tables. This module speaks the PUBLIC Delta transaction
+log protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md)
+with no delta-spark jars:
+
+- ``DeltaTableReader`` replays ``_delta_log/*.json`` commits (and
+  ``*.checkpoint.parquet`` checkpoints) into a file list + schema and
+  plans a normal Spark parquet scan over exactly the live files —
+  add/remove actions, partition-column reconstruction from
+  ``partitionValues``, time travel by version, protocol gating.
+- ``DeltaTableWriter`` emits the same protocol (reader version 1,
+  writer version 2): atomic ``O_EXCL`` commit JSONs, url-encoded
+  relative paths, Hive-layout partition dirs, classic parquet
+  checkpoints — so anything this engine exports is readable by
+  delta-spark / DuckDB's delta extension / Athena.
+
+Scale note: log replay is O(#actions since last checkpoint) driver-side
+metadata work — the same contract as delta-spark's Snapshot — and the
+data scan itself is a plain distributed parquet read with the usual
+pushdown/pruning. Partition values ride the manifest (the log), never
+the data files, matching Delta's layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.parse
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Reader features this implementation actually honors (protocol §
+#: "reader version 3"). Anything else in readerFeatures must hard-fail:
+#: silently ignoring deletionVectors or columnMapping would return wrong
+#: rows, the protocol's cardinal sin.
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+class DeltaProtocolError(NotImplementedError):
+    """Table requires a reader capability this implementation lacks."""
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    schema: StructType
+    partition_columns: tuple[str, ...]
+    #: live files: (absolute path, {partition col: raw string or None})
+    files: list[tuple[str, dict]]
+    configuration: dict
+
+
+class DeltaTableReader:
+    """Replay a ``_delta_log`` into a snapshot and scan it with Spark."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._log = os.path.join(path, "_delta_log")
+        if not os.path.isdir(self._log):
+            raise FileNotFoundError(f"no _delta_log under {path}")
+
+    # -- log listing --------------------------------------------------------
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._log):
+            m = _COMMIT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._log):
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self._commit_versions() + self._checkpoint_versions()
+        if not versions:
+            raise FileNotFoundError(f"empty _delta_log under {self.path}")
+        return max(versions)
+
+    # -- replay -------------------------------------------------------------
+    def _apply_action(self, state: dict, action: dict) -> None:
+        if "metaData" in action:
+            state["metaData"] = action["metaData"]
+        elif "protocol" in action:
+            state["protocol"] = action["protocol"]
+        elif "add" in action:
+            a = action["add"]
+            state["files"][a["path"]] = a.get("partitionValues", {}) or {}
+        elif "remove" in action:
+            state["files"].pop(action["remove"]["path"], None)
+        # commitInfo / txn / cdc / domainMetadata: not needed for a scan
+
+    @staticmethod
+    def _plain(val):
+        """pyarrow surfaces parquet MAP columns as [(k, v), ...] pair
+        lists in to_pylist(); normalize them (recursively) to dicts."""
+        if isinstance(val, list) and val and all(
+            isinstance(x, tuple) and len(x) == 2 for x in val
+        ):
+            return {k: DeltaTableReader._plain(v) for k, v in val}
+        if isinstance(val, dict):
+            return {k: DeltaTableReader._plain(v) for k, v in val.items()}
+        return val
+
+    def _load_checkpoint(self, state: dict, version: int) -> None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(self._log, f"{version:020d}.checkpoint.parquet")
+        tbl = pq.read_table(cp)
+        rows = tbl.to_pylist()
+        # A checkpoint row has exactly one non-null action column.
+        for row in rows:
+            for key in ("metaData", "protocol", "add", "remove"):
+                val = row.get(key)
+                if val is not None:
+                    self._apply_action(state, {key: self._plain(val)})
+
+    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        commits = self._commit_versions()
+        cps = self._checkpoint_versions()
+        if not commits and not cps:
+            raise FileNotFoundError(f"empty _delta_log under {self.path}")
+        # Pre-checkpoint commit JSONs may be cleaned up (the protocol's
+        # log-retention story): any version covered by a commit file OR a
+        # checkpoint is replayable.
+        tip = max(commits + cps) if version is None else version
+        if tip not in commits and tip not in cps:
+            raise FileNotFoundError(
+                f"no version {tip} in {self._log} (have {sorted(set(commits + cps))})"
+            )
+        state: dict = {"files": {}, "metaData": None, "protocol": None}
+        start = 0
+        usable_cps = [cp for cp in self._checkpoint_versions() if cp <= tip]
+        if usable_cps:
+            cp = usable_cps[-1]
+            self._load_checkpoint(state, cp)
+            start = cp + 1
+        for v in commits:
+            if start <= v <= tip:
+                with open(os.path.join(self._log, f"{v:020d}.json")) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            self._apply_action(state, json.loads(line))
+        self._check_protocol(state)
+        meta = state["metaData"]
+        if meta is None:
+            raise DeltaProtocolError(f"no metaData action by v{tip}")
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = tuple(meta.get("partitionColumns", ()))
+        files = [
+            (self._abs_path(p), pv) for p, pv in sorted(state["files"].items())
+        ]
+        return DeltaSnapshot(
+            version=tip,
+            schema=schema,
+            partition_columns=part_cols,
+            files=files,
+            configuration=meta.get("configuration", {}) or {},
+        )
+
+    def _abs_path(self, raw: str) -> str:
+        # add.path is a RELATIVE url-encoded path (or an absolute URI).
+        p = urllib.parse.unquote(raw)
+        if p.startswith("file:"):
+            p = urllib.parse.urlparse(p).path
+        if os.path.isabs(p):
+            return p
+        return os.path.join(self.path, p)
+
+    def _check_protocol(self, state: dict) -> None:
+        proto = state.get("protocol") or {}
+        reader = proto.get("minReaderVersion", 1)
+        if reader >= 3:
+            feats = set(proto.get("readerFeatures", ()))
+            bad = feats - _SUPPORTED_READER_FEATURES
+            if bad:
+                raise DeltaProtocolError(
+                    f"unsupported Delta reader features: {sorted(bad)}"
+                )
+        elif reader > 2:
+            raise DeltaProtocolError(
+                f"unsupported minReaderVersion {reader}"
+            )
+        meta = state.get("metaData") or {}
+        conf = meta.get("configuration", {}) or {}
+        if conf.get("delta.columnMapping.mode", "none") != "none":
+            raise DeltaProtocolError("column mapping not supported")
+
+    # -- scan ---------------------------------------------------------------
+    def to_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Plan a Spark scan of exactly the snapshot's live files. Partition
+        columns are NOT in the data files (Delta's layout) — they attach as
+        typed literals from each add-action's ``partitionValues``, grouped
+        by partition tuple so planning is O(#live partitions)."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            return spark.createDataFrame([], snap.schema)
+        part_cols = snap.partition_columns
+        data_st = StructType(
+            [f for f in snap.schema.fields if f.name not in part_cols]
+        )
+        if not part_cols:
+            return spark.read.schema(data_st).parquet(
+                *[p for p, _ in snap.files]
+            )
+        part_fields = [f for f in snap.schema.fields if f.name in part_cols]
+        groups: dict[tuple, list[str]] = {}
+        for p, pv in snap.files:
+            key = tuple(pv.get(f.name) for f in part_fields)
+            groups.setdefault(key, []).append(p)
+        out_cols = [f.name for f in snap.schema.fields]
+        dfs = []
+        for key, paths in sorted(
+            groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        ):
+            g = spark.read.schema(data_st).parquet(*paths)
+            for f, v in zip(part_fields, key):
+                if v is None:
+                    g = g.withColumn(f.name, F.lit(None).cast(f.dataType))
+                else:
+                    g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
+            dfs.append(g.select(*out_cols))
+        df = dfs[0]
+        for g in dfs[1:]:
+            df = df.unionByName(g)
+        return df
+
+
+class DeltaTableWriter:
+    """Emit the Delta transaction-log protocol: create / append /
+    overwrite commits plus classic parquet checkpoints. Commits are
+    O_EXCL-atomic on the version file, the same optimistic-concurrency
+    primitive the protocol specifies for a filesystem log store."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._log = os.path.join(path, "_delta_log")
+
+    # -- data-file staging --------------------------------------------------
+    def _stage_files(
+        self, df: DataFrame, partition_by: Sequence[str]
+    ) -> list[dict]:
+        """Write df as uniquely-named parquet files in Delta's layout
+        (partition columns in Hive dirs and partitionValues, NOT in the
+        file bytes) and return their add actions."""
+        import glob
+        import shutil
+
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+        adds = []
+        for src in sorted(
+            glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
+        ):
+            rel_dir = os.path.relpath(os.path.dirname(src), stage)
+            segs = rel_dir.split(os.sep) if rel_dir != "." else []
+            partition_values = {}
+            for seg in segs:
+                k, _, v = seg.partition("=")
+                partition_values[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = "/".join([*segs, name])
+            dst = os.path.join(self.path, *segs, name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            adds.append(
+                {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": int(os.path.getmtime(dst) * 1000),
+                    "dataChange": True,
+                }
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _commit(self, version: int, actions: list[dict]) -> None:
+        os.makedirs(self._log, exist_ok=True)
+        target = os.path.join(self._log, f"{version:020d}.json")
+        payload = "".join(json.dumps(a) + "\n" for a in actions)
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload.encode())
+        finally:
+            os.close(fd)
+
+    def _meta_actions(
+        self, schema: StructType, partition_by: Sequence[str]
+    ) -> list[dict]:
+        return [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+        ]
+
+    def create(
+        self, df: DataFrame, partition_by: Sequence[str] = ()
+    ) -> "DeltaTableReader":
+        if os.path.isdir(self._log) and any(
+            _COMMIT_RE.match(n) for n in os.listdir(self._log)
+        ):
+            raise FileExistsError(f"Delta table already exists: {self.path}")
+        os.makedirs(self.path, exist_ok=True)
+        adds = self._stage_files(df, partition_by)
+        self._commit(
+            0,
+            self._meta_actions(df.schema, partition_by)
+            + [{"add": a} for a in adds],
+        )
+        return DeltaTableReader(self.path)
+
+    def append(self, df: DataFrame) -> int:
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        adds = self._stage_files(df, snap.partition_columns)
+        v = snap.version + 1
+        self._commit(v, [{"add": a} for a in adds])
+        return v
+
+    def overwrite_partition(self, df: DataFrame, **partition: str) -> int:
+        """Replace one partition's files (remove actions for the old files,
+        add actions for the new) — the classic Delta replaceWhere commit."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        removes = [
+            {
+                "remove": {
+                    "path": urllib.parse.quote(os.path.relpath(p, self.path)),
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p, pv in snap.files
+            if all(pv.get(k) == str(v) for k, v in partition.items())
+        ]
+        adds = self._stage_files(df, snap.partition_columns)
+        v = snap.version + 1
+        self._commit(v, removes + [{"add": a} for a in adds])
+        return v
+
+    def checkpoint(self, version: int | None = None) -> str:
+        """Write a classic single-file parquet checkpoint of the snapshot
+        state (protocol + metaData + one add row per live file) and point
+        ``_last_checkpoint`` at it, so replay cost stays O(actions since
+        last checkpoint) — the protocol's answer to unbounded logs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot(version)
+        meta_row = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(snap.schema.jsonValue()),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": dict(snap.configuration),
+            "createdTime": 0,
+        }
+        rows = [
+            {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "metaData": None,
+                "add": None,
+            },
+            {"protocol": None, "metaData": meta_row, "add": None},
+        ]
+        for p, pv in snap.files:
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": {
+                        "path": urllib.parse.quote(
+                            os.path.relpath(p, self.path)
+                        ),
+                        "partitionValues": list(pv.items()),
+                        "size": os.path.getsize(p),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    },
+                }
+            )
+        # Explicit schema: partitionValues / options / configuration are
+        # MAP<string,string> per the checkpoint spec — pyarrow inference
+        # from dicts would produce per-row structs instead.
+        smap = pa.map_(pa.string(), pa.string())
+        schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [("provider", pa.string()), ("options", smap)]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", smap),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", smap),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        for row in rows:
+            meta = row["metaData"]
+            if meta is not None:
+                meta["format"]["options"] = list(meta["format"]["options"].items())
+                meta["configuration"] = list(meta["configuration"].items())
+        cp = os.path.join(self._log, f"{snap.version:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp)
+        with open(os.path.join(self._log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": snap.version, "size": len(rows)}, f)
+        return cp

@@ -1,0 +1,785 @@
+"""Apache Iceberg table-format compatibility — jar-free, read AND write.
+
+The reference's Iceberg job writes a format-version-2 table through a
+catalog (reference icberg/iceberg_tables.py:112
+``writeTo(...).tableProperty('format-version', '2').create()``, :143-146
+``MERGE INTO`` it). This module speaks the PUBLIC Iceberg table spec
+(https://iceberg.apache.org/spec/) with no iceberg-spark jars, using the
+pure-Python Avro codec in :mod:`aws_glue_data_lake_spark.avrolite` for
+the manifest layer (Iceberg's metadata tree is JSON at the root and Avro
+below):
+
+- ``IcebergTableReader``: ``metadata/version-hint.text`` ->
+  ``vN.metadata.json`` -> current snapshot -> manifest-list Avro ->
+  manifest Avro -> live data files (status != DELETED, content = data),
+  planned as a normal Spark parquet scan. Snapshot-id time travel;
+  manifest-level partition pruning from the partition summaries; loud
+  failure on row-level delete files (format v2 content=deletes) instead
+  of silently wrong rows.
+- ``IcebergTableWriter``: create / append / overwrite-partition commits
+  emitting the same tree (metadata JSON versions, manifest list + one
+  manifest per commit, snapshot log), format-version 2, identity
+  partition transforms.
+
+Unlike Delta, Iceberg data files CONTAIN their partition columns, so the
+scan needs no literal reconstruction; the manifest partition struct
+exists for pruning, which ``to_df(partition_filter=...)`` applies before
+planning — list-then-scan pruning, the same shape as the homegrown lake
+layer's manifest pruning (lake.py).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from aws_glue_data_lake_spark.avrolite import read_container, write_container
+
+
+class IcebergProtocolError(NotImplementedError):
+    """Table requires a reader capability this implementation lacks."""
+
+
+# ---------------------------------------------------------------------------
+# type mapping (Iceberg schema JSON <-> Spark types)
+# ---------------------------------------------------------------------------
+_ICEBERG_TO_SPARK = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "date": DateType(),
+    "timestamp": TimestampNTZType(),
+    "timestamptz": TimestampType(),
+    "string": StringType(),
+    "uuid": StringType(),
+    "binary": BinaryType(),
+}
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_type_to_spark(t) -> DataType:
+    if isinstance(t, str):
+        m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        try:
+            return _ICEBERG_TO_SPARK[t]
+        except KeyError:
+            raise IcebergProtocolError(f"unsupported Iceberg type {t!r}") from None
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return StructType(
+            [
+                StructField(
+                    f["name"],
+                    _iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t["fields"]
+            ]
+        )
+    raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
+
+
+def _spark_type_to_iceberg(t: DataType) -> str:
+    if isinstance(t, DecimalType):
+        return f"decimal({t.precision}, {t.scale})"
+    try:
+        return _SPARK_TO_ICEBERG[t.typeName()]
+    except KeyError:
+        raise IcebergProtocolError(
+            f"unsupported Spark type for Iceberg export: {t}"
+        ) from None
+
+
+#: Avro schema for the partition struct given [(name, iceberg type)].
+def _partition_avro_fields(cols: list[tuple[str, str]]) -> list[dict]:
+    prim = {
+        "boolean": "boolean", "int": "int", "long": "long",
+        "float": "float", "double": "double", "string": "string",
+        "date": "int", "timestamp": "long", "timestamptz": "long",
+    }
+    out = []
+    for i, (name, ice_t) in enumerate(cols):
+        base = prim.get(ice_t)
+        if base is None:
+            raise IcebergProtocolError(
+                f"unsupported partition column type {ice_t!r}"
+            )
+        out.append(
+            {
+                "name": name,
+                "type": ["null", base],
+                "default": None,
+                "field-id": 1000 + i,
+            }
+        )
+    return out
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """Avro writer schema for a v2 manifest_entry (spec 'Manifest Files'):
+    the required fields plus the per-spec partition struct."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": partition_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+@dataclass
+class IcebergSnapshot:
+    snapshot_id: int
+    schema: StructType
+    partition_by: tuple[str, ...]
+    #: live data files: (absolute path, {partition col: value})
+    files: list[tuple[str, dict]]
+
+
+class IcebergTableReader:
+    """Replay metadata.json -> manifest list -> manifests into a snapshot."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._meta_dir = os.path.join(path, "metadata")
+        if not os.path.isdir(self._meta_dir):
+            raise FileNotFoundError(f"no metadata/ under {path}")
+
+    def _metadata(self) -> dict:
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        version = None
+        if os.path.exists(hint):
+            with open(hint) as f:
+                version = int(f.read().strip())
+        else:
+            vs = [
+                int(m.group(1))
+                for m in (
+                    re.match(r"v(\d+)\.metadata\.json$", n)
+                    for n in os.listdir(self._meta_dir)
+                )
+                if m
+            ]
+            if not vs:
+                raise FileNotFoundError(f"no vN.metadata.json in {self._meta_dir}")
+            version = max(vs)
+        with open(
+            os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        ) as f:
+            return json.load(f)
+
+    def _abs(self, p: str) -> str:
+        if p.startswith("file:"):
+            import urllib.parse
+
+            p = urllib.parse.urlparse(p).path
+        if os.path.isabs(p):
+            return p
+        return os.path.join(self.path, p)
+
+    def snapshot(self, snapshot_id: int | None = None) -> IcebergSnapshot:
+        meta = self._metadata()
+        if meta.get("format-version", 1) not in (1, 2):
+            raise IcebergProtocolError(
+                f"unsupported format-version {meta.get('format-version')}"
+            )
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        sid = snapshot_id if snapshot_id is not None else meta.get(
+            "current-snapshot-id"
+        )
+        if sid is None or sid not in snaps:
+            raise FileNotFoundError(
+                f"no snapshot {sid} in {self._meta_dir} (have {sorted(snaps)})"
+            )
+        snap = snaps[sid]
+        # schema: v2 carries schemas[] + a per-snapshot schema-id
+        schemas = meta.get("schemas")
+        if schemas:
+            by_id = {s["schema-id"]: s for s in schemas}
+            schema_json = by_id[
+                snap.get("schema-id", meta.get("current-schema-id", 0))
+            ]
+        else:  # v1 single-schema layout
+            schema_json = meta["schema"]
+        spark_schema = _iceberg_type_to_spark(
+            {"type": "struct", "fields": schema_json["fields"]}
+        )
+        specs = meta.get("partition-specs", [])
+        by_spec = {s["spec-id"]: s for s in specs}
+        part_cols: tuple[str, ...] = ()
+        if by_spec:
+            spec = by_spec[meta.get("default-spec-id", 0)]
+            for f in spec.get("fields", []):
+                if f.get("transform", "identity") != "identity":
+                    raise IcebergProtocolError(
+                        f"unsupported partition transform {f['transform']!r}"
+                    )
+                part_cols += (f["name"],)
+        files: list[tuple[str, dict]] = []
+        _, manifests, _ = read_container(self._abs(snap["manifest-list"]))
+        for mf in manifests:
+            if mf.get("content", 0) == 1:
+                raise IcebergProtocolError(
+                    "row-level delete manifests (format v2 content=deletes) "
+                    "not supported"
+                )
+            _, entries, _ = read_container(self._abs(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                df_rec = e["data_file"]
+                if df_rec.get("content", 0) != 0:
+                    raise IcebergProtocolError(
+                        "row-level delete files not supported"
+                    )
+                if df_rec.get("file_format", "PARQUET").upper() != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"unsupported file format {df_rec['file_format']!r}"
+                    )
+                files.append(
+                    (self._abs(df_rec["file_path"]), df_rec.get("partition", {}))
+                )
+        return IcebergSnapshot(
+            snapshot_id=sid,
+            schema=spark_schema,
+            partition_by=part_cols,
+            files=sorted(files),
+        )
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        """Scan the snapshot's live files. ``partition_filter``
+        ({col: value}) prunes files by MANIFEST partition values before
+        planning — the inverted-index read path the manifest tree exists
+        for. Iceberg data files carry their partition columns, so the scan
+        is a plain schema-pinned parquet read."""
+        snap = self.snapshot(snapshot_id)
+        files = snap.files
+        if partition_filter:
+            files = [
+                (p, pv)
+                for p, pv in files
+                if all(pv.get(k) == v for k, v in partition_filter.items())
+            ]
+        if not files:
+            return spark.createDataFrame([], snap.schema)
+        return spark.read.schema(snap.schema).parquet(*[p for p, _ in files])
+
+
+class IcebergTableWriter:
+    """Emit the Iceberg v2 metadata tree: metadata JSON versions,
+    manifest-list + manifest Avro, snapshot log, identity partitioning."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._meta_dir = os.path.join(path, "metadata")
+        self._data_dir = os.path.join(path, "data")
+
+    # -- helpers ------------------------------------------------------------
+    def _schema_json(self, schema: StructType) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {
+                    "id": i + 1,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_type_to_iceberg(f.dataType),
+                }
+                for i, f in enumerate(schema.fields)
+            ],
+        }
+
+    @staticmethod
+    def _parse_part_value(raw: str, ice_t: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        import urllib.parse
+
+        raw = urllib.parse.unquote(raw)
+        if ice_t in ("int", "long"):
+            return int(raw)
+        if ice_t in ("float", "double"):
+            return float(raw)
+        if ice_t == "boolean":
+            return raw == "true"
+        if ice_t == "string":
+            return raw
+        raise IcebergProtocolError(
+            f"unsupported partition column type {ice_t!r} for export"
+        )
+
+    def _stage_data_files(
+        self, df: DataFrame, pcols: list[tuple[str, str]]
+    ) -> list[tuple[str, dict, int, int]]:
+        """Write df's rows as parquet data files (ALL columns in-file,
+        Iceberg's layout) -> [(abs path, partition values, rows, bytes)].
+        An Iceberg data file belongs to exactly ONE partition tuple, so
+        partitioned stages go through Spark's partitionBy — which would
+        strip the source columns, so the split runs on DUPLICATED
+        ``__pb_*`` columns and the real columns stay in the file bytes.
+        One distributed write, one file set; partition values parse back
+        from the Hive dir names."""
+        import pyarrow.parquet as pq
+
+        partition_by = [n for n, _ in pcols]
+        types = dict(pcols)
+        os.makedirs(self._data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        if partition_by:
+            staged_df = df
+            for c in partition_by:
+                staged_df = staged_df.withColumn(f"__pb_{c}", df[c])
+            staged_df = staged_df.repartition(
+                *[staged_df[f"__pb_{c}"] for c in partition_by]
+            )
+            staged_df.write.mode("overwrite").partitionBy(
+                *[f"__pb_{c}" for c in partition_by]
+            ).parquet(stage)
+        else:
+            df.write.mode("overwrite").parquet(stage)
+        out = []
+        for src in sorted(
+            _glob.glob(
+                os.path.join(stage, "**", "part-*.parquet"), recursive=True
+            )
+        ):
+            rows = pq.ParquetFile(src).metadata.num_rows
+            if rows == 0:
+                continue
+            rel_dir = os.path.relpath(os.path.dirname(src), stage)
+            pv = {}
+            for seg in rel_dir.split(os.sep) if rel_dir != "." else []:
+                k, _, v = seg.partition("=")
+                k = k.removeprefix("__pb_")
+                pv[k] = self._parse_part_value(v, types[k])
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self._data_dir, name)
+            shutil.move(src, dst)
+            out.append((dst, pv, rows, os.path.getsize(dst)))
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def _write_manifest(
+        self,
+        entries: list[dict],
+        partition_cols: list[tuple[str, str]],
+        snapshot_id: int,
+        sequence_number: int,
+        schema_json: dict,
+    ) -> dict:
+        """Write one manifest Avro -> its manifest-list entry."""
+        schema = _manifest_entry_schema(_partition_avro_fields(partition_cols))
+        path = os.path.join(
+            self._meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+        )
+        write_container(
+            path,
+            schema,
+            entries,
+            metadata={
+                "schema": json.dumps(schema_json),
+                "partition-spec": json.dumps(
+                    [
+                        {
+                            "name": n,
+                            "transform": "identity",
+                            "source-id": i + 1,
+                            "field-id": 1000 + i,
+                        }
+                        for i, (n, _) in enumerate(partition_cols)
+                    ]
+                ),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        added = [e for e in entries if e["status"] == _STATUS_ADDED]
+        existing = [e for e in entries if e["status"] == _STATUS_EXISTING]
+        deleted = [e for e in entries if e["status"] == _STATUS_DELETED]
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": sequence_number,
+            "min_sequence_number": sequence_number,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(added),
+            "existing_data_files_count": len(existing),
+            "deleted_data_files_count": len(deleted),
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added
+            ),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in existing
+            ),
+            "deleted_rows_count": sum(
+                e["data_file"]["record_count"] for e in deleted
+            ),
+        }
+
+    def _entry(
+        self, path: str, pv: dict, rows: int, size: int,
+        status: int, snapshot_id: int, seq: int,
+    ) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": pv,
+                "record_count": rows,
+                "file_size_in_bytes": size,
+            },
+        }
+
+    def _commit_metadata(
+        self,
+        prev: dict | None,
+        schema_json: dict,
+        partition_cols: list[tuple[str, str]],
+        snapshot_id: int,
+        sequence_number: int,
+        manifest_list_path: str,
+        operation: str,
+    ) -> None:
+        version = 1 if prev is None else prev["__version"] + 1
+        snapshots = list(prev.get("snapshots", [])) if prev else []
+        snapshots.append(
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "timestamp-ms": 0,
+                "manifest-list": manifest_list_path,
+                "schema-id": 0,
+                "summary": {"operation": operation},
+            }
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": prev["table-uuid"] if prev else str(uuid.uuid4()),
+            "location": self.path,
+            "last-sequence-number": sequence_number,
+            "last-updated-ms": 0,
+            "last-column-id": len(schema_json["fields"]),
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": n,
+                            "transform": "identity",
+                            "source-id": next(
+                                f["id"]
+                                for f in schema_json["fields"]
+                                if f["name"] == n
+                            ),
+                            "field-id": 1000 + i,
+                        }
+                        for i, (n, _) in enumerate(partition_cols)
+                    ],
+                }
+            ],
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": snapshot_id,
+            "snapshots": snapshots,
+            "snapshot-log": [
+                {"snapshot-id": s["snapshot-id"], "timestamp-ms": 0}
+                for s in snapshots
+            ],
+            "metadata-log": [],
+            "properties": {},
+        }
+        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        # O_EXCL: the Hadoop-catalog commit primitive (losing a version
+        # race must fail, not clobber)
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+
+    def _load_prev(self) -> dict | None:
+        try:
+            r = IcebergTableReader(self.path)
+        except FileNotFoundError:
+            return None
+        meta = r._metadata()
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        with open(hint) as f:
+            meta["__version"] = int(f.read().strip())
+        return meta
+
+    def _partition_cols(
+        self, schema: StructType, partition_by: Sequence[str]
+    ) -> list[tuple[str, str]]:
+        by_name = {f.name: f for f in schema.fields}
+        return [
+            (c, _spark_type_to_iceberg(by_name[c].dataType))
+            for c in partition_by
+        ]
+
+    def _next_ids(self, prev: dict | None) -> tuple[int, int]:
+        seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
+        # deterministic, collision-free snapshot id derived from the commit
+        # sequence (Date-free: workflow/test reproducibility)
+        sid = (prev["current-snapshot-id"] if prev else 1000) + 1
+        return sid, seq
+
+    # -- public API ---------------------------------------------------------
+    def create(
+        self, df: DataFrame, partition_by: Sequence[str] = ()
+    ) -> IcebergTableReader:
+        if os.path.isdir(self._meta_dir) and any(
+            re.match(r"v\d+\.metadata\.json$", n)
+            for n in os.listdir(self._meta_dir)
+        ):
+            raise FileExistsError(f"Iceberg table already exists: {self.path}")
+        os.makedirs(self._meta_dir, exist_ok=True)
+        schema_json = self._schema_json(df.schema)
+        pcols = self._partition_cols(df.schema, partition_by)
+        sid, seq = 1001, 1
+        staged = self._stage_data_files(df, pcols)
+        entries = [
+            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
+            for p, pv, rows, size in staged
+        ]
+        ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            None, schema_json, pcols, sid, seq, ml_path, "append"
+        )
+        return IcebergTableReader(self.path)
+
+    def _manifest_list_of(self, prev: dict) -> list[dict]:
+        cur = next(
+            s
+            for s in prev["snapshots"]
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )
+        _, manifests, _ = read_container(cur["manifest-list"])
+        return manifests
+
+    def append(self, df: DataFrame) -> int:
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = prev["schemas"][0]
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = [f["name"] for f in spec_fields]
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        sid, seq = self._next_ids(prev)
+        staged = self._stage_data_files(df, pcols)
+        entries = [
+            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
+            for p, pv, rows, size in staged
+        ]
+        ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
+        manifests = self._manifest_list_of(prev) + [ml_entry]
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "append"
+        )
+        return sid
+
+    def overwrite_partition(self, df: DataFrame, **partition) -> int:
+        """Replace one partition: prior manifests are REWRITTEN with the
+        matching entries marked deleted (carried entries become
+        status=existing), plus a fresh manifest for the new files — the
+        spec's overwrite-snapshot shape."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = prev["schemas"][0]
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = [f["name"] for f in spec_fields]
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        sid, seq = self._next_ids(prev)
+        new_manifests = []
+        for mf in self._manifest_list_of(prev):
+            _, entries, _ = read_container(mf["manifest_path"])
+            rewritten = []
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue  # already dead in the prior snapshot
+                pv = e["data_file"].get("partition", {})
+                matches = all(
+                    pv.get(k) == v for k, v in partition.items()
+                )
+                e = dict(e)
+                e["status"] = (
+                    _STATUS_DELETED if matches else _STATUS_EXISTING
+                )
+                rewritten.append(e)
+            if rewritten:
+                new_manifests.append(
+                    self._write_manifest(
+                        rewritten, pcols, sid, seq, schema_json
+                    )
+                )
+        staged = self._stage_data_files(df, pcols)
+        entries = [
+            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
+            for p, pv, rows, size in staged
+        ]
+        if entries:
+            new_manifests.append(
+                self._write_manifest(entries, pcols, sid, seq, schema_json)
+            )
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "overwrite"
+        )
+        return sid

@@ -80,3 +80,65 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def get_catalog_spark(
+    catalog_dir: str,
+    app_name: str = "aws-glue-data-lake-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Engine session backed by a PERSISTENT, SHARED catalog — the
+    counterpart of two Glue jobs resolving the same ``hamzatest.*`` names
+    through the Glue Data Catalog (reference icberg/iceberg_tables.py:54-58,
+    65-66). ``catalog_dir`` holds a file-based Derby Hive metastore +
+    warehouse: any later session (same process or a fresh one) pointed at
+    the same directory sees every table the first session saved —
+    saveAsTable / CTAS / external-table DDL all resolve through it.
+
+    Derby's embedded driver allows ONE live connection per metastore dir
+    (the Glue/Hive answer is a server-mode metastore; at this layer the
+    contract is sessions share state through the DIR, concurrent access
+    is serialized by the caller — same as two Glue jobs racing DDL).
+
+    Must be called before any SparkSession exists in this process:
+    getOrCreate() reuses a live session's catalog implementation, and an
+    in-memory-catalog session can't be upgraded to Hive after the fact
+    (the function raises in that case rather than silently handing back
+    the wrong catalog)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        impl = active.conf.get("spark.sql.catalogImplementation", "in-memory")
+        wanted = os.path.join(catalog_dir, "warehouse")
+        if impl != "hive" or not active.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).endswith(wanted.lstrip("/")):
+            raise RuntimeError(
+                "get_catalog_spark must build the FIRST session in the "
+                f"process (active session has catalog={impl!r}); "
+                "stop it or use a fresh process"
+            )
+        return active
+    os.makedirs(catalog_dir, exist_ok=True)
+    warehouse = os.path.join(catalog_dir, "warehouse")
+    metastore = os.path.join(catalog_dir, "metastore_db")
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .enableHiveSupport()
+    )
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf.setdefault("spark.driver.memory", "16g")
+    conf["spark.sql.warehouse.dir"] = warehouse
+    conf["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
+        f"jdbc:derby:;databaseName={metastore};create=true"
+    )
+    # keep Derby's droppings out of the CWD
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-Dderby.system.home={catalog_dir}"
+    )
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

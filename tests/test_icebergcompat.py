@@ -1,0 +1,149 @@
+"""Iceberg metadata-tree compatibility (public table spec, jar-free):
+the pure-Python Avro codec must round-trip the manifest layer, the
+reader must replay metadata.json -> manifest list -> manifests into
+exactly the live file set (deleted entries dropped, overwrites honored),
+snapshot-id time travel must work, and unsupported capabilities
+(row-level deletes, non-identity transforms) must fail loudly."""
+
+import json
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_glue_data_lake_spark.avrolite import read_container, write_container
+from aws_glue_data_lake_spark.icebergcompat import (
+    IcebergProtocolError,
+    IcebergTableReader,
+    IcebergTableWriter,
+)
+
+
+def _rows(spark, reader, **kw):
+    return sorted(
+        (r["k"], r["bucket"], r["v"]) for r in reader.to_df(spark, **kw).collect()
+    )
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)],
+        "k long, bucket string, v long",
+    )
+    r = w.create(df, partition_by=["bucket"])
+    assert _rows(spark, r) == [
+        (1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)
+    ]
+    sid1 = r.snapshot().snapshot_id
+    w.append(
+        spark.createDataFrame([(5, "b", 50)], "k long, bucket string, v long")
+    )
+    w.overwrite_partition(
+        spark.createDataFrame([(10, "a", 100)], "k long, bucket string, v long"),
+        bucket="a",
+    )
+    assert _rows(spark, r) == [
+        (2, "b", 20), (3, None, 30), (5, "b", 50), (10, "a", 100)
+    ]
+    # snapshot-id time travel
+    assert _rows(spark, r, snapshot_id=sid1) == [
+        (1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)
+    ]
+    # manifest-level partition pruning
+    assert _rows(spark, r, partition_filter={"bucket": "b"}) == [
+        (2, "b", 20), (5, "b", 50)
+    ]
+    # null partition value round-trips as NULL
+    assert r.to_df(spark).filter("bucket IS NULL").count() == 1
+    # Iceberg data files CARRY their partition columns (unlike Delta)
+    import pyarrow.parquet as pq
+
+    snap = r.snapshot()
+    any_file = snap.files[0][0]
+    assert "bucket" in pq.ParquetFile(any_file).schema_arrow.names
+
+
+def test_unsupported_capabilities_fail_loudly(spark, tmp_path):
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"),
+        partition_by=["bucket"],
+    )
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
+    # non-identity transform must be rejected, not silently mis-planned
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergProtocolError, match="transform"):
+        IcebergTableReader(path).snapshot()
+
+
+def test_avro_container_roundtrip_unions_maps_arrays():
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "q", "type": ["null", "string"]}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "s": "héllo", "opt": None, "xs": [0, -1, 2**40],
+            "m": {"a": "1", "b": "2"}, "d": -0.125, "b": b"\x00\xff",
+            "nested": {"q": None},
+        },
+        {
+            "s": "", "opt": -(2**50), "xs": [], "m": {}, "d": 1e300,
+            "b": b"", "nested": {"q": "x"},
+        },
+    ]
+    for codec in ("null", "deflate"):
+        write_container("/tmp/_avro_rt.avro", schema, recs, codec=codec)
+        _, got, _ = read_container("/tmp/_avro_rt.avro")
+        assert got == recs, codec
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), max_size=20
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_long_zigzag_roundtrip(tmp_path_factory, xs, codec):
+    """zigzag varints are the wire format everything else builds on —
+    property-check them across the long range, both codecs."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_container(p, schema, [{"xs": xs}], codec=codec)
+    _, got, _ = read_container(p)
+    assert got == [{"xs": xs}]
