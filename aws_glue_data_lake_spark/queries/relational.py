@@ -2484,14 +2484,16 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Equi-depth histogram — the optimizer-statistics / data-exploration
-# primitive: 10 equal-population price buckets via NTILE over a total
-# order (price, then key — the tiebreak makes bucket assignment
+# primitive: 10 equal-population price buckets over a total order
+# (price, then key — the tiebreak makes bucket assignment
 # deterministic), reporting population, bounds, and exact decimal mass
-# per bucket. NTILE is SQL-standard in both engines, so the oracle is the
-# literal twin. Scale note: a single total sort is the honest cost of
-# exact equi-depth; the approximate path at 100 TB is
-# approx_percentile-derived bounds (agg_approx_percentile_price), with
-# this as the exactness reference.
+# per bucket. The oracle keeps SQL-standard NTILE(10); the Spark side
+# computes the SAME exact bucket WITHOUT a global window (which would be
+# a single-partition total sort — fatal at 100×): distributed rank =
+# range-repartition on the sort key + per-partition row_number + driver
+# -side per-partition count offsets (|offsets| = #partitions, metadata
+# not data), then NTILE's exact rank arithmetic — the same scale-safe
+# plan as window_ntile_customer_value (windows.py).
 # --------------------------------------------------------------------------
 @_q(
     "agg_equidepth_histogram",
@@ -2514,13 +2516,41 @@ ORDER BY bucket
 def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    o = t(spark, sf_dir, "orders")
-    b = o.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bucket"),
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranged = (
+        o.repartitionByRange(
+            spark.sparkContext.defaultParallelism,
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    counts = sorted(
+        (r["pid"], r["c"])
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets: dict[int, int] = {}
+    n_total = 0
+    for pid, c in counts:
+        offsets[pid] = n_total
+        n_total += c
+    # NTILE(10)'s exact arithmetic: with q, rem = divmod(N, 10) the first
+    # rem buckets hold q+1 rows, the rest q — bucket k ends at global rank
+    # k*q + min(k, rem), so rank -> bucket is a 10-arm comparison ladder.
+    q, rem = divmod(n_total, 10)
+    ends = [k * q + min(k, rem) for k in range(1, 10)]
+    off = (
+        F.create_map(*[F.lit(v) for po in offsets.items() for v in po])
+        if offsets
+        else F.create_map()
+    )
+    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    rank = F.element_at(off, F.col("pid")) + F.row_number().over(local_w)
+    bucket = F.lit(10)
+    for k in range(9, 0, -1):
+        bucket = F.when(rank <= ends[k - 1], k).otherwise(bucket)
+    b = ranged.select("o_totalprice", bucket.alias("bucket"))
     return (
         b.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
