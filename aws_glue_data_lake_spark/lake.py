@@ -179,23 +179,58 @@ class LakeTable:
             raise NoSuchTable(self.path)
         return versions[-1]
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
-        v = self.current_version() if version is None else version
+    #: Write a FULL (checkpoint) manifest at least every K commits; in
+    #: between, manifests carry only the commit's add/remove DELTA. This
+    #: bounds commit write-amplification at O(changed files) instead of
+    #: O(table files) — the Delta-log checkpoint structure — while
+    #: snapshot load stays O(current files + K·delta).
+    _CHECKPOINT_EVERY = 20
+
+    def _load_manifest(self, v: int) -> dict:
         mpath = os.path.join(self._manifests, f"v{v}.json")
         if not os.path.exists(mpath):
             raise NoSuchTable(f"{self.path} has no snapshot v{v}")
         with open(mpath) as f:
-            m = json.load(f)
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        # Walk the parent chain back to the nearest FULL manifest, then
+        # replay the delta manifests forward. The checkpoint cadence
+        # bounds the chain at _CHECKPOINT_EVERY; vacuum materializes any
+        # kept manifest whose ancestors it drops, so the chain never
+        # crosses a vacuumed version.
+        chain: list[dict] = []
+        cur = v
+        while True:
+            m = self._load_manifest(cur)
+            chain.append(m)
+            if "files" in m:
+                break
+            cur = m.get("parent")
+            if cur is None:
+                raise NoSuchTable(
+                    f"{self.path} v{v}: delta manifest chain has no "
+                    "full ancestor (corrupt log)"
+                )
+        filemap = {e["path"]: e for e in chain[-1]["files"]}
+        for m in reversed(chain[:-1]):
+            for p in m.get("removes", ()):
+                filemap.pop(p, None)
+            for e in m.get("adds", ()):
+                filemap.pop(e["path"], None)  # rewrite lands at the end
+                filemap[e["path"]] = e
+        tip = chain[0]
         return Snapshot(
-            version=m["version"],
-            files=m["files"],
-            schema=m["schema"],
-            op=m["op"],
-            parent=m.get("parent"),
-            txn=m.get("txn"),
-            partition_by=tuple(m.get("partition_by", ())),
-            txns=m.get("txns"),
-            constraints=m.get("constraints"),
+            version=tip["version"],
+            files=list(filemap.values()),
+            schema=tip["schema"],
+            op=tip["op"],
+            parent=tip.get("parent"),
+            txn=tip.get("txn"),
+            partition_by=tuple(tip.get("partition_by", ())),
+            txns=tip.get("txns"),
+            constraints=tip.get("constraints"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -214,11 +249,29 @@ class LakeTable:
         os.makedirs(self._manifests, exist_ok=True)
         manifest = {
             "version": version,
-            "files": files,
             "schema": schema,
             "op": op,
             "parent": parent,
         }
+        # Delta vs full (checkpoint) form: diff against the parent's file
+        # set by path. A changed entry (same path, new stats/DV) is a
+        # remove+add. Full manifests land on the checkpoint cadence or
+        # when the delta wouldn't actually be smaller.
+        if prev is not None and version % self._CHECKPOINT_EVERY != 0:
+            prev_by_path = {e["path"]: e for e in prev.files}
+            new_by_path = {e["path"]: e for e in files}
+            adds = [
+                e for e in files
+                if prev_by_path.get(e["path"]) != e
+            ]
+            removes = [p for p in prev_by_path if p not in new_by_path]
+            if len(adds) + len(removes) < len(files):
+                manifest["adds"] = adds
+                manifest["removes"] = removes
+            else:
+                manifest["files"] = files
+        else:
+            manifest["files"] = files
         # Cumulative per-writer txn state rides in EVERY manifest so that
         # vacuuming old manifests can't forget it (a replayed micro-batch
         # older than the retained snapshots must still be detected).
@@ -250,8 +303,13 @@ class LakeTable:
             w, b = txn["writer_id"], txn["batch_id"]
             txns[w] = max(b, txns.get(w, b))
             manifest["txn"] = txn
-        if txns:
-            manifest["txns"] = txns
+        # ALWAYS write the cumulative map — even empty. An absent key reads
+        # back as txns=None, which re-triggers the one-time legacy-upgrade
+        # history walk above on EVERY subsequent commit of a table that has
+        # never seen a stream writer: O(V) manifest loads per commit, O(V²)
+        # across a long history (found by scripts/manifest_probe.py at 1k
+        # commits). The empty map is the "already upgraded" marker.
+        manifest["txns"] = txns
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         # CHECK constraints ride every manifest (carried forward unless
@@ -1342,6 +1400,21 @@ class LakeTable:
         ]
         keep_versions_set = {s.version for s in keep}
         drop = [s for s in snaps if s.version not in keep_versions_set]
+        # A kept DELTA manifest whose parent is being dropped would lose
+        # its reconstruction chain — materialize it as a full manifest
+        # first (the snapshot is already reconstructed in `snaps`).
+        for s in keep:
+            if s.parent is not None and s.parent not in keep_versions_set:
+                mpath = os.path.join(self._manifests, f"v{s.version}.json")
+                raw = self._load_manifest(s.version)
+                if "files" not in raw:
+                    raw.pop("adds", None)
+                    raw.pop("removes", None)
+                    raw["files"] = s.files
+                    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(raw, f, indent=1)
+                    os.replace(tmp, mpath)
         live = {f for s in keep for f in s.file_names}
         live |= {d for s in keep for d in s.dv_paths}
         removed = []

@@ -270,3 +270,74 @@ def test_incremental_mv_matches_recompute_at_every_commit(spark, tmp_path):
         }
         got = {tuple(r) for r in mv.read(spark).collect()}
         assert got == expect, f"MV diverged from recompute after commit {i}"
+
+
+# ---------------------------------------------------------------------------
+# Manifest DELTA log (VERDICT r6 item 6): commits between checkpoints carry
+# only add/remove actions, so any version must reconstruct to exactly the
+# state a full-manifest log would hold — across checkpoint boundaries, and
+# after vacuum drops the full ancestor a kept delta chain depended on
+# (vacuum must materialize). Pure metadata-level ops (no Spark) so the
+# example budget can afford deep sequences that cross the checkpoint
+# cadence.
+# ---------------------------------------------------------------------------
+_META_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(0, 200)),
+        st.tuples(st.just("rm"), st.integers(0, 200)),
+        st.tuples(st.just("restat"), st.integers(0, 200)),
+    ),
+    min_size=25,  # > _CHECKPOINT_EVERY: always crosses a checkpoint
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ops=_META_OPS, tag_at=st.integers(2, 20))
+def test_delta_manifest_chain_reconstructs_every_version(
+    tmp_path_factory, ops, tag_at
+):
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    t = LakeTable(str(tmp_path_factory.mktemp("mprop") / "t"))
+    _os.makedirs(t.path, exist_ok=True)
+
+    def entry(i, stat=0):
+        return {"path": f"data/f{i}.parquet", "rows": 1 + stat,
+                "stats": {"k": [i, i + stat]}}
+
+    state = {0: entry(0)}
+    snap = t._commit(list(state.values()), "k long", "create", None)
+    expected = {snap.version: dict(state)}
+    for kind, i in ops:
+        if kind == "add":
+            state[i] = entry(i)
+        elif kind == "rm":
+            state.pop(i, None)
+        else:
+            state[i] = entry(i, stat=7)  # changed entry: remove+add
+        snap = t._commit(list(state.values()), "k long", kind, snap)
+        expected[snap.version] = dict(state)
+    # at least one manifest on disk must actually be a delta
+    forms = []
+    for v in t._manifest_versions():
+        with open(_os.path.join(t._manifests, f"v{v}.json")) as f:
+            forms.append("files" in _json.load(f))
+    assert not all(forms), "no delta manifest was ever written"
+    # every version reconstructs to the model
+    for v, files in expected.items():
+        got = {e["path"]: e for e in t.snapshot(v).files}
+        want = {e["path"]: e for e in files.values()}
+        assert got == want, f"v{v}"
+    # vacuum with a tagged mid-chain version: materialization must keep
+    # both the tag and the tip readable after ancestors are dropped
+    tag_v = min(tag_at, snap.version)
+    t.tag("pin", tag_v)
+    t.vacuum(keep_versions=1)
+    got_tag = {e["path"]: e for e in t.snapshot(tag_v).files}
+    assert got_tag == {e["path"]: e for e in expected[tag_v].values()}
+    got_tip = {e["path"]: e for e in t.snapshot().files}
+    assert got_tip == {e["path"]: e for e in expected[snap.version].values()}
