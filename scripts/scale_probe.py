@@ -210,6 +210,73 @@ def state_rows(spark, sf_dir: str) -> dict:
     return {"tumbling_agg_max_state_rows": rows}
 
 
+def cdc_pipeline(spark, sf_dir: str) -> dict:
+    """The FULL scripts/run_cdc_job.py path (VERDICT r6 item 8): full load
+    then three incremental batches over a lake table, batches sliced at
+    event-time quantiles so each incremental clears the watermark. Returns
+    wall seconds per phase plus per-commit file-pruning counters read from
+    the manifest delta log (adds/removes vs carried files — the proof the
+    merge is file-pruned copy-on-write, not a table rewrite)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.lake import LakeTable
+    from aws_glue_data_lake_spark.queries.cdc_queries import _OP_CASE_SQL
+    from aws_glue_data_lake_spark.tables import load_table, ts_us_col
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_cdc_job import run_job
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("op", F.expr(_OP_CASE_SQL)).withColumn(
+        "__us", ts_us_col(ev)
+    )
+    cuts = ev.approxQuantile("__us", [0.7, 0.8, 0.9], 0.001)
+    work = tempfile.mkdtemp(prefix="cdc_probe_")
+    out: dict = {"phases": {}}
+    try:
+        slices = [
+            ("full", F.col("__us") <= cuts[0]),
+            ("inc1", (F.col("__us") > cuts[0]) & (F.col("__us") <= cuts[1])),
+            ("inc2", (F.col("__us") > cuts[1]) & (F.col("__us") <= cuts[2])),
+            ("inc3", F.col("__us") > cuts[2]),
+        ]
+        table_path = os.path.join(work, "t")
+        for tag, cond in slices:
+            src = os.path.join(work, f"batch_{tag}")
+            ev.where(cond).drop("__us").write.parquet(src)
+            t0 = time.perf_counter()
+            r = run_job(spark, src, table_path, ["user_id"], "ts")
+            out["phases"][tag] = {
+                "s": round(time.perf_counter() - t0, 3),
+                "mode": r["mode"],
+                "rows": r["rows"],
+            }
+        t = LakeTable(table_path)
+        pruning = []
+        for v in t._manifest_versions():
+            raw = t._load_manifest(v)
+            snap = t.snapshot(v)
+            pruning.append(
+                {
+                    "version": v,
+                    "adds": len(raw.get("adds", raw.get("files", []))),
+                    "removes": len(raw.get("removes", [])),
+                    "total_files": len(snap.files),
+                    "form": "delta" if "adds" in raw else "full",
+                }
+            )
+        out["pruning"] = pruning
+        out["total_s"] = round(
+            sum(p["s"] for p in out["phases"].values()), 3
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -246,6 +313,11 @@ def main() -> int:
                 time.perf_counter() - t0, 3)
         result[f"cap_stats_{scale}"] = cap_stats(spark, sf_dir)
         result[f"state_{scale}"] = state_rows(spark, sf_dir)
+        cdc = cdc_pipeline(spark, sf_dir)
+        result[f"cdc_pipeline_{scale}"] = cdc
+        result["timings"].setdefault("cdc_full_pipeline", {})[scale] = cdc[
+            "total_s"
+        ]
         spark.stop()
 
     superlinear = {}
