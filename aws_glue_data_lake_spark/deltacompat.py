@@ -472,3 +472,52 @@ class DeltaTableWriter:
         with open(os.path.join(self._log, "_last_checkpoint"), "w") as f:
             json.dump({"version": snap.version, "size": len(rows)}, f)
         return cp
+
+
+def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None):
+    """ZERO-COPY export of a homegrown LakeTable snapshot as a real Delta
+    table: writes a ``_delta_log`` at ``dest_path`` whose add actions
+    reference the lake table's data files by absolute URI (the protocol
+    explicitly allows absolute paths — the same mechanism SHALLOW CLONE
+    uses). No data bytes move; any Delta reader pointed at ``dest_path``
+    sees the snapshot. The lake layout matches Delta's (partition columns
+    live in the manifest, not the file bytes), so partitioned tables
+    export 1:1.
+
+    Tables with live deletion vectors cannot export zero-copy (the DV
+    sidecar format differs); compact() first to fold DVs away — enforced
+    loudly here rather than exporting wrong rows."""
+    snap = lake_table.snapshot(version)
+    if any(f.get("dv") for f in snap.files):
+        raise DeltaProtocolError(
+            "snapshot has live deletion vectors; compact() to fold them "
+            "before exporting"
+        )
+    schema = StructType.fromDDL(snap.schema)
+    part_cols = list(snap.partition_by)
+    w = DeltaTableWriter(dest_path)
+    if os.path.isdir(w._log) and any(
+        _COMMIT_RE.match(n) for n in os.listdir(w._log)
+    ):
+        raise FileExistsError(f"Delta table already exists: {dest_path}")
+    os.makedirs(dest_path, exist_ok=True)
+    adds = []
+    for f in snap.files:
+        abs_path = lake_table._abs(f["path"])
+        pv = {
+            c: (None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+            for c, v in (f.get("partition") or {}).items()
+        }
+        for c in part_cols:
+            pv.setdefault(c, None)
+        adds.append(
+            {
+                "path": "file://" + urllib.parse.quote(abs_path),
+                "partitionValues": pv,
+                "size": os.path.getsize(abs_path),
+                "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+                "dataChange": True,
+            }
+        )
+    w._commit(0, w._meta_actions(schema, part_cols) + [{"add": a} for a in adds])
+    return DeltaTableReader(dest_path)

@@ -783,3 +783,59 @@ class IcebergTableWriter:
             prev, schema_json, pcols, sid, seq, ml_path, "overwrite"
         )
         return sid
+
+
+def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None):
+    """ZERO-COPY export of a homegrown LakeTable snapshot as a real
+    Iceberg v2 table: metadata tree at ``dest_path``, data_file entries
+    referencing the lake table's parquet by absolute path (the add_files
+    migration shape). Row counts come from the lake manifest — no data
+    read. Unpartitioned snapshots only: an identity-partitioned lake
+    file does not carry its partition column in the file bytes, and this
+    reader does not implement the spec's constant-reconstruction for
+    migrated files — use the Delta export for partitioned tables (its
+    layout matches 1:1). Live deletion vectors must be compacted away
+    first, enforced loudly."""
+    snap = lake_table.snapshot(version)
+    if snap.partition_by:
+        raise IcebergProtocolError(
+            "zero-copy Iceberg export supports unpartitioned snapshots "
+            "only (identity partition columns are not in the lake file "
+            "bytes); use deltacompat.export_lake_snapshot instead"
+        )
+    if any(f.get("dv") for f in snap.files):
+        raise IcebergProtocolError(
+            "snapshot has live deletion vectors; compact() to fold them "
+            "before exporting"
+        )
+    from pyspark.sql.types import StructType as _ST
+
+    w = IcebergTableWriter(dest_path)
+    if os.path.isdir(w._meta_dir) and any(
+        re.match(r"v\d+\.metadata\.json$", n)
+        for n in os.listdir(w._meta_dir)
+    ):
+        raise FileExistsError(f"Iceberg table already exists: {dest_path}")
+    os.makedirs(w._meta_dir, exist_ok=True)
+    schema_json = w._schema_json(_ST.fromDDL(snap.schema))
+    sid, seq = 1001, 1
+    entries = [
+        w._entry(
+            lake_table._abs(f["path"]),
+            {},
+            f["rows"],
+            os.path.getsize(lake_table._abs(f["path"])),
+            _STATUS_ADDED,
+            sid,
+            seq,
+        )
+        for f in snap.files
+    ]
+    ml_entry = w._write_manifest(entries, [], sid, seq, schema_json)
+    ml_path = os.path.join(w._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro")
+    write_container(
+        ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+        metadata={"format-version": "2"},
+    )
+    w._commit_metadata(None, schema_json, [], sid, seq, ml_path, "append")
+    return IcebergTableReader(dest_path)

@@ -1006,6 +1006,12 @@ class LakeTable:
                 *[self._abs(r) for r in prior_rels]
             ).select("file_name", "row_index")
             fresh = fresh.union(prior).distinct()
+        # Driver-side dict bounded by |files with deleted rows| — the same
+        # order as the manifest metadata this commit must write anyway
+        # (each such file's entry gains a dv reference), so this collect
+        # scales with the DELETE's blast radius, never the table. The
+        # delta-manifest log (see _commit) keeps the commit itself
+        # O(changed entries) too.
         per_file = {
             r["file_name"]: r["n"]
             for r in fresh.groupBy("file_name")

@@ -174,3 +174,43 @@ def test_commit_sequences_match_list_model(spark, tmp_path_factory, ops, cp_afte
             w.checkpoint()
         got = _rows(spark, DeltaTableReader(tmp))
         assert got == sorted(model), f"after op {i} {op[0]}"
+
+
+def test_export_lake_snapshot_zero_copy(spark, tmp_path):
+    """A LakeTable snapshot exports as a real Delta table with ZERO data
+    movement: add actions reference the lake's files by absolute URI,
+    partition values ride partitionValues, and the Delta read equals the
+    lake read — including after the lake table moves on (snapshot
+    isolation carries over). DV-bearing snapshots are refused."""
+    from aws_glue_data_lake_spark.deltacompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)],
+        "k long, bucket string, v long",
+    )
+    src.create(df, stat_cols=["k"], partition_by=["bucket"])
+    reader = export_lake_snapshot(src, str(tmp_path / "delta"))
+    got = sorted(
+        (r["k"], r["bucket"], r["v"]) for r in reader.to_df(spark).collect()
+    )
+    assert got == [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)]
+    # zero-copy: no parquet under the export dir
+    import glob as g
+
+    assert not g.glob(str(tmp_path / "delta" / "**" / "*.parquet"),
+                      recursive=True) or all(
+        "_delta_log" in p
+        for p in g.glob(str(tmp_path / "delta" / "**" / "*.parquet"),
+                        recursive=True)
+    )
+    # the export pins the snapshot: later lake commits don't leak in
+    src.upsert(spark.createDataFrame([(9, "b", 90)],
+                                     "k long, bucket string, v long"),
+               keys=["k"])
+    assert len(reader.to_df(spark).collect()) == 4
+    # DV-bearing snapshot refused
+    src.delete_where(spark, "k = 2")
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        export_lake_snapshot(src, str(tmp_path / "delta2"))

@@ -147,3 +147,30 @@ def test_avro_long_zigzag_roundtrip(tmp_path_factory, xs, codec):
     write_container(p, schema, [{"xs": xs}], codec=codec)
     _, got, _ = read_container(p)
     assert got == [{"xs": xs}]
+
+
+def test_export_lake_snapshot_zero_copy(spark, tmp_path):
+    """An unpartitioned LakeTable snapshot exports as a real Iceberg v2
+    table zero-copy (absolute data_file paths, row counts from the lake
+    manifest); partitioned snapshots are refused with a pointer at the
+    Delta export."""
+    from aws_glue_data_lake_spark.icebergcompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lake"))
+    df = spark.range(50).selectExpr("id AS k", "id * 3 AS v")
+    src.create(df.repartitionByRange(3, "k"), stat_cols=["k"])
+    reader = export_lake_snapshot(src, str(tmp_path / "ice"))
+    got = reader.to_df(spark)
+    assert got.count() == 50
+    assert got.agg({"v": "sum"}).first()[0] == sum(i * 3 for i in range(50))
+    snap = reader.snapshot()
+    assert all(os.path.isabs(p) for p, _ in snap.files)
+    # partitioned: refused
+    part = LakeTable(str(tmp_path / "plake"))
+    part.create(
+        spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"),
+        partition_by=["bucket"],
+    )
+    with pytest.raises(IcebergProtocolError, match="unpartitioned"):
+        export_lake_snapshot(part, str(tmp_path / "ice2"))
