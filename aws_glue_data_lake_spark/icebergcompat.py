@@ -16,10 +16,11 @@ below):
   manifest-level partition pruning from the partition summaries; loud
   failure on row-level delete files (format v2 content=deletes) instead
   of silently wrong rows.
-- ``IcebergTableWriter``: create / append / overwrite-partition commits
-  emitting the same tree (metadata JSON versions, manifest list + one
-  manifest per commit, snapshot log), format-version 2, identity
-  partition transforms.
+- ``IcebergTableWriter``: create / append / overwrite-partition /
+  delete_where (position-delete tombstones through content=1 manifests —
+  the MERGE merge-on-read write path) commits emitting the same tree
+  (metadata JSON versions, manifest list + one manifest per commit,
+  snapshot log), format-version 2, identity partition transforms.
 
 Unlike Delta, Iceberg data files CONTAIN their partition columns, so the
 scan needs no literal reconstruction; the manifest partition struct
@@ -241,6 +242,9 @@ class IcebergSnapshot:
     partition_by: tuple[str, ...]
     #: live data files: (absolute path, {partition col: value})
     files: list[tuple[str, dict]]
+    #: live POSITION-delete files (format v2 merge-on-read): absolute paths
+    #: of parquet files holding (file_path, pos) tombstones
+    delete_files: list[str] = None  # type: ignore[assignment]
 
 
 class IcebergTableReader:
@@ -323,34 +327,44 @@ class IcebergTableReader:
                     )
                 part_cols += (f["name"],)
         files: list[tuple[str, dict]] = []
+        delete_files: list[str] = []
         _, manifests, _ = read_container(self._abs(snap["manifest-list"]))
         for mf in manifests:
-            if mf.get("content", 0) == 1:
-                raise IcebergProtocolError(
-                    "row-level delete manifests (format v2 content=deletes) "
-                    "not supported"
-                )
+            is_delete_manifest = mf.get("content", 0) == 1
             _, entries, _ = read_container(self._abs(mf["manifest_path"]))
             for e in entries:
                 if e["status"] == _STATUS_DELETED:
                     continue
                 df_rec = e["data_file"]
-                if df_rec.get("content", 0) != 0:
-                    raise IcebergProtocolError(
-                        "row-level delete files not supported"
-                    )
+                content = df_rec.get("content", 1 if is_delete_manifest else 0)
                 if df_rec.get("file_format", "PARQUET").upper() != "PARQUET":
                     raise IcebergProtocolError(
                         f"unsupported file format {df_rec['file_format']!r}"
                     )
-                files.append(
-                    (self._abs(df_rec["file_path"]), df_rec.get("partition", {}))
-                )
+                if content == 0:
+                    files.append(
+                        (
+                            self._abs(df_rec["file_path"]),
+                            df_rec.get("partition", {}),
+                        )
+                    )
+                elif content == 1:
+                    # POSITION deletes (merge-on-read): (file_path, pos)
+                    # tombstones, applied at scan time. Data file paths are
+                    # never reused by any conforming writer, so path
+                    # equality subsumes the spec's sequence-number gate
+                    # (a delete can't name a file that didn't exist yet).
+                    delete_files.append(self._abs(df_rec["file_path"]))
+                else:
+                    raise IcebergProtocolError(
+                        "equality delete files (content=2) not supported"
+                    )
         return IcebergSnapshot(
             snapshot_id=sid,
             schema=spark_schema,
             partition_by=part_cols,
             files=sorted(files),
+            delete_files=sorted(delete_files),
         )
 
     def to_df(
@@ -363,7 +377,15 @@ class IcebergTableReader:
         ({col: value}) prunes files by MANIFEST partition values before
         planning — the inverted-index read path the manifest tree exists
         for. Iceberg data files carry their partition columns, so the scan
-        is a plain schema-pinned parquet read."""
+        is a plain schema-pinned parquet read.
+
+        POSITION deletes (format v2 merge-on-read) apply as a broadcast
+        anti-join of (file path, row position) against the tombstone
+        files — the same plan shape as the lake layer's deletion vectors
+        (lake.py _read_files): tombstones are positions-only, tiny next
+        to data, so the build side broadcasts at any realistic churn."""
+        from pyspark.sql import functions as F
+
         snap = self.snapshot(snapshot_id)
         files = snap.files
         if partition_filter:
@@ -374,7 +396,34 @@ class IcebergTableReader:
             ]
         if not files:
             return spark.createDataFrame([], snap.schema)
-        return spark.read.schema(snap.schema).parquet(*[p for p, _ in files])
+        reader = spark.read.schema(snap.schema)
+        if not snap.delete_files:
+            return reader.parquet(*[p for p, _ in files])
+        scan = reader.parquet(*[p for p, _ in files]).select(
+            "*",
+            # normalize Spark's file:/ URI to a plain path so it compares
+            # against the tombstones' file_path values
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("__del_fp"),
+            F.col("_metadata.row_index").alias("__del_pos"),
+        )
+        dels = (
+            spark.read.parquet(*snap.delete_files)
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+                .alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            .distinct()
+        )
+        out_cols = [f.name for f in snap.schema.fields]
+        return scan.join(
+            F.broadcast(dels),
+            (F.col("__del_fp") == F.col("file_path"))
+            & (F.col("__del_pos") == F.col("pos")),
+            "anti",
+        ).select(*out_cols)
 
 
 class IcebergTableWriter:
@@ -479,8 +528,10 @@ class IcebergTableWriter:
         snapshot_id: int,
         sequence_number: int,
         schema_json: dict,
+        content: int = 0,
     ) -> dict:
-        """Write one manifest Avro -> its manifest-list entry."""
+        """Write one manifest Avro -> its manifest-list entry. ``content``
+        0 = data manifest, 1 = (position-)delete manifest."""
         schema = _manifest_entry_schema(_partition_avro_fields(partition_cols))
         path = os.path.join(
             self._meta_dir, f"{uuid.uuid4().hex}-m0.avro"
@@ -504,7 +555,7 @@ class IcebergTableWriter:
                 ),
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == 0 else "deletes",
             },
         )
         added = [e for e in entries if e["status"] == _STATUS_ADDED]
@@ -514,7 +565,7 @@ class IcebergTableWriter:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": sequence_number,
             "min_sequence_number": sequence_number,
             "added_snapshot_id": snapshot_id,
@@ -534,7 +585,7 @@ class IcebergTableWriter:
 
     def _entry(
         self, path: str, pv: dict, rows: int, size: int,
-        status: int, snapshot_id: int, seq: int,
+        status: int, snapshot_id: int, seq: int, content: int = 0,
     ) -> dict:
         return {
             "status": status,
@@ -542,7 +593,7 @@ class IcebergTableWriter:
             "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {
-                "content": 0,
+                "content": content,
                 "file_path": path,
                 "file_format": "PARQUET",
                 "partition": pv,
@@ -743,6 +794,12 @@ class IcebergTableWriter:
         sid, seq = self._next_ids(prev)
         new_manifests = []
         for mf in self._manifest_list_of(prev):
+            if mf.get("content", 0) == 1:
+                # delete manifests carry through untouched: tombstones
+                # naming files this overwrite removes simply never match
+                # (paths are uuid-unique, never reused)
+                new_manifests.append(mf)
+                continue
             _, entries, _ = read_container(mf["manifest_path"])
             rewritten = []
             for e in entries:
@@ -781,6 +838,87 @@ class IcebergTableWriter:
         )
         self._commit_metadata(
             prev, schema_json, pcols, sid, seq, ml_path, "overwrite"
+        )
+        return sid
+
+    def delete_where(self, spark: SparkSession, condition: str) -> int:
+        """MERGE-ON-READ row-level delete — the format-v2 POSITION-delete
+        path the reference's ``MERGE INTO`` an Iceberg v2 table exercises
+        (reference icberg/iceberg_tables.py:143-146 with
+        write.delete.mode=merge-on-read): matching row positions land in
+        a (file_path, pos) parquet tombstone file committed through a
+        content=1 (deletes) manifest; no data file is rewritten. One
+        delete costs O(matched rows); readers pay a broadcast anti-join
+        until a compaction folds the tombstones away."""
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = prev["schemas"][0]
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = [f["name"] for f in spec_fields]
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        reader = IcebergTableReader(self.path)
+        snap = reader.snapshot()
+        if not snap.files:
+            return prev["current-snapshot-id"]
+        scan = (
+            spark.read.schema(snap.schema)
+            .parquet(*[p for p, _ in snap.files])
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("pos"),
+                F.expr(condition).alias("__del"),
+            )
+        )
+        fresh = scan.where("__del").select("file_path", "pos")
+        if fresh.isEmpty():
+            return prev["current-snapshot-id"]
+        os.makedirs(self._data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        # spec ordering: position deletes sort by (file_path, pos) so
+        # readers can merge-scan them
+        fresh.coalesce(1).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.mode("overwrite").parquet(stage)
+        (src,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        import pyarrow.parquet as pq
+
+        n_del = pq.ParquetFile(src).metadata.num_rows
+        dst = os.path.join(
+            self._data_dir, f"{uuid.uuid4().hex}-deletes.parquet"
+        )
+        _shutil.move(src, dst)
+        _shutil.rmtree(stage, ignore_errors=True)
+        sid, seq = self._next_ids(prev)
+        null_pv = {n: None for n, _ in pcols}
+        entry = self._entry(
+            dst, null_pv, n_del, os.path.getsize(dst),
+            _STATUS_ADDED, sid, seq, content=1,
+        )
+        ml_entry = self._write_manifest(
+            [entry], pcols, sid, seq, schema_json, content=1
+        )
+        manifests = self._manifest_list_of(prev) + [ml_entry]
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "delete"
         )
         return sid
 

@@ -174,3 +174,68 @@ def test_export_lake_snapshot_zero_copy(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="unpartitioned"):
         export_lake_snapshot(part, str(tmp_path / "ice2"))
+
+
+def test_position_deletes_merge_on_read(spark, tmp_path):
+    """Format-v2 POSITION deletes (the MERGE-INTO merge-on-read path):
+    delete_where commits (file_path, pos) tombstones through a content=1
+    manifest without rewriting data; the scan applies them as a broadcast
+    anti-join; time travel sees pre-delete rows; deletes stack and
+    survive appends and partition overwrites (tombstones naming removed
+    files are inert). Equality deletes still fail loudly."""
+    from aws_glue_data_lake_spark.avrolite import read_container
+
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i * 10) for i in range(20)],
+            "k long, bucket string, v long",
+        ),
+        partition_by=["bucket"],
+    )
+    sid1 = r.snapshot().snapshot_id
+    w.delete_where(spark, "k % 5 = 0")
+    got = sorted(x.k for x in r.to_df(spark).collect())
+    assert got == [k for k in range(20) if k % 5 != 0]
+    # no data file was rewritten: same data file set, plus tombstones
+    snap = r.snapshot()
+    assert snap.delete_files and len(snap.files) == len(
+        r.snapshot(sid1).files
+    )
+    # time travel predates the tombstones
+    assert r.to_df(spark, snapshot_id=sid1).count() == 20
+    # deletes survive appends and partition overwrites
+    w.append(
+        spark.createDataFrame([(100, "a", 1)], "k long, bucket string, v long")
+    )
+    w.overwrite_partition(
+        spark.createDataFrame([(200, "b", 2)], "k long, bucket string, v long"),
+        bucket="b",
+    )
+    rows = sorted((x.k, x.bucket) for x in r.to_df(spark).collect())
+    assert (0, "a") not in rows and (10, "a") not in rows
+    assert (200, "b") in rows and (100, "a") in rows
+    # second delete stacks on the first
+    w.delete_where(spark, "k = 2")
+    assert 2 not in {x.k for x in r.to_df(spark).collect()}
+    # no-op delete returns the current snapshot without a commit
+    before = r.snapshot().snapshot_id
+    assert w.delete_where(spark, "k = 99999") == before
+    # equality deletes (content=2) still fail loudly: doctor a manifest
+    snap = r.snapshot()
+    meta_dir = os.path.join(path, "metadata")
+    import glob as g
+
+    for mpath in g.glob(os.path.join(meta_dir, "*-m0.avro")):
+        schema, entries, meta = read_container(mpath)
+        if meta.get("content") == b"deletes":
+            for e in entries:
+                e["data_file"]["content"] = 2
+            from aws_glue_data_lake_spark.avrolite import write_container
+
+            write_container(mpath, schema, entries,
+                            {k: v for k, v in meta.items()})
+            break
+    with pytest.raises(IcebergProtocolError, match="equality"):
+        r.snapshot()
