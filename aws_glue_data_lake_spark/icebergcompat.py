@@ -13,9 +13,10 @@ below):
   ``vN.metadata.json`` -> current snapshot -> manifest-list Avro ->
   manifest Avro -> live data files (status != DELETED, content = data),
   planned as a normal Spark parquet scan. Snapshot-id time travel;
-  manifest-level partition pruning from the partition summaries; loud
-  failure on row-level delete files (format v2 content=deletes) instead
-  of silently wrong rows.
+  manifest-level partition pruning from the partition summaries;
+  format-v2 POSITION deletes applied merge-on-read (broadcast anti-join
+  on (file_path, pos) tombstones); loud failure on equality deletes
+  instead of silently wrong rows.
 - ``IcebergTableWriter``: create / append / overwrite-partition /
   delete_where (position-delete tombstones through content=1 manifests —
   the MERGE merge-on-read write path) commits emitting the same tree
