@@ -11,7 +11,9 @@ with no delta-spark jars:
   ``*.checkpoint.parquet`` checkpoints) into a file list + schema and
   plans a normal Spark parquet scan over exactly the live files —
   add/remove actions, partition-column reconstruction from
-  ``partitionValues``, time travel by version, protocol gating.
+  ``partitionValues``, time travel by version, columnMapping=name
+  (physical-name files aliased back to the logical schema — the
+  Databricks-written-table layout), protocol gating.
 - ``DeltaTableWriter`` emits the same protocol (reader version 1,
   writer version 2): atomic ``O_EXCL`` commit JSONs, url-encoded
   relative paths, Hive-layout partition dirs, classic parquet
@@ -37,13 +39,13 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 #: Reader features this implementation actually honors (protocol §
 #: "reader version 3"). Anything else in readerFeatures must hard-fail:
 #: silently ignoring deletionVectors or columnMapping would return wrong
 #: rows, the protocol's cardinal sin.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -202,37 +204,63 @@ class DeltaTableReader:
             )
         meta = state.get("metaData") or {}
         conf = meta.get("configuration", {}) or {}
-        if conf.get("delta.columnMapping.mode", "none") != "none":
-            raise DeltaProtocolError("column mapping not supported")
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "name"):
+            # 'id' mode reads by parquet field id, which this scan path
+            # doesn't implement — refuse rather than mis-resolve columns
+            raise DeltaProtocolError(
+                f"column mapping mode {mode!r} not supported (only "
+                "'none' and 'name')"
+            )
+
+    @staticmethod
+    def _physical_name(field) -> str:
+        """Logical -> physical column name under columnMapping=name
+        (Databricks-written tables store uuid-ish physical names in the
+        schemaString field metadata; file bytes AND partitionValues use
+        the physical names, the log's partitionColumns the logical)."""
+        md = field.metadata or {}
+        return md.get("delta.columnMapping.physicalName", field.name)
 
     # -- scan ---------------------------------------------------------------
     def to_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Plan a Spark scan of exactly the snapshot's live files. Partition
         columns are NOT in the data files (Delta's layout) — they attach as
         typed literals from each add-action's ``partitionValues``, grouped
-        by partition tuple so planning is O(#live partitions)."""
+        by partition tuple so planning is O(#live partitions). Under
+        columnMapping=name the scan reads the files' PHYSICAL names and
+        aliases back to the logical schema."""
         snap = self.snapshot(version)
         if not snap.files:
             return spark.createDataFrame([], snap.schema)
         part_cols = snap.partition_columns
+        phys = self._physical_name
+        data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
         data_st = StructType(
-            [f for f in snap.schema.fields if f.name not in part_cols]
+            [StructField(phys(f), f.dataType, f.nullable) for f in data_fields]
         )
+
+        def logical(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[F.col(phys(f)).alias(f.name) for f in data_fields]
+            )
+
         if not part_cols:
-            return spark.read.schema(data_st).parquet(
-                *[p for p, _ in snap.files]
+            return logical(
+                spark.read.schema(data_st).parquet(*[p for p, _ in snap.files])
             )
         part_fields = [f for f in snap.schema.fields if f.name in part_cols]
         groups: dict[tuple, list[str]] = {}
         for p, pv in snap.files:
-            key = tuple(pv.get(f.name) for f in part_fields)
+            # partitionValues are keyed by PHYSICAL name in the log
+            key = tuple(pv.get(phys(f)) for f in part_fields)
             groups.setdefault(key, []).append(p)
         out_cols = [f.name for f in snap.schema.fields]
         dfs = []
         for key, paths in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            g = spark.read.schema(data_st).parquet(*paths)
+            g = logical(spark.read.schema(data_st).parquet(*paths))
             for f, v in zip(part_fields, key):
                 if v is None:
                     g = g.withColumn(f.name, F.lit(None).cast(f.dataType))

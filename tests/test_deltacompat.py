@@ -214,3 +214,107 @@ def test_export_lake_snapshot_zero_copy(spark, tmp_path):
     src.delete_where(spark, "k = 2")
     with pytest.raises(DeltaProtocolError, match="deletion vectors"):
         export_lake_snapshot(src, str(tmp_path / "delta2"))
+
+
+def test_column_mapping_name_mode_reads_logical_schema(spark, tmp_path):
+    """columnMapping=name (how Databricks writes modern tables): file
+    bytes and partitionValues carry uuid-ish PHYSICAL names; the
+    schemaString maps them to logical names. The reader must surface the
+    logical schema; 'id' mode must still be refused."""
+    path = str(tmp_path / "dmapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    # data file with PHYSICAL column names (no partition cols in file)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "`col-aaa111` long, `col-bbb222` long"
+    ).coalesce(1).write.parquet(stage)
+    import glob as g
+    import shutil
+
+    (src,) = g.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.move(src, os.path.join(path, "part-0.parquet"))
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb222",
+                    },
+                },
+                {
+                    "name": "bucket",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ccc333",
+                    },
+                },
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["bucket"],  # LOGICAL name
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                # partitionValues keyed by PHYSICAL name
+                "partitionValues": {"col-ccc333": "a"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = DeltaTableReader(path).to_df(spark)
+    assert sorted(got.columns) == ["bucket", "k", "v"]
+    rows = sorted((r.k, r.v, r.bucket) for r in got.collect())
+    assert rows == [(1, 10, "a"), (2, 20, "a")]
+
+    # 'id' mode: refused
+    lines = [json.loads(ln) for ln in open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"))]
+    for ln in lines:
+        if "metaData" in ln:
+            ln["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        DeltaTableReader(path).to_df(spark)
