@@ -501,6 +501,62 @@ class DeltaTableWriter:
             json.dump({"version": snap.version, "size": len(rows)}, f)
         return cp
 
+    def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE (bin-packing compaction): rewrite the current
+        snapshot's rows into ``target_files`` files and commit remove+add
+        actions with ``dataChange: false`` — the protocol's marker that
+        the commit reshuffles bytes without changing table content
+        (streaming log readers skip it). Prior versions stay
+        time-travelable until vacuum."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        df = r.to_df(spark)
+        df = df.repartition(target_files) if target_files > 1 else df.coalesce(1)
+        adds = self._stage_files(df, snap.partition_columns)
+        for a in adds:
+            a["dataChange"] = False
+        removes = [
+            {
+                "remove": {
+                    "path": urllib.parse.quote(
+                        os.path.relpath(p, self.path)
+                    ),
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+            for p, _ in snap.files
+        ]
+        v = snap.version + 1
+        self._commit(v, removes + [{"add": a} for a in adds])
+        return v
+
+    def vacuum(self) -> list[str]:
+        """Physically delete data files under the table root that the
+        CURRENT snapshot no longer references — Delta's VACUUM. Older
+        versions whose files are collected stop being time-travelable
+        (exactly the delta-spark trade; it gates on a retention window,
+        here the caller decides when). The log is retained — reads still
+        replay it, remove-actions already exclude the vacuumed files.
+        Absolute (foreign) references from zero-copy exports are never
+        touched."""
+        import glob as g
+
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        live = {os.path.abspath(p) for p, _ in snap.files}
+        removed = []
+        for p in g.glob(
+            os.path.join(self.path, "**", "*.parquet"), recursive=True
+        ):
+            ap = os.path.abspath(p)
+            if os.sep + "_delta_log" + os.sep in ap:
+                continue  # checkpoints are log structure, not data
+            if ap not in live:
+                os.remove(ap)
+                removed.append(ap)
+        return removed
+
 
 def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None):
     """ZERO-COPY export of a homegrown LakeTable snapshot as a real Delta

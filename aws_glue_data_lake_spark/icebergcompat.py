@@ -923,6 +923,131 @@ class IcebergTableWriter:
         )
         return sid
 
+    def compact(self, spark: SparkSession) -> int:
+        """REWRITE the live rows into fresh data files and drop every
+        tombstone — Iceberg's ``rewrite_data_files`` maintenance action:
+        the new snapshot's manifest list holds ONE data manifest of the
+        rewritten files (position-delete debt folded away), while prior
+        snapshots stay time-travelable until expire_snapshots."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = prev["schemas"][0]
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = [f["name"] for f in spec_fields]
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        df = IcebergTableReader(self.path).to_df(spark)  # deletes applied
+        sid, seq = self._next_ids(prev)
+        staged = self._stage_data_files(df, pcols)
+        entries = [
+            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
+            for p, pv, rows, size in staged
+        ]
+        ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "replace"
+        )
+        return sid
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the ``keep_last`` most recent snapshots from the
+        metadata and physically delete manifests / manifest lists / data
+        and delete files referenced ONLY by the expired ones — Iceberg's
+        ``expire_snapshots`` maintenance action. Only files under the
+        table root are ever deleted (zero-copy-exported absolute paths
+        are foreign and survive, same contract as the lake layer's
+        vacuum). Returns the deleted paths."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        snaps = sorted(prev["snapshots"], key=lambda s: s["sequence-number"])
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        if not drop:
+            return []
+        cur = next(
+            s for s in snaps
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )
+        if cur not in keep:
+            raise ValueError("cannot expire the current snapshot")
+
+        def refs(snapshot) -> tuple[set, set]:
+            mls = {snapshot["manifest-list"]}
+            mfs, files = set(), set()
+            _, manifests, _ = read_container(snapshot["manifest-list"])
+            for mf in manifests:
+                mfs.add(mf["manifest_path"])
+                _, entries, _ = read_container(mf["manifest_path"])
+                for e in entries:
+                    files.add(e["data_file"]["file_path"])
+            return mls | mfs, files
+
+        live_meta: set = set()
+        live_files: set = set()
+        for s in keep:
+            m, f = refs(s)
+            live_meta |= m
+            live_files |= f
+        # collect EVERY dropped snapshot's refs BEFORE deleting anything:
+        # consecutive snapshots share carried-forward manifests, and
+        # deleting one mid-walk would break reading the next
+        drop_meta: set = set()
+        drop_files: set = set()
+        for s in drop:
+            m, f = refs(s)
+            drop_meta |= m
+            drop_files |= f
+        removed = []
+        for path in (drop_meta - live_meta) | (drop_files - live_files):
+            p = self._abs_under_root(path)
+            if p and os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+        meta = dict(prev)
+        meta.pop("__version", None)
+        keep_ids = {s["snapshot-id"] for s in keep}
+        meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", ())
+            if e["snapshot-id"] in keep_ids
+        ]
+        version = prev["__version"] + 1
+        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+        return removed
+
+    def _abs_under_root(self, p: str) -> str | None:
+        """Absolute path if it lives under the table root, else None
+        (foreign references are never deleted)."""
+        if p.startswith("file:"):
+            import urllib.parse as _up
+
+            p = _up.urlparse(p).path
+        if not os.path.isabs(p):
+            p = os.path.join(self.path, p)
+        root = os.path.abspath(self.path) + os.sep
+        return p if os.path.abspath(p).startswith(root) else None
+
 
 def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None):
     """ZERO-COPY export of a homegrown LakeTable snapshot as a real

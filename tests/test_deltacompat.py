@@ -318,3 +318,49 @@ def test_column_mapping_name_mode_reads_logical_schema(spark, tmp_path):
             f.write(json.dumps(ln) + "\n")
     with pytest.raises(DeltaProtocolError, match="column mapping"):
         DeltaTableReader(path).to_df(spark)
+
+
+def test_optimize_and_vacuum_lifecycle(spark, tmp_path):
+    """OPTIMIZE rewrites into fewer files with dataChange=false (content
+    hash-identical before/after); VACUUM then collects the superseded
+    files, after which the optimized tip still reads but the pre-optimize
+    version is physically gone — the delta-spark maintenance trade."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 2 AS v"
+    ).repartition(4)
+    r = w.create(df, partition_by=["bucket"])
+    w.append(spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 2 AS v"
+    ))
+    before = sorted(
+        (x.k, x.bucket, x.v) for x in r.to_df(spark).collect()
+    )
+    n_before = len(r.snapshot().files)
+    w.optimize(spark, target_files=1)
+    snap = r.snapshot()
+    # one file per partition value (3 buckets), content identical
+    assert len(snap.files) == 3 < n_before
+    assert sorted(
+        (x.k, x.bucket, x.v) for x in r.to_df(spark).collect()
+    ) == before
+    # dataChange=false on the optimize commit's actions
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as f:
+        acts = [json.loads(ln) for ln in f]
+    assert all(
+        not a.get("add", a.get("remove"))["dataChange"]
+        for a in acts if "add" in a or "remove" in a
+    )
+    # pre-optimize version still time-travels (files not yet vacuumed)
+    assert len(r.to_df(spark, version=1).collect()) == 120
+    removed = w.vacuum()
+    assert removed, "vacuum should collect the superseded files"
+    # tip still reads; the old version's files are gone
+    assert sorted(
+        (x.k, x.bucket, x.v) for x in r.to_df(spark).collect()
+    ) == before
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        r.to_df(spark, version=1).collect()

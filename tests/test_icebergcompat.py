@@ -239,3 +239,41 @@ def test_position_deletes_merge_on_read(spark, tmp_path):
             break
     with pytest.raises(IcebergProtocolError, match="equality"):
         r.snapshot()
+
+
+def test_compact_and_expire_snapshots_lifecycle(spark, tmp_path):
+    """compact() folds position-delete tombstones into rewritten data
+    files (content identical, delete_files empty); expire_snapshots()
+    then drops old snapshots and physically deletes only the files no
+    kept snapshot references — the rewrite_data_files + expire_snapshots
+    maintenance pair."""
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i * 10) for i in range(20)],
+            "k long, bucket string, v long",
+        ),
+        partition_by=["bucket"],
+    )
+    w.delete_where(spark, "k < 5")
+    before = sorted((x.k, x.bucket, x.v) for x in r.to_df(spark).collect())
+    assert r.snapshot().delete_files
+    w.compact(spark)
+    snap = r.snapshot()
+    assert not snap.delete_files  # tombstone debt folded away
+    assert sorted(
+        (x.k, x.bucket, x.v) for x in r.to_df(spark).collect()
+    ) == before
+    # all three snapshots still present pre-expire
+    meta = IcebergTableReader(path)._metadata()
+    assert len(meta["snapshots"]) == 3
+    removed = w.expire_snapshots(keep_last=1)
+    assert removed, "expire should delete pre-compact files + manifests"
+    meta = IcebergTableReader(path)._metadata()
+    assert len(meta["snapshots"]) == 1
+    assert sorted(
+        (x.k, x.bucket, x.v) for x in r.to_df(spark).collect()
+    ) == before
+    with pytest.raises(Exception):
+        w.expire_snapshots(keep_last=0)
