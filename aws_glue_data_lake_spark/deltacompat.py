@@ -605,3 +605,168 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
         )
     w._commit(0, w._meta_actions(schema, part_cols) + [{"add": a} for a in adds])
     return DeltaTableReader(dest_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source over the Delta log (the delta-spark streaming-read
+# shape): every log version is one micro-batch; add actions with
+# dataChange=true are emitted, dataChange=false commits (OPTIMIZE) are
+# skipped silently — that marker exists exactly so streams don't re-emit
+# compacted rows — and a dataChange remove (overwrite/delete) fails
+# loudly, matching the real source's default for non-append changes.
+# ---------------------------------------------------------------------------
+try:  # the Python DataSource API needs pyspark >= 4; guard for importers
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+except ImportError:  # pragma: no cover
+    DataSource = DataSourceStreamReader = InputPartition = object  # type: ignore
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(self, path: str, data_fields: list, part_consts: list,
+                 out_order: list):
+        #: data_fields: [(name, spark simpleString type)] for the file bytes
+        #: part_consts: [(name, spark type, raw string value | None)]
+        #: out_order: full column order of the DECLARED schema — Spark maps
+        #: the Arrow batch to the schema POSITIONALLY
+        self.path = path
+        self.data_fields = data_fields
+        self.part_consts = part_consts
+        self.out_order = out_order
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("delta_cdf requires a 'path' option")
+        self.reader = DeltaTableReader(path)
+        snap = self.reader.snapshot()
+        if snap.configuration.get("delta.columnMapping.mode", "none") != "none":
+            raise DeltaProtocolError(
+                "delta_cdf streaming does not support column mapping"
+            )
+        self._snap = snap
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self.reader.latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        snap = self._snap
+        part_cols = set(snap.partition_columns)
+        data_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in snap.schema.fields
+            if f.name not in part_cols
+        ]
+        part_types = {
+            f.name: f.dataType.simpleString()
+            for f in snap.schema.fields
+            if f.name in part_cols
+        }
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            with open(
+                os.path.join(self.reader._log, f"{v:020d}.json")
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        a = action["add"]
+                        consts = [
+                            (c, part_types[c], a.get("partitionValues", {}).get(c))
+                            for c in snap.partition_columns
+                        ]
+                        parts.append(
+                            _DeltaFilePartition(
+                                self.reader._abs_path(a["path"]),
+                                data_fields,
+                                consts,
+                                [f.name for f in snap.schema.fields],
+                            )
+                        )
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        raise ValueError(
+                            f"delta_cdf is append-only: version {v} removes "
+                            "data (overwrite/delete); re-read a fresh "
+                            "snapshot instead"
+                        )
+        return parts
+
+    def read(self, partition):
+        # executors: stream the file's record batches, attaching the
+        # partition columns as typed constants (Delta keeps them out of
+        # the file bytes)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+            "float": pa.float32(), "boolean": pa.bool_(), "string": pa.string(),
+        }
+
+        def conv(t: str, raw):
+            if raw is None:
+                return None
+            if t in ("bigint", "int"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "boolean":
+                return raw == "true"
+            return raw
+
+        pf = pq.ParquetFile(partition.path)
+        names = [n for n, _ in partition.data_fields]
+        for batch in pf.iter_batches(columns=names):
+            by_name = dict(zip(batch.schema.names, batch.columns))
+            for c, t, raw in partition.part_consts:
+                pa_t = _PA.get(t, pa.string())
+                by_name[c] = pa.array(
+                    [conv(t, raw)] * batch.num_rows, type=pa_t
+                )
+            # Spark maps the batch onto the declared schema POSITIONALLY:
+            # emit columns in exactly that order
+            yield pa.RecordBatch.from_arrays(
+                [by_name[c] for c in partition.out_order],
+                names=list(partition.out_order),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is immutable; nothing to release
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaCdfDataSource(DataSource):
+    """``spark.readStream.format("delta_cdf").option("path", table_root)``
+    after ``spark.dataSource.register(DeltaCdfDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "delta_cdf"
+
+    def schema(self):
+        return DeltaTableReader(self.options["path"]).snapshot().schema
+
+    def streamReader(self, schema):
+        return DeltaCdfStreamReader(self.options)
+
+
+def register_delta_cdf_source(spark) -> None:
+    spark.dataSource.register(DeltaCdfDataSource)

@@ -364,3 +364,63 @@ def test_optimize_and_vacuum_lifecycle(spark, tmp_path):
 
     with pytest.raises(Exception):
         r.to_df(spark, version=1).collect()
+
+
+def test_delta_cdf_streaming_source(spark, tmp_path):
+    """Streaming over the Delta log: one micro-batch per version,
+    dataChange=true adds emitted with partition columns attached,
+    OPTIMIZE's dataChange=false commits skipped (no re-emission of
+    compacted rows), and a dataChange remove fails the stream loudly."""
+    from aws_glue_data_lake_spark.deltacompat import register_delta_cdf_source
+
+    register_delta_cdf_source(spark)
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    r = w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )                                                      # v0
+    w.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )                                                      # v1
+    w.optimize(spark)                                      # v2: dataChange=false
+    w.append(
+        spark.createDataFrame([(4, None, 40)], "k long, bucket string, v long")
+    )                                                      # v3
+
+    def drain(name):
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    drain("delta_cdf_t")
+    got = sorted(
+        (x.k, x.bucket, x.v)
+        for x in spark.sql("SELECT * FROM delta_cdf_t").collect()
+    )
+    # optimize emitted NOTHING: rows appear exactly once each, with
+    # partition values (incl. the null) reconstructed
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, None, 40)]
+
+    # a dataChange remove (partition overwrite) fails the stream
+    w.overwrite_partition(
+        spark.createDataFrame([(9, "a", 90)], "k long, bucket string, v long"),
+        bucket="a",
+    )                                                      # v4
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("delta_cdf_t2")
