@@ -1103,3 +1103,120 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
     )
     w._commit_metadata(None, schema_json, [], sid, seq, ml_path, "append")
     return IcebergTableReader(dest_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source over the Iceberg snapshot log (the iceberg-spark
+# streaming-read shape): every snapshot is one micro-batch emitting the
+# data files it ADDED (manifest entries with status=ADDED and the
+# snapshot's id). Replace/overwrite/delete snapshots fail loudly —
+# append-only contract, matching the real source's default.
+# ---------------------------------------------------------------------------
+try:  # Python DataSource API needs pyspark >= 4; guard for importers
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+except ImportError:  # pragma: no cover
+    DataSource = DataSourceStreamReader = InputPartition = object  # type: ignore
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(self, path: str, columns: list):
+        self.path, self.columns = path, columns
+
+
+class IcebergCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("iceberg_cdf requires a 'path' option")
+        self.reader = IcebergTableReader(path)
+
+    def _snapshots(self) -> list[dict]:
+        meta = self.reader._metadata()
+        return sorted(
+            meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._snapshots())}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        snaps = self._snapshots()
+        schema = self.reader.snapshot(
+            snaps[-1]["snapshot-id"]
+        ).schema if snaps else None
+        cols = [f.name for f in schema.fields] if schema else []
+        parts = []
+        for s in snaps[lo:hi]:
+            op = s.get("summary", {}).get("operation", "append")
+            if op not in ("append",):
+                raise ValueError(
+                    f"iceberg_cdf is append-only: snapshot "
+                    f"{s['snapshot-id']} is {op!r} (rewrites/deletes would "
+                    "re-emit or retract rows; read a fresh snapshot instead)"
+                )
+            sid = s["snapshot-id"]
+            _, manifests, _ = read_container(
+                self.reader._abs(s["manifest-list"])
+            )
+            for mf in manifests:
+                # only manifests this snapshot added can carry its new files
+                if mf.get("added_snapshot_id") != sid:
+                    continue
+                _, entries, _ = read_container(
+                    self.reader._abs(mf["manifest_path"])
+                )
+                for e in entries:
+                    if (
+                        e["status"] == _STATUS_ADDED
+                        and e.get("snapshot_id") in (None, sid)
+                        and e["data_file"].get("content", 0) == 0
+                    ):
+                        parts.append(
+                            _IceFilePartition(
+                                self.reader._abs(e["data_file"]["file_path"]),
+                                cols,
+                            )
+                        )
+        return parts
+
+    def read(self, partition):
+        # executors: Iceberg data files CARRY their partition columns, so
+        # this is a plain columnar stream in declared-schema order
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(columns=list(partition.columns)):
+            yield batch.select(list(partition.columns))
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable
+
+    def stop(self) -> None:
+        pass
+
+
+class IcebergCdfDataSource(DataSource):
+    """``spark.readStream.format("iceberg_cdf").option("path", root)``
+    after ``spark.dataSource.register(IcebergCdfDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "iceberg_cdf"
+
+    def schema(self):
+        return IcebergTableReader(self.options["path"]).snapshot().schema
+
+    def streamReader(self, schema):
+        return IcebergCdfStreamReader(self.options)
+
+
+def register_iceberg_cdf_source(spark) -> None:
+    spark.dataSource.register(IcebergCdfDataSource)

@@ -277,3 +277,56 @@ def test_compact_and_expire_snapshots_lifecycle(spark, tmp_path):
     ) == before
     with pytest.raises(Exception):
         w.expire_snapshots(keep_last=0)
+
+
+def test_iceberg_cdf_streaming_source(spark, tmp_path):
+    """Streaming over the Iceberg snapshot log: one micro-batch per
+    snapshot emitting exactly the files that snapshot ADDED (carried
+    existing entries never re-emit); delete/overwrite snapshots fail the
+    stream loudly."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        register_iceberg_cdf_source,
+    )
+
+    register_iceberg_cdf_source(spark)
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    w.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )
+    w.append(
+        spark.createDataFrame([(4, None, 40)], "k long, bucket string, v long")
+    )
+
+    def drain(name):
+        q = (
+            spark.readStream.format("iceberg_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ice_cdf_t")
+    got = sorted(
+        (x.k, x.bucket, x.v)
+        for x in spark.sql("SELECT * FROM ice_cdf_t").collect()
+    )
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, None, 40)]
+
+    # a delete snapshot (merge-on-read tombstones) fails the stream
+    w.delete_where(spark, "k = 1")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("ice_cdf_t2")
