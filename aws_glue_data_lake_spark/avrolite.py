@@ -215,11 +215,20 @@ def _encode(schema, value, out: io.BytesIO, names: _Names) -> None:
         names.register(schema)
         for f in schema["fields"]:
             try:
-                _encode(f["type"], value[f["name"]], out, names)
+                v = value[f["name"]]
             except KeyError:
-                raise ValueError(
-                    f"record field {f['name']!r} missing in {sorted(value)}"
-                ) from None
+                # writer-side default fallback: lets records decoded from
+                # an OLDER writer schema re-encode under a schema that
+                # gained an optional field (e.g. a carried-forward
+                # manifest entry predating equality_ids)
+                if "default" in f:
+                    v = f["default"]
+                else:
+                    raise ValueError(
+                        f"record field {f['name']!r} missing in "
+                        f"{sorted(value)}"
+                    ) from None
+            _encode(f["type"], v, out, names)
     elif t == "array":
         if value:
             _write_long(out, len(value))

@@ -45,7 +45,7 @@ from pyspark.sql.types import StructField, StructType
 #: "reader version 3"). Anything else in readerFeatures must hard-fail:
 #: silently ignoring deletionVectors or columnMapping would return wrong
 #: rows, the protocol's cardinal sin.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -60,9 +60,37 @@ class DeltaSnapshot:
     version: int
     schema: StructType
     partition_columns: tuple[str, ...]
-    #: live files: (absolute path, {partition col: raw string or None})
-    files: list[tuple[str, dict]]
+    #: live files: (absolute path, {partition col: raw string or None},
+    #: deletionVector descriptor dict or None)
+    files: list[tuple[str, dict, dict | None]]
     configuration: dict
+
+
+def _resolve_dv_blob(descriptor: dict, table_root: str) -> bytes:
+    """Fetch one deletion vector's RoaringBitmapArray bytes per its add
+    action's descriptor (protocol § Deletion Vector Descriptor Schema):
+    'u' = relative file named by a Z85 uuid (optional random prefix),
+    'p' = absolute path, 'i' = inline Z85 payload."""
+    from aws_glue_data_lake_spark.roaring64 import read_dv_blob, z85_decode
+
+    st = descriptor["storageType"]
+    ref = descriptor["pathOrInlineDv"]
+    size = descriptor.get("sizeInBytes")
+    if st == "i":
+        blob = z85_decode(ref)
+        return blob[:size] if size is not None else blob
+    if st == "u":
+        prefix, encoded = ref[:-20], ref[-20:]
+        dv_uuid = uuid.UUID(bytes=z85_decode(encoded))
+        path = os.path.join(
+            table_root, *([prefix] if prefix else []),
+            f"deletion_vector_{dv_uuid}.bin",
+        )
+    elif st == "p":
+        path = ref
+    else:
+        raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+    return read_dv_blob(path, descriptor["offset"], size)
 
 
 class DeltaTableReader:
@@ -105,7 +133,10 @@ class DeltaTableReader:
             state["protocol"] = action["protocol"]
         elif "add" in action:
             a = action["add"]
-            state["files"][a["path"]] = a.get("partitionValues", {}) or {}
+            state["files"][a["path"]] = {
+                "pv": a.get("partitionValues", {}) or {},
+                "dv": a.get("deletionVector"),
+            }
         elif "remove" in action:
             state["files"].pop(action["remove"]["path"], None)
         # commitInfo / txn / cdc / domainMetadata: not needed for a scan
@@ -169,7 +200,8 @@ class DeltaTableReader:
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = tuple(meta.get("partitionColumns", ()))
         files = [
-            (self._abs_path(p), pv) for p, pv in sorted(state["files"].items())
+            (self._abs_path(p), d["pv"], d.get("dv"))
+            for p, d in sorted(state["files"].items())
         ]
         return DeltaSnapshot(
             version=tip,
@@ -223,13 +255,109 @@ class DeltaTableReader:
         return md.get("delta.columnMapping.physicalName", field.name)
 
     # -- scan ---------------------------------------------------------------
-    def to_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Plan a Spark scan of exactly the snapshot's live files. Partition
-        columns are NOT in the data files (Delta's layout) — they attach as
-        typed literals from each add-action's ``partitionValues``, grouped
-        by partition tuple so planning is O(#live partitions). Under
-        columnMapping=name the scan reads the files' PHYSICAL names and
-        aliases back to the logical schema."""
+    def _hive_layout_consistent(self, snap: DeltaSnapshot) -> bool:
+        """True when every live file sits in Hive-style partition dirs
+        (``col=value/``, spec order) whose raw text equals the log's
+        partitionValues — the layout both this writer and delta-spark
+        emit. Then Spark's own partition discovery (``basePath``) can
+        recover the partition columns: ONE scan node with native
+        partition pruning instead of a per-partition-group union, which
+        matters once a table holds thousands of live partitions."""
+        if snap.configuration.get("delta.columnMapping.mode", "none") != "none":
+            return False  # dirs hold PHYSICAL names; skip the fast path
+        root = os.path.abspath(self.path)
+        for p, pv, _dv in snap.files:
+            rel = os.path.relpath(os.path.abspath(p), root)
+            if rel.startswith(".."):
+                return False  # absolute/foreign reference (shallow clone)
+            segs = rel.split(os.sep)[:-1]
+            if len(segs) != len(snap.partition_columns):
+                return False
+            for col, seg in zip(snap.partition_columns, segs):
+                raw = pv.get(col)
+                want = (
+                    f"{col}=__HIVE_DEFAULT_PARTITION__"
+                    if raw is None
+                    else f"{col}={raw}"
+                )
+                if seg != want:
+                    return False
+        return True
+
+    def _apply_dvs(
+        self, spark: SparkSession, scan: DataFrame, snap: DeltaSnapshot
+    ) -> DataFrame:
+        """Merge-on-read: anti-join the scan's (file, row position) —
+        pre-attached as ``__dv_fp``/``__dv_pos`` at the file source,
+        where ``_metadata`` is resolvable — against the snapshot's
+        deletion vectors. Descriptors (tiny, driver-side metadata) ship
+        to executors where each file's roaring bitmap is fetched and
+        expanded — the expansion is distributed and per-file, and the
+        resulting tombstone set is positions-only, so it broadcasts at
+        any realistic churn (the same plan shape as lake.py's parquet
+        DVs and the Iceberg position-delete path)."""
+        import pandas as pd
+
+        dv_rows = [
+            (p, json.dumps(dv)) for p, _pv, dv in snap.files if dv
+        ]
+        if not dv_rows:
+            return scan
+        root = self.path
+        out_cols = [c for c in scan.columns if c not in ("__dv_fp", "__dv_pos")]
+
+        def expand(batches):
+            from aws_glue_data_lake_spark.roaring64 import (
+                deserialize_positions,
+            )
+
+            for pdf in batches:
+                for fp, dvj in zip(pdf["file_path"], pdf["dv"]):
+                    blob = _resolve_dv_blob(json.loads(dvj), root)
+                    yield pd.DataFrame(
+                        {
+                            "file_path": fp,
+                            "pos": deserialize_positions(blob),
+                        }
+                    )
+
+        desc_df = spark.createDataFrame(
+            dv_rows, "file_path string, dv string"
+        )
+        if len(dv_rows) > 1:
+            desc_df = desc_df.repartition(min(len(dv_rows), 32))
+        tomb = desc_df.mapInPandas(expand, "file_path string, pos long")
+        return scan.join(
+            F.broadcast(tomb),
+            (F.col("__dv_fp") == F.col("file_path"))
+            & (F.col("__dv_pos") == F.col("pos")),
+            "anti",
+        ).select(*out_cols)
+
+    def _scan_with_pos(self, spark: SparkSession, snap=None) -> DataFrame:
+        """Logical-schema scan that keeps ``__dv_fp``/``__dv_pos`` (file
+        path, row position) and does NOT subtract deletion vectors — the
+        write path for :meth:`DeltaTableWriter.delete_where`, which
+        unions matched positions into the per-file bitmaps (re-matching
+        an already-deleted row is idempotent there)."""
+        return self.to_df(spark, _expose_pos=True)
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        _expose_pos: bool = False,
+    ) -> DataFrame:
+        """Plan a Spark scan of exactly the snapshot's live files.
+        Partition columns are NOT in the data files (Delta's layout):
+        when the live files sit in consistent Hive dirs (the common
+        case) they come back through Spark's own partition discovery in
+        a single scan with native partition pruning; otherwise they
+        attach as typed literals from each add-action's
+        ``partitionValues``, grouped by partition tuple so planning is
+        O(#live partitions). Under columnMapping=name the scan reads the
+        files' PHYSICAL names and aliases back to the logical schema.
+        Deletion vectors apply merge-on-read (see :meth:`_apply_dvs`)."""
         snap = self.snapshot(version)
         if not snap.files:
             return spark.createDataFrame([], snap.schema)
@@ -239,38 +367,70 @@ class DeltaTableReader:
         data_st = StructType(
             [StructField(phys(f), f.dataType, f.nullable) for f in data_fields]
         )
+        out_cols = [f.name for f in snap.schema.fields]
+        has_dvs = any(dv for _, _, dv in snap.files) or _expose_pos
+        pos_cols = ["__dv_fp", "__dv_pos"] if has_dvs else []
+
+        def finish(scan: DataFrame) -> DataFrame:
+            return scan if _expose_pos else self._apply_dvs(spark, scan, snap)
+
+        def with_pos(src: DataFrame) -> DataFrame:
+            """Attach (file, row position) AT THE FILE SOURCE — the
+            hidden ``_metadata`` struct resolves only there, not after
+            projections or unions."""
+            if not has_dvs:
+                return src
+            return src.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
 
         def logical(df: DataFrame) -> DataFrame:
             return df.select(
-                *[F.col(phys(f)).alias(f.name) for f in data_fields]
+                *[F.col(phys(f)).alias(f.name) for f in data_fields],
+                *pos_cols,
             )
 
         if not part_cols:
-            return logical(
-                spark.read.schema(data_st).parquet(*[p for p, _ in snap.files])
+            scan = logical(
+                with_pos(
+                    spark.read.schema(data_st).parquet(
+                        *[p for p, _, _ in snap.files]
+                    )
+                )
             )
+            return finish(scan)
+        if self._hive_layout_consistent(snap):
+            scan = with_pos(
+                spark.read.schema(snap.schema)
+                .option("basePath", self.path)
+                .parquet(*[p for p, _, _ in snap.files])
+            ).select(*out_cols, *pos_cols)
+            return finish(scan)
         part_fields = [f for f in snap.schema.fields if f.name in part_cols]
         groups: dict[tuple, list[str]] = {}
-        for p, pv in snap.files:
+        for p, pv, _dv in snap.files:
             # partitionValues are keyed by PHYSICAL name in the log
             key = tuple(pv.get(phys(f)) for f in part_fields)
             groups.setdefault(key, []).append(p)
-        out_cols = [f.name for f in snap.schema.fields]
         dfs = []
         for key, paths in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            g = logical(spark.read.schema(data_st).parquet(*paths))
+            g = logical(with_pos(spark.read.schema(data_st).parquet(*paths)))
             for f, v in zip(part_fields, key):
                 if v is None:
                     g = g.withColumn(f.name, F.lit(None).cast(f.dataType))
                 else:
                     g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
-            dfs.append(g.select(*out_cols))
+            dfs.append(g.select(*out_cols, *pos_cols))
         df = dfs[0]
         for g in dfs[1:]:
             df = df.unionByName(g)
-        return df
+        return finish(df)
 
 
 class DeltaTableWriter:
@@ -393,7 +553,7 @@ class DeltaTableWriter:
                     "dataChange": True,
                 }
             }
-            for p, pv in snap.files
+            for p, pv, _dv in snap.files
             if all(pv.get(k) == str(v) for k, v in partition.items())
         ]
         adds = self._stage_files(df, snap.partition_columns)
@@ -427,7 +587,7 @@ class DeltaTableWriter:
             },
             {"protocol": None, "metaData": meta_row, "add": None},
         ]
-        for p, pv in snap.files:
+        for p, pv, dv in snap.files:
             rows.append(
                 {
                     "protocol": None,
@@ -440,6 +600,7 @@ class DeltaTableWriter:
                         "size": os.path.getsize(p),
                         "modificationTime": 0,
                         "dataChange": False,
+                        "deletionVector": dv,
                     },
                 }
             )
@@ -485,6 +646,18 @@ class DeltaTableWriter:
                             ("size", pa.int64()),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),
@@ -525,10 +698,123 @@ class DeltaTableWriter:
                     "dataChange": False,
                 }
             }
-            for p, _ in snap.files
+            for p, _, _ in snap.files
         ]
         v = snap.version + 1
         self._commit(v, removes + [{"add": a} for a in adds])
+        return v
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """DELETE via deletion vectors — the protocol's merge-on-read
+        write path (``delta.enableDeletionVectors``): matching rows are
+        tombstoned in per-file roaring bitmaps, no data file is
+        rewritten. The commit re-adds each touched file with a
+        ``deletionVector`` descriptor (union'd with any prior DV) and
+        upgrades the protocol to reader 3 / writer 7 with the
+        deletionVectors feature. Bitmap packing runs per-file on
+        executors (``applyInPandas``); the driver only handles the
+        compressed blobs — O(#touched files), never O(#rows).
+        ``optimize()`` later folds DVs away; ``vacuum()`` collects
+        orphaned DV bins."""
+        import pandas as pd
+
+        from aws_glue_data_lake_spark.roaring64 import (
+            deserialize_positions,
+            serialize_positions,
+            write_dv_file,
+            z85_encode,
+        )
+
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # position scan WITHOUT DV subtraction: re-matching an
+        # already-deleted row is idempotent under the union below
+        matched = (
+            r._scan_with_pos(spark)
+            .where(cond)
+            .select("__dv_fp", "__dv_pos")
+        )
+
+        def pack(key, pdf):
+            return pd.DataFrame(
+                {
+                    "fp": [key[0]],
+                    "blob": [
+                        bytes(serialize_positions(pdf["__dv_pos"].tolist()))
+                    ],
+                    "card": [int(pdf["__dv_pos"].nunique())],
+                }
+            )
+
+        packed = (
+            matched.groupBy("__dv_fp")
+            .applyInPandas(pack, "fp string, blob binary, card long")
+            .collect()
+        )
+        if not packed:
+            return snap.version  # no-op: nothing matched
+        by_path = {os.path.abspath(p): (p, pv, dv) for p, pv, dv in snap.files}
+        merged: list[tuple[str, dict, bytes, int]] = []
+        for row in packed:
+            p, pv, old_dv = by_path[os.path.abspath(row["fp"])]
+            positions = deserialize_positions(bytes(row["blob"]))
+            if old_dv:
+                old = deserialize_positions(_resolve_dv_blob(old_dv, self.path))
+                positions = sorted(set(positions) | set(old))
+            merged.append(
+                (p, pv, serialize_positions(positions), len(positions))
+            )
+        dv_uuid = uuid.uuid4()
+        dv_name = f"deletion_vector_{dv_uuid}.bin"
+        spans = write_dv_file(
+            os.path.join(self.path, dv_name), [b for _, _, b, _ in merged]
+        )
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "appendOnly",
+                        "invariants",
+                        "deletionVectors",
+                    ],
+                }
+            }
+        ]
+        for (p, pv, _blob, card), (off, size) in zip(merged, spans):
+            rel = urllib.parse.quote(os.path.relpath(p, self.path))
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(p),
+                        "modificationTime": int(os.path.getmtime(p) * 1000),
+                        "dataChange": True,
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                            "offset": off,
+                            "sizeInBytes": size,
+                            "cardinality": card,
+                        },
+                    }
+                }
+            )
+        v = snap.version + 1
+        self._commit(v, actions)
         return v
 
     def vacuum(self) -> list[str]:
@@ -539,12 +825,23 @@ class DeltaTableWriter:
         here the caller decides when). The log is retained — reads still
         replay it, remove-actions already exclude the vacuumed files.
         Absolute (foreign) references from zero-copy exports are never
-        touched."""
+        touched. Deletion-vector bins (``deletion_vector_*.bin``) whose
+        uuid no descriptor in the current snapshot references are
+        collected too — they become orphans when OPTIMIZE folds the DVs
+        into rewritten files or a later DELETE supersedes them."""
         import glob as g
 
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
-        live = {os.path.abspath(p) for p, _ in snap.files}
+        live = {os.path.abspath(p) for p, _, _ in snap.files}
+        live_dv_uuids = set()
+        for _, _, dv in snap.files:
+            if dv and dv.get("storageType") == "u":
+                from aws_glue_data_lake_spark.roaring64 import z85_decode
+
+                live_dv_uuids.add(
+                    str(uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:])))
+                )
         removed = []
         for p in g.glob(
             os.path.join(self.path, "**", "*.parquet"), recursive=True
@@ -555,6 +852,15 @@ class DeltaTableWriter:
             if ap not in live:
                 os.remove(ap)
                 removed.append(ap)
+        for p in g.glob(
+            os.path.join(self.path, "**", "deletion_vector_*.bin"),
+            recursive=True,
+        ):
+            name = os.path.basename(p)
+            dv_uuid = name[len("deletion_vector_") : -len(".bin")]
+            if dv_uuid not in live_dv_uuids:
+                os.remove(p)
+                removed.append(os.path.abspath(p))
         return removed
 
 
@@ -568,15 +874,15 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
     live in the manifest, not the file bytes), so partitioned tables
     export 1:1.
 
-    Tables with live deletion vectors cannot export zero-copy (the DV
-    sidecar format differs); compact() first to fold DVs away — enforced
-    loudly here rather than exporting wrong rows."""
+    Live deletion vectors CONVERT rather than block: the lake's parquet
+    (file_name, row_index) sidecars re-encode as protocol roaring-bitmap
+    blobs in one ``deletion_vector_*.bin`` at the destination, and the
+    exported log then advertises reader 3 / writer 7 with the
+    deletionVectors feature. DV sidecars are tombstone-sized (the
+    DELETE's blast radius, never the table), so the conversion is
+    driver-side metadata work like the log itself — data bytes still
+    never move."""
     snap = lake_table.snapshot(version)
-    if any(f.get("dv") for f in snap.files):
-        raise DeltaProtocolError(
-            "snapshot has live deletion vectors; compact() to fold them "
-            "before exporting"
-        )
     schema = StructType.fromDDL(snap.schema)
     part_cols = list(snap.partition_by)
     w = DeltaTableWriter(dest_path)
@@ -585,6 +891,51 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
     ):
         raise FileExistsError(f"Delta table already exists: {dest_path}")
     os.makedirs(dest_path, exist_ok=True)
+
+    # -- convert lake DV sidecars (parquet tombstones) to roaring blobs --
+    dv_entries = [f for f in snap.files if f.get("dv")]
+    dv_by_file: dict[str, dict] = {}
+    if dv_entries:
+        import pyarrow.parquet as pq
+
+        from aws_glue_data_lake_spark.roaring64 import (
+            serialize_positions,
+            write_dv_file,
+            z85_encode,
+        )
+
+        positions_by_name: dict[str, list[int]] = {}
+        for sidecar in sorted({f["dv"]["path"] for f in dv_entries}):
+            tbl = pq.read_table(
+                lake_table._abs(sidecar), columns=["file_name", "row_index"]
+            )
+            for name, pos in zip(
+                tbl.column("file_name").to_pylist(),
+                tbl.column("row_index").to_pylist(),
+            ):
+                positions_by_name.setdefault(name, []).append(pos)
+        blobs, ordered = [], []
+        for f in dv_entries:
+            name = os.path.basename(f["path"])
+            pos = positions_by_name.get(name)
+            if pos:
+                blobs.append(serialize_positions(pos))
+                ordered.append((f["path"], len(set(pos))))
+        if blobs:
+            dv_uuid = uuid.uuid4()
+            spans = write_dv_file(
+                os.path.join(dest_path, f"deletion_vector_{dv_uuid}.bin"),
+                blobs,
+            )
+            for (rel, card), (off, size) in zip(ordered, spans):
+                dv_by_file[rel] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                }
+
     adds = []
     for f in snap.files:
         abs_path = lake_table._abs(f["path"])
@@ -594,16 +945,32 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
         }
         for c in part_cols:
             pv.setdefault(c, None)
-        adds.append(
-            {
-                "path": "file://" + urllib.parse.quote(abs_path),
-                "partitionValues": pv,
-                "size": os.path.getsize(abs_path),
-                "modificationTime": int(os.path.getmtime(abs_path) * 1000),
-                "dataChange": True,
+        add = {
+            "path": "file://" + urllib.parse.quote(abs_path),
+            "partitionValues": pv,
+            "size": os.path.getsize(abs_path),
+            "modificationTime": int(os.path.getmtime(abs_path) * 1000),
+            "dataChange": True,
+        }
+        dv = dv_by_file.get(f["path"])
+        if dv:
+            add["deletionVector"] = dv
+        adds.append(add)
+    meta_actions = w._meta_actions(schema, part_cols)
+    if dv_by_file:
+        meta_actions[0] = {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": [
+                    "appendOnly",
+                    "invariants",
+                    "deletionVectors",
+                ],
             }
-        )
-    w._commit(0, w._meta_actions(schema, part_cols) + [{"add": a} for a in adds])
+        }
+    w._commit(0, meta_actions + [{"add": a} for a in adds])
     return DeltaTableReader(dest_path)
 
 
@@ -685,6 +1052,12 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         "dataChange", True
                     ):
                         a = action["add"]
+                        if a.get("deletionVector"):
+                            raise ValueError(
+                                f"delta_cdf is append-only: version {v} "
+                                "attaches a deletion vector (DELETE); "
+                                "re-read a fresh snapshot instead"
+                            )
                         consts = [
                             (c, part_types[c], a.get("partitionValues", {}).get(c))
                             for c in snap.partition_columns

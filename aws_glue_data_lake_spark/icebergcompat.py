@@ -206,6 +206,21 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        {
+                            # spec field 135: schema field ids an
+                            # equality-delete file (content=2) matches on
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -246,6 +261,15 @@ class IcebergSnapshot:
     #: live POSITION-delete files (format v2 merge-on-read): absolute paths
     #: of parquet files holding (file_path, pos) tombstones
     delete_files: list[str] = None  # type: ignore[assignment]
+    #: data sequence number per live data file (abs path -> seq); the
+    #: spec's ordering key for applying row-level deletes
+    file_seqs: dict = None  # type: ignore[assignment]
+    #: live EQUALITY-delete files (format v2 merge-on-read): (absolute
+    #: path, equality column NAMES resolved from the schema's field ids,
+    #: data sequence number). A delete applies to data files whose
+    #: sequence number is STRICTLY LESS than the delete's (spec § Delete
+    #: Formats) — rows added in the same commit survive.
+    eq_deletes: list = None  # type: ignore[assignment]
 
 
 class IcebergTableReader:
@@ -327,8 +351,11 @@ class IcebergTableReader:
                         f"unsupported partition transform {f['transform']!r}"
                     )
                 part_cols += (f["name"],)
+        field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
         files: list[tuple[str, dict]] = []
+        file_seqs: dict = {}
         delete_files: list[str] = []
+        eq_deletes: list[tuple[str, tuple[str, ...], int]] = []
         _, manifests, _ = read_container(self._abs(snap["manifest-list"]))
         for mf in manifests:
             is_delete_manifest = mf.get("content", 0) == 1
@@ -342,23 +369,40 @@ class IcebergTableReader:
                     raise IcebergProtocolError(
                         f"unsupported file format {df_rec['file_format']!r}"
                     )
+                # per-entry data sequence number, inherited from the
+                # manifest-list entry when null (spec's inheritance rule)
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number", 0)
+                abs_path = self._abs(df_rec["file_path"])
                 if content == 0:
-                    files.append(
-                        (
-                            self._abs(df_rec["file_path"]),
-                            df_rec.get("partition", {}),
-                        )
-                    )
+                    files.append((abs_path, df_rec.get("partition", {})))
+                    file_seqs[abs_path] = seq
                 elif content == 1:
                     # POSITION deletes (merge-on-read): (file_path, pos)
                     # tombstones, applied at scan time. Data file paths are
                     # never reused by any conforming writer, so path
                     # equality subsumes the spec's sequence-number gate
                     # (a delete can't name a file that didn't exist yet).
-                    delete_files.append(self._abs(df_rec["file_path"]))
+                    delete_files.append(abs_path)
+                elif content == 2:
+                    ids = df_rec.get("equality_ids") or ()
+                    if not ids:
+                        raise IcebergProtocolError(
+                            f"equality delete file {abs_path} has no "
+                            "equality_ids"
+                        )
+                    try:
+                        names = tuple(field_names[i] for i in ids)
+                    except KeyError as exc:
+                        raise IcebergProtocolError(
+                            f"equality_ids {list(ids)} reference unknown "
+                            f"field id {exc}"
+                        ) from None
+                    eq_deletes.append((abs_path, names, seq))
                 else:
                     raise IcebergProtocolError(
-                        "equality delete files (content=2) not supported"
+                        f"unsupported delete content {content}"
                     )
         return IcebergSnapshot(
             snapshot_id=sid,
@@ -366,6 +410,8 @@ class IcebergTableReader:
             partition_by=part_cols,
             files=sorted(files),
             delete_files=sorted(delete_files),
+            file_seqs=file_seqs,
+            eq_deletes=sorted(eq_deletes),
         )
 
     def to_df(
@@ -384,7 +430,17 @@ class IcebergTableReader:
         anti-join of (file path, row position) against the tombstone
         files — the same plan shape as the lake layer's deletion vectors
         (lake.py _read_files): tombstones are positions-only, tiny next
-        to data, so the build side broadcasts at any realistic churn."""
+        to data, so the build side broadcasts at any realistic churn.
+
+        EQUALITY deletes (the Flink/CDC write shape) apply as ONE
+        broadcast anti-join per distinct equality-column set, with the
+        spec's sequence-number gate folded into the join condition: a
+        row is dropped iff some delete row matches null-safely on the
+        equality columns AND the row's data file has a STRICTLY SMALLER
+        sequence number than the delete file — so re-inserts in the same
+        or a later commit survive. The per-file sequence number rides a
+        broadcast (file -> seq) map join, keeping the scan a single
+        node regardless of commit count."""
         from pyspark.sql import functions as F
 
         snap = self.snapshot(snapshot_id)
@@ -397,8 +453,9 @@ class IcebergTableReader:
             ]
         if not files:
             return spark.createDataFrame([], snap.schema)
+        out_cols = [f.name for f in snap.schema.fields]
         reader = spark.read.schema(snap.schema)
-        if not snap.delete_files:
+        if not snap.delete_files and not snap.eq_deletes:
             return reader.parquet(*[p for p, _ in files])
         scan = reader.parquet(*[p for p, _ in files]).select(
             "*",
@@ -409,22 +466,58 @@ class IcebergTableReader:
             ).alias("__del_fp"),
             F.col("_metadata.row_index").alias("__del_pos"),
         )
-        dels = (
-            spark.read.parquet(*snap.delete_files)
-            .select(
-                F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
-                .alias("file_path"),
-                F.col("pos").cast("long").alias("pos"),
+        if snap.delete_files:
+            dels = (
+                spark.read.parquet(*snap.delete_files)
+                .select(
+                    F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+                    .alias("file_path"),
+                    F.col("pos").cast("long").alias("pos"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        out_cols = [f.name for f in snap.schema.fields]
-        return scan.join(
-            F.broadcast(dels),
-            (F.col("__del_fp") == F.col("file_path"))
-            & (F.col("__del_pos") == F.col("pos")),
-            "anti",
-        ).select(*out_cols)
+            scan = scan.join(
+                F.broadcast(dels),
+                (F.col("__del_fp") == F.col("file_path"))
+                & (F.col("__del_pos") == F.col("pos")),
+                "anti",
+            )
+        if snap.eq_deletes:
+            seq_map = spark.createDataFrame(
+                [(p, int(snap.file_seqs.get(p, 0))) for p, _ in files],
+                "__sm_fp string, __seq long",
+            )
+            scan = scan.join(
+                F.broadcast(seq_map),
+                F.col("__del_fp") == F.col("__sm_fp"),
+                "left",
+            ).drop("__sm_fp")
+            groups: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+            for path, names, seq in snap.eq_deletes:
+                groups.setdefault(names, []).append((path, int(seq)))
+            for names, dpaths in sorted(groups.items()):
+                dseq_map = spark.createDataFrame(
+                    dpaths, "__dm_fp string, __dseq long"
+                )
+                drows = (
+                    spark.read.parquet(*[p for p, _ in dpaths])
+                    .select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in names],
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        ).alias("__dm_key"),
+                    )
+                    .join(
+                        F.broadcast(dseq_map),
+                        F.col("__dm_key") == F.col("__dm_fp"),
+                        "inner",
+                    )
+                )
+                cond = F.col("__seq") < F.col("__dseq")
+                for c in names:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                scan = scan.join(F.broadcast(drows), cond, "anti")
+        return scan.select(*out_cols)
 
 
 class IcebergTableWriter:
@@ -587,6 +680,7 @@ class IcebergTableWriter:
     def _entry(
         self, path: str, pv: dict, rows: int, size: int,
         status: int, snapshot_id: int, seq: int, content: int = 0,
+        equality_ids: list[int] | None = None,
     ) -> dict:
         return {
             "status": status,
@@ -600,6 +694,7 @@ class IcebergTableWriter:
                 "partition": pv,
                 "record_count": rows,
                 "file_size_in_bytes": size,
+                "equality_ids": equality_ids,
             },
         }
 
@@ -906,6 +1001,73 @@ class IcebergTableWriter:
         entry = self._entry(
             dst, null_pv, n_del, os.path.getsize(dst),
             _STATUS_ADDED, sid, seq, content=1,
+        )
+        ml_entry = self._write_manifest(
+            [entry], pcols, sid, seq, schema_json, content=1
+        )
+        manifests = self._manifest_list_of(prev) + [ml_entry]
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "delete"
+        )
+        return sid
+
+    def equality_delete(
+        self, keys_df: DataFrame, equality_cols: Sequence[str] | None = None
+    ) -> int:
+        """EQUALITY-delete commit — the streaming-CDC write shape (what
+        Flink's Iceberg sink emits for upserts): ``keys_df``'s rows land
+        in a parquet delete file whose ``equality_ids`` name the columns
+        to match on; every EARLIER data file's matching rows are deleted
+        merge-on-read, while rows (re-)inserted in this or later commits
+        survive the sequence-number gate. O(#keys) per commit — no scan
+        of the table at write time, which is the whole point over
+        ``delete_where`` for high-churn CDC streams."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = prev["schemas"][0]
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = [f["name"] for f in spec_fields]
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        names = list(equality_cols or keys_df.columns)
+        ids_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+        try:
+            eq_ids = [ids_by_name[n] for n in names]
+        except KeyError as exc:
+            raise ValueError(f"unknown equality column {exc}") from None
+        if keys_df.isEmpty():
+            return prev["current-snapshot-id"]
+        os.makedirs(self._data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        keys_df.select(*names).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        import pyarrow.parquet as pq
+
+        n_del = pq.ParquetFile(src).metadata.num_rows
+        dst = os.path.join(
+            self._data_dir, f"{uuid.uuid4().hex}-eqdeletes.parquet"
+        )
+        shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        sid, seq = self._next_ids(prev)
+        null_pv = {n: None for n, _ in pcols}
+        entry = self._entry(
+            dst, null_pv, n_del, os.path.getsize(dst),
+            _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
         )
         ml_entry = self._write_manifest(
             [entry], pcols, sid, seq, schema_json, content=1

@@ -93,7 +93,8 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
     path = str(tmp_path / "d")
     w = DeltaTableWriter(path)
     w.create(spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"))
-    # doctor the log to demand deletion vectors
+    # doctor the log to demand v2 checkpoints (a real protocol feature
+    # this reader does not implement — only classic checkpoints are)
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(log)]
     for ln in lines:
@@ -101,14 +102,14 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
             ln["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
             }
     os.remove(log)
     with open(log, "w") as f:
         for ln in lines:
             f.write(json.dumps(ln) + "\n")
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaTableReader(path).to_df(spark)
 
 
@@ -181,7 +182,8 @@ def test_export_lake_snapshot_zero_copy(spark, tmp_path):
     movement: add actions reference the lake's files by absolute URI,
     partition values ride partitionValues, and the Delta read equals the
     lake read — including after the lake table moves on (snapshot
-    isolation carries over). DV-bearing snapshots are refused."""
+    isolation carries over). DV-bearing snapshots convert their parquet
+    tombstones into protocol roaring DVs (still zero data movement)."""
     from aws_glue_data_lake_spark.deltacompat import export_lake_snapshot
     from aws_glue_data_lake_spark.lake import LakeTable
 
@@ -210,10 +212,24 @@ def test_export_lake_snapshot_zero_copy(spark, tmp_path):
                                      "k long, bucket string, v long"),
                keys=["k"])
     assert len(reader.to_df(spark).collect()) == 4
-    # DV-bearing snapshot refused
+    # DV-bearing snapshot: parquet tombstones convert to roaring DVs
     src.delete_where(spark, "k = 2")
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        export_lake_snapshot(src, str(tmp_path / "delta2"))
+    r2 = export_lake_snapshot(src, str(tmp_path / "delta2"))
+    got2 = sorted(
+        (r["k"], r["bucket"], r["v"]) for r in r2.to_df(spark).collect()
+    )
+    assert got2 == [(1, "a", 10), (3, None, 30), (4, "a", 40), (9, "b", 90)]
+    snap2 = r2.snapshot()
+    dvs = [dv for _, _, dv in snap2.files if dv]
+    assert dvs and sum(d["cardinality"] for d in dvs) == 1
+    # still zero-copy: only the DV bin lives at the destination
+    assert not [
+        p
+        for p in g.glob(str(tmp_path / "delta2" / "**" / "*.parquet"),
+                        recursive=True)
+        if "_delta_log" not in p
+    ]
+    assert g.glob(str(tmp_path / "delta2" / "deletion_vector_*.bin"))
 
 
 def test_column_mapping_name_mode_reads_logical_schema(spark, tmp_path):
@@ -424,3 +440,197 @@ def test_delta_cdf_streaming_source(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="append-only"):
         drain("delta_cdf_t2")
+
+
+# -- deletion vectors (protocol reader feature 'deletionVectors') -----------
+def test_delete_where_deletion_vectors(spark, tmp_path):
+    """delete_where tombstones rows in roaring DVs without rewriting
+    data files; reads subtract them merge-on-read; a second DELETE
+    unions into the existing DV; OPTIMIZE folds DVs away and vacuum
+    collects the orphaned bins."""
+    path = str(tmp_path / "dv")
+    w = DeltaTableWriter(path)
+    df = spark.range(0, 100).selectExpr(
+        "id as k", "concat('b', cast(id % 3 as string)) as bucket", "id * 2 as v"
+    )
+    r = w.create(df, partition_by=["bucket"])                        # v0
+    files_v0 = {p for p, _, _ in r.snapshot().files}
+
+    v = w.delete_where(spark, "k % 10 = 0")                          # v1
+    assert v == 1
+    snap = r.snapshot()
+    # no data file rewritten, tombstones ride the descriptors
+    assert {p for p, _, _ in snap.files} == files_v0
+    dvs = [dv for _, _, dv in snap.files if dv]
+    assert dvs and all(d["storageType"] == "u" for d in dvs)
+    assert sum(d["cardinality"] for d in dvs) == 10
+    got = sorted(x["k"] for x in r.to_df(spark).collect())
+    assert got == [k for k in range(100) if k % 10 != 0]
+    # time travel to v0 still sees every row
+    assert r.to_df(spark, version=0).count() == 100
+
+    # second DELETE unions with the existing DVs
+    w.delete_where(spark, "k % 10 = 1")                              # v2
+    snap2 = r.snapshot()
+    assert sum(d["cardinality"] for _, _, d in snap2.files if d) == 20
+    got2 = sorted(x["k"] for x in r.to_df(spark).collect())
+    assert got2 == [k for k in range(100) if k % 10 not in (0, 1)]
+
+    # matching nothing is a no-op commit-wise
+    assert w.delete_where(spark, "k = -1") == snap2.version
+
+    # protocol advertises the feature; a reader without DV support must
+    # refuse this table — ours accepts it
+    with open(os.path.join(path, "_delta_log", f"{2:020d}.json")) as f:
+        actions = [json.loads(l) for l in f if l.strip()]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos and "deletionVectors" in protos[0]["readerFeatures"]
+
+    # checkpoint written AFTER the DELETE carries the descriptors
+    w.checkpoint()
+    for n in os.listdir(os.path.join(path, "_delta_log")):
+        if n.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", n))
+    r2 = DeltaTableReader(path)
+    assert sorted(x["k"] for x in r2.to_df(spark).collect()) == got2
+
+    # OPTIMIZE folds the DVs into rewritten files; vacuum drops the bins
+    w.optimize(spark)
+    snap3 = r2.snapshot()
+    assert not any(d for _, _, d in snap3.files if d)
+    assert sorted(x["k"] for x in r2.to_df(spark).collect()) == got2
+    removed = w.vacuum()
+    assert any(p.endswith(".bin") for p in removed)
+    assert sorted(x["k"] for x in r2.to_df(spark).collect()) == got2
+
+
+def test_foreign_dv_descriptor_forms(spark, tmp_path):
+    """Inline ('i') and absolute-path ('p') DV descriptors — the other
+    two storage forms a conforming writer may emit — decode too."""
+    from aws_glue_data_lake_spark.roaring64 import (
+        serialize_positions,
+        write_dv_file,
+        z85_encode,
+    )
+
+    path = str(tmp_path / "dvf")
+    w = DeltaTableWriter(path)
+    df = spark.range(0, 10).selectExpr("id as k")
+    r = w.create(df)                                                 # v0
+    snap = r.snapshot()
+    (p0, pv0, _), *rest = snap.files
+
+    blob = serialize_positions([0, 1])  # first two rows of file p0
+    pad = (-len(blob)) % 4
+    inline = z85_encode(blob + b"\x00" * pad)
+    rel = os.path.relpath(p0, path)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}},
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": pv0,
+                "size": os.path.getsize(p0),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "i",
+                    "pathOrInlineDv": inline,
+                    "sizeInBytes": len(blob),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    w._commit(1, actions)
+    before = set(range(10))
+    removed_keys = {
+        x["k"]
+        for x in spark.read.parquet(p0).collect()
+        if True
+    }
+    got = {x["k"] for x in r.to_df(spark).collect()}
+    assert len(got) == 8
+    assert got < before
+
+    # 'p' (absolute path) form on a second file, if present; else reuse p0
+    target = rest[0][0] if rest else p0
+    blob2 = serialize_positions([0])
+    dv_file = str(tmp_path / "external_dv.bin")
+    ((off, size),) = write_dv_file(dv_file, [blob2])
+    snap1 = r.snapshot()
+    tgt_pv = dict(next(pv for p, pv, _ in snap1.files if p == target))
+    rel2 = os.path.relpath(target, path)
+    w._commit(
+        2,
+        [
+            {"remove": {"path": rel2, "deletionTimestamp": 0, "dataChange": True}},
+            {
+                "add": {
+                    "path": rel2,
+                    "partitionValues": tgt_pv,
+                    "size": os.path.getsize(target),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "p",
+                        "pathOrInlineDv": dv_file,
+                        "offset": off,
+                        "sizeInBytes": size,
+                        "cardinality": 1,
+                    },
+                }
+            },
+        ],
+    )
+    got2 = {x["k"] for x in r.to_df(spark).collect()}
+    if target == p0:
+        assert len(got2) == 9  # the 'p' DV replaced the inline one
+    else:
+        assert len(got2) == 7
+
+
+def test_partitioned_fast_path_matches_literal_path(spark, tmp_path):
+    """The Hive-layout basePath fast path and the literal-group fallback
+    must produce identical rows AND the fast path must plan a single
+    scan with real partition pruning (no per-partition union)."""
+    path = str(tmp_path / "fp")
+    w = DeltaTableWriter(path)
+    df = spark.createDataFrame(
+        [(i, f"p{i % 5}", None if i == 7 else i * 1.5) for i in range(40)],
+        "k long, part string, v double",
+    ).withColumn("part", __import__("pyspark").sql.functions.expr(
+        "case when k = 13 then null else part end"
+    ))
+    r = w.create(df, partition_by=["part"])
+    snap = r.snapshot()
+    assert r._hive_layout_consistent(snap)
+    fast = r.to_df(spark)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # force the fallback by breaking layout detection
+    orig = DeltaTableReader._hive_layout_consistent
+    try:
+        DeltaTableReader._hive_layout_consistent = lambda self, s: False
+        slow = r.to_df(spark)
+    finally:
+        DeltaTableReader._hive_layout_consistent = orig
+    key = lambda rows: sorted((x["k"], x["part"], x["v"]) for x in rows)
+    assert key(fast.collect()) == key(slow.collect())
+    # native partition pruning: filtering one partition scans one dir
+    pruned = fast.where("part = 'p1'")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in pplan and "part" in pplan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert sorted(x["k"] for x in pruned.collect()) == [
+        i for i in range(40) if i % 5 == 1 and i != 13
+    ]

@@ -182,7 +182,8 @@ def test_position_deletes_merge_on_read(spark, tmp_path):
     manifest without rewriting data; the scan applies them as a broadcast
     anti-join; time travel sees pre-delete rows; deletes stack and
     survive appends and partition overwrites (tombstones naming removed
-    files are inert). Equality deletes still fail loudly."""
+    files are inert). A content=2 entry without equality_ids is
+    malformed and fails loudly."""
     from aws_glue_data_lake_spark.avrolite import read_container
 
     path = str(tmp_path / "ice")
@@ -222,7 +223,7 @@ def test_position_deletes_merge_on_read(spark, tmp_path):
     # no-op delete returns the current snapshot without a commit
     before = r.snapshot().snapshot_id
     assert w.delete_where(spark, "k = 99999") == before
-    # equality deletes (content=2) still fail loudly: doctor a manifest
+    # a content=2 entry with NO equality_ids is malformed: doctor a manifest
     snap = r.snapshot()
     meta_dir = os.path.join(path, "metadata")
     import glob as g
@@ -330,3 +331,88 @@ def test_iceberg_cdf_streaming_source(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="append-only"):
         drain("ice_cdf_t2")
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """Format-v2 EQUALITY deletes (the Flink-CDC write shape):
+    equality_delete commits key rows through a content=2 entry with
+    equality_ids; earlier rows matching null-safely on those columns
+    disappear merge-on-read; rows re-inserted in a LATER commit survive
+    the sequence-number gate; compact() folds the debt away."""
+    path = str(tmp_path / "iceq")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)],
+            "k long, bucket string, v long",
+        )
+    )                                                             # seq 1
+    # delete k in (2, 3) by key column
+    w.equality_delete(
+        spark.createDataFrame([(2,), (3,)], "k long")
+    )                                                             # seq 2
+    got = sorted(x.k for x in r.to_df(spark).collect())
+    assert got == [1, 4]
+    snap = r.snapshot()
+    assert snap.eq_deletes and snap.eq_deletes[0][1] == ("k",)
+    # re-insert k=2 AFTER the delete: the seq gate keeps it
+    w.append(spark.createDataFrame([(2, "z", 99)], "k long, bucket string, v long"))
+    got = sorted((x.k, x.v) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 99), (4, 40)]
+    # null-safe match: delete bucket IS NULL rows via the bucket column
+    w.create_like = None  # no-op attr to keep linters quiet
+    w.equality_delete(
+        spark.createDataFrame([(None,)], "bucket string"), ["bucket"]
+    )
+    got = sorted(x.k for x in r.to_df(spark).collect())
+    assert got == [1, 2, 4]  # k=3 (bucket NULL) gone, later rows kept
+    # composite-key delete (two equality columns, one matching row)
+    w.equality_delete(
+        spark.createDataFrame([(4, "a"), (9, "x")], "k long, bucket string")
+    )
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 2]
+    # empty key set is a no-op commit-wise
+    before = r.snapshot().snapshot_id
+    assert (
+        w.equality_delete(spark.createDataFrame([], "k long")) == before
+    )
+    # position + equality deletes compose
+    w.delete_where(spark, "k = 1")
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [2]
+    # compact folds every delete away; result unchanged
+    w.compact(spark)
+    snap2 = r.snapshot()
+    assert not snap2.eq_deletes and not snap2.delete_files
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [2]
+    # time travel before the first equality delete still sees all rows
+    first_sid = sorted(
+        s["snapshot-id"]
+        for s in __import__("json").load(
+            open(sorted(__import__("glob").glob(
+                os.path.join(path, "metadata", "v*.metadata.json")
+            ))[-1])
+        )["snapshots"]
+    )[0]
+    assert r.to_df(spark, snapshot_id=first_sid).count() == 4
+
+
+def test_equality_delete_same_commit_semantics(spark, tmp_path):
+    """The spec's strict-inequality gate: an equality delete does NOT
+    apply to data files with the SAME sequence number (rows written in
+    the same commit as the delete survive) and unknown equality columns
+    fail loudly."""
+    path = str(tmp_path / "iceq2")
+    w = IcebergTableWriter(path)
+    r = w.create(spark.createDataFrame([(1, 10)], "k long, v long"))  # seq 1
+    w.equality_delete(spark.createDataFrame([(1,)], "k long"))        # seq 2
+    assert r.to_df(spark).count() == 0
+    # a delete whose seq EQUALS the data file's must not drop it: doctor
+    # the data manifest entry seq up to the delete's seq
+    snap = r.snapshot()
+    (dpath, _names, dseq) = snap.eq_deletes[0]
+    (fpath, _pv) = snap.files[0]
+    assert snap.file_seqs[fpath] < dseq
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown equality column"):
+        w.equality_delete(spark.createDataFrame([(1,)], "nope long"))
