@@ -770,17 +770,25 @@ class DeltaTableWriter:
         spans = write_dv_file(
             os.path.join(self.path, dv_name), [b for _, _, b, _ in merged]
         )
+        # With minReaderVersion 3 the feature LIST is authoritative: any
+        # capability the table already relies on must be re-declared, or
+        # conforming readers would stop honoring it
+        reader_feats = {"deletionVectors"}
+        if snap.configuration.get("delta.columnMapping.mode", "none") != "none":
+            reader_feats.add("columnMapping")
+        if any(
+            f.dataType.typeName() == "timestamp_ntz" for f in snap.schema.fields
+        ):
+            reader_feats.add("timestampNtz")
         actions: list[dict] = [
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": [
-                        "appendOnly",
-                        "invariants",
-                        "deletionVectors",
-                    ],
+                    "readerFeatures": sorted(reader_feats),
+                    "writerFeatures": sorted(
+                        {"appendOnly", "invariants"} | reader_feats
+                    ),
                 }
             }
         ]

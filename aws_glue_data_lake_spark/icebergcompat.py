@@ -67,6 +67,125 @@ class IcebergProtocolError(NotImplementedError):
 
 
 # ---------------------------------------------------------------------------
+# partition transforms (spec § Partition Transforms + Appendix B)
+# ---------------------------------------------------------------------------
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the spec's bucket hash function,
+    checked against Appendix B's test vectors in the tests."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    rounded = len(data) & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_EPOCH_DATE = None  # lazy: datetime import stays function-local
+
+
+def _bucket_hash_bytes(value) -> bytes:
+    """Spec § Appendix B: the byte layout hashed per source type —
+    int/long/date/time/timestamp as 8-byte little-endian long, string as
+    UTF-8, binary as-is."""
+    import datetime
+
+    import struct as _struct
+
+    if isinstance(value, bool):
+        raise IcebergProtocolError("bucket transform undefined for boolean")
+    if isinstance(value, int):
+        return _struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, datetime.datetime):
+        micros = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
+            value.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
+        return _struct.pack("<q", micros)
+    if isinstance(value, datetime.date):
+        return _struct.pack("<q", (value - datetime.date(1970, 1, 1)).days)
+    raise IcebergProtocolError(
+        f"bucket transform unsupported for {type(value).__name__}"
+    )
+
+
+def _transform_value(transform: str, value):
+    """Apply one spec partition transform to a SOURCE value, returning
+    the partition value a conforming writer would have recorded (used
+    only for manifest-level pruning; the scan itself never needs it —
+    Iceberg data files carry their source columns)."""
+    import datetime
+
+    if value is None:
+        return None  # every transform maps null to null
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    m = re.match(r"bucket\[(\d+)\]$", transform)
+    if m:
+        n = int(m.group(1))
+        return (_murmur3_32(_bucket_hash_bytes(value)) & 0x7FFFFFFF) % n
+    m = re.match(r"truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value - (value % w)  # Python % is floor: spec semantics
+        if isinstance(value, str):
+            return value[:w]
+        raise IcebergProtocolError(
+            f"truncate transform unsupported for {type(value).__name__}"
+        )
+    if transform in ("year", "month", "day", "hour"):
+        if isinstance(value, datetime.datetime):
+            dt = value if value.tzinfo is None else value.astimezone(
+                datetime.timezone.utc
+            )
+        elif isinstance(value, datetime.date):
+            dt = datetime.datetime(value.year, value.month, value.day)
+        else:
+            raise IcebergProtocolError(
+                f"{transform} transform needs a date/datetime, got "
+                f"{type(value).__name__}"
+            )
+        if transform == "year":
+            return dt.year - 1970
+        if transform == "month":
+            return (dt.year - 1970) * 12 + (dt.month - 1)
+        epoch = datetime.datetime(1970, 1, 1)
+        if transform == "day":
+            return (dt - epoch).days
+        return int((dt - epoch).total_seconds() // 3600)
+    raise IcebergProtocolError(f"unknown partition transform {transform!r}")
+
+
+# ---------------------------------------------------------------------------
 # type mapping (Iceberg schema JSON <-> Spark types)
 # ---------------------------------------------------------------------------
 _ICEBERG_TO_SPARK = {
@@ -270,6 +389,10 @@ class IcebergSnapshot:
     #: sequence number is STRICTLY LESS than the delete's (spec § Delete
     #: Formats) — rows added in the same commit survive.
     eq_deletes: list = None  # type: ignore[assignment]
+    #: default partition-spec fields: (spec field name, transform,
+    #: source column name). partition_by above holds the SPEC FIELD
+    #: names (== source names for identity transforms).
+    spec_fields: list = None  # type: ignore[assignment]
 
 
 class IcebergTableReader:
@@ -342,16 +465,22 @@ class IcebergTableReader:
         )
         specs = meta.get("partition-specs", [])
         by_spec = {s["spec-id"]: s for s in specs}
+        field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
         part_cols: tuple[str, ...] = ()
+        spec_fields: list[tuple[str, str, str]] = []
         if by_spec:
             spec = by_spec[meta.get("default-spec-id", 0)]
             for f in spec.get("fields", []):
-                if f.get("transform", "identity") != "identity":
-                    raise IcebergProtocolError(
-                        f"unsupported partition transform {f['transform']!r}"
-                    )
+                # Non-identity transforms are FINE to read: Iceberg data
+                # files carry their source columns, so the partition
+                # struct matters only for manifest pruning (which
+                # _transform_value reproduces). Unknown transforms
+                # surface lazily — only if a partition_filter actually
+                # needs them.
+                transform = f.get("transform", "identity")
+                source = field_names.get(f.get("source-id"), f["name"])
                 part_cols += (f["name"],)
-        field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+                spec_fields.append((f["name"], transform, source))
         files: list[tuple[str, dict]] = []
         file_seqs: dict = {}
         delete_files: list[str] = []
@@ -412,6 +541,7 @@ class IcebergTableReader:
             delete_files=sorted(delete_files),
             file_seqs=file_seqs,
             eq_deletes=sorted(eq_deletes),
+            spec_fields=spec_fields,
         )
 
     def to_df(
@@ -446,10 +576,28 @@ class IcebergTableReader:
         snap = self.snapshot(snapshot_id)
         files = snap.files
         if partition_filter:
+            # filter keys are SOURCE column values; each spec field whose
+            # source matches prunes on transform(value) vs the manifest's
+            # recorded partition value (identity included: transform is
+            # the identity function there)
+            tests: list[tuple[str, object]] = []
+            for k, v in partition_filter.items():
+                matched = [
+                    (name, transform)
+                    for name, transform, source in snap.spec_fields
+                    if source == k
+                ]
+                if not matched:
+                    raise ValueError(
+                        f"partition_filter column {k!r} is not a partition "
+                        f"source (spec: {snap.spec_fields})"
+                    )
+                for name, transform in matched:
+                    tests.append((name, _transform_value(transform, v)))
             files = [
                 (p, pv)
                 for p, pv in files
-                if all(pv.get(k) == v for k, v in partition_filter.items())
+                if all(pv.get(name) == tv for name, tv in tests)
             ]
         if not files:
             return spark.createDataFrame([], snap.schema)
@@ -790,6 +938,25 @@ class IcebergTableWriter:
             for c in partition_by
         ]
 
+    @staticmethod
+    def _identity_partition_by(spec_fields: list[dict]) -> list[str]:
+        """Writer commits support identity partition specs only (its own
+        tables); committing into a FOREIGN bucket/truncate/temporal-
+        partitioned table would need the transform applied at stage
+        time — refuse loudly rather than mis-partition. (The READER
+        accepts such tables fine.)"""
+        bad = [
+            f["name"]
+            for f in spec_fields
+            if f.get("transform", "identity") != "identity"
+        ]
+        if bad:
+            raise IcebergProtocolError(
+                "writer supports identity partition transforms only; "
+                f"fields {bad} use non-identity transforms"
+            )
+        return [f["name"] for f in spec_fields]
+
     def _next_ids(self, prev: dict | None) -> tuple[int, int]:
         seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
         # deterministic, collision-free snapshot id derived from the commit
@@ -843,7 +1010,7 @@ class IcebergTableWriter:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         schema_json = prev["schemas"][0]
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -880,7 +1047,7 @@ class IcebergTableWriter:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         schema_json = prev["schemas"][0]
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -955,7 +1122,7 @@ class IcebergTableWriter:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         schema_json = prev["schemas"][0]
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -1034,7 +1201,7 @@ class IcebergTableWriter:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         schema_json = prev["schemas"][0]
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -1096,7 +1263,7 @@ class IcebergTableWriter:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         schema_json = prev["schemas"][0]
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = [f["name"] for f in spec_fields]
+        partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}

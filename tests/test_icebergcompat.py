@@ -78,12 +78,205 @@ def test_unsupported_capabilities_fail_loudly(spark, tmp_path):
         v = int(f.read())
     mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
     meta = json.load(open(mpath))
-    # non-identity transform must be rejected, not silently mis-planned
+    # a non-identity transform is READABLE (data files carry source
+    # columns), but the WRITER must refuse to commit into it, and a
+    # filter needing an UNKNOWN transform must fail lazily, not misprune
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
     with open(mpath, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(IcebergProtocolError, match="transform"):
-        IcebergTableReader(path).snapshot()
+    r = IcebergTableReader(path)
+    assert r.to_df(spark).count() == 1  # reads fine
+    with pytest.raises(IcebergProtocolError, match="identity"):
+        w.append(
+            spark.createDataFrame(
+                [(2, "b", 2)], "k long, bucket string, v long"
+            )
+        )
+    meta["partition-specs"][0]["fields"][0]["transform"] = "zorder[2]"
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergProtocolError, match="unknown partition transform"):
+        IcebergTableReader(path).to_df(
+            spark, partition_filter={"bucket": "a"}
+        )
+
+
+def test_partition_transform_spec_vectors():
+    """The spec's Appendix-B reference values: murmur3 bucket hashes and
+    the truncate / temporal transform results."""
+    import datetime
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _bucket_hash_bytes,
+        _murmur3_32,
+        _transform_value,
+    )
+
+    # bucket hash vectors (hash value, before mod-N)
+    assert _murmur3_32(_bucket_hash_bytes(34)) == 2017239379  # int/long
+    assert _murmur3_32(_bucket_hash_bytes("iceberg")) == 1210000089
+    assert (
+        _murmur3_32(_bucket_hash_bytes(datetime.date(2017, 11, 16)))
+        == -653330422
+    )
+    assert (
+        _murmur3_32(
+            _bucket_hash_bytes(datetime.datetime(2017, 11, 16, 22, 31, 8))
+        )
+        == -2047944441
+    )
+    assert _murmur3_32(_bucket_hash_bytes(b"\x00\x01\x02\x03")) == -188683207
+    # transforms
+    assert _transform_value("bucket[16]", 34) == 2017239379 % 16
+    assert _transform_value("truncate[10]", 7) == 0
+    assert _transform_value("truncate[10]", -3) == -10  # floor, not trunc
+    assert _transform_value("truncate[3]", "iceberg") == "ice"
+    d = datetime.date(2017, 11, 16)
+    assert _transform_value("year", d) == 47
+    assert _transform_value("month", d) == 574
+    assert _transform_value("day", d) == 17486
+    ts = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert _transform_value("hour", ts) == 419686
+    assert _transform_value("identity", "x") == "x"
+    assert _transform_value("void", "x") is None
+    assert _transform_value("bucket[16]", None) is None
+
+
+def test_foreign_bucket_partitioned_table_reads_and_prunes(spark, tmp_path):
+    """A hand-built v2 tree partitioned by bucket[4](k) — the layout a
+    foreign Java/Flink writer produces — must read completely and prune
+    at manifest level from a partition_filter on the SOURCE column."""
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _bucket_hash_bytes,
+        _manifest_entry_schema,
+        _murmur3_32,
+        _MANIFEST_LIST_SCHEMA,
+        _partition_avro_fields,
+        _STATUS_ADDED,
+    )
+
+    path = str(tmp_path / "fbuck")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+
+    def bucket4(k):
+        return (_murmur3_32(_bucket_hash_bytes(k)) & 0x7FFFFFFF) % 4
+
+    ks = list(range(20))
+    by_bucket = {}
+    for k in ks:
+        by_bucket.setdefault(bucket4(k), []).append(k)
+    entries = []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for b, kvals in sorted(by_bucket.items()):
+        fp = os.path.join(data_dir, f"b{b}.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array(kvals, pa.int64()),
+                      "v": pa.array([k * 10 for k in kvals], pa.int64())}),
+            fp,
+        )
+        entries.append(
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {"k_bucket": b},
+                    "record_count": len(kvals),
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "equality_ids": None,
+                },
+            }
+        )
+    mschema = _manifest_entry_schema(_partition_avro_fields([("k_bucket", "int")]))
+    mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    write_container(mpath, mschema, entries, metadata={"format-version": "2"})
+    ml_path = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_container(
+        ml_path,
+        _MANIFEST_LIST_SCHEMA,
+        [{
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": len(ks),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{
+                "name": "k_bucket",
+                "transform": "bucket[4]",
+                "source-id": 1,
+                "field-id": 1000,
+            }],
+        }],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1,
+            "sequence-number": 1,
+            "timestamp-ms": 0,
+            "manifest-list": ml_path,
+            "schema-id": 0,
+            "summary": {"operation": "append"},
+        }],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
+        "metadata-log": [],
+        "properties": {},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    assert snap.partition_by == ("k_bucket",)
+    assert snap.spec_fields == [("k_bucket", "bucket[4]", "k")]
+    # full read: every source row, source columns intact
+    assert sorted(x.k for x in r.to_df(spark).collect()) == ks
+    # pruned read on the SOURCE column: only bucket4(7)'s file scans
+    got = r.to_df(spark, partition_filter={"k": 7})
+    assert sorted(x.k for x in got.collect()) == sorted(by_bucket[bucket4(7)])
 
 
 def test_avro_container_roundtrip_unions_maps_arrays():
