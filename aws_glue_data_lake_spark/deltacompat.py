@@ -64,6 +64,68 @@ class DeltaSnapshot:
     #: deletionVector descriptor dict or None)
     files: list[tuple[str, dict, dict | None]]
     configuration: dict
+    #: per-file data-skipping stats (absolute path -> parsed ``add.stats``
+    #: dict with numRecords/minValues/maxValues/nullCount), absent entries
+    #: = writer recorded none
+    stats: dict = None  # type: ignore[assignment]
+
+
+#: delta-spark indexes stats for the first 32 leaf columns by default
+#: (spark.databricks.delta.properties.defaults.dataSkippingNumIndexedCols)
+_STATS_MAX_COLS = 32
+
+
+def _file_stats_json(path: str) -> str | None:
+    """Protocol ``add.stats`` JSON straight from the parquet footer (a
+    metadata read, no data I/O — the same trick as lake.py's
+    _footer_stats): numRecords + per-column minValues/maxValues/
+    nullCount for the first 32 leaf columns, skipping columns whose
+    footer lacks usable min/max (binary, truncated)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def safe(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return None
+        return v
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for idx in range(min(md.num_columns, _STATS_MAX_COLS)):
+        name = md.schema.column(idx).name
+        if "." in md.schema.column(idx).path:
+            continue  # nested leaves: out of scope for top-level skipping
+        lo = hi = None
+        nc = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                ok = False
+                break
+            nc += st.null_count if st.null_count is not None else 0
+            if not st.has_min_max:
+                ok = False
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        nulls[name] = nc
+        if ok and lo is not None and safe(lo) is not None:
+            mins[name] = safe(lo)
+            maxs[name] = safe(hi)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
 
 
 def _resolve_dv_blob(descriptor: dict, table_root: str) -> bytes:
@@ -133,9 +195,16 @@ class DeltaTableReader:
             state["protocol"] = action["protocol"]
         elif "add" in action:
             a = action["add"]
+            raw_stats = a.get("stats")
+            if isinstance(raw_stats, str) and raw_stats:
+                try:
+                    raw_stats = json.loads(raw_stats)
+                except ValueError:
+                    raw_stats = None
             state["files"][a["path"]] = {
                 "pv": a.get("partitionValues", {}) or {},
                 "dv": a.get("deletionVector"),
+                "stats": raw_stats if isinstance(raw_stats, dict) else None,
             }
         elif "remove" in action:
             state["files"].pop(action["remove"]["path"], None)
@@ -203,12 +272,18 @@ class DeltaTableReader:
             (self._abs_path(p), d["pv"], d.get("dv"))
             for p, d in sorted(state["files"].items())
         ]
+        stats = {
+            self._abs_path(p): d["stats"]
+            for p, d in state["files"].items()
+            if d.get("stats")
+        }
         return DeltaSnapshot(
             version=tip,
             schema=schema,
             partition_columns=part_cols,
             files=files,
             configuration=meta.get("configuration", {}) or {},
+            stats=stats,
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -346,6 +421,7 @@ class DeltaTableReader:
         self,
         spark: SparkSession,
         version: int | None = None,
+        stats_filter: dict | None = None,
         _expose_pos: bool = False,
     ) -> DataFrame:
         """Plan a Spark scan of exactly the snapshot's live files.
@@ -357,8 +433,36 @@ class DeltaTableReader:
         ``partitionValues``, grouped by partition tuple so planning is
         O(#live partitions). Under columnMapping=name the scan reads the
         files' PHYSICAL names and aliases back to the logical schema.
-        Deletion vectors apply merge-on-read (see :meth:`_apply_dvs`)."""
+        Deletion vectors apply merge-on-read (see :meth:`_apply_dvs`).
+
+        ``stats_filter`` ({col: (lo, hi)}, closed interval) prunes files
+        by the log's ``add.stats`` min/max BEFORE planning — manifest-
+        level data skipping, the same move delta-spark makes from a
+        pushed predicate. It is conservative (files without stats for
+        the column are kept) and is a SCAN hint only: the caller still
+        applies the real predicate to the returned DataFrame. Timestamp
+        bounds compare as the ISO strings the stats store."""
         snap = self.snapshot(version)
+        if stats_filter:
+            def keep(path: str) -> bool:
+                st = (snap.stats or {}).get(path)
+                if not st:
+                    return True
+                for col, (lo, hi) in stats_filter.items():
+                    fmin = st.get("minValues", {}).get(col)
+                    fmax = st.get("maxValues", {}).get(col)
+                    if fmin is None or fmax is None:
+                        continue
+                    try:
+                        if (hi is not None and fmin > hi) or (
+                            lo is not None and fmax < lo
+                        ):
+                            return False
+                    except TypeError:
+                        continue  # incomparable hint: keep the file
+                return True
+
+            snap.files = [f for f in snap.files if keep(f[0])]
         if not snap.files:
             return spark.createDataFrame([], snap.schema)
         part_cols = snap.partition_columns
@@ -484,6 +588,7 @@ class DeltaTableWriter:
                     "size": os.path.getsize(dst),
                     "modificationTime": int(os.path.getmtime(dst) * 1000),
                     "dataChange": True,
+                    "stats": _file_stats_json(dst),
                 }
             )
         shutil.rmtree(stage, ignore_errors=True)
@@ -588,6 +693,7 @@ class DeltaTableWriter:
             {"protocol": None, "metaData": meta_row, "add": None},
         ]
         for p, pv, dv in snap.files:
+            st = (snap.stats or {}).get(p)
             rows.append(
                 {
                     "protocol": None,
@@ -601,6 +707,7 @@ class DeltaTableWriter:
                         "modificationTime": 0,
                         "dataChange": False,
                         "deletionVector": dv,
+                        "stats": json.dumps(st) if st else None,
                     },
                 }
             )
@@ -658,6 +765,7 @@ class DeltaTableWriter:
                                     ]
                                 ),
                             ),
+                            ("stats", pa.string()),
                         ]
                     ),
                 ),
@@ -803,6 +911,7 @@ class DeltaTableWriter:
                     }
                 }
             )
+            prior_stats = (snap.stats or {}).get(p)
             actions.append(
                 {
                     "add": {
@@ -811,6 +920,11 @@ class DeltaTableWriter:
                         "size": os.path.getsize(p),
                         "modificationTime": int(os.path.getmtime(p) * 1000),
                         "dataChange": True,
+                        # stats describe the PHYSICAL file (numRecords
+                        # counts tombstoned rows too) — carry them through
+                        "stats": json.dumps(prior_stats)
+                        if prior_stats
+                        else None,
                         "deletionVector": {
                             "storageType": "u",
                             "pathOrInlineDv": z85_encode(dv_uuid.bytes),
@@ -960,6 +1074,17 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
             "modificationTime": int(os.path.getmtime(abs_path) * 1000),
             "dataChange": True,
         }
+        # translate the lake manifest's footer stats into add.stats so
+        # foreign Delta readers data-skip the exported table too
+        lake_stats = f.get("stats") or {}
+        add["stats"] = json.dumps(
+            {
+                "numRecords": f.get("rows", 0),
+                "minValues": {c: rng[0] for c, rng in lake_stats.items()},
+                "maxValues": {c: rng[1] for c, rng in lake_stats.items()},
+                "nullCount": {},
+            }
+        )
         dv = dv_by_file.get(f["path"])
         if dv:
             add["deletionVector"] = dv

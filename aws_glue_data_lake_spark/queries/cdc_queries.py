@@ -1694,13 +1694,17 @@ def lake_tagged_release_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # builds it, :131 `write.format("delta")`, :159-160 fluent MERGE) — this
 # query proves the jar-free protocol layer end-to-end. A real `_delta_log`
 # is written (create -> append -> checkpoint -> partition overwrite, so
-# the log carries add actions, remove actions, AND a parquet checkpoint),
+# the log carries add actions, remove actions, a parquet checkpoint, AND
+# a deletion-vector commit — the protocol's reader-3 merge-on-read
+# DELETE, tombstoning rows in roaring bitmaps without rewriting files),
 # then read back by replaying the public protocol: the final state must
-# equal nation with region-0 comments uppercased — only true if removes,
-# later adds, checkpoint replay, and partitionValues reconstruction all
-# hold. Scale: log replay is O(actions since checkpoint) driver metadata
-# (the delta-spark Snapshot contract); the scan is a plain distributed
-# parquet read of exactly the live files.
+# equal nation with region-0 comments uppercased minus the DV'd keys —
+# only true if removes, later adds, checkpoint replay, partitionValues
+# reconstruction, AND the DV anti-join all hold. Scale: log replay is
+# O(actions since checkpoint) driver metadata (the delta-spark Snapshot
+# contract); the scan is a plain distributed parquet read of exactly the
+# live files (single-scan basePath fast path) minus a broadcast
+# tombstone anti-join.
 # --------------------------------------------------------------------------
 @_q(
     "lake_delta_compat_read",
@@ -1711,6 +1715,7 @@ SELECT n_nationkey,
        CASE WHEN n_regionkey = 0 THEN n_name ELSE LOWER(n_name) END
          AS comment
 FROM nation
+WHERE n_nationkey % 5 <> 4
 ORDER BY n_nationkey
 """,
 )
@@ -1739,6 +1744,7 @@ def lake_delta_compat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_regionkey="0",
     )
+    w.delete_where(spark, "n_nationkey % 5 = 4")                    # v3: DVs
     got = DeltaTableReader(path).to_df(spark)
     return got.select(
         "n_nationkey",
@@ -1756,13 +1762,18 @@ def lake_delta_compat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pure-Python codec in avrolite.py, the part the verdict called "the
 # hard part"). A real metadata tree is written (create -> append ->
 # partition overwrite: three metadata.json versions, manifest lists, and
-# manifests with added/existing/deleted entry statuses), then read back
-# by walking metadata.json -> manifest-list Avro -> manifest Avro ->
-# live files. Final state must equal nation with region-1 names
-# lowercased — true only if entry-status replay, manifest rewrite, and
-# Avro decoding all hold. Scale: the metadata walk is O(manifests), the
-# scan a plain distributed parquet read; manifest partition pruning is
-# exercised by the partition_filter branch in tests.
+# manifests with added/existing/deleted entry statuses — then BOTH
+# format-v2 merge-on-read delete forms: an EQUALITY delete (the
+# Flink-CDC content=2 commit, whose strict sequence-number gate must let
+# a later re-insert of the same key survive) and a POSITION delete),
+# then read back by walking metadata.json -> manifest-list Avro ->
+# manifest Avro -> live files. Final state must equal nation with
+# region-1 names lowercased, minus the equality-deleted key that was NOT
+# re-inserted and the position-deleted key — true only if entry-status
+# replay, manifest rewrite, Avro decoding, the seq gate, and both
+# anti-join delete paths all hold. Scale: the metadata walk is
+# O(manifests), the scan a plain distributed parquet read; manifest
+# partition pruning is exercised by the partition_filter branch in tests.
 # --------------------------------------------------------------------------
 @_q(
     "lake_iceberg_compat_read",
@@ -1771,6 +1782,7 @@ SELECT n_nationkey,
        CASE WHEN n_regionkey = 1 THEN LOWER(n_name) ELSE n_name END AS n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation
+WHERE n_nationkey NOT IN (7, 11)
 ORDER BY n_nationkey
 """,
 )
@@ -1795,6 +1807,19 @@ def lake_iceberg_compat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_regionkey=1,
     )
+    # equality-delete keys 2 and 7 (snap 4), then RE-INSERT key 2 with
+    # its final name (snap 5): the seq gate must keep the re-insert
+    w.equality_delete(
+        spark.createDataFrame([(2,), (7,)], "n_nationkey long")
+    )
+    reinsert = n.where(F.col("n_nationkey") == 2).withColumn(
+        "n_name",
+        F.when(F.col("n_regionkey") == 1, F.lower("n_name")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    w.append(reinsert)
+    w.delete_where(spark, "n_nationkey = 11")  # snap 6: position delete
     got = IcebergTableReader(path).to_df(spark)
     return got.select(
         "n_nationkey", "n_name", "n_regionkey"

@@ -634,3 +634,65 @@ def test_partitioned_fast_path_matches_literal_path(spark, tmp_path):
     assert sorted(x["k"] for x in pruned.collect()) == [
         i for i in range(40) if i % 5 == 1 and i != 13
     ]
+
+
+def test_add_stats_written_and_data_skipping(spark, tmp_path):
+    """Every staged file carries protocol add.stats from its parquet
+    footer; stats_filter prunes non-overlapping files before planning
+    (manifest-level data skipping) while staying conservative; stats
+    survive delete_where re-adds and checkpoints; the lake export
+    translates its manifest stats."""
+    path = str(tmp_path / "ds")
+    w = DeltaTableWriter(path)
+    # range-partitioned layout -> disjoint per-file k ranges
+    df = spark.range(0, 1000).selectExpr("id as k", "id % 7 as v")
+    r = w.create(df.repartitionByRange(10, "k"))
+    snap = r.snapshot()
+    assert len(snap.files) == 10
+    assert len(snap.stats) == 10
+    st = snap.stats[snap.files[0][0]]
+    assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+    assert sum(s["numRecords"] for s in snap.stats.values()) == 1000
+    # skipping: a tight k range scans ~1 file, not 10
+    pruned = r.to_df(spark, stats_filter={"k": (500, 500)})
+    n_before = len(snap.files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.where("k = 500").count() == 1
+    kept = [
+        p for p, _, _ in r.snapshot().files
+        if r.snapshot().stats[p]["minValues"]["k"] <= 500
+        <= r.snapshot().stats[p]["maxValues"]["k"]
+    ]
+    assert len(kept) < n_before  # the data genuinely splits by range
+    assert pruned.count() == sum(
+        r.snapshot().stats[p]["numRecords"] for p in kept
+    )
+    # conservative: unknown column hint keeps everything
+    assert r.to_df(spark, stats_filter={"nope": (1, 2)}).count() == 1000
+    # stats survive a DV delete and a checkpoint round-trip
+    w.delete_where(spark, "k < 10")
+    w.checkpoint()
+    for n in os.listdir(os.path.join(path, "_delta_log")):
+        if n.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", n))
+    r2 = DeltaTableReader(path)
+    snap2 = r2.snapshot()
+    assert len(snap2.stats) == 10  # carried through delete + checkpoint
+    assert r2.to_df(spark, stats_filter={"k": (990, None)}).where(
+        "k >= 990"
+    ).count() == 10
+
+
+def test_export_translates_lake_stats(spark, tmp_path):
+    from aws_glue_data_lake_spark.deltacompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lake"))
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    src.create(df.repartitionByRange(4, "k"), stat_cols=["k"])
+    reader = export_lake_snapshot(src, str(tmp_path / "delta"))
+    snap = reader.snapshot()
+    assert len(snap.stats) == 4
+    assert all("k" in s["minValues"] for s in snap.stats.values())
+    assert sum(s["numRecords"] for s in snap.stats.values()) == 100
+    assert reader.to_df(spark, stats_filter={"k": (0, 10)}).count() < 100
