@@ -274,6 +274,155 @@ def _partition_avro_fields(cols: list[tuple[str, str]]) -> list[dict]:
     return out
 
 
+def _encode_bound(ice_type: str, value) -> bytes | None:
+    """Spec Appendix D single-value binary serialization (the encoding
+    of lower_bounds / upper_bounds map values). Returns None for values
+    it cannot faithfully encode (a bound is an OPTIMIZATION — omitting
+    one is always safe, mis-encoding never is)."""
+    try:
+        return _encode_bound_strict(ice_type, value)
+    except (TypeError, ValueError):
+        return None
+
+
+def _encode_bound_strict(ice_type: str, value) -> bytes | None:
+    import datetime
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "date":
+        if isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
+        return _struct.pack("<i", int(value))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime.datetime):
+            base = (
+                value
+                if value.tzinfo is None
+                else value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            )
+            value = int(
+                (base - datetime.datetime(1970, 1, 1)).total_seconds()
+                * 1_000_000
+            )
+        return _struct.pack("<q", int(value))
+    if ice_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else None
+    if ice_type == "binary":
+        return bytes(value)
+    return None  # decimal/uuid/fixed: skip rather than mis-encode
+
+
+def _decode_bound(ice_type: str, raw: bytes | None):
+    import datetime
+    import struct as _struct
+
+    if raw is None:
+        return None
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if ice_type == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_struct.unpack("<i", raw)[0]
+        )
+    if ice_type in ("timestamp", "timestamptz"):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=_struct.unpack("<q", raw)[0]
+        )
+    if ice_type == "string":
+        return raw.decode("utf-8", errors="replace")
+    if ice_type == "binary":
+        return raw
+    return None
+
+
+def _id_map_field(name: str, field_id: int, value_type: str, kv_ids) -> dict:
+    """An Iceberg manifest 'map<int, V>' — Avro maps need string keys, so
+    the spec stores these as arrays of key/value records with
+    logicalType map."""
+    k_id, v_id = kv_ids
+    return {
+        "name": name,
+        "field-id": field_id,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{k_id}_v{v_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": k_id},
+                        {
+                            "name": "value",
+                            "type": value_type,
+                            "field-id": v_id,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _footer_col_stats(path: str) -> dict:
+    """Per-column footer stats for a staged data file: {column name:
+    {"count", "nulls", "min", "max"}} — a parquet metadata read, no data
+    I/O (the same trick as lake.py's _footer_stats)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for idx in range(md.num_columns):
+        col = md.schema.column(idx)
+        if "." in col.path:
+            continue  # nested leaves: top-level skipping only
+        lo = hi = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                ok = False
+                break
+            nulls += st.null_count if st.null_count is not None else 0
+            if not st.has_min_max:
+                ok = False
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[col.name] = {
+            "count": md.num_rows,
+            "nulls": nulls,
+            "min": lo if ok else None,
+            "max": hi if ok else None,
+        }
+    return out
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """Avro writer schema for a v2 manifest_entry (spec 'Manifest Files'):
     the required fields plus the per-spec partition struct."""
@@ -325,6 +474,12 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        _id_map_field("value_counts", 109, "long", (119, 120)),
+                        _id_map_field(
+                            "null_value_counts", 110, "long", (121, 122)
+                        ),
+                        _id_map_field("lower_bounds", 125, "bytes", (126, 127)),
+                        _id_map_field("upper_bounds", 128, "bytes", (129, 130)),
                         {
                             # spec field 135: schema field ids an
                             # equality-delete file (content=2) matches on
@@ -393,6 +548,11 @@ class IcebergSnapshot:
     #: source column name). partition_by above holds the SPEC FIELD
     #: names (== source names for identity transforms).
     spec_fields: list = None  # type: ignore[assignment]
+    #: per-file column statistics decoded from the manifest's
+    #: value_counts / null_value_counts / lower_bounds / upper_bounds
+    #: (abs path -> {col name: {"count","nulls","min","max"}}); absent
+    #: entries = writer recorded none
+    col_stats: dict = None  # type: ignore[assignment]
 
 
 class IcebergTableReader:
@@ -481,10 +641,20 @@ class IcebergTableReader:
                 source = field_names.get(f.get("source-id"), f["name"])
                 part_cols += (f["name"],)
                 spec_fields.append((f["name"], transform, source))
+        field_types = {
+            f["id"]: f["type"]
+            for f in schema_json["fields"]
+            if isinstance(f["type"], str)
+        }
         files: list[tuple[str, dict]] = []
         file_seqs: dict = {}
+        col_stats: dict = {}
         delete_files: list[str] = []
         eq_deletes: list[tuple[str, tuple[str, ...], int]] = []
+
+        def _pairs(v) -> dict:
+            return {p["key"]: p["value"] for p in v} if v else {}
+
         _, manifests, _ = read_container(self._abs(snap["manifest-list"]))
         for mf in manifests:
             is_delete_manifest = mf.get("content", 0) == 1
@@ -507,6 +677,25 @@ class IcebergTableReader:
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
                     file_seqs[abs_path] = seq
+                    counts = _pairs(df_rec.get("value_counts"))
+                    nulls = _pairs(df_rec.get("null_value_counts"))
+                    lowers = _pairs(df_rec.get("lower_bounds"))
+                    uppers = _pairs(df_rec.get("upper_bounds"))
+                    if counts or lowers:
+                        stats = {}
+                        for fid in counts.keys() | lowers.keys():
+                            name = field_names.get(fid)
+                            ice_t = field_types.get(fid)
+                            if name is None or ice_t is None:
+                                continue
+                            stats[name] = {
+                                "count": counts.get(fid),
+                                "nulls": nulls.get(fid),
+                                "min": _decode_bound(ice_t, lowers.get(fid)),
+                                "max": _decode_bound(ice_t, uppers.get(fid)),
+                            }
+                        if stats:
+                            col_stats[abs_path] = stats
                 elif content == 1:
                     # POSITION deletes (merge-on-read): (file_path, pos)
                     # tombstones, applied at scan time. Data file paths are
@@ -542,6 +731,7 @@ class IcebergTableReader:
             file_seqs=file_seqs,
             eq_deletes=sorted(eq_deletes),
             spec_fields=spec_fields,
+            col_stats=col_stats,
         )
 
     def to_df(
@@ -549,6 +739,7 @@ class IcebergTableReader:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Scan the snapshot's live files. ``partition_filter``
         ({col: value}) prunes files by MANIFEST partition values before
@@ -599,6 +790,29 @@ class IcebergTableReader:
                 for p, pv in files
                 if all(pv.get(name) == tv for name, tv in tests)
             ]
+        if stats_filter:
+            # manifest-level data skipping from the per-file column
+            # bounds (spec fields 125/128): conservative — files whose
+            # manifest lacks bounds for the column are kept, and the
+            # caller still applies the real predicate to the result
+            def keep(path: str) -> bool:
+                st = (snap.col_stats or {}).get(path)
+                if not st:
+                    return True
+                for col, (lo, hi) in stats_filter.items():
+                    cs = st.get(col)
+                    if not cs or cs.get("min") is None or cs.get("max") is None:
+                        continue
+                    try:
+                        if (hi is not None and cs["min"] > hi) or (
+                            lo is not None and cs["max"] < lo
+                        ):
+                            return False
+                    except TypeError:
+                        continue
+                return True
+
+            files = [(p, pv) for p, pv in files if keep(p)]
         if not files:
             return spark.createDataFrame([], snap.schema)
         out_cols = [f.name for f in snap.schema.fields]
@@ -759,7 +973,9 @@ class IcebergTableWriter:
             name = f"{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self._data_dir, name)
             shutil.move(src, dst)
-            out.append((dst, pv, rows, os.path.getsize(dst)))
+            out.append(
+                (dst, pv, rows, os.path.getsize(dst), _footer_col_stats(dst))
+            )
         shutil.rmtree(stage, ignore_errors=True)
         return out
 
@@ -829,7 +1045,36 @@ class IcebergTableWriter:
         self, path: str, pv: dict, rows: int, size: int,
         status: int, snapshot_id: int, seq: int, content: int = 0,
         equality_ids: list[int] | None = None,
+        col_stats: dict | None = None,
+        schema_json: dict | None = None,
     ) -> dict:
+        value_counts = null_counts = lower = upper = None
+        if col_stats and schema_json:
+            ids = {
+                f["name"]: (f["id"], f["type"])
+                for f in schema_json["fields"]
+                if isinstance(f["type"], str)  # primitives only
+            }
+            value_counts, null_counts, lower, upper = [], [], [], []
+            for name, st in sorted(col_stats.items()):
+                if name not in ids:
+                    continue
+                fid, ice_t = ids[name]
+                if st.get("count") is not None:
+                    value_counts.append(
+                        {"key": fid, "value": int(st["count"])}
+                    )
+                if st.get("nulls") is not None:
+                    null_counts.append({"key": fid, "value": int(st["nulls"])})
+                lo = _encode_bound(ice_t, st["min"])
+                hi = _encode_bound(ice_t, st["max"])
+                if lo is not None and hi is not None:
+                    lower.append({"key": fid, "value": lo})
+                    upper.append({"key": fid, "value": hi})
+            value_counts = value_counts or None
+            null_counts = null_counts or None
+            lower = lower or None
+            upper = upper or None
         return {
             "status": status,
             "snapshot_id": snapshot_id,
@@ -842,6 +1087,10 @@ class IcebergTableWriter:
                 "partition": pv,
                 "record_count": rows,
                 "file_size_in_bytes": size,
+                "value_counts": value_counts,
+                "null_value_counts": null_counts,
+                "lower_bounds": lower,
+                "upper_bounds": upper,
                 "equality_ids": equality_ids,
             },
         }
@@ -979,8 +1228,11 @@ class IcebergTableWriter:
         sid, seq = 1001, 1
         staged = self._stage_data_files(df, pcols)
         entries = [
-            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
-            for p, pv, rows, size in staged
+            self._entry(
+                p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                col_stats=fstats, schema_json=schema_json,
+            )
+            for p, pv, rows, size, fstats in staged
         ]
         ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
         ml_path = os.path.join(
@@ -1020,8 +1272,11 @@ class IcebergTableWriter:
         sid, seq = self._next_ids(prev)
         staged = self._stage_data_files(df, pcols)
         entries = [
-            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
-            for p, pv, rows, size in staged
+            self._entry(
+                p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                col_stats=fstats, schema_json=schema_json,
+            )
+            for p, pv, rows, size, fstats in staged
         ]
         ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
         manifests = self._manifest_list_of(prev) + [ml_entry]
@@ -1085,8 +1340,11 @@ class IcebergTableWriter:
                 )
         staged = self._stage_data_files(df, pcols)
         entries = [
-            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
-            for p, pv, rows, size in staged
+            self._entry(
+                p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                col_stats=fstats, schema_json=schema_json,
+            )
+            for p, pv, rows, size, fstats in staged
         ]
         if entries:
             new_manifests.append(
@@ -1274,8 +1532,11 @@ class IcebergTableWriter:
         sid, seq = self._next_ids(prev)
         staged = self._stage_data_files(df, pcols)
         entries = [
-            self._entry(p, pv, rows, size, _STATUS_ADDED, sid, seq)
-            for p, pv, rows, size in staged
+            self._entry(
+                p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                col_stats=fstats, schema_json=schema_json,
+            )
+            for p, pv, rows, size, fstats in staged
         ]
         ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
         ml_path = os.path.join(
@@ -1421,6 +1682,15 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
             _STATUS_ADDED,
             sid,
             seq,
+            # translate the lake manifest's footer stats into bounds so
+            # foreign Iceberg readers data-skip the export (null counts
+            # unknown -> omitted, never fabricated)
+            col_stats={
+                c: {"count": f["rows"], "nulls": None, "min": lo, "max": hi}
+                for c, (lo, hi) in (f.get("stats") or {}).items()
+            }
+            or None,
+            schema_json=schema_json,
         )
         for f in snap.files
     ]

@@ -609,3 +609,83 @@ def test_equality_delete_same_commit_semantics(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown equality column"):
         w.equality_delete(spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_manifest_column_bounds_and_data_skipping(spark, tmp_path):
+    """Every staged data file records value_counts / null_value_counts /
+    lower_bounds / upper_bounds (spec fields 109/110/125/128, Appendix-D
+    binary bounds); stats_filter prunes non-overlapping files at
+    manifest level, conservatively; the zero-copy lake export translates
+    its own footer stats into bounds."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _decode_bound,
+        _encode_bound,
+    )
+
+    # Appendix-D encodings round-trip
+    import datetime as dt
+    assert _decode_bound("long", _encode_bound("long", -7)) == -7
+    assert _decode_bound("int", _encode_bound("int", 41)) == 41
+    assert _decode_bound("double", _encode_bound("double", -0.5)) == -0.5
+    assert _decode_bound("string", _encode_bound("string", "héllo")) == "héllo"
+    d = dt.date(2017, 11, 16)
+    assert _decode_bound("date", _encode_bound("date", d)) == d
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert _decode_bound("timestamp", _encode_bound("timestamp", ts)) == ts
+    assert _encode_bound("date", "not-a-date") is None  # never mis-encodes
+
+    path = str(tmp_path / "icestats")
+    w = IcebergTableWriter(path)
+    df = spark.range(0, 1000).selectExpr(
+        "id as k", "cast(id as double) / 2 as v"
+    )
+    r = w.create(df.repartitionByRange(8, "k"))
+    snap = r.snapshot()
+    assert len(snap.files) == 8
+    assert len(snap.col_stats) == 8
+    st = snap.col_stats[snap.files[0][0]]
+    assert st["k"]["count"] == st["v"]["count"]
+    assert st["k"]["nulls"] == 0
+    assert sum(s["k"]["count"] for s in snap.col_stats.values()) == 1000
+    # the 8 range files tile [0, 1000): global min/max recovered exactly
+    assert min(s["k"]["min"] for s in snap.col_stats.values()) == 0
+    assert max(s["k"]["max"] for s in snap.col_stats.values()) == 999
+    # skipping: a tight range keeps a strict subset of files
+    kept = [
+        p for p, _ in snap.files
+        if snap.col_stats[p]["k"]["min"] <= 500 <= snap.col_stats[p]["k"]["max"]
+    ]
+    pruned = r.to_df(spark, stats_filter={"k": (500, 500)})
+    assert pruned.count() == sum(
+        snap.col_stats[p]["k"]["count"] for p in kept
+    )
+    assert len(kept) < 8
+    assert pruned.where("k = 500").count() == 1
+    # conservative on unknown columns
+    assert r.to_df(spark, stats_filter={"nope": (0, 1)}).count() == 1000
+    # bounds survive append + overwrite rewrites (carried entries keep
+    # their maps through the avro round-trip)
+    w.append(spark.range(1000, 1100).selectExpr(
+        "id as k", "cast(id as double) / 2 as v"
+    ))
+    snap2 = r.snapshot()
+    assert len(snap2.col_stats) >= 9
+    assert r.to_df(spark, stats_filter={"k": (1050, None)}).where(
+        "k >= 1050"
+    ).count() == 50
+
+    # lake export translates footer stats into bounds
+    from aws_glue_data_lake_spark.icebergcompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lk"))
+    src.create(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(4, "k"),
+        stat_cols=["k"],
+    )
+    er = export_lake_snapshot(src, str(tmp_path / "ice_exp"))
+    esnap = er.snapshot()
+    assert len(esnap.col_stats) == 4
+    assert all("k" in s for s in esnap.col_stats.values())
+    assert er.to_df(spark, stats_filter={"k": (0, 10)}).count() < 100
