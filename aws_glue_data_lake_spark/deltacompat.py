@@ -49,6 +49,10 @@ _SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+#: delta-spark splits large checkpoints: N.checkpoint.<part>.<of>.parquet
+_MULTI_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -174,12 +178,40 @@ class DeltaTableReader:
         return sorted(out)
 
     def _checkpoint_versions(self) -> list[int]:
-        out = []
+        singles = []
+        multi: dict[int, dict[int, int]] = {}
         for name in os.listdir(self._log):
             m = _CHECKPOINT_RE.match(name)
             if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+                singles.append(int(m.group(1)))
+                continue
+            m = _MULTI_CHECKPOINT_RE.match(name)
+            if m:
+                v, part, of = (int(x) for x in m.groups())
+                multi.setdefault(v, {})[part] = of
+        # a multi-part checkpoint counts only when COMPLETE (all parts
+        # present and agreeing on the part count) — a torn upload must
+        # not shadow the commit JSONs it summarizes
+        complete = [
+            v
+            for v, parts in multi.items()
+            if len({*parts.values()}) == 1
+            and set(parts) == set(range(1, next(iter(parts.values())) + 1))
+        ]
+        return sorted(set(singles) | set(complete))
+
+    def _checkpoint_files(self, version: int) -> list[str]:
+        single = os.path.join(
+            self._log, f"{version:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(single):
+            return [single]
+        return sorted(
+            os.path.join(self._log, n)
+            for n in os.listdir(self._log)
+            if (m := _MULTI_CHECKPOINT_RE.match(n))
+            and int(m.group(1)) == version
+        )
 
     def latest_version(self) -> int:
         versions = self._commit_versions() + self._checkpoint_versions()
@@ -225,15 +257,16 @@ class DeltaTableReader:
     def _load_checkpoint(self, state: dict, version: int) -> None:
         import pyarrow.parquet as pq
 
-        cp = os.path.join(self._log, f"{version:020d}.checkpoint.parquet")
-        tbl = pq.read_table(cp)
-        rows = tbl.to_pylist()
-        # A checkpoint row has exactly one non-null action column.
-        for row in rows:
-            for key in ("metaData", "protocol", "add", "remove"):
-                val = row.get(key)
-                if val is not None:
-                    self._apply_action(state, {key: self._plain(val)})
+        # single classic file, or every part of a multi-part checkpoint
+        # (parts partition the action set — order within them is free)
+        for cp in self._checkpoint_files(version):
+            rows = pq.read_table(cp).to_pylist()
+            # A checkpoint row has exactly one non-null action column.
+            for row in rows:
+                for key in ("metaData", "protocol", "add", "remove"):
+                    val = row.get(key)
+                    if val is not None:
+                        self._apply_action(state, {key: self._plain(val)})
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         commits = self._commit_versions()
@@ -409,7 +442,7 @@ class DeltaTableReader:
             "anti",
         ).select(*out_cols)
 
-    def _scan_with_pos(self, spark: SparkSession, snap=None) -> DataFrame:
+    def _scan_with_pos(self, spark: SparkSession) -> DataFrame:
         """Logical-schema scan that keeps ``__dv_fp``/``__dv_pos`` (file
         path, row position) and does NOT subtract deletion vectors — the
         write path for :meth:`DeltaTableWriter.delete_where`, which
@@ -811,6 +844,79 @@ class DeltaTableWriter:
         v = snap.version + 1
         self._commit(v, removes + [{"add": a} for a in adds])
         return v
+
+    def convert_parquet_dir(
+        self, spark: SparkSession, partition_by: Sequence[str] = ()
+    ) -> "DeltaTableReader":
+        """CONVERT TO DELTA, in place and zero-copy: adopt the parquet
+        files already under the table root by writing a ``_delta_log``
+        whose add actions reference them relatively — no bytes move.
+        Hive-partitioned layouts need an explicit ``partition_by``
+        naming every ``col=value`` directory level (Delta's own CONVERT
+        requires PARTITIONED BY the same way — inferring silently is how
+        partition columns get dropped); a mismatch fails loudly. The
+        schema (partition column types included) comes from Spark's own
+        discovery; per-file ``add.stats`` from the footers."""
+        import glob as g
+
+        if os.path.isdir(self._log) and any(
+            _COMMIT_RE.match(n) for n in os.listdir(self._log)
+        ):
+            raise FileExistsError(f"Delta table already exists: {self.path}")
+        schema = (
+            spark.read.option("basePath", self.path)
+            .parquet(self.path)
+            .schema
+        )
+        missing = [c for c in partition_by if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not found in the "
+                f"discovered schema {schema.names}"
+            )
+        adds = []
+        for p in sorted(
+            g.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True)
+        ):
+            if os.sep + "_delta_log" + os.sep in p:
+                continue
+            rel_dir = os.path.relpath(os.path.dirname(p), self.path)
+            segs = rel_dir.split(os.sep) if rel_dir != "." else []
+            got_cols = [s.partition("=")[0] for s in segs if "=" in s]
+            if got_cols != list(partition_by):
+                raise ValueError(
+                    f"file {p} sits under partition dirs {got_cols}, "
+                    f"but partition_by={list(partition_by)} — pass the "
+                    "full directory layout explicitly"
+                )
+            pv = {}
+            for seg in segs:
+                k, _, v = seg.partition("=")
+                pv[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+            adds.append(
+                {
+                    "path": urllib.parse.quote(
+                        os.path.relpath(p, self.path).replace(os.sep, "/")
+                    ),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats_json(p),
+                }
+            )
+        if not adds:
+            raise FileNotFoundError(f"no parquet files under {self.path}")
+        self._commit(
+            0,
+            self._meta_actions(schema, partition_by)
+            + [{"add": a} for a in adds],
+        )
+        return DeltaTableReader(self.path)
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """DELETE via deletion vectors — the protocol's merge-on-read

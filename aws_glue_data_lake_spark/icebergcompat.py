@@ -1443,6 +1443,76 @@ class IcebergTableWriter:
         )
         return sid
 
+    def convert_parquet_dir(self, spark: SparkSession) -> IcebergTableReader:
+        """Migrate a raw parquet directory to Iceberg in place, zero-copy
+        (the ``add_files``/migrate shape): data_file entries reference
+        the existing files; bounds come from their footers. Unpartitioned
+        directories only — a Hive-layout ``col=value`` file does not
+        carry its partition column in the file bytes, which Iceberg data
+        files must (use the Delta convert for those layouts; its spec
+        keeps partition values in the log). Fails loudly on partition
+        dirs rather than dropping columns."""
+        import glob as g
+
+        if os.path.isdir(self._meta_dir) and any(
+            re.match(r"v\d+\.metadata\.json$", n)
+            for n in os.listdir(self._meta_dir)
+        ):
+            raise FileExistsError(f"Iceberg table already exists: {self.path}")
+        paths = [
+            p
+            for p in sorted(
+                g.glob(
+                    os.path.join(self.path, "**", "*.parquet"), recursive=True
+                )
+            )
+            if os.sep + "metadata" + os.sep not in p
+        ]
+        if not paths:
+            raise FileNotFoundError(f"no parquet files under {self.path}")
+        for p in paths:
+            if any(
+                "=" in seg
+                for seg in os.path.relpath(p, self.path).split(os.sep)[:-1]
+            ):
+                raise IcebergProtocolError(
+                    f"{p} sits under Hive partition dirs; partition "
+                    "columns are not in the file bytes — use "
+                    "deltacompat's convert for this layout"
+                )
+        import pyarrow.parquet as pq
+
+        schema = spark.read.parquet(self.path).schema
+        os.makedirs(self._meta_dir, exist_ok=True)
+        schema_json = self._schema_json(schema)
+        sid, seq = 1001, 1
+        entries = [
+            self._entry(
+                p,
+                {},
+                pq.ParquetFile(p).metadata.num_rows,
+                os.path.getsize(p),
+                _STATUS_ADDED,
+                sid,
+                seq,
+                col_stats=_footer_col_stats(p),
+                schema_json=schema_json,
+            )
+            for p in paths
+        ]
+        ml_entry = self._write_manifest(entries, [], sid, seq, schema_json)
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            None, schema_json, [], sid, seq, ml_path, "append"
+        )
+        return IcebergTableReader(self.path)
+
     def equality_delete(
         self, keys_df: DataFrame, equality_cols: Sequence[str] | None = None
     ) -> int:

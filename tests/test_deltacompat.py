@@ -696,3 +696,82 @@ def test_export_translates_lake_stats(spark, tmp_path):
     assert all("k" in s["minValues"] for s in snap.stats.values())
     assert sum(s["numRecords"] for s in snap.stats.values()) == 100
     assert reader.to_df(spark, stats_filter={"k": (0, 10)}).count() < 100
+
+
+def test_convert_parquet_dir_in_place(spark, tmp_path):
+    """CONVERT TO DELTA in place: a raw Hive-partitioned parquet dir is
+    adopted zero-copy with explicit partition_by; bad/missing
+    partition_by fails loudly (the silent-column-drop ADVICE class);
+    stats ride the conversion."""
+    path = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}" if i != 4 else None, i * 1.0) for i in range(30)],
+        "k long, part string, v double",
+    )
+    df.write.partitionBy("part").parquet(path)
+    files_before = sorted(
+        p for p in __import__("glob").glob(path + "/**/*.parquet", recursive=True)
+    )
+    w = DeltaTableWriter(path)
+    with pytest.raises(ValueError, match="partition_by"):
+        w.convert_parquet_dir(spark)  # layout is partitioned: must say so
+    r = w.convert_parquet_dir(spark, partition_by=["part"])
+    got = sorted((x.k, x.part) for x in r.to_df(spark).collect())
+    want = sorted(
+        (i, f"p{i % 3}" if i != 4 else None) for i in range(30)
+    )
+    assert got == want
+    # zero-copy: the same physical files, untouched
+    assert sorted(
+        p for p in __import__("glob").glob(path + "/**/*.parquet", recursive=True)
+        if "_delta_log" not in p
+    ) == files_before
+    assert r.snapshot().stats  # footer stats attached
+    # the converted table is a first-class Delta table: DELETE works on it
+    w.delete_where(spark, "k >= 20")
+    assert r.to_df(spark).count() == 20
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """delta-spark splits large checkpoints into
+    N.checkpoint.<part>.<of>.parquet parts: a complete part set must
+    replay like the classic single file, and a TORN set (missing part)
+    must be ignored in favor of the commit JSONs, never half-applied."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mp")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i) for i in range(10)],
+            "k long, bucket string, v long",
+        ),
+        partition_by=["bucket"],
+    )
+    w.append(
+        spark.createDataFrame([(99, "a", 99)], "k long, bucket string, v long")
+    )
+    w.checkpoint()
+    want = sorted(x.k for x in DeltaTableReader(path).to_df(spark).collect())
+
+    log = os.path.join(path, "_delta_log")
+    classic = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    tbl = pq.read_table(classic)
+    half = max(1, tbl.num_rows // 2)
+    p1 = os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    p2 = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    pq.write_table(tbl.slice(0, half), p1)
+    pq.write_table(tbl.slice(half), p2)
+    os.remove(classic)
+    # multi-part set + no pre-checkpoint JSONs: replay must come from parts
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    r = DeltaTableReader(path)
+    assert sorted(x.k for x in r.to_df(spark).collect()) == want
+
+    # torn set: drop part 2 -> checkpoint must be ignored entirely
+    os.remove(p2)
+    with pytest.raises(FileNotFoundError):
+        # no complete checkpoint AND no commit JSONs -> loudly empty
+        DeltaTableReader(path).snapshot()

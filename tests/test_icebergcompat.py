@@ -689,3 +689,31 @@ def test_manifest_column_bounds_and_data_skipping(spark, tmp_path):
     assert len(esnap.col_stats) == 4
     assert all("k" in s for s in esnap.col_stats.values())
     assert er.to_df(spark, stats_filter={"k": (0, 10)}).count() < 100
+
+
+def test_convert_parquet_dir_in_place(spark, tmp_path):
+    """Zero-copy migrate of a raw (unpartitioned) parquet dir; Hive
+    layouts are refused with a pointer at the Delta convert (partition
+    columns are not in the file bytes)."""
+    path = str(tmp_path / "raw")
+    spark.range(100).selectExpr("id as k", "id * 3 as v").repartition(
+        4
+    ).write.parquet(path)
+    w = IcebergTableWriter(path)
+    r = w.convert_parquet_dir(spark)
+    assert r.to_df(spark).count() == 100
+    assert r.to_df(spark).agg({"v": "sum"}).first()[0] == sum(
+        3 * i for i in range(100)
+    )
+    snap = r.snapshot()
+    assert snap.col_stats and len(snap.files) == 4
+    # adopted table is first-class: row-level delete works
+    w.delete_where(spark, "k < 10")
+    assert r.to_df(spark).count() == 90
+    # partitioned layouts refused
+    ppath = str(tmp_path / "praw")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, part string"
+    ).write.partitionBy("part").parquet(ppath)
+    with pytest.raises(IcebergProtocolError, match="Hive partition"):
+        IcebergTableWriter(ppath).convert_parquet_dir(spark)
