@@ -219,6 +219,54 @@ class DeltaTableReader:
             raise FileNotFoundError(f"empty _delta_log under {self.path}")
         return max(versions)
 
+    # -- history / timestamp time travel ------------------------------------
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one row per replayable commit JSON, newest
+        first — version, commitInfo timestamp (file mtime fallback for
+        foreign writers that omit commitInfo), operation. Versions only
+        reachable through a checkpoint (their JSONs cleaned up) are not
+        listed, matching delta-spark's retention behavior."""
+        out = []
+        for v in self._commit_versions():
+            p = os.path.join(self._log, f"{v:020d}.json")
+            info: dict = {}
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        info = action["commitInfo"]
+                        break
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": info.get(
+                        "timestamp", int(os.path.getmtime(p) * 1000)
+                    ),
+                    "operation": info.get("operation"),
+                }
+            )
+        return sorted(out, key=lambda r: -r["version"])
+
+    def version_at_timestamp(self, timestamp_ms: int) -> int:
+        """Timestamp time travel: the latest version committed at or
+        before ``timestamp_ms`` (the TIMESTAMP AS OF resolution rule);
+        loud error when the timestamp predates the earliest replayable
+        commit."""
+        candidates = [
+            h["version"]
+            for h in self.history()
+            if h["timestamp"] <= timestamp_ms
+        ]
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp_ms} "
+                f"(earliest replayable: {self.history()[-1] if self.history() else None})"
+            )
+        return max(candidates)
+
     # -- replay -------------------------------------------------------------
     def _apply_action(self, state: dict, action: dict) -> None:
         if "metaData" in action:
@@ -627,9 +675,25 @@ class DeltaTableWriter:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
-    def _commit(self, version: int, actions: list[dict]) -> None:
+    def _commit(
+        self, version: int, actions: list[dict], operation: str = "WRITE"
+    ) -> None:
+        import time as _time
+
         os.makedirs(self._log, exist_ok=True)
         target = os.path.join(self._log, f"{version:020d}.json")
+        if not any("commitInfo" in a for a in actions):
+            # commitInfo leads the commit (delta-spark's layout): it is
+            # what timestamp-based time travel and DESCRIBE HISTORY read
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(_time.time() * 1000),
+                        "operation": operation,
+                        "engineInfo": "aws-glue-data-lake-spark/deltacompat",
+                    }
+                }
+            ] + actions
         payload = "".join(json.dumps(a) + "\n" for a in actions)
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
@@ -696,7 +760,9 @@ class DeltaTableWriter:
         ]
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
-        self._commit(v, removes + [{"add": a} for a in adds])
+        self._commit(
+            v, removes + [{"add": a} for a in adds], operation="WRITE"
+        )
         return v
 
     def checkpoint(self, version: int | None = None) -> str:
@@ -842,7 +908,9 @@ class DeltaTableWriter:
             for p, _, _ in snap.files
         ]
         v = snap.version + 1
-        self._commit(v, removes + [{"add": a} for a in adds])
+        self._commit(
+            v, removes + [{"add": a} for a in adds], operation="OPTIMIZE"
+        )
         return v
 
     def convert_parquet_dir(
@@ -915,6 +983,7 @@ class DeltaTableWriter:
             0,
             self._meta_actions(schema, partition_by)
             + [{"add": a} for a in adds],
+            operation="CONVERT",
         )
         return DeltaTableReader(self.path)
 
@@ -1042,7 +1111,7 @@ class DeltaTableWriter:
                 }
             )
         v = snap.version + 1
-        self._commit(v, actions)
+        self._commit(v, actions, operation="DELETE")
         return v
 
     def vacuum(self) -> list[str]:

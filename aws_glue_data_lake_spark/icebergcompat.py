@@ -596,8 +596,35 @@ class IcebergTableReader:
             return p
         return os.path.join(self.path, p)
 
-    def snapshot(self, snapshot_id: int | None = None) -> IcebergSnapshot:
+    def history(self) -> list[dict]:
+        """The snapshot log, newest first: snapshot id, commit
+        timestamp, sequence number, operation."""
         meta = self._metadata()
+        out = [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "timestamp_ms": s.get("timestamp-ms", 0),
+                "sequence_number": s.get("sequence-number", 0),
+                "operation": s.get("summary", {}).get("operation"),
+            }
+            for s in meta.get("snapshots", [])
+        ]
+        return sorted(out, key=lambda r: -r["sequence_number"])
+
+    def snapshot(
+        self, snapshot_id: int | None = None, ref: str | None = None
+    ) -> IcebergSnapshot:
+        meta = self._metadata()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise FileNotFoundError(
+                    f"no ref {ref!r} in {self._meta_dir} "
+                    f"(have {sorted(refs)})"
+                )
+            snapshot_id = refs[ref]["snapshot-id"]
         if meta.get("format-version", 1) not in (1, 2):
             raise IcebergProtocolError(
                 f"unsupported format-version {meta.get('format-version')}"
@@ -740,6 +767,7 @@ class IcebergTableReader:
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
         stats_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Scan the snapshot's live files. ``partition_filter``
         ({col: value}) prunes files by MANIFEST partition values before
@@ -764,7 +792,7 @@ class IcebergTableReader:
         node regardless of commit count."""
         from pyspark.sql import functions as F
 
-        snap = self.snapshot(snapshot_id)
+        snap = self.snapshot(snapshot_id, ref=ref)
         files = snap.files
         if partition_filter:
             # filter keys are SOURCE column values; each spec field whose
@@ -1105,13 +1133,16 @@ class IcebergTableWriter:
         manifest_list_path: str,
         operation: str,
     ) -> None:
+        import time as _time
+
         version = 1 if prev is None else prev["__version"] + 1
+        now_ms = int(_time.time() * 1000)
         snapshots = list(prev.get("snapshots", [])) if prev else []
         snapshots.append(
             {
                 "snapshot-id": snapshot_id,
                 "sequence-number": sequence_number,
-                "timestamp-ms": 0,
+                "timestamp-ms": now_ms,
                 "manifest-list": manifest_list_path,
                 "schema-id": 0,
                 "summary": {"operation": operation},
@@ -1150,11 +1181,25 @@ class IcebergTableWriter:
             "current-snapshot-id": snapshot_id,
             "snapshots": snapshots,
             "snapshot-log": [
-                {"snapshot-id": s["snapshot-id"], "timestamp-ms": 0}
+                {
+                    "snapshot-id": s["snapshot-id"],
+                    "timestamp-ms": s.get("timestamp-ms", 0),
+                }
                 for s in snapshots
             ],
             "metadata-log": [],
             "properties": {},
+            # spec § refs: the main branch always tracks the current
+            # snapshot; tags (create_tag) pin snapshots by name and are
+            # carried forward across commits
+            "refs": {
+                **{
+                    name: ref
+                    for name, ref in (prev or {}).get("refs", {}).items()
+                    if ref.get("type") == "tag"
+                },
+                "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            },
         }
         target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
         # O_EXCL: the Hadoop-catalog commit primitive (losing a version
@@ -1621,6 +1666,38 @@ class IcebergTableWriter:
         )
         return sid
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under a named ref (spec § refs, type=tag) —
+        Iceberg's named time travel. Tags survive subsequent commits
+        (carried forward by _commit_metadata) and protect their snapshot
+        from expire_snapshots like the current one."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else prev["current-snapshot-id"]
+        )
+        if sid not in {s["snapshot-id"] for s in prev.get("snapshots", [])}:
+            raise ValueError(f"no snapshot {sid} to tag")
+        if name == "main":
+            raise ValueError("'main' is the branch ref; pick another name")
+        meta = dict(prev)
+        meta.pop("__version", None)
+        refs = dict(meta.get("refs", {}))
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        meta["refs"] = refs
+        version = prev["__version"] + 1
+        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the ``keep_last`` most recent snapshots from the
         metadata and physically delete manifests / manifest lists / data
@@ -1635,7 +1712,16 @@ class IcebergTableWriter:
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         snaps = sorted(prev["snapshots"], key=lambda s: s["sequence-number"])
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        tagged = {
+            ref["snapshot-id"]
+            for ref in prev.get("refs", {}).values()
+            if ref.get("type") == "tag"
+        }
+        keep = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot-id"] in tagged
+        ]
+        keep_set = {s["snapshot-id"] for s in keep}
+        drop = [s for s in snaps if s["snapshot-id"] not in keep_set]
         if not drop:
             return []
         cur = next(

@@ -775,3 +775,29 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         # no complete checkpoint AND no commit JSONs -> loudly empty
         DeltaTableReader(path).snapshot()
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    """Commits carry commitInfo (timestamp + operation); history() lists
+    them newest-first and version_at_timestamp resolves TIMESTAMP AS OF
+    semantics (latest commit at-or-before; loud on too-early)."""
+    path = str(tmp_path / "h")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"))
+    w.append(spark.createDataFrame([(2, "a", 2)], "k long, bucket string, v long"))
+    w.delete_where(spark, "k = 1")
+    r = DeltaTableReader(path)
+    h = r.history()
+    assert [x["version"] for x in h] == [2, 1, 0]
+    assert h[0]["operation"] == "DELETE"
+    assert h[2]["operation"] in ("WRITE", None)
+    assert all(h[i]["timestamp"] >= h[i + 1]["timestamp"] for i in range(2))
+    # timestamp resolution: at v1's own timestamp, we see v1
+    t1 = next(x["timestamp"] for x in h if x["version"] == 1)
+    v = r.version_at_timestamp(t1)
+    assert v >= 1
+    assert sorted(
+        x.k for x in r.to_df(spark, version=r.version_at_timestamp(t1)).collect()
+    ) in ([1, 2], [2])  # v1 or v2 depending on same-ms commits
+    with pytest.raises(ValueError, match="no commit"):
+        r.version_at_timestamp(1)  # 1970: predates everything

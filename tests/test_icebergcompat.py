@@ -717,3 +717,37 @@ def test_convert_parquet_dir_in_place(spark, tmp_path):
     ).write.partitionBy("part").parquet(ppath)
     with pytest.raises(IcebergProtocolError, match="Hive partition"):
         IcebergTableWriter(ppath).convert_parquet_dir(spark)
+
+
+def test_refs_tags_and_history(spark, tmp_path):
+    """Spec refs: main tracks the current snapshot; create_tag pins a
+    snapshot by name for to_df(ref=...) time travel, survives later
+    commits, and protects its snapshot from expire_snapshots."""
+    path = str(tmp_path / "refs")
+    w = IcebergTableWriter(path)
+    r = w.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    sid1 = r.snapshot().snapshot_id
+    w.create_tag("v1.0")
+    w.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    w.append(spark.createDataFrame([(3, 3)], "k long, v long"))
+    # main follows the head; the tag stays pinned
+    assert r.snapshot(ref="main").snapshot_id == r.snapshot().snapshot_id
+    assert r.snapshot(ref="v1.0").snapshot_id == sid1
+    assert sorted(x.k for x in r.to_df(spark, ref="v1.0").collect()) == [1]
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 2, 3]
+    with pytest.raises(FileNotFoundError, match="no ref"):
+        r.snapshot(ref="nope")
+    with pytest.raises(ValueError, match="main"):
+        w.create_tag("main")
+    # history: newest first, timestamps monotone, operations recorded
+    h = r.history()
+    assert [x["operation"] for x in h] == ["append", "append", "append"]
+    assert all(
+        h[i]["timestamp_ms"] >= h[i + 1]["timestamp_ms"]
+        for i in range(len(h) - 1)
+    )
+    # expire keeps the tagged snapshot alive alongside the head
+    removed = w.expire_snapshots(keep_last=1)
+    assert sorted(x.k for x in r.to_df(spark, ref="v1.0").collect()) == [1]
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 2, 3]
+    assert removed  # the untagged middle snapshot's metadata went away
