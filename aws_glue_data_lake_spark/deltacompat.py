@@ -72,6 +72,9 @@ class DeltaSnapshot:
     #: dict with numRecords/minValues/maxValues/nullCount), absent entries
     #: = writer recorded none
     stats: dict = None  # type: ignore[assignment]
+    #: the raw metaData action (id/schemaString/configuration/...) — what
+    #: a writer must carry forward when it amends table configuration
+    raw_meta: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -365,6 +368,7 @@ class DeltaTableReader:
             files=files,
             configuration=meta.get("configuration", {}) or {},
             stats=stats,
+            raw_meta=meta,
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -734,9 +738,75 @@ class DeltaTableWriter:
         )
         return DeltaTableReader(self.path)
 
+    @staticmethod
+    def _check_constraints(df: DataFrame, configuration: dict) -> None:
+        """Enforce ``delta.constraints.<name>`` CHECK expressions on the
+        incoming rows — the writer-side contract delta-spark applies
+        (protocol writer feature checkConstraints): a violating batch
+        must fail the COMMIT, not poison the table."""
+        for key, expr in sorted(configuration.items()):
+            if not key.startswith("delta.constraints."):
+                continue
+            name = key[len("delta.constraints.") :]
+            bad = df.where(f"NOT ({expr}) OR ({expr}) IS NULL")
+            if not bad.isEmpty():
+                sample = bad.limit(3).collect()
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{len(sample)}+ incoming row(s), e.g. {sample[0]}"
+                )
+
+    @staticmethod
+    def _require_mutable(snap: DeltaSnapshot, what: str) -> None:
+        if snap.configuration.get("delta.appendOnly", "").lower() == "true":
+            raise ValueError(
+                f"table is delta.appendOnly=true: {what} is not allowed"
+            )
+
+    def set_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: record a CHECK expression in the
+        table configuration (enforced by every subsequent append) and
+        bump minWriterVersion to 3, the protocol version that makes
+        foreign writers honor it too. Fails if EXISTING rows violate it?
+        No — like delta-spark, the caller must ensure that; this commit
+        is metadata-only."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf[f"delta.constraints.{name}"] = expr
+        meta["configuration"] = conf
+        v = snap.version + 1
+        self._commit(
+            v,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+                {"metaData": meta},
+            ],
+            operation="ADD CONSTRAINT",
+        )
+        return v
+
+    def set_append_only(self, value: bool = True) -> int:
+        """TBLPROPERTIES delta.appendOnly: once true, delete_where and
+        overwrite_partition refuse (appendOnly is minWriterVersion 2's
+        first writer feature)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf["delta.appendOnly"] = "true" if value else "false"
+        meta["configuration"] = conf
+        v = snap.version + 1
+        self._commit(
+            v, [{"metaData": meta}], operation="SET TBLPROPERTIES"
+        )
+        return v
+
     def append(self, df: DataFrame) -> int:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
+        self._check_constraints(df, snap.configuration)
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
         self._commit(v, [{"add": a} for a in adds])
@@ -747,6 +817,8 @@ class DeltaTableWriter:
         add actions for the new) — the classic Delta replaceWhere commit."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
+        self._require_mutable(snap, "overwrite_partition")
+        self._check_constraints(df, snap.configuration)
         removes = [
             {
                 "remove": {
@@ -891,7 +963,21 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         df = r.to_df(spark)
-        df = df.repartition(target_files) if target_files > 1 else df.coalesce(1)
+        if snap.partition_columns:
+            # hash by the partition key so each partition value lands in
+            # ONE task -> one compacted file per partition; a round-robin
+            # repartition(N) here would fan every task across every
+            # partition dir and EXPLODE the file count (N x partitions)
+            df = df.repartition(
+                max(target_files, 1),
+                *[F.col(c) for c in snap.partition_columns],
+            )
+        else:
+            df = (
+                df.repartition(target_files)
+                if target_files > 1
+                else df.coalesce(1)
+            )
         adds = self._stage_files(df, snap.partition_columns)
         for a in adds:
             a["dataChange"] = False
@@ -1010,6 +1096,7 @@ class DeltaTableWriter:
 
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
+        self._require_mutable(snap, "delete_where (DELETE)")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # position scan WITHOUT DV subtraction: re-matching an
         # already-deleted row is idempotent under the union below

@@ -132,7 +132,8 @@ def main() -> int:
     df_fast = r.to_df(spark)
     plan_fast = df_fast._jdf.queryExecution().executedPlan().toString()
     out["delta_plan_fastpath_s"] = round(time.perf_counter() - t0, 4)
-    out["delta_plan_fastpath_unions"] = plan_fast.count("Union")
+    out["delta_plan_fastpath_scans"] = plan_fast.count("Scan parquet")
+    out["delta_plan_fastpath_chars"] = len(plan_fast)
     orig = DeltaTableReader._hive_layout_consistent
     try:
         DeltaTableReader._hive_layout_consistent = lambda self, s: False
@@ -140,27 +141,58 @@ def main() -> int:
         df_slow = r.to_df(spark)
         plan_slow = df_slow._jdf.queryExecution().executedPlan().toString()
         out["delta_plan_fallback_s"] = round(time.perf_counter() - t0, 4)
-        out["delta_plan_fallback_unions"] = plan_slow.count("Union")
+        out["delta_plan_fallback_scans"] = plan_slow.count("Scan parquet")
+        out["delta_plan_fallback_chars"] = len(plan_slow)
     finally:
         DeltaTableReader._hive_layout_consistent = orig
     n_total = args.files * rows_per_file
     assert df_fast.count() == n_total
 
-    # -- DV read overhead --------------------------------------------------
-    t0 = time.perf_counter()
-    base_count = r.to_df(spark).count()
-    out["delta_scan_no_dv_s"] = round(time.perf_counter() - t0, 4)
+    # -- DV read overhead (warm: 2nd of two runs, the 1st pays one-off
+    # job-scheduling + code-gen costs) --------------------------------------
+    def warm_count(df_factory):
+        df_factory().count()
+        t0 = time.perf_counter()
+        n = df_factory().count()
+        return n, round(time.perf_counter() - t0, 4)
+
+    base_count, out["delta_scan_no_dv_s"] = warm_count(lambda: r.to_df(spark))
     w2 = DeltaTableWriter(dpath)
     w2.delete_where(spark, "k % 100 = 0")  # ~1% of rows, every file
-    t0 = time.perf_counter()
-    dv_count = r.to_df(spark).count()
-    out["delta_scan_with_dv_s"] = round(time.perf_counter() - t0, 4)
+    dv_count, out["delta_scan_with_dv_s"] = warm_count(lambda: r.to_df(spark))
     assert dv_count == base_count - args.files  # one k%100==0 per file
     w2.optimize(spark, target_files=args.parts)
-    t0 = time.perf_counter()
-    folded = r.to_df(spark).count()
-    out["delta_scan_after_optimize_s"] = round(time.perf_counter() - t0, 4)
+    folded, out["delta_scan_after_optimize_s"] = warm_count(
+        lambda: r.to_df(spark)
+    )
     assert folded == dv_count
+
+    # -- long-tail replay: checkpoint's raison d'etre ----------------------
+    lpath = os.path.join(root, "delta_long")
+    os.makedirs(lpath)
+    wl = DeltaTableWriter(lpath)
+    from pyspark.sql.types import LongType as _L, StructField as _F, StructType as _S
+
+    seg = "f.parquet"
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
+                   os.path.join(lpath, seg))
+    wl._commit(0, wl._meta_actions(_S([_F("k", _L())]), []) + [
+        {"add": {"path": seg, "partitionValues": {}, "size": 8,
+                 "modificationTime": 0, "dataChange": True}}])
+    n_tail = 1000
+    for v in range(1, n_tail):
+        wl._commit(v, [])  # empty commits: a pure log-length tail
+    rl = DeltaTableReader(lpath)
+    t0 = time.perf_counter()
+    rl.snapshot()
+    out["delta_replay_1000_commits_s"] = round(time.perf_counter() - t0, 4)
+    wl.checkpoint()
+    wl._commit(n_tail, [])
+    t0 = time.perf_counter()
+    rl.snapshot()
+    out["delta_replay_1000_after_checkpoint_s"] = round(
+        time.perf_counter() - t0, 4
+    )
 
     # -- Iceberg metadata walk across the same commit count ---------------
     ipath = os.path.join(root, "ice")

@@ -801,3 +801,49 @@ def test_history_and_timestamp_time_travel(spark, tmp_path):
     ) in ([1, 2], [2])  # v1 or v2 depending on same-ms commits
     with pytest.raises(ValueError, match="no commit"):
         r.version_at_timestamp(1)  # 1970: predates everything
+
+
+def test_check_constraints_and_append_only(spark, tmp_path):
+    """Writer-side table contracts: delta.constraints.* CHECK
+    expressions reject violating appends/overwrites at commit time
+    (minWriterVersion bumped to 3 so foreign writers honor them too);
+    delta.appendOnly=true blocks DELETE and overwrite."""
+    path = str(tmp_path / "c")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame([(1, "a", 10)], "k long, bucket string, v long"),
+        partition_by=["bucket"],
+    )
+    w.set_constraint("v_positive", "v > 0")
+    r = DeltaTableReader(path)
+    assert r.snapshot().configuration["delta.constraints.v_positive"] == "v > 0"
+    # conforming append passes; violating append fails the COMMIT
+    w.append(spark.createDataFrame([(2, "a", 5)], "k long, bucket string, v long"))
+    with pytest.raises(ValueError, match="v_positive"):
+        w.append(
+            spark.createDataFrame([(3, "a", -1)], "k long, bucket string, v long")
+        )
+    with pytest.raises(ValueError, match="v_positive"):  # NULL fails too
+        w.append(
+            spark.createDataFrame([(4, "a", None)], "k long, bucket string, v long")
+        )
+    assert r.to_df(spark).count() == 2  # nothing leaked
+    # the protocol advertises writer version 3
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as f:
+        protos = [
+            json.loads(l)["protocol"]
+            for l in f
+            if l.strip() and "protocol" in json.loads(l)
+        ]
+    assert protos and protos[0]["minWriterVersion"] == 3
+    # appendOnly: appends fine, mutations refused
+    w.set_append_only()
+    w.append(spark.createDataFrame([(5, "b", 7)], "k long, bucket string, v long"))
+    with pytest.raises(ValueError, match="appendOnly"):
+        w.delete_where(spark, "k = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        w.overwrite_partition(
+            spark.createDataFrame([(9, "a", 9)], "k long, bucket string, v long"),
+            bucket="a",
+        )
+    assert r.to_df(spark).count() == 3
