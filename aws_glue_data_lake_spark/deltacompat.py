@@ -507,6 +507,7 @@ class DeltaTableReader:
         spark: SparkSession,
         version: int | None = None,
         stats_filter: dict | None = None,
+        partition_filter: dict | None = None,
         _expose_pos: bool = False,
     ) -> DataFrame:
         """Plan a Spark scan of exactly the snapshot's live files.
@@ -526,8 +527,35 @@ class DeltaTableReader:
         pushed predicate. It is conservative (files without stats for
         the column are kept) and is a SCAN hint only: the caller still
         applies the real predicate to the returned DataFrame. Timestamp
-        bounds compare as the ISO strings the stats store."""
+        bounds compare as the ISO strings the stats store.
+
+        ``partition_filter`` ({col: raw string value or None}) prunes by
+        the log's partitionValues before planning — unlike the Spark-
+        side partition pruning the basePath fast path already gets for
+        free, this never even LISTS the excluded files into the plan
+        (and works on the literal-group fallback too)."""
         snap = self.snapshot(version)
+        if partition_filter:
+            phys_by_logical = {
+                f.name: self._physical_name(f) for f in snap.schema.fields
+            }
+            unknown = set(partition_filter) - set(snap.partition_columns)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter columns {sorted(unknown)} are not "
+                    f"partition columns {list(snap.partition_columns)}"
+                )
+            tests = {
+                phys_by_logical.get(k, k): (
+                    None if v is None else str(v)
+                )
+                for k, v in partition_filter.items()
+            }
+            snap.files = [
+                (p, pv, dv)
+                for p, pv, dv in snap.files
+                if all(pv.get(c) == v for c, v in tests.items())
+            ]
         if stats_filter:
             def keep(path: str) -> bool:
                 st = (snap.stats or {}).get(path)
@@ -803,13 +831,44 @@ class DeltaTableWriter:
         )
         return v
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a batch. With ``merge_schema`` (delta-spark's
+        mergeSchema option), NEW columns widen the table schema via a
+        metaData action in the same commit — old files simply read NULL
+        for them (the parquet-missing-column contract the reader already
+        relies on). Without it, unknown columns fail loudly. Same-named
+        columns must keep their type — silent coercion is how lakes
+        rot."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._check_constraints(df, snap.configuration)
+        existing = {f.name: f for f in snap.schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in existing]
+        for f in df.schema.fields:
+            old = existing.get(f.name)
+            if old is not None and old.dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type mismatch: table has "
+                    f"{old.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()}"
+                )
+        actions: list[dict] = []
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    f"batch adds columns {[f.name for f in new_fields]}; "
+                    "pass merge_schema=True to evolve the table schema"
+                )
+            merged = StructType(
+                list(snap.schema.fields)
+                + [StructField(f.name, f.dataType, True) for f in new_fields]
+            )
+            meta = dict(snap.raw_meta)
+            meta["schemaString"] = json.dumps(merged.jsonValue())
+            actions.append({"metaData": meta})
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
-        self._commit(v, [{"add": a} for a in adds])
+        self._commit(v, actions + [{"add": a} for a in adds])
         return v
 
     def overwrite_partition(self, df: DataFrame, **partition: str) -> int:

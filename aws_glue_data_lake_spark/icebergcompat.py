@@ -1132,6 +1132,7 @@ class IcebergTableWriter:
         sequence_number: int,
         manifest_list_path: str,
         operation: str,
+        all_schemas: list[dict] | None = None,
     ) -> None:
         import time as _time
 
@@ -1144,7 +1145,7 @@ class IcebergTableWriter:
                 "sequence-number": sequence_number,
                 "timestamp-ms": now_ms,
                 "manifest-list": manifest_list_path,
-                "schema-id": 0,
+                "schema-id": schema_json.get("schema-id", 0),
                 "summary": {"operation": operation},
             }
         )
@@ -1154,9 +1155,24 @@ class IcebergTableWriter:
             "location": self.path,
             "last-sequence-number": sequence_number,
             "last-updated-ms": 0,
-            "last-column-id": len(schema_json["fields"]),
-            "current-schema-id": 0,
-            "schemas": [schema_json],
+            "last-column-id": max(
+                f["id"] for f in schema_json["fields"]
+            ),
+            "current-schema-id": schema_json.get("schema-id", 0),
+            "schemas": (
+                all_schemas
+                if all_schemas
+                else (
+                    [
+                        sc
+                        for sc in prev.get("schemas", [])
+                        if sc["schema-id"] != schema_json.get("schema-id", 0)
+                    ]
+                    + [schema_json]
+                    if prev
+                    else [schema_json]
+                )
+            ),
             "default-spec-id": 0,
             "partition-specs": [
                 {
@@ -1301,11 +1317,61 @@ class IcebergTableWriter:
         _, manifests, _ = read_container(cur["manifest-list"])
         return manifests
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a batch. With ``merge_schema``, NEW columns evolve the
+        table schema the spec's way: a fresh schema entry with a bumped
+        schema-id and fresh field ids past last-column-id joins
+        ``schemas``; earlier data files read NULL for the new columns.
+        Same-named columns must keep their type."""
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json = prev["schemas"][0]
+        schema_json = next(
+            s
+            for s in prev["schemas"]
+            if s["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        all_schemas = None
+        cur_names = {f["name"] for f in schema_json["fields"]}
+        new_cols = [f for f in df.schema.fields if f.name not in cur_names]
+        by_name = {f["name"]: f for f in schema_json["fields"]}
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is not None and _spark_type_to_iceberg(
+                f.dataType
+            ) != old["type"]:
+                raise ValueError(
+                    f"column {f.name!r} type mismatch: table has "
+                    f"{old['type']}, batch has "
+                    f"{_spark_type_to_iceberg(f.dataType)}"
+                )
+        if new_cols:
+            if not merge_schema:
+                raise ValueError(
+                    f"batch adds columns {[f.name for f in new_cols]}; "
+                    "pass merge_schema=True to evolve the table schema"
+                )
+            next_id = prev.get(
+                "last-column-id",
+                max(f["id"] for f in schema_json["fields"]),
+            )
+            evolved_fields = list(schema_json["fields"])
+            for f in new_cols:
+                next_id += 1
+                evolved_fields.append(
+                    {
+                        "id": next_id,
+                        "name": f.name,
+                        "required": False,
+                        "type": _spark_type_to_iceberg(f.dataType),
+                    }
+                )
+            schema_json = {
+                "type": "struct",
+                "schema-id": max(s["schema-id"] for s in prev["schemas"]) + 1,
+                "fields": evolved_fields,
+            }
+            all_schemas = list(prev["schemas"]) + [schema_json]
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
@@ -1333,7 +1399,8 @@ class IcebergTableWriter:
             metadata={"format-version": "2"},
         )
         self._commit_metadata(
-            prev, schema_json, pcols, sid, seq, ml_path, "append"
+            prev, schema_json, pcols, sid, seq, ml_path, "append",
+            all_schemas=all_schemas,
         )
         return sid
 
@@ -1345,7 +1412,11 @@ class IcebergTableWriter:
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json = prev["schemas"][0]
+        schema_json = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
@@ -1423,7 +1494,11 @@ class IcebergTableWriter:
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json = prev["schemas"][0]
+        schema_json = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
@@ -1572,7 +1647,11 @@ class IcebergTableWriter:
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json = prev["schemas"][0]
+        schema_json = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
@@ -1634,7 +1713,11 @@ class IcebergTableWriter:
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json = prev["schemas"][0]
+        schema_json = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(

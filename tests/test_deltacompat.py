@@ -847,3 +847,67 @@ def test_check_constraints_and_append_only(spark, tmp_path):
             bucket="a",
         )
     assert r.to_df(spark).count() == 3
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema append: new columns widen the table via a metaData
+    action; old files read NULL for them; unknown columns without
+    merge_schema and type conflicts fail loudly."""
+    path = str(tmp_path / "ev")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame([(1, "a", 10)], "k long, bucket string, v long"),
+        partition_by=["bucket"],
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        w.append(
+            spark.createDataFrame(
+                [(2, "a", 20, "x")], "k long, bucket string, v long, note string"
+            )
+        )
+    w.append(
+        spark.createDataFrame(
+            [(2, "a", 20, "x")], "k long, bucket string, v long, note string"
+        ),
+        merge_schema=True,
+    )
+    r = DeltaTableReader(path)
+    got = sorted(
+        (x.k, x.note) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, "x")]  # old file reads NULL
+    with pytest.raises(ValueError, match="type mismatch"):
+        w.append(
+            spark.createDataFrame([(3, "a", 1.5)], "k long, bucket string, v double"),
+            merge_schema=True,
+        )
+    # evolution survives a checkpoint round-trip
+    w.checkpoint()
+    for n in os.listdir(os.path.join(path, "_delta_log")):
+        if n.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", n))
+    assert "note" in [f.name for f in DeltaTableReader(path).snapshot().schema.fields]
+
+
+def test_partition_filter_prunes_before_planning(spark, tmp_path):
+    path = str(tmp_path / "pf")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"p{i % 3}" if i != 5 else None, i) for i in range(12)],
+            "k long, part string, v long",
+        ),
+        partition_by=["part"],
+    )
+    r = DeltaTableReader(path)
+    got = r.to_df(spark, partition_filter={"part": "p1"})
+    assert sorted(x.k for x in got.collect()) == [1, 4, 7, 10]
+    # the pruned plan holds ONLY the matching partition's files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "p=p2" not in plan and "part=p2" not in plan
+    # null-partition selection and the typo guard
+    assert sorted(
+        x.k for x in r.to_df(spark, partition_filter={"part": None}).collect()
+    ) == [5]
+    with pytest.raises(ValueError, match="not partition columns"):
+        r.to_df(spark, partition_filter={"v": "1"})

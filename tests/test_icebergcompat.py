@@ -751,3 +751,46 @@ def test_refs_tags_and_history(spark, tmp_path):
     assert sorted(x.k for x in r.to_df(spark, ref="v1.0").collect()) == [1]
     assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 2, 3]
     assert removed  # the untagged middle snapshot's metadata went away
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    """Spec schema evolution: merge_schema appends add a new schemas[]
+    entry with a bumped schema-id and fresh field ids; old snapshots
+    keep their old schema (time travel reads it); later plain commits
+    must NOT regress the evolved schema."""
+    path = str(tmp_path / "iev")
+    w = IcebergTableWriter(path)
+    r = w.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    sid1 = r.snapshot().snapshot_id
+    with pytest.raises(ValueError, match="merge_schema"):
+        w.append(spark.createDataFrame([(2, 20, "x")], "k long, v long, note string"))
+    w.append(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, note string"),
+        merge_schema=True,
+    )
+    got = sorted((x.k, x.note) for x in r.to_df(spark).collect())
+    assert got == [(1, None), (2, "x")]
+    # the new field got a FRESH id past the old last-column-id
+    meta = r._metadata()
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert [f["id"] for f in cur["fields"]] == [1, 2, 3]
+    assert len(meta["schemas"]) == 2
+    # time travel to the pre-evolution snapshot uses the OLD schema
+    old_cols = [f.name for f in r.snapshot(sid1).schema.fields]
+    assert old_cols == ["k", "v"]
+    # a later plain append keeps the evolved schema (no regression)
+    w.append(spark.createDataFrame([(3, 30, "y")], "k long, v long, note string"))
+    meta2 = r._metadata()
+    assert len(meta2["schemas"]) == 2
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 2, 3]
+    # equality deletes resolve ids against the CURRENT schema
+    w.equality_delete(spark.createDataFrame([("x",)], "note string"))
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 3]
+    with pytest.raises(ValueError, match="type mismatch"):
+        w.append(
+            spark.createDataFrame([(9, 1.5, "z")], "k long, v double, note string"),
+            merge_schema=True,
+        )
