@@ -1260,6 +1260,76 @@ class DeltaTableWriter:
         self._commit(v, actions, operation="DELETE")
         return v
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF: a new commit whose remove+add
+        actions make the table's live set equal the target version's —
+        history is preserved (the restore itself is one more commit, the
+        protocol's rule), nothing is rewritten, and files the target
+        still references must not have been vacuumed."""
+        r = DeltaTableReader(self.path)
+        cur = r.snapshot()
+        tgt = r.snapshot(version)
+        for p, _, _ in tgt.files:
+            if not os.path.isabs(p) or not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"restore target v{version} references {p}, which no "
+                    "longer exists (vacuumed?)"
+                )
+        cur_by_rel = {
+            urllib.parse.quote(os.path.relpath(p, self.path)): (p, pv, dv)
+            for p, pv, dv in cur.files
+        }
+        tgt_by_rel = {
+            urllib.parse.quote(os.path.relpath(p, self.path)): (p, pv, dv)
+            for p, pv, dv in tgt.files
+        }
+        actions: list[dict] = []
+        if json.dumps(tgt.raw_meta.get("schemaString")) != json.dumps(
+            cur.raw_meta.get("schemaString")
+        ):
+            actions.append({"metaData": tgt.raw_meta})
+        for rel in sorted(set(cur_by_rel) - set(tgt_by_rel)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for rel in sorted(tgt_by_rel):
+            p, pv, dv = tgt_by_rel[rel]
+            if rel in cur_by_rel and cur_by_rel[rel][2] == dv:
+                continue  # identical live entry: nothing to re-state
+            if rel in cur_by_rel:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            stats = (tgt.stats or {}).get(p)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(p),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "deletionVector": dv,
+                        "stats": json.dumps(stats) if stats else None,
+                    }
+                }
+            )
+        v = cur.version + 1
+        self._commit(v, actions, operation="RESTORE")
+        return v
+
     def vacuum(self) -> list[str]:
         """Physically delete data files under the table root that the
         CURRENT snapshot no longer references — Delta's VACUUM. Older

@@ -1269,9 +1269,18 @@ class IcebergTableWriter:
 
     def _next_ids(self, prev: dict | None) -> tuple[int, int]:
         seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
-        # deterministic, collision-free snapshot id derived from the commit
-        # sequence (Date-free: workflow/test reproducibility)
-        sid = (prev["current-snapshot-id"] if prev else 1000) + 1
+        # deterministic, collision-free snapshot id: one past the MAX id
+        # ever issued — deriving from current-snapshot-id would collide
+        # after rollback_to (the forked commit would reuse the rolled-past
+        # snapshot's id and shadow it in the snapshots map)
+        sid = (
+            max(
+                (s["snapshot-id"] for s in prev.get("snapshots", [])),
+                default=1000,
+            )
+            if prev
+            else 1000
+        ) + 1
         return sid, seq
 
     # -- public API ---------------------------------------------------------
@@ -1748,6 +1757,34 @@ class IcebergTableWriter:
             prev, schema_json, pcols, sid, seq, ml_path, "replace"
         )
         return sid
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Iceberg's rollback_to_snapshot: a metadata-only commit that
+        points current-snapshot-id (and the main branch ref) back at an
+        existing snapshot — instant, nothing rewritten, later snapshots
+        stay time-travelable until expire_snapshots."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        if snapshot_id not in {
+            s["snapshot-id"] for s in prev.get("snapshots", [])
+        }:
+            raise ValueError(f"no snapshot {snapshot_id} to roll back to")
+        meta = dict(prev)
+        meta.pop("__version", None)
+        meta["current-snapshot-id"] = snapshot_id
+        refs = dict(meta.get("refs", {}))
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+        version = prev["__version"] + 1
+        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Pin a snapshot under a named ref (spec § refs, type=tag) —

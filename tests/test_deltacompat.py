@@ -911,3 +911,35 @@ def test_partition_filter_prunes_before_planning(spark, tmp_path):
     ) == [5]
     with pytest.raises(ValueError, match="not partition columns"):
         r.to_df(spark, partition_filter={"v": "1"})
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: one commit makes the live set equal the target version;
+    history is preserved (restore is itself a commit) and a DV'd state
+    restores exactly."""
+    path = str(tmp_path / "rst")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i) for i in range(8)],
+            "k long, bucket string, v long",
+        ),
+        partition_by=["bucket"],
+    )                                                                  # v0
+    w.append(spark.createDataFrame([(100, "a", 1)], "k long, bucket string, v long"))  # v1
+    w.delete_where(spark, "k < 3")                                     # v2
+    r = DeltaTableReader(path)
+    at_v2 = sorted(x.k for x in r.to_df(spark).collect())
+    w.overwrite_partition(                                             # v3
+        spark.createDataFrame([(200, "b", 2)], "k long, bucket string, v long"),
+        bucket="b",
+    )
+    assert sorted(x.k for x in r.to_df(spark).collect()) != at_v2
+    v = w.restore(2)                                                   # v4
+    assert v == 4
+    assert sorted(x.k for x in r.to_df(spark).collect()) == at_v2
+    # restoring PAST the delete resurrects the tombstoned rows too
+    w.restore(0)
+    assert sorted(x.k for x in r.to_df(spark).collect()) == list(range(8))
+    # the overwritten state is still reachable (history preserved)
+    assert r.to_df(spark, version=3).count() > 0

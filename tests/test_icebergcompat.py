@@ -794,3 +794,40 @@ def test_append_merge_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(9, 1.5, "z")], "k long, v double, note string"),
             merge_schema=True,
         )
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    path = str(tmp_path / "rb")
+    w = IcebergTableWriter(path)
+    r = w.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    sid1 = r.snapshot().snapshot_id
+    w.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    sid2 = r.snapshot().snapshot_id
+    w.rollback_to(sid1)
+    assert r.snapshot().snapshot_id == sid1
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1]
+    # the rolled-past snapshot stays reachable until expiry
+    assert sorted(x.k for x in r.to_df(spark, snapshot_id=sid2).collect()) == [1, 2]
+    # committing after a rollback forks from the restored state
+    w.append(spark.createDataFrame([(3, 3)], "k long, v long"))
+    assert sorted(x.k for x in r.to_df(spark).collect()) == [1, 3]
+    with pytest.raises(ValueError, match="no snapshot"):
+        w.rollback_to(999)
+
+
+def test_post_rollback_commit_gets_fresh_snapshot_id(spark, tmp_path):
+    """A commit after rollback_to must NOT reuse the rolled-past
+    snapshot's id (it would shadow it in the snapshots map)."""
+    path = str(tmp_path / "rbid")
+    w = IcebergTableWriter(path)
+    r = w.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    sid1 = r.snapshot().snapshot_id
+    w.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    sid2 = r.snapshot().snapshot_id
+    w.rollback_to(sid1)
+    w.append(spark.createDataFrame([(3, 3)], "k long, v long"))
+    sid3 = r.snapshot().snapshot_id
+    assert len({sid1, sid2, sid3}) == 3
+    # the rolled-past snapshot still resolves to ITS state
+    assert sorted(x.k for x in r.to_df(spark, snapshot_id=sid2).collect()) == [1, 2]
+    assert sorted(x.k for x in r.to_df(spark, snapshot_id=sid3).collect()) == [1, 3]
