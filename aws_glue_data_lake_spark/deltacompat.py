@@ -1269,12 +1269,29 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         cur = r.snapshot()
         tgt = r.snapshot(version)
-        for p, _, _ in tgt.files:
+        for p, _, dv in tgt.files:
             if not os.path.isabs(p) or not os.path.exists(p):
                 raise FileNotFoundError(
                     f"restore target v{version} references {p}, which no "
                     "longer exists (vacuumed?)"
                 )
+            if dv and dv.get("storageType") == "u":
+                from aws_glue_data_lake_spark.roaring64 import z85_decode
+
+                dv_uuid = uuid.UUID(
+                    bytes=z85_decode(dv["pathOrInlineDv"][-20:])
+                )
+                prefix = dv["pathOrInlineDv"][:-20]
+                bin_path = os.path.join(
+                    self.path, *([prefix] if prefix else []),
+                    f"deletion_vector_{dv_uuid}.bin",
+                )
+                if not os.path.exists(bin_path):
+                    raise FileNotFoundError(
+                        f"restore target v{version} references deletion "
+                        f"vector {bin_path}, which no longer exists "
+                        "(vacuumed?)"
+                    )
         cur_by_rel = {
             urllib.parse.quote(os.path.relpath(p, self.path)): (p, pv, dv)
             for p, pv, dv in cur.files

@@ -104,9 +104,6 @@ def _murmur3_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
-_EPOCH_DATE = None  # lazy: datetime import stays function-local
-
-
 def _bucket_hash_bytes(value) -> bytes:
     """Spec § Appendix B: the byte layout hashed per source type —
     int/long/date/time/timestamp as 8-byte little-endian long, string as

@@ -943,3 +943,28 @@ def test_restore_to_version(spark, tmp_path):
     assert sorted(x.k for x in r.to_df(spark).collect()) == list(range(8))
     # the overwritten state is still reachable (history preserved)
     assert r.to_df(spark, version=3).count() > 0
+
+
+def test_restore_refuses_vacuumed_targets(spark, tmp_path):
+    """RESTORE must fail loudly when the target version's files (data OR
+    deletion-vector bins) were vacuumed away — both branches."""
+    # data-file branch: optimize rewrites, vacuum collects the originals
+    path = str(tmp_path / "rvac")
+    w = DeltaTableWriter(path)
+    w.create(spark.range(10).selectExpr("id as k"))                    # v0
+    w.optimize(spark)                                                  # v1
+    w.vacuum()
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        w.restore(0)
+    # DV-bin branch: a second DELETE orphans the first bin, vacuum
+    # collects it, yet the DATA files of the target are still live
+    path2 = str(tmp_path / "rvac2")
+    w2 = DeltaTableWriter(path2)
+    w2.create(spark.range(10).selectExpr("id as k"))                   # v0
+    w2.delete_where(spark, "k = 0")                                    # v1
+    w2.delete_where(spark, "k = 1")                                    # v2
+    w2.vacuum()  # v1's bin unreferenced by v2 -> collected
+    r2 = DeltaTableReader(path2)
+    assert r2.to_df(spark).count() == 8  # current state intact
+    with pytest.raises(FileNotFoundError, match="deletion\\s+vector|deletion "):
+        w2.restore(1)
