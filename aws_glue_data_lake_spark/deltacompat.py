@@ -509,6 +509,7 @@ class DeltaTableReader:
         stats_filter: dict | None = None,
         partition_filter: dict | None = None,
         _expose_pos: bool = False,
+        _keep_paths: set | None = None,
     ) -> DataFrame:
         """Plan a Spark scan of exactly the snapshot's live files.
         Partition columns are NOT in the data files (Delta's layout):
@@ -535,6 +536,14 @@ class DeltaTableReader:
         free, this never even LISTS the excluded files into the plan
         (and works on the literal-group fallback too)."""
         snap = self.snapshot(version)
+        if _keep_paths is not None:
+            # internal: restrict the plan to an exact file subset (the
+            # MERGE rewrite reads ONLY the affected files; DVs of those
+            # files still apply because _apply_dvs walks snap.files)
+            wanted = {os.path.abspath(p) for p in _keep_paths}
+            snap.files = [
+                f for f in snap.files if os.path.abspath(f[0]) in wanted
+            ]
         if partition_filter:
             phys_by_logical = {
                 f.name: self._physical_name(f) for f in snap.schema.fields
@@ -831,17 +840,17 @@ class DeltaTableWriter:
         )
         return v
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """Append a batch. With ``merge_schema`` (delta-spark's
-        mergeSchema option), NEW columns widen the table schema via a
-        metaData action in the same commit — old files simply read NULL
-        for them (the parquet-missing-column contract the reader already
-        relies on). Without it, unknown columns fail loudly. Same-named
-        columns must keep their type — silent coercion is how lakes
-        rot."""
-        r = DeltaTableReader(self.path)
-        snap = r.snapshot()
-        self._check_constraints(df, snap.configuration)
+    def _schema_evolution_actions(
+        self, df: DataFrame, snap: DeltaSnapshot, merge_schema: bool
+    ) -> tuple[list[dict], StructType]:
+        """Validate a batch's schema against the table's and return
+        (log actions, table schema after the commit). With
+        ``merge_schema`` (delta-spark's mergeSchema option), NEW columns
+        widen the table schema via a metaData action in the same commit
+        — old files simply read NULL for them (the parquet-missing-
+        column contract the reader already relies on). Without it,
+        unknown columns fail loudly. Same-named columns must keep their
+        type — silent coercion is how lakes rot."""
         existing = {f.name: f for f in snap.schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in existing]
         for f in df.schema.fields:
@@ -852,23 +861,143 @@ class DeltaTableWriter:
                     f"{old.dataType.simpleString()}, batch has "
                     f"{f.dataType.simpleString()}"
                 )
-        actions: list[dict] = []
-        if new_fields:
-            if not merge_schema:
-                raise ValueError(
-                    f"batch adds columns {[f.name for f in new_fields]}; "
-                    "pass merge_schema=True to evolve the table schema"
-                )
-            merged = StructType(
-                list(snap.schema.fields)
-                + [StructField(f.name, f.dataType, True) for f in new_fields]
+        if not new_fields:
+            return [], snap.schema
+        if not merge_schema:
+            raise ValueError(
+                f"batch adds columns {[f.name for f in new_fields]}; "
+                "pass merge_schema=True to evolve the table schema"
             )
-            meta = dict(snap.raw_meta)
-            meta["schemaString"] = json.dumps(merged.jsonValue())
-            actions.append({"metaData": meta})
+        merged = StructType(
+            list(snap.schema.fields)
+            + [StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        meta = dict(snap.raw_meta)
+        meta["schemaString"] = json.dumps(merged.jsonValue())
+        return [{"metaData": meta}], merged
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a batch (see :meth:`_schema_evolution_actions` for the
+        mergeSchema contract)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_constraints(df, snap.configuration)
+        actions, _ = self._schema_evolution_actions(df, snap, merge_schema)
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
         self._commit(v, actions + [{"add": a} for a in adds])
+        return v
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        delete_keys: DataFrame | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """MERGE — the reference's central operation (reference
+        delta/delta_tables.py:159-160 ``.merge(src, cond)
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()``) emitted as
+        a real Delta commit, copy-on-write at file granularity.
+
+        Semantics match lake.py's :meth:`LakeTable.upsert` (and hence
+        the CDC operator's anti-join∪append rewrite): every target row
+        whose key tuple appears in ``source`` OR ``delete_keys`` is
+        removed, then all ``source`` rows are inserted. Rows with a key
+        in ``delete_keys`` only are deleted outright
+        (whenMatchedDelete, the CDC 'D' path). Callers must dedupe
+        ``source`` to one row per key (operators/cdc.py does) — like
+        SQL MERGE, duplicate source keys would insert duplicates.
+
+        Scale: only files whose ``add.stats`` key-range overlaps the
+        batch's key-range are read and rewritten; everything else is
+        carried untouched in the log (no remove/add action). The
+        pruning set is computed from driver-side log stats —
+        O(#files) metadata, zero data I/O — exactly delta-spark's
+        MERGE file-pruning move. Rewriting a touched file folds its
+        deletion vector away; the orphaned DV bin is vacuumable.
+        """
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._require_mutable(snap, "merge (MERGE)")
+        mode = (snap.configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("", "none"):
+            raise DeltaProtocolError(
+                "merge into a columnMapping table is not supported: this "
+                "writer stages files under logical column names"
+            )
+        self._check_constraints(source, snap.configuration)
+        actions, table_schema = self._schema_evolution_actions(
+            source, snap, merge_schema
+        )
+        keys = list(keys)
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in source columns")
+        kill = source.select(*keys)
+        if delete_keys is not None:
+            kill = kill.unionByName(delete_keys.select(*keys))
+        kill = kill.dropDuplicates(keys)
+        if source.isEmpty() and (
+            delete_keys is None or delete_keys.isEmpty()
+        ):
+            return snap.version  # no-op
+        # one tiny agg → the batch's key-range; files outside it can't
+        # hold a matching row (min/max ignore NULL keys, and NULL keys
+        # never equi-match, so range pruning stays sound)
+        bounds = kill.agg(
+            *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
+        ).collect()[0]
+
+        def overlaps(path: str) -> bool:
+            st = (snap.stats or {}).get(path)
+            if not st:
+                return True  # no stats: conservatively rewrite
+            for i, k in enumerate(keys):
+                lo, hi = bounds[f"__lo_{i}"], bounds[f"__hi_{i}"]
+                fmin = st.get("minValues", {}).get(k)
+                fmax = st.get("maxValues", {}).get(k)
+                if None in (lo, hi, fmin, fmax):
+                    continue
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                try:
+                    if fmin > hi or fmax < lo:
+                        return False
+                except TypeError:
+                    continue  # incomparable: keep the file
+            return True
+
+        affected = [p for p, _pv, _dv in snap.files if overlaps(p)]
+        out = source
+        if affected:
+            live = r.to_df(spark, _keep_paths=set(affected))
+            kept = live.join(kill, on=keys, how="left_anti")
+            out = kept.unionByName(source, allowMissingColumns=True)
+        out = out.select(*[f.name for f in table_schema.fields])
+        removes = [
+            {
+                "remove": {
+                    "path": urllib.parse.quote(
+                        os.path.relpath(p, self.path)
+                    ),
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in affected
+        ]
+        adds = self._stage_files(out, snap.partition_columns)
+        v = snap.version + 1
+        self._commit(
+            v,
+            actions + removes + [{"add": a} for a in adds],
+            operation="MERGE",
+        )
         return v
 
     def overwrite_partition(self, df: DataFrame, **partition: str) -> int:

@@ -1323,21 +1323,21 @@ class IcebergTableWriter:
         _, manifests, _ = read_container(cur["manifest-list"])
         return manifests
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """Append a batch. With ``merge_schema``, NEW columns evolve the
-        table schema the spec's way: a fresh schema entry with a bumped
-        schema-id and fresh field ids past last-column-id joins
-        ``schemas``; earlier data files read NULL for the new columns.
-        Same-named columns must keep their type."""
-        prev = self._load_prev()
-        if prev is None:
-            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+    def _resolve_batch_schema(
+        self, df: DataFrame, prev: dict, merge_schema: bool
+    ) -> tuple[dict, list | None]:
+        """Validate a batch against the current table schema and return
+        (schema_json to commit under, all_schemas or None if unchanged).
+        With ``merge_schema``, NEW columns evolve the table schema the
+        spec's way: a fresh schema entry with a bumped schema-id and
+        fresh field ids past last-column-id joins ``schemas``; earlier
+        data files read NULL for the new columns. Same-named columns
+        must keep their type."""
         schema_json = next(
             s
             for s in prev["schemas"]
             if s["schema-id"] == prev.get("current-schema-id", 0)
         )
-        all_schemas = None
         cur_names = {f["name"] for f in schema_json["fields"]}
         new_cols = [f for f in df.schema.fields if f.name not in cur_names]
         by_name = {f["name"]: f for f in schema_json["fields"]}
@@ -1351,33 +1351,44 @@ class IcebergTableWriter:
                     f"{old['type']}, batch has "
                     f"{_spark_type_to_iceberg(f.dataType)}"
                 )
-        if new_cols:
-            if not merge_schema:
-                raise ValueError(
-                    f"batch adds columns {[f.name for f in new_cols]}; "
-                    "pass merge_schema=True to evolve the table schema"
-                )
-            next_id = prev.get(
-                "last-column-id",
-                max(f["id"] for f in schema_json["fields"]),
+        if not new_cols:
+            return schema_json, None
+        if not merge_schema:
+            raise ValueError(
+                f"batch adds columns {[f.name for f in new_cols]}; "
+                "pass merge_schema=True to evolve the table schema"
             )
-            evolved_fields = list(schema_json["fields"])
-            for f in new_cols:
-                next_id += 1
-                evolved_fields.append(
-                    {
-                        "id": next_id,
-                        "name": f.name,
-                        "required": False,
-                        "type": _spark_type_to_iceberg(f.dataType),
-                    }
-                )
-            schema_json = {
-                "type": "struct",
-                "schema-id": max(s["schema-id"] for s in prev["schemas"]) + 1,
-                "fields": evolved_fields,
-            }
-            all_schemas = list(prev["schemas"]) + [schema_json]
+        next_id = prev.get(
+            "last-column-id",
+            max(f["id"] for f in schema_json["fields"]),
+        )
+        evolved_fields = list(schema_json["fields"])
+        for f in new_cols:
+            next_id += 1
+            evolved_fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_type_to_iceberg(f.dataType),
+                }
+            )
+        schema_json = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"] for s in prev["schemas"]) + 1,
+            "fields": evolved_fields,
+        }
+        return schema_json, list(prev["schemas"]) + [schema_json]
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a batch (see :meth:`_resolve_batch_schema` for the
+        mergeSchema contract)."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json, all_schemas = self._resolve_batch_schema(
+            df, prev, merge_schema
+        )
         spec_fields = prev["partition-specs"][0]["fields"]
         partition_by = self._identity_partition_by(spec_fields)
         pcols = self._partition_cols(
@@ -1639,6 +1650,119 @@ class IcebergTableWriter:
         )
         return IcebergTableReader(self.path)
 
+    def _stage_eq_delete_file(
+        self, keys_df: DataFrame, names: list, schema_json: dict
+    ) -> tuple[str, int, list]:
+        """Write the distinct key tuples as one parquet equality-delete
+        file under data/ and return (path, row count, equality field
+        ids). O(#keys) — the table is never scanned."""
+        ids_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+        try:
+            eq_ids = [ids_by_name[n] for n in names]
+        except KeyError as exc:
+            raise ValueError(f"unknown equality column {exc}") from None
+        os.makedirs(self._data_dir, exist_ok=True)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        keys_df.select(*names).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (src,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        import pyarrow.parquet as pq
+
+        n_del = pq.ParquetFile(src).metadata.num_rows
+        dst = os.path.join(
+            self._data_dir, f"{uuid.uuid4().hex}-eqdeletes.parquet"
+        )
+        shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dst, n_del, eq_ids
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        delete_keys: DataFrame | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """MERGE — the reference's Iceberg write (reference
+        icberg/iceberg_tables.py:143-146 ``MERGE INTO ... WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``) emitted as
+        ONE overwrite snapshot, merge-on-read: an equality-delete
+        manifest over the batch's key tuples (∪ ``delete_keys``) plus a
+        data manifest with the batch's rows, both at the snapshot's
+        sequence number. The reader's STRICTLY-LESS sequence gate makes
+        this atomic pair exactly upsert semantics — the delete hits
+        every EARLIER data file's matching rows while this snapshot's
+        own inserts survive. This is the Flink-sink upsert shape.
+
+        Scale: write cost is O(batch) — no table scan, no file
+        rewrite; the read-side cost is one broadcast anti-join per
+        equality-column set, reclaimed by :meth:`compact`. Callers
+        dedupe ``source`` to one row per key (operators/cdc.py does).
+        """
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json, all_schemas = self._resolve_batch_schema(
+            source, prev, merge_schema
+        )
+        keys = list(keys)
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in source columns")
+        kill = source.select(*keys)
+        if delete_keys is not None:
+            kill = kill.unionByName(delete_keys.select(*keys))
+        if kill.isEmpty():
+            return prev["current-snapshot-id"]  # no-op
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = self._identity_partition_by(spec_fields)
+        pcols = self._partition_cols(
+            _iceberg_type_to_spark(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            partition_by,
+        )
+        sid, seq = self._next_ids(prev)
+        dst, n_del, eq_ids = self._stage_eq_delete_file(
+            kill, keys, schema_json
+        )
+        null_pv = {n: None for n, _ in pcols}
+        del_entry = self._entry(
+            dst, null_pv, n_del, os.path.getsize(dst),
+            _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
+        )
+        del_manifest = self._write_manifest(
+            [del_entry], pcols, sid, seq, schema_json, content=1
+        )
+        manifests = self._manifest_list_of(prev) + [del_manifest]
+        staged = self._stage_data_files(source, pcols)
+        if staged:
+            data_entries = [
+                self._entry(
+                    p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                    col_stats=fstats, schema_json=schema_json,
+                )
+                for p, pv, rows, size, fstats in staged
+            ]
+            manifests.append(
+                self._write_manifest(
+                    data_entries, pcols, sid, seq, schema_json
+                )
+            )
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+            metadata={"format-version": "2"},
+        )
+        self._commit_metadata(
+            prev, schema_json, pcols, sid, seq, ml_path, "overwrite",
+            all_schemas=all_schemas,
+        )
+        return sid
+
     def equality_delete(
         self, keys_df: DataFrame, equality_cols: Sequence[str] | None = None
     ) -> int:
@@ -1667,27 +1791,11 @@ class IcebergTableWriter:
             partition_by,
         )
         names = list(equality_cols or keys_df.columns)
-        ids_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
-        try:
-            eq_ids = [ids_by_name[n] for n in names]
-        except KeyError as exc:
-            raise ValueError(f"unknown equality column {exc}") from None
         if keys_df.isEmpty():
             return prev["current-snapshot-id"]
-        os.makedirs(self._data_dir, exist_ok=True)
-        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
-        keys_df.select(*names).distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        (src,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        import pyarrow.parquet as pq
-
-        n_del = pq.ParquetFile(src).metadata.num_rows
-        dst = os.path.join(
-            self._data_dir, f"{uuid.uuid4().hex}-eqdeletes.parquet"
+        dst, n_del, eq_ids = self._stage_eq_delete_file(
+            keys_df, names, schema_json
         )
-        shutil.move(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
         sid, seq = self._next_ids(prev)
         null_pv = {n: None for n, _ in pcols}
         entry = self._entry(

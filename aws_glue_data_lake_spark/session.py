@@ -36,6 +36,13 @@ _BASE_CONF: dict[str, str] = {
     # micros-only, so nanos surface as int64 epoch-nanoseconds (exactly
     # ordered, exactly comparable to DuckDB's epoch_ns(ts)).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+    # columns carry NO parquet min/max statistics, which blinds every
+    # footer-stats consumer (lake stat_cols, Delta add.stats, Iceberg
+    # manifest bounds) and with them the CDC manifest-only watermark
+    # and file-skipping. Micros is also what delta-spark and Iceberg
+    # writers emit.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Long-lived sessions run hundreds of queries (the bench suite, the
     # driver's correctness sweep): the UI server and its listeners retain
     # per-execution plan graphs and job/stage data for all of them, which

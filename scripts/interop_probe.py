@@ -212,6 +212,49 @@ def main() -> int:
     assert len(isnap.files) == args.commits
     assert ir.to_df(spark).count() == args.commits * 100
 
+    # -- MERGE at file-count scale ----------------------------------------
+    # Delta: copy-on-write MERGE must rewrite only the files whose
+    # add.stats key-range overlaps the batch — on a range-laid-out
+    # table, a narrow batch touches O(1) of the files.
+    mpath = os.path.join(root, "delta_merge")
+    mw = DeltaTableWriter(mpath)
+    big = (
+        spark.range(0, 40_000)
+        .selectExpr("id as k", "id * 2 as v")
+        .repartitionByRange(32, "k")
+        .sortWithinPartitions("k")
+    )
+    mw.create(big)
+    src = spark.range(100, 200).selectExpr("id as k", "id * 100 as v")
+    t0 = time.perf_counter()
+    mv = mw.merge(spark, src, keys=["k"])
+    out["delta_merge_narrow_batch_s"] = round(time.perf_counter() - t0, 4)
+    with open(
+        os.path.join(mpath, "_delta_log", f"{mv:020d}.json")
+    ) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    out["delta_merge_files_rewritten"] = sum(1 for a in acts if "remove" in a)
+    out["delta_merge_files_total"] = 32
+    assert out["delta_merge_files_rewritten"] <= 4  # stats pruning works
+    mr = DeltaTableReader(mpath)
+    assert mr.to_df(spark).count() == 40_000
+
+    # Iceberg: merge-on-read MERGE is O(batch) — no data file is
+    # rewritten regardless of table size; the snapshot grows by the
+    # batch's files plus one equality-delete file.
+    files_before = len(ir.snapshot().files)
+    t0 = time.perf_counter()
+    iw.merge(
+        spark.range(0, 100).selectExpr("id as k").coalesce(1), keys=["k"]
+    )
+    out["iceberg_merge_batch_s"] = round(time.perf_counter() - t0, 4)
+    isnap2 = ir.snapshot()
+    out["iceberg_merge_data_files_added"] = (
+        len(isnap2.files) - files_before
+    )
+    assert out["iceberg_merge_data_files_added"] == 1  # never a rewrite
+    assert ir.to_df(spark).count() == args.commits * 100
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
     return 0

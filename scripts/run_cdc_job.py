@@ -37,15 +37,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 log = logging.getLogger("run_cdc_job")
 
 
+def make_target(spark, table_path: str, fmt: str = "lake"):
+    """Pick the CDC sink: the versioned lake table (default) or a REAL
+    Delta / Iceberg table via the jar-free format-compat writers — the
+    reference's two actual destinations (delta/delta_tables.py:159-160,
+    icberg/iceberg_tables.py:143-146)."""
+    if fmt == "lake":
+        from aws_glue_data_lake_spark.lake import LakeTable
+
+        return LakeTable(table_path)
+    if fmt == "delta":
+        from aws_glue_data_lake_spark.targets import DeltaTarget
+
+        return DeltaTarget(table_path, spark)
+    if fmt == "iceberg":
+        from aws_glue_data_lake_spark.targets import IcebergTarget
+
+        return IcebergTarget(table_path, spark)
+    raise ValueError(f"unknown --format {fmt!r} (lake|delta|iceberg)")
+
+
 def run_job(
     spark,
     source_path: str,
     table_path: str,
     keys: list[str],
     date_col: str,
+    fmt: str = "lake",
 ) -> dict:
     """One CDC job run; returns a small result summary (rows, mode)."""
-    from aws_glue_data_lake_spark.lake import LakeTable
     from aws_glue_data_lake_spark.operators.cdc import (
         drop_columns,
         get_partition_cols,
@@ -66,7 +86,7 @@ def run_job(
         df = with_ts_us(df, date_col)
         sentinel = _SENTINEL_US
 
-    table = LakeTable(table_path)
+    table = make_target(spark, table_path, fmt)
     existed = table.exists()
     # merge_cdc_batch IS the reference's full-vs-incremental branch
     # (destination probe → full load CTAS | watermark+dedup+delete merge),
@@ -92,6 +112,13 @@ def main() -> int:
     ap.add_argument("--table", required=True, help="destination lake table root")
     ap.add_argument("--keys", required=True, help="comma-separated primary key")
     ap.add_argument("--date-col", default="ts", help="event-time column")
+    ap.add_argument(
+        "--format",
+        default="lake",
+        choices=("lake", "delta", "iceberg"),
+        help="destination table format (real Delta/Iceberg via the "
+        "jar-free compat writers, like the reference's two scripts)",
+    )
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
@@ -99,7 +126,12 @@ def main() -> int:
 
     spark = get_spark("cdc-job", cpus=args.cpus)
     out = run_job(
-        spark, args.source, args.table, args.keys.split(","), args.date_col
+        spark,
+        args.source,
+        args.table,
+        args.keys.split(","),
+        args.date_col,
+        fmt=args.format,
     )
     print(out)
     return 0

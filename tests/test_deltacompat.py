@@ -124,10 +124,17 @@ def test_create_twice_raises(spark, tmp_path):
 BUCKETS = st.sampled_from(["a", "b", "c"])
 ROW = st.tuples(st.integers(0, 50), BUCKETS, st.integers(-100, 100))
 # an op is ("append", rows) | ("overwrite", bucket, rows-in-bucket)
+# | ("merge", key-unique rows): kill every copy of each key, insert row
 OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.lists(ROW, min_size=1, max_size=3)),
         st.tuples(st.just("overwrite"), BUCKETS, st.lists(ROW, max_size=2)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]
+            ),
+        ),
     ),
     min_size=1,
     max_size=5,
@@ -159,6 +166,15 @@ def test_commit_sequences_match_list_model(spark, tmp_path_factory, ops, cp_afte
             rows = op[1]
             w.append(spark.createDataFrame(rows, "k long, bucket string, v long"))
             model.extend(rows)
+        elif op[0] == "merge":
+            rows = op[1]
+            w.merge(
+                spark,
+                spark.createDataFrame(rows, "k long, bucket string, v long"),
+                keys=["k"],
+            )
+            ks = {k for k, _, _ in rows}
+            model = [r for r in model if r[0] not in ks] + rows
         else:
             bucket, rows = op[1], op[2]
             rows = [(k, bucket, v) for k, _, v in rows]
@@ -968,3 +984,118 @@ def test_restore_refuses_vacuumed_targets(spark, tmp_path):
     assert r2.to_df(spark).count() == 8  # current state intact
     with pytest.raises(FileNotFoundError, match="deletion\\s+vector|deletion "):
         w2.restore(1)
+
+
+def _commit_actions(path, version):
+    with open(
+        os.path.join(path, "_delta_log", f"{version:020d}.json")
+    ) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_merge_upsert_with_file_pruning(spark, tmp_path):
+    """MERGE rewrites ONLY files whose add.stats key-range overlaps the
+    batch (delta-spark's file-pruning move); untouched files are carried
+    with no remove/add action. Semantics = whenMatchedUpdateAll +
+    whenNotMatchedInsertAll + delete_keys (whenMatchedDelete)."""
+    path = str(tmp_path / "dm")
+    w = DeltaTableWriter(path)
+    low = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30)],
+        "k long, bucket string, v long",
+    ).coalesce(1)
+    w.create(low)                                                     # v0
+    high = spark.createDataFrame(
+        [(100, "b", 1000), (101, "b", 1010)],
+        "k long, bucket string, v long",
+    ).coalesce(1)
+    w.append(high)                                                    # v1
+    src = spark.createDataFrame(
+        [(100, "b", 9999), (200, "c", 2000)],
+        "k long, bucket string, v long",
+    )
+    dels = spark.createDataFrame([(101,)], "k long")
+    v = w.merge(spark, src, keys=["k"], delete_keys=dels)             # v2
+    assert v == 2
+    r = DeltaTableReader(path)
+    assert _rows(spark, r) == [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        (100, "b", 9999), (200, "c", 2000),
+    ]
+    # the low-range file (k max 3) never overlapped keys {100,101,200}:
+    # it must NOT appear in the MERGE commit's remove actions
+    acts = _commit_actions(path, 2)
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 1  # only the high file was rewritten
+    v0_adds = [
+        a["add"]["path"] for a in _commit_actions(path, 0) if "add" in a
+    ]
+    assert set(removed).isdisjoint(v0_adds)
+    ops = [
+        a["commitInfo"]["operation"] for a in acts if "commitInfo" in a
+    ]
+    assert ops == ["MERGE"]
+
+
+def test_merge_folds_deletion_vectors(spark, tmp_path):
+    """A MERGE that touches a DV-carrying file rewrites it clean: the
+    re-added file has no deletionVector descriptor and the DV'd rows
+    stay gone."""
+    path = str(tmp_path / "dmdv")
+    w = DeltaTableWriter(path)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30)],
+        "k long, bucket string, v long",
+    ).coalesce(1)
+    w.create(df)                                                      # v0
+    w.delete_where(spark, "k = 2")                                    # v1 (DV)
+    v = w.merge(
+        spark,
+        spark.createDataFrame([(3, "a", 99)], "k long, bucket string, v long"),
+        keys=["k"],
+    )                                                                 # v2
+    r = DeltaTableReader(path)
+    assert _rows(spark, r) == [(1, "a", 10), (3, "a", 99)]
+    snap = r.snapshot()
+    assert all(dv is None for _, _, dv in snap.files)
+    assert v == 2
+
+
+def test_merge_schema_evolution_and_guards(spark, tmp_path):
+    path = str(tmp_path / "dme")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10)], "k long, bucket string, v long"
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "b", 20, "x")], "k long, bucket string, v long, note string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        w.merge(spark, src, keys=["k"])
+    w.merge(spark, src, keys=["k"], merge_schema=True)
+    r = DeltaTableReader(path)
+    got = sorted(
+        (x["k"], x["note"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, "x")]
+    # appendOnly refuses MERGE (it removes files)
+    w.set_append_only(True)
+    with pytest.raises(ValueError, match="appendOnly"):
+        w.merge(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 9, "y")],
+                "k long, bucket string, v long, note string",
+            ),
+            keys=["k"],
+        )
+    # empty merge is a no-op at the current version
+    w.set_append_only(False)
+    r2 = DeltaTableReader(path)
+    tip = r2.latest_version()
+    empty = spark.createDataFrame(
+        [], "k long, bucket string, v long, note string"
+    )
+    assert w.merge(spark, empty, keys=["k"]) == tip

@@ -831,3 +831,141 @@ def test_post_rollback_commit_gets_fresh_snapshot_id(spark, tmp_path):
     # the rolled-past snapshot still resolves to ITS state
     assert sorted(x.k for x in r.to_df(spark, snapshot_id=sid2).collect()) == [1, 2]
     assert sorted(x.k for x in r.to_df(spark, snapshot_id=sid3).collect()) == [1, 3]
+
+
+def test_merge_single_snapshot_upsert(spark, tmp_path):
+    """MERGE commits ONE overwrite snapshot holding both the
+    equality-delete manifest and the data manifest at the same sequence
+    number; the reader's strictly-less gate makes the pair an atomic
+    upsert (reference icberg/iceberg_tables.py:143-146 MERGE INTO)."""
+    path = str(tmp_path / "im")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k long, bucket string, v long",
+        )
+    )
+    n_before = len(r.history())
+    src = spark.createDataFrame(
+        [(2, "b", 9999), (4, "c", 40)], "k long, bucket string, v long"
+    )
+    dels = spark.createDataFrame([(3,)], "k long")
+    w.merge(src, keys=["k"], delete_keys=dels)
+    assert _rows(spark, r) == [(1, "a", 10), (2, "b", 9999), (4, "c", 40)]
+    hist = r.history()  # newest first
+    assert len(hist) == n_before + 1  # exactly one snapshot for the MERGE
+    assert hist[0]["operation"] == "overwrite"
+    # prior snapshot still reads pre-merge rows (time travel intact)
+    assert _rows(spark, r, snapshot_id=hist[-1]["snapshot_id"]) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30)
+    ]
+
+
+def test_merge_sequence_gate_chain(spark, tmp_path):
+    """Each MERGE's delete applies only to earlier-sequence data files:
+    a second MERGE updates the first MERGE's inserts, and the first
+    MERGE's own inserts were never eaten by its own delete file."""
+    path = str(tmp_path / "imc")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long")
+    )
+    w.merge(
+        spark.createDataFrame(
+            [(1, "a", 2), (5, "e", 50)], "k long, bucket string, v long"
+        ),
+        keys=["k"],
+    )
+    assert _rows(spark, r) == [(1, "a", 2), (5, "e", 50)]
+    w.merge(
+        spark.createDataFrame(
+            [(5, "e", 51)], "k long, bucket string, v long"
+        ),
+        keys=["k"],
+    )
+    assert _rows(spark, r) == [(1, "a", 2), (5, "e", 51)]
+    # compact folds the delete files away and preserves the rows
+    w.compact(spark)
+    assert _rows(spark, r) == [(1, "a", 2), (5, "e", 51)]
+
+
+def test_merge_schema_evolution_and_noop(spark, tmp_path):
+    path = str(tmp_path / "ime")
+    w = IcebergTableWriter(path)
+    r = w.create(
+        spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long")
+    )
+    src = spark.createDataFrame(
+        [(2, "b", 2, "x")], "k long, bucket string, v long, note string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        w.merge(src, keys=["k"])
+    w.merge(src, keys=["k"], merge_schema=True)
+    got = sorted(
+        (x["k"], x["note"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, "x")]
+    tip = r.snapshot().snapshot_id
+    empty = spark.createDataFrame(
+        [], "k long, bucket string, v long, note string"
+    )
+    assert w.merge(empty, keys=["k"]) == tip
+
+
+I_ROW = st.tuples(
+    st.integers(0, 50),
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(-100, 100),
+)
+# an op is ("append", rows) | ("merge", key-unique rows): merge kills
+# every earlier copy of each key (equality delete) and inserts the row
+I_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(I_ROW, min_size=1, max_size=3)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(I_ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=I_OPS, compact_after=st.integers(0, 3))
+def test_merge_append_sequences_match_list_model(
+    spark, tmp_path_factory, ops, compact_after
+):
+    """Any append/merge sequence — with a compact() dropped at an
+    arbitrary point — must read back as the same multiset of rows as a
+    trivial list model: the sequence-number gate, equality-delete
+    scoping, and compaction's delete-folding composed under sequence
+    depth."""
+    tmp = str(tmp_path_factory.mktemp("ice_prop") / "t")
+    w = IcebergTableWriter(tmp)
+    base = [(0, "a", 0), (1, "b", 1)]
+    w.create(spark.createDataFrame(base, "k long, bucket string, v long"))
+    model = list(base)
+    r = IcebergTableReader(tmp)
+    for i, op in enumerate(ops):
+        rows = op[1]
+        df = spark.createDataFrame(rows, "k long, bucket string, v long")
+        if op[0] == "append":
+            w.append(df)
+            model.extend(rows)
+        else:
+            w.merge(df, keys=["k"])
+            ks = {k for k, _, _ in rows}
+            model = [x for x in model if x[0] not in ks] + rows
+        if i == compact_after:
+            w.compact(spark)
+        assert _rows(spark, r) == sorted(model), f"after op {i} {op[0]}"
