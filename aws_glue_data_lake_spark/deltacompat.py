@@ -659,11 +659,37 @@ class DeltaTableReader:
         return finish(df)
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A read-dependent commit (MERGE / DELETE / OPTIMIZE / RESTORE /
+    overwrite) lost the version race to a commit it may have needed to
+    read. The table is untouched — re-run the operation against the new
+    tip. Blind appends never raise this: they re-validate and retry
+    automatically (see :meth:`DeltaTableWriter.append`)."""
+
+
+# Delta's OptimisticTransaction retries a handful of times before
+# surfacing a conflict; 10 covers any realistic same-table writer fleet
+# without masking a livelock.
+_MAX_COMMIT_RETRIES = 10
+
+
 class DeltaTableWriter:
     """Emit the Delta transaction-log protocol: create / append /
     overwrite commits plus classic parquet checkpoints. Commits are
     O_EXCL-atomic on the version file, the same optimistic-concurrency
-    primitive the protocol specifies for a filesystem log store."""
+    primitive the protocol specifies for a filesystem log store.
+
+    Concurrency model (delta-spark's ConflictChecker, conservatively):
+    a blind ``append`` that loses the version race re-reads the new
+    snapshot, re-validates constraints/schema against it, and retries at
+    the next version — two concurrent appenders both succeed, exactly
+    like delta-spark. Read-dependent operations (``merge``,
+    ``delete_where``, ``overwrite_partition``, ``optimize``,
+    ``restore``, property changes) raise
+    :class:`ConcurrentModificationError` on any collision instead of
+    guessing whether the winner invalidated their read set — strict
+    Serializable, never wrong data; the caller re-runs against the new
+    tip."""
 
     def __init__(self, path: str):
         self.path = path
@@ -742,6 +768,25 @@ class DeltaTableWriter:
         finally:
             os.close(fd)
 
+    def _commit_read_dependent(
+        self, version: int, actions: list[dict], operation: str
+    ) -> None:
+        """Commit for operations whose actions depend on what they READ
+        (merge/delete/optimize/restore/metadata changes): a version-race
+        loss means the winning commit may have added or removed rows the
+        operation matched, so retrying the staged actions could silently
+        drop the winner's data. Surface the conflict instead."""
+        try:
+            self._commit(version, actions, operation)
+        except FileExistsError:
+            latest = DeltaTableReader(self.path).snapshot().version
+            raise ConcurrentModificationError(
+                f"{operation} on {self.path} prepared against version "
+                f"{version - 1} but version(s) {version}..{latest} were "
+                "committed concurrently; its read set may be stale — "
+                "re-run the operation against the new table state"
+            ) from None
+
     def _meta_actions(
         self, schema: StructType, partition_by: Sequence[str]
     ) -> list[dict]:
@@ -814,7 +859,7 @@ class DeltaTableWriter:
         conf[f"delta.constraints.{name}"] = expr
         meta["configuration"] = conf
         v = snap.version + 1
-        self._commit(
+        self._commit_read_dependent(
             v,
             [
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
@@ -835,7 +880,7 @@ class DeltaTableWriter:
         conf["delta.appendOnly"] = "true" if value else "false"
         meta["configuration"] = conf
         v = snap.version + 1
-        self._commit(
+        self._commit_read_dependent(
             v, [{"metaData": meta}], operation="SET TBLPROPERTIES"
         )
         return v
@@ -878,15 +923,34 @@ class DeltaTableWriter:
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append a batch (see :meth:`_schema_evolution_actions` for the
-        mergeSchema contract)."""
-        r = DeltaTableReader(self.path)
-        snap = r.snapshot()
-        self._check_constraints(df, snap.configuration)
-        actions, _ = self._schema_evolution_actions(df, snap, merge_schema)
-        adds = self._stage_files(df, snap.partition_columns)
-        v = snap.version + 1
-        self._commit(v, actions + [{"add": a} for a in adds])
-        return v
+        mergeSchema contract).
+
+        Blind appends read nothing, so losing the commit race is never a
+        logical conflict: data files are staged ONCE (partition layout is
+        immutable in Delta, so they stay valid), then each attempt
+        re-reads the tip snapshot, re-validates CHECK constraints and
+        schema against it (the winner may have added a constraint or
+        evolved the schema), and retries at the next version — the
+        protocol's optimistic-transaction loop."""
+        adds: list[dict] | None = None
+        for _ in range(_MAX_COMMIT_RETRIES):
+            snap = DeltaTableReader(self.path).snapshot()
+            self._check_constraints(df, snap.configuration)
+            actions, _ = self._schema_evolution_actions(
+                df, snap, merge_schema
+            )
+            if adds is None:
+                adds = self._stage_files(df, snap.partition_columns)
+            v = snap.version + 1
+            try:
+                self._commit(v, actions + [{"add": a} for a in adds])
+                return v
+            except FileExistsError:
+                continue
+        raise ConcurrentModificationError(
+            f"append to {self.path} lost the commit race "
+            f"{_MAX_COMMIT_RETRIES} times in a row"
+        )
 
     def merge(
         self,
@@ -993,7 +1057,7 @@ class DeltaTableWriter:
         ]
         adds = self._stage_files(out, snap.partition_columns)
         v = snap.version + 1
-        self._commit(
+        self._commit_read_dependent(
             v,
             actions + removes + [{"add": a} for a in adds],
             operation="MERGE",
@@ -1020,7 +1084,7 @@ class DeltaTableWriter:
         ]
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
-        self._commit(
+        self._commit_read_dependent(
             v, removes + [{"add": a} for a in adds], operation="WRITE"
         )
         return v
@@ -1182,7 +1246,7 @@ class DeltaTableWriter:
             for p, _, _ in snap.files
         ]
         v = snap.version + 1
-        self._commit(
+        self._commit_read_dependent(
             v, removes + [{"add": a} for a in adds], operation="OPTIMIZE"
         )
         return v
@@ -1386,7 +1450,7 @@ class DeltaTableWriter:
                 }
             )
         v = snap.version + 1
-        self._commit(v, actions, operation="DELETE")
+        self._commit_read_dependent(v, actions, operation="DELETE")
         return v
 
     def restore(self, version: int) -> int:
@@ -1473,7 +1537,7 @@ class DeltaTableWriter:
                 }
             )
         v = cur.version + 1
-        self._commit(v, actions, operation="RESTORE")
+        self._commit_read_dependent(v, actions, operation="RESTORE")
         return v
 
     def vacuum(self) -> list[str]:

@@ -42,6 +42,14 @@ from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+# One optimistic-concurrency conflict type across both format writers:
+# targets.py / run_cdc_job.py catch a single exception regardless of
+# which format the CDC sink targets.
+from aws_glue_data_lake_spark.deltacompat import (  # noqa: E402
+    ConcurrentModificationError,
+    _MAX_COMMIT_RETRIES,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -1225,6 +1233,25 @@ class IcebergTableWriter:
         with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
 
+    def _commit_metadata_strict(self, *args, **kwargs) -> None:
+        """Commit for READ-dependent operations (overwrite / delete /
+        merge / compact): losing the Hadoop-catalog version race means
+        the winning snapshot may contain rows this operation should have
+        matched, so replaying the staged manifests could silently undo
+        the winner. Surface the conflict; the caller re-runs against the
+        new tip. (Appends retry automatically — see :meth:`append`.)"""
+        op = kwargs.get("operation") or (
+            args[6] if len(args) > 6 else "commit"
+        )
+        try:
+            self._commit_metadata(*args, **kwargs)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"{op} on {self.path} lost the metadata version race; "
+                "its read set may be stale — re-run against the new "
+                "table state"
+            ) from None
+
     def _load_prev(self) -> dict | None:
         try:
             r = IcebergTableReader(self.path)
@@ -1382,44 +1409,65 @@ class IcebergTableWriter:
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append a batch (see :meth:`_resolve_batch_schema` for the
-        mergeSchema contract)."""
-        prev = self._load_prev()
-        if prev is None:
-            raise FileNotFoundError(f"no Iceberg table at {self.path}")
-        schema_json, all_schemas = self._resolve_batch_schema(
-            df, prev, merge_schema
-        )
-        spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
-            _iceberg_type_to_spark(
-                {"type": "struct", "fields": schema_json["fields"]}
-            ),
-            partition_by,
-        )
-        sid, seq = self._next_ids(prev)
-        staged = self._stage_data_files(df, pcols)
-        entries = [
-            self._entry(
-                p, pv, rows, size, _STATUS_ADDED, sid, seq,
-                col_stats=fstats, schema_json=schema_json,
+        mergeSchema contract).
+
+        Fast-append commit retry (Iceberg's SnapshotProducer loop): an
+        append reads nothing, so losing the Hadoop-catalog version race
+        is never a logical conflict. Data files are staged ONCE; each
+        attempt re-loads the tip metadata, re-validates the batch schema
+        against it (a concurrent writer may have evolved it), re-issues
+        snapshot/sequence ids past the new tip, rebuilds the (tiny)
+        manifest + manifest list, and retries the O_EXCL metadata swap —
+        two concurrent appenders both land, in some serial order."""
+        staged = None
+        for _ in range(_MAX_COMMIT_RETRIES):
+            prev = self._load_prev()
+            if prev is None:
+                raise FileNotFoundError(f"no Iceberg table at {self.path}")
+            schema_json, all_schemas = self._resolve_batch_schema(
+                df, prev, merge_schema
             )
-            for p, pv, rows, size, fstats in staged
-        ]
-        ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
-        manifests = self._manifest_list_of(prev) + [ml_entry]
-        ml_path = os.path.join(
-            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            spec_fields = prev["partition-specs"][0]["fields"]
+            partition_by = self._identity_partition_by(spec_fields)
+            pcols = self._partition_cols(
+                _iceberg_type_to_spark(
+                    {"type": "struct", "fields": schema_json["fields"]}
+                ),
+                partition_by,
+            )
+            sid, seq = self._next_ids(prev)
+            if staged is None:
+                staged = self._stage_data_files(df, pcols)
+            entries = [
+                self._entry(
+                    p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                    col_stats=fstats, schema_json=schema_json,
+                )
+                for p, pv, rows, size, fstats in staged
+            ]
+            ml_entry = self._write_manifest(
+                entries, pcols, sid, seq, schema_json
+            )
+            manifests = self._manifest_list_of(prev) + [ml_entry]
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+                metadata={"format-version": "2"},
+            )
+            try:
+                self._commit_metadata(
+                    prev, schema_json, pcols, sid, seq, ml_path, "append",
+                    all_schemas=all_schemas,
+                )
+                return sid
+            except FileExistsError:
+                continue
+        raise ConcurrentModificationError(
+            f"append to {self.path} lost the commit race "
+            f"{_MAX_COMMIT_RETRIES} times in a row"
         )
-        write_container(
-            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
-            metadata={"format-version": "2"},
-        )
-        self._commit_metadata(
-            prev, schema_json, pcols, sid, seq, ml_path, "append",
-            all_schemas=all_schemas,
-        )
-        return sid
 
     def overwrite_partition(self, df: DataFrame, **partition) -> int:
         """Replace one partition: prior manifests are REWRITTEN with the
@@ -1490,7 +1538,7 @@ class IcebergTableWriter:
             ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
             metadata={"format-version": "2"},
         )
-        self._commit_metadata(
+        self._commit_metadata_strict(
             prev, schema_json, pcols, sid, seq, ml_path, "overwrite"
         )
         return sid
@@ -1575,7 +1623,7 @@ class IcebergTableWriter:
             ml_path, _MANIFEST_LIST_SCHEMA, manifests,
             metadata={"format-version": "2"},
         )
-        self._commit_metadata(
+        self._commit_metadata_strict(
             prev, schema_json, pcols, sid, seq, ml_path, "delete"
         )
         return sid
@@ -1757,7 +1805,7 @@ class IcebergTableWriter:
             ml_path, _MANIFEST_LIST_SCHEMA, manifests,
             metadata={"format-version": "2"},
         )
-        self._commit_metadata(
+        self._commit_metadata_strict(
             prev, schema_json, pcols, sid, seq, ml_path, "overwrite",
             all_schemas=all_schemas,
         )
@@ -1813,7 +1861,7 @@ class IcebergTableWriter:
             ml_path, _MANIFEST_LIST_SCHEMA, manifests,
             metadata={"format-version": "2"},
         )
-        self._commit_metadata(
+        self._commit_metadata_strict(
             prev, schema_json, pcols, sid, seq, ml_path, "delete"
         )
         return sid
@@ -1858,10 +1906,33 @@ class IcebergTableWriter:
             ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
             metadata={"format-version": "2"},
         )
-        self._commit_metadata(
+        self._commit_metadata_strict(
             prev, schema_json, pcols, sid, seq, ml_path, "replace"
         )
         return sid
+
+    def _swap_metadata(self, prev: dict, meta: dict, op: str) -> int:
+        """Metadata-only version swap (rollback / tag / expire): these
+        READ ``prev`` and rewrite it, so a lost version race means the
+        rewrite is stale — surface it, never clobber."""
+        version = prev["__version"] + 1
+        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"{op} on {self.path} lost the metadata version race; "
+                "re-run against the new table state"
+            ) from None
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(
+            os.path.join(self._meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(version))
+        return version
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Iceberg's rollback_to_snapshot: a metadata-only commit that
@@ -1881,15 +1952,7 @@ class IcebergTableWriter:
         refs = dict(meta.get("refs", {}))
         refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
         meta["refs"] = refs
-        version = prev["__version"] + 1
-        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, json.dumps(meta, indent=1).encode())
-        finally:
-            os.close(fd)
-        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
-            f.write(str(version))
+        self._swap_metadata(prev, meta, "rollback_to")
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Pin a snapshot under a named ref (spec § refs, type=tag) —
@@ -1913,15 +1976,7 @@ class IcebergTableWriter:
         refs = dict(meta.get("refs", {}))
         refs[name] = {"snapshot-id": sid, "type": "tag"}
         meta["refs"] = refs
-        version = prev["__version"] + 1
-        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, json.dumps(meta, indent=1).encode())
-        finally:
-            os.close(fd)
-        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
-            f.write(str(version))
+        self._swap_metadata(prev, meta, "create_tag")
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the ``keep_last`` most recent snapshots from the
@@ -1996,15 +2051,7 @@ class IcebergTableWriter:
             e for e in meta.get("snapshot-log", ())
             if e["snapshot-id"] in keep_ids
         ]
-        version = prev["__version"] + 1
-        target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, json.dumps(meta, indent=1).encode())
-        finally:
-            os.close(fd)
-        with open(os.path.join(self._meta_dir, "version-hint.text"), "w") as f:
-            f.write(str(version))
+        self._swap_metadata(prev, meta, "expire_snapshots")
         return removed
 
     def _abs_under_root(self, p: str) -> str | None:

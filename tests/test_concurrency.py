@@ -1,0 +1,275 @@
+"""Optimistic-concurrency semantics of the format-compat writers.
+
+The Delta protocol's filesystem log store commits via put-if-absent on
+the next version file; Iceberg's Hadoop catalog does the same on
+``vN.metadata.json``. Two writer classes of behavior are contract:
+
+- BLIND APPENDS retry: a losing appender re-reads the tip, re-validates
+  constraints/schema against it, and lands at the next version — two
+  concurrent appenders both succeed (delta-spark OptimisticTransaction /
+  Iceberg fast-append SnapshotProducer).
+- READ-DEPENDENT operations (merge / delete / overwrite / optimize /
+  rollback / tag / expire) raise ConcurrentModificationError on any
+  version race: the winner may have changed the rows they matched, so
+  replaying staged actions could silently undo the winner's commit.
+
+Races are forced two ways: deterministically (an instance-patched hook
+lands a competitor commit between the victim's snapshot read and its
+commit) and stochastically (threads hammering one table; the session is
+thread-safe for job submission and O_EXCL is atomic across threads).
+"""
+
+import os
+import threading
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_data_lake_spark.deltacompat import (
+    ConcurrentModificationError,
+    DeltaTableReader,
+    DeltaTableWriter,
+)
+from aws_glue_data_lake_spark.icebergcompat import (
+    IcebergTableReader,
+    IcebergTableWriter,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(tag).alias("src"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+
+
+def test_delta_append_retries_past_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 5, "base"))
+
+    # Land a competitor append between w1's snapshot read and its commit:
+    # the first _commit call on w1 first lets a FRESH writer win the race.
+    orig = DeltaTableWriter._commit
+    state = {"raced": False}
+
+    def racy(self, version, actions, operation="WRITE"):
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaTableWriter(path).append(_df(spark, 100, 103, "winner"))
+        return orig(self, version, actions, operation)
+
+    w1._commit = types.MethodType(racy, w1)
+    v = w1.append(_df(spark, 10, 14, "loser"))
+
+    assert state["raced"]
+    assert v == 2  # winner took 1, the retry landed at 2
+    rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    assert counts == {"base": 5, "winner": 3, "loser": 4}
+
+
+def test_delta_append_revalidates_constraints_added_by_winner(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 5, "base"))
+
+    orig = DeltaTableWriter._commit
+    state = {"raced": False}
+
+    def racy(self, version, actions, operation="WRITE"):
+        if not state["raced"]:
+            state["raced"] = True
+            # winner adds a CHECK the pending batch violates
+            DeltaTableWriter(path).set_constraint("small_k", "k < 50")
+        return orig(self, version, actions, operation)
+
+    w1._commit = types.MethodType(racy, w1)
+    with pytest.raises(ValueError, match="small_k"):
+        w1.append(_df(spark, 100, 103, "loser"))
+    # nothing landed: tip is the winner's metadata commit, data unchanged
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.version == 1
+    assert DeltaTableReader(path).to_df(spark).count() == 5
+
+
+def test_delta_merge_conflict_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base"))
+
+    orig = DeltaTableWriter._stage_files
+    state = {"raced": False}
+
+    def racy_stage(self, df, partition_by):
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaTableWriter(path).append(_df(spark, 200, 203, "winner"))
+        return orig(self, df, partition_by)
+
+    w1._stage_files = types.MethodType(racy_stage, w1)
+    src = _df(spark, 0, 3, "upd")
+    with pytest.raises(ConcurrentModificationError, match="MERGE"):
+        w1.merge(spark, src, keys=["k"])
+    # the failed merge left no commit and no phantom rows
+    rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    assert counts == {"base": 20, "winner": 3}
+
+
+def test_delta_threaded_appenders_all_land(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTableWriter(path).create(_df(spark, 0, 1, "base"))
+    n_threads, per_thread = 4, 2
+    errs = []
+
+    def work(i):
+        try:
+            for j in range(per_thread):
+                lo = 1000 * i + 10 * j
+                DeltaTableWriter(path).append(
+                    _df(spark, lo, lo + 2, f"t{i}")
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.version == n_threads * per_thread  # contiguous versions
+    df = DeltaTableReader(path).to_df(spark)
+    assert df.count() == 1 + n_threads * per_thread * 2
+    per_src = {
+        r["src"]: r["count"]
+        for r in df.groupBy("src").count().collect()
+    }
+    assert all(per_src[f"t{i}"] == per_thread * 2 for i in range(n_threads))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_append_retries_past_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = IcebergTableWriter(path)
+    w1.create(_df(spark, 0, 5, "base"))
+
+    orig = IcebergTableWriter._stage_data_files
+    state = {"raced": False}
+
+    def racy_stage(self, df, pcols):
+        if not state["raced"]:
+            state["raced"] = True
+            IcebergTableWriter(path).append(_df(spark, 100, 103, "winner"))
+        return orig(self, df, pcols)
+
+    w1._stage_data_files = types.MethodType(racy_stage, w1)
+    sid = w1.append(_df(spark, 10, 14, "loser"))
+
+    assert state["raced"]
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    assert snap.snapshot_id == sid  # the retry's snapshot is current
+    counts = {
+        row["src"]: row["count"]
+        for row in r.to_df(spark).groupBy("src").count().collect()
+    }
+    assert counts == {"base": 5, "winner": 3, "loser": 4}
+    # snapshot ids stayed collision-free across the race
+    metas = r._metadata()
+    sids = [s["snapshot-id"] for s in metas["snapshots"]]
+    assert len(sids) == len(set(sids)) == 3
+
+
+def test_iceberg_delete_conflict_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = IcebergTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base"))
+
+    orig = IcebergTableWriter._write_manifest
+    state = {"raced": False}
+
+    def racy_manifest(self, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            IcebergTableWriter(path).append(_df(spark, 200, 203, "winner"))
+        return orig(self, *a, **kw)
+
+    w1._write_manifest = types.MethodType(racy_manifest, w1)
+    with pytest.raises(ConcurrentModificationError):
+        w1.delete_where(spark, "k < 3")
+    # table state is exactly base + winner, no rows deleted
+    counts = {
+        row["src"]: row["count"]
+        for row in IcebergTableReader(path)
+        .to_df(spark)
+        .groupBy("src")
+        .count()
+        .collect()
+    }
+    assert counts == {"base": 20, "winner": 3}
+
+
+def test_iceberg_threaded_appenders_all_land(spark, tmp_path):
+    path = str(tmp_path / "t")
+    IcebergTableWriter(path).create(_df(spark, 0, 1, "base"))
+    n_threads, per_thread = 4, 2
+    errs = []
+
+    def work(i):
+        try:
+            for j in range(per_thread):
+                lo = 1000 * i + 10 * j
+                IcebergTableWriter(path).append(
+                    _df(spark, lo, lo + 2, f"t{i}")
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    r = IcebergTableReader(path)
+    df = r.to_df(spark)
+    assert df.count() == 1 + n_threads * per_thread * 2
+    metas = r._metadata()
+    # every append produced a distinct snapshot in some serial order,
+    # with strictly increasing, collision-free ids and sequence numbers
+    sids = [s["snapshot-id"] for s in metas["snapshots"]]
+    seqs = [s["sequence-number"] for s in metas["snapshots"]]
+    assert len(sids) == len(set(sids)) == 1 + n_threads * per_thread
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_iceberg_metadata_swap_conflict_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(_df(spark, 0, 5, "base"))
+    w.append(_df(spark, 10, 12, "more"))
+    prev = w._load_prev()
+    # a competitor bumps the version after our read
+    w.create_tag("release")
+    sid_old = prev["snapshots"][0]["snapshot-id"]
+    meta = dict(prev)
+    meta.pop("__version", None)
+    with pytest.raises(ConcurrentModificationError, match="rollback_to"):
+        w._swap_metadata(prev, meta, "rollback_to")
+    # table unaffected: tag landed, rollback didn't
+    cur = IcebergTableReader(path)._metadata()
+    assert "release" in cur["refs"]
+    assert cur["current-snapshot-id"] != sid_old
