@@ -75,6 +75,9 @@ class DeltaSnapshot:
     #: the raw metaData action (id/schemaString/configuration/...) — what
     #: a writer must carry forward when it amends table configuration
     raw_meta: dict = None  # type: ignore[assignment]
+    #: SetTransaction state (appId -> latest committed txn version) — the
+    #: protocol's idempotent-streaming-writer bookkeeping
+    txns: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -291,7 +294,13 @@ class DeltaTableReader:
             }
         elif "remove" in action:
             state["files"].pop(action["remove"]["path"], None)
-        # commitInfo / txn / cdc / domainMetadata: not needed for a scan
+        elif "txn" in action:
+            t = action["txn"]
+            txns = state.setdefault("txns", {})
+            txns[t["appId"]] = max(
+                txns.get(t["appId"], -1), int(t["version"])
+            )
+        # commitInfo / cdc / domainMetadata: not needed for a scan
 
     @staticmethod
     def _plain(val):
@@ -314,7 +323,7 @@ class DeltaTableReader:
             rows = pq.read_table(cp).to_pylist()
             # A checkpoint row has exactly one non-null action column.
             for row in rows:
-                for key in ("metaData", "protocol", "add", "remove"):
+                for key in ("metaData", "protocol", "add", "remove", "txn"):
                     val = row.get(key)
                     if val is not None:
                         self._apply_action(state, {key: self._plain(val)})
@@ -332,7 +341,12 @@ class DeltaTableReader:
             raise FileNotFoundError(
                 f"no version {tip} in {self._log} (have {sorted(set(commits + cps))})"
             )
-        state: dict = {"files": {}, "metaData": None, "protocol": None}
+        state: dict = {
+            "files": {},
+            "metaData": None,
+            "protocol": None,
+            "txns": {},
+        }
         start = 0
         usable_cps = [cp for cp in self._checkpoint_versions() if cp <= tip]
         if usable_cps:
@@ -369,6 +383,7 @@ class DeltaTableReader:
             configuration=meta.get("configuration", {}) or {},
             stats=stats,
             raw_meta=meta,
+            txns=dict(state.get("txns", {})),
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -921,7 +936,12 @@ class DeltaTableWriter:
         meta["schemaString"] = json.dumps(merged.jsonValue())
         return [{"metaData": meta}], merged
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Append a batch (see :meth:`_schema_evolution_actions` for the
         mergeSchema contract).
 
@@ -931,16 +951,54 @@ class DeltaTableWriter:
         re-reads the tip snapshot, re-validates CHECK constraints and
         schema against it (the winner may have added a constraint or
         evolved the schema), and retries at the next version — the
-        protocol's optimistic-transaction loop."""
+        protocol's optimistic-transaction loop.
+
+        ``txn=(app_id, version)`` makes the append IDEMPOTENT via the
+        protocol's SetTransaction action: if the snapshot already records
+        this app_id at >= version, the batch was committed by a previous
+        attempt (a retried foreachBatch, a restarted streaming job) and
+        is skipped — exactly-once sink semantics, delta-spark's
+        ``txnAppId``/``txnVersion`` writer options. The check re-runs
+        inside the retry loop, so even two RACING duplicates of the same
+        (app_id, version) commit exactly once: the loser's re-read sees
+        the winner's txn action and skips."""
+        import time as _time
+
         adds: list[dict] | None = None
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = DeltaTableReader(self.path).snapshot()
+            if txn is not None and (snap.txns or {}).get(
+                txn[0], -1
+            ) >= int(txn[1]):
+                # duplicate batch: already applied (possibly by a racing
+                # twin that won while we staged — drop our staged files
+                # rather than leaving orphans for vacuum)
+                for a in adds or ():
+                    try:
+                        os.remove(
+                            os.path.join(
+                                self.path, urllib.parse.unquote(a["path"])
+                            )
+                        )
+                    except OSError:
+                        pass
+                return snap.version
             self._check_constraints(df, snap.configuration)
             actions, _ = self._schema_evolution_actions(
                 df, snap, merge_schema
             )
             if adds is None:
                 adds = self._stage_files(df, snap.partition_columns)
+            if txn is not None:
+                actions = actions + [
+                    {
+                        "txn": {
+                            "appId": txn[0],
+                            "version": int(txn[1]),
+                            "lastUpdated": int(_time.time() * 1000),
+                        }
+                    }
+                ]
             v = snap.version + 1
             try:
                 self._commit(v, actions + [{"add": a} for a in adds])
@@ -1134,6 +1192,11 @@ class DeltaTableWriter:
                     },
                 }
             )
+        for app_id, tv in sorted((snap.txns or {}).items()):
+            # txn state must survive checkpoint-only replay, or an
+            # exactly-once streaming writer would re-apply old batches
+            # after log cleanup
+            rows.append({"txn": {"appId": app_id, "version": tv}})
         # Explicit schema: partitionValues / options / configuration are
         # MAP<string,string> per the checkpoint spec — pyarrow inference
         # from dicts would produce per-row structs instead.
@@ -1192,10 +1255,19 @@ class DeltaTableWriter:
                         ]
                     ),
                 ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                        ]
+                    ),
+                ),
             ]
         )
         for row in rows:
-            meta = row["metaData"]
+            meta = row.get("metaData")
             if meta is not None:
                 meta["format"]["options"] = list(meta["format"]["options"].items())
                 meta["configuration"] = list(meta["configuration"].items())

@@ -273,3 +273,86 @@ def test_iceberg_metadata_swap_conflict_raises(spark, tmp_path):
     cur = IcebergTableReader(path)._metadata()
     assert "release" in cur["refs"]
     assert cur["current-snapshot-id"] != sid_old
+
+
+# ---------------------------------------------------------------------------
+# Delta SetTransaction (idempotent streaming appends)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_txn_append_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(_df(spark, 0, 5, "base"))
+    v1 = w.append(_df(spark, 10, 13, "b1"), txn=("job-a", 1))
+    # replay of the same batch id: no-op, version unchanged
+    v_dup = w.append(_df(spark, 10, 13, "b1"), txn=("job-a", 1))
+    assert v_dup == v1
+    # a LOWER version (late replay after progress) is also skipped
+    w.append(_df(spark, 20, 22, "b2"), txn=("job-a", 2))
+    assert w.append(_df(spark, 10, 13, "b1"), txn=("job-a", 1)) == 2
+    # a different app id with the same version is independent
+    w.append(_df(spark, 30, 32, "other"), txn=("job-b", 1))
+    counts = {
+        r["src"]: r["count"]
+        for r in DeltaTableReader(path)
+        .to_df(spark)
+        .groupBy("src")
+        .count()
+        .collect()
+    }
+    assert counts == {"base": 5, "b1": 3, "b2": 2, "other": 2}
+    assert DeltaTableReader(path).snapshot().txns == {"job-a": 2, "job-b": 1}
+
+
+def test_delta_txn_survives_checkpoint_only_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(_df(spark, 0, 2, "base"))
+    w.append(_df(spark, 10, 12, "b1"), txn=("stream", 7))
+    w.checkpoint()
+    # simulate log cleanup: drop every commit JSON covered by the
+    # checkpoint — replay must come from the checkpoint alone
+    log = os.path.join(path, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log, n))
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.txns == {"stream": 7}
+    # the restarted stream's duplicate batch is still skipped
+    assert w.append(_df(spark, 10, 12, "b1"), txn=("stream", 7)) == snap.version
+    assert DeltaTableReader(path).to_df(spark).count() == 4
+
+
+def test_delta_txn_racing_duplicates_commit_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 2, "base"))
+
+    orig = DeltaTableWriter._commit
+    state = {"raced": False}
+
+    def racy(self, version, actions, operation="WRITE"):
+        if not state["raced"]:
+            state["raced"] = True
+            # an identical duplicate (same app id + batch version) wins
+            # the race while we're mid-commit
+            DeltaTableWriter(path).append(
+                _df(spark, 10, 13, "b1"), txn=("job", 1)
+            )
+        return orig(self, version, actions, operation)
+
+    w1._commit = types.MethodType(racy, w1)
+    v = w1.append(_df(spark, 10, 13, "b1"), txn=("job", 1))
+    assert v == 1  # the winner's commit; loser skipped on re-read
+    df = DeltaTableReader(path).to_df(spark)
+    assert df.where("src = 'b1'").count() == 3  # NOT 6
+    # the loser's staged-but-skipped files were cleaned up, not orphaned
+    data_files = [
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in dp
+    ]
+    live = {p for p, _, _ in DeltaTableReader(path).snapshot().files}
+    assert set(data_files) == live
