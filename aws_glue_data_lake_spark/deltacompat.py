@@ -78,6 +78,9 @@ class DeltaSnapshot:
     #: SetTransaction state (appId -> latest committed txn version) — the
     #: protocol's idempotent-streaming-writer bookkeeping
     txns: dict = None  # type: ignore[assignment]
+    #: the raw protocol action (minReader/minWriter + feature lists) —
+    #: what a writer must carry forward when it adds a writer feature
+    raw_protocol: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -278,7 +281,11 @@ class DeltaTableReader:
         if "metaData" in action:
             state["metaData"] = action["metaData"]
         elif "protocol" in action:
-            state["protocol"] = action["protocol"]
+            # checkpoint rows materialize absent feature lists as nulls;
+            # drop them so `"writerFeatures" in proto` stays meaningful
+            state["protocol"] = {
+                k: v for k, v in action["protocol"].items() if v is not None
+            }
         elif "add" in action:
             a = action["add"]
             raw_stats = a.get("stats")
@@ -384,6 +391,7 @@ class DeltaTableReader:
             stats=stats,
             raw_meta=meta,
             txns=dict(state.get("txns", {})),
+            raw_protocol=dict(state.get("protocol") or {}),
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -673,6 +681,192 @@ class DeltaTableReader:
             df = df.unionByName(g)
         return finish(df)
 
+    def changes(
+        self,
+        spark: SparkSession,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Change Data Feed read (delta-spark's ``readChangeFeed`` /
+        ``table_changes``): one row per row-level change across commits
+        ``starting_version..ending_version`` inclusive, with the
+        protocol's virtual columns ``_change_type`` (insert / delete /
+        update_preimage / update_postimage), ``_commit_version`` and
+        ``_commit_timestamp`` appended to the table schema.
+
+        Per commit, explicit ``cdc`` actions win — the writer's exact
+        row-level delta (merge / delete / overwrite under
+        ``delta.enableChangeDataFeed``). Without them, an add-only
+        commit derives ``insert`` rows from the added files (blind
+        appends never need cdc files) and a remove-only commit derives
+        ``delete`` rows from the removed files (readable until vacuum).
+        A commit that both adds and removes with ``dataChange: true``
+        and has no cdc actions is a rewrite whose row-level delta is
+        unrecoverable — that raises, matching delta-spark's error for
+        pre-enablement commits. ``dataChange: false`` traffic (OPTIMIZE)
+        is skipped.
+
+        Scale: the per-commit action parse is driver-side metadata; the
+        data reads are ordinary distributed parquet scans over only the
+        changed files, unioned across the version range."""
+        from pyspark.sql.types import LongType, StringType, TimestampType
+
+        snap = self.snapshot()
+        mode = snap.configuration.get("delta.columnMapping.mode", "none")
+        if mode not in ("", "none"):
+            raise DeltaProtocolError(
+                "changes() under columnMapping is not supported"
+            )
+        end = self.latest_version() if ending_version is None else ending_version
+        if starting_version > end:
+            raise ValueError(
+                f"starting_version {starting_version} > ending_version {end}"
+            )
+        part_cols = set(snap.partition_columns)
+        part_fields = [f for f in snap.schema.fields if f.name in part_cols]
+        data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+        out_cols = [f.name for f in snap.schema.fields]
+        data_st = StructType(data_fields)
+        cdc_st = StructType(
+            data_fields + [StructField("_change_type", StringType(), True)]
+        )
+        full_st = StructType(
+            list(snap.schema.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+                StructField("_commit_timestamp", TimestampType(), False),
+            ]
+        )
+
+        def read_group(
+            entries: list[tuple[str, dict]], file_schema, extra: list[str]
+        ) -> DataFrame:
+            """Read (abs path, partitionValues) entries grouped by
+            partition tuple, partition columns attached as typed
+            literals — O(#distinct changed partitions) plan nodes."""
+            groups: dict[tuple, list[str]] = {}
+            for p, pv in entries:
+                key = tuple(pv.get(f.name) for f in part_fields)
+                groups.setdefault(key, []).append(p)
+            dfs = []
+            for key, paths in sorted(
+                groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+            ):
+                g = spark.read.schema(file_schema).parquet(*paths)
+                for f, v in zip(part_fields, key):
+                    g = g.withColumn(
+                        f.name,
+                        F.lit(v).cast(f.dataType)
+                        if v is not None
+                        else F.lit(None).cast(f.dataType),
+                    )
+                dfs.append(g.select(*out_cols, *extra))
+            df = dfs[0]
+            for g in dfs[1:]:
+                df = df.unionByName(g)
+            return df
+
+        pieces: list[DataFrame] = []
+        for v in range(starting_version, end + 1):
+            commit = os.path.join(self._log, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                raise FileNotFoundError(
+                    f"commit {v} JSON no longer exists (log cleaned up); "
+                    "its changes cannot be replayed"
+                )
+            ts: int | None = None
+            cdc: list[dict] = []
+            adds: list[dict] = []
+            removes: list[dict] = []
+            with open(commit) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ts = a["commitInfo"].get("timestamp", ts)
+                    elif "cdc" in a:
+                        cdc.append(a["cdc"])
+                    elif "add" in a and a["add"].get("dataChange", True):
+                        adds.append(a["add"])
+                    elif "remove" in a and a["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(a["remove"])
+            if ts is None:
+                ts = int(os.path.getmtime(commit) * 1000)
+            if cdc:
+                df = read_group(
+                    [
+                        (self._abs_path(c["path"]), c.get("partitionValues", {}))
+                        for c in cdc
+                    ],
+                    cdc_st,
+                    ["_change_type"],
+                )
+            elif adds and not removes:
+                if any(a.get("deletionVector") for a in adds):
+                    raise DeltaProtocolError(
+                        f"commit {v} adds files with deletion vectors and "
+                        "no cdc actions; enable "
+                        "delta.enableChangeDataFeed before such writes"
+                    )
+                df = read_group(
+                    [
+                        (self._abs_path(a["path"]), a.get("partitionValues", {}))
+                        for a in adds
+                    ],
+                    data_st,
+                    [],
+                ).withColumn("_change_type", F.lit("insert"))
+            elif removes and not adds:
+                prev = self.snapshot(v - 1)
+                by_abs = {
+                    os.path.abspath(p): (p, pv, dv) for p, pv, dv in prev.files
+                }
+                entries = []
+                for rm in removes:
+                    ap = os.path.abspath(self._abs_path(rm["path"]))
+                    p, pv, dv = by_abs.get(ap, (ap, {}, None))
+                    if dv:
+                        raise DeltaProtocolError(
+                            f"commit {v} removes a file carrying a deletion "
+                            "vector and has no cdc actions; its row-level "
+                            "delta is unrecoverable"
+                        )
+                    if not os.path.exists(ap):
+                        raise FileNotFoundError(
+                            f"commit {v} removed {ap}, which was since "
+                            "vacuumed; its deleted rows cannot be replayed"
+                        )
+                    entries.append((ap, pv))
+                df = read_group(entries, data_st, []).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            elif adds and removes:
+                raise DeltaProtocolError(
+                    f"commit {v} rewrites files (add+remove with "
+                    "dataChange) without cdc actions; enable "
+                    "delta.enableChangeDataFeed before such writes to "
+                    "make its changes replayable"
+                )
+            else:
+                continue  # metadata-only / dataChange:false commit
+            pieces.append(
+                df.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                ).withColumn(
+                    "_commit_timestamp", F.timestamp_millis(F.lit(ts))
+                )
+            )
+        if not pieces:
+            return spark.createDataFrame([], full_st)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
 
 class ConcurrentModificationError(RuntimeError):
     """A read-dependent commit (MERGE / DELETE / OPTIMIZE / RESTORE /
@@ -712,11 +906,19 @@ class DeltaTableWriter:
 
     # -- data-file staging --------------------------------------------------
     def _stage_files(
-        self, df: DataFrame, partition_by: Sequence[str]
+        self, df: DataFrame, partition_by: Sequence[str], cdc: bool = False
     ) -> list[dict]:
         """Write df as uniquely-named parquet files in Delta's layout
         (partition columns in Hive dirs and partitionValues, NOT in the
-        file bytes) and return their add actions."""
+        file bytes) and return their add actions.
+
+        With ``cdc=True`` the files land under ``_change_data/`` (the
+        protocol's Change Data Feed layout — df carries the extra
+        ``_change_type`` column in the file bytes, partition columns
+        still live only in dirs + partitionValues) and the returned
+        dicts are ``cdc`` actions: no stats, ``dataChange: false`` per
+        the spec (CDF files describe a change, they are not table
+        content)."""
         import glob
         import shutil
 
@@ -739,21 +941,23 @@ class DeltaTableWriter:
                     if v == "__HIVE_DEFAULT_PARTITION__"
                     else urllib.parse.unquote(v)
                 )
-            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel = "/".join([*segs, name])
-            dst = os.path.join(self.path, *segs, name)
+            stem = "cdc" if cdc else "part"
+            name = f"{stem}-{uuid.uuid4().hex}.snappy.parquet"
+            top = ["_change_data"] if cdc else []
+            rel = "/".join([*top, *segs, name])
+            dst = os.path.join(self.path, *top, *segs, name)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(src, dst)
-            adds.append(
-                {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": partition_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": int(os.path.getmtime(dst) * 1000),
-                    "dataChange": True,
-                    "stats": _file_stats_json(dst),
-                }
-            )
+            action = {
+                "path": urllib.parse.quote(rel),
+                "partitionValues": partition_values,
+                "size": os.path.getsize(dst),
+                "dataChange": False if cdc else True,
+            }
+            if not cdc:
+                action["modificationTime"] = int(os.path.getmtime(dst) * 1000)
+                action["stats"] = _file_stats_json(dst)
+            adds.append(action)
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -841,6 +1045,8 @@ class DeltaTableWriter:
         incoming rows — the writer-side contract delta-spark applies
         (protocol writer feature checkConstraints): a violating batch
         must fail the COMMIT, not poison the table."""
+        if DeltaTableWriter._cdf_enabled(configuration):
+            DeltaTableWriter._check_no_reserved_cdf_columns(df)
         for key, expr in sorted(configuration.items()):
             if not key.startswith("delta.constraints."):
                 continue
@@ -859,6 +1065,69 @@ class DeltaTableWriter:
             raise ValueError(
                 f"table is delta.appendOnly=true: {what} is not allowed"
             )
+
+    @staticmethod
+    def _cdf_enabled(configuration: dict) -> bool:
+        return (
+            (configuration or {})
+            .get("delta.enableChangeDataFeed", "")
+            .lower()
+            == "true"
+        )
+
+    @staticmethod
+    def _check_no_reserved_cdf_columns(df: DataFrame) -> None:
+        """With CDF on, ``_change_type`` (and the read-side virtual
+        ``_commit_version``/``_commit_timestamp``) are reserved names —
+        a data column by that name would collide inside the cdc files."""
+        reserved = {"_change_type", "_commit_version", "_commit_timestamp"}
+        bad = reserved & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"columns {sorted(bad)} are reserved while "
+                "delta.enableChangeDataFeed=true"
+            )
+
+    def set_change_data_feed(self, value: bool = True) -> int:
+        """TBLPROPERTIES delta.enableChangeDataFeed: once true, every
+        content-changing commit either derives its changes from plain
+        add/remove actions (blind appends) or carries explicit ``cdc``
+        actions pointing at ``_change_data/`` files (merge / delete /
+        overwrite), and :meth:`DeltaTableReader.changes` replays them.
+        Protocol: changeDataFeed is a WRITER feature — minWriterVersion
+        4 on legacy protocols, or an entry in ``writerFeatures`` when
+        the table already speaks the feature-list protocol (that list is
+        authoritative, so it must be amended, not replaced)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf["delta.enableChangeDataFeed"] = "true" if value else "false"
+        meta["configuration"] = conf
+        actions: list[dict] = []
+        if value:
+            proto = dict(snap.raw_protocol or {})
+            if "writerFeatures" in proto or proto.get("minReaderVersion", 1) >= 3:
+                feats = set(proto.get("writerFeatures", ())) | {"changeDataFeed"}
+                proto["writerFeatures"] = sorted(feats)
+                actions.append({"protocol": proto})
+            elif proto.get("minWriterVersion", 2) < 4:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": proto.get(
+                                "minReaderVersion", 1
+                            ),
+                            "minWriterVersion": 4,
+                        }
+                    }
+                )
+        actions.append({"metaData": meta})
+        v = snap.version + 1
+        self._commit_read_dependent(
+            v, actions, operation="SET TBLPROPERTIES"
+        )
+        return v
 
     def set_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: record a CHECK expression in the
@@ -1096,11 +1365,68 @@ class DeltaTableWriter:
 
         affected = [p for p, _pv, _dv in snap.files if overlaps(p)]
         out = source
+        live = None
         if affected:
             live = r.to_df(spark, _keep_paths=set(affected))
             kept = live.join(kill, on=keys, how="left_anti")
             out = kept.unionByName(source, allowMissingColumns=True)
         out = out.select(*[f.name for f in table_schema.fields])
+
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            # CDF: the copy-on-write remove/add churn below misstates
+            # carried-along rows as changes, so an explicit cdc file
+            # records the TRUE row-level delta — matched keys as
+            # update_preimage/postimage pairs, new keys as insert,
+            # delete-only keys as delete. Readers then use the cdc file
+            # and ignore this commit's add/remove actions entirely.
+            def align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in table_schema.fields
+                    ]
+                )
+
+            src_keys = source.select(*keys).dropDuplicates(keys)
+            if live is not None:
+                matched_keys = (
+                    live.select(*keys)
+                    .join(src_keys, on=keys, how="left_semi")
+                    .dropDuplicates(keys)
+                )
+                pre = align(
+                    live.join(matched_keys, on=keys, how="left_semi")
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = align(
+                    source.join(matched_keys, on=keys, how="left_semi")
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = align(
+                    source.join(matched_keys, on=keys, how="left_anti")
+                ).withColumn("_change_type", F.lit("insert"))
+                changes = pre.unionByName(post).unionByName(ins)
+                if delete_keys is not None:
+                    del_only = (
+                        delete_keys.select(*keys)
+                        .dropDuplicates(keys)
+                        .join(src_keys, on=keys, how="left_anti")
+                    )
+                    dels = align(
+                        live.join(del_only, on=keys, how="left_semi")
+                    ).withColumn("_change_type", F.lit("delete"))
+                    changes = changes.unionByName(dels)
+            else:
+                changes = align(source).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            cdc_actions = [
+                {"cdc": c}
+                for c in self._stage_files(
+                    changes, snap.partition_columns, cdc=True
+                )
+            ]
         removes = [
             {
                 "remove": {
@@ -1117,14 +1443,17 @@ class DeltaTableWriter:
         v = snap.version + 1
         self._commit_read_dependent(
             v,
-            actions + removes + [{"add": a} for a in adds],
+            actions + removes + [{"add": a} for a in adds] + cdc_actions,
             operation="MERGE",
         )
         return v
 
     def overwrite_partition(self, df: DataFrame, **partition: str) -> int:
         """Replace one partition's files (remove actions for the old files,
-        add actions for the new) — the classic Delta replaceWhere commit."""
+        add actions for the new) — the classic Delta replaceWhere commit.
+        Under CDF the replaced partition's prior rows are recorded as
+        ``delete`` and the incoming batch as ``insert`` in a cdc file
+        (a full-partition rewrite IS that row-level change)."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "overwrite_partition")
@@ -1140,10 +1469,28 @@ class DeltaTableWriter:
             for p, pv, _dv in snap.files
             if all(pv.get(k) == str(v) for k, v in partition.items())
         ]
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            spark = df.sparkSession
+            old = r.to_df(
+                spark, partition_filter=dict(partition)
+            ).withColumn("_change_type", F.lit("delete"))
+            cols = [f.name for f in snap.schema.fields]
+            new = df.select(*cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_actions = [
+                {"cdc": c}
+                for c in self._stage_files(
+                    old.unionByName(new), snap.partition_columns, cdc=True
+                )
+            ]
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
         self._commit_read_dependent(
-            v, removes + [{"add": a} for a in adds], operation="WRITE"
+            v,
+            removes + [{"add": a} for a in adds] + cdc_actions,
+            operation="WRITE",
         )
         return v
 
@@ -1165,12 +1512,23 @@ class DeltaTableWriter:
             "configuration": dict(snap.configuration),
             "createdTime": 0,
         }
+        # The checkpoint must carry the table's TRUE protocol action: once
+        # pre-checkpoint commit JSONs are cleaned up, this row is the only
+        # surviving record of reader/writer requirements — writing a
+        # hard-coded {1,2} for a deletionVectors table would hand foreign
+        # readers DV add entries under a protocol that promises none.
+        proto = dict(snap.raw_protocol or {}) or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        proto_row = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": proto.get("minWriterVersion", 2),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }
         rows = [
-            {
-                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-                "metaData": None,
-                "add": None,
-            },
+            {"protocol": proto_row, "metaData": None, "add": None},
             {"protocol": None, "metaData": meta_row, "add": None},
         ]
         for p, pv, dv in snap.files:
@@ -1209,6 +1567,8 @@ class DeltaTableWriter:
                         [
                             ("minReaderVersion", pa.int32()),
                             ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
                         ]
                     ),
                 ),
@@ -1459,6 +1819,23 @@ class DeltaTableWriter:
             merged.append(
                 (p, pv, serialize_positions(positions), len(positions))
             )
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            # the plain scan applies the PRIOR deletion vectors, so this
+            # captures exactly the newly-tombstoned rows (re-matching an
+            # already-deleted row emits nothing — same idempotence as
+            # the bitmap union)
+            deleted = (
+                r.to_df(spark)
+                .where(cond)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions = [
+                {"cdc": c}
+                for c in self._stage_files(
+                    deleted, snap.partition_columns, cdc=True
+                )
+            ]
         dv_uuid = uuid.uuid4()
         dv_name = f"deletion_vector_{dv_uuid}.bin"
         spans = write_dv_file(
@@ -1481,7 +1858,13 @@ class DeltaTableWriter:
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(reader_feats),
                     "writerFeatures": sorted(
-                        {"appendOnly", "invariants"} | reader_feats
+                        {"appendOnly", "invariants"}
+                        | reader_feats
+                        | (
+                            {"changeDataFeed"}
+                            if self._cdf_enabled(snap.configuration)
+                            else set()
+                        )
                     ),
                 }
             }
@@ -1522,7 +1905,9 @@ class DeltaTableWriter:
                 }
             )
         v = snap.version + 1
-        self._commit_read_dependent(v, actions, operation="DELETE")
+        self._commit_read_dependent(
+            v, actions + cdc_actions, operation="DELETE"
+        )
         return v
 
     def restore(self, version: int) -> int:
@@ -1637,6 +2022,21 @@ class DeltaTableWriter:
                 live_dv_uuids.add(
                     str(uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:])))
                 )
+        # CDF files live outside every snapshot's file set: retained for
+        # the log's lifetime (delta-spark ages them out on a retention
+        # window instead). Only cdc files NO retained commit references
+        # — orphans of failed merge/delete commits — are collected.
+        cdc_live = set()
+        for cv in r._commit_versions():
+            with open(os.path.join(r._log, f"{cv:020d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "cdc" in a:
+                        cdc_live.add(
+                            os.path.abspath(r._abs_path(a["cdc"]["path"]))
+                        )
         removed = []
         for p in g.glob(
             os.path.join(self.path, "**", "*.parquet"), recursive=True
@@ -1644,6 +2044,11 @@ class DeltaTableWriter:
             ap = os.path.abspath(p)
             if os.sep + "_delta_log" + os.sep in ap:
                 continue  # checkpoints are log structure, not data
+            if os.sep + "_change_data" + os.sep in ap:
+                if ap not in cdc_live:
+                    os.remove(ap)
+                    removed.append(ap)
+                continue
             if ap not in live:
                 os.remove(ap)
                 removed.append(ap)

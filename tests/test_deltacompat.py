@@ -1099,3 +1099,257 @@ def test_merge_schema_evolution_and_guards(spark, tmp_path):
         [], "k long, bucket string, v long, note string"
     )
     assert w.merge(spark, empty, keys=["k"]) == tip
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (delta.enableChangeDataFeed / table_changes)
+# ---------------------------------------------------------------------------
+
+
+def _changes(spark, path, start=0, end=None):
+    return sorted(
+        (
+            r["_commit_version"],
+            r["_change_type"],
+            r["k"],
+            r["bucket"],
+            r["v"],
+        )
+        for r in DeltaTableReader(path)
+        .changes(spark, start, end)
+        .collect()
+    )
+
+
+def test_cdf_derives_inserts_and_deletes_without_cdc_files(spark, tmp_path):
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )                                                                 # v0
+    w.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )                                                                 # v1
+    got = _changes(spark, path)
+    assert got == [
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "b", 20),
+        (1, "insert", 3, "a", 30),
+    ]
+    # version slicing
+    assert _changes(spark, path, start=1) == [(1, "insert", 3, "a", 30)]
+    # timestamps ride along and are non-decreasing with version
+    ts = {
+        r["_commit_version"]: r["_commit_timestamp"]
+        for r in DeltaTableReader(path).changes(spark).collect()
+    }
+    assert ts[0] <= ts[1]
+
+
+def test_cdf_merge_emits_pre_post_insert_delete(spark, tmp_path):
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k long, bucket string, v long",
+        )
+    )                                                                 # v0
+    w.set_change_data_feed()                                          # v1
+    src = spark.createDataFrame(
+        [(2, "b", 99), (4, "c", 44)], "k long, bucket string, v long"
+    )
+    dels = spark.createDataFrame([(3,)], "k long")
+    w.merge(spark, src, keys=["k"], delete_keys=dels)                 # v2
+    got = [t for t in _changes(spark, path, start=2)]
+    assert got == [
+        (2, "delete", 3, "a", 30),
+        (2, "insert", 4, "c", 44),
+        (2, "update_postimage", 2, "b", 99),
+        (2, "update_preimage", 2, "b", 20),
+    ]
+    # the cdc files live under _change_data/ and the commit references them
+    cdc_dir = os.path.join(path, "_change_data")
+    assert os.path.isdir(cdc_dir)
+    log2 = open(
+        os.path.join(path, "_delta_log", f"{2:020d}.json")
+    ).read()
+    assert "_change_data" in log2
+    # table content itself is the merged state
+    assert sorted(
+        (r["k"], r["v"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    ) == [(1, 10), (2, 99), (4, 44)]
+
+
+def test_cdf_delete_where_and_overwrite_partition(spark, tmp_path):
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k long, bucket string, v long",
+        ),
+        partition_by=["bucket"],
+    )                                                                 # v0
+    w.set_change_data_feed()                                          # v1
+    w.delete_where(spark, "v >= 30")                                  # v2 (DV)
+    assert _changes(spark, path, start=2, end=2) == [
+        (2, "delete", 3, "a", 30)
+    ]
+    # re-deleting an already-tombstoned row emits nothing new
+    w.delete_where(spark, "v >= 20")                                  # v3
+    assert _changes(spark, path, start=3, end=3) == [
+        (3, "delete", 2, "b", 20)
+    ]
+    w.overwrite_partition(
+        spark.createDataFrame(
+            [(7, "a", 70)], "k long, bucket string, v long"
+        ),
+        bucket="a",
+    )                                                                 # v4
+    assert _changes(spark, path, start=4) == [
+        (4, "delete", 1, "a", 10),
+        (4, "insert", 7, "a", 70),
+    ]
+
+
+def test_cdf_pre_enablement_rewrites_raise_and_optimize_skips(
+    spark, tmp_path
+):
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        )
+    )                                                                 # v0
+    # merge WITHOUT CDF: add+remove rewrite, row-level delta gone
+    w.merge(
+        spark,
+        spark.createDataFrame([(1, "a", 11)], "k long, bucket string, v long"),
+        keys=["k"],
+    )                                                                 # v1
+    with pytest.raises(DeltaProtocolError, match="rewrites files"):
+        DeltaTableReader(path).changes(spark).collect()
+    # but a range that avoids the rewrite works
+    assert _changes(spark, path, start=0, end=0) == [
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "b", 20),
+    ]
+    w.set_change_data_feed()                                          # v2
+    w.optimize(spark)                                                 # v3
+    # dataChange:false traffic produces no change rows
+    assert _changes(spark, path, start=2) == []
+
+
+def test_cdf_protocol_reserved_columns_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        )
+    )                                                                 # v0
+    w.set_change_data_feed()                                          # v1
+    # legacy protocol bumps to minWriterVersion 4
+    log1 = [
+        json.loads(line)
+        for line in open(
+            os.path.join(path, "_delta_log", f"{1:020d}.json")
+        )
+        if line.strip()
+    ]
+    protos = [a["protocol"] for a in log1 if "protocol" in a]
+    assert protos and protos[0]["minWriterVersion"] == 4
+    # _change_type is reserved while CDF is on
+    with pytest.raises(ValueError, match="_change_type"):
+        w.append(
+            spark.createDataFrame(
+                [(9, "z", 90, "x")],
+                "k long, bucket string, v long, _change_type string",
+            )
+        )
+    w.merge(
+        spark,
+        spark.createDataFrame([(1, "a", 11)], "k long, bucket string, v long"),
+        keys=["k"],
+    )                                                                 # v2
+    # DV-delete path re-declares changeDataFeed in the feature list
+    w.delete_where(spark, "k = 2")                                    # v3
+    log3 = [
+        json.loads(line)
+        for line in open(
+            os.path.join(path, "_delta_log", f"{3:020d}.json")
+        )
+        if line.strip()
+    ]
+    feats = [a["protocol"]["writerFeatures"] for a in log3 if "protocol" in a]
+    assert feats and "changeDataFeed" in feats[0]
+    before = _changes(spark, path, start=2)
+    # vacuum keeps every referenced cdc file: the feed still replays
+    removed = w.vacuum()
+    assert _changes(spark, path, start=2) == before
+    assert not any("_change_data" in p for p in removed)
+    # an orphaned (unreferenced) cdc file IS collected
+    orphan = os.path.join(path, "_change_data", "cdc-orphan.snappy.parquet")
+    shutil.copy(
+        next(
+            os.path.join(dp, n)
+            for dp, _, ns in os.walk(os.path.join(path, "_change_data"))
+            for n in ns
+            if n.endswith(".parquet")
+        ),
+        orphan,
+    )
+    removed = w.vacuum()
+    assert [p for p in removed if "_change_data" in p] == [orphan]
+
+
+def test_checkpoint_preserves_feature_protocol(spark, tmp_path):
+    """A checkpoint is the only surviving protocol record once the
+    pre-checkpoint commit JSONs are cleaned up — it must carry the
+    table's TRUE protocol (reader 3 + deletionVectors feature lists),
+    not a hard-coded legacy {1,2} alongside DV add entries."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(k, "a", k * 10) for k in range(6)],
+            "k long, bucket string, v long",
+        )
+    )                                                                 # v0
+    w.delete_where(spark, "k >= 4")                                   # v1 (DV)
+    w.checkpoint()
+    for n in os.listdir(os.path.join(path, "_delta_log")):
+        if n.endswith(".json"):
+            os.remove(os.path.join(path, "_delta_log", n))
+    snap = DeltaTableReader(path).snapshot()
+    proto = snap.raw_protocol
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # absent feature lists never replay as None entries in the dict
+    assert all(v is not None for v in proto.values())
+    # and a feature-list edit after checkpoint-only replay EXTENDS the
+    # list (set_change_data_feed saw writerFeatures, so it appends)
+    w.set_change_data_feed()                                          # v2
+    proto2 = DeltaTableReader(path).snapshot().raw_protocol
+    assert {"deletionVectors", "changeDataFeed"} <= set(
+        proto2["writerFeatures"]
+    )
+    # a legacy table's checkpoint still writes the legacy protocol
+    path2 = str(tmp_path / "legacy")
+    w2 = DeltaTableWriter(path2)
+    w2.create(spark.createDataFrame([(1,)], "k long"))
+    w2.checkpoint()
+    for n in os.listdir(os.path.join(path2, "_delta_log")):
+        if n.endswith(".json"):
+            os.remove(os.path.join(path2, "_delta_log", n))
+    proto3 = DeltaTableReader(path2).snapshot().raw_protocol
+    assert proto3.get("minReaderVersion", 1) <= 2
+    assert "readerFeatures" not in proto3
