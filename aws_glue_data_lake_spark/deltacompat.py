@@ -681,6 +681,109 @@ class DeltaTableReader:
             df = df.unionByName(g)
         return finish(df)
 
+    def cdf_schema(self) -> StructType:
+        """The Change Data Feed output schema: table columns plus the
+        protocol's virtual ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp`` columns (shared by batch :meth:`changes`
+        and the ``delta_cdf`` streaming source)."""
+        from pyspark.sql.types import LongType, StringType, TimestampType
+
+        snap = self.snapshot()
+        return StructType(
+            list(snap.schema.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+                StructField("_commit_timestamp", TimestampType(), False),
+            ]
+        )
+
+    def _change_entries(
+        self, v: int
+    ) -> tuple[int, list[tuple[str, dict, str | None]]]:
+        """Parse commit ``v`` into its row-level change file list:
+        ``(timestamp_ms, [(abs_path, partitionValues, change_type)])``.
+        ``change_type`` is None for explicit cdc files (they carry their
+        own ``_change_type`` column in the file bytes), ``"insert"`` for
+        add-only derivation, ``"delete"`` for remove-only derivation.
+        Unreplayable commits (pre-enablement rewrites, DV traffic without
+        cdc actions, vacuumed removes) raise — never a silent wrong feed."""
+        commit = os.path.join(self._log, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(
+                f"commit {v} JSON no longer exists (log cleaned up); "
+                "its changes cannot be replayed"
+            )
+        ts: int | None = None
+        cdc: list[dict] = []
+        adds: list[dict] = []
+        removes: list[dict] = []
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = a["commitInfo"].get("timestamp", ts)
+                elif "cdc" in a:
+                    cdc.append(a["cdc"])
+                elif "add" in a and a["add"].get("dataChange", True):
+                    adds.append(a["add"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes.append(a["remove"])
+        if ts is None:
+            ts = int(os.path.getmtime(commit) * 1000)
+        if cdc:
+            return ts, [
+                (self._abs_path(c["path"]), c.get("partitionValues", {}), None)
+                for c in cdc
+            ]
+        if adds and not removes:
+            if any(a.get("deletionVector") for a in adds):
+                raise DeltaProtocolError(
+                    f"commit {v} adds files with deletion vectors and "
+                    "no cdc actions; enable "
+                    "delta.enableChangeDataFeed before such writes"
+                )
+            return ts, [
+                (
+                    self._abs_path(a["path"]),
+                    a.get("partitionValues", {}),
+                    "insert",
+                )
+                for a in adds
+            ]
+        if removes and not adds:
+            prev = self.snapshot(v - 1)
+            by_abs = {
+                os.path.abspath(p): (p, pv, dv) for p, pv, dv in prev.files
+            }
+            entries: list[tuple[str, dict, str | None]] = []
+            for rm in removes:
+                ap = os.path.abspath(self._abs_path(rm["path"]))
+                _p, pv, dv = by_abs.get(ap, (ap, {}, None))
+                if dv:
+                    raise DeltaProtocolError(
+                        f"commit {v} removes a file carrying a deletion "
+                        "vector and has no cdc actions; its row-level "
+                        "delta is unrecoverable"
+                    )
+                if not os.path.exists(ap):
+                    raise FileNotFoundError(
+                        f"commit {v} removed {ap}, which was since "
+                        "vacuumed; its deleted rows cannot be replayed"
+                    )
+                entries.append((ap, pv, "delete"))
+            return ts, entries
+        if adds and removes:
+            raise DeltaProtocolError(
+                f"commit {v} rewrites files (add+remove with "
+                "dataChange) without cdc actions; enable "
+                "delta.enableChangeDataFeed before such writes to "
+                "make its changes replayable"
+            )
+        return ts, []  # metadata-only / dataChange:false commit
+
     def changes(
         self,
         spark: SparkSession,
@@ -709,7 +812,7 @@ class DeltaTableReader:
         Scale: the per-commit action parse is driver-side metadata; the
         data reads are ordinary distributed parquet scans over only the
         changed files, unioned across the version range."""
-        from pyspark.sql.types import LongType, StringType, TimestampType
+        from pyspark.sql.types import StringType
 
         snap = self.snapshot()
         mode = snap.configuration.get("delta.columnMapping.mode", "none")
@@ -730,14 +833,7 @@ class DeltaTableReader:
         cdc_st = StructType(
             data_fields + [StructField("_change_type", StringType(), True)]
         )
-        full_st = StructType(
-            list(snap.schema.fields)
-            + [
-                StructField("_change_type", StringType(), False),
-                StructField("_commit_version", LongType(), False),
-                StructField("_commit_timestamp", TimestampType(), False),
-            ]
-        )
+        full_st = self.cdf_schema()
 
         def read_group(
             entries: list[tuple[str, dict]], file_schema, extra: list[str]
@@ -769,90 +865,24 @@ class DeltaTableReader:
 
         pieces: list[DataFrame] = []
         for v in range(starting_version, end + 1):
-            commit = os.path.join(self._log, f"{v:020d}.json")
-            if not os.path.exists(commit):
-                raise FileNotFoundError(
-                    f"commit {v} JSON no longer exists (log cleaned up); "
-                    "its changes cannot be replayed"
-                )
-            ts: int | None = None
-            cdc: list[dict] = []
-            adds: list[dict] = []
-            removes: list[dict] = []
-            with open(commit) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    if "commitInfo" in a:
-                        ts = a["commitInfo"].get("timestamp", ts)
-                    elif "cdc" in a:
-                        cdc.append(a["cdc"])
-                    elif "add" in a and a["add"].get("dataChange", True):
-                        adds.append(a["add"])
-                    elif "remove" in a and a["remove"].get(
-                        "dataChange", True
-                    ):
-                        removes.append(a["remove"])
-            if ts is None:
-                ts = int(os.path.getmtime(commit) * 1000)
-            if cdc:
-                df = read_group(
-                    [
-                        (self._abs_path(c["path"]), c.get("partitionValues", {}))
-                        for c in cdc
-                    ],
-                    cdc_st,
-                    ["_change_type"],
-                )
-            elif adds and not removes:
-                if any(a.get("deletionVector") for a in adds):
-                    raise DeltaProtocolError(
-                        f"commit {v} adds files with deletion vectors and "
-                        "no cdc actions; enable "
-                        "delta.enableChangeDataFeed before such writes"
-                    )
-                df = read_group(
-                    [
-                        (self._abs_path(a["path"]), a.get("partitionValues", {}))
-                        for a in adds
-                    ],
-                    data_st,
-                    [],
-                ).withColumn("_change_type", F.lit("insert"))
-            elif removes and not adds:
-                prev = self.snapshot(v - 1)
-                by_abs = {
-                    os.path.abspath(p): (p, pv, dv) for p, pv, dv in prev.files
-                }
-                entries = []
-                for rm in removes:
-                    ap = os.path.abspath(self._abs_path(rm["path"]))
-                    p, pv, dv = by_abs.get(ap, (ap, {}, None))
-                    if dv:
-                        raise DeltaProtocolError(
-                            f"commit {v} removes a file carrying a deletion "
-                            "vector and has no cdc actions; its row-level "
-                            "delta is unrecoverable"
-                        )
-                    if not os.path.exists(ap):
-                        raise FileNotFoundError(
-                            f"commit {v} removed {ap}, which was since "
-                            "vacuumed; its deleted rows cannot be replayed"
-                        )
-                    entries.append((ap, pv))
-                df = read_group(entries, data_st, []).withColumn(
-                    "_change_type", F.lit("delete")
-                )
-            elif adds and removes:
-                raise DeltaProtocolError(
-                    f"commit {v} rewrites files (add+remove with "
-                    "dataChange) without cdc actions; enable "
-                    "delta.enableChangeDataFeed before such writes to "
-                    "make its changes replayable"
-                )
-            else:
+            ts, entries = self._change_entries(v)
+            if not entries:
                 continue  # metadata-only / dataChange:false commit
+            parts: list[DataFrame] = []
+            cdc_e = [(p, pv) for p, pv, ct in entries if ct is None]
+            if cdc_e:
+                parts.append(read_group(cdc_e, cdc_st, ["_change_type"]))
+            for derived in ("insert", "delete"):
+                grp = [(p, pv) for p, pv, ct in entries if ct == derived]
+                if grp:
+                    parts.append(
+                        read_group(grp, data_st, []).withColumn(
+                            "_change_type", F.lit(derived)
+                        )
+                    )
+            df = parts[0]
+            for g in parts[1:]:
+                df = df.unionByName(g)
             pieces.append(
                 df.withColumn(
                     "_commit_version", F.lit(v).cast("long")
@@ -2205,15 +2235,19 @@ except ImportError:  # pragma: no cover
 
 class _DeltaFilePartition(InputPartition):
     def __init__(self, path: str, data_fields: list, part_consts: list,
-                 out_order: list):
+                 out_order: list, cdf: tuple | None = None):
         #: data_fields: [(name, spark simpleString type)] for the file bytes
         #: part_consts: [(name, spark type, raw string value | None)]
         #: out_order: full column order of the DECLARED schema — Spark maps
         #: the Arrow batch to the schema POSITIONALLY
+        #: cdf: (change_type | None, commit_version, commit_ts_ms) in
+        #: readChangeFeed mode — change_type None means the file is an
+        #: explicit cdc file carrying its own _change_type column
         self.path = path
         self.data_fields = data_fields
         self.part_consts = part_consts
         self.out_order = out_order
+        self.cdf = cdf
 
 
 class DeltaCdfStreamReader(DataSourceStreamReader):
@@ -2228,6 +2262,9 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 "delta_cdf streaming does not support column mapping"
             )
         self._snap = snap
+        self._cdf = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -2249,6 +2286,28 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             for f in snap.schema.fields
             if f.name in part_cols
         }
+        if self._cdf:
+            # readChangeFeed mode: every commit's row-level delta (the
+            # delta-spark CDF stream): cdc files as-is, add-only commits
+            # as inserts, remove-only commits as deletes; unreplayable
+            # rewrites raise in _change_entries (skipChangeCommits is
+            # deliberately not faked — a silent gap is worse than a stop)
+            out_order = [f.name for f in self.reader.cdf_schema().fields]
+            parts = []
+            for v in range(lo + 1, hi + 1):
+                ts, entries = self.reader._change_entries(v)
+                for p, pv, ct in entries:
+                    consts = [
+                        (c, part_types[c], pv.get(c))
+                        for c in snap.partition_columns
+                    ]
+                    parts.append(
+                        _DeltaFilePartition(
+                            p, data_fields, consts, out_order,
+                            cdf=(ct, v, ts),
+                        )
+                    )
+            return parts
         parts = []
         for v in range(lo + 1, hi + 1):
             with open(
@@ -2301,10 +2360,11 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         _PA = {
             "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
             "float": pa.float32(), "boolean": pa.bool_(), "string": pa.string(),
+            "date": pa.date32(),
         }
 
         def conv(t: str, raw):
-            if raw is None:
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
             if t in ("bigint", "int"):
                 return int(raw)
@@ -2312,16 +2372,33 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 return float(raw)
             if t == "boolean":
                 return raw == "true"
+            if t == "date":
+                import datetime
+
+                return datetime.date.fromisoformat(raw)
             return raw
 
         pf = pq.ParquetFile(partition.path)
         names = [n for n, _ in partition.data_fields]
+        ct = None
+        if partition.cdf is not None:
+            ct, v, ts_ms = partition.cdf
+            if ct is None:  # explicit cdc file: _change_type is in-file
+                names = names + ["_change_type"]
         for batch in pf.iter_batches(columns=names):
             by_name = dict(zip(batch.schema.names, batch.columns))
             for c, t, raw in partition.part_consts:
                 pa_t = _PA.get(t, pa.string())
                 by_name[c] = pa.array(
                     [conv(t, raw)] * batch.num_rows, type=pa_t
+                )
+            if partition.cdf is not None:
+                n = batch.num_rows
+                if ct is not None:
+                    by_name["_change_type"] = pa.array([ct] * n, pa.string())
+                by_name["_commit_version"] = pa.array([v] * n, pa.int64())
+                by_name["_commit_timestamp"] = pa.array(
+                    [ts_ms * 1000] * n, pa.timestamp("us", tz="UTC")
                 )
             # Spark maps the batch onto the declared schema POSITIONALLY:
             # emit columns in exactly that order
@@ -2339,14 +2416,21 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
 
 class DeltaCdfDataSource(DataSource):
     """``spark.readStream.format("delta_cdf").option("path", table_root)``
-    after ``spark.dataSource.register(DeltaCdfDataSource)``."""
+    after ``spark.dataSource.register(DeltaCdfDataSource)``. Default is
+    the plain delta streaming-read shape (append-only, loud on changes);
+    ``.option("readChangeFeed", "true")`` switches to the full Change
+    Data Feed with ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` — the same toggle delta-spark uses."""
 
     @classmethod
     def name(cls):
         return "delta_cdf"
 
     def schema(self):
-        return DeltaTableReader(self.options["path"]).snapshot().schema
+        r = DeltaTableReader(self.options["path"])
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            return r.cdf_schema()
+        return r.snapshot().schema
 
     def streamReader(self, schema):
         return DeltaCdfStreamReader(self.options)

@@ -1353,3 +1353,73 @@ def test_checkpoint_preserves_feature_protocol(spark, tmp_path):
     proto3 = DeltaTableReader(path2).snapshot().raw_protocol
     assert proto3.get("minReaderVersion", 1) <= 2
     assert "readerFeatures" not in proto3
+
+
+def test_delta_cdf_streaming_read_change_feed(spark, tmp_path):
+    """readChangeFeed=true streaming: the micro-batch stream carries the
+    full CDF rows (_change_type / _commit_version / _commit_timestamp) —
+    cdc files from MERGE/DELETE commits, derived inserts from plain
+    appends, derived deletes from remove-only commits — matching the
+    batch changes() view of the same log."""
+    from aws_glue_data_lake_spark.deltacompat import register_delta_cdf_source
+
+    register_delta_cdf_source(spark)
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )                                                      # v0
+    w.set_change_data_feed()                               # v1
+    w.append(
+        spark.createDataFrame([(3, None, 30)], "k long, bucket string, v long")
+    )                                                      # v2
+    w.merge(
+        spark,
+        spark.createDataFrame([(2, "b", 99)], "k long, bucket string, v long"),
+        keys=["k"],
+    )                                                      # v3 (cdc files)
+    w.delete_where(spark, "k = 1")                         # v4 (cdc + DV)
+
+    def drain(name):
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("delta_cdf_feed")
+    rows = spark.sql("SELECT * FROM delta_cdf_feed").collect()
+    got = sorted(
+        (x._commit_version, x._change_type, x.k, x.bucket, x.v) for x in rows
+    )
+    # the stream IS the batch changes() view of the same log
+    batch = sorted(
+        (x._commit_version, x._change_type, x.k, x.bucket, x.v)
+        for x in DeltaTableReader(path).changes(spark).collect()
+    )
+    assert got == batch
+    # spot-check the shape: derived inserts (incl. the null partition
+    # value), the merge's pre/post pair from its cdc file, the delete
+    assert [t for t in got if t[0] in (0, 2)] == [
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "b", 20),
+        (2, "insert", 3, None, 30),
+    ]
+    assert [t[1:] for t in got if t[0] == 3] == [
+        ("update_postimage", 2, "b", 99),
+        ("update_preimage", 2, "b", 20),
+    ]
+    assert [t[1:] for t in got if t[0] == 4] == [("delete", 1, "a", 10)]
+    # timestamps are non-decreasing with commit version
+    ts = sorted((x._commit_version, x._commit_timestamp) for x in rows)
+    assert all(a[1] <= b[1] for a, b in zip(ts, ts[1:]))
