@@ -969,3 +969,105 @@ def test_merge_append_sequences_match_list_model(
         if i == compact_after:
             w.compact(spark)
         assert _rows(spark, r) == sorted(model), f"after op {i} {op[0]}"
+
+
+# ---------------------------------------------------------------------------
+# Batch changelog read (create_changelog_view / SparkChangelogTable shape)
+# ---------------------------------------------------------------------------
+
+
+def _changelog(spark, path, **kw):
+    return sorted(
+        (
+            r["_change_ordinal"],
+            r["_commit_snapshot_id"],
+            r["_change_type"],
+            r["k"],
+            r["bucket"],
+            r["v"],
+        )
+        for r in IcebergTableReader(path).changes(spark, **kw).collect()
+    )
+
+
+def test_changelog_appends_and_copy_on_write_overwrite(spark, tmp_path):
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )                                                             # snap 1
+    w.append(
+        spark.createDataFrame([(3, None, 30)], "k long, bucket string, v long")
+    )                                                             # snap 2
+    w.overwrite_partition(
+        spark.createDataFrame([(7, "a", 70)], "k long, bucket string, v long"),
+        bucket="a",
+    )                                                             # snap 3
+    hist = IcebergTableReader(path).history()
+    sids = [h["snapshot_id"] for h in sorted(hist, key=lambda h: h["sequence_number"])]
+    got = _changelog(spark, path)
+    assert [(o, t, k, b, v) for o, _s, t, k, b, v in got] == [
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "b", 20),
+        (1, "insert", 3, None, 30),
+        # copy-on-write overwrite: removed file's rows emit as delete,
+        # the new file as insert — file-level, the changelog contract
+        (2, "delete", 1, "a", 10),
+        (2, "insert", 7, "a", 70),
+    ]
+    assert [s for _o, s, *_ in got] == [
+        sids[0], sids[0], sids[1], sids[2], sids[2]
+    ]
+    # range slicing by snapshot id (inclusive)
+    assert [
+        (t, k) for _o, _s, t, k, _b, _v in _changelog(
+            spark, path, start_snapshot_id=sids[1], end_snapshot_id=sids[1]
+        )
+    ] == [("insert", 3)]
+
+
+def test_changelog_merge_on_read_deletes_and_replace_skip(spark, tmp_path):
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(k, "a" if k % 2 else "b", k * 10) for k in range(1, 7)],
+            "k long, bucket string, v long",
+        )
+    )                                                             # snap 1
+    w.delete_where(spark, "k <= 2")                               # snap 2 (pos)
+    # second position-delete never re-emits the already-dead rows
+    w.delete_where(spark, "k <= 4")                               # snap 3 (pos)
+    w.equality_delete(
+        spark.createDataFrame([(5,)], "k long"), ["k"]
+    )                                                             # snap 4 (eq)
+    # a row re-inserted AFTER the equality delete survives its seq gate
+    w.append(
+        spark.createDataFrame([(5, "a", 50)], "k long, bucket string, v long")
+    )                                                             # snap 5
+    w.compact(spark)                                              # snap 6 replace
+    got = _changelog(spark, path)
+    assert [(o, t, k, v) for o, _s, t, k, _b, v in got] == [
+        (0, "insert", 1, 10),
+        (0, "insert", 2, 20),
+        (0, "insert", 3, 30),
+        (0, "insert", 4, 40),
+        (0, "insert", 5, 50),
+        (0, "insert", 6, 60),
+        (1, "delete", 1, 10),
+        (1, "delete", 2, 20),
+        (2, "delete", 3, 30),
+        (2, "delete", 4, 40),
+        (3, "delete", 5, 50),
+        (4, "insert", 5, 50),
+        # ordinal 5 (compact/replace): nothing — no logical change
+    ]
+    # the feed net-applied reproduces the live table
+    live = sorted(
+        (r["k"], r["v"])
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert live == [(5, 50), (6, 60)]
