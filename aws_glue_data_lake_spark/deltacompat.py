@@ -2027,6 +2027,42 @@ class DeltaTableWriter:
         self._commit_read_dependent(v, actions, operation="RESTORE")
         return v
 
+    def cleanup_log(
+        self, retention_ms: int = 30 * 24 * 3600 * 1000
+    ) -> list[str]:
+        """Metadata retention (delta.logRetentionDuration, default 30
+        days): drop commit JSONs and superseded checkpoints older than
+        the retention window that are covered by a NEWER checkpoint —
+        the tip stays replayable from that checkpoint, while time
+        travel / CDF into the dropped range stops with the reader's
+        loud "log cleaned up" error, matching delta-spark. The newest
+        checkpoint and every commit at or after it are always kept.
+        Returns the removed paths."""
+        import time as _time
+
+        r = DeltaTableReader(self.path)
+        cps = r._checkpoint_versions()
+        if not cps:
+            return []  # nothing to replay from; never orphan the log
+        cp = max(cps)
+        cutoff = _time.time() * 1000 - retention_ms
+        removed: list[str] = []
+        for v in r._commit_versions():
+            if v >= cp:
+                continue  # at/after the checkpoint: needed for replay
+            p = os.path.join(r._log, f"{v:020d}.json")
+            if os.path.getmtime(p) * 1000 <= cutoff:
+                os.remove(p)
+                removed.append(p)
+        for v in cps:
+            if v == cp:
+                continue
+            for p in r._checkpoint_files(v):
+                if os.path.getmtime(p) * 1000 <= cutoff:
+                    os.remove(p)
+                    removed.append(p)
+        return removed
+
     def vacuum(self) -> list[str]:
         """Physically delete data files under the table root that the
         CURRENT snapshot no longer references — Delta's VACUUM. Older

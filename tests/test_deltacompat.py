@@ -1423,3 +1423,44 @@ def test_delta_cdf_streaming_read_change_feed(spark, tmp_path):
     # timestamps are non-decreasing with commit version
     ts = sorted((x._commit_version, x._commit_timestamp) for x in rows)
     assert all(a[1] <= b[1] for a, b in zip(ts, ts[1:]))
+
+
+def test_cleanup_log_retention(spark, tmp_path):
+    """cleanup_log drops pre-checkpoint commit JSONs and superseded
+    checkpoints past the retention window; the tip replays from the
+    newest checkpoint, dropped versions fail loudly, and a table with
+    no checkpoint is never touched."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))     # v0
+    assert w.cleanup_log(retention_ms=0) == []  # no checkpoint: no-op
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))     # v1
+    w.checkpoint()                                                   # cp @1
+    w.append(spark.createDataFrame([(3, 30)], "k long, v long"))     # v2
+    w.checkpoint()                                                   # cp @2
+    w.append(spark.createDataFrame([(4, 40)], "k long, v long"))     # v3
+    # a fresh log is inside the default 30-day retention: nothing goes
+    assert w.cleanup_log() == []
+    removed = w.cleanup_log(retention_ms=0)
+    names = sorted(os.path.basename(p) for p in removed)
+    assert names == [
+        f"{0:020d}.json",
+        f"{1:020d}.checkpoint.parquet",
+        f"{1:020d}.json",
+    ]
+    r = DeltaTableReader(path)
+    # tip replays from the kept checkpoint + the tail commits
+    assert sorted(x["k"] for x in r.to_df(spark).collect()) == [1, 2, 3, 4]
+    assert r.latest_version() == 3
+    # history lists only replayable commit JSONs
+    assert [h["version"] for h in r.history()] == [3, 2]
+    # time travel into the dropped range is gone
+    with pytest.raises(FileNotFoundError):
+        r.snapshot(0)
+    # CDF over the dropped range fails loudly, the kept range works
+    with pytest.raises(FileNotFoundError, match="log cleaned up"):
+        r.changes(spark, 0).collect()
+    assert sorted(
+        (x["_commit_version"], x["k"])
+        for x in r.changes(spark, starting_version=3).collect()
+    ) == [(3, 4)]
