@@ -1016,6 +1016,30 @@ class DeltaTableWriter:
             os.write(fd, payload.encode())
         finally:
             os.close(fd)
+        # delta-spark's checkpoint policy: every delta.checkpointInterval
+        # commits (default 10, 0 disables) a classic checkpoint lands, so
+        # log replay stays O(interval) actions forever — the property
+        # that keeps a million-commit table's snapshot() bounded. The
+        # post-commit snapshot read here is itself O(interval) by
+        # induction. Failure never poisons the landed commit: the
+        # checkpoint is an optimization, the next multiple retries it.
+        if version > 0:
+            try:
+                interval = getattr(self, "_cp_interval", None)
+                if interval is None or any(
+                    "metaData" in a for a in actions
+                ):
+                    snap = DeltaTableReader(self.path).snapshot(version)
+                    interval = int(
+                        (snap.configuration or {}).get(
+                            "delta.checkpointInterval", 10
+                        )
+                    )
+                    self._cp_interval = interval
+                if interval > 0 and version % interval == 0:
+                    self.checkpoint(version)
+            except Exception:
+                pass
 
     def _commit_read_dependent(
         self, version: int, actions: list[dict], operation: str
@@ -1180,6 +1204,22 @@ class DeltaTableWriter:
                 {"metaData": meta},
             ],
             operation="ADD CONSTRAINT",
+        )
+        return v
+
+    def set_property(self, key: str, value: str) -> int:
+        """Generic SET TBLPROPERTIES commit — e.g.
+        ``delta.checkpointInterval`` to tune (or ``0`` to disable) the
+        automatic checkpoint cadence."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf[str(key)] = str(value)
+        meta["configuration"] = conf
+        v = snap.version + 1
+        self._commit_read_dependent(
+            v, [{"metaData": meta}], operation="SET TBLPROPERTIES"
         )
         return v
 

@@ -112,6 +112,12 @@ def main() -> int:
                 ]
             )
             actions = w._meta_actions(schema, ["p"]) + actions
+            # the first measurement below is replay cost WITHOUT any
+            # checkpoint — disable the writer's automatic interval-10
+            # checkpoints so the long commit tail actually exists
+            actions[1]["metaData"]["configuration"] = {
+                "delta.checkpointInterval": "0"
+            }
             meta_done = True
         w._commit(version, actions)
         version += 1

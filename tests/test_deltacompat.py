@@ -1464,3 +1464,124 @@ def test_cleanup_log_retention(spark, tmp_path):
         (x["_commit_version"], x["k"])
         for x in r.changes(spark, starting_version=3).collect()
     ) == [(3, 4)]
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    """Every delta.checkpointInterval-th commit (default 10) writes a
+    classic checkpoint automatically, keeping log replay O(interval);
+    the property tunes the cadence and '0' disables it."""
+    path = str(tmp_path / "d")
+    log = os.path.join(path, "_delta_log")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(0, 0)], "k long, v long"))      # v0
+    for i in range(1, 11):                                           # v1..v10
+        w.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    cps = sorted(n for n in os.listdir(log) if n.endswith(".checkpoint.parquet"))
+    assert cps == [f"{10:020d}.checkpoint.parquet"]
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 10
+    # retune to 3: v12 is the next multiple
+    w.set_property("delta.checkpointInterval", "3")                  # v11
+    w.append(spark.createDataFrame([(12, 12)], "k long, v long"))    # v12
+    assert f"{12:020d}.checkpoint.parquet" in os.listdir(log)
+    # 0 disables
+    w2 = DeltaTableWriter(path)
+    w2.set_property("delta.checkpointInterval", "0")                 # v13
+    for i in range(14, 22):                                          # v14..v21
+        w2.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    assert sorted(
+        n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")
+    ) == [f"{10:020d}.checkpoint.parquet", f"{12:020d}.checkpoint.parquet"]
+    # content unharmed throughout (1 create + 10 + 1 + 8 appended rows)
+    assert DeltaTableReader(path).to_df(spark).count() == 20
+
+
+OPS_CDF = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(ROW, min_size=1, max_size=3)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+            st.lists(st.integers(0, 50), max_size=2),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 50), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("overwrite"), BUCKETS, st.lists(ROW, max_size=2)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=OPS_CDF)
+def test_cdf_feed_replays_to_final_state(spark, tmp_path_factory, ops):
+    """The CDF invariant: multiset-replaying the change feed (remove
+    deletes/preimages, add inserts/postimages, commit by commit) must
+    reconstruct exactly the table's final state, for ANY sequence of
+    append / merge(+delete keys) / delete_where / overwrite_partition —
+    and no commit may ever delete a row the replayed state doesn't
+    hold."""
+    from collections import Counter
+
+    tmp = str(tmp_path_factory.mktemp("delta_cdf_prop") / "t")
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = DeltaTableWriter(tmp)
+    w.create(
+        spark.createDataFrame(
+            [(0, "a", 0), (1, "b", 1)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    w.set_change_data_feed()
+    for op in ops:
+        if op[0] == "append":
+            w.append(
+                spark.createDataFrame(op[1], "k long, bucket string, v long")
+            )
+        elif op[0] == "merge":
+            w.merge(
+                spark,
+                spark.createDataFrame(op[1], "k long, bucket string, v long"),
+                keys=["k"],
+                delete_keys=spark.createDataFrame(
+                    [(k,) for k in op[2]], "k long"
+                )
+                if op[2]
+                else None,
+            )
+        elif op[0] == "delete":
+            w.delete_where(
+                spark, f"k in ({','.join(str(k) for k in op[1])})"
+            )
+        else:
+            bucket, rows = op[1], op[2]
+            rows = [(k, bucket, v) for k, _, v in rows]
+            w.overwrite_partition(
+                spark.createDataFrame(rows, "k long, bucket string, v long"),
+                bucket=bucket,
+            )
+    feed = DeltaTableReader(tmp).changes(spark).collect()
+    state: Counter = Counter()
+    for v in sorted({r["_commit_version"] for r in feed}):
+        batch = [r for r in feed if r["_commit_version"] == v]
+        for r in batch:
+            if r["_change_type"] in ("delete", "update_preimage"):
+                state[(r["k"], r["bucket"], r["v"])] -= 1
+        assert all(c >= 0 for c in state.values()), f"over-delete at v{v}"
+        for r in batch:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[(r["k"], r["bucket"], r["v"])] += 1
+    final = Counter(
+        (x["k"], x["bucket"], x["v"])
+        for x in DeltaTableReader(tmp).to_df(spark).collect()
+    )
+    assert {t: c for t, c in state.items() if c} == dict(final)
