@@ -1071,3 +1071,102 @@ def test_changelog_merge_on_read_deletes_and_replace_skip(spark, tmp_path):
         for r in IcebergTableReader(path).to_df(spark).collect()
     )
     assert live == [(5, 50), (6, 60)]
+
+
+C_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(I_ROW, min_size=1, max_size=3)),
+        st.tuples(
+            st.just("merge"),
+            st.lists(I_ROW, min_size=1, max_size=3, unique_by=lambda r: r[0]),
+        ),
+        st.tuples(
+            st.just("eqdel"),
+            st.lists(st.integers(0, 50), min_size=1, max_size=2),
+        ),
+        st.tuples(
+            st.just("posdel"),
+            st.lists(st.integers(0, 50), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("overwrite"),
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(I_ROW, max_size=2),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=C_OPS, compact_after=st.integers(0, 3))
+def test_changelog_replays_to_final_state(
+    spark, tmp_path_factory, ops, compact_after
+):
+    """The changelog invariant: multiset-replaying changes() (subtract
+    deletes, add inserts, ordinal by ordinal) reconstructs the final
+    table for ANY append / merge / equality-delete / position-delete /
+    copy-on-write-overwrite sequence with a compaction dropped at an
+    arbitrary point — and no ordinal deletes a row the replayed state
+    doesn't hold."""
+    from collections import Counter
+
+    tmp = str(tmp_path_factory.mktemp("ice_cl_prop") / "t")
+    w = IcebergTableWriter(tmp)
+    base = [(0, "a", 0), (1, "b", 1)]
+    w.create(
+        spark.createDataFrame(base, "k long, bucket string, v long"),
+        partition_by=["bucket"],
+    )
+    for i, op in enumerate(ops):
+        if op[0] == "append":
+            w.append(
+                spark.createDataFrame(op[1], "k long, bucket string, v long")
+            )
+        elif op[0] == "merge":
+            w.merge(
+                spark.createDataFrame(op[1], "k long, bucket string, v long"),
+                keys=["k"],
+            )
+        elif op[0] == "eqdel":
+            w.equality_delete(
+                spark.createDataFrame([(k,) for k in op[1]], "k long"),
+                ["k"],
+            )
+        elif op[0] == "posdel":
+            w.delete_where(
+                spark, f"k in ({','.join(str(k) for k in op[1])})"
+            )
+        else:
+            bucket, rows = op[1], op[2]
+            rows = [(k, bucket, v) for k, _, v in rows]
+            w.overwrite_partition(
+                spark.createDataFrame(rows, "k long, bucket string, v long"),
+                bucket=bucket,
+            )
+        if i == compact_after:
+            w.compact(spark)
+    feed = IcebergTableReader(tmp).changes(spark).collect()
+    state: Counter = Counter()
+    for o in sorted({r["_change_ordinal"] for r in feed}):
+        batch = [r for r in feed if r["_change_ordinal"] == o]
+        for r in batch:
+            if r["_change_type"] == "delete":
+                state[(r["k"], r["bucket"], r["v"])] -= 1
+        assert all(c >= 0 for c in state.values()), f"over-delete at o{o}"
+        for r in batch:
+            if r["_change_type"] == "insert":
+                state[(r["k"], r["bucket"], r["v"])] += 1
+    final = Counter(
+        (x["k"], x["bucket"], x["v"])
+        for x in IcebergTableReader(tmp).to_df(spark).collect()
+    )
+    assert {t: c for t, c in state.items() if c} == dict(final)
