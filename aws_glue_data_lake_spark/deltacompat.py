@@ -815,11 +815,6 @@ class DeltaTableReader:
         from pyspark.sql.types import StringType
 
         snap = self.snapshot()
-        mode = snap.configuration.get("delta.columnMapping.mode", "none")
-        if mode not in ("", "none"):
-            raise DeltaProtocolError(
-                "changes() under columnMapping is not supported"
-            )
         end = self.latest_version() if ending_version is None else ending_version
         if starting_version > end:
             raise ValueError(
@@ -829,9 +824,17 @@ class DeltaTableReader:
         part_fields = [f for f in snap.schema.fields if f.name in part_cols]
         data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
         out_cols = [f.name for f in snap.schema.fields]
-        data_st = StructType(data_fields)
+        # columnMapping=name (Databricks layout): file bytes and
+        # partitionValues use PHYSICAL names; cdc files keep the virtual
+        # _change_type column unmapped per the protocol. Read physical,
+        # alias back to logical — the same move as to_df.
+        phys = self._physical_name
+        data_st = StructType(
+            [StructField(phys(f), f.dataType, f.nullable) for f in data_fields]
+        )
         cdc_st = StructType(
-            data_fields + [StructField("_change_type", StringType(), True)]
+            list(data_st.fields)
+            + [StructField("_change_type", StringType(), True)]
         )
         full_st = self.cdf_schema()
 
@@ -843,13 +846,16 @@ class DeltaTableReader:
             literals — O(#distinct changed partitions) plan nodes."""
             groups: dict[tuple, list[str]] = {}
             for p, pv in entries:
-                key = tuple(pv.get(f.name) for f in part_fields)
+                key = tuple(pv.get(phys(f)) for f in part_fields)
                 groups.setdefault(key, []).append(p)
             dfs = []
             for key, paths in sorted(
                 groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
             ):
-                g = spark.read.schema(file_schema).parquet(*paths)
+                g = spark.read.schema(file_schema).parquet(*paths).select(
+                    *[F.col(phys(f)).alias(f.name) for f in data_fields],
+                    *extra,
+                )
                 for f, v in zip(part_fields, key):
                     g = g.withColumn(
                         f.name,

@@ -1585,3 +1585,121 @@ def test_cdf_feed_replays_to_final_state(spark, tmp_path_factory, ops):
         for x in DeltaTableReader(tmp).to_df(spark).collect()
     )
     assert {t: c for t, c in state.items() if c} == dict(final)
+
+
+def test_cdf_changes_under_column_mapping(spark, tmp_path):
+    """changes() on a columnMapping=name table (the Databricks layout):
+    data and cdc file bytes carry PHYSICAL column names and
+    partitionValues are keyed physically, but the feed surfaces the
+    LOGICAL schema — and the protocol's virtual _change_type column in
+    cdc files stays unmapped."""
+    import glob as g
+
+    path = str(tmp_path / "dmapped")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def stage_one(df, dst_name):
+        stage = str(tmp_path / f"stage_{dst_name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (src,) = g.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(src, os.path.join(path, dst_name))
+
+    stage_one(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "`col-aaa111` long, `col-bbb222` long"
+        ),
+        "part-0.parquet",
+    )
+    # cdc file: physical data names + the literal _change_type column
+    stage_one(
+        spark.createDataFrame(
+            [(2, 20, "update_preimage"), (2, 99, "update_postimage")],
+            "`col-aaa111` long, `col-bbb222` long, _change_type string",
+        ),
+        "cdc-1.parquet",
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": n,
+                    "type": t,
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": p,
+                    },
+                }
+                for i, (n, t, p) in enumerate(
+                    [
+                        ("k", "long", "col-aaa111"),
+                        ("v", "long", "col-bbb222"),
+                        ("bucket", "string", "col-ccc333"),
+                    ]
+                )
+            ],
+        }
+    )
+    v0 = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping", "changeDataFeed"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["bucket"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.enableChangeDataFeed": "true",
+                },
+                "createdTime": 0,
+            }
+        },
+        {
+            "commitInfo": {"timestamp": 1000, "operation": "WRITE"},
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {"col-ccc333": "a"},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    v1 = [
+        {"commitInfo": {"timestamp": 2000, "operation": "MERGE"}},
+        {
+            "cdc": {
+                "path": "cdc-1.parquet",
+                "partitionValues": {"col-ccc333": "a"},
+                "size": 1,
+                "dataChange": False,
+            }
+        },
+    ]
+    for i, acts in enumerate((v0, v1)):
+        with open(
+            os.path.join(path, "_delta_log", f"{i:020d}.json"), "w"
+        ) as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["bucket"], r["v"])
+        for r in DeltaTableReader(path).changes(spark).collect()
+    )
+    assert got == [
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "a", 20),
+        (1, "update_postimage", 2, "a", 99),
+        (1, "update_preimage", 2, "a", 20),
+    ]
