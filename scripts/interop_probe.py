@@ -154,6 +154,17 @@ def main() -> int:
     n_total = args.files * rows_per_file
     assert df_fast.count() == n_total
 
+    # -- CDF: full-history changes() over the 50-commit add-only log --------
+    # (before the DV mutations below, which are pre-CDF-enablement
+    # rewrites and therefore — correctly — unreplayable)
+    t0 = time.perf_counter()
+    feed = r.changes(spark)
+    out["delta_cdf_plan_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    out["delta_cdf_rows"] = feed.count()
+    out["delta_cdf_count_s"] = round(time.perf_counter() - t0, 4)
+    assert out["delta_cdf_rows"] == n_total
+
     # -- DV read overhead (warm: 2nd of two runs, the 1st pays one-off
     # job-scheduling + code-gen costs) --------------------------------------
     def warm_count(df_factory):
@@ -182,7 +193,13 @@ def main() -> int:
     seg = "f.parquet"
     pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
                    os.path.join(lpath, seg))
-    wl._commit(0, wl._meta_actions(_S([_F("k", _L())]), []) + [
+    long_meta = wl._meta_actions(_S([_F("k", _L())]), [])
+    # the point is a LONG uncheckpointed tail: disable the writer's
+    # automatic interval-10 checkpoints for this table
+    long_meta[1]["metaData"]["configuration"] = {
+        "delta.checkpointInterval": "0"
+    }
+    wl._commit(0, long_meta + [
         {"add": {"path": seg, "partitionValues": {}, "size": 8,
                  "modificationTime": 0, "dataChange": True}}])
     n_tail = 1000
@@ -217,6 +234,15 @@ def main() -> int:
     out["iceberg_snapshot_walk_s"] = round(time.perf_counter() - t0, 4)
     assert len(isnap.files) == args.commits
     assert ir.to_df(spark).count() == args.commits * 100
+
+    # -- Iceberg changelog over the same append-only snapshot chain --------
+    t0 = time.perf_counter()
+    ifeed = ir.changes(spark)
+    out["iceberg_changelog_plan_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    out["iceberg_changelog_rows"] = ifeed.count()
+    out["iceberg_changelog_count_s"] = round(time.perf_counter() - t0, 4)
+    assert out["iceberg_changelog_rows"] == args.commits * 100
 
     # -- MERGE at file-count scale ----------------------------------------
     # Delta: copy-on-write MERGE must rewrite only the files whose
