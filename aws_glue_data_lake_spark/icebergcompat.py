@@ -1015,6 +1015,7 @@ class IcebergTableReader:
             )
 
         pieces: list[DataFrame] = []
+        ins_all: list[tuple[str, int, int]] = []  # (abs path, ordinal, sid)
         for ordinal, s in enumerate(snaps_all[lo : hi + 1]):
             op = s.get("summary", {}).get("operation", "append")
             if op == "replace":
@@ -1157,12 +1158,9 @@ class IcebergTableReader:
                             base.join(F.broadcast(drows), cond, "semi")
                         ).withColumn("_change_type", F.lit("delete"))
                     )
-            if added_data:
-                parts.append(
-                    align(
-                        spark.read.schema(snap.schema).parquet(*added_data)
-                    ).withColumn("_change_type", F.lit("insert"))
-                )
+            ins_all.extend(
+                (os.path.abspath(p), ordinal, sid) for p in added_data
+            )
             if not parts:
                 continue
             df = parts[0]
@@ -1175,6 +1173,56 @@ class IcebergTableReader:
                     "_commit_snapshot_id", F.lit(sid).cast("long")
                 )
             )
+        if ins_all:
+            # Iceberg data files CARRY their partition columns, so every
+            # snapshot's inserts collapse into ONE scan with the commit
+            # attribution attached by a broadcast (file -> ordinal,
+            # snapshot-id) join on _metadata.file_path — plan size O(1)
+            # in snapshot count (per-snapshot scans planned linearly).
+            # A path re-added across snapshots (rollback forks) would
+            # double-join; those take the per-snapshot fallback.
+            paths = [p for p, _o, _sid in ins_all]
+            if len(set(paths)) != len(paths):
+                by_osid: dict[tuple[int, int], list[str]] = {}
+                for p, o, sid in ins_all:
+                    by_osid.setdefault((o, sid), []).append(p)
+                for (o, sid), ps in sorted(by_osid.items()):
+                    pieces.append(
+                        align(spark.read.schema(cur_schema).parquet(*ps))
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_change_ordinal", F.lit(o).cast("int"))
+                        .withColumn(
+                            "_commit_snapshot_id", F.lit(sid).cast("long")
+                        )
+                    )
+            else:
+                vmap = spark.createDataFrame(
+                    ins_all, "__v_fp string, __o int, __sid long"
+                )
+                scan = (
+                    spark.read.schema(cur_schema)
+                    .parquet(*paths)
+                    .select(
+                        "*",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        ).alias("__fp"),
+                    )
+                )
+                pieces.append(
+                    scan.join(
+                        F.broadcast(vmap),
+                        F.col("__fp") == F.col("__v_fp"),
+                        "inner",
+                    )
+                    .withColumn("_change_type", F.lit("insert"))
+                    .select(
+                        *[f.name for f in cur_schema.fields],
+                        "_change_type",
+                        F.col("__o").alias("_change_ordinal"),
+                        F.col("__sid").alias("_commit_snapshot_id"),
+                    )
+                )
         if not pieces:
             return spark.createDataFrame([], full_st)
         out = pieces[0]
