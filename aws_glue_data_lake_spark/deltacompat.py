@@ -792,6 +792,8 @@ class DeltaTableReader:
         spark: SparkSession,
         starting_version: int = 0,
         ending_version: int | None = None,
+        starting_timestamp_ms: int | None = None,
+        ending_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Change Data Feed read (delta-spark's ``readChangeFeed`` /
         ``table_changes``): one row per row-level change across commits
@@ -825,6 +827,24 @@ class DeltaTableReader:
         from pyspark.sql.types import StringType
 
         snap = self.snapshot()
+        if starting_timestamp_ms is not None:
+            # delta-spark's startingTimestamp: the FIRST commit at or
+            # after the timestamp (a timestamp past the tip is an error
+            # there too — no silent empty feed)
+            later = [
+                h["version"]
+                for h in self.history()
+                if h["timestamp"] >= starting_timestamp_ms
+            ]
+            if not later:
+                raise ValueError(
+                    f"no commit at or after timestamp "
+                    f"{starting_timestamp_ms}"
+                )
+            starting_version = min(later)
+        if ending_timestamp_ms is not None:
+            # endingTimestamp: the LAST commit at or before it
+            ending_version = self.version_at_timestamp(ending_timestamp_ms)
         end = self.latest_version() if ending_version is None else ending_version
         if starting_version > end:
             raise ValueError(

@@ -616,6 +616,21 @@ class IcebergTableReader:
         ]
         return sorted(out, key=lambda r: -r["sequence_number"])
 
+    def snapshot_id_at_timestamp(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution (the spec's snapshot-log rule):
+        the latest snapshot committed at or before ``timestamp_ms``;
+        loud when the timestamp predates the first snapshot."""
+        hist = sorted(self.history(), key=lambda h: h["sequence_number"])
+        candidates = [
+            h["snapshot_id"] for h in hist if h["timestamp_ms"] <= timestamp_ms
+        ]
+        if not candidates:
+            raise ValueError(
+                f"no snapshot at or before timestamp {timestamp_ms} "
+                f"(earliest: {hist[0] if hist else None})"
+            )
+        return candidates[-1]
+
     def snapshot(
         self, snapshot_id: int | None = None, ref: str | None = None
     ) -> IcebergSnapshot:
@@ -773,6 +788,7 @@ class IcebergTableReader:
         partition_filter: dict | None = None,
         stats_filter: dict | None = None,
         ref: str | None = None,
+        timestamp_ms: int | None = None,
         _keep_paths: set | None = None,
         _with_meta: bool = False,
     ) -> DataFrame:
@@ -799,6 +815,12 @@ class IcebergTableReader:
         node regardless of commit count."""
         from pyspark.sql import functions as F
 
+        if timestamp_ms is not None:
+            if snapshot_id is not None or ref is not None:
+                raise ValueError(
+                    "pass snapshot_id, ref OR timestamp_ms, not several"
+                )
+            snapshot_id = self.snapshot_id_at_timestamp(timestamp_ms)
         snap = self.snapshot(snapshot_id, ref=ref)
         files = snap.files
         if partition_filter:

@@ -1703,3 +1703,29 @@ def test_cdf_changes_under_column_mapping(spark, tmp_path):
         (1, "update_postimage", 2, "a", 99),
         (1, "update_preimage", 2, "a", 20),
     ]
+
+
+def test_cdf_timestamp_range_resolution(spark, tmp_path):
+    """startingTimestamp / endingTimestamp CDF reads resolve exactly as
+    delta-spark: start = first commit AT OR AFTER, end = last commit AT
+    OR BEFORE; a start past the tip is loud, never an empty feed."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))     # v0
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))     # v1
+    w.append(spark.createDataFrame([(3, 30)], "k long, v long"))     # v2
+    r = DeltaTableReader(path)
+    ts = {h["version"]: h["timestamp"] for h in r.history()}
+
+    def ks(**kw):
+        return sorted(
+            x["k"] for x in r.changes(spark, **kw).collect()
+        )
+
+    assert ks(starting_timestamp_ms=ts[1]) == [2, 3]
+    assert ks(starting_timestamp_ms=ts[0], ending_timestamp_ms=ts[1]) == [1, 2]
+    # a start strictly between v1 and v2 resolves forward to v2
+    if ts[2] > ts[1]:
+        assert ks(starting_timestamp_ms=ts[1] + 1) == [3]
+    with pytest.raises(ValueError, match="at or after"):
+        r.changes(spark, starting_timestamp_ms=ts[2] + 10_000).collect()

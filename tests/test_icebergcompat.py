@@ -1170,3 +1170,26 @@ def test_changelog_replays_to_final_state(
         for x in IcebergTableReader(tmp).to_df(spark).collect()
     )
     assert {t: c for t, c in state.items() if c} == dict(final)
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF: to_df(timestamp_ms=...) resolves the latest
+    snapshot at or before the timestamp via the snapshot log; earlier
+    than the first snapshot is loud."""
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a", 10)], "k long, bucket string, v long"))
+    w.append(spark.createDataFrame([(2, "b", 20)], "k long, bucket string, v long"))
+    r = IcebergTableReader(path)
+    hist = sorted(r.history(), key=lambda h: h["sequence_number"])
+    t1, t2 = hist[0]["timestamp_ms"], hist[1]["timestamp_ms"]
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=t1).collect()
+    ) == [1]
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=t2 + 5).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="no snapshot"):
+        r.to_df(spark, timestamp_ms=t1 - 10_000)
+    with pytest.raises(ValueError, match="not several"):
+        r.to_df(spark, snapshot_id=hist[0]["snapshot_id"], timestamp_ms=t1)
