@@ -2485,6 +2485,17 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self._cdf = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
+        #: delta-spark's escape hatches for non-append commits on the
+        #: plain stream: skipChangeCommits drops any dataChange
+        #: remove-carrying commit wholesale (adds included);
+        #: ignoreDeletes tolerates remove-ONLY commits (partition
+        #: deletes) but still fails rewrites
+        self._skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self._ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -2530,6 +2541,8 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             return parts
         parts = []
         for v in range(lo + 1, hi + 1):
+            adds: list[dict] = []
+            removes = 0
             with open(
                 os.path.join(self.reader._log, f"{v:020d}.json")
             ) as f:
@@ -2541,33 +2554,45 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                     if "add" in action and action["add"].get(
                         "dataChange", True
                     ):
-                        a = action["add"]
-                        if a.get("deletionVector"):
-                            raise ValueError(
-                                f"delta_cdf is append-only: version {v} "
-                                "attaches a deletion vector (DELETE); "
-                                "re-read a fresh snapshot instead"
-                            )
-                        consts = [
-                            (c, part_types[c], a.get("partitionValues", {}).get(c))
-                            for c in snap.partition_columns
-                        ]
-                        parts.append(
-                            _DeltaFilePartition(
-                                self.reader._abs_path(a["path"]),
-                                data_fields,
-                                consts,
-                                [f.name for f in snap.schema.fields],
-                            )
-                        )
+                        adds.append(action["add"])
                     elif "remove" in action and action["remove"].get(
                         "dataChange", True
                     ):
-                        raise ValueError(
-                            f"delta_cdf is append-only: version {v} removes "
-                            "data (overwrite/delete); re-read a fresh "
-                            "snapshot instead"
-                        )
+                        removes += 1
+            if removes or any(a.get("deletionVector") for a in adds):
+                # a non-append commit on the plain stream: delta-spark's
+                # options decide — skipChangeCommits drops the whole
+                # commit; ignoreDeletes tolerates remove-ONLY commits
+                # (partition deletes); otherwise fail loudly
+                if self._skip_change:
+                    continue
+                if self._ignore_deletes and removes and not adds:
+                    continue
+                raise ValueError(
+                    f"delta_cdf is append-only: version {v} "
+                    + (
+                        "removes data (overwrite/delete)"
+                        if removes
+                        else "attaches a deletion vector (DELETE)"
+                    )
+                    + "; re-read a fresh snapshot, or set "
+                    "skipChangeCommits=true (drop such commits) / "
+                    "ignoreDeletes=true (tolerate remove-only commits), "
+                    "or stream readChangeFeed=true for the row-level feed"
+                )
+            for a in adds:
+                consts = [
+                    (c, part_types[c], a.get("partitionValues", {}).get(c))
+                    for c in snap.partition_columns
+                ]
+                parts.append(
+                    _DeltaFilePartition(
+                        self.reader._abs_path(a["path"]),
+                        data_fields,
+                        consts,
+                        [f.name for f in snap.schema.fields],
+                    )
+                )
         return parts
 
     def read(self, partition):

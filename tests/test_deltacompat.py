@@ -1729,3 +1729,100 @@ def test_cdf_timestamp_range_resolution(spark, tmp_path):
         assert ks(starting_timestamp_ms=ts[1] + 1) == [3]
     with pytest.raises(ValueError, match="at or after"):
         r.changes(spark, starting_timestamp_ms=ts[2] + 10_000).collect()
+
+
+def test_delta_stream_skip_change_commits_and_ignore_deletes(spark, tmp_path):
+    """delta-spark's plain-stream escape hatches: skipChangeCommits
+    drops non-append commits wholesale (their adds included);
+    ignoreDeletes tolerates remove-only commits (partition deletes) but
+    still fails rewrites."""
+    from aws_glue_data_lake_spark.deltacompat import register_delta_cdf_source
+
+    register_delta_cdf_source(spark)
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )                                                      # v0
+    w.overwrite_partition(
+        spark.createDataFrame([(9, "a", 90)], "k long, bucket string, v long"),
+        bucket="a",
+    )                                                      # v1: rewrite
+    # drop partition b entirely: a remove-ONLY commit
+    w.overwrite_partition(
+        spark.createDataFrame([], "k long, bucket string, v long"),
+        bucket="b",
+    )                                                      # v2: remove-only
+    w.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )                                                      # v3
+
+    def drain(name, **opts):
+        reader = spark.readStream.format("delta_cdf").option("path", path)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # default: loud on the rewrite
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("plain_fail")
+    # skipChangeCommits: v1 and v2 vanish, appends flow
+    drain("plain_skip", skipChangeCommits="true")
+    assert sorted(
+        x["k"] for x in spark.sql("SELECT * FROM plain_skip").collect()
+    ) == [1, 2, 3]
+    # ignoreDeletes alone still fails the v1 rewrite
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("plain_igdel_fail", ignoreDeletes="true")
+
+    # on a table whose only non-append commit is remove-ONLY,
+    # ignoreDeletes suffices (and default still fails)
+    path2 = str(tmp_path / "d2")
+    w2 = DeltaTableWriter(path2)
+    w2.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    w2.overwrite_partition(
+        spark.createDataFrame([], "k long, bucket string, v long"),
+        bucket="b",
+    )
+    w2.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )
+
+    def drain2(name, **opts):
+        reader = spark.readStream.format("delta_cdf").option("path", path2)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain2("plain2_fail")
+    drain2("plain2_igdel", ignoreDeletes="true")
+    assert sorted(
+        x["k"] for x in spark.sql("SELECT * FROM plain2_igdel").collect()
+    ) == [1, 2, 3]
