@@ -2124,12 +2124,23 @@ class DeltaTableWriter:
         )
         return v
 
-    def restore(self, version: int) -> int:
+    def restore(
+        self, version: int, spark: SparkSession | None = None
+    ) -> int:
         """RESTORE TABLE TO VERSION AS OF: a new commit whose remove+add
         actions make the table's live set equal the target version's —
         history is preserved (the restore itself is one more commit, the
         protocol's rule), nothing is rewritten, and files the target
-        still references must not have been vacuumed."""
+        still references must not have been vacuumed.
+
+        Under CDF the restore's add+remove churn is file-level, so —
+        like delta-spark — the TRUE row-level delta lands in cdc files:
+        rows live now but not at the target emit ``delete``, rows live
+        at the target but not now emit ``insert`` (an exceptAll diff of
+        the two snapshots; restore is a rare administrative op, the two
+        scans are the honest price of a replayable feed). Pass the
+        SparkSession for this — a CDF table refuses a sparkless
+        restore rather than silently breaking its feed."""
         r = DeltaTableReader(self.path)
         cur = r.snapshot()
         tgt = r.snapshot(version)
@@ -2207,6 +2218,45 @@ class DeltaTableWriter:
                     }
                 }
             )
+        if self._cdf_enabled(cur.configuration):
+            if spark is None:
+                raise ValueError(
+                    "restore on a delta.enableChangeDataFeed table needs "
+                    "the SparkSession to stage its cdc rows: "
+                    "restore(version, spark)"
+                )
+            tgt_fields = tgt.schema.fields
+
+            def align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in tgt_fields
+                    ]
+                )
+
+            cur_df = align(r.to_df(spark))
+            tgt_df = align(r.to_df(spark, version=version))
+            changes = (
+                cur_df.exceptAll(tgt_df)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    tgt_df.exceptAll(cur_df).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            )
+            if not changes.isEmpty():
+                actions = actions + [
+                    {"cdc": c}
+                    for c in self._stage_files(
+                        changes,
+                        tuple(tgt.raw_meta.get("partitionColumns", ())),
+                        cdc=True,
+                    )
+                ]
         v = cur.version + 1
         self._commit_read_dependent(v, actions, operation="RESTORE")
         return v

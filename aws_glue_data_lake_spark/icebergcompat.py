@@ -2498,6 +2498,19 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("iceberg_cdf requires a 'path' option")
         self.reader = IcebergTableReader(path)
+        #: iceberg-spark's read options of the same names: skip delete /
+        #: overwrite snapshots instead of failing the stream (their
+        #: added files are NOT emitted — the same contract as upstream)
+        self._skip_delete = (
+            str(options.get("streaming-skip-delete-snapshots", "false"))
+            .lower()
+            == "true"
+        )
+        self._skip_overwrite = (
+            str(options.get("streaming-skip-overwrite-snapshots", "false"))
+            .lower()
+            == "true"
+        )
 
     def _snapshots(self) -> list[dict]:
         meta = self.reader._metadata()
@@ -2521,11 +2534,19 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
         parts = []
         for s in snaps[lo:hi]:
             op = s.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: no logical change, nothing to emit
+            if op == "delete" and self._skip_delete:
+                continue
+            if op == "overwrite" and self._skip_overwrite:
+                continue
             if op not in ("append",):
                 raise ValueError(
                     f"iceberg_cdf is append-only: snapshot "
                     f"{s['snapshot-id']} is {op!r} (rewrites/deletes would "
-                    "re-emit or retract rows; read a fresh snapshot instead)"
+                    "re-emit or retract rows; read a fresh snapshot, or "
+                    "set streaming-skip-delete-snapshots / "
+                    "streaming-skip-overwrite-snapshots to drop them)"
                 )
             sid = s["snapshot-id"]
             _, manifests, _ = read_container(

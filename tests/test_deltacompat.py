@@ -1826,3 +1826,50 @@ def test_delta_stream_skip_change_commits_and_ignore_deletes(spark, tmp_path):
     assert sorted(
         x["k"] for x in spark.sql("SELECT * FROM plain2_igdel").collect()
     ) == [1, 2, 3]
+
+
+def test_cdf_restore_emits_row_level_delta(spark, tmp_path):
+    """RESTORE on a CDF table stages cdc rows for the true diff: rows
+    only-live-now emit delete, rows only-live-at-target emit insert —
+    and a sparkless restore refuses rather than breaking the feed."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        )
+    )                                                      # v0
+    w.set_change_data_feed()                               # v1
+    w.append(
+        spark.createDataFrame([(3, "a", 30)], "k long, bucket string, v long")
+    )                                                      # v2
+    w.delete_where(spark, "k = 1")                         # v3
+    with pytest.raises(ValueError, match="SparkSession"):
+        w.restore(1)
+    rv = w.restore(1, spark)                               # v4: back to {1,2}
+    got = sorted(
+        (x["_change_type"], x["k"])
+        for x in DeltaTableReader(path)
+        .changes(spark, starting_version=rv, ending_version=rv)
+        .collect()
+    )
+    assert got == [("delete", 3), ("insert", 1)]
+    # the whole feed still multiset-replays to the final state
+    feed = DeltaTableReader(path).changes(spark).collect()
+    from collections import Counter
+
+    state: Counter = Counter()
+    for v in sorted({r["_commit_version"] for r in feed}):
+        batch = [r for r in feed if r["_commit_version"] == v]
+        for r in batch:
+            if r["_change_type"] in ("delete", "update_preimage"):
+                state[(r["k"], r["bucket"], r["v"])] -= 1
+        assert all(c >= 0 for c in state.values())
+        for r in batch:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[(r["k"], r["bucket"], r["v"])] += 1
+    final = Counter(
+        (x["k"], x["bucket"], x["v"])
+        for x in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert {t: c for t, c in state.items() if c} == dict(final)

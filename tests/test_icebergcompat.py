@@ -1193,3 +1193,67 @@ def test_timestamp_as_of_read(spark, tmp_path):
         r.to_df(spark, timestamp_ms=t1 - 10_000)
     with pytest.raises(ValueError, match="not several"):
         r.to_df(spark, snapshot_id=hist[0]["snapshot_id"], timestamp_ms=t1)
+
+
+def test_iceberg_stream_skip_snapshot_options(spark, tmp_path):
+    """iceberg-spark's streaming read options: skip delete / overwrite
+    snapshots instead of failing (their files never emit); replace
+    (compaction) snapshots are always skipped silently upstream-style."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        register_iceberg_cdf_source,
+    )
+
+    register_iceberg_cdf_source(spark)
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    w.delete_where(spark, "k = 1")                    # delete snapshot
+    w.overwrite_partition(
+        spark.createDataFrame([(9, "a", 90)], "k long, bucket string, v long"),
+        bucket="a",
+    )                                                 # overwrite snapshot
+    w.compact(spark)                                  # replace snapshot
+    w.append(
+        spark.createDataFrame([(3, None, 30)], "k long, bucket string, v long")
+    )
+
+    def drain(name, **opts):
+        reader = spark.readStream.format("iceberg_cdf").option("path", path)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("ice_skip_fail")
+    # skipping only deletes still fails the overwrite
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("ice_skip_del", **{"streaming-skip-delete-snapshots": "true"})
+    drain(
+        "ice_skip_both",
+        **{
+            "streaming-skip-delete-snapshots": "true",
+            "streaming-skip-overwrite-snapshots": "true",
+        },
+    )
+    # only the appends' files: create + final append; the overwrite's
+    # and compaction's files never emit
+    assert sorted(
+        (x["k"], x["bucket"]) for x in spark.sql(
+            "SELECT * FROM ice_skip_both"
+        ).collect()
+    ) == [(1, "a"), (2, "b"), (3, None)]
