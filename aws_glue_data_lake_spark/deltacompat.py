@@ -2546,9 +2546,37 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self._ignore_deletes = (
             str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
+        #: delta-spark's stream-start controls: startingVersion (an int,
+        #: or "latest" = only commits after stream start) /
+        #: startingTimestamp (first commit at or after it)
+        sv = options.get("startingVersion")
+        st = options.get("startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if sv is not None:
+            self._start = (
+                self.reader.latest_version()
+                if str(sv).lower() == "latest"
+                else int(sv) - 1
+            )
+        elif st is not None:
+            later = [
+                h["version"]
+                for h in self.reader.history()
+                if h["timestamp"] >= int(st)
+            ]
+            if not later:
+                raise ValueError(
+                    f"no commit at or after startingTimestamp {st}"
+                )
+            self._start = min(later) - 1
+        else:
+            self._start = -1
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self._start}
 
     def latestOffset(self) -> dict:
         return {"version": self.reader.latest_version()}

@@ -2511,6 +2511,16 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             .lower()
             == "true"
         )
+        #: upstream's stream-start control: skip every snapshot committed
+        #: BEFORE the timestamp (stream-from-timestamp, ms)
+        sft = options.get("stream-from-timestamp")
+        if sft is not None:
+            snaps = self._snapshots()
+            self._start = sum(
+                1 for s in snaps if s.get("timestamp-ms", 0) < int(sft)
+            )
+        else:
+            self._start = 0
 
     def _snapshots(self) -> list[dict]:
         meta = self.reader._metadata()
@@ -2519,7 +2529,7 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"pos": self._start}
 
     def latestOffset(self) -> dict:
         return {"pos": len(self._snapshots())}

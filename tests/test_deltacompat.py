@@ -1873,3 +1873,45 @@ def test_cdf_restore_emits_row_level_delta(spark, tmp_path):
         for x in DeltaTableReader(path).to_df(spark).collect()
     )
     assert {t: c for t, c in state.items() if c} == dict(final)
+
+
+def test_delta_stream_starting_version_and_timestamp(spark, tmp_path):
+    """startingVersion / startingTimestamp position the plain stream's
+    first micro-batch; 'latest' emits only post-start commits."""
+    from aws_glue_data_lake_spark.deltacompat import register_delta_cdf_source
+
+    register_delta_cdf_source(spark)
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))     # v0
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))     # v1
+    w.append(spark.createDataFrame([(3, 30)], "k long, v long"))     # v2
+    ts = {h["version"]: h["timestamp"] for h in DeltaTableReader(path).history()}
+
+    def drain(name, **opts):
+        reader = spark.readStream.format("delta_cdf").option("path", path)
+        for k, val in opts.items():
+            reader = reader.option(k, str(val))
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("sv_t", startingVersion=1)
+    assert sorted(
+        x["k"] for x in spark.sql("SELECT * FROM sv_t").collect()
+    ) == [2, 3]
+    drain("st_t", startingTimestamp=ts[2])
+    assert sorted(
+        x["k"] for x in spark.sql("SELECT * FROM st_t").collect()
+    ) == [3]
+    # latest: nothing until a NEW commit lands
+    drain("sl_t", startingVersion="latest")
+    assert spark.sql("SELECT * FROM sl_t").count() == 0
+    with pytest.raises(Exception, match="not both"):
+        drain("sb_t", startingVersion=1, startingTimestamp=ts[1])

@@ -1257,3 +1257,38 @@ def test_iceberg_stream_skip_snapshot_options(spark, tmp_path):
             "SELECT * FROM ice_skip_both"
         ).collect()
     ) == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_iceberg_stream_from_timestamp(spark, tmp_path):
+    """stream-from-timestamp skips snapshots committed before it."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        register_iceberg_cdf_source,
+    )
+
+    register_iceberg_cdf_source(spark)
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a", 10)], "k long, bucket string, v long"))
+    w.append(spark.createDataFrame([(2, "b", 20)], "k long, bucket string, v long"))
+    hist = sorted(
+        IcebergTableReader(path).history(),
+        key=lambda h: h["sequence_number"],
+    )
+    t2 = hist[1]["timestamp_ms"]
+    q = (
+        spark.readStream.format("iceberg_cdf")
+        .option("path", path)
+        .option("stream-from-timestamp", str(t2))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_sft")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sft"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(x["k"] for x in spark.sql("SELECT * FROM ice_sft").collect())
+    # only snapshots at/after t2 emit; if both landed in the same ms the
+    # first may ride along — assert the second is present and the set is
+    # a suffix of the history
+    assert got in ([2], [1, 2])
