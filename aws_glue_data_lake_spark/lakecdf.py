@@ -8,8 +8,10 @@ Design, scale-first:
 
 - **Offsets are snapshot versions** (``{"version": N}``): monotonic,
   replayable, and exactly the unit the table's own commit protocol makes
-  atomic. ``latestOffset`` advances one version per micro-batch so each
-  batch is one commit's delta — the honest CDF granularity.
+  atomic. Each micro-batch covers every version committed since the
+  last one (``latestOffset`` returns the tip), planned as one
+  file-partition set — per-commit attribution stays exact because the
+  manifest diff is taken version by version.
 - **Executor-side file reads.** This is the FULL ``DataSourceStreamReader``
   (not the prefetching Simple variant): ``partitions(start, end)`` plans
   one :class:`InputPartition` per data file ADDED in the version range
