@@ -1915,3 +1915,29 @@ def test_delta_stream_starting_version_and_timestamp(spark, tmp_path):
     assert spark.sql("SELECT * FROM sl_t").count() == 0
     with pytest.raises(Exception, match="not both"):
         drain("sb_t", startingVersion=1, startingTimestamp=ts[1])
+
+
+def test_cdf_plan_is_single_scan(spark, tmp_path):
+    """The O(1)-plan property of the feed readers, pinned: a
+    many-commit add-only history plans as ONE parquet scan (plus the
+    broadcast file→commit map), not one scan per commit — the property
+    that keeps a year-long CDF read plannable."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(0, "a", 0)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    for i in range(1, 13):
+        w.append(
+            spark.createDataFrame(
+                [(i, "a" if i % 2 else "b", i)],
+                "k long, bucket string, v long",
+            )
+        )
+    feed = DeltaTableReader(path).changes(spark)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert feed.count() == 13

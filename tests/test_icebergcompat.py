@@ -1292,3 +1292,24 @@ def test_iceberg_stream_from_timestamp(spark, tmp_path):
     # first may ride along — assert the second is present and the set is
     # a suffix of the history
     assert got in ([2], [1, 2])
+
+
+def test_changelog_plan_is_single_scan(spark, tmp_path):
+    """The O(1)-plan property of the changelog, pinned: a many-snapshot
+    append-only history plans as ONE parquet scan plus the broadcast
+    ordinal map, not one scan per snapshot."""
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame([(0, "a", 0)], "k long, bucket string, v long")
+    )
+    for i in range(1, 13):
+        w.append(
+            spark.createDataFrame(
+                [(i, "a", i)], "k long, bucket string, v long"
+            )
+        )
+    feed = IcebergTableReader(path).changes(spark)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert feed.count() == 13
