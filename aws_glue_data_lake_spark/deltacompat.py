@@ -534,6 +534,7 @@ class DeltaTableReader:
         version: int | None = None,
         stats_filter: dict | None = None,
         partition_filter: dict | None = None,
+        timestamp_ms: int | None = None,
         _expose_pos: bool = False,
         _keep_paths: set | None = None,
     ) -> DataFrame:
@@ -561,6 +562,10 @@ class DeltaTableReader:
         side partition pruning the basePath fast path already gets for
         free, this never even LISTS the excluded files into the plan
         (and works on the literal-group fallback too)."""
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_ms, not both")
+            version = self.version_at_timestamp(timestamp_ms)
         snap = self.snapshot(version)
         if _keep_paths is not None:
             # internal: restrict the plan to an exact file subset (the

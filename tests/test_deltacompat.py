@@ -1941,3 +1941,24 @@ def test_cdf_plan_is_single_scan(spark, tmp_path):
     plan = feed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert feed.count() == 13
+
+
+def test_to_df_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF on the Delta read path: to_df(timestamp_ms=...)
+    resolves the latest commit at or before the timestamp."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))     # v0
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))     # v1
+    r = DeltaTableReader(path)
+    ts = {h["version"]: h["timestamp"] for h in r.history()}
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=ts[0]).collect()
+    ) == [1]
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=ts[1] + 5).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        r.to_df(spark, version=0, timestamp_ms=ts[0])
+    with pytest.raises(ValueError, match="no commit"):
+        r.to_df(spark, timestamp_ms=ts[0] - 10_000)
