@@ -84,6 +84,12 @@ class DeltaSnapshot:
     #: the raw protocol action (minReader/minWriter + feature lists) —
     #: what a writer must carry forward when it adds a writer feature
     raw_protocol: dict = None  # type: ignore[assignment]
+    #: absolute path -> the EXACT raw ``add.path`` string it was committed
+    #: under. Remove actions must reuse this key verbatim: the live-file
+    #: state is keyed by the raw string, so a remove synthesized as a fresh
+    #: relpath would silently miss an add that used an absolute URI (e.g.
+    #: export_lake_snapshot / shallow clones) and duplicate its rows.
+    raw_paths: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -119,18 +125,28 @@ def _file_stats_json(path: str) -> str | None:
         lo = hi = None
         nc = 0
         ok = True
+        # Publish a nullCount entry ONLY when every row group carries
+        # statistics with a known null_count: an absent count published as
+        # 0 would let a foreign reader's IS NULL data skipping prune a file
+        # that actually holds nulls (omitting the column is always safe).
+        nc_known = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None:
                 ok = False
+                nc_known = False
                 break
-            nc += st.null_count if st.null_count is not None else 0
+            if st.null_count is None:
+                nc_known = False
+            else:
+                nc += st.null_count
             if not st.has_min_max:
                 ok = False
                 continue
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        nulls[name] = nc
+        if nc_known:
+            nulls[name] = nc
         if ok and lo is not None and safe(lo) is not None:
             mins[name] = safe(lo)
             maxs[name] = safe(hi)
@@ -385,6 +401,7 @@ class DeltaTableReader:
             for p, d in state["files"].items()
             if d.get("stats")
         }
+        raw_paths = {self._abs_path(p): p for p in state["files"]}
         return DeltaSnapshot(
             version=tip,
             schema=schema,
@@ -395,6 +412,7 @@ class DeltaTableReader:
             raw_meta=meta,
             txns=dict(state.get("txns", {})),
             raw_protocol=dict(state.get("protocol") or {}),
+            raw_paths=raw_paths,
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -1262,6 +1280,19 @@ class DeltaTableWriter:
                     f"{len(sample)}+ incoming row(s), e.g. {sample[0]}"
                 )
 
+    def _raw_key(self, snap: DeltaSnapshot, p: str) -> str:
+        """The exact log key a remove / re-add for live file ``p`` must
+        use: the raw ``add.path`` string it was committed under. The live
+        state is a dict keyed by that raw string, so an add made with an
+        absolute ``file://`` URI (export_lake_snapshot, shallow clones,
+        any foreign writer) can only be removed under that same URI — a
+        freshly synthesized relpath would silently fail to pop it and
+        every carried row would duplicate."""
+        raw = (snap.raw_paths or {}).get(p)
+        if raw is not None:
+            return raw
+        return urllib.parse.quote(os.path.relpath(p, self.path))
+
     @staticmethod
     def _require_mutable(snap: DeltaSnapshot, what: str) -> None:
         if snap.configuration.get("delta.appendOnly", "").lower() == "true":
@@ -1649,9 +1680,7 @@ class DeltaTableWriter:
         removes = [
             {
                 "remove": {
-                    "path": urllib.parse.quote(
-                        os.path.relpath(p, self.path)
-                    ),
+                    "path": self._raw_key(snap, p),
                     "deletionTimestamp": 0,
                     "dataChange": True,
                 }
@@ -1680,7 +1709,7 @@ class DeltaTableWriter:
         removes = [
             {
                 "remove": {
-                    "path": urllib.parse.quote(os.path.relpath(p, self.path)),
+                    "path": self._raw_key(snap, p),
                     "deletionTimestamp": 0,
                     "dataChange": True,
                 }
@@ -1757,9 +1786,11 @@ class DeltaTableWriter:
                     "protocol": None,
                     "metaData": None,
                     "add": {
-                        "path": urllib.parse.quote(
-                            os.path.relpath(p, self.path)
-                        ),
+                        # checkpoints must re-emit each add under its
+                        # ORIGINAL raw path key (an absolute-URI add
+                        # re-keyed as a relpath would strand any
+                        # pre-checkpoint remove written against the URI)
+                        "path": self._raw_key(snap, p),
                         "partitionValues": list(pv.items()),
                         "size": os.path.getsize(p),
                         "modificationTime": 0,
@@ -1887,9 +1918,7 @@ class DeltaTableWriter:
         removes = [
             {
                 "remove": {
-                    "path": urllib.parse.quote(
-                        os.path.relpath(p, self.path)
-                    ),
+                    "path": self._raw_key(snap, p),
                     "deletionTimestamp": 0,
                     "dataChange": False,
                 }
@@ -2089,7 +2118,7 @@ class DeltaTableWriter:
             }
         ]
         for (p, pv, _blob, card), (off, size) in zip(merged, spans):
-            rel = urllib.parse.quote(os.path.relpath(p, self.path))
+            rel = self._raw_key(snap, p)
             actions.append(
                 {
                     "remove": {
@@ -2172,13 +2201,15 @@ class DeltaTableWriter:
                         f"vector {bin_path}, which no longer exists "
                         "(vacuumed?)"
                     )
+        # Key the diff by each snapshot's RAW add.path string (the live
+        # state's dict key) — same file, same add action, same raw key in
+        # both snapshots, so the diff stays aligned and removes emitted
+        # below always pop the real live entry (absolute-URI adds included).
         cur_by_rel = {
-            urllib.parse.quote(os.path.relpath(p, self.path)): (p, pv, dv)
-            for p, pv, dv in cur.files
+            self._raw_key(cur, p): (p, pv, dv) for p, pv, dv in cur.files
         }
         tgt_by_rel = {
-            urllib.parse.quote(os.path.relpath(p, self.path)): (p, pv, dv)
-            for p, pv, dv in tgt.files
+            self._raw_key(tgt, p): (p, pv, dv) for p, pv, dv in tgt.files
         }
         actions: list[dict] = []
         if json.dumps(tgt.raw_meta.get("schemaString")) != json.dumps(
@@ -2606,7 +2637,16 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             # as inserts, remove-only commits as deletes; unreplayable
             # rewrites raise in _change_entries (skipChangeCommits is
             # deliberately not faked — a silent gap is worse than a stop)
-            out_order = [f.name for f in self.reader.cdf_schema().fields]
+            # Column order comes from the snapshot PINNED at stream start
+            # (matching plain mode and Spark's fixed stream-start schema):
+            # a fresh cdf_schema() here would pick up a mid-stream
+            # mergeSchema append and ask the batch builder for a column it
+            # has no arrays for.
+            out_order = [f.name for f in snap.schema.fields] + [
+                "_change_type",
+                "_commit_version",
+                "_commit_timestamp",
+            ]
             parts = []
             for v in range(lo + 1, hi + 1):
                 ts, entries = self.reader._change_entries(v)

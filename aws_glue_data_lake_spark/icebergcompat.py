@@ -1390,13 +1390,29 @@ class IcebergTableWriter:
         added = [e for e in entries if e["status"] == _STATUS_ADDED]
         existing = [e for e in entries if e["status"] == _STATUS_EXISTING]
         deleted = [e for e in entries if e["status"] == _STATUS_DELETED]
+        # min_sequence_number is a PRUNING bound: readers use it to decide
+        # which older delete files still apply to this manifest's data.
+        # Carried EXISTING entries keep their original (older) data
+        # sequence numbers, so the minimum must reflect them — stamping
+        # the new snapshot's seq would let a conforming reader skip older
+        # equality/position deletes and resurrect deleted rows. Entries
+        # with a null seq inherit this manifest's sequence_number (spec
+        # inheritance), hence the fallback per entry and for all-new
+        # manifests.
+        live_seqs = [
+            e["sequence_number"]
+            if e.get("sequence_number") is not None
+            else sequence_number
+            for e in entries
+            if e["status"] != _STATUS_DELETED
+        ]
         return {
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": 0,
             "content": content,
             "sequence_number": sequence_number,
-            "min_sequence_number": sequence_number,
+            "min_sequence_number": min(live_seqs, default=sequence_number),
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": len(added),
             "existing_data_files_count": len(existing),
@@ -1850,6 +1866,14 @@ class IcebergTableWriter:
                 e["status"] = (
                     _STATUS_DELETED if matches else _STATUS_EXISTING
                 )
+                # Resolve sequence-number inheritance BEFORE re-homing the
+                # entry: a null seq meant "inherit from the SOURCE
+                # manifest"; carried into a new manifest it would wrongly
+                # inherit the new snapshot's seq, postdating old data.
+                if e.get("sequence_number") is None:
+                    e["sequence_number"] = mf.get("sequence_number", 0)
+                if e.get("file_sequence_number") is None:
+                    e["file_sequence_number"] = mf.get("sequence_number", 0)
                 rewritten.append(e)
             if rewritten:
                 new_manifests.append(

@@ -2551,7 +2551,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(9, 0, -1):
         bucket = F.when(rank <= ends[k - 1], k).otherwise(bucket)
     b = ranged.select("o_totalprice", bucket.alias("bucket"))
-    return (
+    hist = (
         b.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
@@ -2563,6 +2563,14 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+    # Materialize the (exactly ≤10-row) histogram BEFORE unpersisting:
+    # the offsets above are only valid against THIS materialization of the
+    # range partitioning, and unpersisting lazily would leak the cached
+    # projection for the life of a long-lived session (one leak per run).
+    rows = hist.collect()
+    schema = hist.schema
+    ranged.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 # --------------------------------------------------------------------------

@@ -1962,3 +1962,130 @@ def test_to_df_timestamp_as_of(spark, tmp_path):
         r.to_df(spark, version=0, timestamp_ms=ts[0])
     with pytest.raises(ValueError, match="no commit"):
         r.to_df(spark, timestamp_ms=ts[0] - 10_000)
+
+
+def test_merge_on_absolute_path_adds_no_duplication(spark, tmp_path):
+    """Remove actions must reuse the EXACT raw add.path key. A table whose
+    adds are absolute file:// URIs (export_lake_snapshot) is the trap: a
+    remove synthesized as a relpath never pops the live entry, so every
+    row MERGE carries forward comes back twice (ADVICE r7 finding 1)."""
+    from aws_glue_data_lake_spark.deltacompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lake"))
+    src.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ),
+        stat_cols=["k"],
+    )
+    path = str(tmp_path / "delta")
+    export_lake_snapshot(src, path)
+    snap = DeltaTableReader(path).snapshot()
+    assert all(
+        raw.startswith("file://") for raw in snap.raw_paths.values()
+    ), "precondition: exported adds are absolute URIs"
+    w = DeltaTableWriter(path)
+    w.merge(
+        spark,
+        spark.createDataFrame([(2, 99), (4, 40)], "k long, v long"),
+        keys=["k"],
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, 10), (2, 99), (3, 30), (4, 40)]
+    # OPTIMIZE on the same table: compaction must also drop the URI adds
+    w.optimize(spark)
+    got2 = sorted(
+        (r["k"], r["v"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got2 == got
+    # and a checkpoint written while URI adds were live must preserve the
+    # raw keys so pre-checkpoint removes stay meaningful on replay
+    snap3 = DeltaTableReader(path).snapshot()
+    assert len(snap3.files) <= 2  # old files gone, compacted output only
+
+
+def test_delete_where_on_absolute_path_adds(spark, tmp_path):
+    """delete_where's remove+re-add pair must also key by the raw URI:
+    miss it and the file stays live twice — once with the DV, once
+    without — resurrecting the deleted row AND duplicating the rest."""
+    from aws_glue_data_lake_spark.deltacompat import export_lake_snapshot
+    from aws_glue_data_lake_spark.lake import LakeTable
+
+    src = LakeTable(str(tmp_path / "lake"))
+    src.create(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        stat_cols=["k"],
+    )
+    path = str(tmp_path / "delta")
+    export_lake_snapshot(src, path)
+    w = DeltaTableWriter(path)
+    w.delete_where(spark, "k = 1")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(2, 20)]
+
+
+def test_stats_omit_nullcount_when_footer_lacks_it(spark, tmp_path):
+    """_file_stats_json must OMIT a column from nullCount when any row
+    group lacks statistics — publishing 0 for unknown nulls lets foreign
+    IS NULL data skipping prune files that hold nulls (ADVICE finding 3).
+    Absent entries are always safe; present entries must be exact."""
+    import json as j
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.deltacompat import _file_stats_json
+
+    tbl = pa.table({"a": [1, 2, None], "b": ["x", None, None]})
+    p_nostats = str(tmp_path / "nostats.parquet")
+    pq.write_table(tbl, p_nostats, write_statistics=False)
+    st = j.loads(_file_stats_json(p_nostats))
+    assert st["numRecords"] == 3
+    assert "a" not in st["nullCount"] and "b" not in st["nullCount"]
+    assert st["minValues"] == {} and st["maxValues"] == {}
+
+    p_stats = str(tmp_path / "stats.parquet")
+    pq.write_table(tbl, p_stats)  # stats on: exact counts required
+    st2 = j.loads(_file_stats_json(p_stats))
+    assert st2["nullCount"] == {"a": 1, "b": 2}
+
+
+def test_cdf_stream_schema_pinned_across_merge_schema(spark, tmp_path):
+    """A readChangeFeed stream's column order is fixed at stream start: a
+    mid-stream mergeSchema append must NOT widen partitions()'s out_order
+    beyond the pinned snapshot (the batch builder has no arrays for the
+    new column — ADVICE finding 4 crashed with KeyError here)."""
+    from aws_glue_data_lake_spark.deltacompat import DeltaCdfStreamReader
+
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    w.set_change_data_feed(True)
+    rdr = DeltaCdfStreamReader(
+        {"path": path, "readChangeFeed": "true"}
+    )
+    start = rdr.initialOffset()
+    # mid-stream schema widening
+    w.append(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, extra string"),
+        merge_schema=True,
+    )
+    end = rdr.latestOffset()
+    parts = rdr.partitions(start, end)
+    assert parts, "the new commit must surface as a partition"
+    for p in parts:
+        assert p.out_order == [
+            "k", "v", "_change_type", "_commit_version", "_commit_timestamp"
+        ]
+        # and the builder can actually produce every declared column
+        batches = list(rdr.read(p))
+        for b in batches:
+            assert set(b.schema.names) == set(p.out_order)

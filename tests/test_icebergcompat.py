@@ -1313,3 +1313,55 @@ def test_changelog_plan_is_single_scan(spark, tmp_path):
     plan = feed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert feed.count() == 13
+
+
+def test_min_sequence_number_reflects_carried_entries(spark, tmp_path):
+    """A rewritten manifest carrying EXISTING entries must publish
+    min_sequence_number = the OLDEST carried data sequence number, not the
+    new snapshot's (ADVICE r7 finding 2): conforming readers prune which
+    delete files apply with this bound, so overstating it would skip older
+    equality deletes and resurrect deleted rows."""
+    from aws_glue_data_lake_spark.avrolite import read_container
+
+    path = str(tmp_path / "ice")
+    w = IcebergTableWriter(path)
+    # seq 1: data in partition b only (so the overwrite of a carries it)
+    w.create(
+        spark.createDataFrame(
+            [(1, "b", 10), (2, "b", 20)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    # seq 2: equality delete of k=2 (applies to seq-1 data, MoR)
+    w.equality_delete(spark.createDataFrame([(2,)], "k long"))
+    # seq 3: overwrite partition a — the rewrite carries partition b's
+    # seq-1 entry as EXISTING in a manifest stamped with seq 3
+    w.overwrite_partition(
+        spark.createDataFrame([(9, "a", 90)], "k long, bucket string, v long"),
+        bucket="a",
+    )
+    r = IcebergTableReader(path)
+    import glob as g
+
+    # newest snap-*.avro under metadata/ is the tip's manifest list
+    ml_path = max(
+        g.glob(os.path.join(path, "metadata", "snap-*.avro")),
+        key=os.path.getmtime,
+    )
+    _, mfs, _ = read_container(ml_path)
+    carried = [
+        m for m in mfs
+        if m.get("content", 0) == 0
+        and m["sequence_number"] == 3
+        and m["existing_data_files_count"] > 0
+    ]
+    assert carried, f"expected a carried data manifest at seq 3: {mfs}"
+    for m in carried:
+        assert m["min_sequence_number"] == 1, m
+    # the seq-2 equality delete must still apply to the carried seq-1 data
+    got = _rows(spark, r)
+    assert got == [(1, "b", 10), (9, "a", 90)]
+    # and the carried entry itself must hold its ORIGINAL data sequence
+    _, entries, _ = read_container(carried[0]["manifest_path"])
+    ex = [e for e in entries if e["status"] == 0]
+    assert ex and all(e["sequence_number"] == 1 for e in ex)
