@@ -48,13 +48,25 @@ from pyspark.sql.types import StructField, StructType
 #: "reader version 3"). Anything else in readerFeatures must hard-fail:
 #: silently ignoring deletionVectors or columnMapping would return wrong
 #: rows, the protocol's cardinal sin.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "columnMapping",
+    "deletionVectors",
+    "v2Checkpoint",
+}
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 #: delta-spark splits large checkpoints: N.checkpoint.<part>.<of>.parquet
 _MULTI_CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+#: V2 Checkpoint table feature (protocol § "V2 Checkpoint"): a UUID-named
+#: top-level file (json or parquet) holding the non-file actions, a
+#: checkpointMetadata action, and optionally `sidecar` actions pointing at
+#: parquet files under _delta_log/_sidecars/ that carry the add/remove set
+_V2_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)$"
 )
 
 
@@ -213,6 +225,10 @@ class DeltaTableReader:
             if m:
                 singles.append(int(m.group(1)))
                 continue
+            m = _V2_CHECKPOINT_RE.match(name)
+            if m:
+                singles.append(int(m.group(1)))
+                continue
             m = _MULTI_CHECKPOINT_RE.match(name)
             if m:
                 v, part, of = (int(x) for x in m.groups())
@@ -234,6 +250,17 @@ class DeltaTableReader:
         )
         if os.path.exists(single):
             return [single]
+        v2 = sorted(
+            os.path.join(self._log, n)
+            for n in os.listdir(self._log)
+            if (m := _V2_CHECKPOINT_RE.match(n))
+            and int(m.group(1)) == version
+        )
+        if v2:
+            # multiple UUID files for one version = concurrent writers
+            # racing the same checkpoint; any single one is complete by
+            # construction, so take the lexically first for determinism
+            return v2[:1]
         return sorted(
             os.path.join(self._log, n)
             for n in os.listdir(self._log)
@@ -270,8 +297,15 @@ class DeltaTableReader:
             out.append(
                 {
                     "version": v,
+                    # inCommitTimestamp (writer feature inCommitTimestamp)
+                    # is the authoritative, monotonic commit time when
+                    # present — file mtimes lie after copies/restores,
+                    # which is exactly why the feature exists
                     "timestamp": info.get(
-                        "timestamp", int(os.path.getmtime(p) * 1000)
+                        "inCommitTimestamp",
+                        info.get(
+                            "timestamp", int(os.path.getmtime(p) * 1000)
+                        ),
                     ),
                     "operation": info.get("operation"),
                 }
@@ -343,16 +377,46 @@ class DeltaTableReader:
     def _load_checkpoint(self, state: dict, version: int) -> None:
         import pyarrow.parquet as pq
 
-        # single classic file, or every part of a multi-part checkpoint
-        # (parts partition the action set — order within them is free)
-        for cp in self._checkpoint_files(version):
-            rows = pq.read_table(cp).to_pylist()
-            # A checkpoint row has exactly one non-null action column.
+        def apply_rows(rows: list[dict]) -> list[str]:
+            """Apply one checkpoint file's action rows; return any sidecar
+            paths it references (V2 Checkpoint feature)."""
+            sidecars: list[str] = []
             for row in rows:
                 for key in ("metaData", "protocol", "add", "remove", "txn"):
                     val = row.get(key)
                     if val is not None:
                         self._apply_action(state, {key: self._plain(val)})
+                sc = row.get("sidecar")
+                if sc is not None:
+                    sidecars.append(self._plain(sc)["path"])
+                # checkpointMetadata: v2 marker action — no state to apply
+            return sidecars
+
+        # single classic file, one UUID-named v2 file, or every part of a
+        # multi-part checkpoint (parts partition the action set — order
+        # within them is free)
+        sidecars: list[str] = []
+        for cp in self._checkpoint_files(version):
+            if cp.endswith(".json"):
+                # v2 checkpoints may be JSON: one action object per line
+                with open(cp) as f:
+                    rows = [json.loads(ln) for ln in f if ln.strip()]
+            else:
+                rows = pq.read_table(cp).to_pylist()
+            sidecars.extend(apply_rows(rows))
+        # sidecar files live under _delta_log/_sidecars/ (relative names)
+        # and carry ONLY file actions (add/remove) — protocol § sidecars
+        for rel in sidecars:
+            sp = (
+                rel
+                if os.path.isabs(rel)
+                else os.path.join(self._log, "_sidecars", rel)
+            )
+            if not os.path.exists(sp):
+                raise DeltaProtocolError(
+                    f"v2 checkpoint references missing sidecar {sp}"
+                )
+            apply_rows(pq.read_table(sp).to_pylist())
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         commits = self._commit_versions()
@@ -750,7 +814,8 @@ class DeltaTableReader:
                     continue
                 a = json.loads(line)
                 if "commitInfo" in a:
-                    ts = a["commitInfo"].get("timestamp", ts)
+                    ci = a["commitInfo"]
+                    ts = ci.get("inCommitTimestamp", ci.get("timestamp", ts))
                 elif "cdc" in a:
                     cdc.append(a["cdc"])
                 elif "add" in a and a["add"].get("dataChange", True):

@@ -558,6 +558,65 @@ class IcebergSnapshot:
     #: (abs path -> {col name: {"count","nulls","min","max"}}); absent
     #: entries = writer recorded none
     col_stats: dict = None  # type: ignore[assignment]
+    #: name-mapping fallbacks (schema.name-mapping.default, spec
+    #: § Column Projection): current column name -> ordered alternate
+    #: PHYSICAL names a migrated data file (written without field IDs)
+    #: may carry for that field. Empty when the table has no mapping or
+    #: the mapping adds nothing beyond the current names.
+    alt_names: dict = None  # type: ignore[assignment]
+
+
+def _name_mapping_alternates(
+    schema_json: dict, mapping: list[dict]
+) -> dict[str, list[str]]:
+    """Resolve ``schema.name-mapping.default`` (spec § Name Mapping
+    Serialization) against the current schema: for each top-level field,
+    the ordered alternate file-column names a migrated file (no parquet
+    field IDs) may use. This reader resolves columns BY NAME, so the
+    mapping matters exactly when a file predates a rename — the old name
+    is the fallback. Nested renames can't be expressed as a column alias
+    on a name-resolved scan, so a nested mapping entry whose names do not
+    include the current nested field name fails loudly instead of reading
+    silent nulls."""
+    by_id = {
+        e.get("field-id"): e for e in mapping if e.get("field-id") is not None
+    }
+
+    def check_nested(fields: list[dict], entries: list[dict]) -> None:
+        ents = {
+            e.get("field-id"): e
+            for e in entries
+            if e.get("field-id") is not None
+        }
+        for f in fields:
+            e = ents.get(f["id"])
+            if e is None:
+                continue
+            if f["name"] not in e.get("names", [f["name"]]):
+                raise IcebergProtocolError(
+                    f"name mapping renames NESTED field {f['name']!r} "
+                    f"(mapping names {e.get('names')}); nested rename "
+                    "fallback is not supported by this name-resolved "
+                    "reader"
+                )
+            if isinstance(f.get("type"), dict) and f["type"].get(
+                "type"
+            ) == "struct":
+                check_nested(f["type"]["fields"], e.get("fields", []))
+
+    out: dict[str, list[str]] = {}
+    for f in schema_json["fields"]:
+        e = by_id.get(f["id"])
+        if e is None:
+            continue
+        alts = [n for n in e.get("names", []) if n != f["name"]]
+        if alts:
+            out[f["name"]] = alts
+        if isinstance(f.get("type"), dict) and f["type"].get(
+            "type"
+        ) == "struct":
+            check_nested(f["type"]["fields"], e.get("fields", []))
+    return out
 
 
 class IcebergTableReader:
@@ -769,6 +828,14 @@ class IcebergTableReader:
                     raise IcebergProtocolError(
                         f"unsupported delete content {content}"
                     )
+        nm_prop = (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+        alt_names: dict[str, list[str]] = {}
+        if nm_prop:
+            alt_names = _name_mapping_alternates(
+                schema_json, json.loads(nm_prop)
+            )
         return IcebergSnapshot(
             snapshot_id=sid,
             schema=spark_schema,
@@ -779,6 +846,7 @@ class IcebergTableReader:
             eq_deletes=sorted(eq_deletes),
             spec_fields=spec_fields,
             col_stats=col_stats,
+            alt_names=alt_names,
         )
 
     def to_df(
@@ -890,11 +958,34 @@ class IcebergTableReader:
                 ]
             )
             return spark.createDataFrame([], empty_st)
-        reader = spark.read.schema(snap.schema)
+        # Name-mapping fallback (migrated tables): widen the pinned read
+        # schema with each field's alternate physical names and coalesce
+        # them back — per row exactly one physical source column exists
+        # (pre-rename files carry the old name, post-rename the new), so
+        # this is one scan with no per-file dispatch, at any file count.
+        alt = snap.alt_names or {}
+        read_schema = snap.schema
+        if alt:
+            type_of = {f.name: f.dataType for f in snap.schema.fields}
+            extra = [
+                StructField(a, type_of[name], True)
+                for name, alts in alt.items()
+                for a in alts
+            ]
+            read_schema = StructType(list(snap.schema.fields) + extra)
+        normalize = [
+            F.coalesce(F.col(f.name), *[F.col(a) for a in alt[f.name]])
+            .alias(f.name)
+            if f.name in alt
+            else F.col(f.name)
+            for f in snap.schema.fields
+        ]
+        reader = spark.read.schema(read_schema)
         if not snap.delete_files and not snap.eq_deletes and not _with_meta:
-            return reader.parquet(*[p for p, _ in files])
+            df = reader.parquet(*[p for p, _ in files])
+            return df.select(normalize) if alt else df
         scan = reader.parquet(*[p for p, _ in files]).select(
-            "*",
+            *normalize,
             # normalize Spark's file:/ URI to a plain path so it compares
             # against the tombstones' file_path values
             F.regexp_replace(

@@ -93,8 +93,8 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
     path = str(tmp_path / "d")
     w = DeltaTableWriter(path)
     w.create(spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"))
-    # doctor the log to demand v2 checkpoints (a real protocol feature
-    # this reader does not implement — only classic checkpoints are)
+    # doctor the log to demand type widening (a real protocol reader
+    # feature this implementation does not honor)
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(log)]
     for ln in lines:
@@ -102,14 +102,14 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
             ln["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint"],
-                "writerFeatures": ["v2Checkpoint"],
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
             }
     os.remove(log)
     with open(log, "w") as f:
         for ln in lines:
             f.write(json.dumps(ln) + "\n")
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaTableReader(path).to_df(spark)
 
 
@@ -2089,3 +2089,272 @@ def test_cdf_stream_schema_pinned_across_merge_schema(spark, tmp_path):
         batches = list(rdr.read(p))
         for b in batches:
             assert set(b.schema.names) == set(p.out_order)
+
+
+def _pa_checkpoint_rows(path, rows):
+    """Write checkpoint-style action rows (one non-null action column per
+    row) as parquet with delta-spark's column types: partitionValues /
+    configuration / options are MAP<string,string>, feature lists are
+    LIST<string>."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    smap = pa.map_(pa.string(), pa.string())
+    slist = pa.list_(pa.string())
+    types = {
+        "checkpointMetadata": pa.struct([("version", pa.int64())]),
+        "protocol": pa.struct([
+            ("minReaderVersion", pa.int64()),
+            ("minWriterVersion", pa.int64()),
+            ("readerFeatures", slist),
+            ("writerFeatures", slist),
+        ]),
+        "metaData": pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()), ("options", smap),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", slist),
+            ("configuration", smap),
+            ("createdTime", pa.int64()),
+        ]),
+        "sidecar": pa.struct([
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]),
+        "add": pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", smap),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]),
+        "remove": pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]),
+    }
+    keys = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    arrays = [
+        pa.array([r.get(k) for r in rows], type=types[k]) for k in keys
+    ]
+    pq.write_table(pa.table(arrays, names=keys), path)
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 Checkpoint table feature (protocol § V2 Checkpoint): a
+    UUID-named top-level checkpoint holding checkpointMetadata +
+    non-file actions + sidecar pointers, with the add set in parquet
+    sidecars under _delta_log/_sidecars/ — the layout modern
+    delta-spark/Databricks writers produce. Replay must start from it
+    (pre-checkpoint JSONs may be vacuumed) and apply the sidecar adds."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "v2cp")
+    log = os.path.join(path, "_delta_log")
+    sidecar_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sidecar_dir)
+
+    def stage(df, name):
+        import glob as g
+        import shutil
+
+        stagep = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stagep)
+        (src,) = g.glob(os.path.join(stagep, "part-*.parquet"))
+        shutil.move(src, os.path.join(path, name))
+
+    stage(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+          "part-0.parquet")
+    stage(spark.createDataFrame([(3, 30)], "k long, v long"),
+          "part-1.parquet")
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint", "appendOnly"],
+    }
+    meta = {
+        "id": "t-v2cp",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    # v0/v1 commit JSONs, then DELETE them (retention cleanup): the v2
+    # checkpoint must carry the whole state
+    for v, adds in ((0, ["part-0.parquet"]), (1, ["part-1.parquet"])):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            if v == 0:
+                f.write(json.dumps({"protocol": protocol}) + "\n")
+                f.write(json.dumps({"metaData": meta}) + "\n")
+            for a in adds:
+                f.write(json.dumps({"add": {
+                    "path": a,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, a)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }}) + "\n")
+    # sidecar with both adds
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    _pa_checkpoint_rows(
+        os.path.join(sidecar_dir, sc_name),
+        [
+            {"add": {
+                "path": a,
+                "partitionValues": None,
+                "size": os.path.getsize(os.path.join(path, a)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }}
+            for a in ("part-0.parquet", "part-1.parquet")
+        ],
+    )
+    cp_name = f"{1:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+    _pa_checkpoint_rows(
+        os.path.join(log, cp_name),
+        [
+            {"checkpointMetadata": {"version": 1}},
+            {"protocol": protocol},
+            {"metaData": meta},
+            {"sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(
+                    os.path.join(sidecar_dir, sc_name)
+                ),
+                "modificationTime": 0,
+            }},
+        ],
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    r = DeltaTableReader(path)
+    assert r.latest_version() == 1
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # a later commit JSON on top of the v2 checkpoint replays normally
+    stage(spark.createDataFrame([(4, 40)], "k long, v long"),
+          "part-2.parquet")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": {
+            "path": "part-2.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, "part-2.parquet")),
+            "modificationTime": 0,
+            "dataChange": True,
+        }}) + "\n")
+    got2 = sorted(
+        (x["k"], x["v"]) for x in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got2 == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    # a missing sidecar must fail loudly, never read a partial state
+    os.remove(os.path.join(sidecar_dir, sc_name))
+    with pytest.raises(DeltaProtocolError, match="sidecar"):
+        DeltaTableReader(path).to_df(spark)
+
+
+def test_v2_checkpoint_json_format(spark, tmp_path):
+    """V2 checkpoints may be JSON (uuid-named .json): inline file actions,
+    no sidecars."""
+    import uuid as _uuid
+
+    path = str(tmp_path / "v2cpj")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    import glob as g
+    import shutil
+
+    stagep = str(tmp_path / "stage_j")
+    spark.createDataFrame([(7, 70)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stagep)
+    (src,) = g.glob(os.path.join(stagep, "part-*.parquet"))
+    shutil.move(src, os.path.join(path, "part-0.parquet"))
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    cp = os.path.join(log, f"{0:020d}.checkpoint.{_uuid.uuid4()}.json")
+    with open(cp, "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 0}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, "part-0.parquet")),
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    r = DeltaTableReader(path)
+    assert [(x["k"], x["v"]) for x in r.to_df(spark).collect()] == [(7, 70)]
+
+
+def test_in_commit_timestamps_drive_history_and_time_travel(spark, tmp_path):
+    """inCommitTimestamp (writer feature): when commitInfo carries it, it
+    is the authoritative commit time — history() and TIMESTAMP AS OF must
+    use it, not file mtimes (which lie after copies/restores)."""
+    path = str(tmp_path / "ict")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))   # v0
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))   # v1
+    # rewrite both commitInfo lines with ICT values far from any mtime
+    log = os.path.join(path, "_delta_log")
+    ict = {0: 1_600_000_000_000, 1: 1_600_000_100_000}
+    for v, ts in ict.items():
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        seen_ci = False
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "commitInfo" in a:
+                    a["commitInfo"]["inCommitTimestamp"] = ts
+                    seen_ci = True
+                lines.append(json.dumps(a))
+        if not seen_ci:
+            lines.insert(0, json.dumps({"commitInfo": {
+                "timestamp": 1, "inCommitTimestamp": ts,
+                "operation": "WRITE",
+            }}))
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    r = DeltaTableReader(path)
+    hist = {h["version"]: h["timestamp"] for h in r.history()}
+    assert hist == ict
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=ict[0]).collect()
+    ) == [1]
+    assert sorted(
+        x["k"] for x in r.to_df(spark, timestamp_ms=ict[1] + 5).collect()
+    ) == [1, 2]

@@ -1365,3 +1365,185 @@ def test_min_sequence_number_reflects_carried_entries(spark, tmp_path):
     _, entries, _ = read_container(carried[0]["manifest_path"])
     ex = [e for e in entries if e["status"] == 0]
     assert ex and all(e["sequence_number"] == 1 for e in ex)
+
+
+def _mk_migrated_table(path, files, mapping, schema_fields):
+    """Hand-build a minimal v2 tree over pre-written parquet `files`
+    ([(path, rows)]) with a name-mapping property — the migrated-table
+    layout (files without parquet field IDs)."""
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    entries = [
+        {
+            "status": _STATUS_ADDED,
+            "snapshot_id": 1,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "equality_ids": None,
+            },
+        }
+        for fp, n in files
+    ]
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+    mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    write_container(mpath, mschema, entries, metadata={"format-version": "2"})
+    ml_path = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_container(
+        ml_path,
+        _MANIFEST_LIST_SCHEMA,
+        [{
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": sum(n for _, n in files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in schema_fields),
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0, "fields": schema_fields,
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1,
+            "sequence-number": 1,
+            "timestamp-ms": 0,
+            "manifest-list": ml_path,
+            "schema-id": 0,
+            "summary": {"operation": "append"},
+        }],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
+        "metadata-log": [],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(mapping)
+        },
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+
+def test_name_mapping_reads_renamed_migrated_columns(spark, tmp_path):
+    """schema.name-mapping.default (spec § Column Projection): a migrated
+    table whose pre-rename files carry the OLD column name (and no field
+    IDs) must read under the CURRENT schema name — one scan, coalescing
+    the mapped alternates — while post-rename files keep working."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mig")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    old = os.path.join(data_dir, "old.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v_old": pa.array([10, 20], pa.int64())}),
+        old,
+    )
+    new = os.path.join(data_dir, "new.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "v_new": pa.array([30], pa.int64())}),
+        new,
+    )
+    _mk_migrated_table(
+        path,
+        [(old, 2), (new, 1)],
+        mapping=[
+            {"field-id": 1, "names": ["k"]},
+            {"field-id": 2, "names": ["v_old", "v_new"]},
+        ],
+        schema_fields=[
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v_new", "required": False, "type": "long"},
+        ],
+    )
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    assert snap.alt_names == {"v_new": ["v_old"]}
+    got = sorted(
+        (x["k"], x["v_new"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # single scan: the mapping must not fan out into per-file plans
+    plan = r.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_name_mapping_nested_rename_fails_loudly(spark, tmp_path):
+    """A nested rename can't be honored by a name-resolved scan — it must
+    raise, not read silent nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mignest")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    fp = os.path.join(data_dir, "f.parquet")
+    pq.write_table(
+        pa.table({"s": pa.array([{"a_old": 1}],
+                                pa.struct([("a_old", pa.int64())]))}),
+        fp,
+    )
+    _mk_migrated_table(
+        path,
+        [(fp, 1)],
+        mapping=[
+            {
+                "field-id": 1,
+                "names": ["s"],
+                "fields": [{"field-id": 2, "names": ["a_old"]}],
+            },
+        ],
+        schema_fields=[
+            {
+                "id": 1, "name": "s", "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 2, "name": "a_new", "required": False,
+                         "type": "long"},
+                    ],
+                },
+            },
+        ],
+    )
+    with pytest.raises(IcebergProtocolError, match="NESTED"):
+        IcebergTableReader(path).snapshot()
