@@ -1,0 +1,150 @@
+"""Golden foreign-written fixtures (VERDICT r7 item 2): the compat
+readers run against COMMITTED bytes under tests/fixtures/foreign/ —
+hand-assembled from the public Delta PROTOCOL.md and Iceberg table spec
+by scripts/gen_foreign_fixtures.py with an INDEPENDENT encoder stack
+(literal JSON, struct-packed DV bytes, a self-contained Avro encoder,
+Java writer record schemas with nullable unions and map-as-array
+bounds) — and must produce these hardcoded rows. A self-consistent
+misreading of either spec that round-trips through our own writers
+fails here."""
+
+import json
+import os
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "foreign")
+DELTA = os.path.join(FIXTURES, "delta_golden")
+ICEBERG = os.path.join(FIXTURES, "iceberg_golden")
+
+
+def test_fixture_bytes_are_committed_and_stable():
+    """The fixtures are committed BYTES, not regenerated per run: pin a
+    few byte-level facts so an accidental regeneration with different
+    content shows up as a diff here, not just in git status."""
+    dv = os.path.join(
+        DELTA, "deletion_vector_00010203-0405-0607-0809-0a0b0c0d0e0f.bin"
+    )
+    with open(dv, "rb") as f:
+        blob = f.read()
+    assert blob[0] == 1  # format version byte
+    # data starts after int32 BE size: little-endian magic 1681511377
+    import struct
+
+    (size,) = struct.unpack(">i", blob[1:5])
+    assert struct.unpack("<I", blob[5:9])[0] == 1681511377
+    assert len(blob) == 1 + 4 + size + 4
+    # avro containers declare deflate
+    with open(os.path.join(ICEBERG, "metadata", "snap-3003.avro"),
+              "rb") as f:
+        head = f.read(4096)
+    assert head[:4] == b"Obj\x01" and b"deflate" in head
+
+
+def test_delta_golden_reads_expected_rows(spark):
+    """3-commit foreign Delta log: partitioned create, partition
+    overwrite (remove+add), then a DELETE as a reader-v3 deletion vector
+    whose .bin bytes were struct-packed from the protocol document.
+    Expected live rows: k=1,3 (k=2 tombstoned by the DV) + k=6,7 (f1
+    replaced by f2)."""
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+    r = DeltaTableReader(DELTA)
+    assert r.latest_version() == 2
+    got = sorted(
+        (x["k"], x["v"], x["part"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, 10, "a"), (3, 30, "a"), (6, 60, "b"), (7, 70, "b")]
+    # version time travel against the same bytes
+    v0 = sorted(
+        (x["k"], x["part"]) for x in r.to_df(spark, version=0).collect()
+    )
+    assert v0 == [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")]
+    v1 = sorted(x["k"] for x in r.to_df(spark, version=1).collect())
+    assert v1 == [1, 2, 3, 6, 7]
+    # stats from the foreign add actions feed data skipping
+    snap = r.snapshot()
+    f0 = next(p for p, _, _ in snap.files if p.endswith("f0.parquet"))
+    assert snap.stats[f0]["minValues"]["k"] == 1
+    assert snap.stats[f0]["nullCount"] == {"k": 0, "v": 0}
+    # timestamp time travel uses the foreign commitInfo timestamps
+    assert sorted(
+        x["k"]
+        for x in r.to_df(spark, timestamp_ms=1700000000500).collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_delta_golden_changes_feed(spark):
+    """The CDF-less change feed over plain add/remove commits: v1 is an
+    unreplayable rewrite (add+remove without cdc) and must fail loudly,
+    not fake a diff."""
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
+        DeltaTableReader,
+    )
+
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        DeltaTableReader(DELTA).changes(spark).collect()
+
+
+def test_iceberg_golden_reads_expected_rows(spark):
+    """Foreign Iceberg v2 tree (Java Avro schemas, deflate codec,
+    absolute file:// URIs, null-seq inheritance, `partitions` summaries):
+    snapshot 3003 = data (k=1..5) minus a position delete (a.parquet row
+    1 -> k=2) minus an equality delete (k=4, seq gate 3 > data seq 1)."""
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    if not os.path.isdir(ICEBERG):
+        pytest.skip("fixture not generated")
+    meta = json.load(
+        open(os.path.join(ICEBERG, "metadata", "v3.metadata.json"))
+    )
+    if meta["location"] != ICEBERG:
+        pytest.skip(
+            "committed Iceberg fixture embeds absolute URIs for "
+            f"{meta['location']}; repo relocated — regenerate with "
+            "scripts/gen_foreign_fixtures.py"
+        )
+    r = IcebergTableReader(ICEBERG)
+    got = sorted(
+        (x["k"], x["v"], x["part"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, 10, "a"), (3, 30, "a"), (5, 50, "b")]
+    # snapshot time travel through the same committed bytes
+    s1 = sorted(x["k"] for x in r.to_df(spark, snapshot_id=3001).collect())
+    assert s1 == [1, 2, 3, 4, 5]
+    s2 = sorted(x["k"] for x in r.to_df(spark, snapshot_id=3002).collect())
+    assert s2 == [1, 3, 4, 5]
+    # branch ref resolution from metadata refs
+    sref = sorted(x["k"] for x in r.to_df(spark, ref="main").collect())
+    assert sref == [1, 3, 5]
+    # manifest partition pruning on the identity spec
+    sb = sorted(
+        x["k"]
+        for x in r.to_df(spark, partition_filter={"part": "b"}).collect()
+    )
+    assert sb == [5]
+    # the Java-schema bounds (array<record{key,value}>, little-endian
+    # longs) decode into per-file column stats
+    snap = r.snapshot()
+    fa = next(p for p, _ in snap.files if p.endswith("a.parquet"))
+    assert snap.col_stats[fa]["k"] == {
+        "count": 3, "nulls": 0, "min": 1, "max": 3
+    }
+    # null entry seq inherited from the manifest-list entry (seq 1)
+    assert snap.file_seqs[fa] == 1
+
+
+def test_iceberg_golden_history_and_timestamp(spark):
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    meta = json.load(
+        open(os.path.join(ICEBERG, "metadata", "v3.metadata.json"))
+    )
+    if meta["location"] != ICEBERG:
+        pytest.skip("repo relocated — regenerate fixtures")
+    r = IcebergTableReader(ICEBERG)
+    hist = r.history()
+    assert [h["snapshot_id"] for h in hist] == [3003, 3002, 3001]
+    assert r.snapshot_id_at_timestamp(1700000001500) == 3001
+    assert r.snapshot_id_at_timestamp(1700000003000) == 3003
