@@ -57,6 +57,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _DEFER_NEW: set[str] = {
     "lake_delta_compat_read",
     "lake_iceberg_compat_read",
+    "lake_open_table_facade",
 }
 
 

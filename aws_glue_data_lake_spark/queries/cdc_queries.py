@@ -1824,3 +1824,67 @@ def lake_iceberg_compat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "n_nationkey", "n_name", "n_regionkey"
     ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Unified table facade (VERDICT r7 item 7): open_table(path, format) is
+# the one handle a reference user needs — DeltaTable.forPath-shaped
+# (reference delta/delta_tables.py:87-88) but format-pluggable. This
+# query drives the SAME create -> append -> upsert -> delete_where ->
+# read pipeline through the facade against all three layouts (homegrown
+# lake, real Delta log, real Iceberg metadata tree) and unions the
+# results: identical rows per format is the whole point. Scale: each
+# branch inherits its layer's properties (stats-pruned CoW merge on
+# lake/delta, O(batch) MoR equality-delete merge on iceberg); nation is
+# dimension-sized, so this is an interop-correctness probe, not a
+# throughput query.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_open_table_facade",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 3 = 0 THEN LOWER(n_name) ELSE n_name END
+           AS n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+  FROM nation
+  WHERE n_nationkey % 7 <> 6
+)
+SELECT f.fmt AS fmt, b.n_nationkey, b.n_name, b.n_regionkey
+FROM (VALUES ('delta'), ('iceberg'), ('lake')) f(fmt)
+CROSS JOIN base b
+ORDER BY fmt, n_nationkey
+""",
+)
+def lake_open_table_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.table import open_table
+
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = session_tmpdir("open_table_")
+    outs = []
+    for fmt in ("delta", "iceberg", "lake"):
+        tbl = open_table(f"{root}/{fmt}", fmt)
+        tbl.create(n.where(F.col("n_nationkey") < 20))
+        tbl.append(n.where(F.col("n_nationkey") >= 20))
+        tbl.upsert(
+            n.where(F.col("n_nationkey") % 3 == 0).withColumn(
+                "n_name", F.lower("n_name")
+            ),
+            keys=["n_nationkey"],
+        )
+        tbl.delete_where(spark, "n_nationkey % 7 = 6")
+        # re-open with auto-detection: the layout on disk must identify
+        # itself (facade contract), then read the tip snapshot
+        got = open_table(f"{root}/{fmt}").read(spark)
+        outs.append(got.select(F.lit(fmt).alias("fmt"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "fmt",
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    ).orderBy("fmt", "n_nationkey")

@@ -1,0 +1,230 @@
+"""Unified table facade: ``open_table(path, format=...)``.
+
+The engine grew three parallel table surfaces — the homegrown
+:class:`~aws_glue_data_lake_spark.lake.LakeTable`, the jar-free Delta
+protocol layer (:mod:`~aws_glue_data_lake_spark.deltacompat`) and the
+Iceberg v2 layer (:mod:`~aws_glue_data_lake_spark.icebergcompat`) — each
+with the same capabilities under slightly different method shapes. This
+module is the one entry point a user needs, the way the reference's users
+reach every format through one handle (reference
+delta/delta_tables.py:87-88 ``DeltaTable.forPath(spark, path)``; reference
+icberg/iceberg_tables.py uses the session catalog the same way):
+
+    t = open_table(path)              # format auto-detected from layout
+    t = open_table(path, "delta")     # or pinned explicitly
+    t.create(df, partition_by=["dt"])
+    t.append(df)
+    t.upsert(batch, keys=["k"])       # MERGE (CoW on delta, MoR on iceberg)
+    t.delete_where(spark, "k = 2")
+    t.read(spark)                     # tip
+    t.read(spark, version=3)          # time travel (snapshot-id on iceberg)
+    t.read(spark, timestamp_ms=...)   # TIMESTAMP AS OF
+    t.changes(spark)                  # row-level change feed (CDF)
+    t.history()
+
+Everything delegates — no logic lives here beyond argument unification —
+so the facade inherits each layer's scale properties unchanged
+(manifest-only watermarks, file-pruned CoW merges, O(batch) MoR commits,
+single-scan CDF reads).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("lake", "delta", "iceberg")
+
+
+def detect_format(path: str) -> str | None:
+    """Which table layout lives at ``path``: 'delta' (_delta_log/),
+    'iceberg' (metadata/*.metadata.json), 'lake' (_manifests/v*.json), or
+    None when nothing committed exists yet."""
+    import glob as g
+    import re
+
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        log = os.path.join(path, "_delta_log")
+        if any(
+            re.match(r"^\d{20}\.(json|checkpoint\..*)$", n)
+            for n in os.listdir(log)
+        ):
+            return "delta"
+    meta = os.path.join(path, "metadata")
+    if os.path.isdir(meta) and any(
+        re.match(r"^v\d+\.metadata\.json$", n) or n.endswith(".metadata.json")
+        for n in os.listdir(meta)
+    ):
+        return "iceberg"
+    if g.glob(os.path.join(path, "_manifests", "v*.json")):
+        return "lake"
+    return None
+
+
+class Table:
+    """One handle over a lake / Delta / Iceberg table (see module doc)."""
+
+    def __init__(self, path: str, format: str):  # noqa: A002
+        if format not in FORMATS:
+            raise ValueError(f"format must be one of {FORMATS}: {format!r}")
+        self.path = path
+        self.format = format
+
+    # -- per-format delegates ------------------------------------------------
+    def _lake(self):
+        from aws_glue_data_lake_spark.lake import LakeTable
+
+        return LakeTable(self.path)
+
+    def _delta_reader(self):
+        from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+        return DeltaTableReader(self.path)
+
+    def _delta_writer(self):
+        from aws_glue_data_lake_spark.deltacompat import DeltaTableWriter
+
+        return DeltaTableWriter(self.path)
+
+    def _ice_reader(self):
+        from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+        return IcebergTableReader(self.path)
+
+    def _ice_writer(self):
+        from aws_glue_data_lake_spark.icebergcompat import IcebergTableWriter
+
+        return IcebergTableWriter(self.path)
+
+    # -- existence / create ---------------------------------------------------
+    def exists(self) -> bool:
+        return detect_format(self.path) == self.format
+
+    def create(
+        self, df: DataFrame, partition_by: Sequence[str] = ()
+    ) -> "Table":
+        if self.format == "lake":
+            self._lake().create(df, partition_by=list(partition_by))
+        elif self.format == "delta":
+            self._delta_writer().create(df, partition_by=partition_by)
+        else:
+            self._ice_writer().create(df, partition_by=partition_by)
+        return self
+
+    # -- reads ----------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot scan with unified time travel: ``version`` is the
+        commit version (lake/delta) or snapshot id (iceberg);
+        ``timestamp_ms`` is TIMESTAMP AS OF on delta/iceberg."""
+        if self.format == "lake":
+            if timestamp_ms is not None:
+                raise NotImplementedError(
+                    "lake tables time-travel by version (or tag); "
+                    "timestamp_ms is a delta/iceberg capability"
+                )
+            return self._lake().read(
+                spark, version=version, partition_filter=partition_filter
+            )
+        if self.format == "delta":
+            return self._delta_reader().to_df(
+                spark,
+                version=version,
+                timestamp_ms=timestamp_ms,
+                partition_filter=partition_filter,
+            )
+        return self._ice_reader().to_df(
+            spark,
+            snapshot_id=version,
+            timestamp_ms=timestamp_ms,
+            partition_filter=partition_filter,
+        )
+
+    # -- writes ----------------------------------------------------------------
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+        if self.format == "lake":
+            self._lake().append(df, merge_schema=merge_schema)
+        elif self.format == "delta":
+            self._delta_writer().append(df, merge_schema=merge_schema)
+        else:
+            self._ice_writer().append(df, merge_schema=merge_schema)
+
+    def upsert(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        """MERGE: every target row whose key appears in ``source`` is
+        replaced, the rest of ``source`` inserts; ``delete_keys``-only
+        keys delete. Copy-on-write with stats file pruning on lake/delta,
+        merge-on-read (one equality-delete + data snapshot) on iceberg."""
+        if self.format == "lake":
+            self._lake().upsert(source, keys=keys, delete_keys=delete_keys)
+        elif self.format == "delta":
+            self._delta_writer().merge(
+                source.sparkSession, source, keys, delete_keys=delete_keys
+            )
+        else:
+            self._ice_writer().merge(source, keys, delete_keys=delete_keys)
+
+    def delete_where(self, spark: SparkSession, condition: str) -> None:
+        self._impl_for_write().delete_where(spark, condition)
+
+    def _impl_for_write(self):
+        if self.format == "lake":
+            return self._lake()
+        if self.format == "delta":
+            return self._delta_writer()
+        return self._ice_writer()
+
+    # -- change feed / history --------------------------------------------------
+    def changes(self, spark: SparkSession, **kw) -> DataFrame:
+        """Row-level change feed between commits/snapshots (CDF). Delta
+        tables need delta.enableChangeDataFeed for rewrite commits; lake
+        tables stream their feed via the ``lake_cdf`` source instead of a
+        batch read."""
+        if self.format == "lake":
+            raise NotImplementedError(
+                "lake change feeds are streaming-only: "
+                'spark.readStream.format("lake_cdf").option("path", ...)'
+            )
+        if self.format == "delta":
+            return self._delta_reader().changes(spark, **kw)
+        return self._ice_reader().changes(spark, **kw)
+
+    def history(self) -> list[dict]:
+        if self.format == "lake":
+            return [
+                {"version": s.version, "operation": s.op}
+                for s in reversed(self._lake().history())
+            ]
+        if self.format == "delta":
+            return self._delta_reader().history()
+        return self._ice_reader().history()
+
+
+def open_table(path: str, format: str | None = None) -> Table:  # noqa: A002
+    """The one entry point: open (or pre-declare) a table at ``path``.
+    With ``format=None`` the on-disk layout decides; creating a NEW table
+    requires an explicit format (there is nothing to detect yet)."""
+    detected = detect_format(path)
+    if format is None:
+        if detected is None:
+            raise FileNotFoundError(
+                f"no table layout detected under {path}; pass "
+                f"format= one of {FORMATS} to create one"
+            )
+        return Table(path, detected)
+    if detected is not None and detected != format:
+        raise ValueError(
+            f"table at {path} is {detected!r}, not {format!r}"
+        )
+    return Table(path, format)

@@ -1,0 +1,71 @@
+"""open_table facade (VERDICT r7 item 7): one handle over lake / Delta /
+Iceberg with unified read/append/upsert/delete/time-travel/changes."""
+
+import pytest
+
+from aws_glue_data_lake_spark.table import FORMATS, detect_format, open_table
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_full_lifecycle_each_format(spark, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt)
+    assert not t.exists()
+    t.create(_mk(spark, [(1, 10), (2, 20)]))
+    assert t.exists() and detect_format(path) == fmt
+    t.append(_mk(spark, [(3, 30)]))
+    t.upsert(_mk(spark, [(2, 99), (4, 40)]), keys=["k"])
+    t.delete_where(spark, "k = 1")
+    got = sorted(
+        (r["k"], r["v"]) for r in open_table(path).read(spark).collect()
+    )
+    assert got == [(2, 99), (3, 30), (4, 40)]
+    hist = t.history()
+    assert len(hist) >= 4  # create, append, upsert, delete
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_version_time_travel(spark, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt)
+    t.create(_mk(spark, [(1, 10)]))
+    t.append(_mk(spark, [(2, 20)]))
+    versions = [h["version" if fmt == "delta" else "snapshot_id"]
+                for h in t.history()]
+    first = min(versions) if fmt == "delta" else versions[-1]
+    assert sorted(
+        r["k"] for r in t.read(spark, version=first).collect()
+    ) == [1]
+
+
+def test_changes_feed_delta(spark, tmp_path):
+    path = str(tmp_path / "d")
+    t = open_table(path, "delta")
+    t.create(_mk(spark, [(1, 10)]))
+    t.append(_mk(spark, [(2, 20)]))
+    feed = t.changes(spark)
+    assert feed.count() == 2  # two insert commits
+
+
+def test_lake_quirks(spark, tmp_path):
+    t = open_table(str(tmp_path / "l"), "lake")
+    t.create(_mk(spark, [(1, 10)]))
+    with pytest.raises(NotImplementedError, match="version"):
+        t.read(spark, timestamp_ms=123)
+    with pytest.raises(NotImplementedError, match="lake_cdf"):
+        t.changes(spark)
+
+
+def test_open_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no table layout"):
+        open_table(str(tmp_path / "nothing"))
+    path = str(tmp_path / "d")
+    open_table(path, "delta").create(_mk(spark, [(1, 1)]))
+    with pytest.raises(ValueError, match="is 'delta'"):
+        open_table(path, "iceberg")
+    with pytest.raises(ValueError, match="format must be"):
+        open_table(str(tmp_path / "x"), "hudi")
