@@ -243,6 +243,30 @@ def _iceberg_type_to_spark(t) -> DataType:
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
+def _iceberg_type_to_spark_with_ids(t) -> DataType:
+    """Like :func:`_iceberg_type_to_spark` but stamping each StructField
+    with ``parquet.field.id`` metadata — the hook Spark's parquet reader
+    uses (``spark.sql.parquet.fieldId.read.enabled``) to resolve columns
+    by Iceberg FIELD ID instead of name. This is the spec's actual
+    resolution rule: a conforming writer's files carry field IDs, so
+    after ALTER TABLE RENAME the files still hold the OLD name and only
+    ID resolution reads them correctly (name resolution would return
+    silent nulls)."""
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return StructType(
+            [
+                StructField(
+                    f["name"],
+                    _iceberg_type_to_spark_with_ids(f["type"]),
+                    not f.get("required", False),
+                    metadata={"parquet.field.id": int(f["id"])},
+                )
+                for f in t["fields"]
+            ]
+        )
+    return _iceberg_type_to_spark(t)
+
+
 def _spark_type_to_iceberg(t: DataType) -> str:
     if isinstance(t, DecimalType):
         return f"decimal({t.precision}, {t.scale})"
@@ -564,6 +588,12 @@ class IcebergSnapshot:
     #: may carry for that field. Empty when the table has no mapping or
     #: the mapping adds nothing beyond the current names.
     alt_names: dict = None  # type: ignore[assignment]
+    #: the same schema with ``parquet.field.id`` metadata on every field
+    #: — used for field-ID column resolution when the data files carry
+    #: parquet field IDs (conforming foreign writers)
+    schema_with_ids: StructType = None  # type: ignore[assignment]
+    #: top-level field name -> Iceberg field id (current schema)
+    field_ids: dict = None  # type: ignore[assignment]
 
 
 def _name_mapping_alternates(
@@ -659,6 +689,25 @@ class IcebergTableReader:
         if os.path.isabs(p):
             return p
         return os.path.join(self.path, p)
+
+    @staticmethod
+    def _files_carry_field_ids(files: list) -> bool:
+        """One driver-side footer-metadata read of the first live file:
+        conforming Iceberg writers stamp parquet field IDs on every file
+        (spec § Parquet: 'Field IDs are required'), this engine's own
+        Spark-staged files carry none — so the first file decides the
+        table's resolution mode. O(1) regardless of file count."""
+        if not files:
+            return False
+        import pyarrow.parquet as pq
+
+        try:
+            sch = pq.ParquetFile(files[0][0]).schema_arrow
+        except Exception:
+            return False
+        return any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+        )
 
     def history(self) -> list[dict]:
         """The snapshot log, newest first: snapshot id, commit
@@ -847,6 +896,12 @@ class IcebergTableReader:
             spec_fields=spec_fields,
             col_stats=col_stats,
             alt_names=alt_names,
+            schema_with_ids=_iceberg_type_to_spark_with_ids(
+                {"type": "struct", "fields": schema_json["fields"]}
+            ),
+            field_ids={
+                f["name"]: f["id"] for f in schema_json["fields"]
+            },
         )
 
     def to_df(
@@ -958,11 +1013,21 @@ class IcebergTableReader:
                 ]
             )
             return spark.createDataFrame([], empty_st)
-        # Name-mapping fallback (migrated tables): widen the pinned read
-        # schema with each field's alternate physical names and coalesce
-        # them back — per row exactly one physical source column exists
-        # (pre-rename files carry the old name, post-rename the new), so
-        # this is one scan with no per-file dispatch, at any file count.
+        # Column resolution, per the spec's rules:
+        # 1. name-mapping set (migrated tables, files without field IDs):
+        #    widen the pinned read schema with each field's alternate
+        #    physical names and coalesce them back — per row exactly one
+        #    physical source column exists, so this is one scan with no
+        #    per-file dispatch, at any file count;
+        # 2. files carry parquet field IDs (every conforming writer):
+        #    resolve BY ID via Spark's fieldId read path — the only way a
+        #    post-rename file (old physical name, same ID) reads
+        #    correctly. Detection is one driver-side footer metadata read
+        #    of the first live file (O(1), not O(#files)); a mixed table
+        #    without a name mapping fails loudly in the scan rather than
+        #    returning silent nulls;
+        # 3. neither (this engine's own staged files): plain name
+        #    resolution, unchanged.
         alt = snap.alt_names or {}
         read_schema = snap.schema
         if alt:
@@ -973,6 +1038,11 @@ class IcebergTableReader:
                 for a in alts
             ]
             read_schema = StructType(list(snap.schema.fields) + extra)
+        elif self._files_carry_field_ids(files):
+            read_schema = snap.schema_with_ids
+            # inert for schemas without parquet.field.id metadata, so
+            # leaving it enabled cannot affect other reads
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         normalize = [
             F.coalesce(F.col(f.name), *[F.col(a) for a in alt[f.name]])
             .alias(f.name)
@@ -1026,8 +1096,33 @@ class IcebergTableReader:
                 dseq_map = spark.createDataFrame(
                     dpaths, "__dm_fp string, __dseq long"
                 )
+                # equality-delete files resolve by the same rule as data
+                # files: pin their read schema to field IDs when the
+                # data scan resolves by ID (a delete written before a
+                # rename carries the OLD column name, same ID)
+                type_of = {f.name: f.dataType for f in snap.schema.fields}
+                if read_schema is snap.schema_with_ids:
+                    del_reader = spark.read.schema(
+                        StructType(
+                            [
+                                StructField(
+                                    c,
+                                    type_of[c],
+                                    True,
+                                    metadata={
+                                        "parquet.field.id": int(
+                                            snap.field_ids[c]
+                                        )
+                                    },
+                                )
+                                for c in names
+                            ]
+                        )
+                    )
+                else:
+                    del_reader = spark.read
                 drows = (
-                    spark.read.parquet(*[p for p, _ in dpaths])
+                    del_reader.parquet(*[p for p, _ in dpaths])
                     .select(
                         *[F.col(c).alias(f"__eq_{c}") for c in names],
                         F.regexp_replace(

@@ -1547,3 +1547,142 @@ def test_name_mapping_nested_rename_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="NESTED"):
         IcebergTableReader(path).snapshot()
+
+
+def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
+    """Conforming writers resolve columns by FIELD ID, not name: after
+    ALTER TABLE RENAME the data files still carry the OLD column name
+    with the same field id. A name-resolving scan would return silent
+    nulls; the fieldId read path must return the real values — for data
+    files AND for equality-delete files written pre-rename."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ids")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+
+    def idfield(name, typ, fid):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(fid).encode()})
+
+    # data file written BEFORE the rename: old name 'v_old', field id 2
+    fp = os.path.join(data_dir, "pre.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2, 3], pa.int64()), pa.array([10, 20, 30], pa.int64())],
+            schema=pa.schema([idfield("k", pa.int64(), 1),
+                              idfield("v_old", pa.int64(), 2)]),
+        ),
+        fp,
+    )
+    # equality-delete file also written pre-rename (old name, id 2):
+    # deletes rows where v (id 2) == 20
+    ed = os.path.join(data_dir, "eqdel.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([20], pa.int64())],
+            schema=pa.schema([idfield("v_old", pa.int64(), 2)]),
+        ),
+        ed,
+    )
+    # current schema names field 2 'v_new' (the rename); NO name mapping
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.avrolite import write_container
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir)
+    entries = [
+        {
+            "status": _STATUS_ADDED, "snapshot_id": 1,
+            "sequence_number": 1, "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": fp, "file_format": "PARQUET",
+                "partition": {}, "record_count": 3,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "equality_ids": None,
+            },
+        },
+        {
+            "status": _STATUS_ADDED, "snapshot_id": 1,
+            "sequence_number": 2, "file_sequence_number": 2,
+            "data_file": {
+                "content": 2, "file_path": ed, "file_format": "PARQUET",
+                "partition": {}, "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(ed),
+                "equality_ids": [2],
+            },
+        },
+    ]
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+    mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    write_container(mpath, mschema, entries, metadata={"format-version": "2"})
+    ml_path = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_container(
+        ml_path, _MANIFEST_LIST_SCHEMA,
+        [{
+            "manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 2, "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_data_files_count": 1, "existing_data_files_count": 0,
+            "deleted_data_files_count": 0, "added_rows_count": 3,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2, "table-uuid": str(_uuid.uuid4()),
+        "location": path, "last-sequence-number": 2,
+        "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v_new", "required": False,
+                 "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "sequence-number": 2, "timestamp-ms": 0,
+            "manifest-list": ml_path, "schema-id": 0,
+            "summary": {"operation": "append"},
+        }],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
+        "metadata-log": [], "properties": {},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    r = IcebergTableReader(path)
+    got = sorted(
+        (x["k"], x["v_new"]) for x in r.to_df(spark).collect()
+    )
+    # k=2 equality-deleted (by id-resolved v_old==20); values NOT null
+    assert got == [(1, 10), (3, 30)]
+
+
+def test_own_written_tables_keep_name_resolution(spark, tmp_path):
+    """This engine's own staged files carry no parquet field IDs; the
+    O(1) footer sniff must route them down the unchanged name path."""
+    path = str(tmp_path / "own")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a", 10)],
+                                   "k long, bucket string, v long"))
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    assert not r._files_carry_field_ids(snap.files)
+    assert _rows(spark, r) == [(1, "a", 10)]
