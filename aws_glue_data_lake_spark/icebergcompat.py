@@ -594,6 +594,9 @@ class IcebergSnapshot:
     schema_with_ids: StructType = None  # type: ignore[assignment]
     #: top-level field name -> Iceberg field id (current schema)
     field_ids: dict = None  # type: ignore[assignment]
+    #: abs path -> file format ("PARQUET" / "ORC") for every live file,
+    #: data and delete alike (spec allows per-file formats)
+    file_formats: dict = None  # type: ignore[assignment]
 
 
 def _name_mapping_alternates(
@@ -806,6 +809,7 @@ class IcebergTableReader:
         col_stats: dict = {}
         delete_files: list[str] = []
         eq_deletes: list[tuple[str, tuple[str, ...], int]] = []
+        file_formats: dict[str, str] = {}
 
         def _pairs(v) -> dict:
             return {p["key"]: p["value"] for p in v} if v else {}
@@ -819,7 +823,10 @@ class IcebergTableReader:
                     continue
                 df_rec = e["data_file"]
                 content = df_rec.get("content", 1 if is_delete_manifest else 0)
-                if df_rec.get("file_format", "PARQUET").upper() != "PARQUET":
+                fmt = df_rec.get("file_format", "PARQUET").upper()
+                if fmt not in ("PARQUET", "ORC"):
+                    # AVRO data files: loud protocol gate (no distributed
+                    # Avro scan path in this Spark build)
                     raise IcebergProtocolError(
                         f"unsupported file format {df_rec['file_format']!r}"
                     )
@@ -829,6 +836,7 @@ class IcebergTableReader:
                 if seq is None:
                     seq = mf.get("sequence_number", 0)
                 abs_path = self._abs(df_rec["file_path"])
+                file_formats[abs_path] = fmt
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
                     file_seqs[abs_path] = seq
@@ -902,6 +910,7 @@ class IcebergTableReader:
             field_ids={
                 f["name"]: f["id"] for f in schema_json["fields"]
             },
+            file_formats=file_formats,
         )
 
     def to_df(
@@ -1050,22 +1059,78 @@ class IcebergTableReader:
             else F.col(f.name)
             for f in snap.schema.fields
         ]
-        reader = spark.read.schema(read_schema)
+        # group data files by on-disk format: the spec allows per-file
+        # formats, so an ORC-written (or mixed-migration) table plans as
+        # one scan PER FORMAT unioned — bounded by |formats|, never by
+        # file count. Spark reads ORC natively; only its _metadata lacks
+        # row_index, so position deletes against ORC files gate loudly.
+        fmts = snap.file_formats or {}
+        by_fmt: dict[str, list[str]] = {}
+        for p, _ in files:
+            by_fmt.setdefault(fmts.get(p, "PARQUET"), []).append(p)
+        if snap.delete_files and "ORC" in by_fmt:
+            raise IcebergProtocolError(
+                "position deletes over ORC data files are not supported "
+                "(Spark exposes _metadata.row_index for parquet only)"
+            )
+
+        def read_group(fmt: str, paths: list[str], schema) -> DataFrame:
+            rd = spark.read.schema(schema)
+            return rd.parquet(*paths) if fmt == "PARQUET" else rd.orc(
+                *paths
+            )
+
+        reader_dfs = [
+            read_group(fmt, paths, read_schema)
+            for fmt, paths in sorted(by_fmt.items())
+        ]
         if not snap.delete_files and not snap.eq_deletes and not _with_meta:
-            df = reader.parquet(*[p for p, _ in files])
+            df = reader_dfs[0]
+            for g in reader_dfs[1:]:
+                df = df.unionByName(g)
             return df.select(normalize) if alt else df
-        scan = reader.parquet(*[p for p, _ in files]).select(
-            *normalize,
-            # normalize Spark's file:/ URI to a plain path so it compares
-            # against the tombstones' file_path values
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ).alias("__del_fp"),
-            F.col("_metadata.row_index").alias("__del_pos"),
-        )
+
+        def with_meta(df: DataFrame, fmt: str) -> DataFrame:
+            return df.select(
+                *normalize,
+                # normalize Spark's file:/ URI to a plain path so it
+                # compares against the tombstones' file_path values
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__del_fp"),
+                (
+                    F.col("_metadata.row_index")
+                    if fmt == "PARQUET"
+                    else F.lit(None).cast("long")
+                ).alias("__del_pos"),
+            )
+
+        metas = [
+            with_meta(df, fmt)
+            for df, (fmt, _) in zip(reader_dfs, sorted(by_fmt.items()))
+        ]
+        scan = metas[0]
+        for g in metas[1:]:
+            scan = scan.unionByName(g)
+        def read_delete_files(paths: list[str], schema=None) -> DataFrame:
+            groups: dict[str, list[str]] = {}
+            for p in paths:
+                groups.setdefault(fmts.get(p, "PARQUET"), []).append(p)
+            parts = []
+            for fmt, ps in sorted(groups.items()):
+                rd = spark.read.schema(schema) if schema is not None \
+                    else spark.read
+                parts.append(
+                    rd.parquet(*ps) if fmt == "PARQUET" else rd.orc(*ps)
+                )
+            df = parts[0]
+            for g in parts[1:]:
+                df = df.unionByName(g)
+            return df
+
         if snap.delete_files:
             dels = (
-                spark.read.parquet(*snap.delete_files)
+                read_delete_files(snap.delete_files)
                 .select(
                     F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
                     .alias("file_path"),
@@ -1101,28 +1166,27 @@ class IcebergTableReader:
                 # data scan resolves by ID (a delete written before a
                 # rename carries the OLD column name, same ID)
                 type_of = {f.name: f.dataType for f in snap.schema.fields}
+                del_schema = None
                 if read_schema is snap.schema_with_ids:
-                    del_reader = spark.read.schema(
-                        StructType(
-                            [
-                                StructField(
-                                    c,
-                                    type_of[c],
-                                    True,
-                                    metadata={
-                                        "parquet.field.id": int(
-                                            snap.field_ids[c]
-                                        )
-                                    },
-                                )
-                                for c in names
-                            ]
-                        )
+                    del_schema = StructType(
+                        [
+                            StructField(
+                                c,
+                                type_of[c],
+                                True,
+                                metadata={
+                                    "parquet.field.id": int(
+                                        snap.field_ids[c]
+                                    )
+                                },
+                            )
+                            for c in names
+                        ]
                     )
-                else:
-                    del_reader = spark.read
                 drows = (
-                    del_reader.parquet(*[p for p, _ in dpaths])
+                    read_delete_files(
+                        [p for p, _ in dpaths], schema=del_schema
+                    )
                     .select(
                         *[F.col(c).alias(f"__eq_{c}") for c in names],
                         F.regexp_replace(

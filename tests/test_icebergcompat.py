@@ -1367,7 +1367,7 @@ def test_min_sequence_number_reflects_carried_entries(spark, tmp_path):
     assert ex and all(e["sequence_number"] == 1 for e in ex)
 
 
-def _mk_migrated_table(path, files, mapping, schema_fields):
+def _mk_migrated_table(path, files, mapping, schema_fields, fmt="PARQUET"):
     """Hand-build a minimal v2 tree over pre-written parquet `files`
     ([(path, rows)]) with a name-mapping property — the migrated-table
     layout (files without parquet field IDs)."""
@@ -1391,14 +1391,16 @@ def _mk_migrated_table(path, files, mapping, schema_fields):
             "data_file": {
                 "content": 0,
                 "file_path": fp,
-                "file_format": "PARQUET",
+                "file_format": (
+                    fmt[i] if isinstance(fmt, (list, tuple)) else fmt
+                ),
                 "partition": {},
                 "record_count": n,
                 "file_size_in_bytes": os.path.getsize(fp),
                 "equality_ids": None,
             },
         }
-        for fp, n in files
+        for i, (fp, n) in enumerate(files)
     ]
     mschema = _manifest_entry_schema(_partition_avro_fields([]))
     mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
@@ -1450,9 +1452,10 @@ def _mk_migrated_table(path, files, mapping, schema_fields):
         }],
         "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
         "metadata-log": [],
-        "properties": {
-            "schema.name-mapping.default": json.dumps(mapping)
-        },
+        "properties": (
+            {"schema.name-mapping.default": json.dumps(mapping)}
+            if mapping else {}
+        ),
     }
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)
@@ -1686,3 +1689,129 @@ def test_own_written_tables_keep_name_resolution(spark, tmp_path):
     snap = r.snapshot()
     assert not r._files_carry_field_ids(snap.files)
     assert _rows(spark, r) == [(1, "a", 10)]
+
+
+def test_orc_data_files_read_and_mix_with_parquet(spark, tmp_path):
+    """The spec allows per-file formats: an ORC-written (or
+    mixed-migration) table must read as one scan per format unioned —
+    and position deletes over ORC files must gate loudly (Spark has no
+    _metadata.row_index for ORC)."""
+    path = str(tmp_path / "orc")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    # ORC file via Spark's native writer
+    import glob as g
+    import shutil
+
+    stage = str(tmp_path / "stage_orc")
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(
+        1
+    ).write.mode("overwrite").orc(stage)
+    (src,) = g.glob(os.path.join(stage, "part-*.orc"))
+    orc_fp = os.path.join(data_dir, "a.orc")
+    shutil.move(src, orc_fp)
+    # parquet file alongside
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq_fp = os.path.join(data_dir, "b.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "v": pa.array([30], pa.int64())}), pq_fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(orc_fp, 2)], mapping=None,
+                       schema_fields=schema_fields, fmt="ORC")
+    r = IcebergTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 20)]
+    # mixed-format table: one ORC + one parquet entry in one manifest —
+    # must plan as one scan PER FORMAT unioned and return all rows
+    path2 = str(tmp_path / "mixed")
+    os.makedirs(os.path.join(path2, "data"))
+    orc2 = os.path.join(path2, "data", "a.orc")
+    pq2 = os.path.join(path2, "data", "b.parquet")
+    shutil.copy(orc_fp, orc2)
+    shutil.copy(pq_fp, pq2)
+    _mk_migrated_table(path2, [(orc2, 2), (pq2, 1)], mapping=None,
+                       schema_fields=schema_fields, fmt=["ORC", "PARQUET"])
+    r2 = IcebergTableReader(path2)
+    got2 = sorted((x["k"], x["v"]) for x in r2.to_df(spark).collect())
+    assert got2 == [(1, 10), (2, 20), (3, 30)]
+    plan = r2.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan orc") == 1 and plan.count("Scan parquet") == 1
+    snap = r2.snapshot()
+    assert snap.file_formats[os.path.abspath(orc2)] == "ORC"
+    assert snap.file_formats[os.path.abspath(pq2)] == "PARQUET"
+
+
+def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
+    import glob as g
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "orcdel")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    stage = str(tmp_path / "stage_orcdel")
+    spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).orc(stage)
+    (src,) = g.glob(os.path.join(stage, "part-*.orc"))
+    orc_fp = os.path.join(data_dir, "a.orc")
+    shutil.move(src, orc_fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(orc_fp, 1)], mapping=None,
+                       schema_fields=schema_fields, fmt="ORC")
+    # hand-register a position-delete parquet against the ORC file by
+    # appending a delete manifest to the tree
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    pd = os.path.join(data_dir, "posdel.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([orc_fp], pa.string()),
+        "pos": pa.array([0], pa.int64()),
+    }), pd)
+    meta_dir = os.path.join(path, "metadata")
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+    m2 = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m1.avro")
+    write_container(m2, mschema, [{
+        "status": _STATUS_ADDED, "snapshot_id": 1,
+        "sequence_number": 2, "file_sequence_number": 2,
+        "data_file": {
+            "content": 1, "file_path": pd, "file_format": "PARQUET",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(pd),
+            "equality_ids": None,
+        },
+    }], metadata={"format-version": "2"})
+    mpath = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    ml = mpath["snapshots"][0]["manifest-list"]
+    _, mfs, _ = read_container(ml)
+    mfs.append({
+        "manifest_path": m2, "manifest_length": os.path.getsize(m2),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 2, "min_sequence_number": 2,
+        "added_snapshot_id": 1,
+        "added_data_files_count": 1, "existing_data_files_count": 0,
+        "deleted_data_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    from aws_glue_data_lake_spark.icebergcompat import _MANIFEST_LIST_SCHEMA as MLS
+    write_container(ml, MLS, mfs, metadata={"format-version": "2"})
+    with pytest.raises(IcebergProtocolError, match="row_index"):
+        IcebergTableReader(path).to_df(spark).collect()
