@@ -505,12 +505,10 @@ class DeltaTableReader:
         meta = state.get("metaData") or {}
         conf = meta.get("configuration", {}) or {}
         mode = conf.get("delta.columnMapping.mode", "none")
-        if mode not in ("none", "name"):
-            # 'id' mode reads by parquet field id, which this scan path
-            # doesn't implement — refuse rather than mis-resolve columns
+        if mode not in ("none", "name", "id"):
             raise DeltaProtocolError(
                 f"column mapping mode {mode!r} not supported (only "
-                "'none' and 'name')"
+                "'none', 'name' and 'id')"
             )
 
     @staticmethod
@@ -703,9 +701,41 @@ class DeltaTableReader:
         part_cols = snap.partition_columns
         phys = self._physical_name
         data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
-        data_st = StructType(
-            [StructField(phys(f), f.dataType, f.nullable) for f in data_fields]
-        )
+        cm_mode = snap.configuration.get("delta.columnMapping.mode", "none")
+        if cm_mode == "id":
+            # columnMapping=id: files resolve by PARQUET FIELD ID
+            # (delta.columnMapping.id <-> the files' field ids), not by
+            # name — ride Spark's fieldId read path by annotating the
+            # pinned schema. The conf is inert for schemas without
+            # parquet.field.id metadata, so enabling it is safe.
+            def _fid(f) -> int:
+                md = f.metadata or {}
+                if "delta.columnMapping.id" not in md:
+                    raise DeltaProtocolError(
+                        f"columnMapping=id but field {f.name!r} carries "
+                        "no delta.columnMapping.id metadata"
+                    )
+                return int(md["delta.columnMapping.id"])
+
+            data_st = StructType(
+                [
+                    StructField(
+                        phys(f),
+                        f.dataType,
+                        f.nullable,
+                        metadata={"parquet.field.id": _fid(f)},
+                    )
+                    for f in data_fields
+                ]
+            )
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        else:
+            data_st = StructType(
+                [
+                    StructField(phys(f), f.dataType, f.nullable)
+                    for f in data_fields
+                ]
+            )
         out_cols = [f.name for f in snap.schema.fields]
         has_dvs = any(dv for _, _, dv in snap.files) or _expose_pos
         pos_cols = ["__dv_fp", "__dv_pos"] if has_dvs else []

@@ -339,12 +339,13 @@ def test_column_mapping_name_mode_reads_logical_schema(spark, tmp_path):
     rows = sorted((r.k, r.v, r.bucket) for r in got.collect())
     assert rows == [(1, 10, "a"), (2, 20, "a")]
 
-    # 'id' mode: refused
+    # an UNKNOWN mapping mode is refused loudly ('id' is supported now:
+    # test_column_mapping_id_mode_resolves_by_field_id)
     lines = [json.loads(ln) for ln in open(
         os.path.join(path, "_delta_log", f"{0:020d}.json"))]
     for ln in lines:
         if "metaData" in ln:
-            ln["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            ln["metaData"]["configuration"]["delta.columnMapping.mode"] = "wild"
     with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
         for ln in lines:
             f.write(json.dumps(ln) + "\n")
@@ -2358,3 +2359,64 @@ def test_in_commit_timestamps_drive_history_and_time_travel(spark, tmp_path):
     assert sorted(
         x["k"] for x in r.to_df(spark, timestamp_ms=ict[1] + 5).collect()
     ) == [1, 2]
+
+
+def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
+    """columnMapping=id resolves columns by PARQUET FIELD ID: the file's
+    physical column NAMES may differ from the log's physicalName (the
+    iceberg-compat conversion case) and only ID resolution reads them.
+    A name-resolving scan would return silent nulls here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "idmode")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    fp = os.path.join(path, "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64())],
+            schema=pa.schema(
+                [idfield("file_col_k", pa.int64(), 1),
+                 idfield("file_col_v", pa.int64(), 2)]
+            ),
+        ),
+        fp,
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa",
+            }},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb",
+            }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "t-id", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {},
+            "size": os.path.getsize(fp), "modificationTime": 0,
+            "dataChange": True,
+        }}) + "\n")
+    r = DeltaTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 20)]
