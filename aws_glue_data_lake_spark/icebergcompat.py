@@ -756,10 +756,17 @@ class IcebergTableReader:
                     f"(have {sorted(refs)})"
                 )
             snapshot_id = refs[ref]["snapshot-id"]
-        if meta.get("format-version", 1) not in (1, 2):
+        if meta.get("format-version", 1) not in (1, 2, 3):
             raise IcebergProtocolError(
                 f"unsupported format-version {meta.get('format-version')}"
             )
+        # format-version 3 is structurally v2 for scans; the v3-ONLY
+        # read-affecting features gate loudly below where they surface:
+        # puffin deletion vectors (referenced_data_file/content_offset on
+        # manifest entries), PUFFIN file format (format gate), new v3
+        # types (type parser), and column initial-defaults (checked on
+        # the resolved schema — a name-resolved read would return null
+        # where the spec demands the default).
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
         sid = snapshot_id if snapshot_id is not None else meta.get(
             "current-snapshot-id"
@@ -778,6 +785,17 @@ class IcebergTableReader:
             ]
         else:  # v1 single-schema layout
             schema_json = meta["schema"]
+        defaulted = [
+            f["name"]
+            for f in schema_json["fields"]
+            if f.get("initial-default") is not None
+        ]
+        if defaulted:
+            raise IcebergProtocolError(
+                f"columns {defaulted} carry initial-default values "
+                "(format-version 3); this reader cannot apply per-file "
+                "defaults and will not substitute nulls for them"
+            )
         spark_schema = _iceberg_type_to_spark(
             {"type": "struct", "fields": schema_json["fields"]}
         )
@@ -837,6 +855,14 @@ class IcebergTableReader:
                     seq = mf.get("sequence_number", 0)
                 abs_path = self._abs(df_rec["file_path"])
                 file_formats[abs_path] = fmt
+                if (
+                    df_rec.get("referenced_data_file") is not None
+                    or df_rec.get("content_offset") is not None
+                ):
+                    raise IcebergProtocolError(
+                        "format-version 3 deletion vectors (puffin) are "
+                        f"not supported: {abs_path}"
+                    )
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
                     file_seqs[abs_path] = seq

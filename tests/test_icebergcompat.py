@@ -1815,3 +1815,66 @@ def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
     write_container(ml, MLS, mfs, metadata={"format-version": "2"})
     with pytest.raises(IcebergProtocolError, match="row_index"):
         IcebergTableReader(path).to_df(spark).collect()
+
+
+def test_format_version_3_reads_when_no_v3_features(spark, tmp_path):
+    """A format-version-3 table using no v3-only features is structurally
+    v2 and must read; v3 deletion vectors (puffin refs) and column
+    initial-defaults gate loudly instead of misreading."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "v3")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    fp = os.path.join(data_dir, "a.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "v": pa.array([10, 20], pa.int64())}), fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(fp, 2)], mapping=None,
+                       schema_fields=schema_fields)
+    mp = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    meta["format-version"] = 3
+    meta["next-row-id"] = 100  # v3 row-lineage bookkeeping: scan-inert
+    json.dump(meta, open(mp, "w"))
+    r = IcebergTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 20)]
+
+    # initial-default on a column -> loud gate
+    meta["schemas"][0]["fields"].append(
+        {"id": 3, "name": "w", "required": False, "type": "long",
+         "initial-default": 7}
+    )
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(IcebergProtocolError, match="initial-default"):
+        IcebergTableReader(path).snapshot()
+
+    # puffin deletion vector entry -> loud gate
+    meta["schemas"][0]["fields"].pop()
+    json.dump(meta, open(mp, "w"))
+    ml = meta["snapshots"][0]["manifest-list"]
+    _, mfs, _ = read_container(ml)
+    mpath = mfs[0]["manifest_path"]
+    msch, entries, mmeta = read_container(mpath)
+    # extend the entry schema with the v3 DV fields and re-write
+    msch["fields"][-1]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+    ]
+    for e in entries:
+        e["data_file"]["referenced_data_file"] = fp
+        e["data_file"]["content_offset"] = 4
+    write_container(mpath, msch, entries, metadata={
+        k: (v.decode() if isinstance(v, bytes) else v)
+        for k, v in mmeta.items()
+        if not k.startswith("avro.")  # keep the WIDENED schema in charge
+    })
+    with pytest.raises(IcebergProtocolError, match="puffin"):
+        IcebergTableReader(path).snapshot()
