@@ -1854,7 +1854,9 @@ def test_format_version_3_reads_when_no_v3_features(spark, tmp_path):
     with pytest.raises(IcebergProtocolError, match="initial-default"):
         IcebergTableReader(path).snapshot()
 
-    # puffin deletion vector entry -> loud gate
+    # deletion-vector fields on a DATA entry (content=0) -> loud gate
+    # (real v3 DVs on content=1 entries are READ:
+    # test_v3_puffin_deletion_vectors_read)
     meta["schemas"][0]["fields"].pop()
     json.dump(meta, open(mp, "w"))
     ml = meta["snapshots"][0]["manifest-list"]
@@ -1876,5 +1878,116 @@ def test_format_version_3_reads_when_no_v3_features(spark, tmp_path):
         for k, v in mmeta.items()
         if not k.startswith("avro.")  # keep the WIDENED schema in charge
     })
-    with pytest.raises(IcebergProtocolError, match="puffin"):
+    with pytest.raises(IcebergProtocolError, match="deletion-"):
         IcebergTableReader(path).snapshot()
+
+
+def test_v3_puffin_deletion_vectors_read(spark, tmp_path):
+    """format-version 3 deletion vectors: a content=1 manifest entry with
+    referenced_data_file + content_offset locates a roaring blob inside a
+    puffin file (framing identical to Delta's: BE length, LE magic,
+    64-bit roaring portable, BE CRC). The scan must drop exactly the
+    tombstoned positions, and the changelog must emit them as deletes."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.roaring64 import serialize_positions
+
+    path = str(tmp_path / "v3dv")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    fp = os.path.join(data_dir, "a.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                             "v": pa.array([10, 20, 30, 40], pa.int64())}),
+                   fp)
+    # puffin file: PFA1 magic, then the framed blob at offset 4
+    blob = serialize_positions([1, 3])  # kill k=2 and k=4
+    framed = (struct.pack(">i", len(blob)) + blob
+              + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    puf = os.path.join(data_dir, "dv.puffin")
+    with open(puf, "wb") as f:
+        f.write(b"PFA1" + framed + b"PFA1")
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(fp, 4)], mapping=None,
+                       schema_fields=schema_fields)
+    mp = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    meta["format-version"] = 3
+    # second snapshot carrying the DV manifest
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    msch = _manifest_entry_schema(_partition_avro_fields([]))
+    msch["fields"][-1]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ]
+    m2 = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m1.avro")
+    write_container(m2, msch, [{
+        "status": _STATUS_ADDED, "snapshot_id": 2,
+        "sequence_number": 2, "file_sequence_number": 2,
+        "data_file": {
+            "content": 1, "file_path": puf, "file_format": "PUFFIN",
+            "partition": {}, "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(puf),
+            "equality_ids": None,
+            "referenced_data_file": fp,
+            "content_offset": 4,
+            "content_size_in_bytes": len(blob),
+        },
+    }], metadata={"format-version": "2"})
+    ml1 = meta["snapshots"][0]["manifest-list"]
+    _, mfs, _ = read_container(ml1)
+    ml2 = os.path.join(meta_dir, f"snap-2-{_uuid.uuid4().hex}.avro")
+    write_container(ml2, _MANIFEST_LIST_SCHEMA, mfs + [{
+        "manifest_path": m2, "manifest_length": os.path.getsize(m2),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 2, "min_sequence_number": 2,
+        "added_snapshot_id": 2,
+        "added_data_files_count": 1, "existing_data_files_count": 0,
+        "deleted_data_files_count": 0, "added_rows_count": 2,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }], metadata={"format-version": "2"})
+    meta["snapshots"].append({
+        "snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1,
+        "manifest-list": ml2, "schema-id": 0,
+        "summary": {"operation": "delete"},
+    })
+    meta["snapshot-log"].append({"snapshot-id": 2, "timestamp-ms": 1})
+    meta["current-snapshot-id"] = 2
+    meta["last-sequence-number"] = 2
+    json.dump(meta, open(mp, "w"))
+
+    r = IcebergTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (3, 30)]
+    # snapshot 1 (pre-DV) still reads everything
+    s1 = sorted(x["k"] for x in r.to_df(spark, snapshot_id=1).collect())
+    assert s1 == [1, 2, 3, 4]
+    # changelog: the DV snapshot emits exactly the newly-dead rows
+    feed = r.changes(spark)
+    dels = sorted(
+        x["k"] for x in feed.where("_change_type = 'delete'").collect()
+    )
+    assert dels == [2, 4]
+    ins = sorted(
+        x["k"] for x in feed.where("_change_type = 'insert'").collect()
+    )
+    assert ins == [1, 2, 3, 4]
