@@ -603,7 +603,166 @@ def gen_iceberg(root: str) -> None:
     print(f"iceberg_golden: {path}")
 
 
+
+
+# ===========================================================================
+# Fixture 3: Iceberg format-version 3 (field IDs, rename, puffin DV)
+# ===========================================================================
+def gen_iceberg_v3(root: str) -> None:
+    """v3 golden tree exercising every round-8 read path at once: parquet
+    files stamped with FIELD IDS whose physical column name predates a
+    rename (only ID resolution reads them), plus a puffin deletion vector
+    located by the manifest's content_offset (framing hand-packed above,
+    same bytes as Delta's)."""
+    path = os.path.join(root, "iceberg_v3_golden")
+    shutil.rmtree(path, ignore_errors=True)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+    sync = bytes(range(16))
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # data written BEFORE the rename: physical column 'amount_old', id 2
+    fp = os.path.join(data_dir, "pre-rename.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2, 3, 4], pa.int64()),
+             pa.array([100, 200, 300, 400], pa.int64())],
+            schema=pa.schema([idfield("k", pa.int64(), 1),
+                              idfield("amount_old", pa.int64(), 2)]),
+        ),
+        fp,
+    )
+    fp_uri = "file://" + fp
+    # puffin DV killing row positions 0 and 2 (k=1, k=3)
+    dv_body, spans = pack_dv_bin([[0, 2]])
+    # pack_dv_bin frames with a leading version byte (Delta file layout);
+    # a puffin file instead starts with its own magic — reuse the framed
+    # blob bytes (after the version byte) at offset 4
+    framed = dv_body[1:]
+    puf = os.path.join(data_dir, "dv.puffin")
+    with open(puf, "wb") as f:
+        f.write(b"PFA1" + framed + b"PFA1")
+    off, size = 4, spans[0][1]
+
+    entry_schema = manifest_schema([])
+    entry_schema["fields"][-1]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ]
+
+    def entry(fpath, n, *, seq, content=0, dv=None):
+        d = {
+            "status": 1, "snapshot_id": 7000 + seq,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": fpath,
+                "file_format": "PUFFIN" if dv else "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    fpath.removeprefix("file://")),
+                "value_counts": None, "null_value_counts": None,
+                "lower_bounds": None, "upper_bounds": None,
+                "split_offsets": None, "equality_ids": None,
+                "sort_order_id": None,
+                "referenced_data_file": dv[0] if dv else None,
+                "content_offset": dv[1] if dv else None,
+                "content_size_in_bytes": dv[2] if dv else None,
+            },
+        }
+        return d
+
+    m1 = os.path.join(meta_dir, "m1-data.avro")
+    write_avro(m1, entry_schema, [entry(fp_uri, 4, seq=1)], sync)
+    m2 = os.path.join(meta_dir, "m2-dv.avro")
+    write_avro(
+        m2, entry_schema,
+        [entry("file://" + puf, 2, seq=2, content=1,
+               dv=(fp_uri, off, size))],
+        sync,
+    )
+
+    def ml_entry(mp, *, content, seq):
+        return {
+            "manifest_path": "file://" + mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": 7000 + seq,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": 4 if content == 0 else 2,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": None,
+        }
+
+    ml1 = os.path.join(meta_dir, "snap-7001.avro")
+    write_avro(ml1, ML_SCHEMA, [ml_entry(m1, content=0, seq=1)], sync)
+    ml2 = os.path.join(meta_dir, "snap-7002.avro")
+    write_avro(
+        ml2, ML_SCHEMA,
+        [ml_entry(m1, content=0, seq=1), ml_entry(m2, content=1, seq=2)],
+        sync,
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "33333333-4444-5555-6666-777777777777",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "next-row-id": 10,
+        "current-schema-id": 1,
+        "schemas": [{
+            # post-rename schema: field 2 is now 'amount'
+            "type": "struct", "schema-id": 1, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "amount", "required": False,
+                 "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 7002,
+        "snapshots": [
+            {"snapshot-id": 7001, "sequence-number": 1,
+             "timestamp-ms": 1700000001000, "manifest-list":
+             "file://" + ml1, "schema-id": 1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 7002, "sequence-number": 2,
+             "timestamp-ms": 1700000002000, "manifest-list":
+             "file://" + ml2, "schema-id": 1,
+             "summary": {"operation": "delete"}},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 7001, "timestamp-ms": 1700000001000},
+            {"snapshot-id": 7002, "timestamp-ms": 1700000002000},
+        ],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 7002, "type": "branch"}},
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+    print(f"iceberg_v3_golden: {path}")
+
+
 if __name__ == "__main__":
     os.makedirs(ROOT, exist_ok=True)
     gen_delta(ROOT)
     gen_iceberg(ROOT)
+    gen_iceberg_v3(ROOT)
