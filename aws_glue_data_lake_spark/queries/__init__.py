@@ -58,6 +58,7 @@ _DEFER_NEW: set[str] = {
     "lake_delta_compat_read",
     "lake_iceberg_compat_read",
     "lake_open_table_facade",
+    "lake_iceberg_v3_dv_read",
 }
 
 

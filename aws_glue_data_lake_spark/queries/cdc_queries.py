@@ -1888,3 +1888,195 @@ def lake_open_table_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     ).orderBy("fmt", "n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Iceberg format-version 3 interop (round-8): a v3 metadata tree is
+# hand-assembled the way a conforming v3 writer lays it down — parquet
+# stamped with FIELD IDS under a pre-rename physical column name (spec
+# resolution is by ID; a name-resolved read would return silent nulls)
+# and a puffin deletion vector located by the manifest entry's
+# content_offset (blob framing shared with Delta's DVs) — then read back
+# through the metadata walk. nation is keyed 0..24, staged sorted, so
+# row position == n_nationkey and the DV tombstoning every 4th position
+# equals `n_nationkey % 4 = 0`, which keeps the oracle closed-form.
+# Scale: the build is dimension-sized by design; the read path is the
+# production one — descriptors ship to executors, blobs expand
+# distributed, tombstones apply as a broadcast anti-join.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_v3_dv_read",
+    oracle="""
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_nationkey % 4 <> 0
+ORDER BY n_nationkey
+""",
+)
+def lake_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.avrolite import write_container
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        IcebergTableReader,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+    from aws_glue_data_lake_spark.roaring64 import serialize_positions
+
+    rows = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    path = session_tmpdir("iceberg_v3_") + "/t"
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    def idf(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    fp = os.path.join(data_dir, "pre-rename.parquet")
+    pq.write_table(
+        pa.table(
+            [
+                pa.array([k for k, _ in rows], pa.int64()),
+                pa.array([n for _, n in rows], pa.string()),
+            ],
+            schema=pa.schema(
+                [idf("k_old", pa.int64(), 1), idf("name_old", pa.string(), 2)]
+            ),
+        ),
+        fp,
+    )
+    # DV: every position whose key is divisible by 4 (position == key)
+    blob = serialize_positions(
+        [i for i, (k, _) in enumerate(rows) if k % 4 == 0]
+    )
+    framed = (
+        struct.pack(">i", len(blob))
+        + blob
+        + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+    )
+    puf = os.path.join(data_dir, "dv.puffin")
+    with open(puf, "wb") as f:
+        f.write(b"PFA1" + framed + b"PFA1")
+
+    msch = _manifest_entry_schema(_partition_avro_fields([]))
+    msch["fields"][-1]["type"]["fields"] += [
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ]
+
+    def entry(fpath, n, *, seq, content, dv=None):
+        return {
+            "status": _STATUS_ADDED,
+            "snapshot_id": 9000 + seq,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": fpath,
+                "file_format": "PUFFIN" if dv else "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "equality_ids": None,
+                "referenced_data_file": dv[0] if dv else None,
+                "content_offset": dv[1] if dv else None,
+                "content_size_in_bytes": dv[2] if dv else None,
+            },
+        }
+
+    m1 = os.path.join(meta_dir, "m1.avro")
+    write_container(
+        m1, msch, [entry(fp, len(rows), seq=1, content=0)],
+        metadata={"format-version": "2"},
+    )
+    m2 = os.path.join(meta_dir, "m2.avro")
+    write_container(
+        m2, msch,
+        [entry(puf, 0, seq=2, content=1, dv=(fp, 4, len(blob)))],
+        metadata={"format-version": "2"},
+    )
+
+    def ml(mp, content, seq):
+        return {
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 9000 + seq,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": len(rows) if content == 0 else 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    mlp = os.path.join(meta_dir, "snap-9002.avro")
+    write_container(
+        mlp, _MANIFEST_LIST_SCHEMA,
+        [ml(m1, 0, 1), ml(m2, 1, 2)],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 3,
+        "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 2,
+        "last-column-id": 2,
+        "next-row-id": 100,
+        "current-schema-id": 1,
+        "schemas": [{
+            "type": "struct", "schema-id": 1, "fields": [
+                {"id": 1, "name": "n_nationkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "n_name", "required": False,
+                 "type": "string"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 9002,
+        "snapshots": [{
+            "snapshot-id": 9002, "sequence-number": 2, "timestamp-ms": 2,
+            "manifest-list": mlp, "schema-id": 1,
+            "summary": {"operation": "delete"},
+        }],
+        "snapshot-log": [{"snapshot-id": 9002, "timestamp-ms": 2}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    got = IcebergTableReader(path).to_df(spark)
+    return got.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    ).orderBy("n_nationkey")
