@@ -1223,6 +1223,15 @@ class DeltaTableWriter:
         for src in sorted(
             glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
         ):
+            # empty partitions stage empty part files — committing them
+            # would bloat the log with zero-row adds (and poison
+            # manifest-only MIN/MAX: a statless empty file forces the
+            # conservative watermark to give up). Skip; removes alone
+            # carry an overwrite-to-empty.
+            import pyarrow.parquet as _pq
+
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
             rel_dir = os.path.relpath(os.path.dirname(src), stage)
             segs = rel_dir.split(os.sep) if rel_dir != "." else []
             partition_values = {}

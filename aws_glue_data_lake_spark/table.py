@@ -106,7 +106,19 @@ class Table:
         self, df: DataFrame, partition_by: Sequence[str] = ()
     ) -> "Table":
         if self.format == "lake":
-            self._lake().create(df, partition_by=list(partition_by))
+            # record footer stats for every primitive column so
+            # stat_max/read_pruned work out of the box (Delta/Iceberg
+            # stamp per-file stats unconditionally; the lake layer is
+            # opt-in)
+            prim = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName()
+                not in ("struct", "array", "map", "binary")
+            ]
+            self._lake().create(
+                df, stat_cols=prim, partition_by=list(partition_by)
+            )
         elif self.format == "delta":
             self._delta_writer().create(df, partition_by=partition_by)
         else:
@@ -209,6 +221,45 @@ class Table:
         if self.format == "delta":
             return self._delta_reader().history()
         return self._ice_reader().history()
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 1) -> None:
+        """Fold small files (and, on iceberg, merge-on-read tombstones)
+        into a compacted snapshot — OPTIMIZE in Delta's vocabulary."""
+        if self.format == "lake":
+            self._lake().compact(spark, target_files=target_files)
+        elif self.format == "delta":
+            self._delta_writer().optimize(spark, target_files=target_files)
+        else:
+            self._ice_writer().compact(spark)
+
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Physically remove files only unreachable snapshots reference;
+        returns the deleted paths. ``keep`` = how many trailing
+        versions/snapshots stay time-travelable (delta's own retention
+        policy rides its table properties instead)."""
+        if self.format == "lake":
+            return self._lake().vacuum(keep_versions=keep)
+        if self.format == "delta":
+            return self._delta_writer().vacuum()
+        return self._ice_writer().expire_snapshots(keep_last=keep)
+
+    def stat_max(self, col: str):
+        """Manifest-only MAX of a column (zero data I/O) — the CDC
+        watermark primitive on every layer."""
+        if self.format == "lake":
+            return self._lake().stat_max(col)
+        from aws_glue_data_lake_spark.targets import (
+            DeltaTarget,
+            IcebergTarget,
+        )
+
+        t = (
+            DeltaTarget(self.path, None)
+            if self.format == "delta"
+            else IcebergTarget(self.path, None)
+        )
+        return t.stat_max(col)
 
 
 def open_table(path: str, format: str | None = None) -> Table:  # noqa: A002

@@ -64,6 +64,8 @@ class DeltaTarget:
         best = None
         for p, _pv, _dv in snap.files:
             st = (snap.stats or {}).get(p)
+            if st and st.get("numRecords") == 0:
+                continue  # an empty file cannot hold the max
             if not st:
                 return None  # a stat-less file could hold the max
             v = st.get("maxValues", {}).get(col)

@@ -69,3 +69,21 @@ def test_open_errors(spark, tmp_path):
         open_table(path, "iceberg")
     with pytest.raises(ValueError, match="format must be"):
         open_table(str(tmp_path / "x"), "hudi")
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_maintenance_surface(spark, tmp_path, fmt):
+    """compact / vacuum / stat_max through the facade on every layer."""
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt)
+    t.create(_mk(spark, [(1, 10), (2, 20)]))
+    t.append(_mk(spark, [(3, 30)]))
+    t.append(_mk(spark, [(4, 40)]))
+    assert t.stat_max("k") == 4
+    t.compact(spark)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [1, 2, 3, 4]
+    removed = t.vacuum(keep=1)
+    assert isinstance(removed, list)
+    # table still reads after vacuum
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
