@@ -1226,11 +1226,15 @@ class DeltaTableWriter:
             # empty partitions stage empty part files — committing them
             # would bloat the log with zero-row adds (and poison
             # manifest-only MIN/MAX: a statless empty file forces the
-            # conservative watermark to give up). Skip; removes alone
-            # carry an overwrite-to-empty.
+            # conservative watermark to give up). Skip DATA files only:
+            # an empty cdc file is load-bearing — it is how a rewrite
+            # commit whose row-level delta is genuinely empty (e.g. a
+            # delete re-matching only already-tombstoned rows) declares
+            # "no changes" to CDF replay, which otherwise must refuse
+            # the add+remove commit as unreplayable.
             import pyarrow.parquet as _pq
 
-            if _pq.ParquetFile(src).metadata.num_rows == 0:
+            if not cdc and _pq.ParquetFile(src).metadata.num_rows == 0:
                 continue
             rel_dir = os.path.relpath(os.path.dirname(src), stage)
             segs = rel_dir.split(os.sep) if rel_dir != "." else []
@@ -1259,6 +1263,28 @@ class DeltaTableWriter:
                 action["modificationTime"] = int(os.path.getmtime(dst) * 1000)
                 action["stats"] = _file_stats_json(dst)
             adds.append(action)
+        if cdc and not adds:
+            # the row-level delta is genuinely empty but the commit still
+            # rewrites files (e.g. dropping a fully-tombstoned file): a
+            # partitioned stage of an empty DataFrame writes NO part
+            # files, yet CDF replay needs an explicit (empty) cdc action
+            # to know the rewrite carries no row changes — otherwise it
+            # must refuse the add+remove commit as unreplayable.
+            shutil.rmtree(stage, ignore_errors=True)
+            df.limit(0).coalesce(1).write.mode("overwrite").parquet(stage)
+            (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            dst = os.path.join(self.path, "_change_data", name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            adds.append(
+                {
+                    "path": urllib.parse.quote(f"_change_data/{name}"),
+                    "partitionValues": {},
+                    "size": os.path.getsize(dst),
+                    "dataChange": False,
+                }
+            )
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -2167,10 +2193,18 @@ class DeltaTableWriter:
             positions = deserialize_positions(bytes(row["blob"]))
             if old_dv:
                 old = deserialize_positions(_resolve_dv_blob(old_dv, self.path))
-                positions = sorted(set(positions) | set(old))
+                new = sorted(set(positions) | set(old))
+                if new == sorted(old):
+                    # every matched position was already tombstoned: the
+                    # DV would be byte-identical — rewriting it is pure
+                    # churn, so this file contributes nothing
+                    continue
+                positions = new
             merged.append(
                 (p, pv, serialize_positions(positions), len(positions))
             )
+        if not merged:
+            return snap.version  # no-op: only already-deleted rows matched
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
             # the plain scan applies the PRIOR deletion vectors, so this

@@ -2420,3 +2420,45 @@ def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
     r = DeltaTableReader(path)
     got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_cdf_no_op_rewrites_replay(spark, tmp_path):
+    """Hypothesis-found CDF corners (r8): rewrite commits whose row-level
+    delta is EMPTY must stay replayable.
+    - delete_where re-matching only already-tombstoned rows is a pure
+      no-op (the merged DV would be byte-identical) and must NOT commit;
+    - overwrite_partition dropping a fully-tombstoned partition commits
+      remove-only WITH an explicit empty cdc marker (a partitioned stage
+      of an empty DataFrame writes no part files, which used to leave
+      the commit without any cdc action -> unreplayable)."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(0, "a", 0), (1, "b", 1)], "k long, bucket string, v long"
+        ),
+        partition_by=["bucket"],
+    )
+    w.set_change_data_feed()
+    w.delete_where(spark, "k in (0)")
+    v_after_first = DeltaTableReader(path).latest_version()
+    # case 1: second identical delete = no-op, no new commit
+    w.delete_where(spark, "k in (0)")
+    assert DeltaTableReader(path).latest_version() == v_after_first
+    feed = DeltaTableReader(path).changes(spark).collect()
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in feed
+    ) == [(0, "delete"), (0, "insert"), (1, "insert")]
+    # case 2: overwrite the fully-tombstoned partition with EMPTY rows
+    w.overwrite_partition(
+        spark.createDataFrame([], "k long, bucket string, v long"),
+        bucket="a",
+    )
+    feed2 = DeltaTableReader(path).changes(spark).collect()
+    # no new row-level changes beyond the create + original delete
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in feed2
+    ) == [(0, "delete"), (0, "insert"), (1, "insert")]
+    assert sorted(
+        x["k"] for x in DeltaTableReader(path).to_df(spark).collect()
+    ) == [1]
