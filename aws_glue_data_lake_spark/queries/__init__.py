@@ -54,12 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: CORRECTNESS_r*.json it leaves this tier automatically via the normal
 #: oldest-green rotation; drop it from this set at the next housekeeping
 #: pass.
-_DEFER_NEW: set[str] = {
-    "lake_delta_compat_read",
-    "lake_iceberg_compat_read",
-    "lake_open_table_facade",
-    "lake_iceberg_v3_dv_read",
-}
+_DEFER_NEW: set[str] = set()
 
 
 def _green_round_by_query() -> dict[str, int]:
