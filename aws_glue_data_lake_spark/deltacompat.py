@@ -702,40 +702,29 @@ class DeltaTableReader:
         phys = self._physical_name
         data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
         cm_mode = snap.configuration.get("delta.columnMapping.mode", "none")
+        data_st = StructType(
+            [
+                StructField(phys(f), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        fid_of: dict = {}
         if cm_mode == "id":
             # columnMapping=id: files resolve by PARQUET FIELD ID
             # (delta.columnMapping.id <-> the files' field ids), not by
-            # name — ride Spark's fieldId read path by annotating the
-            # pinned schema. The conf is inert for schemas without
-            # parquet.field.id metadata, so enabling it is safe.
-            def _fid(f) -> int:
+            # name. Resolution is done from the files' own footers in
+            # read_data() below — per-footer mapping groups, no global
+            # spark.sql.parquet.fieldId conf mutation (that conf is read
+            # at ACTION time, so a reader flipping it permanently changes
+            # the shared session AND cannot handle a mixed table anyway).
+            for f in data_fields:
                 md = f.metadata or {}
                 if "delta.columnMapping.id" not in md:
                     raise DeltaProtocolError(
                         f"columnMapping=id but field {f.name!r} carries "
                         "no delta.columnMapping.id metadata"
                     )
-                return int(md["delta.columnMapping.id"])
-
-            data_st = StructType(
-                [
-                    StructField(
-                        phys(f),
-                        f.dataType,
-                        f.nullable,
-                        metadata={"parquet.field.id": _fid(f)},
-                    )
-                    for f in data_fields
-                ]
-            )
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        else:
-            data_st = StructType(
-                [
-                    StructField(phys(f), f.dataType, f.nullable)
-                    for f in data_fields
-                ]
-            )
+                fid_of[int(md["delta.columnMapping.id"])] = f
         out_cols = [f.name for f in snap.schema.fields]
         has_dvs = any(dv for _, _, dv in snap.files) or _expose_pos
         pos_cols = ["__dv_fp", "__dv_pos"] if has_dvs else []
@@ -763,14 +752,62 @@ class DeltaTableReader:
                 *pos_cols,
             )
 
-        if not part_cols:
-            scan = logical(
-                with_pos(
-                    spark.read.schema(data_st).parquet(
-                        *[p for p, _, _ in snap.files]
+        def read_data(paths: list[str]) -> DataFrame:
+            """Scan data files under their canonical PHYSICAL names,
+            ``__dv_*`` position columns attached at the file source.
+            columnMapping=id resolves columns by parquet field ID from
+            each file's own footer: one scan group per distinct
+            ``{id -> on-disk name}`` mapping (bounded by the number of
+            schema evolutions, not files), aliased back to the
+            canonical physical names; a field the file predates
+            backfills NULL (standard evolution semantics)."""
+            if cm_mode != "id":
+                return with_pos(spark.read.schema(data_st).parquet(*paths))
+            from aws_glue_data_lake_spark.fieldids import (
+                group_paths_by_mapping,
+                parquet_field_id_mappings,
+            )
+
+            parts = []
+            groups = group_paths_by_mapping(
+                paths, parquet_field_id_mappings(paths)
+            )
+            for m, ps in groups:
+                if not m:
+                    raise DeltaProtocolError(
+                        "columnMapping=id but data file(s) carry no "
+                        f"parquet field IDs: {ps[:3]}"
+                    )
+                st = StructType(
+                    [
+                        StructField(m[fid], fld.dataType, True)
+                        for fid, fld in sorted(fid_of.items())
+                        if fid in m
+                    ]
+                )
+                sel = [
+                    (
+                        F.col(m[fid]).alias(phys(fld))
+                        if fid in m
+                        else F.lit(None).cast(fld.dataType).alias(phys(fld))
+                    )
+                    for fid, fld in (
+                        (int((f.metadata or {})["delta.columnMapping.id"]), f)
+                        for f in data_fields
+                    )
+                ]
+                parts.append(
+                    with_pos(spark.read.schema(st).parquet(*ps)).select(
+                        *sel, *pos_cols
                     )
                 )
-            )
+            df = parts[0]
+            for g in parts[1:]:
+                df = df.unionByName(g)
+            return df
+
+        if not part_cols:
+            scan = logical(read_data([p for p, _, _ in snap.files]))
             return finish(scan)
         if self._hive_layout_consistent(snap):
             scan = with_pos(
@@ -789,7 +826,7 @@ class DeltaTableReader:
         for key, paths in sorted(
             groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
         ):
-            g = logical(with_pos(spark.read.schema(data_st).parquet(*paths)))
+            g = logical(read_data(paths))
             for f, v in zip(part_fields, key):
                 if v is None:
                     g = g.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -1174,6 +1211,66 @@ class ConcurrentModificationError(RuntimeError):
 _MAX_COMMIT_RETRIES = 10
 
 
+def _coerce_pv(raw: str, like):
+    """Parse a Delta ``partitionValues`` raw string into the python type
+    of ``like`` (a batch bound). None when unparseable — the caller then
+    treats the value as unknown (conservative keep)."""
+    import datetime
+    import decimal
+
+    try:
+        if isinstance(like, bool):
+            return raw == "true"
+        if isinstance(like, int):
+            return int(raw)
+        if isinstance(like, float):
+            return float(raw)
+        if isinstance(like, decimal.Decimal):
+            return decimal.Decimal(raw)
+        if isinstance(like, datetime.datetime):
+            return datetime.datetime.fromisoformat(raw)
+        if isinstance(like, datetime.date):
+            return datetime.date.fromisoformat(raw)
+        return raw
+    except (ValueError, TypeError, decimal.InvalidOperation):
+        return None
+
+
+def _key_range_overlaps(st: dict | None, keys, bounds, pv=None) -> bool:
+    """Can a file hold a row whose key tuple falls inside the batch
+    ``bounds``? Each key checks the file's ``partitionValues`` (exact:
+    min == max == the value; a NULL partition value can never
+    equi-match, so the file is provably disjoint) or, failing that, its
+    data-skipping stats [min,max]. True unless some key is provably
+    disjoint — missing or incomparable evidence keeps the file
+    (conservative). min/max ignore NULL keys and NULL keys never
+    equi-match, so range pruning stays sound. Shared by MERGE's
+    candidate-file pruning and its commit-time conflict check (the same
+    predicate applied to a concurrent winner's add action)."""
+    pv = pv or {}
+    for i, k in enumerate(keys):
+        lo, hi = bounds[f"__lo_{i}"], bounds[f"__hi_{i}"]
+        if lo is None or hi is None:
+            continue
+        if k in pv:
+            if pv[k] is None:
+                return False  # every row has NULL k: no equi-match
+            fmin = fmax = _coerce_pv(pv[k], lo)
+        else:
+            fmin = ((st or {}).get("minValues") or {}).get(k)
+            fmax = ((st or {}).get("maxValues") or {}).get(k)
+        if fmin is None or fmax is None:
+            continue
+        if hasattr(lo, "isoformat") and isinstance(fmin, str):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        try:
+            if fmin > hi or fmax < lo:
+                return False
+        except TypeError:
+            continue  # incomparable: keep the file
+    return True
+
+
 class DeltaTableWriter:
     """Emit the Delta transaction-log protocol: create / append /
     overwrite commits plus classic parquet checkpoints. Commits are
@@ -1339,23 +1436,126 @@ class DeltaTableWriter:
                 pass
 
     def _commit_read_dependent(
-        self, version: int, actions: list[dict], operation: str
-    ) -> None:
+        self,
+        version: int,
+        actions: list[dict],
+        operation: str,
+        *,
+        read_files: set[str] | None = None,
+        add_conflict=True,
+    ) -> int:
         """Commit for operations whose actions depend on what they READ
-        (merge/delete/optimize/restore/metadata changes): a version-race
-        loss means the winning commit may have added or removed rows the
-        operation matched, so retrying the staged actions could silently
-        drop the winner's data. Surface the conflict instead."""
+        (merge/delete/optimize/restore/metadata changes), with
+        delta-spark ConflictChecker semantics: a version-race loss
+        re-reads each WINNING commit and rebases (re-commits the same
+        staged actions at the next version) when the winner is logically
+        disjoint from this transaction's read set; only a genuine
+        overlap surfaces :class:`ConcurrentModificationError`.
+
+        ``read_files``: absolute paths this operation scanned (its read
+        set). ``None`` means whole-table semantics — any winner remove
+        conflicts. ``add_conflict`` says when a winner's
+        ``dataChange=true`` add invalidates the read: ``True`` = always
+        (the operation's predicate could match the new rows), ``False``
+        = never (e.g. OPTIMIZE — compaction rewrites bytes it read;
+        concurrently appended files simply stay live), or a callable
+        ``add_action -> bool`` (e.g. MERGE key-range pruning applied to
+        the winner's add.stats). Returns the version that landed."""
+        r0 = DeltaTableReader(self.path)
+        own_removes = {
+            os.path.abspath(r0._abs_path(a["remove"]["path"]))
+            for a in actions
+            if "remove" in a
+        }
+        own_txn_apps = {
+            a["txn"].get("appId") for a in actions if "txn" in a
+        }
+        base = version - 1
+        v = version
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                self._commit(v, actions, operation)
+                return v
+            except FileExistsError:
+                r = DeltaTableReader(self.path)
+                latest = r.snapshot().version
+                for wv in range(v, latest + 1):
+                    reason = self._winner_conflicts(
+                        r,
+                        wv,
+                        read_files,
+                        own_removes,
+                        own_txn_apps,
+                        add_conflict,
+                    )
+                    if reason:
+                        raise ConcurrentModificationError(
+                            f"{operation} on {self.path} prepared against "
+                            f"version {base}, lost the race and cannot "
+                            f"rebase: {reason}; re-run the operation "
+                            "against the new table state"
+                        ) from None
+                v = latest + 1
+        raise ConcurrentModificationError(
+            f"{operation} on {self.path} exceeded {_MAX_COMMIT_RETRIES} "
+            "rebase attempts against concurrent disjoint commits"
+        )
+
+    def _winner_conflicts(
+        self,
+        r: "DeltaTableReader",
+        wv: int,
+        read_files: set[str] | None,
+        own_removes: set[str],
+        own_txn_apps: set,
+        add_conflict,
+    ) -> str | None:
+        """Logical-conflict check of one already-landed commit ``wv``
+        against this transaction (delta-spark's ConflictChecker, commit
+        granularity): metadata/protocol changes always conflict;
+        removing a file this txn read or also removes conflicts
+        (concurrent-delete-read / delete-delete); a ``dataChange`` add
+        conflicts per ``add_conflict``; same-appId SetTransaction
+        advances conflict. Returns the reason, or None when disjoint."""
+        path = os.path.join(self._log, f"{wv:020d}.json")
         try:
-            self._commit(version, actions, operation)
-        except FileExistsError:
-            latest = DeltaTableReader(self.path).snapshot().version
-            raise ConcurrentModificationError(
-                f"{operation} on {self.path} prepared against version "
-                f"{version - 1} but version(s) {version}..{latest} were "
-                "committed concurrently; its read set may be stale — "
-                "re-run the operation against the new table state"
-            ) from None
+            with open(path) as fh:
+                acts = [json.loads(ln) for ln in fh if ln.strip()]
+        except FileNotFoundError:
+            return f"commit {wv} is not readable"
+        for a in acts:
+            if "metaData" in a:
+                return f"commit {wv} changed table metadata"
+            if "protocol" in a:
+                return f"commit {wv} changed the protocol"
+            if "txn" in a and a["txn"].get("appId") in own_txn_apps:
+                return (
+                    f"commit {wv} advanced SetTransaction appId "
+                    f"{a['txn'].get('appId')!r} this operation also sets"
+                )
+            if "remove" in a:
+                ap = os.path.abspath(r._abs_path(a["remove"]["path"]))
+                if (
+                    read_files is None
+                    or ap in read_files
+                    or ap in own_removes
+                ):
+                    return (
+                        f"commit {wv} removed {a['remove']['path']!r}, "
+                        "which this operation read or also removes"
+                    )
+            if "add" in a and a["add"].get("dataChange", True):
+                conflicts = (
+                    add_conflict(a["add"])
+                    if callable(add_conflict)
+                    else bool(add_conflict)
+                )
+                if conflicts:
+                    return (
+                        f"commit {wv} added {a['add'].get('path')!r} whose "
+                        "rows this operation's read predicate may match"
+                    )
+        return None
 
     def _meta_actions(
         self, schema: StructType, partition_by: Sequence[str]
@@ -1488,10 +1688,10 @@ class DeltaTableWriter:
                 )
         actions.append({"metaData": meta})
         v = snap.version + 1
-        self._commit_read_dependent(
-            v, actions, operation="SET TBLPROPERTIES"
+        return self._commit_read_dependent(
+            v, actions, operation="SET TBLPROPERTIES",
+            read_files=set(), add_conflict=False,
         )
-        return v
 
     def set_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: record a CHECK expression in the
@@ -1507,15 +1707,15 @@ class DeltaTableWriter:
         conf[f"delta.constraints.{name}"] = expr
         meta["configuration"] = conf
         v = snap.version + 1
-        self._commit_read_dependent(
+        return self._commit_read_dependent(
             v,
             [
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
                 {"metaData": meta},
             ],
             operation="ADD CONSTRAINT",
+            read_files=set(), add_conflict=False,
         )
-        return v
 
     def set_property(self, key: str, value: str) -> int:
         """Generic SET TBLPROPERTIES commit — e.g.
@@ -1528,10 +1728,10 @@ class DeltaTableWriter:
         conf[str(key)] = str(value)
         meta["configuration"] = conf
         v = snap.version + 1
-        self._commit_read_dependent(
-            v, [{"metaData": meta}], operation="SET TBLPROPERTIES"
+        return self._commit_read_dependent(
+            v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
+            read_files=set(), add_conflict=False,
         )
-        return v
 
     def set_append_only(self, value: bool = True) -> int:
         """TBLPROPERTIES delta.appendOnly: once true, delete_where and
@@ -1544,10 +1744,10 @@ class DeltaTableWriter:
         conf["delta.appendOnly"] = "true" if value else "false"
         meta["configuration"] = conf
         v = snap.version + 1
-        self._commit_read_dependent(
-            v, [{"metaData": meta}], operation="SET TBLPROPERTIES"
+        return self._commit_read_dependent(
+            v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
+            read_files=set(), add_conflict=False,
         )
-        return v
 
     def _schema_evolution_actions(
         self, df: DataFrame, snap: DeltaSnapshot, merge_schema: bool
@@ -1725,23 +1925,9 @@ class DeltaTableWriter:
         ).collect()[0]
 
         def overlaps(path: str) -> bool:
-            st = (snap.stats or {}).get(path)
-            if not st:
-                return True  # no stats: conservatively rewrite
-            for i, k in enumerate(keys):
-                lo, hi = bounds[f"__lo_{i}"], bounds[f"__hi_{i}"]
-                fmin = st.get("minValues", {}).get(k)
-                fmax = st.get("maxValues", {}).get(k)
-                if None in (lo, hi, fmin, fmax):
-                    continue
-                if hasattr(lo, "isoformat"):
-                    lo, hi = lo.isoformat(), hi.isoformat()
-                try:
-                    if fmin > hi or fmax < lo:
-                        return False
-                except TypeError:
-                    continue  # incomparable: keep the file
-            return True
+            return _key_range_overlaps(
+                (snap.stats or {}).get(path), keys, bounds
+            )
 
         affected = [p for p, _pv, _dv in snap.files if overlaps(p)]
         out = source
@@ -1818,13 +2004,28 @@ class DeltaTableWriter:
             for p in affected
         ]
         adds = self._stage_files(out, snap.partition_columns)
+
+        def winner_add_conflicts(add: dict) -> bool:
+            # the same key-range pruning that picked this MERGE's
+            # candidate files, applied to the winner's add.stats: a
+            # concurrently added file that cannot hold a matching key
+            # cannot change what this MERGE matched
+            st = add.get("stats")
+            if isinstance(st, str):
+                try:
+                    st = json.loads(st)
+                except ValueError:
+                    return True
+            return _key_range_overlaps(st, keys, bounds)
+
         v = snap.version + 1
-        self._commit_read_dependent(
+        return self._commit_read_dependent(
             v,
             actions + removes + [{"add": a} for a in adds] + cdc_actions,
             operation="MERGE",
+            read_files={os.path.abspath(p) for p in affected},
+            add_conflict=winner_add_conflicts,
         )
-        return v
 
     def overwrite_partition(self, df: DataFrame, **partition: str) -> int:
         """Replace one partition's files (remove actions for the old files,
@@ -1865,12 +2066,23 @@ class DeltaTableWriter:
             ]
         adds = self._stage_files(df, snap.partition_columns)
         v = snap.version + 1
-        self._commit_read_dependent(
+        part = {k: str(pv) for k, pv in partition.items()}
+        return self._commit_read_dependent(
             v,
             removes + [{"add": a} for a in adds] + cdc_actions,
             operation="WRITE",
+            # read set = the replaced partition; a winner writing OTHER
+            # partitions is disjoint and this overwrite rebases over it
+            read_files={
+                os.path.abspath(p)
+                for p, pv, _dv in snap.files
+                if all(pv.get(k) == pval for k, pval in part.items())
+            },
+            add_conflict=lambda a: all(
+                (a.get("partitionValues") or {}).get(k) == pval
+                for k, pval in part.items()
+            ),
         )
-        return v
 
     def checkpoint(self, version: int | None = None) -> str:
         """Write a classic single-file parquet checkpoint of the snapshot
@@ -2056,10 +2268,17 @@ class DeltaTableWriter:
             for p, _, _ in snap.files
         ]
         v = snap.version + 1
-        self._commit_read_dependent(
-            v, removes + [{"add": a} for a in adds], operation="OPTIMIZE"
+        return self._commit_read_dependent(
+            v,
+            removes + [{"add": a} for a in adds],
+            operation="OPTIMIZE",
+            # compaction reads exactly the files it removes; a winner's
+            # concurrent APPEND is disjoint (its files simply stay live
+            # alongside the compacted ones), so OPTIMIZE rebases over it
+            # — delta-spark's append/optimize coexistence
+            read_files={os.path.abspath(p) for p, _, _ in snap.files},
+            add_conflict=False,
         )
-        return v
 
     def convert_parquet_dir(
         self, spark: SparkSession, partition_by: Sequence[str] = ()
@@ -2291,10 +2510,15 @@ class DeltaTableWriter:
                 }
             )
         v = snap.version + 1
-        self._commit_read_dependent(
-            v, actions + cdc_actions, operation="DELETE"
+        return self._commit_read_dependent(
+            v,
+            actions + cdc_actions,
+            operation="DELETE",
+            # DELETE's predicate scanned every live file, and a winner's
+            # new rows could match it too — so any dataChange add
+            # conflicts (the default); only data-disjoint winners rebase
+            read_files={os.path.abspath(p) for p, _, _ in snap.files},
         )
-        return v
 
     def restore(
         self, version: int, spark: SparkSession | None = None
@@ -2432,8 +2656,9 @@ class DeltaTableWriter:
                     )
                 ]
         v = cur.version + 1
-        self._commit_read_dependent(v, actions, operation="RESTORE")
-        return v
+        # RESTORE is whole-table semantics: the defaults (read set =
+        # everything, any dataChange add conflicts) keep it strict
+        return self._commit_read_dependent(v, actions, operation="RESTORE")
 
     def cleanup_log(
         self, retention_ms: int = 30 * 24 * 3600 * 1000
@@ -2471,31 +2696,47 @@ class DeltaTableWriter:
                     removed.append(p)
         return removed
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Physically delete data files under the table root that the
-        CURRENT snapshot no longer references — Delta's VACUUM. Older
-        versions whose files are collected stop being time-travelable
-        (exactly the delta-spark trade; it gates on a retention window,
-        here the caller decides when). The log is retained — reads still
+        trailing ``keep_versions`` snapshots no longer reference —
+        Delta's VACUUM. Older versions whose files are collected stop
+        being time-travelable (exactly the delta-spark trade; it gates
+        on a retention window, here the caller decides how many trailing
+        versions stay replayable). The log is retained — reads still
         replay it, remove-actions already exclude the vacuumed files.
         Absolute (foreign) references from zero-copy exports are never
         touched. Deletion-vector bins (``deletion_vector_*.bin``) whose
-        uuid no descriptor in the current snapshot references are
-        collected too — they become orphans when OPTIMIZE folds the DVs
-        into rewritten files or a later DELETE supersedes them."""
+        uuid no retained snapshot's descriptor references are collected
+        too — they become orphans when OPTIMIZE folds the DVs into
+        rewritten files or a later DELETE supersedes them."""
         import glob as g
 
         r = DeltaTableReader(self.path)
-        snap = r.snapshot()
-        live = {os.path.abspath(p) for p, _, _ in snap.files}
-        live_dv_uuids = set()
-        for _, _, dv in snap.files:
-            if dv and dv.get("storageType") == "u":
-                from aws_glue_data_lake_spark.roaring64 import z85_decode
+        keep_versions = max(1, int(keep_versions))
+        tip = r.snapshot().version
+        retained = [
+            v
+            for v in (r._commit_versions() or [tip])
+            if v <= tip
+        ][-keep_versions:] or [tip]
+        if retained[-1] != tip:
+            retained.append(tip)
+        live: set[str] = set()
+        live_dv_uuids: set[str] = set()
+        for v in retained:
+            snap = r.snapshot(v)
+            live |= {os.path.abspath(p) for p, _, _ in snap.files}
+            for _, _, dv in snap.files:
+                if dv and dv.get("storageType") == "u":
+                    from aws_glue_data_lake_spark.roaring64 import z85_decode
 
-                live_dv_uuids.add(
-                    str(uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:])))
-                )
+                    live_dv_uuids.add(
+                        str(
+                            uuid.UUID(
+                                bytes=z85_decode(dv["pathOrInlineDv"][-20:])
+                            )
+                        )
+                    )
         # CDF files live outside every snapshot's file set: retained for
         # the log's lifetime (delta-spark ages them out on a retention
         # window instead). Only cdc files NO retained commit references

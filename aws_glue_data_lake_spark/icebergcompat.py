@@ -243,30 +243,6 @@ def _iceberg_type_to_spark(t) -> DataType:
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
-def _iceberg_type_to_spark_with_ids(t) -> DataType:
-    """Like :func:`_iceberg_type_to_spark` but stamping each StructField
-    with ``parquet.field.id`` metadata — the hook Spark's parquet reader
-    uses (``spark.sql.parquet.fieldId.read.enabled``) to resolve columns
-    by Iceberg FIELD ID instead of name. This is the spec's actual
-    resolution rule: a conforming writer's files carry field IDs, so
-    after ALTER TABLE RENAME the files still hold the OLD name and only
-    ID resolution reads them correctly (name resolution would return
-    silent nulls)."""
-    if isinstance(t, dict) and t.get("type") == "struct":
-        return StructType(
-            [
-                StructField(
-                    f["name"],
-                    _iceberg_type_to_spark_with_ids(f["type"]),
-                    not f.get("required", False),
-                    metadata={"parquet.field.id": int(f["id"])},
-                )
-                for f in t["fields"]
-            ]
-        )
-    return _iceberg_type_to_spark(t)
-
-
 def _spark_type_to_iceberg(t: DataType) -> str:
     if isinstance(t, DecimalType):
         return f"decimal({t.precision}, {t.scale})"
@@ -591,7 +567,6 @@ class IcebergSnapshot:
     #: the same schema with ``parquet.field.id`` metadata on every field
     #: — used for field-ID column resolution when the data files carry
     #: parquet field IDs (conforming foreign writers)
-    schema_with_ids: StructType = None  # type: ignore[assignment]
     #: top-level field name -> Iceberg field id (current schema)
     field_ids: dict = None  # type: ignore[assignment]
     #: abs path -> file format ("PARQUET" / "ORC") for every live file,
@@ -723,6 +698,7 @@ class IcebergTableReader:
                     blob = read_dv_blob(
                         puf, int(off),
                         int(size) if not _pd.isna(size) else None,
+                        size_semantics="total",
                     )
                     yield _pd.DataFrame(
                         {
@@ -738,25 +714,6 @@ class IcebergTableReader:
         if len(dvs) > 1:
             desc = desc.repartition(min(len(dvs), 32))
         return desc.mapInPandas(expand_dvs, "file_path string, pos long")
-
-    @staticmethod
-    def _files_carry_field_ids(files: list) -> bool:
-        """One driver-side footer-metadata read of the first live file:
-        conforming Iceberg writers stamp parquet field IDs on every file
-        (spec § Parquet: 'Field IDs are required'), this engine's own
-        Spark-staged files carry none — so the first file decides the
-        table's resolution mode. O(1) regardless of file count."""
-        if not files:
-            return False
-        import pyarrow.parquet as pq
-
-        try:
-            sch = pq.ParquetFile(files[0][0]).schema_arrow
-        except Exception:
-            return False
-        return any(
-            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
-        )
 
     def history(self) -> list[dict]:
         """The snapshot log, newest first: snapshot id, commit
@@ -1001,9 +958,6 @@ class IcebergTableReader:
             spec_fields=spec_fields,
             col_stats=col_stats,
             alt_names=alt_names,
-            schema_with_ids=_iceberg_type_to_spark_with_ids(
-                {"type": "struct", "fields": schema_json["fields"]}
-            ),
             field_ids={
                 f["name"]: f["id"] for f in schema_json["fields"]
             },
@@ -1120,23 +1074,29 @@ class IcebergTableReader:
                 ]
             )
             return spark.createDataFrame([], empty_st)
-        # Column resolution, per the spec's rules:
-        # 1. name-mapping set (migrated tables, files without field IDs):
+        # Column resolution, per the spec's rules (spec § Column
+        # Projection: 'Values for field ids which are not present in a
+        # data file must be resolved' — field IDs first, then the name
+        # mapping, then null):
+        # 1. parquet files that carry field IDs (every conforming
+        #    writer): resolve BY ID from each file's own footer — the
+        #    only way a post-rename file (old physical name, same ID)
+        #    reads correctly. One scan group per distinct
+        #    {id -> physical name} mapping (bounded by schema
+        #    evolutions, not file count), aliased back to the logical
+        #    names; footer reads are parallel driver-side metadata
+        #    fetches (fieldids.py). No session-global
+        #    spark.sql.parquet.fieldId conf flip — that conf is read at
+        #    ACTION time (a lasting side effect on the shared session)
+        #    and cannot express per-file resolution in a MIXED table.
+        # 2. files without IDs + name-mapping set (migrated tables):
         #    widen the pinned read schema with each field's alternate
         #    physical names and coalesce them back — per row exactly one
-        #    physical source column exists, so this is one scan with no
-        #    per-file dispatch, at any file count;
-        # 2. files carry parquet field IDs (every conforming writer):
-        #    resolve BY ID via Spark's fieldId read path — the only way a
-        #    post-rename file (old physical name, same ID) reads
-        #    correctly. Detection is one driver-side footer metadata read
-        #    of the first live file (O(1), not O(#files)); a mixed table
-        #    without a name mapping fails loudly in the scan rather than
-        #    returning silent nulls;
-        # 3. neither (this engine's own staged files): plain name
+        #    physical source column exists.
+        # 3. neither (this engine's own staged files, ORC): plain name
         #    resolution, unchanged.
         alt = snap.alt_names or {}
-        read_schema = snap.schema
+        name_read_schema = snap.schema
         if alt:
             type_of = {f.name: f.dataType for f in snap.schema.fields}
             extra = [
@@ -1144,12 +1104,7 @@ class IcebergTableReader:
                 for name, alts in alt.items()
                 for a in alts
             ]
-            read_schema = StructType(list(snap.schema.fields) + extra)
-        elif self._files_carry_field_ids(files):
-            read_schema = snap.schema_with_ids
-            # inert for schemas without parquet.field.id metadata, so
-            # leaving it enabled cannot affect other reads
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            name_read_schema = StructType(list(snap.schema.fields) + extra)
         normalize = [
             F.coalesce(F.col(f.name), *[F.col(a) for a in alt[f.name]])
             .alias(f.name)
@@ -1157,6 +1112,19 @@ class IcebergTableReader:
             else F.col(f.name)
             for f in snap.schema.fields
         ]
+
+        def _id_select(m: dict[int, str]) -> list:
+            """Project one footer-mapping group back to the logical
+            schema: rename by field ID; a field the file predates
+            backfills NULL (the spec's column-projection rule)."""
+            return [
+                (
+                    F.col(m[snap.field_ids[f.name]]).alias(f.name)
+                    if snap.field_ids.get(f.name) in m
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in snap.schema.fields
+            ]
         # group data files by on-disk format: the spec allows per-file
         # formats, so an ORC-written (or mixed-migration) table plans as
         # one scan PER FORMAT unioned — bounded by |formats|, never by
@@ -1172,30 +1140,71 @@ class IcebergTableReader:
                 "(Spark exposes _metadata.row_index for parquet only)"
             )
 
-        def read_group(fmt: str, paths: list[str], schema) -> DataFrame:
-            rd = spark.read.schema(schema)
-            return rd.parquet(*paths) if fmt == "PARQUET" else rd.orc(
-                *paths
-            )
+        # scan units: (source DF, select exprs -> logical columns, fmt).
+        # Parquet files subgroup by footer field-id mapping; |units| is
+        # bounded by |formats| x |distinct mappings|, never file count.
+        units: list[tuple[DataFrame, list, str]] = []
+        for fmt, paths in sorted(by_fmt.items()):
+            if fmt == "PARQUET":
+                from aws_glue_data_lake_spark.fieldids import (
+                    group_paths_by_mapping,
+                    parquet_field_id_mappings,
+                )
 
-        reader_dfs = [
-            read_group(fmt, paths, read_schema)
-            for fmt, paths in sorted(by_fmt.items())
-        ]
+                for m, ps in group_paths_by_mapping(
+                    paths, parquet_field_id_mappings(paths)
+                ):
+                    if m:
+                        st = StructType(
+                            [
+                                StructField(
+                                    m[snap.field_ids[f.name]],
+                                    f.dataType,
+                                    True,
+                                )
+                                for f in snap.schema.fields
+                                if snap.field_ids.get(f.name) in m
+                            ]
+                        )
+                        units.append(
+                            (
+                                spark.read.schema(st).parquet(*ps),
+                                _id_select(m),
+                                fmt,
+                            )
+                        )
+                    else:
+                        units.append(
+                            (
+                                spark.read.schema(name_read_schema)
+                                .parquet(*ps),
+                                normalize,
+                                fmt,
+                            )
+                        )
+            else:
+                units.append(
+                    (
+                        spark.read.schema(name_read_schema).orc(*paths),
+                        normalize,
+                        fmt,
+                    )
+                )
         if (
             not snap.delete_files
             and not snap.eq_deletes
             and not snap.dv_deletes
             and not _with_meta
         ):
-            df = reader_dfs[0]
-            for g in reader_dfs[1:]:
+            dfs = [src.select(*sel) for src, sel, _ in units]
+            df = dfs[0]
+            for g in dfs[1:]:
                 df = df.unionByName(g)
-            return df.select(normalize) if alt else df
+            return df
 
-        def with_meta(df: DataFrame, fmt: str) -> DataFrame:
-            return df.select(
-                *normalize,
+        def with_meta(src: DataFrame, sel: list, fmt: str) -> DataFrame:
+            return src.select(
+                *sel,
                 # normalize Spark's file:/ URI to a plain path so it
                 # compares against the tombstones' file_path values
                 F.regexp_replace(
@@ -1208,21 +1217,17 @@ class IcebergTableReader:
                 ).alias("__del_pos"),
             )
 
-        metas = [
-            with_meta(df, fmt)
-            for df, (fmt, _) in zip(reader_dfs, sorted(by_fmt.items()))
-        ]
+        metas = [with_meta(src, sel, fmt) for src, sel, fmt in units]
         scan = metas[0]
         for g in metas[1:]:
             scan = scan.unionByName(g)
-        def read_delete_files(paths: list[str], schema=None) -> DataFrame:
+        def read_delete_files(paths: list[str]) -> DataFrame:
             groups: dict[str, list[str]] = {}
             for p in paths:
                 groups.setdefault(fmts.get(p, "PARQUET"), []).append(p)
             parts = []
             for fmt, ps in sorted(groups.items()):
-                rd = spark.read.schema(schema) if schema is not None \
-                    else spark.read
+                rd = spark.read
                 parts.append(
                     rd.parquet(*ps) if fmt == "PARQUET" else rd.orc(*ps)
                 )
@@ -1272,43 +1277,85 @@ class IcebergTableReader:
                 dseq_map = spark.createDataFrame(
                     dpaths, "__dm_fp string, __dseq long"
                 )
-                # equality-delete files resolve by the same rule as data
-                # files: pin their read schema to field IDs when the
-                # data scan resolves by ID (a delete written before a
-                # rename carries the OLD column name, same ID)
+                # equality-delete files resolve by the same per-file
+                # rule as data files: field IDs from their own footers
+                # when present (a delete written before a rename carries
+                # the OLD column name, same ID), else by name.
                 type_of = {f.name: f.dataType for f in snap.schema.fields}
-                del_schema = None
-                if read_schema is snap.schema_with_ids:
-                    del_schema = StructType(
-                        [
-                            StructField(
-                                c,
-                                type_of[c],
-                                True,
-                                metadata={
-                                    "parquet.field.id": int(
-                                        snap.field_ids[c]
-                                    )
-                                },
+
+                def read_eq_files(paths: list[str]) -> DataFrame:
+                    from aws_glue_data_lake_spark.fieldids import (
+                        group_paths_by_mapping,
+                        parquet_field_id_mappings,
+                    )
+
+                    dm_key = F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__dm_key")
+                    # name-resolved delete files read WITHOUT a pinned
+                    # schema: their physical int width may differ from
+                    # the table type (e.g. INT64 bytes for an `int`
+                    # column) and the anti-join condition casts anyway —
+                    # pinning would hard-fail the vectorized reader
+                    eq_name_sel = [
+                        F.col(c).cast(type_of[c]).alias(f"__eq_{c}")
+                        for c in names
+                    ]
+                    by_f: dict[str, list[str]] = {}
+                    for p in paths:
+                        by_f.setdefault(
+                            fmts.get(p, "PARQUET"), []
+                        ).append(p)
+                    parts = []
+                    for f2, ps in sorted(by_f.items()):
+                        if f2 != "PARQUET":
+                            parts.append(
+                                spark.read.orc(*ps).select(
+                                    *eq_name_sel, dm_key
+                                )
                             )
-                            for c in names
-                        ]
-                    )
-                drows = (
-                    read_delete_files(
-                        [p for p, _ in dpaths], schema=del_schema
-                    )
-                    .select(
-                        *[F.col(c).alias(f"__eq_{c}") for c in names],
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:(//)?", ""
-                        ).alias("__dm_key"),
-                    )
-                    .join(
-                        F.broadcast(dseq_map),
-                        F.col("__dm_key") == F.col("__dm_fp"),
-                        "inner",
-                    )
+                            continue
+                        for m, mps in group_paths_by_mapping(
+                            ps, parquet_field_id_mappings(ps)
+                        ):
+                            if not m:
+                                parts.append(
+                                    spark.read.parquet(*mps).select(
+                                        *eq_name_sel, dm_key
+                                    )
+                                )
+                                continue
+                            missing = [
+                                c
+                                for c in names
+                                if snap.field_ids.get(c) not in m
+                            ]
+                            if missing:
+                                raise IcebergProtocolError(
+                                    "equality-delete file(s) lack "
+                                    f"equality field(s) {missing}: "
+                                    f"{mps[:3]}"
+                                )
+                            parts.append(
+                                spark.read.parquet(*mps).select(
+                                    *[
+                                        F.col(m[snap.field_ids[c]])
+                                        .cast(type_of[c])
+                                        .alias(f"__eq_{c}")
+                                        for c in names
+                                    ],
+                                    dm_key,
+                                )
+                            )
+                    out = parts[0]
+                    for g2 in parts[1:]:
+                        out = out.unionByName(g2)
+                    return out
+
+                drows = read_eq_files([p for p, _ in dpaths]).join(
+                    F.broadcast(dseq_map),
+                    F.col("__dm_key") == F.col("__dm_fp"),
+                    "inner",
                 )
                 cond = F.col("__seq") < F.col("__dseq")
                 for c in names:
@@ -1997,12 +2044,14 @@ class IcebergTableWriter:
             f.write(str(version))
 
     def _commit_metadata_strict(self, *args, **kwargs) -> None:
-        """Commit for READ-dependent operations (overwrite / delete /
-        merge / compact): losing the Hadoop-catalog version race means
-        the winning snapshot may contain rows this operation should have
-        matched, so replaying the staged manifests could silently undo
-        the winner. Surface the conflict; the caller re-runs against the
-        new tip. (Appends retry automatically — see :meth:`append`.)"""
+        """Commit for READ-dependent operations whose read set is the
+        whole table (compact): losing the Hadoop-catalog version race
+        means the winning snapshot may contain rows this operation
+        should have matched, so replaying the staged manifests could
+        silently undo the winner. Surface the conflict; the caller
+        re-runs against the new tip. (Appends retry automatically — see
+        :meth:`append`; merge / equality_delete / delete_where /
+        overwrite_partition rebase via :meth:`_retry_read_dependent`.)"""
         op = kwargs.get("operation") or (
             args[6] if len(args) > 6 else "commit"
         )
@@ -2014,6 +2063,95 @@ class IcebergTableWriter:
                 "its read set may be stale — re-run against the new "
                 "table state"
             ) from None
+
+    def _retry_read_dependent(
+        self, prev: dict, operation: str, attempt, winner_check
+    ) -> int:
+        """Optimistic-commit loop with Iceberg's conflict-validation
+        semantics (``validateNoConflicting*``): ``attempt(prev)`` builds
+        the snapshot's manifests against ``prev`` and commits (raising
+        ``FileExistsError`` on a lost version race); on a loss, the new
+        tip is re-read and ``winner_check(base, new)`` decides — None
+        means every winning commit is logically disjoint from this
+        operation's read set, so the SAME staged data files rebase onto
+        the new tip (manifests are rebuilt with fresh snapshot/sequence
+        ids — O(batch) driver metadata, no data re-write); a reason
+        string surfaces :class:`ConcurrentModificationError`."""
+        base = prev
+        cur = prev
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                return attempt(cur)
+            except FileExistsError:
+                new_prev = self._load_prev()
+                reason = self._base_snapshot_conflicts(base, new_prev)
+                if reason is None:
+                    reason = winner_check(base, new_prev)
+                if reason:
+                    raise ConcurrentModificationError(
+                        f"{operation} on {self.path} lost the metadata "
+                        f"version race and cannot rebase: {reason}; "
+                        "re-run against the new table state"
+                    ) from None
+                cur = new_prev
+        raise ConcurrentModificationError(
+            f"{operation} on {self.path} exceeded {_MAX_COMMIT_RETRIES} "
+            "rebase attempts against concurrent disjoint commits"
+        )
+
+    def _base_snapshot_conflicts(self, base: dict, new: dict) -> str | None:
+        """Structural gates every rebase needs: the staged files were
+        written under the base's schema and partition spec, and the
+        base snapshot must still be in the new tip's history (no
+        concurrent rollback/expire past it)."""
+        if base.get("schemas") != new.get("schemas") or base.get(
+            "current-schema-id"
+        ) != new.get("current-schema-id"):
+            return "a concurrent commit changed the table schema"
+        if base.get("partition-specs") != new.get(
+            "partition-specs"
+        ) or base.get("default-spec-id") != new.get("default-spec-id"):
+            return "a concurrent commit changed the partition spec"
+        new_ids = {s["snapshot-id"] for s in new.get("snapshots", [])}
+        if (
+            base.get("current-snapshot-id")
+            and base["current-snapshot-id"] not in new_ids
+        ):
+            return (
+                "a concurrent rollback/expire rewrote history past this "
+                "operation's base snapshot"
+            )
+        return None
+
+    def _winner_operations(self, base: dict, new: dict) -> list[str]:
+        """summary.operation of every snapshot committed after
+        ``base``'s tip (the winners this transaction races)."""
+        base_ids = {s["snapshot-id"] for s in base.get("snapshots", [])}
+        return [
+            s.get("summary", {}).get("operation", "unknown")
+            for s in new.get("snapshots", [])
+            if s["snapshot-id"] not in base_ids
+        ]
+
+    def _live_files_in_partition(
+        self, meta: dict, partition: dict
+    ) -> set[str]:
+        """The live data-file paths whose identity-partition values
+        match ``partition`` at ``meta``'s tip — a driver-side manifest
+        walk (no data I/O), used as the read/write-set fingerprint for
+        overwrite_partition's conflict validation."""
+        out: set[str] = set()
+        for mf in self._manifest_list_of(meta):
+            if mf.get("content", 0) == 1:
+                continue
+            _, entries, _ = read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                pvd = e["data_file"].get("partition", {}) or {}
+                if all(pvd.get(k) == v for k, v in partition.items()):
+                    out.add(e["data_file"]["file_path"])
+        return out
 
     def _load_prev(self) -> dict | None:
         try:
@@ -2253,66 +2391,91 @@ class IcebergTableWriter:
             ),
             partition_by,
         )
-        sid, seq = self._next_ids(prev)
-        new_manifests = []
-        for mf in self._manifest_list_of(prev):
-            if mf.get("content", 0) == 1:
-                # delete manifests carry through untouched: tombstones
-                # naming files this overwrite removes simply never match
-                # (paths are uuid-unique, never reused)
-                new_manifests.append(mf)
-                continue
-            _, entries, _ = read_container(mf["manifest_path"])
-            rewritten = []
-            for e in entries:
-                if e["status"] == _STATUS_DELETED:
-                    continue  # already dead in the prior snapshot
-                pv = e["data_file"].get("partition", {})
-                matches = all(
-                    pv.get(k) == v for k, v in partition.items()
+        part = dict(partition)
+        base_live = self._live_files_in_partition(prev, part)
+        staged = self._stage_data_files(df, pcols)
+
+        def attempt(pmeta: dict) -> int:
+            sid, seq = self._next_ids(pmeta)
+            new_manifests = []
+            for mf in self._manifest_list_of(pmeta):
+                if mf.get("content", 0) == 1:
+                    # delete manifests carry through untouched:
+                    # tombstones naming files this overwrite removes
+                    # simply never match (paths are uuid-unique, never
+                    # reused)
+                    new_manifests.append(mf)
+                    continue
+                _, entries, _ = read_container(mf["manifest_path"])
+                rewritten = []
+                for e in entries:
+                    if e["status"] == _STATUS_DELETED:
+                        continue  # already dead in the prior snapshot
+                    pv = e["data_file"].get("partition", {})
+                    matches = all(
+                        pv.get(k) == v for k, v in part.items()
+                    )
+                    e = dict(e)
+                    e["status"] = (
+                        _STATUS_DELETED if matches else _STATUS_EXISTING
+                    )
+                    # Resolve sequence-number inheritance BEFORE
+                    # re-homing the entry: a null seq meant "inherit
+                    # from the SOURCE manifest"; carried into a new
+                    # manifest it would wrongly inherit the new
+                    # snapshot's seq, postdating old data.
+                    if e.get("sequence_number") is None:
+                        e["sequence_number"] = mf.get("sequence_number", 0)
+                    if e.get("file_sequence_number") is None:
+                        e["file_sequence_number"] = mf.get(
+                            "sequence_number", 0
+                        )
+                    rewritten.append(e)
+                if rewritten:
+                    new_manifests.append(
+                        self._write_manifest(
+                            rewritten, pcols, sid, seq, schema_json
+                        )
+                    )
+            entries = [
+                self._entry(
+                    p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                    col_stats=fstats, schema_json=schema_json,
                 )
-                e = dict(e)
-                e["status"] = (
-                    _STATUS_DELETED if matches else _STATUS_EXISTING
-                )
-                # Resolve sequence-number inheritance BEFORE re-homing the
-                # entry: a null seq meant "inherit from the SOURCE
-                # manifest"; carried into a new manifest it would wrongly
-                # inherit the new snapshot's seq, postdating old data.
-                if e.get("sequence_number") is None:
-                    e["sequence_number"] = mf.get("sequence_number", 0)
-                if e.get("file_sequence_number") is None:
-                    e["file_sequence_number"] = mf.get("sequence_number", 0)
-                rewritten.append(e)
-            if rewritten:
+                for p, pv, rows, size, fstats in staged
+            ]
+            if entries:
                 new_manifests.append(
                     self._write_manifest(
-                        rewritten, pcols, sid, seq, schema_json
+                        entries, pcols, sid, seq, schema_json
                     )
                 )
-        staged = self._stage_data_files(df, pcols)
-        entries = [
-            self._entry(
-                p, pv, rows, size, _STATUS_ADDED, sid, seq,
-                col_stats=fstats, schema_json=schema_json,
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
             )
-            for p, pv, rows, size, fstats in staged
-        ]
-        if entries:
-            new_manifests.append(
-                self._write_manifest(entries, pcols, sid, seq, schema_json)
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
+                metadata={"format-version": "2"},
             )
-        ml_path = os.path.join(
-            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            self._commit_metadata(
+                pmeta, schema_json, pcols, sid, seq, ml_path, "overwrite"
+            )
+            return sid
+
+        def winner_check(base: dict, new: dict) -> str | None:
+            # read/write set = the replaced partition: rebase (re-run
+            # the manifest rewrite against the new tip) when the
+            # winners left that partition's live file set untouched
+            if self._live_files_in_partition(new, part) != base_live:
+                return (
+                    "a concurrent commit changed the replaced "
+                    f"partition {part}'s live files"
+                )
+            return None
+
+        return self._retry_read_dependent(
+            prev, "overwrite_partition (WRITE)", attempt, winner_check
         )
-        write_container(
-            ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
-            metadata={"format-version": "2"},
-        )
-        self._commit_metadata_strict(
-            prev, schema_json, pcols, sid, seq, ml_path, "overwrite"
-        )
-        return sid
 
     def delete_where(self, spark: SparkSession, condition: str) -> int:
         """MERGE-ON-READ row-level delete — the format-v2 POSITION-delete
@@ -2377,27 +2540,51 @@ class IcebergTableWriter:
         )
         _shutil.move(src, dst)
         _shutil.rmtree(stage, ignore_errors=True)
-        sid, seq = self._next_ids(prev)
-        null_pv = {n: None for n, _ in pcols}
-        entry = self._entry(
-            dst, null_pv, n_del, os.path.getsize(dst),
-            _STATUS_ADDED, sid, seq, content=1,
+        def attempt(pv: dict) -> int:
+            sid, seq = self._next_ids(pv)
+            null_pv = {n: None for n, _ in pcols}
+            entry = self._entry(
+                dst, null_pv, n_del, os.path.getsize(dst),
+                _STATUS_ADDED, sid, seq, content=1,
+            )
+            manifests = self._manifest_list_of(pv) + [
+                self._write_manifest(
+                    [entry], pcols, sid, seq, schema_json, content=1
+                )
+            ]
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+                metadata={"format-version": "2"},
+            )
+            self._commit_metadata(
+                pv, schema_json, pcols, sid, seq, ml_path, "delete"
+            )
+            return sid
+
+        def winner_check(base: dict, new: dict) -> str | None:
+            # the predicate scanned base's data files; a winner that
+            # added/removed DATA could hold rows this DELETE should
+            # have matched (or removed files its positions reference).
+            # Pure delete-snapshot winners (eq/pos tombstones) rebase:
+            # double-tombstoning an already-dead position is idempotent.
+            bad = [
+                op
+                for op in self._winner_operations(base, new)
+                if op != "delete"
+            ]
+            if bad:
+                return (
+                    f"concurrent {bad} snapshot(s) changed data files "
+                    "this DELETE's predicate scanned"
+                )
+            return None
+
+        return self._retry_read_dependent(
+            prev, "delete_where (DELETE)", attempt, winner_check
         )
-        ml_entry = self._write_manifest(
-            [entry], pcols, sid, seq, schema_json, content=1
-        )
-        manifests = self._manifest_list_of(prev) + [ml_entry]
-        ml_path = os.path.join(
-            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
-        )
-        write_container(
-            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
-            metadata={"format-version": "2"},
-        )
-        self._commit_metadata_strict(
-            prev, schema_json, pcols, sid, seq, ml_path, "delete"
-        )
-        return sid
 
     def convert_parquet_dir(self, spark: SparkSession) -> IcebergTableReader:
         """Migrate a raw parquet directory to Iceberg in place, zero-copy
@@ -2542,45 +2729,59 @@ class IcebergTableWriter:
             ),
             partition_by,
         )
-        sid, seq = self._next_ids(prev)
         dst, n_del, eq_ids = self._stage_eq_delete_file(
             kill, keys, schema_json
         )
-        null_pv = {n: None for n, _ in pcols}
-        del_entry = self._entry(
-            dst, null_pv, n_del, os.path.getsize(dst),
-            _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
-        )
-        del_manifest = self._write_manifest(
-            [del_entry], pcols, sid, seq, schema_json, content=1
-        )
-        manifests = self._manifest_list_of(prev) + [del_manifest]
         staged = self._stage_data_files(source, pcols)
-        if staged:
-            data_entries = [
-                self._entry(
-                    p, pv, rows, size, _STATUS_ADDED, sid, seq,
-                    col_stats=fstats, schema_json=schema_json,
-                )
-                for p, pv, rows, size, fstats in staged
-            ]
-            manifests.append(
-                self._write_manifest(
-                    data_entries, pcols, sid, seq, schema_json
-                )
+
+        def attempt(pv: dict) -> int:
+            # manifests are rebuilt per attempt (they embed the
+            # snapshot/sequence ids); the staged parquet files rebase
+            # as-is. MoR MERGE never read table data — its equality
+            # delete applies to EVERY earlier sequence number — so the
+            # rebased delete correctly covers the winners' rows too
+            # (serial order: winner first, this MERGE second), exactly
+            # the Flink-sink upsert rebase.
+            sid, seq = self._next_ids(pv)
+            null_pv = {n: None for n, _ in pcols}
+            del_entry = self._entry(
+                dst, null_pv, n_del, os.path.getsize(dst),
+                _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
             )
-        ml_path = os.path.join(
-            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            manifests = self._manifest_list_of(pv) + [
+                self._write_manifest(
+                    [del_entry], pcols, sid, seq, schema_json, content=1
+                )
+            ]
+            if staged:
+                data_entries = [
+                    self._entry(
+                        p, pvv, rows, size, _STATUS_ADDED, sid, seq,
+                        col_stats=fstats, schema_json=schema_json,
+                    )
+                    for p, pvv, rows, size, fstats in staged
+                ]
+                manifests.append(
+                    self._write_manifest(
+                        data_entries, pcols, sid, seq, schema_json
+                    )
+                )
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+                metadata={"format-version": "2"},
+            )
+            self._commit_metadata(
+                pv, schema_json, pcols, sid, seq, ml_path, "overwrite",
+                all_schemas=all_schemas,
+            )
+            return sid
+
+        return self._retry_read_dependent(
+            prev, "merge (MERGE)", attempt, lambda b, n: None
         )
-        write_container(
-            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
-            metadata={"format-version": "2"},
-        )
-        self._commit_metadata_strict(
-            prev, schema_json, pcols, sid, seq, ml_path, "overwrite",
-            all_schemas=all_schemas,
-        )
-        return sid
 
     def equality_delete(
         self, keys_df: DataFrame, equality_cols: Sequence[str] | None = None
@@ -2615,27 +2816,37 @@ class IcebergTableWriter:
         dst, n_del, eq_ids = self._stage_eq_delete_file(
             keys_df, names, schema_json
         )
-        sid, seq = self._next_ids(prev)
-        null_pv = {n: None for n, _ in pcols}
-        entry = self._entry(
-            dst, null_pv, n_del, os.path.getsize(dst),
-            _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
+
+        def attempt(pv: dict) -> int:
+            # like MERGE: an equality delete reads no table data (it
+            # targets every earlier sequence number), so it rebases over
+            # ANY winner — the exact Flink-sink CDC commit-retry shape
+            sid, seq = self._next_ids(pv)
+            null_pv = {n: None for n, _ in pcols}
+            entry = self._entry(
+                dst, null_pv, n_del, os.path.getsize(dst),
+                _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
+            )
+            manifests = self._manifest_list_of(pv) + [
+                self._write_manifest(
+                    [entry], pcols, sid, seq, schema_json, content=1
+                )
+            ]
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, manifests,
+                metadata={"format-version": "2"},
+            )
+            self._commit_metadata(
+                pv, schema_json, pcols, sid, seq, ml_path, "delete"
+            )
+            return sid
+
+        return self._retry_read_dependent(
+            prev, "equality_delete (DELETE)", attempt, lambda b, n: None
         )
-        ml_entry = self._write_manifest(
-            [entry], pcols, sid, seq, schema_json, content=1
-        )
-        manifests = self._manifest_list_of(prev) + [ml_entry]
-        ml_path = os.path.join(
-            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
-        )
-        write_container(
-            ml_path, _MANIFEST_LIST_SCHEMA, manifests,
-            metadata={"format-version": "2"},
-        )
-        self._commit_metadata_strict(
-            prev, schema_json, pcols, sid, seq, ml_path, "delete"
-        )
-        return sid
 
     def compact(self, spark: SparkSession) -> int:
         """REWRITE the live rows into fresh data files and drop every

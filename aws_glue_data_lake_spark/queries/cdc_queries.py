@@ -2013,7 +2013,7 @@ def lake_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = os.path.join(meta_dir, "m2.avro")
     write_container(
         m2, msch,
-        [entry(puf, 0, seq=2, content=1, dv=(fp, 4, len(blob)))],
+        [entry(puf, 0, seq=2, content=1, dv=(fp, 4, len(blob) + 8))],
         metadata={"format-version": "2"},
     )
 

@@ -234,17 +234,38 @@ def write_dv_file(path: str, blobs: list[bytes]) -> list[tuple[int, int]]:
     return spans
 
 
-def read_dv_blob(path: str, offset: int, size_in_bytes: int | None = None) -> bytes:
+def read_dv_blob(
+    path: str,
+    offset: int,
+    size_in_bytes: int | None = None,
+    size_semantics: str = "data",
+) -> bytes:
     """Read one DV blob at ``offset`` (which points at the int32 BE size
-    word), verifying the trailing CRC-32."""
+    word), verifying the trailing CRC-32.
+
+    ``size_semantics`` declares what the caller's descriptor length
+    counts: ``"data"`` (Delta ``sizeInBytes``: the serialized bitmap
+    only, i.e. the value of the length word) or ``"total"`` (Iceberg v3
+    ``content_size_in_bytes``: the TOTAL stored blob per the Puffin
+    footer, including the 4-byte length prefix and 4-byte CRC — data+8 —
+    so readers can fetch the blob in one ranged read; the data-only
+    reading is also accepted for lenient interop with writers that
+    recorded the inner length)."""
     with open(path, "rb") as f:
         f.seek(offset)
         (size,) = struct.unpack(">i", f.read(4))
-        if size_in_bytes is not None and size != size_in_bytes:
-            raise ValueError(
-                f"DV size mismatch at {path}:{offset}: "
-                f"file says {size}, descriptor says {size_in_bytes}"
+        if size_in_bytes is not None:
+            ok = (
+                size_in_bytes in (size + 8, size)
+                if size_semantics == "total"
+                else size == size_in_bytes
             )
+            if not ok:
+                raise ValueError(
+                    f"DV size mismatch at {path}:{offset}: "
+                    f"file says {size} ({size_semantics} semantics), "
+                    f"descriptor says {size_in_bytes}"
+                )
         blob = f.read(size)
         (crc,) = struct.unpack(">I", f.read(4))
     if zlib.crc32(blob) & 0xFFFFFFFF != crc:

@@ -236,12 +236,12 @@ class Table:
     def vacuum(self, keep: int = 1) -> list[str]:
         """Physically remove files only unreachable snapshots reference;
         returns the deleted paths. ``keep`` = how many trailing
-        versions/snapshots stay time-travelable (delta's own retention
-        policy rides its table properties instead)."""
+        versions/snapshots stay time-travelable, honored the same way on
+        all three formats."""
         if self.format == "lake":
             return self._lake().vacuum(keep_versions=keep)
         if self.format == "delta":
-            return self._delta_writer().vacuum()
+            return self._delta_writer().vacuum(keep_versions=keep)
         return self._ice_writer().expire_snapshots(keep_last=keep)
 
     def stat_max(self, col: str):

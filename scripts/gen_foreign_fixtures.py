@@ -648,7 +648,9 @@ def gen_iceberg_v3(root: str) -> None:
     puf = os.path.join(data_dir, "dv.puffin")
     with open(puf, "wb") as f:
         f.write(b"PFA1" + framed + b"PFA1")
-    off, size = 4, spans[0][1]
+    # content_size_in_bytes counts the TOTAL stored blob (length word +
+    # data + CRC) per the Puffin footer, not just the inner data length
+    off, size = 4, spans[0][1] + 8
 
     entry_schema = manifest_schema([])
     entry_schema["fields"][-1]["type"]["fields"] += [

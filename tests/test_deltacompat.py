@@ -399,6 +399,28 @@ def test_optimize_and_vacuum_lifecycle(spark, tmp_path):
         r.to_df(spark, version=1).collect()
 
 
+def test_vacuum_keep_versions_retains_time_travel(spark, tmp_path):
+    """vacuum(keep_versions=2) must keep the previous version's files —
+    the facade's Table.vacuum(keep=N) contract, honored identically on
+    all three formats (r8 silently ignored keep on delta)."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    df = spark.range(30).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id * 2 AS v"
+    ).repartition(3)
+    r = w.create(df, partition_by=["bucket"])
+    w.optimize(spark, target_files=1)  # version 1 supersedes version 0
+    # keep the last 2 versions: nothing from version 0..1 is collectable
+    assert w.vacuum(keep_versions=2) == []
+    assert len(r.to_df(spark, version=0).collect()) == 30
+    # keep only the tip: version 0's originals go away
+    removed = w.vacuum(keep_versions=1)
+    assert removed
+    assert len(r.to_df(spark).collect()) == 30
+    with pytest.raises(Exception):
+        r.to_df(spark, version=0).collect()
+
+
 def test_delta_cdf_streaming_source(spark, tmp_path):
     """Streaming over the Delta log: one micro-batch per version,
     dataChange=true adds emitted with partition columns attached,
@@ -2418,8 +2440,14 @@ def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
             "dataChange": True,
         }}) + "\n")
     r = DeltaTableReader(path)
+    before = spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None)
     got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
     assert got == [(1, 10), (2, 20)]
+    # the reader must NOT mutate the shared session's fieldId conf (it
+    # is consulted at ACTION time, so a flip here would leak into every
+    # later read on this session)
+    after = spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None)
+    assert after == before
 
 
 def test_cdf_no_op_rewrites_replay(spark, tmp_path):

@@ -1680,15 +1680,137 @@ def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
 
 def test_own_written_tables_keep_name_resolution(spark, tmp_path):
     """This engine's own staged files carry no parquet field IDs; the
-    O(1) footer sniff must route them down the unchanged name path."""
+    footer sweep must route them down the unchanged name path."""
+    from aws_glue_data_lake_spark.fieldids import parquet_field_id_mappings
+
     path = str(tmp_path / "own")
     w = IcebergTableWriter(path)
     w.create(spark.createDataFrame([(1, "a", 10)],
                                    "k long, bucket string, v long"))
     r = IcebergTableReader(path)
     snap = r.snapshot()
-    assert not r._files_carry_field_ids(snap.files)
+    maps = parquet_field_id_mappings([p for p, _ in snap.files])
+    assert all(not m for m in maps.values())
     assert _rows(spark, r) == [(1, "a", 10)]
+
+
+def test_mixed_table_resolves_per_file(spark, tmp_path):
+    """A MIXED table — one file without parquet field IDs (this
+    engine's own staging), one foreign file WITH IDs under a pre-rename
+    physical name, no name mapping — must resolve per file: the ID file
+    by field ID, the plain file by name. A single table-wide resolution
+    mode (decided from the first file, as the pre-r9 sniff did) returns
+    silent nulls for the renamed column in whichever file lost."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.avrolite import write_container
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA,
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    path = str(tmp_path / "mixed")
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    # file A: NO field ids, current names (sorts FIRST in the manifest)
+    fa = os.path.join(data_dir, "a-plain.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64())],
+            schema=pa.schema([pa.field("k", pa.int64()),
+                              pa.field("v_new", pa.int64())]),
+        ),
+        fa,
+    )
+    # file B: field ids 1/2 under the PRE-RENAME physical name 'v_old'
+    fb = os.path.join(data_dir, "b-ids.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([3, 4], pa.int64()), pa.array([30, 40], pa.int64())],
+            schema=pa.schema([
+                pa.field("k", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("v_old", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]),
+        ),
+        fb,
+    )
+
+    def entry(fp, n, seq):
+        return {
+            "status": _STATUS_ADDED, "snapshot_id": 1,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": fp, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "equality_ids": None,
+            },
+        }
+
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+    mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    write_container(mpath, mschema, [entry(fa, 2, 1), entry(fb, 2, 2)],
+                    metadata={"format-version": "2"})
+    ml_path = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_container(
+        ml_path, _MANIFEST_LIST_SCHEMA,
+        [{
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 2, "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_data_files_count": 2, "existing_data_files_count": 0,
+            "deleted_data_files_count": 0, "added_rows_count": 4,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }],
+        metadata={"format-version": "2"},
+    )
+    meta = {
+        "format-version": 2, "table-uuid": str(_uuid.uuid4()),
+        "location": path, "last-sequence-number": 2,
+        "last-updated-ms": 0, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v_new", "required": False,
+                 "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "sequence-number": 2, "timestamp-ms": 0,
+            "manifest-list": ml_path, "schema-id": 0,
+            "summary": {"operation": "append"},
+        }],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 0}],
+        "metadata-log": [], "properties": {},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    got = sorted(
+        (x["k"], x["v_new"])
+        for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
 
 
 def test_orc_data_files_read_and_mix_with_parquet(spark, tmp_path):
@@ -1950,7 +2072,7 @@ def test_v3_puffin_deletion_vectors_read(spark, tmp_path):
             "equality_ids": None,
             "referenced_data_file": fp,
             "content_offset": 4,
-            "content_size_in_bytes": len(blob),
+            "content_size_in_bytes": len(blob) + 8,
         },
     }], metadata={"format-version": "2"})
     ml1 = meta["snapshots"][0]["manifest-list"]
