@@ -9,9 +9,13 @@ the next version file; Iceberg's Hadoop catalog does the same on
   concurrent appenders both succeed (delta-spark OptimisticTransaction /
   Iceberg fast-append SnapshotProducer).
 - READ-DEPENDENT operations (merge / delete / overwrite / optimize /
-  rollback / tag / expire) raise ConcurrentModificationError on any
-  version race: the winner may have changed the rows they matched, so
-  replaying staged actions could silently undo the winner's commit.
+  rollback / tag / expire) validate the WINNING commits against their
+  read set on a version race (delta-spark's ConflictChecker, Iceberg's
+  validateNoConflicting*): logically DISJOINT winners rebase — the same
+  staged files re-commit at the next version — while a genuine overlap
+  raises ConcurrentModificationError (the winner may have changed the
+  rows they matched, so replaying staged actions could silently undo
+  the winner's commit).
 
 Races are forced two ways: deterministically (an instance-patched hook
 lands a competitor commit between the victim's snapshot read and its
@@ -99,7 +103,9 @@ def test_delta_append_revalidates_constraints_added_by_winner(spark, tmp_path):
     assert DeltaTableReader(path).to_df(spark).count() == 5
 
 
-def test_delta_merge_conflict_raises(spark, tmp_path):
+def test_delta_merge_conflict_on_overlapping_keys(spark, tmp_path):
+    """A winner whose added file's key range overlaps the MERGE's batch
+    keys could hold rows the MERGE should have matched — conflict."""
     path = str(tmp_path / "t")
     w1 = DeltaTableWriter(path)
     w1.create(_df(spark, 0, 20, "base"))
@@ -107,11 +113,12 @@ def test_delta_merge_conflict_raises(spark, tmp_path):
     orig = DeltaTableWriter._stage_files
     state = {"raced": False}
 
-    def racy_stage(self, df, partition_by):
+    def racy_stage(self, df, partition_by, cdc=False):
         if not state["raced"]:
             state["raced"] = True
-            DeltaTableWriter(path).append(_df(spark, 200, 203, "winner"))
-        return orig(self, df, partition_by)
+            # winner's keys 0..2 overlap the merge batch's 0..2
+            DeltaTableWriter(path).append(_df(spark, 0, 3, "winner"))
+        return orig(self, df, partition_by, cdc=cdc)
 
     w1._stage_files = types.MethodType(racy_stage, w1)
     src = _df(spark, 0, 3, "upd")
@@ -121,6 +128,125 @@ def test_delta_merge_conflict_raises(spark, tmp_path):
     rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
     counts = {r["src"]: r["count"] for r in rows}
     assert counts == {"base": 20, "winner": 3}
+
+
+def test_delta_merge_rebases_past_disjoint_append(spark, tmp_path):
+    """A winner whose added file is key-range-DISJOINT from the MERGE's
+    batch cannot change what the MERGE matched: the staged commit
+    rebases to the next version instead of aborting (delta-spark
+    ConflictChecker semantics)."""
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base"))
+
+    orig = DeltaTableWriter._stage_files
+    state = {"raced": False}
+
+    def racy_stage(self, df, partition_by, cdc=False):
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaTableWriter(path).append(_df(spark, 200, 203, "winner"))
+        return orig(self, df, partition_by, cdc=cdc)
+
+    w1._stage_files = types.MethodType(racy_stage, w1)
+    v = w1.merge(spark, _df(spark, 0, 3, "upd"), keys=["k"])
+    assert state["raced"]
+    assert v == 2  # winner took 1, the rebased merge landed at 2
+    rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    # 0..2 upserted, 3..19 carried, winner intact
+    assert counts == {"base": 17, "upd": 3, "winner": 3}
+
+
+def test_delta_merge_rebases_past_disjoint_partition(spark, tmp_path):
+    """Two CDC jobs merging into DIFFERENT partitions of one table (the
+    reference's two-Glue-jobs deployment): the loser detects the winner
+    only touched another partition (via add.partitionValues against the
+    batch key bounds) and rebases — both merges land."""
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, "a").otherwise("b").alias("part"),
+        F.lit("base").alias("src"),
+    )
+    w1.create(base, partition_by=["part"])
+
+    def src_df(part, lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(part).alias("part"),
+            F.lit(tag).alias("src"),
+        )
+
+    orig = DeltaTableWriter._stage_files
+    state = {"raced": False}
+
+    def racy_stage(self, df, partition_by, cdc=False):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competitor merges into partition 'b' while we merge
+            # into partition 'a'
+            DeltaTableWriter(path).merge(
+                spark, src_df("b", 15, 18, "job2"), keys=["part", "k"]
+            )
+        return orig(self, df, partition_by, cdc=cdc)
+
+    w1._stage_files = types.MethodType(racy_stage, w1)
+    v = w1.merge(spark, src_df("a", 0, 3, "job1"), keys=["part", "k"])
+    assert state["raced"] and v == 2
+    rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    assert counts == {"base": 14, "job1": 3, "job2": 3}
+
+
+def test_delta_optimize_rebases_past_concurrent_append(spark, tmp_path):
+    """OPTIMIZE reads exactly the files it rewrites; a concurrent
+    append is disjoint (its file stays live next to the compacted ones)
+    — delta-spark lets them coexist, so must we."""
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base").repartition(4))
+
+    orig = DeltaTableWriter._commit
+    state = {"raced": False}
+
+    def racy(self, version, actions, operation="WRITE"):
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaTableWriter(path).append(_df(spark, 100, 103, "winner"))
+        return orig(self, version, actions, operation)
+
+    w1._commit = types.MethodType(racy, w1)
+    v = w1.optimize(spark, target_files=1)
+    assert state["raced"] and v == 2
+    rows = DeltaTableReader(path).to_df(spark).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in rows}
+    assert counts == {"base": 20, "winner": 3}  # nothing lost
+
+
+def test_delta_optimize_conflicts_with_concurrent_delete(spark, tmp_path):
+    """A winner that REMOVED a file the OPTIMIZE read (here: a DV
+    delete re-adding the file) would have its delete silently undone by
+    the compacted rewrite — genuine overlap, must abort."""
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base"))
+
+    orig = DeltaTableWriter._commit
+    state = {"raced": False}
+
+    def racy(self, version, actions, operation="WRITE"):
+        if not state["raced"]:
+            state["raced"] = True
+            DeltaTableWriter(path).delete_where(spark, "k < 5")
+        return orig(self, version, actions, operation)
+
+    w1._commit = types.MethodType(racy, w1)
+    with pytest.raises(ConcurrentModificationError, match="OPTIMIZE"):
+        w1.optimize(spark, target_files=1)
+    # the winner's delete stands
+    assert DeltaTableReader(path).to_df(spark).count() == 15
 
 
 def test_delta_threaded_appenders_all_land(spark, tmp_path):
@@ -220,6 +346,136 @@ def test_iceberg_delete_conflict_raises(spark, tmp_path):
         .collect()
     }
     assert counts == {"base": 20, "winner": 3}
+
+
+def test_iceberg_merge_rebases_past_concurrent_append(spark, tmp_path):
+    """A merge-on-read MERGE reads no table data — its equality delete
+    applies to every earlier sequence number — so it rebases over ANY
+    data winner: serial order winner-then-merge, the rebased delete
+    covers the winner's matching rows too (the Flink-sink upsert
+    commit-retry shape)."""
+    path = str(tmp_path / "t")
+    w1 = IcebergTableWriter(path)
+    w1.create(_df(spark, 0, 10, "base"))
+
+    orig = IcebergTableWriter._write_manifest
+    state = {"raced": False}
+
+    def racy_manifest(self, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # winner's 5,6 overlap the merge batch — still safe for MoR
+            IcebergTableWriter(path).append(
+                _df(spark, 5, 7, "winner").unionByName(
+                    _df(spark, 20, 22, "winner")
+                )
+            )
+        return orig(self, *a, **kw)
+
+    w1._write_manifest = types.MethodType(racy_manifest, w1)
+    sid = w1.merge(_df(spark, 4, 7, "upd"), keys=["k"])
+    assert state["raced"]
+    r = IcebergTableReader(path)
+    assert r.snapshot().snapshot_id == sid
+    rows = r.to_df(spark).collect()
+    by_k = {}
+    for row in rows:
+        by_k.setdefault(row["k"], []).append(row["src"])
+    # exactly one row per key; 4..6 are the merge's (it serialized
+    # AFTER the winner, so its delete killed the winner's 5 and 6)
+    assert all(len(v) == 1 for v in by_k.values())
+    assert by_k[4] == ["upd"] and by_k[5] == ["upd"] and by_k[6] == ["upd"]
+    assert by_k[20] == ["winner"] and by_k[21] == ["winner"]
+    assert len(rows) == 12  # base 0..3,7..9 + upd 4..6 + winner 20,21
+
+
+def test_iceberg_threaded_mergers_all_land(spark, tmp_path):
+    """Concurrent disjoint-key MoR MERGEs from multiple writers (the
+    reference's two-Glue-jobs-one-table deployment) must ALL land via
+    rebase, in some serial order, with one row per key."""
+    path = str(tmp_path / "t")
+    IcebergTableWriter(path).create(_df(spark, 0, 4, "base"))
+    n_threads = 3
+    errs = []
+
+    def work(i):
+        try:
+            lo = 100 * (i + 1)
+            IcebergTableWriter(path).merge(
+                _df(spark, lo, lo + 2, f"t{i}"), keys=["k"]
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    r = IcebergTableReader(path)
+    df = r.to_df(spark)
+    assert df.count() == 4 + n_threads * 2
+    metas = r._metadata()
+    seqs = [s["sequence-number"] for s in metas["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs) == 4
+
+
+def test_iceberg_overwrite_partition_rebases_when_disjoint(spark, tmp_path):
+    """overwrite_partition validates the winners against the replaced
+    partition's live-file set: a winner writing OTHER partitions is
+    disjoint and the overwrite rebases; a winner in the SAME partition
+    conflicts."""
+    path = str(tmp_path / "t")
+    w1 = IcebergTableWriter(path)
+    base = spark.range(0, 8).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4, "a").otherwise("b").alias("part"),
+        F.lit("base").alias("src"),
+    )
+    w1.create(base, partition_by=["part"])
+
+    def part_df(part, lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(part).alias("part"),
+            F.lit(tag).alias("src"),
+        )
+
+    orig = IcebergTableWriter._write_manifest
+    state = {"raced": False}
+
+    def racy_manifest(self, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            IcebergTableWriter(path).append(part_df("b", 20, 22, "winner"))
+        return orig(self, *a, **kw)
+
+    w1._write_manifest = types.MethodType(racy_manifest, w1)
+    w1.overwrite_partition(part_df("a", 100, 102, "ow"), part="a")
+    counts = {
+        row["src"]: row["count"]
+        for row in IcebergTableReader(path)
+        .to_df(spark)
+        .groupBy("src")
+        .count()
+        .collect()
+    }
+    assert counts == {"base": 4, "ow": 2, "winner": 2}
+
+    # same-partition winner: conflict
+    state2 = {"raced": False}
+
+    def racy2(self, *a, **kw):
+        if not state2["raced"]:
+            state2["raced"] = True
+            IcebergTableWriter(path).append(part_df("a", 30, 32, "w2"))
+        return orig(self, *a, **kw)
+
+    w2 = IcebergTableWriter(path)
+    w2._write_manifest = types.MethodType(racy2, w2)
+    with pytest.raises(ConcurrentModificationError, match="partition"):
+        w2.overwrite_partition(part_df("a", 200, 202, "ow2"), part="a")
 
 
 def test_iceberg_threaded_appenders_all_land(spark, tmp_path):
