@@ -578,6 +578,11 @@ class IcebergSnapshot:
     #: portable + BE CRC-32) deliberately matches Delta's, so the same
     #: codec reads both.
     dv_deletes: list = None  # type: ignore[assignment]
+    #: manifest-recorded record_count per live data file (abs path ->
+    #: rows) — the metadata-tables source, zero data I/O
+    record_counts: dict = None  # type: ignore[assignment]
+    #: manifest-recorded file_size_in_bytes per live data file
+    file_sizes: dict = None  # type: ignore[assignment]
 
 
 def _name_mapping_alternates(
@@ -827,6 +832,8 @@ class IcebergTableReader:
         }
         files: list[tuple[str, dict]] = []
         file_seqs: dict = {}
+        record_counts: dict = {}
+        file_sizes: dict = {}
         col_stats: dict = {}
         delete_files: list[str] = []
         eq_deletes: list[tuple[str, tuple[str, ...], int]] = []
@@ -894,6 +901,8 @@ class IcebergTableReader:
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
                     file_seqs[abs_path] = seq
+                    record_counts[abs_path] = df_rec.get("record_count")
+                    file_sizes[abs_path] = df_rec.get("file_size_in_bytes")
                     counts = _pairs(df_rec.get("value_counts"))
                     nulls = _pairs(df_rec.get("null_value_counts"))
                     lowers = _pairs(df_rec.get("lower_bounds"))
@@ -963,6 +972,8 @@ class IcebergTableReader:
             },
             file_formats=file_formats,
             dv_deletes=sorted(dv_deletes),
+            record_counts=record_counts,
+            file_sizes=file_sizes,
         )
 
     def to_df(

@@ -2080,3 +2080,56 @@ def lake_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
     ).orderBy("n_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Metadata tables (round-9): the facade's queryable snapshots()/files()/
+# partitions() relations — Iceberg's metadata tables, Delta's DESCRIBE
+# HISTORY/DETAIL — built ONLY from the manifest/log walk (zero data-file
+# scans at any table size). Each format stages nation partitioned by
+# region, appends region 0 again, then the PARTITIONS relation must
+# report the per-region row counts straight from metadata, and the
+# SNAPSHOTS relation must count exactly the two commits. Closed-form
+# against nation, so the oracle needs no table on disk.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_metadata_tables_state",
+    oracle="""
+SELECT f.fmt AS fmt,
+       CAST(n_regionkey AS BIGINT) AS region_key,
+       CAST(COUNT(*) AS BIGINT)
+         * (CASE WHEN n_regionkey = 0 THEN 2 ELSE 1 END) AS row_count,
+       CAST(2 AS BIGINT) AS commits
+FROM nation
+CROSS JOIN (VALUES ('delta'), ('iceberg'), ('lake')) f(fmt)
+GROUP BY f.fmt, n_regionkey
+ORDER BY fmt, region_key
+""",
+)
+def lake_metadata_tables_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.table import open_table
+
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = session_tmpdir("meta_tables_")
+    outs = []
+    for fmt in ("delta", "iceberg", "lake"):
+        tbl = open_table(f"{root}/{fmt}", fmt)
+        tbl.create(n, partition_by=["n_regionkey"])
+        tbl.append(n.where(F.col("n_regionkey") == 0))
+        commits = tbl.snapshots(spark).count()
+        outs.append(
+            tbl.partitions(spark).select(
+                F.lit(fmt).alias("fmt"),
+                F.element_at("partition", "n_regionkey")
+                .cast("long")
+                .alias("region_key"),
+                F.col("record_count").cast("long").alias("row_count"),
+                F.lit(commits).cast("long").alias("commits"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt", "region_key")

@@ -222,6 +222,121 @@ class Table:
             return self._delta_reader().history()
         return self._ice_reader().history()
 
+    # -- metadata tables ----------------------------------------------------
+    # Queryable relations over pure table metadata (Iceberg's
+    # ``t.snapshots`` / ``t.files`` / ``t.partitions`` metadata tables,
+    # Delta's DESCRIBE HISTORY / DESCRIBE DETAIL): everything comes from
+    # the manifest/log walk the readers already do — zero data-file
+    # scans at ANY table size, so inspecting a 100 TB table costs the
+    # same driver-side metadata read its snapshot() does.
+
+    _SNAPSHOTS_DDL = (
+        "version long, snapshot_id long, timestamp_ms long, "
+        "sequence_number long, operation string"
+    )
+    _FILES_DDL = (
+        "file_path string, partition map<string,string>, "
+        "record_count long, file_size_bytes long"
+    )
+    _PARTITIONS_DDL = (
+        "partition map<string,string>, file_count long, record_count long"
+    )
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        """One row per commit/snapshot, newest first: unified over
+        Delta DESCRIBE HISTORY (version-keyed) and Iceberg's snapshots
+        metadata table (snapshot-id + sequence-number keyed)."""
+        if self.format == "lake":
+            rows = [
+                (s.version, None, None, None, s.op)
+                for s in reversed(self._lake().history())
+            ]
+        elif self.format == "delta":
+            rows = [
+                (h["version"], None, h.get("timestamp"), None,
+                 h.get("operation"))
+                for h in self._delta_reader().history()
+            ]
+        else:
+            rows = [
+                (None, h["snapshot_id"], h.get("timestamp_ms"),
+                 h.get("sequence_number"), h.get("operation"))
+                for h in self._ice_reader().history()
+            ]
+        return spark.createDataFrame(rows, self._SNAPSHOTS_DDL)
+
+    def files(self, spark: SparkSession) -> DataFrame:
+        """One row per LIVE data file at the tip: path, identity
+        partition values (stringified), manifest/log-recorded row count
+        and size. Row counts are physical (Delta files carrying a
+        deletion vector count their tombstoned rows, like DESCRIBE
+        DETAIL); Iceberg counts come straight from the manifests."""
+        rows = []
+        if self.format == "lake":
+            for e in self._lake().snapshot().files:
+                p = os.path.join(self.path, e["path"])
+                rows.append(
+                    (
+                        p,
+                        {
+                            k: None if v is None else str(v)
+                            for k, v in (e.get("partition") or {}).items()
+                        },
+                        e.get("rows"),
+                        os.path.getsize(p) if os.path.exists(p) else None,
+                    )
+                )
+        elif self.format == "delta":
+            snap = self._delta_reader().snapshot()
+            for p, pv, _dv in snap.files:
+                st = (snap.stats or {}).get(p) or {}
+                rows.append(
+                    (
+                        p,
+                        {k: v for k, v in (pv or {}).items()},
+                        st.get("numRecords"),
+                        os.path.getsize(p) if os.path.exists(p) else None,
+                    )
+                )
+        else:
+            snap = self._ice_reader().snapshot()
+            for p, pv in snap.files:
+                rows.append(
+                    (
+                        p,
+                        {
+                            k: None if v is None else str(v)
+                            for k, v in (pv or {}).items()
+                        },
+                        (snap.record_counts or {}).get(p),
+                        (snap.file_sizes or {}).get(p),
+                    )
+                )
+        return spark.createDataFrame(rows, self._FILES_DDL)
+
+    def partitions(self, spark: SparkSession) -> DataFrame:
+        """Live partitions at the tip with file and row counts — the
+        aggregate of :meth:`files` (still metadata-only)."""
+        from pyspark.sql import functions as F
+
+        # map columns aren't groupable: key on the sorted entry array,
+        # then rebuild the map
+        return (
+            self.files(spark)
+            .groupBy(
+                F.array_sort(F.map_entries("partition")).alias("__pk")
+            )
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+            )
+            .select(
+                F.map_from_entries("__pk").alias("partition"),
+                "file_count",
+                "record_count",
+            )
+        )
+
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 1) -> None:
         """Fold small files (and, on iceberg, merge-on-read tombstones)

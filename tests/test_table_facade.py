@@ -87,3 +87,42 @@ def test_maintenance_surface(spark, tmp_path, fmt):
     assert isinstance(removed, list)
     # table still reads after vacuum
     assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_metadata_tables(spark, tmp_path, fmt):
+    """snapshots()/files()/partitions() relations over every layer:
+    manifest-walk only (no data scan), counts match the data."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "k long, part string, v long",
+    )
+    t.create(df, partition_by=["part"])
+    t.append(
+        spark.createDataFrame([(4, "b", 40)], "k long, part string, v long")
+    )
+
+    snaps = t.snapshots(spark).collect()
+    assert len(snaps) == 2  # create + append, newest first
+
+    files = t.files(spark).collect()
+    assert all(r["record_count"] >= 1 for r in files)
+    assert sum(r["record_count"] for r in files) == 4
+    assert all(r["file_size_bytes"] and r["file_size_bytes"] > 0 for r in files)
+    assert all(set(r["partition"].keys()) == {"part"} for r in files)
+
+    parts = {
+        r["partition"]["part"]: (r["file_count"], r["record_count"])
+        for r in t.partitions(spark).collect()
+    }
+    assert set(parts) == {"a", "b"}
+    assert parts["a"][1] == 2 and parts["b"][1] == 2
+    assert parts["b"][0] >= 2  # create's b-file + the appended one
+
+    # metadata relations are driver-side: no parquet scan in the plan
+    plan = t.files(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
