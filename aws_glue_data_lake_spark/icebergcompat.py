@@ -680,6 +680,78 @@ class IcebergTableReader:
         return os.path.join(self.path, p)
 
     @staticmethod
+    def _scan_with_positions(
+        spark: SparkSession, paths: list[str], read_schema, fmt: str
+    ) -> DataFrame:
+        """Distributed positional scan for formats where Spark's
+        ``_metadata.row_index`` is unavailable (ORC) or there is no
+        native scan at all (Avro data files): one task per file via
+        Arrow-batched ``mapInPandas``, emitting the read schema's
+        columns plus ``(__del_fp, __del_pos)``. Row position = record
+        order within the file, the spec's definition, derived from a
+        per-file running count. A column the file lacks backfills NULL
+        (the same evolution contract as the parquet path). Parallelism
+        = file count — appropriate for the dimension-scale ORC/Avro
+        files these formats appear in; petabyte fact tables are parquet
+        and take the native vectorized path."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_st = StructType(
+            list(read_schema.fields)
+            + [
+                StructField("__del_fp", StringType(), False),
+                StructField("__del_pos", LongType(), False),
+            ]
+        )
+        names = [f.name for f in read_schema.fields]
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for p in pdf["path"]:
+                    if fmt == "ORC":
+                        import pyarrow.orc as _orc
+
+                        tbl = _orc.ORCFile(p).read()
+                        n_rows = tbl.num_rows
+                        cols = {
+                            n: (
+                                tbl.column(n).to_pandas()
+                                if n in tbl.column_names
+                                else pd.Series([None] * n_rows, dtype=object)
+                            )
+                            for n in names
+                        }
+                    else:  # AVRO container
+                        from aws_glue_data_lake_spark.avrolite import (
+                            read_container,
+                        )
+
+                        _, records, _ = read_container(p)
+                        n_rows = len(records)
+                        cols = {
+                            n: pd.Series(
+                                [r.get(n) for r in records], dtype=object
+                            )
+                            for n in names
+                        }
+                    out = pd.DataFrame(cols)
+                    out["__del_fp"] = p
+                    out["__del_pos"] = list(range(n_rows))
+                    yield out
+
+        src = spark.createDataFrame([(p,) for p in paths], "path string")
+        if len(paths) > 1:
+            src = src.repartition(min(len(paths), 64))
+        return src.mapInPandas(gen, out_st)
+
+    @staticmethod
     def _expand_dv_tombstones(spark: SparkSession, dvs: list) -> DataFrame:
         """format-version 3 deletion vectors -> a (file_path, pos)
         tombstone DataFrame: descriptors (driver-side metadata) ship to
@@ -853,12 +925,14 @@ class IcebergTableReader:
                 df_rec = e["data_file"]
                 content = df_rec.get("content", 1 if is_delete_manifest else 0)
                 fmt = df_rec.get("file_format", "PARQUET").upper()
-                if fmt not in ("PARQUET", "ORC") and not (
-                    fmt == "PUFFIN" and content == 1
+                if (
+                    fmt not in ("PARQUET", "ORC")
+                    and not (fmt == "PUFFIN" and content == 1)
+                    and not (fmt == "AVRO" and content == 0)
                 ):
-                    # AVRO data files: loud protocol gate (no distributed
-                    # Avro scan path in this Spark build). PUFFIN is only
-                    # meaningful as a v3 deletion-vector carrier.
+                    # AVRO data files scan via the avrolite positional
+                    # reader; AVRO delete files stay gated. PUFFIN is
+                    # only meaningful as a v3 deletion-vector carrier.
                     raise IcebergProtocolError(
                         f"unsupported file format {df_rec['file_format']!r}"
                     )
@@ -1139,22 +1213,27 @@ class IcebergTableReader:
         # group data files by on-disk format: the spec allows per-file
         # formats, so an ORC-written (or mixed-migration) table plans as
         # one scan PER FORMAT unioned — bounded by |formats|, never by
-        # file count. Spark reads ORC natively; only its _metadata lacks
-        # row_index, so position deletes against ORC files gate loudly.
+        # file count. Spark reads ORC natively; when position tombstones
+        # could reference ORC rows (Spark's _metadata.row_index is
+        # parquet-only) the ORC group switches to the avrolite/pyarrow
+        # POSITIONAL reader; Avro data files always scan through it.
         fmts = snap.file_formats or {}
         by_fmt: dict[str, list[str]] = {}
         for p, _ in files:
             by_fmt.setdefault(fmts.get(p, "PARQUET"), []).append(p)
-        if (snap.delete_files or snap.dv_deletes) and "ORC" in by_fmt:
-            raise IcebergProtocolError(
-                "position deletes over ORC data files are not supported "
-                "(Spark exposes _metadata.row_index for parquet only)"
-            )
+        # position-delete parquet files name their target rows in data
+        # (unknowable driver-side), so their presence forces ORC
+        # positions; DV entries name referenced_data_file in metadata
+        orc_needs_pos = bool(snap.delete_files) or any(
+            fmts.get(ref, "PARQUET") == "ORC"
+            for _, ref, _, _ in (snap.dv_deletes or [])
+        )
 
-        # scan units: (source DF, select exprs -> logical columns, fmt).
+        # scan units: (source DF, select exprs -> logical columns, fmt,
+        # has_pos: the source already carries __del_fp/__del_pos).
         # Parquet files subgroup by footer field-id mapping; |units| is
         # bounded by |formats| x |distinct mappings|, never file count.
-        units: list[tuple[DataFrame, list, str]] = []
+        units: list[tuple[DataFrame, list, str, bool]] = []
         for fmt, paths in sorted(by_fmt.items()):
             if fmt == "PARQUET":
                 from aws_glue_data_lake_spark.fieldids import (
@@ -1182,6 +1261,7 @@ class IcebergTableReader:
                                 spark.read.schema(st).parquet(*ps),
                                 _id_select(m),
                                 fmt,
+                                False,
                             )
                         )
                     else:
@@ -1191,14 +1271,38 @@ class IcebergTableReader:
                                 .parquet(*ps),
                                 normalize,
                                 fmt,
+                                False,
                             )
                         )
+            elif fmt == "AVRO":
+                units.append(
+                    (
+                        self._scan_with_positions(
+                            spark, paths, name_read_schema, "AVRO"
+                        ),
+                        normalize,
+                        fmt,
+                        True,
+                    )
+                )
+            elif orc_needs_pos:
+                units.append(
+                    (
+                        self._scan_with_positions(
+                            spark, paths, name_read_schema, "ORC"
+                        ),
+                        normalize,
+                        fmt,
+                        True,
+                    )
+                )
             else:
                 units.append(
                     (
                         spark.read.schema(name_read_schema).orc(*paths),
                         normalize,
                         fmt,
+                        False,
                     )
                 )
         if (
@@ -1207,13 +1311,18 @@ class IcebergTableReader:
             and not snap.dv_deletes
             and not _with_meta
         ):
-            dfs = [src.select(*sel) for src, sel, _ in units]
+            dfs = [src.select(*sel) for src, sel, _, _ in units]
             df = dfs[0]
             for g in dfs[1:]:
                 df = df.unionByName(g)
             return df
 
-        def with_meta(src: DataFrame, sel: list, fmt: str) -> DataFrame:
+        def with_meta(
+            src: DataFrame, sel: list, fmt: str, has_pos: bool
+        ) -> DataFrame:
+            if has_pos:
+                # the positional reader already attached the meta pair
+                return src.select(*sel, "__del_fp", "__del_pos")
             return src.select(
                 *sel,
                 # normalize Spark's file:/ URI to a plain path so it
@@ -1228,7 +1337,9 @@ class IcebergTableReader:
                 ).alias("__del_pos"),
             )
 
-        metas = [with_meta(src, sel, fmt) for src, sel, fmt in units]
+        metas = [
+            with_meta(src, sel, fmt, hp) for src, sel, fmt, hp in units
+        ]
         scan = metas[0]
         for g in metas[1:]:
             scan = scan.unionByName(g)

@@ -763,8 +763,148 @@ def gen_iceberg_v3(root: str) -> None:
     print(f"iceberg_v3_golden: {path}")
 
 
+# ===========================================================================
+# Fixture 4: Iceberg mixed data formats (parquet + ORC + Avro) with
+# position deletes over the non-parquet rows
+# ===========================================================================
+def gen_iceberg_mixed(root: str) -> None:
+    """Unpartitioned v2 table whose three data files use the spec's
+    three data formats — parquet (pyarrow), ORC (pyarrow.orc) and an
+    Avro container encoded by THIS script's own encoder (independent of
+    the engine's avrolite) — plus a position-delete file tombstoning one
+    ORC row and one Avro row (position = record order, spec § Position
+    Delete Files)."""
+    import pyarrow.orc as _orc
+
+    path = os.path.join(root, "iceberg_mixed_golden")
+    shutil.rmtree(path, ignore_errors=True)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+    sync = bytes(range(16))
+
+    f_pq = os.path.join(data_dir, "a.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([10, 20], pa.int64())}), f_pq)
+    f_orc = os.path.join(data_dir, "b.orc")
+    _orc.write_table(
+        pa.table({"k": pa.array([3, 4], pa.int64()),
+                  "v": pa.array([30, 40], pa.int64())}), f_orc)
+    f_av = os.path.join(data_dir, "c.avro")
+    write_avro(
+        f_av,
+        {"type": "record", "name": "r", "fields": [
+            {"name": "k", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "long"], "default": None},
+        ]},
+        [{"k": 5, "v": 50}, {"k": 6, "v": 60}],
+        sync,
+    )
+    # position delete: ORC row 0 (k=3) and Avro row 1 (k=6)
+    f_pd = os.path.join(data_dir, "pos-del.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(
+            ["file://" + f_orc, "file://" + f_av], pa.string()),
+        "pos": pa.array([0, 1], pa.int64()),
+    }), f_pd)
+
+    def entry(fp, n, fmt, *, seq, content=0):
+        return {
+            "status": 1, "snapshot_id": 8000 + seq,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": "file://" + fp,
+                "file_format": fmt, "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "value_counts": None, "null_value_counts": None,
+                "lower_bounds": None, "upper_bounds": None,
+                "split_offsets": None, "equality_ids": None,
+                "sort_order_id": None,
+            },
+        }
+
+    msch = manifest_schema([])
+    m1 = os.path.join(meta_dir, "m1-data.avro")
+    write_avro(m1, msch, [
+        entry(f_pq, 2, "PARQUET", seq=1),
+        entry(f_orc, 2, "ORC", seq=1),
+        entry(f_av, 2, "AVRO", seq=1),
+    ], sync)
+    m2 = os.path.join(meta_dir, "m2-posdel.avro")
+    write_avro(m2, msch, [entry(f_pd, 2, "PARQUET", seq=2, content=1)], sync)
+
+    def ml_entry(mp, *, content, seq):
+        return {
+            "manifest_path": "file://" + mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": 8000 + seq,
+            "added_data_files_count": 3 if content == 0 else 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": 6 if content == 0 else 2,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": [],
+        }
+
+    ml1 = os.path.join(meta_dir, "snap-8001.avro")
+    write_avro(ml1, ML_SCHEMA, [ml_entry(m1, content=0, seq=1)], sync)
+    ml2 = os.path.join(meta_dir, "snap-8002.avro")
+    write_avro(ml2, ML_SCHEMA, [
+        ml_entry(m1, content=0, seq=1),
+        ml_entry(m2, content=1, seq=2),
+    ], sync)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "aaaa1111-2222-3333-4444-555566667777",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 8002,
+        "snapshots": [
+            {"snapshot-id": 8001, "sequence-number": 1,
+             "timestamp-ms": 1700000001000,
+             "manifest-list": "file://" + ml1, "schema-id": 0,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 8002, "sequence-number": 2,
+             "timestamp-ms": 1700000002000,
+             "manifest-list": "file://" + ml2, "schema-id": 0,
+             "summary": {"operation": "delete"}},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 8001, "timestamp-ms": 1700000001000},
+            {"snapshot-id": 8002, "timestamp-ms": 1700000002000},
+        ],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 8002, "type": "branch"}},
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+    print(f"iceberg_mixed_golden: {path}")
+
+
 if __name__ == "__main__":
     os.makedirs(ROOT, exist_ok=True)
     gen_delta(ROOT)
     gen_iceberg(ROOT)
     gen_iceberg_v3(ROOT)
+    gen_iceberg_mixed(ROOT)

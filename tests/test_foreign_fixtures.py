@@ -180,3 +180,29 @@ def test_iceberg_v3_golden_field_ids_and_puffin_dv(spark):
         x["k"] for x in feed.where("_change_type = 'delete'").collect()
     )
     assert dels == [1, 3]
+
+
+def test_iceberg_mixed_formats_golden_reads(spark):
+    """Mixed-data-format golden tree: parquet + ORC + Avro data files in
+    one manifest (spec allows per-file formats), a position-delete file
+    tombstoning one ORC row and one Avro row. The Avro container was
+    encoded by the generator's own encoder (not avrolite); position =
+    record order within each file."""
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    mixed = os.path.join(FIXTURES, "iceberg_mixed_golden")
+    meta = json.load(
+        open(os.path.join(mixed, "metadata", "v2.metadata.json"))
+    )
+    if meta["location"] != mixed:
+        pytest.skip("repo relocated — regenerate fixtures")
+    r = IcebergTableReader(mixed)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    # ORC pos 0 (k=3) and Avro pos 1 (k=6) tombstoned
+    assert got == [(1, 10), (2, 20), (4, 40), (5, 50)]
+    # pre-delete snapshot still reads all six rows from all 3 formats
+    pre = sorted(
+        (x["k"], x["v"])
+        for x in r.to_df(spark, snapshot_id=8001).collect()
+    )
+    assert pre == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)]

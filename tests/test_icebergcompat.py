@@ -1869,7 +1869,11 @@ def test_orc_data_files_read_and_mix_with_parquet(spark, tmp_path):
     assert snap.file_formats[os.path.abspath(pq2)] == "PARQUET"
 
 
-def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
+def test_position_deletes_over_orc_apply(spark, tmp_path):
+    """Position deletes referencing ORC data rows apply through the
+    positional (pyarrow) scan path — row position = record order, the
+    spec's definition (r8 gated this loudly; Spark's native ORC scan
+    has no _metadata.row_index)."""
     import glob as g
     import shutil
 
@@ -1880,7 +1884,9 @@ def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir)
     stage = str(tmp_path / "stage_orcdel")
-    spark.createDataFrame([(1, 10)], "k long, v long").coalesce(1).write.mode(
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).coalesce(1).sortWithinPartitions("k").write.mode(
         "overwrite"
     ).orc(stage)
     (src,) = g.glob(os.path.join(stage, "part-*.orc"))
@@ -1890,7 +1896,7 @@ def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
         {"id": 1, "name": "k", "required": False, "type": "long"},
         {"id": 2, "name": "v", "required": False, "type": "long"},
     ]
-    _mk_migrated_table(path, [(orc_fp, 1)], mapping=None,
+    _mk_migrated_table(path, [(orc_fp, 2)], mapping=None,
                        schema_fields=schema_fields, fmt="ORC")
     # hand-register a position-delete parquet against the ORC file by
     # appending a delete manifest to the tree
@@ -1935,8 +1941,101 @@ def test_position_deletes_over_orc_gate_loudly(spark, tmp_path):
     })
     from aws_glue_data_lake_spark.icebergcompat import _MANIFEST_LIST_SCHEMA as MLS
     write_container(ml, MLS, mfs, metadata={"format-version": "2"})
-    with pytest.raises(IcebergProtocolError, match="row_index"):
-        IcebergTableReader(path).to_df(spark).collect()
+    got = sorted(
+        (x["k"], x["v"])
+        for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(2, 20)]  # position 0 (k=1) tombstoned
+
+
+def test_avro_data_files_read_and_mix_with_parquet(spark, tmp_path):
+    """content=0 AVRO data files (the spec's third data format) scan
+    through the avrolite positional reader and union with parquet
+    files; schema-evolution NULL backfill applies to missing fields
+    (r8 gated AVRO data loudly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "avro")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    av = os.path.join(data_dir, "a.avro")
+    write_container(
+        av,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "type": ["null", "long"], "default": None},
+                {"name": "v", "type": ["null", "long"], "default": None},
+            ],
+        },
+        [{"k": 1, "v": 10}, {"k": 2, "v": None}],
+    )
+    pq_fp = os.path.join(data_dir, "b.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "v": pa.array([30], pa.int64())}), pq_fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(av, 2), (pq_fp, 1)], mapping=None,
+                       schema_fields=schema_fields,
+                       fmt=["AVRO", "PARQUET"])
+    r = IcebergTableReader(path)
+    got = sorted(
+        (x["k"], x["v"]) for x in r.to_df(spark).collect()
+    )
+    assert got == [(1, 10), (2, None), (3, 30)]
+    # position deletes apply to Avro rows too (record order = position)
+    import uuid as _uuid
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA as MLS,
+    )
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    pd_fp = os.path.join(data_dir, "posdel.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([av], pa.string()),
+        "pos": pa.array([0], pa.int64()),
+    }), pd_fp)
+    meta_dir = os.path.join(path, "metadata")
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+    m2 = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m1.avro")
+    write_container(m2, mschema, [{
+        "status": _STATUS_ADDED, "snapshot_id": 1,
+        "sequence_number": 2, "file_sequence_number": 2,
+        "data_file": {
+            "content": 1, "file_path": pd_fp, "file_format": "PARQUET",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(pd_fp),
+            "equality_ids": None,
+        },
+    }], metadata={"format-version": "2"})
+    meta = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    ml = meta["snapshots"][0]["manifest-list"]
+    _, mfs, _ = read_container(ml)
+    mfs.append({
+        "manifest_path": m2, "manifest_length": os.path.getsize(m2),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 2, "min_sequence_number": 2,
+        "added_snapshot_id": 1,
+        "added_data_files_count": 1, "existing_data_files_count": 0,
+        "deleted_data_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    write_container(ml, MLS, mfs, metadata={"format-version": "2"})
+    got2 = sorted(
+        (x["k"], x["v"])
+        for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got2 == [(2, None), (3, 30)]  # avro position 0 tombstoned
 
 
 def test_format_version_3_reads_when_no_v3_features(spark, tmp_path):
