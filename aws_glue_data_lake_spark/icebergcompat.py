@@ -583,6 +583,11 @@ class IcebergSnapshot:
     record_counts: dict = None  # type: ignore[assignment]
     #: manifest-recorded file_size_in_bytes per live data file
     file_sizes: dict = None  # type: ignore[assignment]
+    #: v3 column initial-default values ({name: JSON single-value}):
+    #: what a file written BEFORE the column existed must read for it
+    #: (spec § Default values) — applied at scan time in place of the
+    #: NULL backfill, ONLY for files that provably lack the column
+    initial_defaults: dict = None  # type: ignore[assignment]
 
 
 def _name_mapping_alternates(
@@ -865,17 +870,11 @@ class IcebergTableReader:
             ]
         else:  # v1 single-schema layout
             schema_json = meta["schema"]
-        defaulted = [
-            f["name"]
+        initial_defaults = {
+            f["name"]: f["initial-default"]
             for f in schema_json["fields"]
             if f.get("initial-default") is not None
-        ]
-        if defaulted:
-            raise IcebergProtocolError(
-                f"columns {defaulted} carry initial-default values "
-                "(format-version 3); this reader cannot apply per-file "
-                "defaults and will not substitute nulls for them"
-            )
+        }
         spark_schema = _iceberg_type_to_spark(
             {"type": "struct", "fields": schema_json["fields"]}
         )
@@ -1048,6 +1047,7 @@ class IcebergTableReader:
             dv_deletes=sorted(dv_deletes),
             record_counts=record_counts,
             file_sizes=file_sizes,
+            initial_defaults=initial_defaults,
         )
 
     def to_df(
@@ -1201,15 +1201,19 @@ class IcebergTableReader:
         def _id_select(m: dict[int, str]) -> list:
             """Project one footer-mapping group back to the logical
             schema: rename by field ID; a field the file predates
-            backfills NULL (the spec's column-projection rule)."""
-            return [
-                (
-                    F.col(m[snap.field_ids[f.name]]).alias(f.name)
-                    if snap.field_ids.get(f.name) in m
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
-                for f in snap.schema.fields
-            ]
+            backfills its v3 ``initial-default`` when declared, else
+            NULL (the spec's column-projection rules 3 and 4). The
+            footer mapping proves column ABSENCE per file, so an
+            explicit NULL stored in a newer file is never replaced."""
+            out = []
+            for f in snap.schema.fields:
+                fid = snap.field_ids.get(f.name)
+                if fid in m:
+                    out.append(F.col(m[fid]).alias(f.name))
+                else:
+                    d = (snap.initial_defaults or {}).get(f.name)
+                    out.append(F.lit(d).cast(f.dataType).alias(f.name))
+            return out
         # group data files by on-disk format: the spec allows per-file
         # formats, so an ORC-written (or mixed-migration) table plans as
         # one scan PER FORMAT unioned — bounded by |formats|, never by
@@ -1228,6 +1232,19 @@ class IcebergTableReader:
             fmts.get(ref, "PARQUET") == "ORC"
             for _, ref, _, _ in (snap.dv_deletes or [])
         )
+
+        def _needs_absence_proof(group_desc: str) -> None:
+            # v3 initial-defaults substitute for columns a file LACKS;
+            # only the parquet footer field-id mapping proves absence
+            # per file. Readers that cannot prove it must not hand back
+            # silent nulls where the spec demands the default.
+            if snap.initial_defaults:
+                raise IcebergProtocolError(
+                    f"columns {sorted(snap.initial_defaults)} carry "
+                    f"initial-default values, but {group_desc} cannot "
+                    "prove per-file column absence — refusing to read "
+                    "nulls where the spec demands the default"
+                )
 
         # scan units: (source DF, select exprs -> logical columns, fmt,
         # has_pos: the source already carries __del_fp/__del_pos).
@@ -1265,6 +1282,9 @@ class IcebergTableReader:
                             )
                         )
                     else:
+                        _needs_absence_proof(
+                            "parquet file(s) without field IDs"
+                        )
                         units.append(
                             (
                                 spark.read.schema(name_read_schema)
@@ -1275,6 +1295,7 @@ class IcebergTableReader:
                             )
                         )
             elif fmt == "AVRO":
+                _needs_absence_proof("Avro data files")
                 units.append(
                     (
                         self._scan_with_positions(
@@ -1286,6 +1307,7 @@ class IcebergTableReader:
                     )
                 )
             elif orc_needs_pos:
+                _needs_absence_proof("ORC data files")
                 units.append(
                     (
                         self._scan_with_positions(
@@ -1297,6 +1319,7 @@ class IcebergTableReader:
                     )
                 )
             else:
+                _needs_absence_proof("ORC data files")
                 units.append(
                     (
                         spark.read.schema(name_read_schema).orc(*paths),

@@ -722,15 +722,21 @@ def gen_iceberg_v3(root: str) -> None:
         "location": path,
         "last-sequence-number": 2,
         "last-updated-ms": 1700000002000,
-        "last-column-id": 2,
+        "last-column-id": 3,
         "next-row-id": 10,
         "current-schema-id": 1,
         "schemas": [{
-            # post-rename schema: field 2 is now 'amount'
+            # post-rename schema: field 2 is now 'amount'; field 3 was
+            # added AFTER the data file was written with a v3
+            # initial-default — readers must substitute 9 (not null)
+            # for files that lack the column
             "type": "struct", "schema-id": 1, "fields": [
                 {"id": 1, "name": "k", "required": False, "type": "long"},
                 {"id": 2, "name": "amount", "required": False,
                  "type": "long"},
+                {"id": 3, "name": "flag", "required": False,
+                 "type": "long", "initial-default": 9,
+                 "write-default": 9},
             ],
         }],
         "default-spec-id": 0,

@@ -165,9 +165,12 @@ def test_iceberg_v3_golden_field_ids_and_puffin_dv(spark):
         pytest.skip("repo relocated — regenerate fixtures")
     r = IcebergTableReader(v3)
     got = sorted(
-        (x["k"], x["amount"]) for x in r.to_df(spark).collect()
+        (x["k"], x["amount"], x["flag"])
+        for x in r.to_df(spark).collect()
     )
-    assert got == [(2, 200), (4, 400)]
+    # column 'flag' (id 3) was added after the data file with a v3
+    # initial-default of 9: the pre-column file must read 9, not null
+    assert got == [(2, 200, 9), (4, 400, 9)]
     # pre-DV snapshot: rename still resolves, nothing deleted
     s1 = sorted(
         (x["k"], x["amount"])

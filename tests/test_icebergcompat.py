@@ -2072,8 +2072,12 @@ def test_format_version_3_reads_when_no_v3_features(spark, tmp_path):
          "initial-default": 7}
     )
     json.dump(meta, open(mp, "w"))
+    # the data file carries NO field ids, so per-file column absence is
+    # unprovable: the default cannot be applied safely -> loud gate at
+    # scan-plan time (ID-stamped files APPLY the default instead:
+    # test_v3_initial_default_applies_per_file)
     with pytest.raises(IcebergProtocolError, match="initial-default"):
-        IcebergTableReader(path).snapshot()
+        IcebergTableReader(path).to_df(spark)
 
     # deletion-vector fields on a DATA entry (content=0) -> loud gate
     # (real v3 DVs on content=1 entries are READ:
@@ -2212,3 +2216,64 @@ def test_v3_puffin_deletion_vectors_read(spark, tmp_path):
         x["k"] for x in feed.where("_change_type = 'insert'").collect()
     )
     assert ins == [1, 2, 3, 4]
+
+
+def test_v3_initial_default_applies_per_file(spark, tmp_path):
+    """v3 initial-defaults (spec § Default values): a file written
+    BEFORE the column existed reads the default; a file that CONTAINS
+    the column keeps its values — including an explicit NULL, which
+    must never be replaced. Absence is proven per file by the parquet
+    footer field-id mapping."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "v3def")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # file A predates column w (id 3)
+    fa = os.path.join(data_dir, "a.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64())],
+            schema=pa.schema([idfield("k", pa.int64(), 1),
+                              idfield("v", pa.int64(), 2)]),
+        ),
+        fa,
+    )
+    # file B has w, with one explicit NULL
+    fb = os.path.join(data_dir, "b.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([3, 4], pa.int64()), pa.array([30, 40], pa.int64()),
+             pa.array([77, None], pa.int64())],
+            schema=pa.schema([idfield("k", pa.int64(), 1),
+                              idfield("v", pa.int64(), 2),
+                              idfield("w", pa.int64(), 3)]),
+        ),
+        fb,
+    )
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+        {"id": 3, "name": "w", "required": False, "type": "long",
+         "initial-default": 7, "write-default": 7},
+    ]
+    _mk_migrated_table(path, [(fa, 2), (fb, 2)], mapping=None,
+                       schema_fields=schema_fields)
+    mp = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    meta["format-version"] = 3
+    json.dump(meta, open(mp, "w"))
+    got = sorted(
+        (x["k"], x["v"], x["w"])
+        for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, 10, 7), (2, 20, 7), (3, 30, 77), (4, 40, None)]
