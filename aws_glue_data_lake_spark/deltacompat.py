@@ -1385,6 +1385,55 @@ class DeltaTableWriter:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
+    def _ict_enabled(self, version: int, actions: list[dict]) -> bool:
+        """Does THIS commit need an inCommitTimestamp stamp? The commit's
+        own metaData action decides first (the enablement commit itself
+        must carry a stamp, per spec); otherwise the table state at
+        ``version - 1``, cached per writer instance."""
+        for a in actions:
+            if "metaData" in a:
+                conf = a["metaData"].get("configuration") or {}
+                if "delta.enableInCommitTimestamps" in conf:
+                    self._ict_on = (
+                        conf["delta.enableInCommitTimestamps"] == "true"
+                    )
+                    return self._ict_on
+        if getattr(self, "_ict_on", None) is None:
+            if version == 0:
+                self._ict_on = False
+            else:
+                try:
+                    conf = (
+                        DeltaTableReader(self.path)
+                        .snapshot(version - 1)
+                        .configuration
+                        or {}
+                    )
+                except Exception:
+                    conf = {}
+                self._ict_on = (
+                    conf.get("delta.enableInCommitTimestamps") == "true"
+                )
+        return self._ict_on
+
+    def _prev_ict(self, version: int) -> int:
+        """inCommitTimestamp of commit ``version - 1`` (0 when absent or
+        pre-enablement) — the monotonicity floor for the next stamp."""
+        p = os.path.join(self._log, f"{version - 1:020d}.json")
+        try:
+            with open(p) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        return int(
+                            a["commitInfo"].get("inCommitTimestamp", 0)
+                        )
+        except FileNotFoundError:
+            pass
+        return 0
+
     def _commit(
         self, version: int, actions: list[dict], operation: str = "WRITE"
     ) -> None:
@@ -1395,15 +1444,19 @@ class DeltaTableWriter:
         if not any("commitInfo" in a for a in actions):
             # commitInfo leads the commit (delta-spark's layout): it is
             # what timestamp-based time travel and DESCRIBE HISTORY read
-            actions = [
-                {
-                    "commitInfo": {
-                        "timestamp": int(_time.time() * 1000),
-                        "operation": operation,
-                        "engineInfo": "aws-glue-data-lake-spark/deltacompat",
-                    }
-                }
-            ] + actions
+            ci: dict = {
+                "timestamp": int(_time.time() * 1000),
+                "operation": operation,
+                "engineInfo": "aws-glue-data-lake-spark/deltacompat",
+            }
+            if self._ict_enabled(version, actions):
+                # writer feature inCommitTimestamp: the authoritative,
+                # MONOTONIC commit time (file mtimes lie after copies) —
+                # never at or below the previous commit's stamp
+                ci["inCommitTimestamp"] = max(
+                    ci["timestamp"], self._prev_ict(version) + 1
+                )
+            actions = [{"commitInfo": ci}] + actions
         payload = "".join(json.dumps(a) + "\n" for a in actions)
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
@@ -1731,6 +1784,137 @@ class DeltaTableWriter:
         return self._commit_read_dependent(
             v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
             read_files=set(), add_conflict=False,
+        )
+
+    @staticmethod
+    def _feature_lists(
+        snap: DeltaSnapshot, extra_reader=(), extra_writer=()
+    ) -> tuple[list[str], list[str]]:
+        """Reader/writer feature lists for a feature-list protocol
+        upgrade: with minReaderVersion 3 the LIST is authoritative, so
+        every capability the table already relies on must be re-declared
+        or conforming readers stop honoring it."""
+        reader = set(extra_reader)
+        conf = snap.configuration or {}
+        if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
+            reader.add("columnMapping")
+        if any(
+            f.dataType.typeName() == "timestamp_ntz"
+            for f in snap.schema.fields
+        ):
+            reader.add("timestampNtz")
+        if any(dv for _, _, dv in snap.files):
+            reader.add("deletionVectors")
+        proto = snap.raw_protocol or {}
+        reader |= set(proto.get("readerFeatures", ()))
+        writer = {"appendOnly", "invariants"} | reader | set(extra_writer)
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            writer.add("changeDataFeed")
+        if conf.get("delta.enableInCommitTimestamps") == "true":
+            writer.add("inCommitTimestamp")
+        writer |= set(proto.get("writerFeatures", ()))
+        return sorted(reader), sorted(writer)
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Writer feature inCommitTimestamp: commitInfo carries the
+        authoritative MONOTONIC commit time from here on (file mtimes
+        lie after copies/restores — exactly why the feature exists; the
+        reader's history()/TIMESTAMP AS OF already prefer it). The
+        enablement commit itself is stamped and records the protocol's
+        enablement version/timestamp properties."""
+        import time as _time
+
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        v = snap.version + 1
+        ict = max(int(_time.time() * 1000), self._prev_ict(v) + 1)
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf["delta.enableInCommitTimestamps"] = "true"
+        conf["delta.inCommitTimestampEnablementVersion"] = str(v)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        meta["configuration"] = conf
+        rf, wf = self._feature_lists(
+            snap, extra_writer={"inCommitTimestamp"}
+        )
+        proto = (
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": rf,
+                "writerFeatures": wf,
+            }
+            if rf
+            else {
+                # writer-only feature lists need writer 7, reader stays
+                "minReaderVersion": (snap.raw_protocol or {}).get(
+                    "minReaderVersion", 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": wf,
+            }
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": ict,
+                    "inCommitTimestamp": ict,
+                    "operation": "SET TBLPROPERTIES",
+                    "engineInfo": "aws-glue-data-lake-spark/deltacompat",
+                }
+            },
+            {"protocol": proto},
+            {"metaData": meta},
+        ]
+        # strict: the enablement version/timestamp are baked into the
+        # properties, so a rebase would publish stale values
+        try:
+            self._commit(v, actions, "SET TBLPROPERTIES")
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"enable_in_commit_timestamps on {self.path} lost the "
+                "version race; re-run against the new table state"
+            ) from None
+        # this commit carried its own commitInfo, so _ict_enabled never
+        # saw the metaData action — refresh the instance cache directly
+        self._ict_on = True
+        return v
+
+    def set_checkpoint_policy_v2(self) -> int:
+        """Upgrade to the V2 Checkpoint layout (protocol § V2
+        Checkpoints, reader feature v2Checkpoint +
+        delta.checkpointPolicy=v2): subsequent :meth:`checkpoint` calls
+        — including the automatic every-N-commits one — write the
+        UUID-named main file + sidecar layout instead of the classic
+        single parquet."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf["delta.checkpointPolicy"] = "v2"
+        meta["configuration"] = conf
+        rf, wf = self._feature_lists(
+            snap,
+            extra_reader={"v2Checkpoint"},
+            extra_writer={"v2Checkpoint"},
+        )
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": rf,
+                        "writerFeatures": wf,
+                    }
+                },
+                {"metaData": meta},
+            ],
+            operation="SET TBLPROPERTIES",
+            read_files=set(),
+            add_conflict=False,
         )
 
     def set_append_only(self, value: bool = True) -> int:
@@ -2223,6 +2407,74 @@ class DeltaTableWriter:
             if meta is not None:
                 meta["format"]["options"] = list(meta["format"]["options"].items())
                 meta["configuration"] = list(meta["configuration"].items())
+        if (snap.configuration or {}).get("delta.checkpointPolicy") == "v2":
+            # V2 Checkpoint layout (reader feature v2Checkpoint): the
+            # UUID-named main file carries protocol/metaData/txn plus a
+            # checkpointMetadata action; the file-action set (the part
+            # that grows with the table) goes to a SIDECAR parquet under
+            # _delta_log/_sidecars/ — the layout that lets huge tables
+            # split checkpoint writes across workers.
+            adds = [r for r in rows if r.get("add")]
+            others = [r for r in rows if not r.get("add")]
+            os.makedirs(os.path.join(self._log, "_sidecars"), exist_ok=True)
+            sc_name = f"{uuid.uuid4().hex}.parquet"
+            sc_path = os.path.join(self._log, "_sidecars", sc_name)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": r["add"]} for r in adds],
+                    schema=pa.schema([schema.field("add")]),
+                ),
+                sc_path,
+            )
+            main_schema = pa.schema(
+                list(schema)
+                + [
+                    pa.field(
+                        "checkpointMetadata",
+                        pa.struct([("version", pa.int64())]),
+                    ),
+                    pa.field(
+                        "sidecar",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("sizeInBytes", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
+            main_rows = others + [
+                {"checkpointMetadata": {"version": snap.version}},
+                {
+                    "sidecar": {
+                        "path": sc_name,
+                        "sizeInBytes": os.path.getsize(sc_path),
+                        "modificationTime": 0,
+                    }
+                },
+            ]
+            cp = os.path.join(
+                self._log,
+                f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+            )
+            pq.write_table(
+                pa.Table.from_pylist(main_rows, schema=main_schema), cp
+            )
+            with open(
+                os.path.join(self._log, "_last_checkpoint"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "version": snap.version,
+                        "size": len(rows),
+                        "sizeInBytes": os.path.getsize(cp),
+                        "numOfAddFiles": len(adds),
+                    },
+                    f,
+                )
+            return cp
         cp = os.path.join(self._log, f"{snap.version:020d}.checkpoint.parquet")
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), cp)
         with open(os.path.join(self._log, "_last_checkpoint"), "w") as f:

@@ -1959,10 +1959,26 @@ class IcebergTableWriter:
         sequence_number: int,
         schema_json: dict,
         content: int = 0,
+        v3_dv: bool = False,
     ) -> dict:
         """Write one manifest Avro -> its manifest-list entry. ``content``
-        0 = data manifest, 1 = (position-)delete manifest."""
+        0 = data manifest, 1 = (position-)delete manifest. ``v3_dv``
+        widens the entry schema with the format-version-3 deletion-vector
+        fields (referenced_data_file / content_offset /
+        content_size_in_bytes); carried entries predating them encode
+        their null defaults."""
         schema = _manifest_entry_schema(_partition_avro_fields(partition_cols))
+        if v3_dv:
+            schema["fields"][-1]["type"]["fields"] = list(
+                schema["fields"][-1]["type"]["fields"]
+            ) + [
+                {"name": "referenced_data_file", "type": ["null", "string"],
+                 "default": None, "field-id": 143},
+                {"name": "content_offset", "type": ["null", "long"],
+                 "default": None, "field-id": 144},
+                {"name": "content_size_in_bytes", "type": ["null", "long"],
+                 "default": None, "field-id": 145},
+            ]
         path = os.path.join(
             self._meta_dir, f"{uuid.uuid4().hex}-m0.avro"
         )
@@ -2093,6 +2109,7 @@ class IcebergTableWriter:
         manifest_list_path: str,
         operation: str,
         all_schemas: list[dict] | None = None,
+        format_version: int | None = None,
     ) -> None:
         import time as _time
 
@@ -2109,8 +2126,16 @@ class IcebergTableWriter:
                 "summary": {"operation": operation},
             }
         )
+        fv = (
+            format_version
+            if format_version is not None
+            else (prev or {}).get("format-version", 2)
+        )
         meta = {
-            "format-version": 2,
+            # preserve the table's declared format version: a write to a
+            # v3 table must not silently demote it to v2 (readers would
+            # then reject its v3 DV manifest fields)
+            "format-version": fv,
             "table-uuid": prev["table-uuid"] if prev else str(uuid.uuid4()),
             "location": self.path,
             "last-sequence-number": sequence_number,
@@ -2177,6 +2202,10 @@ class IcebergTableWriter:
                 "main": {"snapshot-id": snapshot_id, "type": "branch"},
             },
         }
+        if fv >= 3:
+            # v3 row-lineage bookkeeping (scan-inert for this engine;
+            # carried so conforming v3 readers see the required field)
+            meta["next-row-id"] = (prev or {}).get("next-row-id", 0)
         target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
         # O_EXCL: the Hadoop-catalog commit primitive (losing a version
         # race must fail, not clobber)
@@ -2355,7 +2384,10 @@ class IcebergTableWriter:
 
     # -- public API ---------------------------------------------------------
     def create(
-        self, df: DataFrame, partition_by: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        format_version: int = 2,
     ) -> IcebergTableReader:
         if os.path.isdir(self._meta_dir) and any(
             re.match(r"v\d+\.metadata\.json$", n)
@@ -2383,7 +2415,8 @@ class IcebergTableWriter:
             metadata={"format-version": "2"},
         )
         self._commit_metadata(
-            None, schema_json, pcols, sid, seq, ml_path, "append"
+            None, schema_json, pcols, sid, seq, ml_path, "append",
+            format_version=format_version,
         )
         return IcebergTableReader(self.path)
 
@@ -2651,6 +2684,12 @@ class IcebergTableWriter:
             ),
             partition_by,
         )
+        if prev.get("format-version", 2) >= 3:
+            # v3 tables delete via puffin DELETION VECTORS, not loose
+            # position-delete files (spec: v3 writers MUST use DVs)
+            return self._delete_where_v3(
+                spark, condition, prev, schema_json, pcols
+            )
         reader = IcebergTableReader(self.path)
         snap = reader.snapshot()
         if not snap.files:
@@ -2730,6 +2769,172 @@ class IcebergTableWriter:
         return self._retry_read_dependent(
             prev, "delete_where (DELETE)", attempt, winner_check
         )
+
+    def _delete_where_v3(
+        self, spark: SparkSession, condition, prev: dict, schema_json, pcols
+    ) -> int:
+        """format-version 3 row-level DELETE: matching positions land in
+        puffin DELETION VECTORS — one ``deletion-vector-v1`` blob per
+        referenced data file, located by the manifest entry's
+        content_offset / content_size_in_bytes (TOTAL stored blob per
+        the Puffin footer contract). An existing DV for a touched file
+        is UNIONED in and its manifest entry tombstoned, keeping the
+        spec's at-most-one-DV-per-file invariant. Write cost is
+        O(#matched rows) like the v2 position-delete path: bitmap
+        packing runs per-file on executors, the driver handles only the
+        compressed blobs."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from aws_glue_data_lake_spark.roaring64 import (
+            deserialize_positions,
+            read_dv_blob,
+            serialize_positions,
+            write_puffin_dvs,
+        )
+
+        reader = IcebergTableReader(self.path)
+        snap = reader.snapshot()
+        if not snap.files:
+            return prev["current-snapshot-id"]
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        matched = (
+            reader.to_df(spark, _with_meta=True)
+            .where(cond)
+            .select("__del_fp", "__del_pos")
+        )
+
+        def pack(key, pdf):
+            return pd.DataFrame(
+                {
+                    "fp": [key[0]],
+                    "blob": [
+                        bytes(serialize_positions(pdf["__del_pos"].tolist()))
+                    ],
+                    "card": [int(pdf["__del_pos"].nunique())],
+                }
+            )
+
+        packed = (
+            matched.groupBy("__del_fp")
+            .applyInPandas(pack, "fp string, blob binary, card long")
+            .collect()
+        )
+        if not packed:
+            return prev["current-snapshot-id"]
+
+        def _norm(pth: str) -> str:
+            pth = pth.removeprefix("file://")
+            return (
+                pth
+                if os.path.isabs(pth)
+                else os.path.abspath(os.path.join(self.path, pth))
+            )
+
+        existing = {
+            os.path.abspath(ref): (puf, off, size)
+            for puf, ref, off, size in (snap.dv_deletes or [])
+        }
+        sid, seq = self._next_ids(prev)
+        dvs: list[tuple[str, bytes, int]] = []
+        replaced: set[str] = set()
+        for row in packed:
+            fp = os.path.abspath(row["fp"])
+            positions = deserialize_positions(bytes(row["blob"]))
+            if fp in existing:
+                puf, off, size = existing[fp]
+                old = deserialize_positions(
+                    read_dv_blob(puf, off, size, size_semantics="total")
+                )
+                positions = sorted(set(positions) | set(old))
+                replaced.add(fp)
+            dvs.append(
+                (fp, bytes(serialize_positions(positions)), len(positions))
+            )
+        os.makedirs(self._data_dir, exist_ok=True)
+        puf_path = os.path.join(
+            self._data_dir, f"{uuid.uuid4().hex}-dv.puffin"
+        )
+        spans = write_puffin_dvs(puf_path, dvs, sid, seq)
+        puf_size = os.path.getsize(puf_path)
+        null_pv = {n: None for n, _ in pcols}
+        dv_entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": sid,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puf_path,
+                    "file_format": "PUFFIN",
+                    "partition": null_pv,
+                    "record_count": card,
+                    "file_size_in_bytes": puf_size,
+                    "equality_ids": None,
+                    "referenced_data_file": ref,
+                    "content_offset": off,
+                    "content_size_in_bytes": total,
+                },
+            }
+            for (ref, _blob, card), (off, total) in zip(dvs, spans)
+        ]
+        new_manifests = []
+        for mf in self._manifest_list_of(prev):
+            if mf.get("content", 0) != 1 or not replaced:
+                new_manifests.append(mf)
+                continue
+            _, entries, _ = read_container(mf["manifest_path"])
+            hit = any(
+                e["status"] != _STATUS_DELETED
+                and e["data_file"].get("referenced_data_file") is not None
+                and _norm(e["data_file"]["referenced_data_file"]) in replaced
+                for e in entries
+            )
+            if not hit:
+                new_manifests.append(mf)
+                continue
+            rewritten = []
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                e = dict(e)
+                ref0 = e["data_file"].get("referenced_data_file")
+                superseded = ref0 is not None and _norm(ref0) in replaced
+                e["status"] = (
+                    _STATUS_DELETED if superseded else _STATUS_EXISTING
+                )
+                if e.get("sequence_number") is None:
+                    e["sequence_number"] = mf.get("sequence_number", 0)
+                if e.get("file_sequence_number") is None:
+                    e["file_sequence_number"] = mf.get("sequence_number", 0)
+                rewritten.append(e)
+            if rewritten:
+                new_manifests.append(
+                    self._write_manifest(
+                        rewritten, pcols, sid, seq, schema_json,
+                        content=1, v3_dv=True,
+                    )
+                )
+        new_manifests.append(
+            self._write_manifest(
+                dv_entries, pcols, sid, seq, schema_json,
+                content=1, v3_dv=True,
+            )
+        )
+        ml_path = os.path.join(
+            self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
+            metadata={"format-version": "3"},
+        )
+        self._commit_metadata_strict(
+            prev, schema_json, pcols, sid, seq, ml_path, "delete"
+        )
+        return sid
 
     def convert_parquet_dir(self, spark: SparkSession) -> IcebergTableReader:
         """Migrate a raw parquet directory to Iceberg in place, zero-copy

@@ -234,6 +234,64 @@ def write_dv_file(path: str, blobs: list[bytes]) -> list[tuple[int, int]]:
     return spans
 
 
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def write_puffin_dvs(
+    path: str,
+    dvs: list[tuple[str, bytes, int]],
+    snapshot_id: int,
+    sequence_number: int,
+) -> list[tuple[int, int]]:
+    """Write a spec-compliant Puffin file holding one
+    ``deletion-vector-v1`` blob per ``(referenced_data_file, blob,
+    cardinality)`` (Iceberg v3 § Deletion vectors / Puffin spec): magic,
+    per-DV framing (int32 BE length + data + int32 BE CRC-32 — byte-
+    compatible with Delta's DV framing, which is why roaring64 serves
+    both), then the footer (magic + JSON payload describing each blob +
+    LE payload size + flags + magic). Returns per-DV
+    ``(content_offset, content_size_in_bytes)`` where the size counts
+    the TOTAL stored blob per the footer contract (length word + data
+    + CRC), matching read_dv_blob's "total" semantics."""
+    import json as _json
+
+    out = bytearray(_PUFFIN_MAGIC)
+    spans: list[tuple[int, int]] = []
+    blob_meta = []
+    for ref, blob, card in dvs:
+        off = len(out)
+        framed = (
+            struct.pack(">i", len(blob))
+            + blob
+            + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+        )
+        out += framed
+        spans.append((off, len(framed)))
+        blob_meta.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(framed),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(card),
+                },
+            }
+        )
+    payload = _json.dumps(
+        {"blobs": blob_meta, "properties": {}}
+    ).encode()
+    out += _PUFFIN_MAGIC + payload
+    out += struct.pack("<i", len(payload)) + b"\x00\x00\x00\x00"
+    out += _PUFFIN_MAGIC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return spans
+
+
 def read_dv_blob(
     path: str,
     offset: int,

@@ -2490,3 +2490,82 @@ def test_cdf_no_op_rewrites_replay(spark, tmp_path):
     assert sorted(
         x["k"] for x in DeltaTableReader(path).to_df(spark).collect()
     ) == [1]
+
+
+def test_ict_write_stamps_monotonic_commit_times(spark, tmp_path):
+    """Writer feature inCommitTimestamp: after enablement every commit's
+    commitInfo carries a strictly increasing inCommitTimestamp; the
+    enablement commit itself is stamped and records the enablement
+    version/timestamp properties (the r8 reader already prefers ICT for
+    history and TIMESTAMP AS OF)."""
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    v_en = w.enable_in_commit_timestamps()
+    w.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+    w.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+
+    def ict_of(v):
+        with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as f:
+            for ln in f:
+                a = json.loads(ln)
+                if "commitInfo" in a:
+                    return a["commitInfo"].get("inCommitTimestamp")
+        return None
+
+    assert ict_of(0) is None  # pre-enablement
+    icts = [ict_of(v) for v in (v_en, v_en + 1, v_en + 2)]
+    assert all(t is not None for t in icts)
+    assert icts[0] < icts[1] < icts[2]
+    snap = DeltaTableReader(path).snapshot()
+    conf = snap.configuration
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    assert "inCommitTimestamp" in (snap.raw_protocol or {}).get(
+        "writerFeatures", ()
+    )
+    # history() prefers ICT and stays monotonic
+    hist = DeltaTableReader(path).history()
+    stamps = [h["timestamp"] for h in reversed(hist)][1:]
+    assert stamps == sorted(stamps) and stamps[-1] == icts[-1]
+    # a MERGE through the conflict-retry path is stamped too
+    w.merge(spark, spark.createDataFrame([(1, 99)], "k long, v long"),
+            keys=["k"])
+    assert ict_of(v_en + 3) > icts[-1]
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """set_checkpoint_policy_v2 + checkpoint(): UUID-named main file
+    with checkpointMetadata + sidecar actions, add set in
+    _delta_log/_sidecars/ — and checkpoint-only replay (commit JSONs
+    cleaned up) reconstructs the snapshot from those bytes via the r8
+    read path."""
+    import re as _re
+
+    path = str(tmp_path / "d")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    w.set_checkpoint_policy_v2()
+    w.append(spark.createDataFrame([(3, 30)], "k long, v long"),
+             txn=("stream", 4))
+    cp = w.checkpoint()
+    assert _re.search(
+        r"\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet$", cp
+    ), cp
+    sidecars = os.listdir(os.path.join(path, "_delta_log", "_sidecars"))
+    assert len(sidecars) == 1
+    snap = DeltaTableReader(path).snapshot()
+    assert "v2Checkpoint" in (snap.raw_protocol or {}).get(
+        "readerFeatures", ()
+    )
+    # checkpoint-only replay: drop every commit JSON
+    log = os.path.join(path, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log, n))
+    r = DeltaTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert r.snapshot().txns == {"stream": 4}  # txn state survived
+    # the automatic every-N checkpoint cadence also writes v2 now
+    w2 = DeltaTableWriter(path)
+    w2.set_property("delta.checkpointInterval", "2")
