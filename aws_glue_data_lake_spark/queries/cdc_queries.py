@@ -2133,3 +2133,59 @@ def lake_metadata_tables_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fmt", "region_key")
+
+
+# --------------------------------------------------------------------------
+# SQL front door (round-9): the reference drives its Iceberg upsert via
+# spark.sql TEXT — the MERGE template at icberg/iceberg_tables.py:45-50
+# (executed :143-146: WHEN MATCHED THEN DELETE, then append the deduped
+# batch). This query runs that LITERAL template text through the
+# sqlfront shim against an open_table iceberg handle, appends the batch
+# the reference's way, and reads the result back through a shim SELECT
+# with a path literal — closed-form against nation.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_sql_front_door_state",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 3 = 0 THEN LOWER(n_name) ELSE n_name END
+         AS n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def lake_sql_front_door_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    # the reference's template, verbatim (icberg/iceberg_tables.py:45-50)
+    merge_sql_stmnt = """
+    MERGE INTO {CATALOG}.{DATABASE}.{TABLE} AS data
+    USING input_data_updates AS updates
+    ON data.{primary_key} = updates.{primary_key}
+    WHEN MATCHED THEN DELETE
+    """
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = session_tmpdir("sqlfront_") + "/t"
+    open_table(path, "iceberg").create(n)
+    updates = n.where(F.col("n_nationkey") % 3 == 0).withColumn(
+        "n_name", F.lower("n_name")
+    )
+    updates.createOrReplaceTempView("input_data_updates")
+    _sql(
+        spark,
+        merge_sql_stmnt.format(
+            CATALOG="glue_catalog", DATABASE="db", TABLE="nation_tbl",
+            primary_key="n_nationkey",
+        ),
+        tables={"glue_catalog.db.nation_tbl": path},
+    )
+    open_table(path).append(updates)
+    return _sql(
+        spark,
+        f"SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS "
+        f"n_regionkey FROM iceberg.`{path}` ORDER BY n_nationkey",
+    )

@@ -1,0 +1,187 @@
+"""SQL front door for the ``open_table`` facade.
+
+The reference drives its Iceberg upsert through ``spark.sql`` text — a
+MERGE statement template (reference icberg/iceberg_tables.py:45-50,
+executed at :143-146) and plain SELECTs over catalog names. This engine's
+tables live at filesystem paths with three interchangeable layouts, so
+:func:`sql` accepts the same statement TEXT and delegates to the facade's
+already-green primitives:
+
+- ``MERGE INTO <target> AS t USING <view> AS s ON t.k = s.k
+  WHEN MATCHED THEN DELETE`` — the reference's exact template shape —
+  and ``... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+  *`` (delta/delta_tables.py:159-160's API equivalent). Anything else
+  fails loudly: a silently-misparsed MERGE is how tables rot.
+- ``SELECT ... FROM <table> [VERSION AS OF n | TIMESTAMP AS OF ts]`` —
+  time-travel reads resolve through the facade, everything else in the
+  statement stays Spark SQL (Catalyst sees one rewritten SELECT, so
+  pushdown/pruning behave exactly as a plain view read).
+
+Table references resolve through the ``tables`` mapping (statement
+identifier -> path or :class:`~aws_glue_data_lake_spark.table.Table`),
+or inline as ``delta.`/path``` / ``iceberg.`/path``` / ``lake.`/path```
+(delta-spark's path-literal form), or as a bare path containing ``/``
+(layout auto-detected). Scale: the shim only REWRITES text and registers
+temp views over facade reads — no extra materialization; MERGE delegates
+to the pruned CoW / O(batch) MoR write paths unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_glue_data_lake_spark.table import Table, open_table
+
+__all__ = ["sql"]
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)"
+    r"\s+(?:AS\s+)?(?P<talias>\w+)"
+    r"\s+USING\s+(?P<source>[\w.]+)\s+(?:AS\s+)?(?P<salias>\w+)"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PATH_LITERAL_RE = re.compile(
+    r"^(?P<fmt>delta|iceberg|lake)\.`(?P<path>[^`]+)`$", re.IGNORECASE
+)
+_TIME_TRAVEL_RE = re.compile(
+    r"(?P<ref>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>'[^']*'|\S+)",
+    re.IGNORECASE,
+)
+
+
+def _resolve(ref: str, tables: dict | None) -> Table | None:
+    """A statement identifier -> facade handle, or None when the name is
+    not ours (it stays for Spark SQL to resolve as a view/catalog
+    table)."""
+    ref = ref.strip()
+    if tables and ref in tables:
+        t = tables[ref]
+        return t if isinstance(t, Table) else open_table(str(t))
+    m = _PATH_LITERAL_RE.match(ref)
+    if m:
+        return open_table(m.group("path"), m.group("fmt").lower())
+    bare = ref.strip("`")
+    if "/" in bare:
+        return open_table(bare)
+    return None
+
+
+def _merge_keys(cond: str, talias: str, salias: str) -> list[tuple[str, str]]:
+    """Parse an ANDed equi-join MERGE condition into (target col, source
+    col) pairs; anything non-equi fails loudly."""
+    pairs = []
+    for clause in re.split(r"\s+AND\s+", cond.strip(), flags=re.IGNORECASE):
+        m = re.match(
+            r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", clause.strip()
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported MERGE condition clause {clause!r}: only "
+                "ANDed alias.col = alias.col equality is supported"
+            )
+        a1, c1, a2, c2 = m.groups()
+        if a1.lower() == talias.lower() and a2.lower() == salias.lower():
+            pairs.append((c1, c2))
+        elif a1.lower() == salias.lower() and a2.lower() == talias.lower():
+            pairs.append((c2, c1))
+        else:
+            raise ValueError(
+                f"MERGE condition {clause!r} does not reference both "
+                f"aliases {talias!r} and {salias!r}"
+            )
+    return pairs
+
+
+def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
+    target = _resolve(m.group("target"), tables)
+    if target is None:
+        raise ValueError(
+            f"MERGE target {m.group('target')!r} is not a known table "
+            "(pass it in `tables=` or use the fmt.`/path` literal form)"
+        )
+    source = spark.table(m.group("source"))
+    pairs = _merge_keys(m.group("cond"), m.group("talias"), m.group("salias"))
+    # align source columns to the target key names
+    src = source
+    for tcol, scol in pairs:
+        if tcol != scol:
+            src = src.withColumnRenamed(scol, tcol)
+    keys = [tcol for tcol, _ in pairs]
+    clauses = re.sub(r"\s+", " ", m.group("clauses")).strip().upper()
+    if clauses == "WHEN MATCHED THEN DELETE":
+        # the reference's template (icberg/iceberg_tables.py:46-49):
+        # target rows matching the batch's keys are deleted; the caller
+        # appends the deduped batch afterwards
+        empty = src.limit(0)
+        target.upsert(empty, keys=keys, delete_keys=src.select(*keys))
+    elif clauses == (
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ):
+        target.upsert(src, keys=keys)
+    else:
+        raise ValueError(
+            f"unsupported MERGE clause shape {clauses!r}: supported are "
+            "'WHEN MATCHED THEN DELETE' and 'WHEN MATCHED THEN UPDATE "
+            "SET * WHEN NOT MATCHED THEN INSERT *'"
+        )
+
+
+def sql(
+    spark: SparkSession, statement: str, tables: dict | None = None
+) -> DataFrame | None:
+    """Execute one SQL statement against facade tables (module doc for
+    the supported surface). MERGE returns None (like ``spark.sql``'s
+    empty result for DML against a path table); SELECT returns the
+    DataFrame of the rewritten query."""
+    m = _MERGE_RE.match(statement)
+    if m:
+        _run_merge(spark, m, tables)
+        return None
+
+    # SELECT path: materialize time-travel and facade references as
+    # temp views, leave the rest of the statement to Spark SQL
+    rewritten = statement
+
+    def tt_sub(match: re.Match) -> str:
+        t = _resolve(match.group("ref"), tables)
+        if t is None:
+            return match.group(0)
+        kind = match.group("kind").upper()
+        val = match.group("val").strip("'")
+        df = (
+            t.read(spark, version=int(val))
+            if kind == "VERSION"
+            else t.read(spark, timestamp_ms=int(val))
+        )
+        view = f"__sqlfront_{_uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TIME_TRAVEL_RE.sub(tt_sub, rewritten)
+    for name, t in (tables or {}).items():
+        if re.search(rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", rewritten):
+            handle = t if isinstance(t, Table) else open_table(str(t))
+            view = f"__sqlfront_{_uuid.uuid4().hex}"
+            handle.read(spark).createOrReplaceTempView(view)
+            rewritten = re.sub(
+                rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", view, rewritten
+            )
+    def lit_sub(match: re.Match) -> str:
+        handle = open_table(match.group("path"), match.group("fmt").lower())
+        view = f"__sqlfront_{_uuid.uuid4().hex}"
+        handle.read(spark).createOrReplaceTempView(view)
+        return view
+
+    rewritten = re.sub(
+        r"(?P<fmt>delta|iceberg|lake)\.`(?P<path>[^`]+)`",
+        lit_sub,
+        rewritten,
+        flags=re.IGNORECASE,
+    )
+    return spark.sql(rewritten)
