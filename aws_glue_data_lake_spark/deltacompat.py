@@ -2076,17 +2076,55 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "merge (MERGE)")
-        mode = (snap.configuration or {}).get(
+        cm_mode = (snap.configuration or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode not in ("", "none"):
+        if cm_mode not in ("", "none") and merge_schema:
             raise DeltaProtocolError(
-                "merge into a columnMapping table is not supported: this "
-                "writer stages files under logical column names"
+                "merge_schema into a columnMapping table is not "
+                "supported: new columns would need fresh "
+                "columnMapping ids/physicalNames assigned"
             )
         self._check_constraints(source, snap.configuration)
         actions, table_schema = self._schema_evolution_actions(
             source, snap, merge_schema
+        )
+        phys_of = {
+            f.name: DeltaTableReader._physical_name(f)
+            for f in snap.schema.fields
+        }
+        fid_of_name = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.id")
+            for f in snap.schema.fields
+        }
+
+        def to_physical(df: DataFrame) -> DataFrame:
+            """columnMapping tables store PHYSICAL column names (and
+            field IDs) in the file bytes and partitionValues — staging
+            under logical names would read back as silent nulls. The
+            reader aliases physical back to logical, so this round-trips
+            (mirrors what delta-spark's writer emits). ``_change_type``
+            in cdc files is a literal column, never mapped."""
+            if cm_mode in ("", "none"):
+                return df
+            cols = []
+            for c in df.columns:
+                pn = phys_of.get(c, c)
+                fid = fid_of_name.get(c)
+                if fid is not None:
+                    cols.append(
+                        F.col(c).alias(
+                            pn, metadata={"parquet.field.id": int(fid)}
+                        )
+                    )
+                else:
+                    cols.append(F.col(c).alias(pn))
+            return df.select(*cols)
+
+        part_stage = (
+            snap.partition_columns
+            if cm_mode in ("", "none")
+            else tuple(phys_of.get(c, c) for c in snap.partition_columns)
         )
         keys = list(keys)
         missing = [k for k in keys if k not in source.columns]
@@ -2108,12 +2146,17 @@ class DeltaTableWriter:
             *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
         ).collect()[0]
 
-        def overlaps(path: str) -> bool:
+        # stats/partitionValues in the log are keyed by PHYSICAL names;
+        # bounds are positional, so pruning just looks keys up under
+        # their physical spelling (== logical for unmapped tables)
+        prune_keys = [phys_of.get(k, k) for k in keys]
+
+        def overlaps(path: str, pv: dict) -> bool:
             return _key_range_overlaps(
-                (snap.stats or {}).get(path), keys, bounds
+                (snap.stats or {}).get(path), prune_keys, bounds, pv=pv
             )
 
-        affected = [p for p, _pv, _dv in snap.files if overlaps(p)]
+        affected = [p for p, pv, _dv in snap.files if overlaps(p, pv)]
         out = source
         live = None
         if affected:
@@ -2174,7 +2217,7 @@ class DeltaTableWriter:
             cdc_actions = [
                 {"cdc": c}
                 for c in self._stage_files(
-                    changes, snap.partition_columns, cdc=True
+                    to_physical(changes), part_stage, cdc=True
                 )
             ]
         removes = [
@@ -2187,7 +2230,7 @@ class DeltaTableWriter:
             }
             for p in affected
         ]
-        adds = self._stage_files(out, snap.partition_columns)
+        adds = self._stage_files(to_physical(out), part_stage)
 
         def winner_add_conflicts(add: dict) -> bool:
             # the same key-range pruning that picked this MERGE's
@@ -2200,7 +2243,9 @@ class DeltaTableWriter:
                     st = json.loads(st)
                 except ValueError:
                     return True
-            return _key_range_overlaps(st, keys, bounds)
+            return _key_range_overlaps(
+                st, prune_keys, bounds, pv=add.get("partitionValues")
+            )
 
         v = snap.version + 1
         return self._commit_read_dependent(

@@ -25,9 +25,18 @@ manifest planning and parallelizes across the thread pool.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ["parquet_field_id_mappings", "group_paths_by_mapping"]
+
+#: (abs path, size, mtime_ns) -> {field id -> physical name}. Data files
+#: in every format here are IMMUTABLE once committed (uuid-named, never
+#: appended), so a size+mtime key is a sound identity and repeated scans
+#: of the same snapshot skip the footer I/O entirely. Bounded eviction
+#: keeps a long-lived driver from accumulating unboundedly.
+_CACHE: dict[tuple, dict[int, str]] = {}
+_CACHE_MAX = 65536
 
 
 def parquet_field_id_mappings(
@@ -37,11 +46,18 @@ def parquet_field_id_mappings(
     mapping from its footer (empty when the file carries no field IDs).
     Raises — never silently degrades to name resolution — when a footer
     cannot be read: a table whose footers are unreadable must fail at
-    plan time, not return wrong rows at scan time."""
+    plan time, not return wrong rows at scan time. Results are memoized
+    on (path, size, mtime), so only a snapshot's NEW files pay the
+    footer read on repeat scans."""
     import pyarrow.parquet as pq
 
     def one(p: str) -> dict[int, str]:
         try:
+            st = os.stat(p)
+            key = (os.path.abspath(p), st.st_size, st.st_mtime_ns)
+            hit = _CACHE.get(key)
+            if hit is not None:
+                return hit
             sch = pq.ParquetFile(p).schema_arrow
         except Exception as exc:  # noqa: BLE001 — re-raised, loud
             raise IOError(
@@ -53,6 +69,9 @@ def parquet_field_id_mappings(
             fid = md.get(b"PARQUET:field_id")
             if fid is not None:
                 out[int(fid)] = f.name
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.clear()
+        _CACHE[key] = out
         return out
 
     if not paths:

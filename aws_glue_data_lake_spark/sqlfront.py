@@ -113,22 +113,71 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
         if tcol != scol:
             src = src.withColumnRenamed(scol, tcol)
     keys = [tcol for tcol, _ in pairs]
-    clauses = re.sub(r"\s+", " ", m.group("clauses")).strip().upper()
-    if clauses == "WHEN MATCHED THEN DELETE":
+    clauses = re.sub(r"\s+", " ", m.group("clauses")).strip()
+    cdc = re.match(
+        r"^WHEN MATCHED AND (?P<pred>.+?) THEN DELETE\s+"
+        r"WHEN MATCHED THEN UPDATE SET \*\s+"
+        r"WHEN NOT MATCHED THEN INSERT \*$",
+        clauses,
+        re.IGNORECASE,
+    )
+    up = clauses.upper()
+    if up == "WHEN MATCHED THEN DELETE":
         # the reference's template (icberg/iceberg_tables.py:46-49):
         # target rows matching the batch's keys are deleted; the caller
         # appends the deduped batch afterwards
         empty = src.limit(0)
         target.upsert(empty, keys=keys, delete_keys=src.select(*keys))
-    elif clauses == (
+    elif up == (
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     ):
+        tcols = target.read(spark).columns
+        if all(c in src.columns for c in tcols):
+            src = src.select(*tcols)  # drop source-only routing columns
         target.upsert(src, keys=keys)
+    elif cdc:
+        # the full CDC shape delta-spark users write: a source-side
+        # predicate (e.g. s.Op = 'D') routes rows to DELETE, the rest
+        # upsert. The predicate must reference only the source alias —
+        # it evaluates on the batch, never rescanning the target.
+        pred = cdc.group("pred")
+        if re.search(
+            rf"\b{re.escape(m.group('talias'))}\.", pred, re.IGNORECASE
+        ):
+            raise ValueError(
+                f"MERGE delete predicate {pred!r} references the target "
+                "alias; only source-side predicates are supported"
+            )
+        pred_expr = re.sub(
+            rf"\b{re.escape(m.group('salias'))}\.",
+            "",
+            pred,
+            flags=re.IGNORECASE,
+        )
+        from pyspark.sql import functions as F
+
+        dels = src.where(F.expr(pred_expr))
+        keep = src.where(~F.coalesce(F.expr(pred_expr), F.lit(False)))
+        # UPDATE SET * / INSERT * write the TARGET's columns: project
+        # away source-only routing columns (Op etc.), loud if a target
+        # column is missing from the batch
+        tcols = target.read(spark).columns
+        missing = [c for c in tcols if c not in keep.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE source lacks target column(s) {missing} "
+                "required by UPDATE SET * / INSERT *"
+            )
+        target.upsert(
+            keep.select(*tcols), keys=keys, delete_keys=dels.select(*keys)
+        )
     else:
         raise ValueError(
             f"unsupported MERGE clause shape {clauses!r}: supported are "
-            "'WHEN MATCHED THEN DELETE' and 'WHEN MATCHED THEN UPDATE "
-            "SET * WHEN NOT MATCHED THEN INSERT *'"
+            "'WHEN MATCHED THEN DELETE', 'WHEN MATCHED THEN UPDATE "
+            "SET * WHEN NOT MATCHED THEN INSERT *', and the CDC shape "
+            "'WHEN MATCHED AND <src pred> THEN DELETE WHEN MATCHED THEN "
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *'"
         )
 
 

@@ -2569,3 +2569,94 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     # the automatic every-N checkpoint cadence also writes v2 now
     w2 = DeltaTableWriter(path)
     w2.set_property("delta.checkpointInterval", "2")
+
+
+def test_merge_into_column_mapping_table(spark, tmp_path):
+    """MERGE into a columnMapping=id table (the Databricks/iceberg-compat
+    layout r8's writer refused): rewritten+inserted rows stage under the
+    table's PHYSICAL column names with parquet field IDs, so the
+    id-resolving reader — and any conforming foreign reader — reads them
+    back; pre-merge files with different on-disk names still resolve
+    per-footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cmmerge")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    fp = os.path.join(path, "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64())],
+            schema=pa.schema(
+                [idfield("file_col_k", pa.int64(), 1),
+                 idfield("file_col_v", pa.int64(), 2)]
+            ),
+        ),
+        fp,
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa",
+            }},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb",
+            }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "t-cm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part-0.parquet", "partitionValues": {},
+            "size": os.path.getsize(fp), "modificationTime": 0,
+            "dataChange": True,
+        }}) + "\n")
+
+    w = DeltaTableWriter(path)
+    w.merge(
+        spark,
+        spark.createDataFrame([(2, 99), (5, 50)], "k long, v long"),
+        keys=["k"],
+    )
+    r = DeltaTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 10), (2, 99), (5, 50)]
+    # every staged file carries PHYSICAL names + the mapping's field ids
+    snap = r.snapshot()
+    staged = [p for p, _, _ in snap.files if os.path.abspath(p) !=
+              os.path.abspath(fp)]
+    assert staged
+    for p in staged:
+        sch = pq.ParquetFile(p).schema_arrow
+        names = {f.name for f in sch}
+        assert names <= {"col-aaa", "col-bbb"}, names
+        fids = {
+            int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+        }
+        assert fids == {1, 2}
+    # merge_schema into a mapped table still gates loudly
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
+        w.merge(
+            spark,
+            spark.createDataFrame([(7, 70, "x")], "k long, v long, w string"),
+            keys=["k"],
+            merge_schema=True,
+        )

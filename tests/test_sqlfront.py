@@ -111,3 +111,28 @@ def test_unsupported_shapes_fail_loudly(spark, tmp_path):
             "MERGE INTO nowhere AS t USING u2 AS s ON t.k = s.k "
             "WHEN MATCHED THEN DELETE",
         )
+
+
+def test_merge_cdc_shape_with_delete_predicate(spark, tmp_path):
+    """The full CDC MERGE (delta-spark's common template): a
+    source-side predicate routes rows to DELETE, the rest upsert."""
+    path = str(tmp_path / "d")
+    t = open_table(path, "delta").create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        )
+    )
+    spark.createDataFrame(
+        [(2, 99, "U"), (3, 0, "D"), (4, 40, "I")],
+        "k long, v long, Op string",
+    ).createOrReplaceTempView("cdc_batch")
+    sql(
+        spark,
+        f"MERGE INTO delta.`{path}` AS t USING cdc_batch AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.Op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 99), (4, 40)]
