@@ -1815,6 +1815,47 @@ class DeltaTableWriter:
         writer |= set(proto.get("writerFeatures", ()))
         return sorted(reader), sorted(writer)
 
+    @staticmethod
+    def _physical_stage_ctx(snap: DeltaSnapshot):
+        """(to_physical fn, physical partition columns) for staging data
+        under a columnMapping table: file bytes and partitionValues use
+        PHYSICAL names + parquet field IDs (what delta-spark's writer
+        emits; logical-named files would read back as silent nulls).
+        Identity for unmapped tables. ``_change_type`` in cdc files is a
+        literal column, never mapped."""
+        cm = (snap.configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cm in ("", "none"):
+            return (lambda df: df), snap.partition_columns
+        phys_of = {
+            f.name: DeltaTableReader._physical_name(f)
+            for f in snap.schema.fields
+        }
+        fid_of = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.id")
+            for f in snap.schema.fields
+        }
+
+        def to_physical(df: DataFrame) -> DataFrame:
+            cols = []
+            for c in df.columns:
+                pn = phys_of.get(c, c)
+                fid = fid_of.get(c)
+                if fid is not None:
+                    cols.append(
+                        F.col(c).alias(
+                            pn, metadata={"parquet.field.id": int(fid)}
+                        )
+                    )
+                else:
+                    cols.append(F.col(c).alias(pn))
+            return df.select(*cols)
+
+        return to_physical, tuple(
+            phys_of.get(c, c) for c in snap.partition_columns
+        )
+
     def enable_in_commit_timestamps(self) -> int:
         """Writer feature inCommitTimestamp: commitInfo carries the
         authoritative MONOTONIC commit time from here on (file mtimes
@@ -2021,7 +2062,8 @@ class DeltaTableWriter:
                 df, snap, merge_schema
             )
             if adds is None:
-                adds = self._stage_files(df, snap.partition_columns)
+                to_phys, part_stage = self._physical_stage_ctx(snap)
+                adds = self._stage_files(to_phys(df), part_stage)
             if txn is not None:
                 actions = actions + [
                     {
@@ -2093,39 +2135,7 @@ class DeltaTableWriter:
             f.name: DeltaTableReader._physical_name(f)
             for f in snap.schema.fields
         }
-        fid_of_name = {
-            f.name: (f.metadata or {}).get("delta.columnMapping.id")
-            for f in snap.schema.fields
-        }
-
-        def to_physical(df: DataFrame) -> DataFrame:
-            """columnMapping tables store PHYSICAL column names (and
-            field IDs) in the file bytes and partitionValues — staging
-            under logical names would read back as silent nulls. The
-            reader aliases physical back to logical, so this round-trips
-            (mirrors what delta-spark's writer emits). ``_change_type``
-            in cdc files is a literal column, never mapped."""
-            if cm_mode in ("", "none"):
-                return df
-            cols = []
-            for c in df.columns:
-                pn = phys_of.get(c, c)
-                fid = fid_of_name.get(c)
-                if fid is not None:
-                    cols.append(
-                        F.col(c).alias(
-                            pn, metadata={"parquet.field.id": int(fid)}
-                        )
-                    )
-                else:
-                    cols.append(F.col(c).alias(pn))
-            return df.select(*cols)
-
-        part_stage = (
-            snap.partition_columns
-            if cm_mode in ("", "none")
-            else tuple(phys_of.get(c, c) for c in snap.partition_columns)
-        )
+        to_physical, part_stage = self._physical_stage_ctx(snap)
         keys = list(keys)
         missing = [k for k in keys if k not in source.columns]
         if missing:
@@ -2266,6 +2276,16 @@ class DeltaTableWriter:
         snap = r.snapshot()
         self._require_mutable(snap, "overwrite_partition")
         self._check_constraints(df, snap.configuration)
+        to_phys, part_stage = self._physical_stage_ctx(snap)
+        # partitionValues in the log are keyed by PHYSICAL names; the
+        # caller passes logical kwargs
+        phys_by_logical = {
+            f.name: DeltaTableReader._physical_name(f)
+            for f in snap.schema.fields
+        }
+        part_phys = {
+            phys_by_logical.get(k, k): str(v) for k, v in partition.items()
+        }
         removes = [
             {
                 "remove": {
@@ -2275,7 +2295,7 @@ class DeltaTableWriter:
                 }
             }
             for p, pv, _dv in snap.files
-            if all(pv.get(k) == str(v) for k, v in partition.items())
+            if all(pv.get(k) == v for k, v in part_phys.items())
         ]
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
@@ -2290,12 +2310,11 @@ class DeltaTableWriter:
             cdc_actions = [
                 {"cdc": c}
                 for c in self._stage_files(
-                    old.unionByName(new), snap.partition_columns, cdc=True
+                    to_phys(old.unionByName(new)), part_stage, cdc=True
                 )
             ]
-        adds = self._stage_files(df, snap.partition_columns)
+        adds = self._stage_files(to_phys(df), part_stage)
         v = snap.version + 1
-        part = {k: str(pv) for k, pv in partition.items()}
         return self._commit_read_dependent(
             v,
             removes + [{"add": a} for a in adds] + cdc_actions,
@@ -2305,11 +2324,11 @@ class DeltaTableWriter:
             read_files={
                 os.path.abspath(p)
                 for p, pv, _dv in snap.files
-                if all(pv.get(k) == pval for k, pval in part.items())
+                if all(pv.get(k) == pval for k, pval in part_phys.items())
             },
             add_conflict=lambda a: all(
                 (a.get("partitionValues") or {}).get(k) == pval
-                for k, pval in part.items()
+                for k, pval in part_phys.items()
             ),
         )
 
@@ -2551,7 +2570,8 @@ class DeltaTableWriter:
                 if target_files > 1
                 else df.coalesce(1)
             )
-        adds = self._stage_files(df, snap.partition_columns)
+        to_phys, part_stage = self._physical_stage_ctx(snap)
+        adds = self._stage_files(to_phys(df), part_stage)
         for a in adds:
             a["dataChange"] = False
         removes = [
@@ -2732,10 +2752,11 @@ class DeltaTableWriter:
                 .where(cond)
                 .withColumn("_change_type", F.lit("delete"))
             )
+            to_phys, part_stage = self._physical_stage_ctx(snap)
             cdc_actions = [
                 {"cdc": c}
                 for c in self._stage_files(
-                    deleted, snap.partition_columns, cdc=True
+                    to_phys(deleted), part_stage, cdc=True
                 )
             ]
         dv_uuid = uuid.uuid4()
@@ -2944,12 +2965,11 @@ class DeltaTableWriter:
                 )
             )
             if not changes.isEmpty():
+                to_phys, part_stage = self._physical_stage_ctx(tgt)
                 actions = actions + [
                     {"cdc": c}
                     for c in self._stage_files(
-                        changes,
-                        tuple(tgt.raw_meta.get("partitionColumns", ())),
-                        cdc=True,
+                        to_phys(changes), part_stage, cdc=True
                     )
                 ]
         v = cur.version + 1

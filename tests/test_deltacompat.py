@@ -2660,3 +2660,98 @@ def test_merge_into_column_mapping_table(spark, tmp_path):
             keys=["k"],
             merge_schema=True,
         )
+
+
+def test_column_mapping_append_optimize_overwrite(spark, tmp_path):
+    """Every write path on a columnMapping table must stage PHYSICAL
+    column names (r9: append/OPTIMIZE/overwrite_partition staged logical
+    names, which the physical-pinned reader read back as nulls) and
+    overwrite_partition must match partitionValues under their physical
+    keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cmops")
+    log = os.path.join(path, "_delta_log")
+    data_dir = os.path.join(path, "p-part=a")
+    os.makedirs(log)
+    os.makedirs(data_dir)
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    fp = os.path.join(data_dir, "f0.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array([10, 20], pa.int64())],
+            schema=pa.schema(
+                [idfield("p-k", pa.int64(), 1),
+                 idfield("p-v", pa.int64(), 2)]
+            ),
+        ),
+        fp,
+    )
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "p-k",
+            }},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "p-v",
+            }},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 3,
+                 "delta.columnMapping.physicalName": "p-part",
+             }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "t-cmops", "format": {"provider": "parquet",
+                                        "options": {}},
+            "schemaString": schema_string, "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "p-part=a/f0.parquet",
+            "partitionValues": {"p-part": "a"},
+            "size": os.path.getsize(fp), "modificationTime": 0,
+            "dataChange": True,
+        }}) + "\n")
+
+    w = DeltaTableWriter(path)
+    r = DeltaTableReader(path)
+
+    def state():
+        return sorted(
+            (x["k"], x["v"], x["part"]) for x in r.to_df(spark).collect()
+        )
+
+    # append: physical names in the staged bytes, physical partition dirs
+    w.append(spark.createDataFrame([(3, 30, "b")],
+                                   "k long, v long, part string"))
+    assert state() == [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")]
+    # overwrite one partition, matched by its PHYSICAL partitionValues key
+    w.overwrite_partition(
+        spark.createDataFrame([(9, 90, "a")], "k long, v long, part string"),
+        part="a",
+    )
+    assert state() == [(3, 30, "b"), (9, 90, "a")]
+    # optimize: compaction must also round-trip physical names
+    w.optimize(spark, target_files=1)
+    assert state() == [(3, 30, "b"), (9, 90, "a")]
+    # staged files carry physical names only
+    snap = r.snapshot()
+    for p, _, _ in snap.files:
+        names = {f.name for f in pq.ParquetFile(p).schema_arrow}
+        assert names <= {"p-k", "p-v"}, (p, names)
