@@ -53,6 +53,13 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "v2Checkpoint",
+    # the scan pins the table's (widened) schema and Spark 4's parquet
+    # reader upcasts narrower file types natively (int32->long,
+    # float->double, int->decimal — verified empirically), so files
+    # written before an ALTER COLUMN TYPE read correctly as-is; the
+    # delta.typeWidening.* field metadata is scan-inert
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")

@@ -685,6 +685,49 @@ class IcebergTableReader:
         return os.path.join(self.path, p)
 
     @staticmethod
+    def _read_avro_columns(
+        spark: SparkSession, paths: list[str], out_schema_ddl: str,
+        names: list[str], with_source_path: str | None = None,
+    ) -> DataFrame:
+        """Distributed read of Avro container files into the named
+        columns (delete files can be Avro per the spec's per-file
+        formats). A file missing one of ``names`` fails loudly — a
+        silently-NULL equality column would delete NULL-keyed rows.
+        ``with_source_path`` optionally appends the source file path
+        column (the eq-delete sequence-gate key)."""
+
+        def gen(batches):
+            import pandas as pd
+
+            from aws_glue_data_lake_spark.avrolite import read_container
+
+            for pdf in batches:
+                for p in pdf["path"]:
+                    sch, records, _ = read_container(p)
+                    have = {f["name"] for f in sch.get("fields", ())}
+                    missing = [n for n in names if n not in have]
+                    if missing:
+                        raise IcebergProtocolError(
+                            f"Avro delete file {p} lacks field(s) "
+                            f"{missing}"
+                        )
+                    cols = {
+                        n: pd.Series(
+                            [r.get(n) for r in records], dtype=object
+                        )
+                        for n in names
+                    }
+                    out = pd.DataFrame(cols)
+                    if with_source_path is not None:
+                        out[with_source_path] = p
+                    yield out
+
+        src = spark.createDataFrame([(p,) for p in paths], "path string")
+        if len(paths) > 1:
+            src = src.repartition(min(len(paths), 64))
+        return src.mapInPandas(gen, out_schema_ddl)
+
+    @staticmethod
     def _scan_with_positions(
         spark: SparkSession, paths: list[str], read_schema, fmt: str
     ) -> DataFrame:
@@ -924,14 +967,12 @@ class IcebergTableReader:
                 df_rec = e["data_file"]
                 content = df_rec.get("content", 1 if is_delete_manifest else 0)
                 fmt = df_rec.get("file_format", "PARQUET").upper()
-                if (
-                    fmt not in ("PARQUET", "ORC")
-                    and not (fmt == "PUFFIN" and content == 1)
-                    and not (fmt == "AVRO" and content == 0)
+                if fmt not in ("PARQUET", "ORC", "AVRO") and not (
+                    fmt == "PUFFIN" and content == 1
                 ):
-                    # AVRO data files scan via the avrolite positional
-                    # reader; AVRO delete files stay gated. PUFFIN is
-                    # only meaningful as a v3 deletion-vector carrier.
+                    # AVRO data/delete files decode via avrolite
+                    # readers; PUFFIN is only meaningful as a v3
+                    # deletion-vector carrier.
                     raise IcebergProtocolError(
                         f"unsupported file format {df_rec['file_format']!r}"
                     )
@@ -1372,6 +1413,14 @@ class IcebergTableReader:
                 groups.setdefault(fmts.get(p, "PARQUET"), []).append(p)
             parts = []
             for fmt, ps in sorted(groups.items()):
+                if fmt == "AVRO":
+                    parts.append(
+                        self._read_avro_columns(
+                            spark, ps, "file_path string, pos long",
+                            ["file_path", "pos"],
+                        )
+                    )
+                    continue
                 rd = spark.read
                 parts.append(
                     rd.parquet(*ps) if fmt == "PARQUET" else rd.orc(*ps)
@@ -1453,6 +1502,31 @@ class IcebergTableReader:
                         ).append(p)
                     parts = []
                     for f2, ps in sorted(by_f.items()):
+                        if f2 == "AVRO":
+                            ddl = ", ".join(
+                                f"`{c}` {type_of[c].simpleString()}"
+                                for c in names
+                            )
+                            av = self._read_avro_columns(
+                                spark, ps,
+                                ddl + ", __dm_key string",
+                                list(names),
+                                with_source_path="__dm_key",
+                            )
+                            parts.append(
+                                av.select(
+                                    *[
+                                        F.col(c).alias(f"__eq_{c}")
+                                        for c in names
+                                    ],
+                                    F.regexp_replace(
+                                        F.col("__dm_key"),
+                                        "^file:(//)?",
+                                        "",
+                                    ).alias("__dm_key"),
+                                )
+                            )
+                            continue
                         if f2 != "PARQUET":
                             parts.append(
                                 spark.read.orc(*ps).select(

@@ -2755,3 +2755,62 @@ def test_column_mapping_append_optimize_overwrite(spark, tmp_path):
     for p, _, _ in snap.files:
         names = {f.name for f in pq.ParquetFile(p).schema_arrow}
         assert names <= {"p-k", "p-v"}, (p, names)
+
+
+def test_type_widening_table_reads(spark, tmp_path):
+    """Reader feature typeWidening: a file written while the column was
+    INT must read under the widened BIGINT/DOUBLE table schema (Spark's
+    parquet reader upcasts natively; the pinned schema is the widened
+    one). Unsupported reader features still hard-fail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tw")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    fp = os.path.join(path, "old.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int32()),
+                  "v": pa.array([1.5, 2.5], pa.float32())}), fp)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.typeWidening": [{"fromType": "integer",
+                                        "toType": "long",
+                                        "tableVersion": 1}]}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "t-tw", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.enableTypeWidening": "true"},
+            "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "old.parquet", "partitionValues": {},
+            "size": os.path.getsize(fp), "modificationTime": 0,
+            "dataChange": True,
+        }}) + "\n")
+    r = DeltaTableReader(path)
+    got = sorted((x["k"], x["v"]) for x in r.to_df(spark).collect())
+    assert got == [(1, 1.5), (2, 2.5)]
+    sch = {f.name: f.dataType.typeName() for f in r.snapshot().schema.fields}
+    assert sch == {"k": "long", "v": "double"}
+    # an unknown reader feature still gates loudly
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening", "someFutureFeature"],
+            "writerFeatures": ["typeWidening"],
+        }}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        DeltaTableReader(path).snapshot()

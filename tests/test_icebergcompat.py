@@ -2332,3 +2332,122 @@ def test_v3_delete_where_writes_puffin_dvs(spark, tmp_path):
     assert old == [0, 2, 4, 5, 6, 7]
     # metadata stayed v3 across commits
     assert IcebergTableReader(path)._metadata()["format-version"] == 3
+
+
+def test_avro_delete_files_apply(spark, tmp_path):
+    """Delete files can be Avro too (spec: per-file formats apply to
+    delete files): an Avro position-delete and an Avro equality-delete
+    both apply; an eq-delete missing its equality field fails loudly
+    instead of deleting NULL-keyed rows."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _MANIFEST_LIST_SCHEMA as MLS,
+    )
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _STATUS_ADDED,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+    )
+
+    path = str(tmp_path / "avrodel")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    fp = os.path.join(data_dir, "a.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40], pa.int64())}), fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "long"},
+    ]
+    _mk_migrated_table(path, [(fp, 4)], mapping=None,
+                       schema_fields=schema_fields)
+    # avro POSITION delete: kills position 0 (k=1)
+    pd_av = os.path.join(data_dir, "posdel.avro")
+    write_container(
+        pd_av,
+        {"type": "record", "name": "pd", "fields": [
+            {"name": "file_path", "type": ["null", "string"],
+             "default": None},
+            {"name": "pos", "type": ["null", "long"], "default": None},
+        ]},
+        [{"file_path": fp, "pos": 0}],
+    )
+    # avro EQUALITY delete on k: kills k=3
+    ed_av = os.path.join(data_dir, "eqdel.avro")
+    write_container(
+        ed_av,
+        {"type": "record", "name": "ed", "fields": [
+            {"name": "k", "type": ["null", "long"], "default": None},
+        ]},
+        [{"k": 3}],
+    )
+    meta_dir = os.path.join(path, "metadata")
+    mschema = _manifest_entry_schema(_partition_avro_fields([]))
+
+    def del_entry(p2, content, eq=None, seq=2):
+        return {
+            "status": _STATUS_ADDED, "snapshot_id": 1,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": p2,
+                "file_format": "AVRO", "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(p2),
+                "equality_ids": eq,
+            },
+        }
+
+    m2 = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-dels.avro")
+    write_container(m2, mschema, [
+        del_entry(pd_av, 1),
+        del_entry(ed_av, 2, eq=[1]),
+    ], metadata={"format-version": "2"})
+    meta = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    ml = meta["snapshots"][0]["manifest-list"]
+    _, mfs, _ = read_container(ml)
+    mfs.append({
+        "manifest_path": m2, "manifest_length": os.path.getsize(m2),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 2, "min_sequence_number": 2,
+        "added_snapshot_id": 1,
+        "added_data_files_count": 2, "existing_data_files_count": 0,
+        "deleted_data_files_count": 0, "added_rows_count": 2,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    write_container(ml, MLS, mfs, metadata={"format-version": "2"})
+    got = sorted(
+        (x["k"], x["v"])
+        for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(2, 20), (4, 40)]  # pos 0 (k=1) + eq k=3 gone
+
+    # an avro eq-delete lacking the declared equality field: loud
+    bad = os.path.join(data_dir, "bad-eqdel.avro")
+    write_container(
+        bad,
+        {"type": "record", "name": "b", "fields": [
+            {"name": "other", "type": ["null", "long"], "default": None},
+        ]},
+        [{"other": 1}],
+    )
+    m3 = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-bad.avro")
+    write_container(m3, mschema, [del_entry(bad, 2, eq=[1], seq=3)],
+                    metadata={"format-version": "2"})
+    _, mfs2, _ = read_container(ml)
+    mfs2.append({
+        "manifest_path": m3, "manifest_length": os.path.getsize(m3),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 3, "min_sequence_number": 3,
+        "added_snapshot_id": 1,
+        "added_data_files_count": 1, "existing_data_files_count": 0,
+        "deleted_data_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })
+    write_container(ml, MLS, mfs2, metadata={"format-version": "2"})
+    with pytest.raises(Exception, match="lacks field"):
+        IcebergTableReader(path).to_df(spark).collect()
