@@ -2189,3 +2189,137 @@ def lake_sql_front_door_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS "
         f"n_regionkey FROM iceberg.`{path}` ORDER BY n_nationkey",
     )
+
+
+# --------------------------------------------------------------------------
+# Delta columnMapping write paths (round-9): a columnMapping=name table
+# (the Databricks layout — physical uuid-ish column names in the file
+# bytes and partitionValues, logical names only in the schemaString) is
+# hand-laid-down from nation, then driven through the writer's full
+# lifecycle: MERGE (CoW upsert), append, partition overwrite, OPTIMIZE.
+# Every staged file must carry PHYSICAL names + field IDs (r9 fixed
+# append/optimize/overwrite staging logical names = silent nulls on
+# read-back). Closed-form against nation.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_delta_colmap_write_state",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_regionkey = 0 THEN 'ow'
+            WHEN n_nationkey % 3 = 0 THEN LOWER(n_name)
+            ELSE n_name END AS n_name,
+       CAST(n_regionkey AS BIGINT) AS region
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def lake_delta_colmap_write_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("long").alias("region"),
+    )
+    path = session_tmpdir("colmap_write_") + "/t"
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "n_nationkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k1"}},
+            {"name": "n_name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-n2"}},
+            {"name": "region", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-r3"}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5,
+        }}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "cm-w", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["region"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }}) + "\n")
+    w = DeltaTableWriter(path)
+    # append populates the empty mapped table (physical staging)
+    w.append(n.where(F.col("region") != 4))
+    w.append(n.where(F.col("region") == 4))
+    # MERGE lower-cases every third nation (CoW, physical staging)
+    w.merge(
+        spark,
+        n.where(F.col("n_nationkey") % 3 == 0).withColumn(
+            "n_name", F.lower("n_name")
+        ),
+        keys=["n_nationkey"],
+    )
+    # overwrite region 0 with 'ow' names (physical partitionValues match)
+    w.overwrite_partition(
+        n.where(F.col("region") == 0).withColumn("n_name", F.lit("ow")),
+        region="0",
+    )
+    # OPTIMIZE folds the churn; content must be hash-identical
+    w.optimize(spark, target_files=1)
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .select("n_nationkey", "n_name", F.col("region").cast("bigint"))
+        .orderBy("n_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Iceberg v3 deletion-vector WRITE (round-9): create a format-version-3
+# table from nation, run two DELETEs through the puffin-DV write path
+# (spec: v3 writers must use deletion vectors, not loose position
+# files) — the second unions into the first file's DV and supersedes
+# its manifest entry — then read back through the metadata walk.
+# Closed-form against nation.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_v3_dv_write_state",
+    oracle="""
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_nationkey % 4 <> 0 AND n_nationkey <> 2
+ORDER BY n_nationkey
+""",
+)
+def lake_iceberg_v3_dv_write_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    path = session_tmpdir("v3_dv_write_") + "/t"
+    w = IcebergTableWriter(path)
+    w.create(n.coalesce(1), format_version=3)
+    w.delete_where(spark, "n_nationkey % 4 = 0")
+    w.delete_where(spark, "n_nationkey = 2")
+    return (
+        IcebergTableReader(path)
+        .to_df(spark)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
