@@ -93,8 +93,9 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
     path = str(tmp_path / "d")
     w = DeltaTableWriter(path)
     w.create(spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"))
-    # doctor the log to demand type widening (a real protocol reader
-    # feature this implementation does not honor)
+    # doctor the log to demand variant shredding (a real protocol
+    # reader feature this implementation does not honor; typeWidening
+    # graduated to supported in r9)
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(log)]
     for ln in lines:
@@ -102,14 +103,14 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
             ln["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["typeWidening"],
-                "writerFeatures": ["typeWidening"],
+                "readerFeatures": ["variantShredding"],
+                "writerFeatures": ["variantShredding"],
             }
     os.remove(log)
     with open(log, "w") as f:
         for ln in lines:
             f.write(json.dumps(ln) + "\n")
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantShredding"):
         DeltaTableReader(path).to_df(spark)
 
 
