@@ -60,6 +60,20 @@ _SUPPORTED_READER_FEATURES = {
     # delta.typeWidening.* field metadata is scan-inert
     "typeWidening",
     "typeWidening-preview",
+    # constrains VACUUM (which this writer already performs
+    # protocol-correctly: only unreferenced files, retention honored);
+    # zero reader behavior change — newer Databricks/delta-spark
+    # runtimes stamp it into readerFeatures by default, so refusing it
+    # refuses perfectly readable tables
+    "vacuumProtocolCheck",
+    # VARIANT columns roundtrip natively: schemaString "variant" parses
+    # via StructType.fromJson and Spark 4's parquet reader decodes the
+    # (metadata, value) physical pair under a pinned VariantType schema
+    # (verified empirically; variant_get already exercised in
+    # scalar_variant_navigation). variantShredding stays refused — a
+    # shredded layout changes the physical read path.
+    "variantType",
+    "variantType-preview",
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -114,6 +128,73 @@ class DeltaSnapshot:
 #: delta-spark indexes stats for the first 32 leaf columns by default
 #: (spark.databricks.delta.properties.defaults.dataSkippingNumIndexedCols)
 _STATS_MAX_COLS = 32
+
+
+def _spark_file_stats(
+    spark: SparkSession,
+    stage: str,
+    schema: StructType,
+    partition_by: Sequence[str],
+) -> dict[str, str | None]:
+    """Per-staged-file ``add.stats`` JSON via ONE distributed Spark
+    aggregation — the fallback when pyarrow cannot open the staged
+    footers (Spark stamps the parquet VARIANT logical type, unknown to
+    pyarrow 16.x). Groups by ``_metadata.file_path``; a zero-row staged
+    file produces no group, which callers treat as skip-the-file. Only
+    orderable scalar top-level columns get min/max (the same columns the
+    footer path would publish; variant/binary/nested are skipped there
+    too). Cost: one extra scan of the STAGED batch — O(batch), not
+    O(table)."""
+    import datetime
+
+    part = set(partition_by)
+    statable = [
+        f.name
+        for f in schema.fields[:_STATS_MAX_COLS]
+        if f.name not in part
+        and f.dataType.typeName()
+        not in ("variant", "binary", "array", "map", "struct")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in statable:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nc_{c}")
+        )
+    rows = (
+        spark.read.parquet(stage)
+        .groupBy(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("__fp")
+        )
+        .agg(*aggs)
+        .collect()
+    )  # |staged files| rows — bounded by the batch's task count
+
+    def safe(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    out: dict[str, str | None] = {}
+    for row in rows:
+        mins, maxs, nulls = {}, {}, {}
+        for c in statable:
+            lo, hi = safe(row[f"__min_{c}"]), safe(row[f"__max_{c}"])
+            if lo is not None and hi is not None:
+                mins[c], maxs[c] = lo, hi
+            nulls[c] = int(row[f"__nc_{c}"])
+        out[row["__fp"]] = json.dumps(
+            {
+                "numRecords": int(row["__n"]),
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
+    return out
 
 
 def _file_stats_json(path: str) -> str | None:
@@ -1323,10 +1404,28 @@ class DeltaTableWriter:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
+        staged = sorted(
+            glob.glob(
+                os.path.join(stage, "**", "part-*.parquet"), recursive=True
+            )
+        )
+        # VARIANT columns: Spark stamps the parquet VARIANT logical type,
+        # which pyarrow (16.x) cannot open — fall back to ONE distributed
+        # Spark pass for per-file numRecords + min/max/nullCount (a file
+        # absent from the map staged zero rows). Same stats payload,
+        # different reader; pyarrow stays the cheap footer-only default.
+        spark_stats: dict[str, str | None] | None = None
+        if staged and not cdc:
+            import pyarrow.parquet as _pq
+
+            try:
+                _pq.ParquetFile(staged[0])
+            except OSError:
+                spark_stats = _spark_file_stats(
+                    df.sparkSession, stage, df.schema, partition_by
+                )
         adds = []
-        for src in sorted(
-            glob.glob(os.path.join(stage, "**", "part-*.parquet"), recursive=True)
-        ):
+        for src in staged:
             # empty partitions stage empty part files — committing them
             # would bloat the log with zero-row adds (and poison
             # manifest-only MIN/MAX: a statless empty file forces the
@@ -1338,8 +1437,12 @@ class DeltaTableWriter:
             # the add+remove commit as unreplayable.
             import pyarrow.parquet as _pq
 
-            if not cdc and _pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
+            if not cdc:
+                if spark_stats is not None:
+                    if src not in spark_stats:  # zero staged rows
+                        continue
+                elif _pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
             rel_dir = os.path.relpath(os.path.dirname(src), stage)
             segs = rel_dir.split(os.sep) if rel_dir != "." else []
             partition_values = {}
@@ -1365,7 +1468,11 @@ class DeltaTableWriter:
             }
             if not cdc:
                 action["modificationTime"] = int(os.path.getmtime(dst) * 1000)
-                action["stats"] = _file_stats_json(dst)
+                action["stats"] = (
+                    spark_stats[src]
+                    if spark_stats is not None
+                    else _file_stats_json(dst)
+                )
             adds.append(action)
         if cdc and not adds:
             # the row-level delta is genuinely empty but the commit still
@@ -1617,11 +1724,51 @@ class DeltaTableWriter:
                     )
         return None
 
+    @staticmethod
+    def _create_protocol(schema: StructType) -> dict:
+        """Smallest protocol a fresh table with this schema may declare:
+        plain schemas get the legacy (1,2); TIMESTAMP_NTZ or VARIANT
+        columns are reader-visible type features, so their presence
+        forces the feature-list protocol (3,7) with the features named —
+        a (1,2) table whose schemaString smuggles them in would be read
+        wrong (or refused) by conforming foreign readers."""
+
+        def walk(dt) -> set[str]:
+            tn = dt.typeName()
+            if tn == "timestamp_ntz":
+                return {"timestampNtz"}
+            if tn == "variant":
+                return {"variantType"}
+            if tn == "array":
+                return walk(dt.elementType)
+            if tn == "map":
+                return walk(dt.keyType) | walk(dt.valueType)
+            if tn == "struct":
+                out: set[str] = set()
+                for f in dt.fields:
+                    out |= walk(f.dataType)
+                return out
+            return set()
+
+        feats: set[str] = set()
+        for f in schema.fields:
+            feats |= walk(f.dataType)
+        if not feats:
+            return {"minReaderVersion": 1, "minWriterVersion": 2}
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats),
+            "writerFeatures": sorted(
+                {"appendOnly", "invariants"} | feats
+            ),
+        }
+
     def _meta_actions(
         self, schema: StructType, partition_by: Sequence[str]
     ) -> list[dict]:
         return [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": self._create_protocol(schema)},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
@@ -1756,23 +1903,55 @@ class DeltaTableWriter:
     def set_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: record a CHECK expression in the
         table configuration (enforced by every subsequent append) and
-        bump minWriterVersion to 3, the protocol version that makes
-        foreign writers honor it too. Fails if EXISTING rows violate it?
-        No — like delta-spark, the caller must ensure that; this commit
-        is metadata-only."""
+        RAISE the protocol so foreign writers honor it too — legacy
+        tables get minWriterVersion 3; tables already on the
+        feature-list protocol (3,7) keep their feature lists intact and
+        gain ``checkConstraints`` (overwriting with a bare (1,3) would
+        silently drop readerFeatures like columnMapping/deletionVectors,
+        after which conforming readers return wrong rows). Fails if
+        EXISTING rows violate it? No — like delta-spark, the caller must
+        ensure that; this commit is metadata-only."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         meta = dict(snap.raw_meta)
         conf = dict(meta.get("configuration", {}) or {})
         conf[f"delta.constraints.{name}"] = expr
         meta["configuration"] = conf
+        proto = snap.raw_protocol or {}
+        cur_r = proto.get("minReaderVersion", 1)
+        cur_w = proto.get("minWriterVersion", 1)
+        actions: list[dict] = []
+        if cur_w == 7 or "writerFeatures" in proto:
+            # feature-list protocol: re-emit the FULL lists (they are
+            # authoritative) with checkConstraints added
+            rf, wf = self._feature_lists(
+                snap, extra_writer={"checkConstraints"}
+            )
+            new_proto = {
+                "minReaderVersion": max(cur_r, 3 if rf else cur_r),
+                "minWriterVersion": 7,
+                "writerFeatures": wf,
+            }
+            if new_proto["minReaderVersion"] >= 3:
+                new_proto["readerFeatures"] = rf
+            actions.append({"protocol": new_proto})
+        elif cur_w < 3:
+            # legacy protocol below the constraints version: raise it,
+            # never lowering either component
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": cur_r,
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
+        # cur_w in 3..6 already implies checkConstraints: metadata-only
+        actions.append({"metaData": meta})
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
-            [
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
-                {"metaData": meta},
-            ],
+            actions,
             operation="ADD CONSTRAINT",
             read_files=set(), add_conflict=False,
         )
@@ -1793,14 +1972,33 @@ class DeltaTableWriter:
             read_files=set(), add_conflict=False,
         )
 
-    @staticmethod
+    #: Features IMPLIED by each legacy protocol version (Delta protocol
+    #: § "Table Features" compatibility table). On upgrade to the
+    #: feature-list protocol the list becomes authoritative, so every
+    #: capability the old (minReader, minWriter) tuple granted must be
+    #: re-declared — delta-spark does exactly this on protocol upgrade;
+    #: dropping e.g. checkConstraints would make conforming external
+    #: writers stop enforcing the table's CHECK constraints.
+    _LEGACY_WRITER_IMPLIES = {
+        2: ("appendOnly", "invariants"),
+        3: ("checkConstraints",),
+        4: ("changeDataFeed", "generatedColumns"),
+        5: ("columnMapping",),
+        6: ("identityColumns",),
+    }
+    _LEGACY_READER_IMPLIES = {2: ("columnMapping",)}
+
+    @classmethod
     def _feature_lists(
-        snap: DeltaSnapshot, extra_reader=(), extra_writer=()
+        cls, snap: DeltaSnapshot, extra_reader=(), extra_writer=()
     ) -> tuple[list[str], list[str]]:
         """Reader/writer feature lists for a feature-list protocol
         upgrade: with minReaderVersion 3 the LIST is authoritative, so
         every capability the table already relies on must be re-declared
-        or conforming readers stop honoring it."""
+        or conforming readers stop honoring it. Covers capabilities
+        visible in the snapshot (schema/config/DVs), the legacy
+        protocol versions' implied sets, and any pre-existing feature
+        lists."""
         reader = set(extra_reader)
         conf = snap.configuration or {}
         if conf.get("delta.columnMapping.mode", "none") not in ("", "none"):
@@ -1814,12 +2012,22 @@ class DeltaTableWriter:
             reader.add("deletionVectors")
         proto = snap.raw_protocol or {}
         reader |= set(proto.get("readerFeatures", ()))
+        for ver, feats in cls._LEGACY_READER_IMPLIES.items():
+            if proto.get("minReaderVersion", 1) >= ver:
+                reader.update(feats)
         writer = {"appendOnly", "invariants"} | reader | set(extra_writer)
         if conf.get("delta.enableChangeDataFeed") == "true":
             writer.add("changeDataFeed")
         if conf.get("delta.enableInCommitTimestamps") == "true":
             writer.add("inCommitTimestamp")
+        if any(k.startswith("delta.constraints.") for k in conf):
+            writer.add("checkConstraints")
         writer |= set(proto.get("writerFeatures", ()))
+        legacy_writer = proto.get("minWriterVersion", 1)
+        if legacy_writer != 7:  # 7 == already feature-list; list is truth
+            for ver, feats in cls._LEGACY_WRITER_IMPLIES.items():
+                if legacy_writer >= ver:
+                    writer.update(feats)
         return sorted(reader), sorted(writer)
 
     @staticmethod
@@ -2273,6 +2481,103 @@ class DeltaTableWriter:
             add_conflict=winner_add_conflicts,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+    ) -> int:
+        """UPDATE ... SET ... WHERE ... as ONE copy-on-write commit —
+        the delta-spark UPDATE shape (the sqlfront DML leg delegates
+        here). Files containing a matching row are found by a single
+        metadata-column aggregation over the pushed-predicate scan
+        (O(matched files) driver rows), rewritten with the assignments
+        applied to matching rows, and swapped via remove+add in one
+        commit; untouched files are carried by reference. Rewriting a
+        touched file folds its deletion vector away, like MERGE. Under
+        CDF the true row-level delta lands in a cdc file as
+        update_preimage/update_postimage pairs.
+
+        ``assignments`` maps column name -> SQL expression string or
+        Column, evaluated against the matched row. Assigning to an
+        unknown column fails loudly (this is UPDATE, not evolution)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._require_mutable(snap, "update_where (UPDATE)")
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        known = {f.name for f in snap.schema.fields}
+        bad = [c for c in assignments if c not in known]
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns to unknown column(s) {sorted(bad)}; "
+                f"table columns are {sorted(known)}"
+            )
+        # matched-file discovery: predicate pushes into the scan, the
+        # agg returns |files with >=1 match| rows. _expose_pos keeps
+        # __dv_fp attached; DV-deleted rows can only over-include a
+        # file, and the rewrite below re-applies DVs before writing.
+        affected = [
+            row["__fp"]
+            for row in r.to_df(spark, _expose_pos=True)
+            .where(cond)
+            .select(F.col("__dv_fp").alias("__fp"))
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return snap.version
+        to_physical, part_stage = self._physical_stage_ctx(snap)
+        live = r.to_df(spark, _keep_paths=set(affected))
+        matched = live.where(cond)
+        updated = matched
+        for col, expr in assignments.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(
+                col, val.cast(snap.schema[col].dataType)
+            )
+        self._check_constraints(updated, snap.configuration)
+        out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(
+            updated
+        )
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            changes = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                updated.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            cdc_actions = [
+                {"cdc": c}
+                for c in self._stage_files(
+                    to_physical(changes), part_stage, cdc=True
+                )
+            ]
+        removes = [
+            {
+                "remove": {
+                    "path": self._raw_key(snap, p),
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in affected
+        ]
+        adds = self._stage_files(to_physical(out), part_stage)
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            removes + [{"add": a} for a in adds] + cdc_actions,
+            operation="UPDATE",
+            read_files={os.path.abspath(p) for p in affected},
+            # any concurrent data add may hold rows this UPDATE's
+            # arbitrary predicate would have matched: conservative abort
+            add_conflict=True,
+        )
+
     def overwrite_partition(self, df: DataFrame, **partition: str) -> int:
         """Replace one partition's files (remove actions for the old files,
         add actions for the new) — the classic Delta replaceWhere commit.
@@ -2490,10 +2795,33 @@ class DeltaTableWriter:
             os.makedirs(os.path.join(self._log, "_sidecars"), exist_ok=True)
             sc_name = f"{uuid.uuid4().hex}.parquet"
             sc_path = os.path.join(self._log, "_sidecars", sc_name)
+            # protocol sidecar schema carries BOTH add and remove; this
+            # writer checkpoints no remove tombstones (deviation: VACUUM
+            # here is immediate, so no foreign reader should rely on
+            # tombstones within a retention window — documented in the
+            # class docstring), but the column must exist or strict
+            # sidecar readers reject the file / replayers misparse it.
+            sc_schema = pa.schema(
+                [
+                    schema.field("add"),
+                    pa.field(
+                        "remove",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("deletionTimestamp", pa.int64()),
+                                ("dataChange", pa.bool_()),
+                                ("partitionValues", smap),
+                                ("size", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
             pq.write_table(
                 pa.Table.from_pylist(
-                    [{"add": r["add"]} for r in adds],
-                    schema=pa.schema([schema.field("add")]),
+                    [{"add": r["add"], "remove": None} for r in adds],
+                    schema=sc_schema,
                 ),
                 sc_path,
             )
@@ -3313,15 +3641,58 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             self._start = min(later) - 1
         else:
             self._start = -1
+        from aws_glue_data_lake_spark.cdfratelimit import CdfRateLimiter
+
+        mft = options.get("maxFilesPerTrigger") or options.get(
+            "maxfilespertrigger"
+        )
+        ev = options.get("endingVersion") or options.get("endingversion")
+        self._limiter = CdfRateLimiter(
+            int(mft) if mft is not None else None,
+            int(ev) if ev is not None else None,
+            floor=(self._start, 0),
+        )
+        self._units: dict[int, list] = {}
 
     def initialOffset(self) -> dict:
-        return {"version": self._start}
+        off = {"version": self._start, "file": 0}
+        self._limiter.seed(off)
+        return off
 
     def latestOffset(self) -> dict:
-        return {"version": self.reader.latest_version()}
+        return self._limiter.latest(
+            self.reader.latest_version(),
+            lambda v: len(self._version_units(v)),
+        )
+
+    def _version_units(self, v: int) -> list:
+        """Planned partitions for ONE commit, memoized (deterministic
+        order -> sub-commit offsets replay exactly); the append-only /
+        skipChangeCommits / ignoreDeletes contract is enforced here so
+        latestOffset's unit counting and partitions' planning agree."""
+        if v in self._units:
+            return self._units[v]
+        units = self._plan_version(v)
+        if len(self._units) > 256:
+            self._units.clear()
+        self._units[v] = units
+        return units
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["version"]), int(end["version"])
+        from aws_glue_data_lake_spark.cdfratelimit import (
+            slice_version_range,
+        )
+
+        self._limiter.seed(start)
+        self._limiter.seed(end)
+        parts = []
+        for v, lo, hi in slice_version_range(start, end):
+            units = self._version_units(v)
+            parts.extend(units[lo:hi])
+        return parts
+
+    def _plan_version(self, v: int):
+        lo, hi = v - 1, v
         snap = self._snap
         part_cols = set(snap.partition_columns)
         data_fields = [
@@ -3479,7 +3850,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # the log is immutable; nothing to release
+        self._limiter.seed(end)  # the log is immutable; nothing to free
 
     def stop(self) -> None:
         pass

@@ -37,6 +37,7 @@ import json
 import os
 import re
 import shutil
+import urllib.parse as _urlparse
 import uuid
 from dataclasses import dataclass
 from typing import Sequence
@@ -1268,10 +1269,18 @@ class IcebergTableReader:
             by_fmt.setdefault(fmts.get(p, "PARQUET"), []).append(p)
         # position-delete parquet files name their target rows in data
         # (unknowable driver-side), so their presence forces ORC
-        # positions; DV entries name referenced_data_file in metadata
-        orc_needs_pos = bool(snap.delete_files) or any(
-            fmts.get(ref, "PARQUET") == "ORC"
-            for _, ref, _, _ in (snap.dv_deletes or [])
+        # positions; DV entries name referenced_data_file in metadata.
+        # _with_meta callers (delete_where/changes) consume __del_pos
+        # downstream — Spark's _metadata.row_index is parquet-only, so
+        # they too must take the positional ORC reader or ORC rows get
+        # NULL positions (int(NaN) crash in serialize_positions).
+        orc_needs_pos = (
+            _with_meta
+            or bool(snap.delete_files)
+            or any(
+                fmts.get(ref, "PARQUET") == "ORC"
+                for _, ref, _, _ in (snap.dv_deletes or [])
+            )
         )
 
         def _needs_absence_proof(group_desc: str) -> None:
@@ -2729,6 +2738,157 @@ class IcebergTableWriter:
             prev, "overwrite_partition (WRITE)", attempt, winner_check
         )
 
+    def update_where(
+        self, spark: SparkSession, condition, assignments: dict
+    ) -> int:
+        """UPDATE ... SET ... WHERE ... as ONE copy-on-write overwrite
+        snapshot (the sqlfront DML leg delegates here): files holding a
+        matching row are found by one metadata aggregation over the
+        field-ID-resolved scan, rewritten with assignments applied to
+        matching rows, and swapped by rewriting manifests (matched
+        entries -> deleted, carried -> existing) plus one added data
+        manifest — the spec's overwrite shape, same as
+        overwrite_partition but keyed by file set instead of partition.
+        Rewriting a file folds its position/DV tombstones away (the
+        rewrite reads through to_df, which applies them; dangling
+        tombstones for removed paths never match live rows). Works
+        uniformly on v2 and v3 tables; format-version is preserved."""
+        from pyspark.sql import functions as F
+
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        schema_json = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        spec_fields = prev["partition-specs"][0]["fields"]
+        partition_by = self._identity_partition_by(spec_fields)
+        st = _iceberg_type_to_spark(
+            {"type": "struct", "fields": schema_json["fields"]}
+        )
+        pcols = self._partition_cols(st, partition_by)
+        known = {f.name for f in st.fields}
+        bad = [c for c in assignments if c not in known]
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns to unknown column(s) {sorted(bad)}; "
+                f"table columns are {sorted(known)}"
+            )
+        reader = IcebergTableReader(self.path)
+        snap = reader.snapshot()
+        if not snap.files:
+            return prev["current-snapshot-id"]
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        affected = {
+            os.path.abspath(row["__fp"])
+            for row in reader.to_df(spark, _with_meta=True)
+            .where(cond)
+            .select(F.col("__del_fp").alias("__fp"))
+            .distinct()
+            .collect()
+        }
+        if not affected:
+            return prev["current-snapshot-id"]
+        live = reader.to_df(spark, _keep_paths=affected)
+        matched = live.where(cond)
+        updated = matched
+        type_of = {f.name: f.dataType for f in st.fields}
+        for col, expr in assignments.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(col, val.cast(type_of[col]))
+        out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(
+            updated
+        )
+        staged = self._stage_data_files(out, pcols)
+        fv = str(prev.get("format-version", 2))
+
+        def attempt(pmeta: dict) -> int:
+            sid, seq = self._next_ids(pmeta)
+            new_manifests = []
+            for mf in self._manifest_list_of(pmeta):
+                if mf.get("content", 0) == 1:
+                    new_manifests.append(mf)  # tombstones carry through
+                    continue
+                _, entries, _ = read_container(mf["manifest_path"])
+                rewritten = []
+                for e in entries:
+                    if e["status"] == _STATUS_DELETED:
+                        continue
+                    raw = e["data_file"]["file_path"]
+                    if raw.startswith("file:"):
+                        raw = _urlparse.urlparse(raw).path
+                    p = os.path.abspath(
+                        raw
+                        if os.path.isabs(raw)
+                        else os.path.join(self.path, raw)
+                    )
+                    e = dict(e)
+                    e["status"] = (
+                        _STATUS_DELETED
+                        if p in affected
+                        else _STATUS_EXISTING
+                    )
+                    if e.get("sequence_number") is None:
+                        e["sequence_number"] = mf.get("sequence_number", 0)
+                    if e.get("file_sequence_number") is None:
+                        e["file_sequence_number"] = mf.get(
+                            "sequence_number", 0
+                        )
+                    rewritten.append(e)
+                if rewritten:
+                    new_manifests.append(
+                        self._write_manifest(
+                            rewritten, pcols, sid, seq, schema_json
+                        )
+                    )
+            entries = [
+                self._entry(
+                    p, pv, rows, size, _STATUS_ADDED, sid, seq,
+                    col_stats=fstats, schema_json=schema_json,
+                )
+                for p, pv, rows, size, fstats in staged
+            ]
+            if entries:
+                new_manifests.append(
+                    self._write_manifest(
+                        entries, pcols, sid, seq, schema_json
+                    )
+                )
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
+                metadata={"format-version": fv},
+            )
+            self._commit_metadata(
+                pmeta, schema_json, pcols, sid, seq, ml_path, "overwrite"
+            )
+            return sid
+
+        def winner_check(base: dict, new: dict) -> str | None:
+            # the staged rewrite was computed against base's row state;
+            # ANY winner invalidates it — a data winner may hold rows
+            # the predicate should have matched, and even a delete-only
+            # winner's tombstones would be RESURRECTED by the stale
+            # rewrite of an affected file. Strictly abort; the caller
+            # re-runs against the new tip.
+            ops = self._winner_operations(base, new)
+            if ops:
+                return (
+                    f"concurrent {ops} snapshot(s) committed after this "
+                    "UPDATE's scan; its staged rewrite is stale"
+                )
+            return None
+
+        return self._retry_read_dependent(
+            prev, "update_where (UPDATE)", attempt, winner_check
+        )
+
     def delete_where(self, spark: SparkSession, condition: str) -> int:
         """MERGE-ON-READ row-level delete — the format-v2 POSITION-delete
         path the reference's ``MERGE INTO`` an Iceberg v2 table exercises
@@ -2768,18 +2928,24 @@ class IcebergTableWriter:
         snap = reader.snapshot()
         if not snap.files:
             return prev["current-snapshot-id"]
-        scan = (
-            spark.read.schema(snap.schema)
-            .parquet(*[p for p, _ in snap.files])
+        # route the matched-row scan through to_df like _delete_where_v3
+        # does: it resolves columns by per-file field ID (a foreign
+        # table's pre-rename physical names would otherwise read as NULL
+        # and the predicate would silently match nothing), takes the
+        # positional reader for ORC/Avro data files, and excludes rows
+        # already tombstoned (no redundant double-tombstoning)
+        fresh = (
+            reader.to_df(spark, _with_meta=True)
+            .where(
+                F.expr(condition)
+                if isinstance(condition, str)
+                else condition
+            )
             .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("file_path"),
-                F.col("_metadata.row_index").cast("long").alias("pos"),
-                F.expr(condition).alias("__del"),
+                F.col("__del_fp").alias("file_path"),
+                F.col("__del_pos").cast("long").alias("pos"),
             )
         )
-        fresh = scan.where("__del").select("file_path", "pos")
         if fresh.isEmpty():
             return prev["current-snapshot-id"]
         os.makedirs(self._data_dir, exist_ok=True)
@@ -3589,6 +3755,18 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             )
         else:
             self._start = 0
+        from aws_glue_data_lake_spark.cdfratelimit import CdfRateLimiter
+
+        mft = options.get("maxFilesPerTrigger") or options.get(
+            "maxfilespertrigger"
+        )
+        ev = options.get("endingVersion") or options.get("endingversion")
+        self._limiter = CdfRateLimiter(
+            int(mft) if mft is not None else None,
+            int(ev) if ev is not None else None,
+            floor=(self._start, 0),
+        )
+        self._units: dict[int, list] = {}
 
     def _snapshots(self) -> list[dict]:
         meta = self.reader._metadata()
@@ -3597,41 +3775,49 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"pos": self._start}
+        off = {"pos": self._start, "file": 0}
+        self._limiter.seed({"version": self._start, "file": 0})
+        return off
 
     def latestOffset(self) -> dict:
-        return {"pos": len(self._snapshots())}
+        off = self._limiter.latest(
+            len(self._snapshots()),
+            lambda p: len(self._version_units(p)),
+        )
+        return {"pos": off["version"], "file": off["file"]}
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["pos"]), int(end["pos"])
+    def _version_units(self, p: int) -> list:
+        """Planned partitions for the p-th snapshot (1-based position,
+        memoized): the data files it added, manifest order (stable —
+        sub-snapshot offsets replay exactly). Contract validation lives
+        here so counting and planning agree."""
+        if p in self._units:
+            return self._units[p]
         snaps = self._snapshots()
-        schema = self.reader.snapshot(
-            snaps[-1]["snapshot-id"]
-        ).schema if snaps else None
-        cols = [f.name for f in schema.fields] if schema else []
-        parts = []
-        for s in snaps[lo:hi]:
-            op = s.get("summary", {}).get("operation", "append")
-            if op == "replace":
-                continue  # compaction: no logical change, nothing to emit
-            if op == "delete" and self._skip_delete:
-                continue
-            if op == "overwrite" and self._skip_overwrite:
-                continue
-            if op not in ("append",):
-                raise ValueError(
-                    f"iceberg_cdf is append-only: snapshot "
-                    f"{s['snapshot-id']} is {op!r} (rewrites/deletes would "
-                    "re-emit or retract rows; read a fresh snapshot, or "
-                    "set streaming-skip-delete-snapshots / "
-                    "streaming-skip-overwrite-snapshots to drop them)"
-                )
+        s = snaps[p - 1]
+        schema = self.reader.snapshot(snaps[-1]["snapshot-id"]).schema
+        cols = [f.name for f in schema.fields]
+        op = s.get("summary", {}).get("operation", "append")
+        parts: list = []
+        if op == "replace" or (
+            op == "delete" and self._skip_delete
+        ) or (op == "overwrite" and self._skip_overwrite):
+            pass  # nothing to emit for this snapshot
+        elif op not in ("append",):
+            raise ValueError(
+                f"iceberg_cdf is append-only: snapshot "
+                f"{s['snapshot-id']} is {op!r} (rewrites/deletes would "
+                "re-emit or retract rows; read a fresh snapshot, or "
+                "set streaming-skip-delete-snapshots / "
+                "streaming-skip-overwrite-snapshots to drop them)"
+            )
+        else:
             sid = s["snapshot-id"]
             _, manifests, _ = read_container(
                 self.reader._abs(s["manifest-list"])
             )
             for mf in manifests:
-                # only manifests this snapshot added can carry its new files
+                # only manifests this snapshot added carry its new files
                 if mf.get("added_snapshot_id") != sid:
                     continue
                 _, entries, _ = read_container(
@@ -3645,10 +3831,30 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
                     ):
                         parts.append(
                             _IceFilePartition(
-                                self.reader._abs(e["data_file"]["file_path"]),
+                                self.reader._abs(
+                                    e["data_file"]["file_path"]
+                                ),
                                 cols,
                             )
                         )
+        if len(self._units) > 256:
+            self._units.clear()
+        self._units[p] = parts
+        return parts
+
+    def partitions(self, start: dict, end: dict):
+        from aws_glue_data_lake_spark.cdfratelimit import (
+            slice_version_range,
+        )
+
+        s = {"version": start["pos"], "file": start.get("file", 0)}
+        e = {"version": end["pos"], "file": end.get("file", 0)}
+        self._limiter.seed(s)
+        self._limiter.seed(e)
+        parts = []
+        for p, lo, hi in slice_version_range(s, e):
+            units = self._version_units(p)
+            parts.extend(units[lo:hi])
         return parts
 
     def read(self, partition):
@@ -3661,7 +3867,9 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             yield batch.select(list(partition.columns))
 
     def commit(self, end: dict) -> None:
-        pass  # snapshots are immutable
+        self._limiter.seed(
+            {"version": end["pos"], "file": end.get("file", 0)}
+        )
 
     def stop(self) -> None:
         pass

@@ -1043,6 +1043,77 @@ class LakeTable:
             partition_by=snap.partition_by,
         )
 
+    def update_where(
+        self, spark: SparkSession, condition: str, assignments: dict
+    ) -> Snapshot:
+        """UPDATE ... SET ... WHERE ... as ONE copy-on-write commit (the
+        sqlfront DML leg delegates here): files holding a matching row
+        are found by a single ``_metadata.file_name`` aggregation over
+        the pushed-predicate scan, rewritten with the assignments
+        applied to matching rows (their DVs folded away by the
+        DV-applying read), and swapped in one commit; everything else is
+        carried by reference. ``assignments`` maps column name -> SQL
+        expression string or Column."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        prev = self.snapshot()
+        st = StructType.fromDDL(prev.schema)
+        known = {f.name for f in st.fields}
+        bad = [c for c in assignments if c not in known]
+        if bad:
+            raise ValueError(
+                f"UPDATE assigns to unknown column(s) {sorted(bad)}; "
+                f"table columns are {sorted(known)}"
+            )
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        reader = spark.read.schema(st)
+        if prev.partition_by:
+            reader = reader.option("basePath", self._data)
+        # raw scan (DVs not applied) is only used to NAME files with a
+        # potential match — over-inclusion by a tombstoned row merely
+        # rewrites one extra file; the rewrite itself reads DV-applied
+        matched_names = {
+            r["file_name"]
+            for r in reader.parquet(
+                *[self._abs(e["path"]) for e in prev.files]
+            )
+            .where(cond)
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .distinct()
+            .collect()
+        }
+        affected = [
+            e
+            for e in prev.files
+            if os.path.basename(e["path"]) in matched_names
+        ]
+        if not affected:
+            return prev
+        untouched = [e for e in prev.files if e not in affected]
+        live = self._read_files(
+            spark, [e["path"] for e in affected], prev
+        )
+        matched = live.where(cond)
+        updated = matched
+        type_of = {f.name: f.dataType for f in st.fields}
+        for col, expr in assignments.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(col, val.cast(type_of[col]))
+        self._check_constraints(updated, prev)
+        out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(
+            updated
+        )
+        new_files = self._write_files(
+            out, self._stat_cols(prev), prev.partition_by
+        )
+        return self._commit(
+            untouched + new_files, prev.schema, "update", prev,
+            partition_by=prev.partition_by,
+        )
+
     def read_pruned(
         self,
         spark: SparkSession,

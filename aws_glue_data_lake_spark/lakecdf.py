@@ -49,44 +49,77 @@ class _FilePartition(InputPartition):
 
 class LakeCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options):
+        from aws_glue_data_lake_spark.cdfratelimit import CdfRateLimiter
+
         path = options.get("path")
         if not path:
             raise ValueError("lake_cdf requires a 'path' option")
         self.table = LakeTable(path)
+        mft = options.get("maxFilesPerTrigger") or options.get(
+            "maxfilespertrigger"
+        )
+        ev = options.get("endingVersion") or options.get("endingversion")
+        self._limiter = CdfRateLimiter(
+            int(mft) if mft is not None else None,
+            int(ev) if ev is not None else None,
+        )
+        self._units: dict[int, list[_FilePartition]] = {}
+
+    def _version_units(self, v: int) -> list[_FilePartition]:
+        """Planned unit list for ONE commit (memoized): the files it
+        ADDED, in sorted (deterministic, replayable) order. Validation
+        of the append-only contract lives here so both latestOffset's
+        counting and partitions' planning hit it."""
+        if v in self._units:
+            return self._units[v]
+        snap = self.table.snapshot(v)
+        op = snap.op.split(":", 1)[0]
+        if op not in _APPEND_OPS:
+            raise ValueError(
+                f"lake_cdf is append-only: commit v{v} is {snap.op!r} "
+                "(rewrites would re-emit rows; read a fresh snapshot "
+                "instead)"
+            )
+        cols = [
+            f.split(" ", 1)[0].strip("`") for f in snap.schema.split(",")
+        ]
+        prev_files = (
+            set(self.table.snapshot(v - 1).file_names) if v > 1 else set()
+        )
+        units = [
+            _FilePartition(self.table._abs(rel), cols)
+            for rel in sorted(set(snap.file_names) - prev_files)
+        ]
+        if len(self._units) > 256:  # bound the memo on long streams
+            self._units.clear()
+        self._units[v] = units
+        return units
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        off = {"version": 0, "file": 0}
+        self._limiter.seed(off)
+        return off
 
     def latestOffset(self) -> dict:
-        cur = self.table.current_version()
-        # one committed version per micro-batch; stay put when drained
-        return {"version": cur}
+        # unbounded: the table tip; with maxFilesPerTrigger: advance the
+        # cursor by at most that many files, splitting large commits
+        # across micro-batches (cdfratelimit module doc)
+        return self._limiter.latest(
+            self.table.current_version(),
+            lambda v: len(self._version_units(v)),
+        )
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["version"]), int(end["version"])
-        parts: list[_FilePartition] = []
-        prev_files = (
-            set(self.table.snapshot(lo).file_names) if lo >= 1 else set()
+        from aws_glue_data_lake_spark.cdfratelimit import (
+            slice_version_range,
         )
-        for v in range(lo + 1, hi + 1):
-            snap = self.table.snapshot(v)
-            op = snap.op.split(":", 1)[0]
-            if op not in _APPEND_OPS:
-                raise ValueError(
-                    f"lake_cdf is append-only: commit v{v} is {snap.op!r} "
-                    "(rewrites would re-emit rows; read a fresh snapshot "
-                    "instead)"
-                )
-            cols = [
-                f.split(" ", 1)[0].strip("`")
-                for f in snap.schema.split(",")
-            ]
-            cur_files = set(snap.file_names)
-            for rel in sorted(cur_files - prev_files):
-                parts.append(
-                    _FilePartition(self.table._abs(rel), cols)
-                )
-            prev_files = cur_files
+
+        self._limiter.seed(start)
+        self._limiter.seed(end)
+        parts: list[_FilePartition] = []
+        for v, lo, hi in slice_version_range(start, end):
+            units = self._version_units(v)
+            parts.extend(units[lo:hi])
         return parts
 
     def read(self, partition):
@@ -98,7 +131,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end: dict) -> None:
-        pass  # snapshots are immutable; nothing to release
+        self._limiter.seed(end)  # snapshots immutable; nothing to free
 
     def stop(self) -> None:
         pass

@@ -16,14 +16,28 @@ already-green primitives:
   time-travel reads resolve through the facade, everything else in the
   statement stays Spark SQL (Catalyst sees one rewritten SELECT, so
   pushdown/pruning behave exactly as a plain view read).
+- ``CREATE EXTERNAL TABLE IF NOT EXISTS <name> LOCATION '<path>'
+  TBLPROPERTIES ('table_type'='DELTA')`` — the reference's Athena
+  registration text VERBATIM (delta/delta_tables.py:41-47): binds the
+  name to the layout in the session catalog (catalog.py); after it,
+  the name resolves everywhere below.
+- ``UPDATE <table> SET col = expr[, ...] [WHERE pred]`` and
+  ``DELETE FROM <table> WHERE pred`` — the simple DML shapes
+  delta-spark users reach for, delegating to the facade's single-commit
+  ``update_where`` / ``delete_where`` (CoW file rewrite with
+  matched-file discovery / MoR tombstones).
 
 Table references resolve through the ``tables`` mapping (statement
 identifier -> path or :class:`~aws_glue_data_lake_spark.table.Table`),
 or inline as ``delta.`/path``` / ``iceberg.`/path``` / ``lake.`/path```
 (delta-spark's path-literal form), or as a bare path containing ``/``
-(layout auto-detected). Scale: the shim only REWRITES text and registers
-temp views over facade reads — no extra materialization; MERGE delegates
-to the pruned CoW / O(batch) MoR write paths unchanged.
+(layout auto-detected), or as a CATALOG NAME bound via catalog.py — the
+reference's ``spark.table(f'{CATALOG}.{DATABASE}.{TABLE}')`` flow
+(icberg/iceberg_tables.py:65-66); bound names in SELECT FROM/JOIN
+positions also read through the facade (a raw scan of the binding entry
+would ignore the transaction log). Scale: the shim only REWRITES text
+and registers temp views over facade reads — no extra materialization;
+MERGE delegates to the pruned CoW / O(batch) MoR write paths unchanged.
 """
 
 from __future__ import annotations
@@ -53,12 +67,45 @@ _TIME_TRAVEL_RE = re.compile(
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>'[^']*'|\S+)",
     re.IGNORECASE,
 )
+#: the reference's Athena registration DDL, verbatim shape
+#: (delta/delta_tables.py:41-47): no column list — schema comes from the
+#: layout at LOCATION; table_type says which protocol reader owns it
+_CREATE_EXTERNAL_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>`[^`]+`|[\w.]+)\s+"
+    r"LOCATION\s+'(?P<path>[^']+)'\s*"
+    r"(?:TBLPROPERTIES\s*\(\s*(?P<props>[^)]*)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
+    r"SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
+    r"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: FROM/JOIN-position identifiers, for rewriting catalog-bound names in
+#: SELECTs (alias.column tokens never sit in these positions)
+_FROM_REF_RE = re.compile(
+    r"(?P<kw>\bFROM\b|\bJOIN\b)\s+(?P<ref>`[^`]+`|[\w.]+)",
+    re.IGNORECASE,
+)
 
 
-def _resolve(ref: str, tables: dict | None) -> Table | None:
+def _resolve(
+    ref: str, tables: dict | None, spark: SparkSession | None = None
+) -> Table | None:
     """A statement identifier -> facade handle, or None when the name is
     not ours (it stays for Spark SQL to resolve as a view/catalog
-    table)."""
+    table). Resolution order: the explicit ``tables`` mapping, the
+    ``fmt.`/path``` literal, a bare path, then — given ``spark`` — the
+    session catalog's format-table bindings (catalog.py, the
+    reference's name-resolution flow)."""
     ref = ref.strip()
     if tables and ref in tables:
         t = tables[ref]
@@ -69,6 +116,12 @@ def _resolve(ref: str, tables: dict | None) -> Table | None:
     bare = ref.strip("`")
     if "/" in bare:
         return open_table(bare)
+    if spark is not None:
+        from aws_glue_data_lake_spark.catalog import binding
+
+        b = binding(spark, bare)
+        if b is not None:
+            return open_table(*b)
     return None
 
 
@@ -99,7 +152,7 @@ def _merge_keys(cond: str, talias: str, salias: str) -> list[tuple[str, str]]:
 
 
 def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
-    target = _resolve(m.group("target"), tables)
+    target = _resolve(m.group("target"), tables, spark)
     if target is None:
         raise ValueError(
             f"MERGE target {m.group('target')!r} is not a known table "
@@ -181,16 +234,97 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
         )
 
 
+def _parse_props(raw: str | None) -> dict[str, str]:
+    """TBLPROPERTIES body: 'k'='v' pairs, comma-separated."""
+    props: dict[str, str] = {}
+    for k, v in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", raw or ""):
+        props[k.lower()] = v
+    return props
+
+
+def _run_create_external(spark: SparkSession, m: re.Match) -> None:
+    """The reference's Athena registration DDL, executed as text
+    (delta/delta_tables.py:41-47): bind the layout at LOCATION under the
+    statement's name. ``table_type`` picks the protocol; absent, the
+    on-disk layout decides (Athena's crawler behavior). IF NOT EXISTS
+    makes a same-name re-run a no-op, exactly like the reference
+    re-running its bootstrap."""
+    from aws_glue_data_lake_spark.catalog import bind_table, binding
+
+    name = m.group("name").strip("`")
+    props = _parse_props(m.group("props"))
+    fmt = props.get("table_type", "").lower() or None
+    if m.group("ine") and binding(spark, name) is not None:
+        return
+    bind_table(spark, name, m.group("path"), fmt, replace=False)
+
+
+def _run_update(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    target = _resolve(m.group("target"), tables, spark)
+    if target is None:
+        raise ValueError(
+            f"UPDATE target {m.group('target')!r} is not a known table "
+            "(bind it in the catalog, pass tables=, or use fmt.`/path`)"
+        )
+    assignments: dict[str, str] = {}
+    # split SET list on top-level commas (no parens nesting tracking
+    # needed beyond depth counting — expressions may contain calls)
+    depth, start, parts = 0, 0, []
+    sets = m.group("sets")
+    for i, ch in enumerate(sets):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(sets[start:i])
+            start = i + 1
+    parts.append(sets[start:])
+    for part in parts:
+        am = re.match(r"^\s*`?(\w+)`?\s*=\s*(.+?)\s*$", part, re.DOTALL)
+        if not am:
+            raise ValueError(f"unsupported UPDATE assignment {part!r}")
+        assignments[am.group(1)] = am.group(2)
+    target.update_where(spark, m.group("pred") or "true", assignments)
+
+
+def _run_delete(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    target = _resolve(m.group("target"), tables, spark)
+    if target is None:
+        raise ValueError(
+            f"DELETE target {m.group('target')!r} is not a known table "
+            "(bind it in the catalog, pass tables=, or use fmt.`/path`)"
+        )
+    target.delete_where(spark, m.group("pred"))
+
+
 def sql(
     spark: SparkSession, statement: str, tables: dict | None = None
 ) -> DataFrame | None:
     """Execute one SQL statement against facade tables (module doc for
-    the supported surface). MERGE returns None (like ``spark.sql``'s
-    empty result for DML against a path table); SELECT returns the
-    DataFrame of the rewritten query."""
+    the supported surface). MERGE / UPDATE / DELETE / CREATE EXTERNAL
+    TABLE return None (like ``spark.sql``'s empty result for DML against
+    a path table); SELECT returns the DataFrame of the rewritten
+    query."""
+    m = _CREATE_EXTERNAL_RE.match(statement)
+    if m:
+        _run_create_external(spark, m)
+        return None
     m = _MERGE_RE.match(statement)
     if m:
         _run_merge(spark, m, tables)
+        return None
+    m = _UPDATE_RE.match(statement)
+    if m:
+        _run_update(spark, m, tables)
+        return None
+    m = _DELETE_RE.match(statement)
+    if m:
+        _run_delete(spark, m, tables)
         return None
 
     # SELECT path: materialize time-travel and facade references as
@@ -198,7 +332,7 @@ def sql(
     rewritten = statement
 
     def tt_sub(match: re.Match) -> str:
-        t = _resolve(match.group("ref"), tables)
+        t = _resolve(match.group("ref"), tables, spark)
         if t is None:
             return match.group(0)
         kind = match.group("kind").upper()
@@ -233,4 +367,20 @@ def sql(
         rewritten,
         flags=re.IGNORECASE,
     )
+
+    # catalog-bound names in FROM/JOIN positions read through the facade
+    # (spark.sql against the raw binding entry would scan ALL parquet
+    # under the location, ignoring the transaction log — superset rows)
+    def from_sub(match: re.Match) -> str:
+        ref = match.group("ref").strip("`")
+        from aws_glue_data_lake_spark.catalog import binding
+
+        b = binding(spark, ref)
+        if b is None:
+            return match.group(0)
+        view = f"__sqlfront_{_uuid.uuid4().hex}"
+        open_table(*b).read(spark).createOrReplaceTempView(view)
+        return f"{match.group('kw')} {view}"
+
+    rewritten = _FROM_REF_RE.sub(from_sub, rewritten)
     return spark.sql(rewritten)

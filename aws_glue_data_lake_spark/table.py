@@ -190,6 +190,21 @@ class Table:
     def delete_where(self, spark: SparkSession, condition: str) -> None:
         self._impl_for_write().delete_where(spark, condition)
 
+    def update_where(
+        self, spark: SparkSession, condition: str, assignments: dict
+    ) -> None:
+        """UPDATE ... SET ... WHERE ...: one copy-on-write commit on
+        every layer — only files holding a matching row are rewritten
+        (found by a metadata-column aggregation over the
+        pushed-predicate scan); the rest carry by reference.
+        ``assignments`` maps column name -> SQL expression or Column."""
+        if self.format == "delta":
+            self._delta_writer().update_where(spark, condition, assignments)
+        elif self.format == "iceberg":
+            self._ice_writer().update_where(spark, condition, assignments)
+        else:
+            self._lake().update_where(spark, condition, assignments)
+
     def _impl_for_write(self):
         if self.format == "lake":
             return self._lake()
@@ -380,7 +395,30 @@ class Table:
 def open_table(path: str, format: str | None = None) -> Table:  # noqa: A002
     """The one entry point: open (or pre-declare) a table at ``path``.
     With ``format=None`` the on-disk layout decides; creating a NEW table
-    requires an explicit format (there is nothing to detect yet)."""
+    requires an explicit format (there is nothing to detect yet).
+
+    A CATALOG NAME also works: a path-less string (no separator, no such
+    directory) resolves through the active session's format-table
+    bindings (catalog.py) — the reference's
+    ``spark.table(f'{CATALOG}.{DATABASE}.{TABLE}')`` flow (reference
+    icberg/iceberg_tables.py:65-66). Name resolution needs an active
+    SparkSession; a miss falls through to the path error."""
+    if os.sep not in path and not os.path.exists(path):
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            from aws_glue_data_lake_spark.catalog import binding
+
+            b = binding(active, path)
+            if b is not None:
+                bound_path, bound_fmt = b
+                if format is not None and format != bound_fmt:
+                    raise ValueError(
+                        f"catalog binding {path!r} is {bound_fmt!r}, "
+                        f"not {format!r}"
+                    )
+                return Table(bound_path, bound_fmt)
     detected = detect_format(path)
     if format is None:
         if detected is None:

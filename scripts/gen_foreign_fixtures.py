@@ -908,9 +908,276 @@ def gen_iceberg_mixed(root: str) -> None:
     print(f"iceberg_mixed_golden: {path}")
 
 
+def gen_delta_variant(root: str) -> None:
+    """A foreign Delta table the way a Spark-4-era Databricks runtime
+    stamps it: reader-v3 with readerFeatures
+    [vacuumProtocolCheck, variantType] — both scan-inert for a reader
+    that pins the table schema — and a VARIANT column whose parquet
+    bytes are hand-packed per parquet-format VariantEncoding.md (the
+    unshredded struct<metadata binary, value binary> physical pair;
+    Spark's vectorized reader accepts the group without the VARIANT
+    logical-type annotation when the read schema pins VariantType).
+    A reader that hard-fails unknown-but-inert features refuses this
+    perfectly readable table; a reader that mis-decodes the variant
+    bytes returns wrong variant_get() values. Rows: k=1..4, payload
+    {"a": k, "tag": "even"|"odd"}."""
+    path = os.path.join(root, "delta_variant_golden")
+    shutil.rmtree(path, ignore_errors=True)
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    # -- variant binary encoding (VariantEncoding.md), dict keys a,tag --
+    def vmeta(keys: list[str]) -> bytes:
+        # header 0x01: version 1, sorted dictionary, 1-byte offsets
+        out = bytearray([0x01, len(keys)])
+        offs, acc = [0], 0
+        for k in keys:
+            acc += len(k)
+            offs.append(acc)
+        out += bytes(offs)
+        for k in keys:
+            out += k.encode()
+        return bytes(out)
+
+    def vstr(s: str) -> bytes:
+        # short string: basic_type=1, header=len
+        return bytes([(len(s) << 2) | 1]) + s.encode()
+
+    def vint8(n: int) -> bytes:
+        return bytes([0x0C, n & 0xFF])  # primitive(0), type_id 3 = int8
+
+    def vobj(fields: list[tuple[int, bytes]]) -> bytes:
+        # object: basic_type=2; small form, 1-byte ids & offsets
+        out = bytearray([0x02, len(fields)])
+        out += bytes(fid for fid, _ in fields)
+        offs, acc = [], 0
+        for _, val in fields:
+            offs.append(acc)
+            acc += len(val)
+        out += bytes(offs + [acc])
+        for _, val in fields:
+            out += val
+        return bytes(out)
+
+    meta_bytes = vmeta(["a", "tag"])
+    rows = []
+    for k in (1, 2, 3, 4):
+        tag = "even" if k % 2 == 0 else "odd"
+        rows.append(
+            {
+                "metadata": meta_bytes,
+                "value": vobj([(0, vint8(k)), (1, vstr(tag))]),
+            }
+        )
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                rows,
+                pa.struct(
+                    [("metadata", pa.binary()), ("value", pa.binary())]
+                ),
+            ),
+        }
+    )
+    fp = os.path.join(path, "f0.parquet")
+    pq.write_table(t, fp)
+    s0 = os.path.getsize(fp)
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "payload", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 1700000010000, "operation": "WRITE",
+            "operationParameters": {"mode": "ErrorIfExists",
+                                    "partitionBy": "[]"},
+            "engineInfo": "Apache-Spark/4.0.0 Delta-Lake/4.0.0",
+        }}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck", "variantType"],
+            "writerFeatures": ["vacuumProtocolCheck", "variantType",
+                               "appendOnly", "invariants"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "99999999-8888-7777-6666-555544443333",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 1700000010000,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {},
+            "size": s0, "modificationTime": 1700000010000,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": 4,
+                                 "minValues": {"k": 1},
+                                 "maxValues": {"k": 4},
+                                 "nullCount": {"k": 0}}),
+        }}) + "\n")
+    print(f"delta_variant_golden: {path}")
+
+
+def gen_iceberg_v3_lineage(root: str) -> None:
+    """v3 golden tree with ROW LINEAGE enabled the way a spec-v3 writer
+    stamps it: metadata ``next-row-id``, per-snapshot ``first-row-id``,
+    ``first_row_id`` on manifest-list entries (field-id 520) and on data
+    file entries (field-id 146, null = inherit from the manifest). A
+    reader that chokes on the extra Avro/JSON fields — or mistakes them
+    for data columns — fails here; the spec says scans may simply ignore
+    them."""
+    path = os.path.join(root, "iceberg_v3_lineage_golden")
+    shutil.rmtree(path, ignore_errors=True)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+    sync = bytes(range(16))
+
+    def idfield(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    def write_data(name, ks, vs):
+        fp = os.path.join(data_dir, name)
+        pq.write_table(
+            pa.table(
+                [pa.array(ks, pa.int64()), pa.array(vs, pa.int64())],
+                schema=pa.schema(
+                    [idfield("k", pa.int64(), 1), idfield("v", pa.int64(), 2)]
+                ),
+            ),
+            fp,
+        )
+        return fp
+
+    f1 = write_data("f1.parquet", [1, 2, 3], [10, 20, 30])
+    f2 = write_data("f2.parquet", [4, 5], [40, 50])
+
+    entry_schema = manifest_schema([])
+    entry_schema["fields"][-1]["type"]["fields"] += [
+        # v3 row lineage: data file's first assigned row id (null =
+        # inherit the manifest entry's), spec field-id 146
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 146},
+    ]
+
+    def entry(fpath, n, *, seq, first_row_id=None):
+        return {
+            "status": 1, "snapshot_id": 9000 + seq,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": "file://" + fpath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "value_counts": None, "null_value_counts": None,
+                "lower_bounds": None, "upper_bounds": None,
+                "split_offsets": None, "equality_ids": None,
+                "sort_order_id": None,
+                "first_row_id": first_row_id,
+            },
+        }
+
+    m1 = os.path.join(meta_dir, "m1.avro")
+    # explicit file-level first_row_id on the first file
+    write_avro(m1, entry_schema, [entry(f1, 3, seq=1, first_row_id=0)], sync)
+    m2 = os.path.join(meta_dir, "m2.avro")
+    # null file-level id: inherited from the manifest's first_row_id
+    write_avro(m2, entry_schema, [entry(f2, 2, seq=2)], sync)
+
+    ml_schema = json.loads(json.dumps(ML_SCHEMA))
+    ml_schema["fields"] += [
+        # manifest-list first_row_id, spec field-id 520
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 520},
+    ]
+
+    def ml_entry(mp, *, seq, rows, first_row_id):
+        return {
+            "manifest_path": "file://" + mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": 9000 + seq,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": None,
+            "first_row_id": first_row_id,
+        }
+
+    ml1 = os.path.join(meta_dir, "snap-9001.avro")
+    write_avro(ml1, ml_schema, [ml_entry(m1, seq=1, rows=3,
+                                         first_row_id=0)], sync)
+    ml2 = os.path.join(meta_dir, "snap-9002.avro")
+    write_avro(ml2, ml_schema, [
+        ml_entry(m1, seq=1, rows=3, first_row_id=0),
+        ml_entry(m2, seq=2, rows=2, first_row_id=3),
+    ], sync)
+    meta = {
+        "format-version": 3,
+        "table-uuid": "55556666-7777-8888-9999-aaaabbbbcccc",
+        "location": path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000002000,
+        "last-column-id": 2,
+        "next-row-id": 5,
+        "row-lineage": True,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "long"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 9002,
+        "snapshots": [
+            {"snapshot-id": 9001, "sequence-number": 1,
+             "timestamp-ms": 1700000001000, "first-row-id": 0,
+             "added-rows": 3,
+             "manifest-list": "file://" + ml1, "schema-id": 0,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 9002, "sequence-number": 2,
+             "timestamp-ms": 1700000002000, "first-row-id": 3,
+             "added-rows": 2,
+             "manifest-list": "file://" + ml2, "schema-id": 0,
+             "summary": {"operation": "append"}},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 9001, "timestamp-ms": 1700000001000},
+            {"snapshot-id": 9002, "timestamp-ms": 1700000002000},
+        ],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 9002, "type": "branch"}},
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+    print(f"iceberg_v3_lineage_golden: {path}")
+
+
 if __name__ == "__main__":
     os.makedirs(ROOT, exist_ok=True)
     gen_delta(ROOT)
     gen_iceberg(ROOT)
     gen_iceberg_v3(ROOT)
     gen_iceberg_mixed(ROOT)
+    gen_delta_variant(ROOT)
+    gen_iceberg_v3_lineage(ROOT)

@@ -394,6 +394,125 @@ def interop_pipeline(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def writepaths_pipeline(spark, sf_dir: str) -> dict:
+    """Round-9 write paths at scale (VERDICT r9 item 7): (a) MERGE into
+    a columnMapping=name Delta table — physical-name staging +
+    field-ID-stamped files — must keep the same add.stats file-range
+    pruning as the unmapped path (remove counters prove 1-of-N rewrite);
+    (b) Iceberg v3 delete_where — the puffin DV writer — must cost
+    O(matched rows), proven by timing a NARROW and a WIDE delete at both
+    scales and reporting per-deleted-row cost."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from aws_glue_data_lake_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = ev.approxQuantile("event_id", [0.70, 0.71, 0.80], 0.001)
+    full = ev.where(F.col("event_id") <= q[2]).repartitionByRange(
+        16, "event_id"
+    )
+    band = (
+        ev.where((F.col("event_id") > q[0]) & (F.col("event_id") <= q[1]))
+        .withColumn("value", F.col("value") * 2)
+    )
+    work = tempfile.mkdtemp(prefix="writepaths_probe_")
+    out: dict = {"delta_colmap": {}, "iceberg_v3_dv": {}}
+    try:
+        # ---- (a) columnMapping MERGE: physical staging + pruning -------
+        dpath = os.path.join(work, "colmap")
+        log = os.path.join(dpath, "_delta_log")
+        os.makedirs(log)
+        fields = [
+            ("event_id", "long"), ("user_id", "long"),
+            ("event_type", "string"), ("value", "double"),
+        ]
+        schema_string = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": ty, "nullable": True,
+                 "metadata": {"delta.columnMapping.id": i + 1,
+                              "delta.columnMapping.physicalName":
+                              f"col-{i + 1}"}}
+                for i, (n, ty) in enumerate(fields)
+            ],
+        })
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "probe-cm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string, "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }}) + "\n")
+        dw = DeltaTableWriter(dpath)
+        t0 = time.perf_counter()
+        dw.append(full)
+        out["delta_colmap"]["load_s"] = round(time.perf_counter() - t0, 3)
+        files_before = len(DeltaTableReader(dpath).snapshot().files)
+        t0 = time.perf_counter()
+        dw.merge(spark, band, keys=["event_id"])
+        out["delta_colmap"]["merge_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        adds = removes = 0
+        with open(os.path.join(log, f"{2:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = _json.loads(line)
+                if "add" in a and a["add"].get("dataChange", True):
+                    adds += 1
+                elif "remove" in a:
+                    removes += 1
+        out["delta_colmap"]["files_before_merge"] = files_before
+        out["delta_colmap"]["merge_removes"] = removes
+        out["delta_colmap"]["merge_adds"] = adds
+        out["delta_colmap"]["pruned"] = removes < files_before
+        # ---- (b) v3 DV write cost: narrow vs wide DELETE ----------------
+        ipath = os.path.join(work, "ice3")
+        iw = IcebergTableWriter(ipath)
+        iw.create(full, format_version=3)
+        narrow = f"event_id > {q[0]} AND event_id <= {q[1]}"
+        wide = f"event_id > {q[1]} AND event_id <= {q[2]}"
+        n_narrow = full.where(narrow).count()
+        n_wide = full.where(wide).count()
+        t0 = time.perf_counter()
+        iw.delete_where(spark, narrow)
+        s_narrow = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        iw.delete_where(spark, wide)
+        s_wide = time.perf_counter() - t0
+        snap = IcebergTableReader(ipath).snapshot()
+        out["iceberg_v3_dv"].update({
+            "narrow_rows": n_narrow, "narrow_s": round(s_narrow, 3),
+            "wide_rows": n_wide, "wide_s": round(s_wide, 3),
+            "dv_blobs": len(snap.dv_deletes or []),
+            "us_per_deleted_row_narrow": round(
+                s_narrow * 1e6 / max(n_narrow, 1), 2),
+            "us_per_deleted_row_wide": round(
+                s_wide * 1e6 / max(n_wide, 1), 2),
+        })
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -442,6 +561,15 @@ def main() -> int:
             ("delta_cdf_replay", interop["delta"]["cdf_s"]),
             ("iceberg_mor_merges", interop["iceberg"]["merge_s"]),
             ("iceberg_changelog_replay", interop["iceberg"]["changelog_s"]),
+        ):
+            result["timings"].setdefault(key, {})[scale] = secs
+        wp = writepaths_pipeline(spark, sf_dir)
+        result[f"writepaths_{scale}"] = wp
+        for key, secs in (
+            ("delta_colmap_merge", wp["delta_colmap"]["merge_s"]),
+            ("iceberg_v3_dv_delete",
+             wp["iceberg_v3_dv"]["narrow_s"]
+             + wp["iceberg_v3_dv"]["wide_s"]),
         ):
             result["timings"].setdefault(key, {})[scale] = secs
         spark.stop()

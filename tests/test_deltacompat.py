@@ -2815,3 +2815,68 @@ def test_type_widening_table_reads(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         DeltaTableReader(path).snapshot()
+
+
+def test_update_where_cdf_images(spark, tmp_path):
+    """UPDATE under CDF must record the TRUE row delta as
+    update_preimage/update_postimage pairs (carried-along rows in the
+    rewritten files must NOT appear in the feed)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, v long"
+    )
+    w.create(df.coalesce(1))  # ONE file: carried rows share it
+    w.set_change_data_feed(True)
+    w.update_where(spark, "k >= 4", {"v": "v + 1"})
+    feed = DeltaTableReader(path).changes(spark, starting_version=2)
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (4, 40, "update_preimage"),
+        (4, 41, "update_postimage"),
+        (5, 50, "update_preimage"),
+        (5, 51, "update_postimage"),
+    ]
+    # table state agrees
+    rows = {
+        r["k"]: r["v"]
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    }
+    assert rows == {0: 0, 1: 10, 2: 20, 3: 30, 4: 41, 5: 51}
+
+
+def test_update_where_folds_deletion_vectors(spark, tmp_path):
+    """Rewriting a DV-carrying file must fold the DV away — the deleted
+    rows stay gone and the new file entry carries no deletionVector."""
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, v long"
+    )
+    w.create(df.coalesce(1))
+    w.delete_where(spark, "k IN (2, 3)")  # DV on the single file
+    snap = DeltaTableReader(path).snapshot()
+    assert any(dv for _, _, dv in snap.files)
+    w.update_where(spark, "k >= 6", {"v": "0"})
+    snap2 = DeltaTableReader(path).snapshot()
+    assert not any(dv for _, _, dv in snap2.files)  # folded
+    rows = {
+        r["k"]: r["v"]
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    }
+    assert rows == {0: 0, 1: 10, 4: 40, 5: 50, 6: 0, 7: 0}

@@ -209,3 +209,105 @@ def test_iceberg_mixed_formats_golden_reads(spark):
         for x in r.to_df(spark, snapshot_id=8001).collect()
     )
     assert pre == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)]
+
+
+def test_delta_variant_vacuum_protocol_check_golden_reads(spark):
+    """Spark-4-era foreign table: readerFeatures
+    [vacuumProtocolCheck, variantType] — both scan-inert — plus a
+    VARIANT column whose parquet bytes were hand-packed from
+    parquet-format VariantEncoding.md (unshredded metadata/value binary
+    pair, no VARIANT logical-type annotation). A reader gate that
+    refuses unknown-but-inert features refuses this readable table; a
+    variant mis-decode shows up in variant_get values."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+    r = DeltaTableReader(os.path.join(FIXTURES, "delta_variant_golden"))
+    df = r.to_df(spark)
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "long",
+        "variant",
+    ]
+    got = sorted(
+        (x["k"], x["a"], x["tag"])
+        for x in df.select(
+            "k",
+            F.try_variant_get("payload", "$.a", "int").alias("a"),
+            F.try_variant_get("payload", "$.tag", "string").alias("tag"),
+        ).collect()
+    )
+    assert got == [
+        (1, 1, "odd"),
+        (2, 2, "even"),
+        (3, 3, "odd"),
+        (4, 4, "even"),
+    ]
+
+
+def test_unknown_reader_feature_still_refused(spark):
+    """The gate stays loud for features that DO change read semantics:
+    variantShredding (physical layout change) must hard-fail, proving
+    the vacuumProtocolCheck/variantType acceptance didn't silently
+    become accept-everything."""
+    import shutil
+    import tempfile
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
+        DeltaTableReader,
+    )
+
+    src = os.path.join(FIXTURES, "delta_variant_golden")
+    with tempfile.TemporaryDirectory() as td:
+        dst = os.path.join(td, "t")
+        shutil.copytree(src, dst)
+        cf = os.path.join(dst, "_delta_log", f"{0:020d}.json")
+        lines = []
+        with open(cf) as f:
+            for ln in f:
+                d = json.loads(ln)
+                if "protocol" in d:
+                    d["protocol"]["readerFeatures"].append(
+                        "variantShredding"
+                    )
+                lines.append(json.dumps(d))
+        with open(cf, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with pytest.raises(DeltaProtocolError, match="variantShredding"):
+            DeltaTableReader(dst).to_df(spark)
+
+
+def test_iceberg_v3_row_lineage_golden_reads(spark):
+    """v3 ROW LINEAGE tolerance (VERDICT r9 item 6): a spec-v3 writer
+    stamps next-row-id / snapshot first-row-id / manifest-list
+    first_row_id (520) / data-file first_row_id (146). A scan may ignore
+    all of them — but must not choke on the extra Avro/JSON fields or
+    leak them as data columns; the incremental changes() feed must also
+    be unaffected."""
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    lin = os.path.join(FIXTURES, "iceberg_v3_lineage_golden")
+    meta = json.load(
+        open(os.path.join(lin, "metadata", "v2.metadata.json"))
+    )
+    if meta["location"] != lin:
+        pytest.skip("repo relocated — regenerate fixtures")
+    assert meta["next-row-id"] == 5  # lineage is really in the bytes
+    r = IcebergTableReader(lin)
+    df = r.to_df(spark)
+    assert df.columns == ["k", "v"]  # no lineage leakage into the scan
+    got = sorted((x["k"], x["v"]) for x in df.collect())
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    # time travel to the first lineage-stamped snapshot
+    pre = sorted(
+        x["k"] for x in r.to_df(spark, snapshot_id=9001).collect()
+    )
+    assert pre == [1, 2, 3]
+    # the changelog still replays the appends cleanly
+    feed = r.changes(spark, start_snapshot_id=9002)
+    ins = sorted(
+        x["k"]
+        for x in feed.where("_change_type = 'insert'").collect()
+    )
+    assert ins == [4, 5]

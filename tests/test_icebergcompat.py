@@ -2451,3 +2451,70 @@ def test_avro_delete_files_apply(spark, tmp_path):
     write_container(ml, MLS, mfs2, metadata={"format-version": "2"})
     with pytest.raises(Exception, match="lacks field"):
         IcebergTableReader(path).to_df(spark).collect()
+
+
+def test_update_where_v3_folds_dvs_and_preserves_version(spark, tmp_path):
+    """UPDATE on a format-v3 table: the CoW rewrite folds puffin DVs of
+    the rewritten files away and the commit keeps format-version 3."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, v long"
+    )
+    w.create(df.coalesce(1), format_version=3)
+    w.delete_where(spark, "k IN (2, 3)")  # puffin DV
+    assert IcebergTableReader(path).snapshot().dv_deletes
+    w.update_where(spark, "k >= 6", {"v": "v + 1"})
+    r = IcebergTableReader(path)
+    rows = {x["k"]: x["v"] for x in r.to_df(spark).collect()}
+    assert rows == {0: 0, 1: 10, 4: 40, 5: 50, 6: 61, 7: 71}
+    metas = sorted(
+        f
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.endswith(".metadata.json")
+    )
+    with open(os.path.join(path, "metadata", metas[-1])) as f:
+        assert json.load(f)["format-version"] == 3
+
+
+def test_update_where_aborts_on_concurrent_commit(spark, tmp_path):
+    """The staged rewrite is computed against the scanned tip: ANY
+    winner (even delete-only, whose tombstones the stale rewrite would
+    resurrect) must abort, not rebase."""
+    import pytest
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        ConcurrentModificationError,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, v long"
+    )
+    w.create(df.coalesce(1))
+
+    real_load = w._load_prev
+    raced = {"done": False}
+
+    def racing_load():
+        meta = real_load()
+        if not raced["done"]:
+            raced["done"] = True
+            IcebergTableWriter(path).delete_where(spark, "k = 0")
+        return meta
+
+    w._load_prev = racing_load
+    with pytest.raises(ConcurrentModificationError):
+        w.update_where(spark, "k >= 4", {"v": "0"})

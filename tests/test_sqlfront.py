@@ -136,3 +136,82 @@ def test_merge_cdc_shape_with_delete_predicate(spark, tmp_path):
     )
     got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
     assert got == [(1, 10), (2, 99), (4, 40)]
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "lake"])
+def test_update_statement_single_commit(spark, tmp_path, fmt):
+    """UPDATE ... SET ... WHERE through the front door: one commit,
+    assignments applied to matching rows only, multi-assignment SET
+    list with expressions referencing other columns."""
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt).create(
+        _mk(spark, [(k, k * 10) for k in range(1, 8)])
+    )
+    before = len(t.history())
+    out = sql(
+        spark,
+        f"UPDATE {fmt}.`{path}` SET v = v + 1000 WHERE k % 2 = 0",
+    )
+    assert out is None
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {
+        k: k * 10 + (1000 if k % 2 == 0 else 0) for k in range(1, 8)
+    }
+    assert len(t.history()) == before + 1  # ONE commit
+
+
+def test_update_without_where_touches_all(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta").create(_mk(spark, [(1, 1), (2, 2)]))
+    sql(spark, f"UPDATE delta.`{path}` SET v = k * 100")
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, 100), (2, 200)]
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "lake"])
+def test_delete_statement(spark, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt).create(
+        _mk(spark, [(k, k) for k in range(10)])
+    )
+    assert sql(spark, f"DELETE FROM {fmt}.`{path}` WHERE k >= 5") is None
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+
+
+def test_update_unknown_column_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    open_table(path, "delta").create(_mk(spark, [(1, 1)]))
+    with pytest.raises(ValueError, match="unknown column"):
+        sql(spark, f"UPDATE delta.`{path}` SET nope = 1")
+
+
+def test_update_only_rewrites_matched_files(spark, tmp_path):
+    """Scale contract: files without a matching row are carried by
+    reference — the delta log's new version must REMOVE only the files
+    that held matches."""
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta")
+    # two files via partition dirs: k<5 in p=0, rest in p=1
+    df = spark.createDataFrame(
+        [(k, k * 10, k // 5) for k in range(10)], "k long, v long, p long"
+    )
+    t.create(df, partition_by=["p"])
+    files_before = {
+        f for f, _, _ in DeltaTableReader(path).snapshot().files
+    }
+    sql(spark, f"UPDATE delta.`{path}` SET v = 0 WHERE k = 7")  # p=1 only
+    files_after = {
+        f for f, _, _ in DeltaTableReader(path).snapshot().files
+    }
+    carried = files_before & files_after
+    rewritten = files_before - files_after
+    assert rewritten, "the matched file must be rewritten"
+    # every p=0 file carries by reference; only p=1 file(s) holding k=7
+    # are rewritten
+    assert {f for f in files_before if "p=0" in f} <= carried
+    assert all("p=1" in f for f in rewritten)

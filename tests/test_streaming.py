@@ -385,3 +385,155 @@ def test_lake_cdf_stream_checkpoint_resume(spark, tmp_path):
     assert drain("b") == 20  # only the two NEW commits replayed
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(40))
+
+
+def test_lake_cdf_max_files_per_trigger_splits_large_commit(
+    spark, tmp_path
+):
+    """Rate limiting (VERDICT r9 item 5): one oversized backfill commit
+    must SPLIT across micro-batches under maxFilesPerTrigger, with the
+    replayed feed still reconstructing the full table exactly."""
+    from aws_glue_data_lake_spark.lake import LakeTable
+    from aws_glue_data_lake_spark.lakecdf import register_lake_cdf_source
+
+    register_lake_cdf_source(spark)
+    t = LakeTable(str(tmp_path / "tbl"))
+    # one commit, many files: repartition(8) stages 8 data files
+    t.create(spark.range(80).selectExpr("id").repartition(8))
+    out = str(tmp_path / "rows")
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t.path)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    q = (
+        feed.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()  # bounded catch-up: drains to the tip
+    batches = [p for p in q.recentProgress if p.numInputRows > 0]
+    q.stop()
+    sizes = [p.numInputRows for p in batches]
+    assert len(batches) >= 3, sizes
+    # 2 files per trigger; round-robin repartition makes file sizes
+    # slightly uneven, so bound per-batch rows loosely — the invariant
+    # under test is the SPLIT, pinned exactly by the total
+    assert max(sizes) < 80 and sum(sizes) == 80, sizes
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(80))
+
+
+def test_delta_cdf_max_files_per_trigger_and_resume(spark, tmp_path):
+    """delta_cdf under maxFilesPerTrigger: a big commit splits; a
+    RESTART mid-drain resumes from the sub-commit offset without
+    skipping or duplicating rows."""
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableWriter,
+        register_delta_cdf_source,
+    )
+
+    register_delta_cdf_source(spark)
+    path = str(tmp_path / "tbl")
+    DeltaTableWriter(path).create(
+        spark.range(60).selectExpr("id").repartition(6)
+    )
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_triggers):
+        feed = (
+            spark.readStream.format("delta_cdf")
+            .option("path", path)
+            .option("maxFilesPerTrigger", "2")
+            .load()
+        )
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            done = [
+                p for p in q.recentProgress if p.numInputRows and p.numInputRows > 0
+            ]
+            if len(done) >= max_triggers:
+                break
+            time.sleep(0.3)
+        q.stop()
+        return [p.numInputRows for p in q.recentProgress if p.numInputRows]
+
+    first = run(max_triggers=1)  # stop after >=1 limited batch
+    assert first and all(n < 60 for n in first), first  # split, not bulk
+
+    # resume: drain the rest; no dupes, no gaps
+    feed = (
+        spark.readStream.format("delta_cdf")
+        .option("path", path)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    q = (
+        feed.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(60))
+
+
+def test_iceberg_cdf_max_files_per_trigger(spark, tmp_path):
+    """iceberg_cdf splits a many-file snapshot across micro-batches and
+    still reconstructs the table exactly."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableWriter,
+        register_iceberg_cdf_source,
+    )
+
+    register_iceberg_cdf_source(spark)
+    path = str(tmp_path / "tbl")
+    IcebergTableWriter(path).create(
+        spark.range(50).selectExpr("id").repartition(5)
+    )
+    out = str(tmp_path / "rows")
+    feed = (
+        spark.readStream.format("iceberg_cdf")
+        .option("path", path)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        feed.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    batches = [p for p in q.recentProgress if p.numInputRows > 0]
+    q.stop()
+    sizes = [p.numInputRows for p in batches]
+    # maxFilesPerTrigger=1 over 5 staged files -> exactly 5 batches
+    assert len(batches) == 5 and sum(sizes) == 50, sizes
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(50))
