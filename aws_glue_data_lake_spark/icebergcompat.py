@@ -2286,9 +2286,34 @@ class IcebergTableWriter:
             },
         }
         if fv >= 3:
-            # v3 row-lineage bookkeeping (scan-inert for this engine;
-            # carried so conforming v3 readers see the required field)
-            meta["next-row-id"] = (prev or {}).get("next-row-id", 0)
+            # v3 ROW LINEAGE bookkeeping (spec: v3 writers must assign
+            # it): the new snapshot claims the id range
+            # [next-row-id, next-row-id + added rows) — first-row-id +
+            # added-rows stamped on the snapshot, next-row-id advanced
+            # in the table metadata. Added rows come from the just-
+            # written manifest list (one driver-side avro read, bounded
+            # by |manifests|). Deviation, documented: per-manifest
+            # first_row_id (field 520) is not written into the list
+            # entries — readers that materialize _row_id per file would
+            # need it; readers that merely tolerate lineage (this one
+            # included) do not.
+            next_row = int((prev or {}).get("next-row-id", 0))
+            added_rows = 0
+            try:
+                _, mls, _ = read_container(
+                    manifest_list_path.removeprefix("file://")
+                )
+                added_rows = sum(
+                    int(m.get("added_rows_count") or 0)
+                    for m in mls
+                    if m.get("added_snapshot_id") == snapshot_id
+                    and m.get("content", 0) == 0
+                )
+            except Exception:
+                pass  # lineage stays conservative on unreadable lists
+            snapshots[-1]["first-row-id"] = next_row
+            snapshots[-1]["added-rows"] = added_rows
+            meta["next-row-id"] = next_row + added_rows
         target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
         # O_EXCL: the Hadoop-catalog commit primitive (losing a version
         # race must fail, not clobber)

@@ -21,11 +21,12 @@ already-green primitives:
   registration text VERBATIM (delta/delta_tables.py:41-47): binds the
   name to the layout in the session catalog (catalog.py); after it,
   the name resolves everywhere below.
-- ``UPDATE <table> SET col = expr[, ...] [WHERE pred]`` and
-  ``DELETE FROM <table> WHERE pred`` — the simple DML shapes
-  delta-spark users reach for, delegating to the facade's single-commit
-  ``update_where`` / ``delete_where`` (CoW file rewrite with
-  matched-file discovery / MoR tombstones).
+- ``UPDATE <table> SET col = expr[, ...] [WHERE pred]``,
+  ``DELETE FROM <table> WHERE pred`` and ``INSERT INTO <table>
+  SELECT ...|VALUES ...`` — the simple DML shapes delta-spark users
+  reach for, delegating to the facade's single-commit ``update_where``
+  / ``delete_where`` / ``append`` (CoW file rewrite with matched-file
+  discovery / MoR tombstones / plain append; VALUES maps positionally).
 
 Table references resolve through the ``tables`` mapping (statement
 identifier -> path or :class:`~aws_glue_data_lake_spark.table.Table`),
@@ -87,6 +88,11 @@ _UPDATE_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
     r"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
+    r"(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 #: FROM/JOIN-position identifiers, for rewriting catalog-bound names in
@@ -290,6 +296,30 @@ def _run_update(
     target.update_where(spark, m.group("pred") or "true", assignments)
 
 
+def _run_insert(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    target = _resolve(m.group("target"), tables, spark)
+    if target is None:
+        raise ValueError(
+            f"INSERT target {m.group('target')!r} is not a known table "
+            "(bind it in the catalog, pass tables=, or use fmt.`/path`)"
+        )
+    # the body (SELECT/VALUES/WITH/TABLE) is plain Spark SQL — run it
+    # through sql() so facade references inside it resolve too
+    batch = sql(spark, m.group("body"), tables)
+    tcols = target.read(spark).columns
+    missing = [c for c in tcols if c not in batch.columns]
+    if missing and len(batch.columns) == len(tcols):
+        # positional VALUES form: map by position like INSERT does
+        batch = batch.toDF(*tcols)
+    elif missing:
+        raise ValueError(
+            f"INSERT source lacks target column(s) {missing}"
+        )
+    target.append(batch.select(*tcols))
+
+
 def _run_delete(
     spark: SparkSession, m: re.Match, tables: dict | None
 ) -> None:
@@ -317,6 +347,10 @@ def sql(
     m = _MERGE_RE.match(statement)
     if m:
         _run_merge(spark, m, tables)
+        return None
+    m = _INSERT_RE.match(statement)
+    if m:
+        _run_insert(spark, m, tables)
         return None
     m = _UPDATE_RE.match(statement)
     if m:

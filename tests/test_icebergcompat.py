@@ -2518,3 +2518,34 @@ def test_update_where_aborts_on_concurrent_commit(spark, tmp_path):
     w._load_prev = racing_load
     with pytest.raises(ConcurrentModificationError):
         w.update_where(spark, "k >= 4", {"v": "0"})
+
+
+def test_v3_writer_stamps_row_lineage(spark, tmp_path):
+    """Spec v3: writers assign row lineage — each snapshot claims
+    [next-row-id, next-row-id + added rows): first-row-id/added-rows on
+    the snapshot, next-row-id advanced in table metadata; delete-only
+    commits claim an empty range. (Per-manifest first_row_id is a
+    documented deviation.)"""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableWriter
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(spark.range(10).selectExpr("id AS k"), format_version=3)
+    w.append(spark.range(10, 15).selectExpr("id AS k"))
+    w.delete_where(spark, "k = 3")
+    metas = sorted(
+        f
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.endswith(".metadata.json")
+    )
+    with open(os.path.join(path, "metadata", metas[-1])) as f:
+        m = json.load(f)
+    assert m["next-row-id"] == 15
+    lineage = [
+        (s.get("first-row-id"), s.get("added-rows"))
+        for s in m["snapshots"]
+    ]
+    assert lineage == [(0, 10), (10, 5), (15, 0)]

@@ -215,3 +215,31 @@ def test_update_only_rewrites_matched_files(spark, tmp_path):
     # are rewritten
     assert {f for f in files_before if "p=0" in f} <= carried
     assert all("p=1" in f for f in rewritten)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "lake"])
+def test_insert_statement_select_and_values(spark, tmp_path, fmt):
+    """INSERT INTO through the front door: a SELECT body (columns by
+    name) and a VALUES body (positional), both appending one commit."""
+    path = str(tmp_path / fmt)
+    t = open_table(path, fmt).create(_mk(spark, [(1, 10), (2, 20)]))
+    _mk(spark, [(3, 30), (4, 40)]).createOrReplaceTempView("ins_src")
+    sql(spark, f"INSERT INTO {fmt}.`{path}` SELECT k, v FROM ins_src")
+    sql(
+        spark,
+        f"INSERT INTO {fmt}.`{path}` VALUES "
+        "(CAST(5 AS LONG), CAST(50 AS LONG))",
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+
+
+def test_insert_missing_column_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    open_table(path, "delta").create(_mk(spark, [(1, 10)]))
+    spark.createDataFrame([(9,)], "k long").createOrReplaceTempView(
+        "ins_bad"
+    )
+    with pytest.raises(ValueError, match="lacks target column"):
+        sql(spark, f"INSERT INTO delta.`{path}` SELECT k FROM ins_bad")
