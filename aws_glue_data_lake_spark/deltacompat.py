@@ -123,6 +123,10 @@ class DeltaSnapshot:
     #: relpath would silently miss an add that used an absolute URI (e.g.
     #: export_lake_snapshot / shallow clones) and duplicate its rows.
     raw_paths: dict = None  # type: ignore[assignment]
+    #: rowTracking (writer feature): absolute path -> (baseRowId,
+    #: defaultRowCommitVersion) for adds that carry them — fresh rows'
+    #: ids default to baseRowId + position (surfaced by row_lineage())
+    row_tracking: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -439,6 +443,10 @@ class DeltaTableReader:
                 "pv": a.get("partitionValues", {}) or {},
                 "dv": a.get("deletionVector"),
                 "stats": raw_stats if isinstance(raw_stats, dict) else None,
+                # rowTracking (writer feature): fresh rows' ids default
+                # to baseRowId + position; carried for row_lineage()
+                "base_row_id": a.get("baseRowId"),
+                "default_row_commit": a.get("defaultRowCommitVersion"),
             }
         elif "remove" in action:
             state["files"].pop(action["remove"]["path"], None)
@@ -554,6 +562,14 @@ class DeltaTableReader:
             if d.get("stats")
         }
         raw_paths = {self._abs_path(p): p for p in state["files"]}
+        row_tracking = {
+            self._abs_path(p): (
+                d.get("base_row_id"),
+                d.get("default_row_commit"),
+            )
+            for p, d in state["files"].items()
+            if d.get("base_row_id") is not None
+        }
         return DeltaSnapshot(
             version=tip,
             schema=schema,
@@ -565,6 +581,7 @@ class DeltaTableReader:
             txns=dict(state.get("txns", {})),
             raw_protocol=dict(state.get("protocol") or {}),
             raw_paths=raw_paths,
+            row_tracking=row_tracking,
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -639,7 +656,11 @@ class DeltaTableReader:
         return True
 
     def _apply_dvs(
-        self, spark: SparkSession, scan: DataFrame, snap: DeltaSnapshot
+        self,
+        spark: SparkSession,
+        scan: DataFrame,
+        snap: DeltaSnapshot,
+        keep_meta: bool = False,
     ) -> DataFrame:
         """Merge-on-read: anti-join the scan's (file, row position) —
         pre-attached as ``__dv_fp``/``__dv_pos`` at the file source,
@@ -658,7 +679,13 @@ class DeltaTableReader:
         if not dv_rows:
             return scan
         root = self.path
-        out_cols = [c for c in scan.columns if c not in ("__dv_fp", "__dv_pos")]
+        out_cols = (
+            list(scan.columns)
+            if keep_meta
+            else [
+                c for c in scan.columns if c not in ("__dv_fp", "__dv_pos")
+            ]
+        )
 
         def expand(batches):
             from aws_glue_data_lake_spark.roaring64 import (
@@ -687,6 +714,53 @@ class DeltaTableReader:
             & (F.col("__dv_pos") == F.col("pos")),
             "anti",
         ).select(*out_cols)
+
+    def row_lineage(self, spark: SparkSession) -> DataFrame:
+        """Scan with ROW TRACKING columns surfaced (writer feature
+        rowTracking — Databricks stamps it widely): the logical schema
+        plus ``_row_id`` (the add action's baseRowId + row position —
+        the spec's default ID for rows without a materialized one) and
+        ``_row_commit_version`` (defaultRowCommitVersion). Files whose
+        adds carry no tracking fields surface NULLs — lineage is
+        additive metadata, same contract as the Iceberg twin. Deletion
+        vectors are applied (a tombstoned row has no id to surface).
+        Scale: one broadcast |files|-sized map joined onto the
+        positional scan; no extra data I/O."""
+        snap = self.snapshot()
+        scan = self._apply_dvs(
+            spark, self.to_df(spark, _expose_pos=True), snap,
+            keep_meta=True,
+        )
+        rt = snap.row_tracking or {}
+        rows = [
+            (
+                p,
+                (rt.get(p) or (None, None))[0],
+                (rt.get(p) or (None, None))[1],
+            )
+            for p, _pv, _dv in snap.files
+        ]
+        out_cols = [f.name for f in snap.schema.fields]
+        if not rows:
+            return scan.selectExpr(
+                *out_cols,
+                "CAST(NULL AS LONG) AS _row_id",
+                "CAST(NULL AS LONG) AS _row_commit_version",
+            )
+        fmap = spark.createDataFrame(
+            rows, "__rt_fp string, __rt_base long, __rt_ver long"
+        )
+        return scan.join(
+            F.broadcast(fmap),
+            F.col("__dv_fp") == F.col("__rt_fp"),
+            "left",
+        ).select(
+            *out_cols,
+            (F.col("__rt_base") + F.col("__dv_pos"))
+            .cast("long")
+            .alias("_row_id"),
+            F.col("__rt_ver").alias("_row_commit_version"),
+        )
 
     def _scan_with_pos(self, spark: SparkSession) -> DataFrame:
         """Logical-schema scan that keeps ``__dv_fp``/``__dv_pos`` (file
@@ -3139,29 +3213,33 @@ class DeltaTableWriter:
                 }
             )
             prior_stats = (snap.stats or {}).get(p)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pv,
-                        "size": os.path.getsize(p),
-                        "modificationTime": int(os.path.getmtime(p) * 1000),
-                        "dataChange": True,
-                        # stats describe the PHYSICAL file (numRecords
-                        # counts tombstoned rows too) — carry them through
-                        "stats": json.dumps(prior_stats)
-                        if prior_stats
-                        else None,
-                        "deletionVector": {
-                            "storageType": "u",
-                            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                            "offset": off,
-                            "sizeInBytes": size,
-                            "cardinality": card,
-                        },
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(p),
+                "modificationTime": int(os.path.getmtime(p) * 1000),
+                "dataChange": True,
+                # stats describe the PHYSICAL file (numRecords
+                # counts tombstoned rows too) — carry them through
+                "stats": json.dumps(prior_stats)
+                if prior_stats
+                else None,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                },
+            }
+            # rowTracking: a re-add of the SAME file must carry its
+            # baseRowId/defaultRowCommitVersion (spec: row ids are
+            # stable across DV churn; dropping them would renumber
+            # surviving rows for every tracking-aware reader)
+            rt = (snap.row_tracking or {}).get(os.path.abspath(p))
+            if rt is not None:
+                add["baseRowId"], add["defaultRowCommitVersion"] = rt
+            actions.append({"add": add})
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -3256,19 +3334,19 @@ class DeltaTableWriter:
                     }
                 )
             stats = (tgt.stats or {}).get(p)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pv,
-                        "size": os.path.getsize(p),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                        "deletionVector": dv,
-                        "stats": json.dumps(stats) if stats else None,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(p),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": dv,
+                "stats": json.dumps(stats) if stats else None,
+            }
+            rt = (tgt.row_tracking or {}).get(os.path.abspath(p))
+            if rt is not None:  # row ids are stable across restore
+                add["baseRowId"], add["defaultRowCommitVersion"] = rt
+            actions.append({"add": add})
         if self._cdf_enabled(cur.configuration):
             if spark is None:
                 raise ValueError(

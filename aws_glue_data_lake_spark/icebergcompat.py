@@ -409,17 +409,24 @@ def _footer_col_stats(path: str) -> dict:
         lo = hi = None
         nulls = 0
         ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None:
-                ok = False
-                break
-            nulls += st.null_count if st.null_count is not None else 0
-            if not st.has_min_max:
-                ok = False
-                continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+        try:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None:
+                    ok = False
+                    break
+                nulls += st.null_count if st.null_count is not None else 0
+                if not st.has_min_max:
+                    ok = False
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            # pyarrow can't decode min/max for some logical types
+            # (e.g. certain decimal encodings): stats stay unknown —
+            # pruning treats unknown as keep, never wrong
+            ok = False
+            lo = hi = None
         out[col.name] = {
             "count": md.num_rows,
             "nulls": nulls,
@@ -589,6 +596,12 @@ class IcebergSnapshot:
     #: (spec § Default values) — applied at scan time in place of the
     #: NULL backfill, ONLY for files that provably lack the column
     initial_defaults: dict = None  # type: ignore[assignment]
+    #: v3 ROW LINEAGE: abs data-file path -> first assigned row id, when
+    #: derivable (explicit data_file.first_row_id, else inherited from
+    #: the manifest-list entry's first_row_id advancing by record_count
+    #: per null-id data file in entry order — spec § Row Lineage).
+    #: Files on lineage-less tables are simply absent.
+    first_row_ids: dict = None  # type: ignore[assignment]
 
 
 def _name_mapping_alternates(
@@ -958,9 +971,14 @@ class IcebergTableReader:
         def _pairs(v) -> dict:
             return {p["key"]: p["value"] for p in v} if v else {}
 
+        first_row_ids: dict[str, int] = {}
         _, manifests, _ = read_container(self._abs(snap["manifest-list"]))
         for mf in manifests:
             is_delete_manifest = mf.get("content", 0) == 1
+            # v3 row lineage: a data file with null first_row_id inherits
+            # from the manifest's, advancing by record_count per such
+            # file in entry order (spec § Row Lineage)
+            lineage_cursor = mf.get("first_row_id")
             _, entries, _ = read_container(self._abs(mf["manifest_path"]))
             for e in entries:
                 if e["status"] == _STATUS_DELETED:
@@ -1016,6 +1034,14 @@ class IcebergTableReader:
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
                     file_seqs[abs_path] = seq
+                    fri = df_rec.get("first_row_id")
+                    if fri is not None:
+                        first_row_ids[abs_path] = int(fri)
+                    elif lineage_cursor is not None:
+                        first_row_ids[abs_path] = int(lineage_cursor)
+                        lineage_cursor += int(
+                            df_rec.get("record_count") or 0
+                        )
                     record_counts[abs_path] = df_rec.get("record_count")
                     file_sizes[abs_path] = df_rec.get("file_size_in_bytes")
                     counts = _pairs(df_rec.get("value_counts"))
@@ -1090,6 +1116,58 @@ class IcebergTableReader:
             record_counts=record_counts,
             file_sizes=file_sizes,
             initial_defaults=initial_defaults,
+            first_row_ids=first_row_ids,
+        )
+
+    def row_lineage(self, spark: SparkSession) -> DataFrame:
+        """Scan with v3 ROW LINEAGE columns surfaced: the logical schema
+        plus ``_row_id`` (the file's first_row_id + the row's position —
+        the spec's materialization rule for rows whose id was never
+        explicitly written) and ``_last_updated_sequence_number`` (the
+        file's data sequence number — correct for rows not rewritten
+        since; a CoW rewrite re-homes rows to the new file's range,
+        exactly as the spec allows for engines that don't carry ids
+        through rewrites). Files without derivable lineage surface NULL
+        ids rather than failing — lineage is additive metadata. Scale:
+        one broadcast |files|-sized map joined onto the positional scan;
+        no extra data I/O."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        scan = self.to_df(spark, _with_meta=True)
+        if not snap.files:
+            return scan.selectExpr(
+                "*",
+                "CAST(NULL AS LONG) AS _row_id",
+                "CAST(NULL AS LONG) AS _last_updated_sequence_number",
+            ).drop("__del_fp", "__del_pos")
+        fmap = spark.createDataFrame(
+            [
+                (
+                    p,
+                    snap.first_row_ids.get(os.path.abspath(p)),
+                    int(snap.file_seqs.get(p, 0)),
+                )
+                for p, _ in snap.files
+            ],
+            "__rl_fp string, __rl_first long, __rl_seq long",
+        )
+        out_cols = [f.name for f in snap.schema.fields]
+        return (
+            scan.join(
+                F.broadcast(fmap),
+                F.col("__del_fp") == F.col("__rl_fp"),
+                "left",
+            )
+            .select(
+                *out_cols,
+                (F.col("__rl_first") + F.col("__del_pos"))
+                .cast("long")
+                .alias("_row_id"),
+                F.col("__rl_seq").alias(
+                    "_last_updated_sequence_number"
+                ),
+            )
         )
 
     def to_df(
@@ -1982,7 +2060,10 @@ class IcebergTableWriter:
         )
 
     def _stage_data_files(
-        self, df: DataFrame, pcols: list[tuple[str, str]]
+        self,
+        df: DataFrame,
+        pcols: list[tuple[str, str]],
+        part_exprs: dict | None = None,
     ) -> list[tuple[str, dict, int, int]]:
         """Write df's rows as parquet data files (ALL columns in-file,
         Iceberg's layout) -> [(abs path, partition values, rows, bytes)].
@@ -1990,8 +2071,11 @@ class IcebergTableWriter:
         partitioned stages go through Spark's partitionBy — which would
         strip the source columns, so the split runs on DUPLICATED
         ``__pb_*`` columns and the real columns stay in the file bytes.
-        One distributed write, one file set; partition values parse back
-        from the Hive dir names."""
+        ``part_exprs`` (from :meth:`_spec_partition_ctx`) supplies the
+        TRANSFORMED partition value per spec field; identity when
+        absent. One distributed write, one file set; partition values
+        parse back from the Hive dir names in the spec field's RESULT
+        type."""
         import pyarrow.parquet as pq
 
         partition_by = [n for n, _ in pcols]
@@ -2001,7 +2085,12 @@ class IcebergTableWriter:
         if partition_by:
             staged_df = df
             for c in partition_by:
-                staged_df = staged_df.withColumn(f"__pb_{c}", df[c])
+                expr = (
+                    part_exprs[c]
+                    if part_exprs is not None
+                    else df[c]
+                )
+                staged_df = staged_df.withColumn(f"__pb_{c}", expr)
             staged_df = staged_df.repartition(
                 *[staged_df[f"__pb_{c}"] for c in partition_by]
             )
@@ -2043,13 +2132,16 @@ class IcebergTableWriter:
         schema_json: dict,
         content: int = 0,
         v3_dv: bool = False,
+        spec_fields: list[dict] | None = None,
     ) -> dict:
         """Write one manifest Avro -> its manifest-list entry. ``content``
         0 = data manifest, 1 = (position-)delete manifest. ``v3_dv``
         widens the entry schema with the format-version-3 deletion-vector
         fields (referenced_data_file / content_offset /
         content_size_in_bytes); carried entries predating them encode
-        their null defaults."""
+        their null defaults. ``spec_fields`` embeds the table's TRUE
+        partition spec in the manifest metadata (non-identity transforms
+        on foreign tables); identity synthesized when absent."""
         schema = _manifest_entry_schema(_partition_avro_fields(partition_cols))
         if v3_dv:
             schema["fields"][-1]["type"]["fields"] = list(
@@ -2072,7 +2164,9 @@ class IcebergTableWriter:
             metadata={
                 "schema": json.dumps(schema_json),
                 "partition-spec": json.dumps(
-                    [
+                    spec_fields
+                    if spec_fields is not None
+                    else [
                         {
                             "name": n,
                             "transform": "identity",
@@ -2241,25 +2335,33 @@ class IcebergTableWriter:
                     else [schema_json]
                 )
             ),
-            "default-spec-id": 0,
-            "partition-specs": [
-                {
-                    "spec-id": 0,
-                    "fields": [
-                        {
-                            "name": n,
-                            "transform": "identity",
-                            "source-id": next(
-                                f["id"]
-                                for f in schema_json["fields"]
-                                if f["name"] == n
-                            ),
-                            "field-id": 1000 + i,
-                        }
-                        for i, (n, _) in enumerate(partition_cols)
-                    ],
-                }
-            ],
+            "default-spec-id": (prev or {}).get("default-spec-id", 0),
+            # a FOREIGN table's spec may use non-identity transforms:
+            # carry it verbatim — rebuilding identity fields here would
+            # corrupt the table's partitioning contract for every other
+            # reader. Only a fresh table synthesizes an identity spec.
+            "partition-specs": (
+                prev["partition-specs"]
+                if prev and prev.get("partition-specs")
+                else [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": n,
+                                "transform": "identity",
+                                "source-id": next(
+                                    f["id"]
+                                    for f in schema_json["fields"]
+                                    if f["name"] == n
+                                ),
+                                "field-id": 1000 + i,
+                            }
+                            for i, (n, _) in enumerate(partition_cols)
+                        ],
+                    }
+                ]
+            ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "current-snapshot-id": snapshot_id,
@@ -2457,11 +2559,11 @@ class IcebergTableWriter:
 
     @staticmethod
     def _identity_partition_by(spec_fields: list[dict]) -> list[str]:
-        """Writer commits support identity partition specs only (its own
-        tables); committing into a FOREIGN bucket/truncate/temporal-
-        partitioned table would need the transform applied at stage
-        time — refuse loudly rather than mis-partition. (The READER
-        accepts such tables fine.)"""
+        """Ops that take LOGICAL partition values from the caller
+        (overwrite_partition) support identity specs only — a
+        transformed-value kwarg would be ambiguous; refuse loudly.
+        append/merge/delete paths go through :meth:`_spec_partition_ctx`
+        instead, which applies the spec's transforms at stage time."""
         bad = [
             f["name"]
             for f in spec_fields
@@ -2469,10 +2571,115 @@ class IcebergTableWriter:
         ]
         if bad:
             raise IcebergProtocolError(
-                "writer supports identity partition transforms only; "
-                f"fields {bad} use non-identity transforms"
+                "this operation supports identity partition transforms "
+                f"only; fields {bad} use non-identity transforms"
             )
         return [f["name"] for f in spec_fields]
+
+    def _spec_partition_ctx(
+        self, st: StructType, schema_json: dict, spec_fields: list[dict]
+    ) -> tuple[list[tuple[str, str]], dict]:
+        """Writer-side partition spec resolution for ANY transform
+        (spec § Partition Transforms): -> (pcols [(spec field name,
+        iceberg RESULT type)], {spec field name: Spark Column producing
+        the transformed value}). Staging partitions the batch by these
+        expressions, so appends/MERGEs land correctly in foreign
+        day()/bucket()/truncate()-partitioned tables — the layouts
+        Iceberg deployments overwhelmingly use. Temporal/truncate
+        transforms stay whole-stage codegen; bucket[N] is the spec's
+        murmur3 over type-specific bytes, evaluated as an Arrow-batched
+        pandas UDF (staging-only cost, O(batch))."""
+        from pyspark.sql import functions as F
+
+        id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        by_name = {f.name: f for f in st.fields}
+        pcols: list[tuple[str, str]] = []
+        exprs: dict = {}
+        for f in spec_fields:
+            name = f["name"]
+            tr = f.get("transform", "identity")
+            src = id_to_name.get(f.get("source-id"), name)
+            if src not in by_name:
+                raise IcebergProtocolError(
+                    f"partition spec field {name!r} sources unknown "
+                    f"column {src!r}"
+                )
+            col = F.col(src)
+            styp = by_name[src].dataType
+            if tr == "identity":
+                pcols.append((name, _spark_type_to_iceberg(styp)))
+                exprs[name] = col
+            elif tr == "void":
+                pcols.append((name, "int"))
+                exprs[name] = F.lit(None).cast("int")
+            elif tr == "year":
+                pcols.append((name, "int"))
+                exprs[name] = (F.year(col) - F.lit(1970)).cast("int")
+            elif tr == "month":
+                pcols.append((name, "int"))
+                exprs[name] = (
+                    (F.year(col) - F.lit(1970)) * F.lit(12)
+                    + F.month(col)
+                    - F.lit(1)
+                ).cast("int")
+            elif tr == "day":
+                pcols.append((name, "int"))
+                exprs[name] = F.datediff(
+                    col.cast("date"), F.lit("1970-01-01").cast("date")
+                ).cast("int")
+            elif tr == "hour":
+                # timestamps are micros-from-epoch; session TZ is UTC in
+                # this engine, so epoch-second division is exact
+                pcols.append((name, "int"))
+                exprs[name] = F.floor(
+                    col.cast("double") / F.lit(3600.0)
+                ).cast("int")
+            else:
+                m = re.match(r"truncate\[(\d+)\]$", tr)
+                if m:
+                    w = int(m.group(1))
+                    tn = styp.typeName()
+                    if tn == "string":
+                        pcols.append((name, "string"))
+                        exprs[name] = F.substring(col, 1, w)
+                    elif tn in ("integer", "long"):
+                        pcols.append(
+                            (name, _spark_type_to_iceberg(styp))
+                        )
+                        # floor semantics for negatives: v - (((v % W) + W) % W)
+                        exprs[name] = col - (
+                            ((col % F.lit(w)) + F.lit(w)) % F.lit(w)
+                        )
+                    else:
+                        raise IcebergProtocolError(
+                            f"truncate transform unsupported for "
+                            f"{tn} at write time"
+                        )
+                    continue
+                m = re.match(r"bucket\[(\d+)\]$", tr)
+                if m:
+                    n = int(m.group(1))
+                    pcols.append((name, "int"))
+                    from pyspark.sql.functions import pandas_udf
+
+                    @pandas_udf("int")
+                    def _bucket(s, _n=n):
+                        return s.map(
+                            lambda v: None
+                            if v is None
+                            else (
+                                _murmur3_32(_bucket_hash_bytes(v))
+                                & 0x7FFFFFFF
+                            )
+                            % _n
+                        )
+
+                    exprs[name] = _bucket(col)
+                    continue
+                raise IcebergProtocolError(
+                    f"unknown partition transform {tr!r}"
+                )
+        return pcols, exprs
 
     def _next_ids(self, prev: dict | None) -> tuple[int, int]:
         seq = (prev.get("last-sequence-number", 0) if prev else 0) + 1
@@ -2615,16 +2822,16 @@ class IcebergTableWriter:
                 df, prev, merge_schema
             )
             spec_fields = prev["partition-specs"][0]["fields"]
-            partition_by = self._identity_partition_by(spec_fields)
-            pcols = self._partition_cols(
+            pcols, part_exprs = self._spec_partition_ctx(
                 _iceberg_type_to_spark(
                     {"type": "struct", "fields": schema_json["fields"]}
                 ),
-                partition_by,
+                schema_json,
+                spec_fields,
             )
             sid, seq = self._next_ids(prev)
             if staged is None:
-                staged = self._stage_data_files(df, pcols)
+                staged = self._stage_data_files(df, pcols, part_exprs)
             entries = [
                 self._entry(
                     p, pv, rows, size, _STATUS_ADDED, sid, seq,
@@ -2633,7 +2840,8 @@ class IcebergTableWriter:
                 for p, pv, rows, size, fstats in staged
             ]
             ml_entry = self._write_manifest(
-                entries, pcols, sid, seq, schema_json
+                entries, pcols, sid, seq, schema_json,
+                spec_fields=spec_fields,
             )
             manifests = self._manifest_list_of(prev) + [ml_entry]
             ml_path = os.path.join(
@@ -2720,7 +2928,8 @@ class IcebergTableWriter:
                 if rewritten:
                     new_manifests.append(
                         self._write_manifest(
-                            rewritten, pcols, sid, seq, schema_json
+                            rewritten, pcols, sid, seq, schema_json,
+                            spec_fields=spec_fields,
                         )
                     )
             entries = [
@@ -2733,7 +2942,8 @@ class IcebergTableWriter:
             if entries:
                 new_manifests.append(
                     self._write_manifest(
-                        entries, pcols, sid, seq, schema_json
+                        entries, pcols, sid, seq, schema_json,
+                        spec_fields=spec_fields,
                     )
                 )
             ml_path = os.path.join(
@@ -2789,11 +2999,12 @@ class IcebergTableWriter:
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
         st = _iceberg_type_to_spark(
             {"type": "struct", "fields": schema_json["fields"]}
         )
-        pcols = self._partition_cols(st, partition_by)
+        pcols, part_exprs = self._spec_partition_ctx(
+            st, schema_json, spec_fields
+        )
         known = {f.name for f in st.fields}
         bad = [c for c in assignments if c not in known]
         if bad:
@@ -2828,7 +3039,7 @@ class IcebergTableWriter:
         out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(
             updated
         )
-        staged = self._stage_data_files(out, pcols)
+        staged = self._stage_data_files(out, pcols, part_exprs)
         fv = str(prev.get("format-version", 2))
 
         def attempt(pmeta: dict) -> int:
@@ -2867,7 +3078,8 @@ class IcebergTableWriter:
                 if rewritten:
                     new_manifests.append(
                         self._write_manifest(
-                            rewritten, pcols, sid, seq, schema_json
+                            rewritten, pcols, sid, seq, schema_json,
+                            spec_fields=spec_fields,
                         )
                     )
             entries = [
@@ -2880,7 +3092,8 @@ class IcebergTableWriter:
             if entries:
                 new_manifests.append(
                     self._write_manifest(
-                        entries, pcols, sid, seq, schema_json
+                        entries, pcols, sid, seq, schema_json,
+                        spec_fields=spec_fields,
                     )
                 )
             ml_path = os.path.join(
@@ -2936,12 +3149,12 @@ class IcebergTableWriter:
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
+        pcols, _ = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
             ),
-            partition_by,
+            schema_json,
+            spec_fields,
         )
         if prev.get("format-version", 2) >= 3:
             # v3 tables delete via puffin DELETION VECTORS, not loose
@@ -3337,17 +3550,17 @@ class IcebergTableWriter:
         if kill.isEmpty():
             return prev["current-snapshot-id"]  # no-op
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
+        pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
             ),
-            partition_by,
+            schema_json,
+            spec_fields,
         )
         dst, n_del, eq_ids = self._stage_eq_delete_file(
             kill, keys, schema_json
         )
-        staged = self._stage_data_files(source, pcols)
+        staged = self._stage_data_files(source, pcols, part_exprs)
 
         def attempt(pv: dict) -> int:
             # manifests are rebuilt per attempt (they embed the
@@ -3365,7 +3578,8 @@ class IcebergTableWriter:
             )
             manifests = self._manifest_list_of(pv) + [
                 self._write_manifest(
-                    [del_entry], pcols, sid, seq, schema_json, content=1
+                    [del_entry], pcols, sid, seq, schema_json, content=1,
+                    spec_fields=spec_fields,
                 )
             ]
             if staged:
@@ -3378,7 +3592,8 @@ class IcebergTableWriter:
                 ]
                 manifests.append(
                     self._write_manifest(
-                        data_entries, pcols, sid, seq, schema_json
+                        data_entries, pcols, sid, seq, schema_json,
+                        spec_fields=spec_fields,
                     )
                 )
             ml_path = os.path.join(
@@ -3418,12 +3633,12 @@ class IcebergTableWriter:
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
+        pcols, _ = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
             ),
-            partition_by,
+            schema_json,
+            spec_fields,
         )
         names = list(equality_cols or keys_df.columns)
         if keys_df.isEmpty():
@@ -3478,16 +3693,16 @@ class IcebergTableWriter:
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
+        pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
             ),
-            partition_by,
+            schema_json,
+            spec_fields,
         )
         df = IcebergTableReader(self.path).to_df(spark)  # deletes applied
         sid, seq = self._next_ids(prev)
-        staged = self._stage_data_files(df, pcols)
+        staged = self._stage_data_files(df, pcols, part_exprs)
         entries = [
             self._entry(
                 p, pv, rows, size, _STATUS_ADDED, sid, seq,

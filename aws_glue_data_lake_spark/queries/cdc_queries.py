@@ -2560,3 +2560,238 @@ def lake_sql_update_delete_state(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Front-door maintenance + CDF TVF (round-10): the remaining delta-spark
+# statement surface as TEXT — ALTER TABLE ADD CONSTRAINT (enforced on a
+# later append), OPTIMIZE (bin-packing compaction), VACUUM ... RETAIN n
+# VERSIONS, DESCRIBE HISTORY, and the table_changes('<t>', start) TVF
+# inside an ordinary SELECT. The result interleaves the post-maintenance
+# table aggregate with the TVF's change counts, so compaction losing or
+# duplicating a single row, a constraint not enforcing, or the CDF TVF
+# misreading commit versions all hash-mismatch. Closed-form vs nation.
+# Scale: compaction is the facade's distributed rewrite; everything else
+# is metadata.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_sql_maintenance_state",
+    oracle="""
+SELECT * FROM (
+  SELECT 'table' AS src,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+  FROM nation WHERE n_nationkey % 6 <> 0
+  UNION ALL
+  SELECT 'cdf_delete',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_nationkey) AS BIGINT)
+  FROM nation WHERE n_nationkey % 6 = 0
+) ORDER BY src
+""",
+)
+def lake_sql_maintenance_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark import sqlfront
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableWriter
+    from aws_glue_data_lake_spark.table import open_table
+
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    path = session_tmpdir("sql_maint_") + "/t"
+    tbl = open_table(path, "delta")
+    tbl.create(n.repartition(4))
+    DeltaTableWriter(path).set_change_data_feed(True)
+    sqlfront.sql(
+        spark,
+        f"ALTER TABLE delta.`{path}` ADD CONSTRAINT keyrange "
+        "CHECK (n_nationkey >= 0)",
+    )
+    # the constraint must ENFORCE: a violating append fails loudly
+    bad = spark.createDataFrame(
+        [(-1, "bad")], "n_nationkey long, n_name string"
+    )
+    try:
+        tbl.append(bad)
+        raise AssertionError("CHECK constraint did not enforce")
+    except ValueError:
+        pass
+    sqlfront.sql(
+        spark, f"DELETE FROM delta.`{path}` WHERE n_nationkey % 6 = 0"
+    )
+    del_version = len(tbl.history())  # CDF commit of interest
+    sqlfront.sql(spark, f"OPTIMIZE delta.`{path}`")
+    sqlfront.sql(spark, f"VACUUM delta.`{path}` RETAIN 1 VERSIONS")
+    hist_ops = [
+        r["operation"]
+        for r in sqlfront.sql(
+            spark, f"DESCRIBE HISTORY delta.`{path}`"
+        ).collect()
+    ]
+    assert "OPTIMIZE" in hist_ops, hist_ops
+    table_agg = sqlfront.sql(
+        spark,
+        f"SELECT 'table' AS src, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+        f"FROM delta.`{path}`",
+    )
+    cdf_agg = sqlfront.sql(
+        spark,
+        "SELECT 'cdf_delete' AS src, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(k) AS BIGINT) AS key_sum FROM ("
+        f"SELECT n_nationkey AS k FROM table_changes('{path}', "
+        f"{del_version - 1}, {del_version - 1}) "
+        "WHERE _change_type = 'delete')",
+    )
+    return table_agg.unionAll(cdf_agg).orderBy("src")
+
+
+# --------------------------------------------------------------------------
+# Iceberg v3 ROW LINEAGE surfacing (round-10, VERDICT r9 item 6's
+# optional leg): the committed foreign fixture under tests/fixtures/
+# foreign/iceberg_v3_lineage_golden carries spec-v3 lineage metadata —
+# an EXPLICIT data-file first_row_id on one file and a null id on the
+# other (which must INHERIT from the manifest-list entry's first_row_id,
+# advancing by record_count). row_lineage() materializes _row_id =
+# file first id + row position and _last_updated_sequence_number = the
+# file's data sequence number. Oracle is the literal expected lineage —
+# constant by construction, the point of a golden fixture. Scale: one
+# broadcast |files|-sized map onto the positional scan.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_row_lineage_state",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 10, 0, 1), (2, 20, 1, 1), (3, 30, 2, 1),
+  (4, 40, 3, 2), (5, 50, 4, 2)
+) AS t(k, v, row_id, last_seq)
+ORDER BY k
+""",
+)
+def lake_iceberg_row_lineage_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    import aws_glue_data_lake_spark as _pkg
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(_pkg.__file__))),
+        "tests", "fixtures", "foreign", "iceberg_v3_lineage_golden",
+    )
+    r = IcebergTableReader(fixture)
+    return (
+        r.row_lineage(spark)
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("v").cast("int").alias("v"),
+            F.col("_row_id").cast("int").alias("row_id"),
+            F.col("_last_updated_sequence_number")
+            .cast("int")
+            .alias("last_seq"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Transform-partitioned Iceberg writes (round-10): real Iceberg
+# deployments overwhelmingly partition by day()/bucket()/truncate()
+# transforms, and the reference's MERGE destination
+# (icberg/iceberg_tables.py:112,143-146) could be any of them. This
+# query simulates the foreign shape — an unpartitioned create whose
+# metadata is then re-specced to day(o_date) + bucket[4](o_orderkey),
+# exactly what a Spark/Flink-created table carries — then APPENDs and
+# MoR-MERGEs through the jar-free writer, which must apply the spec
+# transforms at stage time (partition values = transformed ints) and
+# carry the spec VERBATIM through commits. The read-back uses
+# manifest-level partition pruning on a SOURCE date value. Closed-form
+# against orders. Scale: transforms are codegen exprs (bucket is an
+# Arrow-batched UDF on the staged batch only); pruning is manifest
+# metadata.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_transform_partition_state",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(CASE WHEN o_orderkey % 20 = 0
+            THEN o_totalprice + 1 ELSE o_totalprice END
+            AS DECIMAL(12,2)) AS o_totalprice
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+  AND o_orderdate = (SELECT MIN(o_orderdate) FROM orders
+                     WHERE o_orderdate >= DATE '1995-01-01'
+                       AND o_orderdate < DATE '1995-02-01')
+ORDER BY o_orderkey
+""",
+)
+def lake_iceberg_transform_partition_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    # one month of orders — the realistic append granularity for a
+    # day()-partitioned table (appending YEARS of history in one batch
+    # would fan out to thousands of single-row partition dirs; real
+    # ingestion appends a few days at a time)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderdate").alias("o_date"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    ).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01"))
+    )
+    path = session_tmpdir("ice_transform_") + "/t"
+    w = IcebergTableWriter(path)
+    w.create(o.limit(0))
+    meta_dir = _os.path.join(path, "metadata")
+    with open(_os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = _os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = _json.load(open(mpath))
+    src_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [
+            {"name": "o_day", "transform": "day",
+             "source-id": src_ids["o_date"], "field-id": 1000},
+            {"name": "key_bucket", "transform": "bucket[4]",
+             "source-id": src_ids["o_orderkey"], "field-id": 1001},
+        ],
+    }]
+    with open(mpath, "w") as f:
+        _json.dump(meta, f)
+    w.append(o)
+    # MoR MERGE: bump every 20th key's price by 1 through the upsert path
+    w.merge(
+        o.where(F.col("o_orderkey") % 20 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(1)).cast("decimal(12,2)"),
+        ),
+        keys=["o_orderkey"],
+    )
+    r = IcebergTableReader(path)
+    # the spec must survive commits verbatim
+    with open(_os.path.join(meta_dir, "version-hint.text")) as f:
+        v2 = int(f.read())
+    meta2 = _json.load(open(_os.path.join(meta_dir, f"v{v2}.metadata.json")))
+    assert meta2["partition-specs"] == meta["partition-specs"], meta2[
+        "partition-specs"
+    ]
+    first_day = o.agg(F.min("o_date")).first()[0]
+    pruned = r.to_df(spark, partition_filter={"o_date": first_day})
+    return (
+        pruned.where(F.col("o_date") == F.lit(first_day))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

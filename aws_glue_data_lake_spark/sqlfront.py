@@ -27,6 +27,18 @@ already-green primitives:
   reach for, delegating to the facade's single-commit ``update_where``
   / ``delete_where`` / ``append`` (CoW file rewrite with matched-file
   discovery / MoR tombstones / plain append; VALUES maps positionally).
+- Maintenance + metadata DDL: ``OPTIMIZE <t>`` (compaction),
+  ``VACUUM <t> [RETAIN n VERSIONS]`` (version-based retention — the
+  HOURS spelling fails loudly rather than meaning something else),
+  ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>`` (metadata
+  relations as DataFrames), ``ALTER TABLE <t> ADD CONSTRAINT <n>
+  CHECK (<e>) / DROP CONSTRAINT <n> / SET TBLPROPERTIES (...)``.
+- ``CREATE TABLE [IF NOT EXISTS] <name> USING delta|iceberg|lake
+  [PARTITIONED BY (...)] [LOCATION '<path>'] AS SELECT ...`` — CTAS
+  that creates the format table AND binds the name; managed placement
+  under the warehouse dir when LOCATION is omitted.
+- ``SELECT ... FROM table_changes('<t>', start[, end])`` — delta-spark's
+  CDF table-valued function, rewritten to the facade ``changes()`` read.
 
 Table references resolve through the ``tables`` mapping (statement
 identifier -> path or :class:`~aws_glue_data_lake_spark.table.Table`),
@@ -94,6 +106,47 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
     r"(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_REF = r"(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)"
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+{_REF}\s*;?\s*$", re.IGNORECASE
+)
+#: delta SQL is RETAIN n HOURS; this engine's vacuum is version-based,
+#: so the shim speaks RETAIN n VERSIONS (documented deviation — an
+#: HOURS value would silently mean something else; loud instead)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+{_REF}"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+HISTORY\s+{_REF}\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_DETAIL_RE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+DETAIL\s+{_REF}\s*;?\s*$", re.IGNORECASE
+)
+#: CREATE TABLE <name> USING delta|iceberg|lake [LOCATION '<path>']
+#: [AS SELECT ...] — the delta-spark CREATE shapes; without LOCATION
+#: the table is "managed" under the session warehouse dir
+_CREATE_USING_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>`[^`]+`|[\w.]+)\s+"
+    r"USING\s+(?P<fmt>delta|iceberg|lake)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pby>[\w,\s`]+?)\s*\)\s*)?"
+    r"(?:LOCATION\s+'(?P<path>[^']+)'\s*)?"
+    r"(?:AS\s+(?P<body>SELECT\b.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_REF}\s+(?P<action>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: delta-spark's CDF table-valued function:
+#: SELECT ... FROM table_changes('<table>', start[, end])
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'(?P<ref>[^']+)'\s*,\s*(?P<lo>\d+)"
+    r"\s*(?:,\s*(?P<hi>\d+)\s*)?\)",
+    re.IGNORECASE,
 )
 #: FROM/JOIN-position identifiers, for rewriting catalog-bound names in
 #: SELECTs (alias.column tokens never sit in these positions)
@@ -332,14 +385,136 @@ def _run_delete(
     target.delete_where(spark, m.group("pred"))
 
 
+def _require(m: re.Match, tables: dict | None, spark, what: str) -> Table:
+    t = _resolve(m.group("target"), tables, spark)
+    if t is None:
+        raise ValueError(
+            f"{what} target {m.group('target')!r} is not a known table "
+            "(bind it in the catalog, pass tables=, or use fmt.`/path`)"
+        )
+    return t
+
+
+def _run_create_using(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    """CREATE TABLE <name> USING <fmt> [PARTITIONED BY (...)]
+    [LOCATION '<path>'] [AS SELECT ...]: create the format table (CTAS
+    when a body is given; an empty declared table needs a body — no
+    column-list form here) and BIND the name in the session catalog.
+    Without LOCATION the data lands under the session warehouse dir /
+    <name> ("managed" placement; DROP still leaves the files, external
+    semantics — documented deviation)."""
+    import os as _os
+
+    from aws_glue_data_lake_spark.catalog import bind_table, binding
+
+    name = m.group("name").strip("`")
+    fmt = m.group("fmt").lower()
+    body = m.group("body")
+    if body is None:
+        raise ValueError(
+            "CREATE TABLE ... USING needs AS SELECT (column-list "
+            "declarations without data are not supported here)"
+        )
+    ine = re.match(r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", m.string,
+                   re.IGNORECASE)
+    if binding(spark, name) is not None:
+        if ine:
+            return
+        raise FileExistsError(
+            f"catalog already has a table named {name!r} "
+            "(CREATE TABLE IF NOT EXISTS to tolerate)"
+        )
+    path = m.group("path")
+    if path is None:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        path = _os.path.join(warehouse, *name.lower().split("."))
+    df = sql(spark, body, tables)
+    pby = [
+        c.strip().strip("`")
+        for c in (m.group("pby") or "").split(",")
+        if c.strip()
+    ]
+    open_table(_os.path.abspath(path), fmt).create(df, partition_by=pby)
+    bind_table(spark, name, path, fmt)
+
+
+def _run_alter(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    t = _require(m, tables, spark, "ALTER TABLE")
+    action = re.sub(r"\s+", " ", m.group("action")).strip()
+    am = re.match(
+        r"^ADD CONSTRAINT (\w+) CHECK \((.+)\)$", action, re.IGNORECASE
+    )
+    if am:
+        t.set_constraint(am.group(1), am.group(2))
+        return
+    am = re.match(r"^DROP CONSTRAINT (\w+)$", action, re.IGNORECASE)
+    if am:
+        t.drop_constraint(am.group(1))
+        return
+    am = re.match(
+        r"^SET TBLPROPERTIES \(\s*(.+?)\s*\)$", action, re.IGNORECASE
+    )
+    if am:
+        props = _parse_props(am.group(1))
+        if not props:
+            raise ValueError(
+                f"no 'k'='v' pairs in TBLPROPERTIES {am.group(1)!r}"
+            )
+        for k, v in props.items():
+            t.set_property(k, v)
+        return
+    raise ValueError(
+        f"unsupported ALTER TABLE action {action!r}: supported are "
+        "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT <name>, "
+        "SET TBLPROPERTIES ('k'='v', ...)"
+    )
+
+
 def sql(
     spark: SparkSession, statement: str, tables: dict | None = None
 ) -> DataFrame | None:
     """Execute one SQL statement against facade tables (module doc for
-    the supported surface). MERGE / UPDATE / DELETE / CREATE EXTERNAL
-    TABLE return None (like ``spark.sql``'s empty result for DML against
-    a path table); SELECT returns the DataFrame of the rewritten
-    query."""
+    the supported surface). DML/DDL/maintenance statements (MERGE /
+    UPDATE / DELETE / INSERT / CREATE EXTERNAL TABLE / ALTER TABLE /
+    OPTIMIZE / VACUUM) return None (like ``spark.sql``'s empty result
+    for DML against a path table); SELECT and DESCRIBE HISTORY return
+    the DataFrame of the rewritten query."""
+    m = _OPTIMIZE_RE.match(statement)
+    if m:
+        _require(m, tables, spark, "OPTIMIZE").compact(spark)
+        return None
+    m = _VACUUM_RE.match(statement)
+    if m:
+        if (m.group("unit") or "").upper() == "HOURS":
+            raise ValueError(
+                "VACUUM ... RETAIN n HOURS is time-based; this engine's "
+                "retention is version-based — use RETAIN n VERSIONS"
+            )
+        keep = int(m.group("n")) if m.group("n") else 1
+        _require(m, tables, spark, "VACUUM").vacuum(keep=keep)
+        return None
+    m = _DESCRIBE_HISTORY_RE.match(statement)
+    if m:
+        return _require(m, tables, spark, "DESCRIBE HISTORY").snapshots(
+            spark
+        )
+    m = _DESCRIBE_DETAIL_RE.match(statement)
+    if m:
+        return _require(m, tables, spark, "DESCRIBE DETAIL").detail(spark)
+    m = _CREATE_USING_RE.match(statement)
+    if m and m.group("fmt"):
+        _run_create_using(spark, m, tables)
+        return None
+    m = _ALTER_RE.match(statement)
+    if m and not _CREATE_EXTERNAL_RE.match(statement):
+        _run_alter(spark, m, tables)
+        return None
     m = _CREATE_EXTERNAL_RE.match(statement)
     if m:
         _run_create_external(spark, m)
@@ -380,6 +555,25 @@ def sql(
         df.createOrReplaceTempView(view)
         return view
 
+    def tc_sub(match: re.Match) -> str:
+        # delta-spark's table_changes('<t>', start[, end]) TVF: resolve
+        # the quoted reference through the same chain and register the
+        # facade CDF read as a temp view
+        t = _resolve(match.group("ref"), tables, spark)
+        if t is None:
+            raise ValueError(
+                f"table_changes target {match.group('ref')!r} is not a "
+                "known table (bind it in the catalog, pass tables=, or "
+                "use a path)"
+            )
+        kw: dict = {"starting_version": int(match.group("lo"))}
+        if match.group("hi") is not None:
+            kw["ending_version"] = int(match.group("hi"))
+        view = f"__sqlfront_{_uuid.uuid4().hex}"
+        t.changes(spark, **kw).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TABLE_CHANGES_RE.sub(tc_sub, rewritten)
     rewritten = _TIME_TRAVEL_RE.sub(tt_sub, rewritten)
     for name, t in (tables or {}).items():
         if re.search(rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", rewritten):

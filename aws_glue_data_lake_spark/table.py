@@ -227,6 +227,62 @@ class Table:
             return self._delta_reader().changes(spark, **kw)
         return self._ice_reader().changes(spark, **kw)
 
+    def set_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): recorded in
+        table metadata and enforced on every subsequent write. Iceberg
+        has no CHECK-constraint concept in its spec — loud, not faked."""
+        if self.format == "delta":
+            self._delta_writer().set_constraint(name, expr)
+        elif self.format == "lake":
+            self._lake().add_check_constraint(name, expr)
+        else:
+            raise NotImplementedError(
+                "the Iceberg table spec has no CHECK constraints; "
+                "enforce in the writing pipeline instead"
+            )
+
+    def drop_constraint(self, name: str) -> None:
+        if self.format == "delta":
+            # delta-spark drops by REMOVING the key; set_property can't
+            # remove, so route through a metadata commit that rewrites
+            # the configuration without it
+            w = self._delta_writer()
+            from aws_glue_data_lake_spark.deltacompat import (
+                DeltaTableReader,
+            )
+
+            r = DeltaTableReader(self.path)
+            snap = r.snapshot()
+            meta = dict(snap.raw_meta)
+            conf = dict(meta.get("configuration", {}) or {})
+            conf.pop(f"delta.constraints.{name}", None)
+            meta["configuration"] = conf
+            w._commit_read_dependent(
+                snap.version + 1,
+                [{"metaData": meta}],
+                operation="DROP CONSTRAINT",
+                read_files=set(),
+                add_conflict=False,
+            )
+        elif self.format == "lake":
+            self._lake().drop_check_constraint(name)
+        else:
+            raise NotImplementedError(
+                "the Iceberg table spec has no CHECK constraints"
+            )
+
+    def set_property(self, key: str, value: str) -> None:
+        """ALTER TABLE SET TBLPROPERTIES: delta-backed tables commit the
+        key into the log's configuration; other layers have no free-form
+        property store — loud, not dropped."""
+        if self.format == "delta":
+            self._delta_writer().set_property(key, value)
+        else:
+            raise NotImplementedError(
+                f"{self.format} tables have no free-form TBLPROPERTIES "
+                "store in this engine"
+            )
+
     def history(self) -> list[dict]:
         if self.format == "lake":
             return [
@@ -279,6 +335,45 @@ class Table:
                 for h in self._ice_reader().history()
             ]
         return spark.createDataFrame(rows, self._SNAPSHOTS_DDL)
+
+    _DETAIL_DDL = (
+        "format string, location string, num_files long, "
+        "size_in_bytes long, partition_columns array<string>, "
+        "num_versions long"
+    )
+
+    def detail(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE DETAIL: one row of table-level facts — format,
+        location, live file count + total bytes, partition columns,
+        version count. Pure manifest/log metadata like the other
+        metadata relations: constant cost at any table size."""
+        from pyspark.sql import functions as F
+
+        f = self.files(spark).agg(
+            F.count("*").cast("long").alias("num_files"),
+            F.sum("file_size_bytes").cast("long").alias("size_in_bytes"),
+        ).first()
+        if self.format == "lake":
+            pcols = list(self._lake().snapshot().partition_by or ())
+        elif self.format == "delta":
+            pcols = list(
+                self._delta_reader().snapshot().partition_columns
+            )
+        else:
+            pcols = list(self._ice_reader().snapshot().partition_by)
+        return spark.createDataFrame(
+            [
+                (
+                    self.format,
+                    self.path,
+                    f["num_files"],
+                    f["size_in_bytes"],
+                    pcols,
+                    len(self.history()),
+                )
+            ],
+            self._DETAIL_DDL,
+        )
 
     def files(self, spark: SparkSession) -> DataFrame:
         """One row per LIVE data file at the tip: path, identity

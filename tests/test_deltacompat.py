@@ -2880,3 +2880,54 @@ def test_update_where_folds_deletion_vectors(spark, tmp_path):
         for r in DeltaTableReader(path).to_df(spark).collect()
     }
     assert rows == {0: 0, 1: 10, 4: 40, 5: 50, 6: 0, 7: 0}
+
+
+def test_row_tracking_lineage_surfaces_and_survives_dv(spark, tmp_path):
+    """Foreign rowTracking tables (writer feature Databricks stamps
+    widely): row_lineage() surfaces _row_id = baseRowId + position and
+    _row_commit_version; a DV DELETE must re-add the file CARRYING its
+    tracking fields, so surviving rows keep their ids (dropping them
+    would renumber rows for every tracking-aware reader)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.range(6).selectExpr("id AS k").coalesce(1))
+    # simulate the foreign writer: stamp tracking onto the add + protocol
+    cf = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(cf) if ln.strip()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["baseRowId"] = 100
+            a["add"]["defaultRowCommitVersion"] = 0
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": [
+                    "rowTracking", "appendOnly", "invariants",
+                    "domainMetadata",
+                ],
+            }
+    with open(cf, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    w.delete_where(spark, "k = 2")
+    rl = sorted(
+        (x["k"], x["_row_id"], x["_row_commit_version"])
+        for x in DeltaTableReader(path).row_lineage(spark).collect()
+    )
+    assert rl == [
+        (0, 100, 0), (1, 101, 0), (3, 103, 0), (4, 104, 0), (5, 105, 0),
+    ]
+    # a table with NO tracking surfaces NULL ids, never fails
+    p2 = str(tmp_path / "t2")
+    DeltaTableWriter(p2).create(spark.range(2).selectExpr("id AS k"))
+    rows = DeltaTableReader(p2).row_lineage(spark).collect()
+    assert all(x["_row_id"] is None for x in rows) and len(rows) == 2

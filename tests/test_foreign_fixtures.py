@@ -311,3 +311,16 @@ def test_iceberg_v3_row_lineage_golden_reads(spark):
         for x in feed.where("_change_type = 'insert'").collect()
     )
     assert ins == [4, 5]
+    # and the lineage SURFACES on request: explicit file first_row_id
+    # for f1 (ids 0..2), manifest-inherited for f2's null id (3..4)
+    rl = sorted(
+        (x["k"], x["_row_id"], x["_last_updated_sequence_number"])
+        for x in r.row_lineage(spark).collect()
+    )
+    assert rl == [
+        (1, 0, 1),
+        (2, 1, 1),
+        (3, 2, 1),
+        (4, 3, 2),
+        (5, 4, 2),
+    ]

@@ -78,20 +78,45 @@ def test_unsupported_capabilities_fail_loudly(spark, tmp_path):
         v = int(f.read())
     mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
     meta = json.load(open(mpath))
-    # a non-identity transform is READABLE (data files carry source
-    # columns), but the WRITER must refuse to commit into it, and a
-    # filter needing an UNKNOWN transform must fail lazily, not misprune
+    # a non-identity transform is readable AND (round-10) appendable —
+    # the transform applies at stage time; a filter needing an UNKNOWN
+    # transform must still fail lazily, not misprune, and
+    # overwrite_partition (logical-value kwargs) must refuse
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
     with open(mpath, "w") as f:
         json.dump(meta, f)
     r = IcebergTableReader(path)
     assert r.to_df(spark).count() == 1  # reads fine
-    with pytest.raises(IcebergProtocolError, match="identity"):
-        w.append(
-            spark.createDataFrame(
-                [(2, "b", 2)], "k long, bucket string, v long"
-            )
+    w.append(
+        spark.createDataFrame(
+            [(2, "b", 2)], "k long, bucket string, v long"
         )
+    )
+    snap = IcebergTableReader(path).snapshot()
+    got = sorted(
+        x["k"] for x in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [1, 2]
+    # the appended file's partition value is the TRANSFORMED bucket id
+    from aws_glue_data_lake_spark.icebergcompat import _transform_value
+
+    new_file = next(
+        pv for p, pv in snap.files if snap.file_seqs[p] == 2
+    )
+    assert new_file == {"bucket": _transform_value("bucket[16]", "b")}
+    with pytest.raises(IcebergProtocolError, match="identity"):
+        w.overwrite_partition(
+            spark.createDataFrame(
+                [(3, "c", 3)], "k long, bucket string, v long"
+            ),
+            bucket="c",
+        )
+    # re-read the CURRENT tip (the append above advanced it) before
+    # poisoning the spec with an unknown transform
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
     meta["partition-specs"][0]["fields"][0]["transform"] = "zorder[2]"
     with open(mpath, "w") as f:
         json.dump(meta, f)
@@ -2549,3 +2574,92 @@ def test_v3_writer_stamps_row_lineage(spark, tmp_path):
         for s in m["snapshots"]
     ]
     assert lineage == [(0, 10), (10, 5), (15, 0)]
+
+
+def test_append_merge_into_transform_partitioned_table(spark, tmp_path):
+    """Round-10: append and MERGE into a FOREIGN table partitioned by
+    non-identity transforms (day(ts) + bucket[4](k) — the layout real
+    Iceberg deployments overwhelmingly use). The staged files' partition
+    values must equal the spec transforms applied to the source values;
+    reads, manifest partition pruning, and MoR merge must all hold."""
+    import datetime
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+        _transform_value,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 5), 10.0),
+            (2, datetime.datetime(2024, 1, 1, 9), 20.0),
+            (3, datetime.datetime(2024, 1, 2, 5), 30.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    w.create(df.limit(0))  # unpartitioned create, then hack the spec
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
+    src_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [
+            {"name": "ts_day", "transform": "day",
+             "source-id": src_ids["ts"], "field-id": 1000},
+            {"name": "k_bucket", "transform": "bucket[4]",
+             "source-id": src_ids["k"], "field-id": 1001},
+        ],
+    }]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    w.append(df)
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    # every staged file's partition tuple == the spec transforms applied
+    epoch = datetime.date(1970, 1, 1)
+    expected = {
+        (
+            (datetime.date(2024, 1, 1 if k < 3 else 2) - epoch).days,
+            _transform_value("bucket[4]", k),
+        )
+        for k in (1, 2, 3)
+    }
+    got_pv = {
+        (pv["ts_day"], pv["k_bucket"]) for _, pv in snap.files
+    }
+    assert got_pv == expected, (got_pv, expected)
+    assert sorted(x["k"] for x in r.to_df(spark).collect()) == [1, 2, 3]
+    # manifest-level partition pruning: the filter takes the SOURCE
+    # value and the reader applies the spec transform itself
+    pruned = r.to_df(
+        spark,
+        partition_filter={"ts": datetime.datetime(2024, 1, 1, 12)},
+    )
+    assert sorted(x["k"] for x in pruned.collect()) == [1, 2]
+    # MoR MERGE into the transform table: upsert k=2, insert k=4
+    batch = spark.createDataFrame(
+        [
+            (2, datetime.datetime(2024, 1, 1, 9), 99.0),
+            (4, datetime.datetime(2024, 1, 3, 1), 40.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    w.merge(batch, keys=["k"])
+    rows = {
+        x["k"]: x["v"] for x in IcebergTableReader(path).to_df(spark).collect()
+    }
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # the metadata spec survives commits VERBATIM (no identity rewrite)
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v2 = int(f.read())
+    meta2 = json.load(open(os.path.join(meta_dir, f"v{v2}.metadata.json")))
+    assert meta2["partition-specs"] == meta["partition-specs"]

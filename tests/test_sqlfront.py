@@ -243,3 +243,151 @@ def test_insert_missing_column_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="lacks target column"):
         sql(spark, f"INSERT INTO delta.`{path}` SELECT k FROM ins_bad")
+
+
+def test_optimize_vacuum_describe_history(spark, tmp_path):
+    """Maintenance statements as text: OPTIMIZE compacts, VACUUM honors
+    RETAIN n VERSIONS (HOURS fails loudly), DESCRIBE HISTORY returns the
+    snapshots relation."""
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta").create(
+        _mk(spark, [(1, 10)]).repartition(4)
+    )
+    t.append(_mk(spark, [(2, 20)]))
+    assert sql(spark, f"OPTIMIZE delta.`{path}`") is None
+    assert len(DeltaTableReader(path).snapshot().files) == 1
+    hist = sql(spark, f"DESCRIBE HISTORY delta.`{path}`")
+    ops = [r["operation"] for r in hist.collect()]
+    assert "OPTIMIZE" in ops and len(ops) == 3
+    with pytest.raises(ValueError, match="RETAIN n VERSIONS"):
+        sql(spark, f"VACUUM delta.`{path}` RETAIN 168 HOURS")
+    assert sql(spark, f"VACUUM delta.`{path}` RETAIN 1 VERSIONS") is None
+    # content intact after compact+vacuum
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, 10), (2, 20)]
+
+
+def test_alter_table_constraint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta").create(_mk(spark, [(1, 10)]))
+    sql(spark, f"ALTER TABLE delta.`{path}` ADD CONSTRAINT pos CHECK (v > 0)")
+    with pytest.raises(ValueError, match="pos"):
+        t.append(_mk(spark, [(2, -5)]))
+    sql(spark, f"ALTER TABLE delta.`{path}` DROP CONSTRAINT pos")
+    t.append(_mk(spark, [(2, -5)]))  # constraint gone
+    assert t.read(spark).count() == 2
+    sql(
+        spark,
+        f"ALTER TABLE delta.`{path}` SET TBLPROPERTIES "
+        "('custom.owner'='pipeline-a')",
+    )
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+
+    conf = DeltaTableReader(path).snapshot().configuration
+    assert conf.get("custom.owner") == "pipeline-a"
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        sql(spark, f"ALTER TABLE delta.`{path}` RENAME TO other")
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    """delta-spark's table_changes('<t>', start[, end]) TVF rewrites to
+    the facade CDF read inside an ordinary SELECT."""
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta")
+    t.create(_mk(spark, [(1, 10), (2, 20)]))
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableWriter
+
+    DeltaTableWriter(path).set_change_data_feed(True)
+    t.append(_mk(spark, [(3, 30)]))
+    t.delete_where(spark, "k = 1")
+    got = sql(
+        spark,
+        f"SELECT _change_type, k FROM table_changes('{path}', 2) "
+        "ORDER BY _commit_version, k",
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in got] == [
+        ("insert", 3),
+        ("delete", 1),
+    ]
+    # bounded range: only the append commit
+    n = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM table_changes('{path}', 2, 2)",
+    ).collect()[0]["n"]
+    assert n == 1
+
+
+def test_create_table_using_ctas_and_describe_detail(spark, tmp_path):
+    """CREATE TABLE ... USING <fmt> [LOCATION] AS SELECT creates the
+    format table AND binds the name; DESCRIBE DETAIL reports the
+    table-level facts; IF NOT EXISTS tolerates re-runs; plain CREATE on
+    an existing name fails."""
+    from aws_glue_data_lake_spark.catalog import binding, resolve_table
+
+    loc = str(tmp_path / "ctas")
+    _mk(spark, [(k, k * 2) for k in range(10)]).createOrReplaceTempView(
+        "ctas_src"
+    )
+    sql(
+        spark,
+        f"CREATE TABLE ctasdb.kv USING delta LOCATION '{loc}' "
+        "AS SELECT k, v FROM ctas_src",
+    )
+    assert binding(spark, "ctasdb.kv") == (loc, "delta")
+    assert resolve_table(spark, "ctasdb.kv").read(spark).count() == 10
+    # IF NOT EXISTS: silent no-op; plain CREATE: loud
+    sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS ctasdb.kv USING delta LOCATION "
+        f"'{loc}' AS SELECT k, v FROM ctas_src",
+    )
+    with pytest.raises(FileExistsError):
+        sql(
+            spark,
+            f"CREATE TABLE ctasdb.kv USING delta LOCATION '{loc}' "
+            "AS SELECT k, v FROM ctas_src",
+        )
+    det = sql(spark, "DESCRIBE DETAIL ctasdb.kv").collect()[0]
+    assert det["format"] == "delta" and det["location"] == loc
+    assert det["num_files"] >= 1 and det["size_in_bytes"] > 0
+    assert det["num_versions"] == 1
+    spark.sql("DROP TABLE ctasdb.kv")
+
+
+def test_create_table_using_partitioned_managed(spark, tmp_path):
+    """Managed placement (no LOCATION): data lands under the warehouse
+    dir; PARTITIONED BY applies."""
+    from aws_glue_data_lake_spark.catalog import resolve_table
+
+    import os
+    import shutil
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k long, v long, g string"
+    ).createOrReplaceTempView("ctas_src2")
+    spark.sql("DROP TABLE IF EXISTS ctasdb.part_kv")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    managed_dir = os.path.join(warehouse, "ctasdb", "part_kv")
+    shutil.rmtree(managed_dir, ignore_errors=True)  # external semantics:
+    # DROP leaves data; clean a previous run's leftovers
+    try:
+        sql(
+            spark,
+            "CREATE TABLE ctasdb.part_kv USING lake PARTITIONED BY (g) "
+            "AS SELECT k, v, g FROM ctas_src2",
+        )
+        t = resolve_table(spark, "ctasdb.part_kv")
+        assert t.format == "lake"
+        assert os.path.abspath(t.path) == os.path.abspath(managed_dir)
+        got = sorted((r["k"], r["g"]) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (2, "b")]
+        det = sql(spark, "DESCRIBE DETAIL ctasdb.part_kv").collect()[0]
+        assert det["partition_columns"] == ["g"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ctasdb.part_kv")
+        shutil.rmtree(managed_dir, ignore_errors=True)
