@@ -127,6 +127,9 @@ class DeltaSnapshot:
     #: defaultRowCommitVersion) for adds that carry them — fresh rows'
     #: ids default to baseRowId + position (surfaced by row_lineage())
     row_tracking: dict = None  # type: ignore[assignment]
+    #: live domainMetadata actions ({domain: action dict}) — durable
+    #: state our checkpoints must carry (never silently dropped)
+    domains: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -456,7 +459,22 @@ class DeltaTableReader:
             txns[t["appId"]] = max(
                 txns.get(t["appId"], -1), int(t["version"])
             )
-        # commitInfo / cdc / domainMetadata: not needed for a scan
+        elif "domainMetadata" in action:
+            # domain metadata is DURABLE table state (e.g. Databricks'
+            # rowTracking high-water mark, clustering state): track it so
+            # checkpoints WE write carry it — a checkpoint that dropped
+            # it would erase the domain for every post-checkpoint reader
+            d = action["domainMetadata"]
+            domains = state.setdefault("domains", {})
+            if d.get("removed"):
+                domains.pop(d.get("domain"), None)
+            else:
+                domains[d.get("domain")] = {
+                    "domain": d.get("domain"),
+                    "configuration": d.get("configuration"),
+                    "removed": False,
+                }
+        # commitInfo / cdc: not needed for a scan
 
     @staticmethod
     def _plain(val):
@@ -478,7 +496,10 @@ class DeltaTableReader:
             paths it references (V2 Checkpoint feature)."""
             sidecars: list[str] = []
             for row in rows:
-                for key in ("metaData", "protocol", "add", "remove", "txn"):
+                for key in (
+                    "metaData", "protocol", "add", "remove", "txn",
+                    "domainMetadata",
+                ):
                     val = row.get(key)
                     if val is not None:
                         self._apply_action(state, {key: self._plain(val)})
@@ -582,6 +603,7 @@ class DeltaTableReader:
             raw_protocol=dict(state.get("protocol") or {}),
             raw_paths=raw_paths,
             row_tracking=row_tracking,
+            domains=dict(state.get("domains", {})),
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -1905,11 +1927,115 @@ class DeltaTableWriter:
         return urllib.parse.quote(os.path.relpath(p, self.path))
 
     @staticmethod
-    def _require_mutable(snap: DeltaSnapshot, what: str) -> None:
+    def _require_mutable(
+        snap: DeltaSnapshot, what: str, adds_content: bool = True
+    ) -> None:
         if snap.configuration.get("delta.appendOnly", "").lower() == "true":
             raise ValueError(
                 f"table is delta.appendOnly=true: {what} is not allowed"
             )
+        DeltaTableWriter._check_writer_features(
+            snap, what, adds_content=adds_content
+        )
+
+    #: Writer features this writer actually HONORS (protocol: a writer
+    #: must implement every listed writerFeature before committing —
+    #: writing past an unimplemented one silently breaks the invariant
+    #: that feature protects, e.g. un-generated generated columns).
+    _SUPPORTED_WRITER_FEATURES = {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "inCommitTimestamp",
+        "v2Checkpoint",
+        "typeWidening",
+        "typeWidening-preview",
+        "variantType",
+        "variantType-preview",
+        "vacuumProtocolCheck",
+        # generated columns are computed-if-absent / validated-if-present
+        # by _apply_generated_columns on every content-adding commit
+        "generatedColumns",
+        # domain metadata is tracked in snapshot state and carried
+        # through checkpoints; this writer never removes a domain
+        "domainMetadata",
+        # row ids are PRESERVED across DV deletes / restore / checkpoint;
+        # assigning FRESH ids is gated below on delta.enableRowTracking
+        "rowTracking",
+        # constrains reader-side CDF availability bookkeeping only
+        "checkpointProtection",
+    }
+
+    @staticmethod
+    def _check_writer_features(
+        snap: DeltaSnapshot, what: str, adds_content: bool = True
+    ) -> None:
+        """Protocol write gate: refuse to commit into a table whose
+        writerFeatures include something this writer does not implement
+        — the spec's rule, and the honest alternative to corrupting the
+        invariant the feature protects. Also refuses content-adding
+        commits when delta.enableRowTracking=true (fresh rows would need
+        newly ALLOCATED row ids from the rowTracking domain's high-water
+        mark, which this writer does not manage)."""
+        proto = snap.raw_protocol or {}
+        feats = set(proto.get("writerFeatures", ()))
+        bad = feats - DeltaTableWriter._SUPPORTED_WRITER_FEATURES
+        if bad:
+            raise DeltaProtocolError(
+                f"{what}: table requires writer feature(s) "
+                f"{sorted(bad)} this writer does not implement"
+            )
+        if (
+            adds_content
+            and snap.configuration.get(
+                "delta.enableRowTracking", ""
+            ).lower()
+            == "true"
+        ):
+            raise DeltaProtocolError(
+                f"{what}: delta.enableRowTracking=true requires "
+                "allocating fresh row ids for new rows, which this "
+                "writer does not manage; disable row tracking or write "
+                "with a tracking-aware engine"
+            )
+
+    @staticmethod
+    def _apply_generated_columns(
+        df: DataFrame, snap: DeltaSnapshot
+    ) -> DataFrame:
+        """Writer feature generatedColumns (delta.generationExpression
+        field metadata): a generated column ABSENT from the batch is
+        computed from its expression; one PRESENT is validated against
+        it — a mismatching batch fails the commit, exactly delta-spark's
+        contract (silently storing divergent values would break every
+        reader that relies on the generation invariant, e.g. partition
+        pruning on a derived date column)."""
+        gen = {
+            f.name: ((f.metadata or {}).get("delta.generationExpression"))
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("delta.generationExpression")
+        }
+        if not gen:
+            return df
+        for name, expr in sorted(gen.items()):
+            target_t = snap.schema[name].dataType
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr).cast(target_t))
+                continue
+            bad = df.where(
+                ~F.col(name).eqNullSafe(F.expr(expr).cast(target_t))
+            )
+            if not bad.isEmpty():
+                sample = bad.limit(3).collect()
+                raise ValueError(
+                    f"generated column {name!r} = {expr} violated by "
+                    f"{len(sample)}+ incoming row(s), e.g. {sample[0]}"
+                )
+        return df
 
     @staticmethod
     def _cdf_enabled(configuration: dict) -> bool:
@@ -2346,6 +2472,8 @@ class DeltaTableWriter:
                     except OSError:
                         pass
                 return snap.version
+            self._check_writer_features(snap, "append (WRITE)")
+            df = self._apply_generated_columns(df, snap)
             self._check_constraints(df, snap.configuration)
             actions, _ = self._schema_evolution_actions(
                 df, snap, merge_schema
@@ -2416,6 +2544,7 @@ class DeltaTableWriter:
                 "supported: new columns would need fresh "
                 "columnMapping ids/physicalNames assigned"
             )
+        source = self._apply_generated_columns(source, snap)
         self._check_constraints(source, snap.configuration)
         actions, table_schema = self._schema_evolution_actions(
             source, snap, merge_schema
@@ -2661,6 +2790,7 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "overwrite_partition")
+        df = self._apply_generated_columns(df, snap)
         self._check_constraints(df, snap.configuration)
         to_phys, part_stage = self._physical_stage_ctx(snap)
         # partitionValues in the log are keyed by PHYSICAL names; the
@@ -2773,9 +2903,27 @@ class DeltaTableWriter:
                         "dataChange": False,
                         "deletionVector": dv,
                         "stats": json.dumps(st) if st else None,
+                        # rowTracking: ids are durable state — a
+                        # checkpoint that dropped baseRowId would
+                        # renumber every row for tracking-aware readers
+                        "baseRowId": (
+                            (snap.row_tracking or {}).get(
+                                os.path.abspath(p), (None, None)
+                            )[0]
+                        ),
+                        "defaultRowCommitVersion": (
+                            (snap.row_tracking or {}).get(
+                                os.path.abspath(p), (None, None)
+                            )[1]
+                        ),
                     },
                 }
             )
+        for d in sorted(
+            (snap.domains or {}).values(), key=lambda x: x["domain"]
+        ):
+            # live domain metadata must survive checkpoint-only replay
+            rows.append({"domainMetadata": dict(d)})
         for app_id, tv in sorted((snap.txns or {}).items()):
             # txn state must survive checkpoint-only replay, or an
             # exactly-once streaming writer would re-apply old batches
@@ -2838,6 +2986,18 @@ class DeltaTableWriter:
                                 ),
                             ),
                             ("stats", pa.string()),
+                            ("baseRowId", pa.int64()),
+                            ("defaultRowCommitVersion", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "domainMetadata",
+                    pa.struct(
+                        [
+                            ("domain", pa.string()),
+                            ("configuration", pa.string()),
+                            ("removed", pa.bool_()),
                         ]
                     ),
                 ),
@@ -3103,7 +3263,11 @@ class DeltaTableWriter:
 
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
-        self._require_mutable(snap, "delete_where (DELETE)")
+        # DV deletes add no rows and PRESERVE row-tracking ids, so they
+        # stay legal on delta.enableRowTracking tables
+        self._require_mutable(
+            snap, "delete_where (DELETE)", adds_content=False
+        )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # position scan WITHOUT DV subtraction: re-matching an
         # already-deleted row is idempotent under the union below

@@ -2795,3 +2795,102 @@ def lake_iceberg_transform_partition_state(
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Delta generated columns (round-10): a FOREIGN table declaring
+# delta.generationExpression on a derived column (the Databricks
+# partition-derivation idiom: a date bucket generated from the real
+# timestamp/key) is appended to WITHOUT the generated column — the
+# writer must COMPUTE it (writer feature generatedColumns; silently
+# writing NULLs would break every reader pruning on the derived
+# column) — and then MERGEd with the column present-and-correct. A
+# divergent batch is proven to fail in-query. Closed-form vs orders.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_delta_generated_cols_state",
+    oracle="""
+SELECT CAST(o_orderkey % 7 AS BIGINT) AS key_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM orders
+WHERE o_orderkey % 5 = 0
+GROUP BY o_orderkey % 7
+ORDER BY key_bucket
+""",
+)
+def lake_delta_generated_cols_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (F.col("o_orderkey") % 3 == 0).alias("flagged"),
+    ).where(F.col("o_orderkey") % 5 == 0)
+    path = session_tmpdir("gen_cols_") + "/t"
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "flagged", "type": "boolean", "nullable": True,
+             "metadata": {}},
+            {"name": "key_bucket", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.generationExpression": "o_orderkey % 7"}},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants",
+                               "generatedColumns"],
+        }}) + "\n")
+        f.write(_json.dumps({"metaData": {
+            "id": "gen-q", "format": {"provider": "parquet",
+                                      "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0,
+        }}) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(o.where(F.col("o_orderkey") % 2 == 0))  # computed
+    w.merge(  # present-and-correct through MERGE
+        spark,
+        o.where(F.col("o_orderkey") % 2 == 1).withColumn(
+            "key_bucket", F.col("o_orderkey") % 7
+        ),
+        keys=["o_orderkey"],
+    )
+    try:  # divergent generated value must REFUSE
+        w.append(
+            spark.createDataFrame(
+                [(35, False, 999)],
+                "o_orderkey long, flagged boolean, key_bucket long",
+            )
+        )
+        raise AssertionError("divergent generated column accepted")
+    except ValueError:
+        pass
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .groupBy("key_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("flagged").cast("long"))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("key_bucket")
+    )

@@ -2931,3 +2931,167 @@ def test_row_tracking_lineage_surfaces_and_survives_dv(spark, tmp_path):
     DeltaTableWriter(p2).create(spark.range(2).selectExpr("id AS k"))
     rows = DeltaTableReader(p2).row_lineage(spark).collect()
     assert all(x["_row_id"] is None for x in rows) and len(rows) == 2
+
+
+def test_writer_feature_gate_and_row_tracking_enablement(spark, tmp_path):
+    """Protocol write gate: an unimplemented writerFeature refuses
+    writes (reads unaffected); delta.enableRowTracking=true refuses
+    content-adding commits (fresh ids would need allocation) but allows
+    DV deletes (ids preserved)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    def stamp(path, features, conf=None):
+        cf = os.path.join(path, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(ln) for ln in open(cf) if ln.strip()]
+        for a in lines:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 1, "minWriterVersion": 7,
+                    "writerFeatures": features,
+                }
+            if conf and "metaData" in a:
+                a["metaData"]["configuration"] = conf
+        with open(cf, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+
+    p1 = str(tmp_path / "ident")
+    w1 = DeltaTableWriter(p1)
+    w1.create(spark.range(4).selectExpr("id AS k"))
+    stamp(p1, ["appendOnly", "invariants", "identityColumns"])
+    assert DeltaTableReader(p1).to_df(spark).count() == 4  # reads fine
+    with _pytest.raises(DeltaProtocolError, match="identityColumns"):
+        w1.append(spark.range(4, 6).selectExpr("id AS k"))
+    with _pytest.raises(DeltaProtocolError, match="identityColumns"):
+        w1.delete_where(spark, "k = 1")
+
+    p2 = str(tmp_path / "rt")
+    w2 = DeltaTableWriter(p2)
+    w2.create(spark.range(4).selectExpr("id AS k").coalesce(1))
+    stamp(
+        p2,
+        ["appendOnly", "invariants", "rowTracking", "domainMetadata",
+         "deletionVectors"],
+        conf={"delta.enableRowTracking": "true"},
+    )
+    with _pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+        w2.append(spark.range(4, 6).selectExpr("id AS k"))
+    w2.delete_where(spark, "k = 1")  # DV delete: ids preserved, legal
+    assert sorted(
+        x["k"] for x in DeltaTableReader(p2).to_df(spark).collect()
+    ) == [0, 2, 3]
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    """Writer feature generatedColumns: absent generated columns are
+    COMPUTED from delta.generationExpression; present-but-divergent
+    batches fail the commit (the generation invariant feeds partition
+    pruning — silently storing divergent values breaks readers)."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "k2", "type": "long", "nullable": True,
+             "metadata": {"delta.generationExpression": "k * 2"}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants",
+                               "generatedColumns"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "gen-t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }}) + "\n")
+    w = DeltaTableWriter(path)
+    # absent: computed
+    w.append(spark.range(3).selectExpr("id AS k"))
+    got = sorted(
+        (x["k"], x["k2"])
+        for x in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(0, 0), (1, 2), (2, 4)]
+    # present and correct: accepted
+    w.append(spark.createDataFrame([(5, 10)], "k long, k2 long"))
+    # present and divergent: refused
+    with _pytest.raises(ValueError, match="generated column"):
+        w.append(spark.createDataFrame([(7, 99)], "k long, k2 long"))
+    assert DeltaTableReader(path).to_df(spark).count() == 4
+
+
+def test_domain_metadata_survives_our_checkpoint(spark, tmp_path):
+    """A foreign table's domainMetadata (e.g. the rowTracking high-water
+    mark) and per-file baseRowId must survive a checkpoint WE write —
+    after pre-checkpoint log cleanup the checkpoint is the only record."""
+    import glob
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.range(4).selectExpr("id AS k").coalesce(1))
+    cf = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(cf) if ln.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "rowTracking", "domainMetadata"],
+            }
+        if "add" in a:
+            a["add"]["baseRowId"] = 0
+            a["add"]["defaultRowCommitVersion"] = 0
+    lines.append({"domainMetadata": {
+        "domain": "delta.rowTracking",
+        "configuration": json.dumps({"rowIdHighWaterMark": 3}),
+        "removed": False,
+    }})
+    with open(cf, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    w.append(spark.range(4, 6).selectExpr("id AS k"))  # v1
+    w.checkpoint()
+    # simulate log cleanup: only the checkpoint survives
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.domains.get("delta.rowTracking", {}).get(
+        "configuration"
+    ) == json.dumps({"rowIdHighWaterMark": 3})
+    base_ids = set(snap.row_tracking.values())
+    assert (0, 0) in base_ids  # the stamped file kept its baseRowId
+    rl = DeltaTableReader(path).row_lineage(spark)
+    tracked = sorted(
+        x["_row_id"] for x in rl.collect() if x["_row_id"] is not None
+    )
+    assert tracked == [0, 1, 2, 3]
