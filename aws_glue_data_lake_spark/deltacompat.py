@@ -1968,6 +1968,13 @@ class DeltaTableWriter:
         "rowTracking",
         # constrains reader-side CDF availability bookkeeping only
         "checkpointProtection",
+        # liquid clustering: clustering is best-effort LAYOUT — the
+        # feature's writer obligation is preserving the clustering
+        # domain metadata, which this writer now carries through state
+        # and checkpoints; not clustering new files degrades locality,
+        # never correctness. Databricks stamps this on most new tables,
+        # so refusing it would refuse most real destinations.
+        "clusteredTable",
     }
 
     @staticmethod

@@ -3095,3 +3095,45 @@ def test_domain_metadata_survives_our_checkpoint(spark, tmp_path):
         x["_row_id"] for x in rl.collect() if x["_row_id"] is not None
     )
     assert tracked == [0, 1, 2, 3]
+
+
+def test_clustered_table_writes_preserve_clustering_domain(spark, tmp_path):
+    """Databricks stamps clusteredTable + domainMetadata on most new
+    tables: writes must be ACCEPTED (clustering is best-effort layout)
+    and the delta.clustering domain metadata must survive our commits
+    and checkpoints — the feature's actual writer obligation."""
+    import glob
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.range(4).selectExpr("id AS k"))
+    cf = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(cf) if ln.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "clusteredTable", "domainMetadata"],
+            }
+    lines.append({"domainMetadata": {
+        "domain": "delta.clustering",
+        "configuration": json.dumps({"clusteringColumns": [["k"]]}),
+        "removed": False,
+    }})
+    with open(cf, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    w.append(spark.range(4, 8).selectExpr("id AS k"))  # accepted
+    w.checkpoint()
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)  # checkpoint-only replay
+    snap = DeltaTableReader(path).snapshot()
+    assert "delta.clustering" in (snap.domains or {})
+    assert DeltaTableReader(path).to_df(spark).count() == 8
