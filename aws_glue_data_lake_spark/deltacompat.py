@@ -32,6 +32,7 @@ the data files, matching Delta's layout.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import re
@@ -183,6 +184,10 @@ def _spark_file_stats(
     def safe(v):
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            # json.dumps cannot serialize Decimal; delta-spark's JSON
+            # stats carry decimals as their plain string rendering.
+            return str(v)
         return v
 
     out: dict[str, str | None] = {}
@@ -2746,6 +2751,24 @@ class DeltaTableWriter:
             val = F.expr(expr) if isinstance(expr, str) else expr
             updated = updated.withColumn(
                 col, val.cast(snap.schema[col].dataType)
+            )
+        # generatedColumns on UPDATE (delta-spark's contract): a
+        # generated column NOT explicitly assigned is recomputed from
+        # its expression (an assignment to a referenced source column
+        # must not leave the derived value stale); one explicitly
+        # assigned is validated. Dropping the non-assigned ones and
+        # re-running the shared helper gives exactly that split.
+        gen_cols = [
+            f.name
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("delta.generationExpression")
+        ]
+        if gen_cols:
+            updated = self._apply_generated_columns(
+                updated.drop(
+                    *[g for g in gen_cols if g not in assignments]
+                ),
+                snap,
             )
         self._check_constraints(updated, snap.configuration)
         out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(

@@ -130,9 +130,14 @@ def _bucket_hash_bytes(value) -> bytes:
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
     if isinstance(value, datetime.datetime):
-        micros = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
-            value.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
-        )
+        # exact integer micros-from-epoch: float .timestamp() double
+        # rounding can be off by 1µs at ~1e9s epochs, which would land
+        # the row in the WRONG bucket (conforming readers prune on it)
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        micros = (
+            value - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        ) // datetime.timedelta(microseconds=1)
         return _struct.pack("<q", micros)
     if isinstance(value, datetime.date):
         return _struct.pack("<q", (value - datetime.date(1970, 1, 1)).days)
@@ -2664,15 +2669,29 @@ class IcebergTableWriter:
 
                     @pandas_udf("int")
                     def _bucket(s, _n=n):
-                        return s.map(
-                            lambda v: None
-                            if v is None
-                            else (
+                        import pandas as pd
+
+                        def one(v):
+                            # nullable int sources arrive as float64:
+                            # NULL -> NaN, values -> integral floats
+                            try:
+                                if v is None or pd.isna(v):
+                                    return None
+                            except (TypeError, ValueError):
+                                pass
+                            if isinstance(v, float):
+                                if not v.is_integer():
+                                    raise IcebergProtocolError(
+                                        "bucket transform undefined for "
+                                        "non-integral float source value"
+                                    )
+                                v = int(v)
+                            return (
                                 _murmur3_32(_bucket_hash_bytes(v))
                                 & 0x7FFFFFFF
-                            )
-                            % _n
-                        )
+                            ) % _n
+
+                        return s.map(one)
 
                     exprs[name] = _bucket(col)
                     continue

@@ -2663,3 +2663,68 @@ def test_append_merge_into_transform_partitioned_table(spark, tmp_path):
         v2 = int(f.read())
     meta2 = json.load(open(os.path.join(meta_dir, f"v{v2}.metadata.json")))
     assert meta2["partition-specs"] == meta["partition-specs"]
+
+
+def test_bucket_transform_null_and_timestamp_sources(spark, tmp_path):
+    """ADVICE r10 (medium): (1) a nullable long bucket-source column
+    with NULLs arrives in the staging pandas UDF as float64 — NaN must
+    map to a null partition value and integral floats back to the exact
+    long; (2) timestamp bucket hashing must use exact integer micros
+    (float .timestamp() double rounding can shift the bucket)."""
+    import datetime
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+        _transform_value,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 5), 10.0),
+            (None, datetime.datetime(2024, 1, 1, 9), 20.0),
+            (3, datetime.datetime(2009, 2, 13, 23, 31, 30, 123457), 30.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    w.create(df.limit(0))
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
+    src_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [
+            {"name": "k_bucket", "transform": "bucket[8]",
+             "source-id": src_ids["k"], "field-id": 1000},
+            {"name": "ts_bucket", "transform": "bucket[8]",
+             "source-id": src_ids["ts"], "field-id": 1001},
+        ],
+    }]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    w.append(df)  # crashed on NaN / raised in _bucket_hash_bytes before
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    got_pv = {
+        (pv["k_bucket"], pv["ts_bucket"]) for _, pv in snap.files
+    }
+    expected = {
+        (
+            _transform_value("bucket[8]", k),
+            _transform_value("bucket[8]", ts),
+        )
+        for k, ts, _ in df.collect()
+    }
+    assert got_pv == expected, (got_pv, expected)
+    assert r.to_df(spark).count() == 3
+    # the NULL source row landed under a null partition value
+    assert (None, _transform_value(
+        "bucket[8]", datetime.datetime(2024, 1, 1, 9))) in got_pv
