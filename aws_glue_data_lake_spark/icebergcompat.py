@@ -499,6 +499,19 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         _id_map_field("lower_bounds", 125, "bytes", (126, 127)),
                         _id_map_field("upper_bounds", 128, "bytes", (129, 130)),
                         {
+                            # spec field 142 (v3 row lineage): explicit
+                            # starting _row_id for this file. Written
+                            # when an EXISTING entry whose id was
+                            # inherited from its source manifest is
+                            # re-homed into a new manifest (the
+                            # inheritance context would otherwise be
+                            # lost and the file would take fresh ids).
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 142,
+                        },
+                        {
                             # spec field 135: schema field ids an
                             # equality-delete file (content=2) matches on
                             "name": "equality_ids",
@@ -537,10 +550,49 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            # spec field 520 (format v3 row lineage): starting _row_id
+            # for files in this DATA manifest that carry a null
+            # first_row_id (they inherit, advancing by record_count in
+            # entry order). Null for delete manifests and on pre-v3
+            # lists. Present in the writer schema unconditionally —
+            # Avro readers resolve by the embedded writer schema, and
+            # carried FOREIGN v3 entries must round-trip their assigned
+            # ids instead of silently dropping them on our commits.
+            "name": "first_row_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 520,
+        },
     ],
 }
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+def _materialize_inherited_row_ids(mf: dict, entries: list) -> None:
+    """Resolve v3 row-lineage INHERITANCE before entries leave their
+    source manifest (spec § Row Lineage, data_file field 142): a data
+    file with null ``first_row_id`` inherits from the manifest-list
+    entry's ``first_row_id``, advancing by ``record_count`` per such
+    live file in entry order. Re-homing an entry into a NEW manifest
+    (CoW rewrites) loses that context, so the resolved id is stamped
+    onto the ``data_file`` record in place — mirroring the
+    sequence-number inheritance resolution the rewrite sites already
+    do. Mutates ``entries``; no-op for pre-v3 manifests (null manifest
+    first_row_id) and delete manifests."""
+    cursor = mf.get("first_row_id")
+    if cursor is None or mf.get("content", 0) != 0:
+        return
+    for e in entries:
+        if e["status"] == _STATUS_DELETED:
+            continue
+        dfr = e.get("data_file") or {}
+        if dfr.get("content", 0) != 0:
+            continue
+        if dfr.get("first_row_id") is None:
+            dfr["first_row_id"] = int(cursor)
+            cursor += int(dfr.get("record_count") or 0)
 
 
 @dataclass
@@ -2393,34 +2445,49 @@ class IcebergTableWriter:
             },
         }
         if fv >= 3:
-            # v3 ROW LINEAGE bookkeeping (spec: v3 writers must assign
-            # it): the new snapshot claims the id range
-            # [next-row-id, next-row-id + added rows) — first-row-id +
-            # added-rows stamped on the snapshot, next-row-id advanced
-            # in the table metadata. Added rows come from the just-
-            # written manifest list (one driver-side avro read, bounded
-            # by |manifests|). Deviation, documented: per-manifest
-            # first_row_id (field 520) is not written into the list
-            # entries — readers that materialize _row_id per file would
-            # need it; readers that merely tolerate lineage (this one
-            # included) do not.
+            # v3 ROW LINEAGE bookkeeping (spec § Row Lineage: v3 writers
+            # must assign it): the snapshot's first-row-id is the
+            # table's next-row-id, and the manifest-list writer assigns
+            # first_row_id (field 520) to every DATA manifest that does
+            # not already carry one — cursor starts at first-row-id and
+            # advances by added_rows_count + existing_rows_count per
+            # newly-assigned manifest (existing rows count too: files
+            # with null first_row_id inherit from the manifest
+            # regardless of status, the spec's lazy-upgrade path for
+            # pre-lineage manifests). Carried manifests keep their
+            # original ids — lineage stability across commits. The list
+            # is re-written in place here (one driver-side avro
+            # read+write, bounded by |manifests|) BEFORE the metadata
+            # commit makes it visible.
             next_row = int((prev or {}).get("next-row-id", 0))
-            added_rows = 0
+            consumed = 0
             try:
-                _, mls, _ = read_container(
-                    manifest_list_path.removeprefix("file://")
-                )
-                added_rows = sum(
-                    int(m.get("added_rows_count") or 0)
-                    for m in mls
-                    if m.get("added_snapshot_id") == snapshot_id
-                    and m.get("content", 0) == 0
-                )
+                raw_path = manifest_list_path.removeprefix("file://")
+                _, mls, _ = read_container(raw_path)
+                cursor = next_row
+                stamped = False
+                for m in mls:
+                    if m.get("content", 0) != 0:
+                        continue  # delete manifests: first_row_id null
+                    if m.get("first_row_id") is not None:
+                        continue  # carried: ids already assigned
+                    m["first_row_id"] = cursor
+                    span = int(m.get("added_rows_count") or 0) + int(
+                        m.get("existing_rows_count") or 0
+                    )
+                    cursor += span
+                    consumed += span
+                    stamped = True
+                if stamped:
+                    write_container(
+                        raw_path, _MANIFEST_LIST_SCHEMA, mls,
+                        metadata={"format-version": str(fv)},
+                    )
             except Exception:
                 pass  # lineage stays conservative on unreadable lists
             snapshots[-1]["first-row-id"] = next_row
-            snapshots[-1]["added-rows"] = added_rows
-            meta["next-row-id"] = next_row + added_rows
+            snapshots[-1]["added-rows"] = consumed
+            meta["next-row-id"] = next_row + consumed
         target = os.path.join(self._meta_dir, f"v{version}.metadata.json")
         # O_EXCL: the Hadoop-catalog commit primitive (losing a version
         # race must fail, not clobber)
@@ -2920,6 +2987,7 @@ class IcebergTableWriter:
                     new_manifests.append(mf)
                     continue
                 _, entries, _ = read_container(mf["manifest_path"])
+                _materialize_inherited_row_ids(mf, entries)
                 rewritten = []
                 for e in entries:
                     if e["status"] == _STATUS_DELETED:
@@ -3069,6 +3137,7 @@ class IcebergTableWriter:
                     new_manifests.append(mf)  # tombstones carry through
                     continue
                 _, entries, _ = read_container(mf["manifest_path"])
+                _materialize_inherited_row_ids(mf, entries)
                 rewritten = []
                 for e in entries:
                     if e["status"] == _STATUS_DELETED:
@@ -3120,7 +3189,7 @@ class IcebergTableWriter:
             )
             write_container(
                 ml_path, _MANIFEST_LIST_SCHEMA, new_manifests,
-                metadata={"format-version": fv},
+                metadata={"format-version": str(fv)},
             )
             self._commit_metadata(
                 pmeta, schema_json, pcols, sid, seq, ml_path, "overwrite"

@@ -2549,8 +2549,7 @@ def test_v3_writer_stamps_row_lineage(spark, tmp_path):
     """Spec v3: writers assign row lineage — each snapshot claims
     [next-row-id, next-row-id + added rows): first-row-id/added-rows on
     the snapshot, next-row-id advanced in table metadata; delete-only
-    commits claim an empty range. (Per-manifest first_row_id is a
-    documented deviation.)"""
+    commits claim an empty range."""
     import json
     import os
 
@@ -2728,3 +2727,88 @@ def test_bucket_transform_null_and_timestamp_sources(spark, tmp_path):
     # the NULL source row landed under a null partition value
     assert (None, _transform_value(
         "bucket[8]", datetime.datetime(2024, 1, 1, 9))) in got_pv
+
+
+def test_v3_manifest_list_stamps_first_row_id(spark, tmp_path):
+    """Spec v3 manifest-list field 520: the list writer assigns
+    first_row_id to every data manifest lacking one (cursor = snapshot
+    first-row-id, advancing by added+existing rows), so files inherit
+    real ids and this engine's own row_lineage() materializes _row_id
+    for its own v3 writes."""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.avrolite import read_container
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.range(10).selectExpr("id AS k").coalesce(1), format_version=3
+    )
+    w.append(spark.range(10, 15).selectExpr("id AS k").coalesce(1))
+
+    metas = sorted(
+        f
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.endswith(".metadata.json")
+    )
+    with open(os.path.join(path, "metadata", metas[-1])) as f:
+        m = json.load(f)
+    cur = next(
+        s
+        for s in m["snapshots"]
+        if s["snapshot-id"] == m["current-snapshot-id"]
+    )
+    _, mls, _ = read_container(cur["manifest-list"])
+    fris = sorted(
+        mf["first_row_id"] for mf in mls if mf.get("content", 0) == 0
+    )
+    assert fris == [0, 10], fris
+    assert m["next-row-id"] == 15
+
+    # own-table lineage materializes: single-file writes in id order
+    got = {
+        (r["k"], r["_row_id"])
+        for r in IcebergTableReader(path).row_lineage(spark).collect()
+    }
+    assert got == {(k, k) for k in range(15)}, got
+
+
+def test_v3_cow_rehoming_preserves_row_ids(spark, tmp_path):
+    """Spec v3 data_file field 142: when a CoW commit re-homes an
+    EXISTING entry into a new manifest, the id it INHERITED from its
+    source manifest must be materialized explicitly — rows in untouched
+    files keep their _row_id across another partition's overwrite."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [(k, k // 5) for k in range(10)], "k long, p int"
+    )
+    w.create(df, partition_by=["p"], format_version=3)
+
+    before = {
+        r["k"]: r["_row_id"]
+        for r in IcebergTableReader(path).row_lineage(spark).collect()
+        if r["p"] == 0
+    }
+    assert len(before) == 5 and None not in before.values()
+
+    w.overwrite_partition(
+        spark.createDataFrame([(100, 1), (101, 1)], "k long, p int"),
+        p=1,
+    )
+    rows = IcebergTableReader(path).row_lineage(spark).collect()
+    after = {r["k"]: r["_row_id"] for r in rows if r["p"] == 0}
+    assert after == before, (before, after)
+    # replacement rows take ids from the NEW snapshot's claimed range
+    new_ids = {r["_row_id"] for r in rows if r["p"] == 1}
+    assert len(new_ids) == 2 and all(i >= 10 for i in new_ids), new_ids
