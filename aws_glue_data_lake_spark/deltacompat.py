@@ -43,7 +43,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 #: Reader features this implementation actually honors (protocol §
 #: "reader version 3"). Anything else in readerFeatures must hard-fail:
@@ -742,20 +742,57 @@ class DeltaTableReader:
             "anti",
         ).select(*out_cols)
 
-    def row_lineage(self, spark: SparkSession) -> DataFrame:
-        """Scan with ROW TRACKING columns surfaced (writer feature
-        rowTracking — Databricks stamps it widely): the logical schema
-        plus ``_row_id`` (the add action's baseRowId + row position —
-        the spec's default ID for rows without a materialized one) and
-        ``_row_commit_version`` (defaultRowCommitVersion). Files whose
-        adds carry no tracking fields surface NULLs — lineage is
-        additive metadata, same contract as the Iceberg twin. Deletion
-        vectors are applied (a tombstoned row has no id to surface).
-        Scale: one broadcast |files|-sized map joined onto the
-        positional scan; no extra data I/O."""
-        snap = self.snapshot()
+    @staticmethod
+    def _rt_materialized(snap: DeltaSnapshot) -> tuple | None:
+        """The table's MATERIALIZED row-tracking column names
+        (``delta.rowTracking.materializedRowIdColumnName`` /
+        ``...RowCommitVersionColumnName``) — physical long columns in
+        the file bytes, set when row tracking is enabled, carrying each
+        rewritten row's stable id. None when neither is configured."""
+        conf = snap.configuration or {}
+        mid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mver = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        return (mid, mver) if (mid or mver) else None
+
+    def _stable_lineage_scan(
+        self,
+        spark: SparkSession,
+        snap: DeltaSnapshot | None = None,
+        keep_paths: set | None = None,
+    ) -> DataFrame:
+        """Live rows (deletion vectors applied) with ``__rt_sid`` /
+        ``__rt_sver`` — each row's STABLE row id and last-update commit
+        version per spec § Row Tracking: the materialized per-row value
+        when present, else the default (add.baseRowId + row position /
+        add.defaultRowCommitVersion). Both :meth:`row_lineage` and the
+        writer's id-preserving rewrites build on this scan. Scale: one
+        broadcast |files|-sized map joined onto the positional scan; no
+        extra data I/O."""
+        snap = snap or self.snapshot()
+        mid, mver = self._rt_materialized(snap) or (None, None)
+        out_cols = [f.name for f in snap.schema.fields]
+        files = snap.files
+        if keep_paths is not None:
+            wanted = {os.path.abspath(p) for p in keep_paths}
+            files = [f for f in files if os.path.abspath(f[0]) in wanted]
+        if not files:
+            empty = spark.createDataFrame([], snap.schema)
+            return empty.selectExpr(
+                *out_cols,
+                "CAST(NULL AS LONG) AS __rt_sid",
+                "CAST(NULL AS LONG) AS __rt_sver",
+            )
         scan = self._apply_dvs(
-            spark, self.to_df(spark, _expose_pos=True), snap,
+            spark,
+            self.to_df(
+                spark,
+                _expose_pos=True,
+                _keep_paths=keep_paths,
+                _rt_cols=(mid, mver),
+            ),
+            snap,
             keep_meta=True,
         )
         rt = snap.row_tracking or {}
@@ -765,17 +802,17 @@ class DeltaTableReader:
                 (rt.get(p) or (None, None))[0],
                 (rt.get(p) or (None, None))[1],
             )
-            for p, _pv, _dv in snap.files
+            for p, _pv, _dv in files
         ]
-        out_cols = [f.name for f in snap.schema.fields]
-        if not rows:
-            return scan.selectExpr(
-                *out_cols,
-                "CAST(NULL AS LONG) AS _row_id",
-                "CAST(NULL AS LONG) AS _row_commit_version",
-            )
         fmap = spark.createDataFrame(
             rows, "__rt_fp string, __rt_base long, __rt_ver long"
+        )
+        default_id = (F.col("__rt_base") + F.col("__dv_pos")).cast("long")
+        sid = F.coalesce(F.col(mid), default_id) if mid else default_id
+        sver = (
+            F.coalesce(F.col(mver), F.col("__rt_ver"))
+            if mver
+            else F.col("__rt_ver")
         )
         return scan.join(
             F.broadcast(fmap),
@@ -783,10 +820,22 @@ class DeltaTableReader:
             "left",
         ).select(
             *out_cols,
-            (F.col("__rt_base") + F.col("__dv_pos"))
-            .cast("long")
-            .alias("_row_id"),
-            F.col("__rt_ver").alias("_row_commit_version"),
+            sid.cast("long").alias("__rt_sid"),
+            sver.cast("long").alias("__rt_sver"),
+        )
+
+    def row_lineage(self, spark: SparkSession) -> DataFrame:
+        """Scan with ROW TRACKING columns surfaced (writer feature
+        rowTracking — Databricks stamps it widely): the logical schema
+        plus ``_row_id`` and ``_row_commit_version`` — each row's
+        STABLE values (materialized column when present, else
+        add.baseRowId + row position / defaultRowCommitVersion). Files
+        whose adds carry no tracking fields surface NULLs — lineage is
+        additive metadata, same contract as the Iceberg twin. Deletion
+        vectors are applied (a tombstoned row has no id to surface)."""
+        snap = self.snapshot()
+        return self._stable_lineage_scan(spark, snap).withColumnsRenamed(
+            {"__rt_sid": "_row_id", "__rt_sver": "_row_commit_version"}
         )
 
     def _scan_with_pos(self, spark: SparkSession) -> DataFrame:
@@ -806,6 +855,7 @@ class DeltaTableReader:
         timestamp_ms: int | None = None,
         _expose_pos: bool = False,
         _keep_paths: set | None = None,
+        _rt_cols: tuple | None = None,
     ) -> DataFrame:
         """Plan a Spark scan of exactly the snapshot's live files.
         Partition columns are NOT in the data files (Delta's layout):
@@ -885,17 +935,33 @@ class DeltaTableReader:
                 return True
 
             snap.files = [f for f in snap.files if keep(f[0])]
+        # rowTracking MATERIALIZED columns (delta.rowTracking.
+        # materialized{RowId,RowCommitVersion}ColumnName): physical-only
+        # long columns living in the file bytes but NOT in the table
+        # schema — surfaced verbatim for lineage readers/preserving
+        # rewrites; files that predate them read NULL (the per-row
+        # fallback to baseRowId + position / defaultRowCommitVersion)
+        rt_cols = [c for c in (_rt_cols or ()) if c]
+        rt_fields = [StructField(c, LongType(), True) for c in rt_cols]
         if not snap.files:
-            return spark.createDataFrame([], snap.schema)
+            return spark.createDataFrame(
+                [], StructType(list(snap.schema.fields) + rt_fields)
+            )
         part_cols = snap.partition_columns
         phys = self._physical_name
         data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
         cm_mode = snap.configuration.get("delta.columnMapping.mode", "none")
+        if rt_cols and cm_mode == "id":
+            raise DeltaProtocolError(
+                "materialized row-tracking columns under "
+                "columnMapping=id are not supported by this reader"
+            )
         data_st = StructType(
             [
                 StructField(phys(f), f.dataType, f.nullable)
                 for f in data_fields
             ]
+            + rt_fields
         )
         fid_of: dict = {}
         if cm_mode == "id":
@@ -938,6 +1004,7 @@ class DeltaTableReader:
         def logical(df: DataFrame) -> DataFrame:
             return df.select(
                 *[F.col(phys(f)).alias(f.name) for f in data_fields],
+                *rt_cols,
                 *pos_cols,
             )
 
@@ -1000,10 +1067,12 @@ class DeltaTableReader:
             return finish(scan)
         if self._hive_layout_consistent(snap):
             scan = with_pos(
-                spark.read.schema(snap.schema)
+                spark.read.schema(
+                    StructType(list(snap.schema.fields) + rt_fields)
+                )
                 .option("basePath", self.path)
                 .parquet(*[p for p, _, _ in snap.files])
-            ).select(*out_cols, *pos_cols)
+            ).select(*out_cols, *rt_cols, *pos_cols)
             return finish(scan)
         part_fields = [f for f in snap.schema.fields if f.name in part_cols]
         groups: dict[tuple, list[str]] = {}
@@ -1021,7 +1090,7 @@ class DeltaTableReader:
                     g = g.withColumn(f.name, F.lit(None).cast(f.dataType))
                 else:
                     g = g.withColumn(f.name, F.lit(v).cast(f.dataType))
-            dfs.append(g.select(*out_cols, *pos_cols))
+            dfs.append(g.select(*out_cols, *rt_cols, *pos_cols))
         df = dfs[0]
         for g in dfs[1:]:
             df = df.unionByName(g)
@@ -1649,11 +1718,102 @@ class DeltaTableWriter:
             pass
         return 0
 
+    def _with_row_tracking(
+        self, version: int, actions: list[dict]
+    ) -> list[dict]:
+        """Writer feature rowTracking (spec § Row Tracking): when the
+        feature is SUPPORTED (present in writerFeatures — even if
+        delta.enableRowTracking is false), every committed add action
+        must carry fresh row ids: ``baseRowId`` allocated from the
+        ``delta.rowTracking`` domain's ``rowIdHighWaterMark`` (rows get
+        baseRowId + position) and ``defaultRowCommitVersion`` = this
+        commit's version; the domain's high-water mark advances in the
+        same commit. Remove actions carry the removed file's ids so
+        checkpoints and CDF replay keep lineage reconstructible.
+
+        Runs INSIDE the commit attempt (per retry), against the tip
+        snapshot at ``version - 1`` — a rebase after losing a version
+        race re-allocates from the WINNER's high-water mark, never
+        duplicating ids. Returns a new action list; never mutates the
+        caller's (retries re-enter with the original, unassigned
+        actions). Adds that already carry a baseRowId (restore re-adds
+        of live files) keep it verbatim — row ids are immutable once
+        assigned."""
+        if version <= 0 or not any(
+            "add" in a or "remove" in a for a in actions
+        ):
+            return actions
+        # per-writer cache: tables without the feature pay ONE snapshot
+        # read per writer lifetime, not one per commit (invalidated by
+        # protocol-changing commits in _commit)
+        if getattr(self, "_rt_feature", None) is False:
+            return actions
+        try:
+            r = DeltaTableReader(self.path)
+            snap = r.snapshot(version - 1)
+        except FileNotFoundError:
+            return actions
+        feats = set((snap.raw_protocol or {}).get("writerFeatures", ()))
+        self._rt_feature = "rowTracking" in feats
+        if not self._rt_feature:
+            return actions
+        dom = (snap.domains or {}).get("delta.rowTracking") or {}
+        try:
+            hwm = int(
+                json.loads(dom.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, TypeError):
+            hwm = -1
+        hwm0 = hwm
+        out: list[dict] = []
+        for a in actions:
+            if "add" in a and a["add"].get("baseRowId") is None:
+                add = dict(a["add"])
+                stats = add.get("stats")
+                try:
+                    n = int(json.loads(stats)["numRecords"])
+                except (TypeError, ValueError, KeyError):
+                    raise DeltaProtocolError(
+                        f"rowTracking: add {add.get('path')!r} has no "
+                        "numRecords stat to allocate row ids from"
+                    ) from None
+                add["baseRowId"] = hwm + 1
+                add["defaultRowCommitVersion"] = version
+                hwm += n
+                out.append({**a, "add": add})
+            elif "remove" in a and a["remove"].get("baseRowId") is None:
+                rm = dict(a["remove"])
+                rt = (snap.row_tracking or {}).get(
+                    r._abs_path(rm["path"])
+                )
+                if rt is not None:
+                    rm["baseRowId"], rm["defaultRowCommitVersion"] = rt
+                out.append({**a, "remove": rm})
+            else:
+                out.append(a)
+        if hwm != hwm0:
+            cfg = json.dumps({"rowIdHighWaterMark": hwm})
+            out = [x for x in out if x.get("domainMetadata", {}).get(
+                "domain") != "delta.rowTracking"]
+            out.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": cfg,
+                        "removed": False,
+                    }
+                }
+            )
+        return out
+
     def _commit(
         self, version: int, actions: list[dict], operation: str = "WRITE"
     ) -> None:
         import time as _time
 
+        actions = self._with_row_tracking(version, actions)
         os.makedirs(self._log, exist_ok=True)
         target = os.path.join(self._log, f"{version:020d}.json")
         if not any("commitInfo" in a for a in actions):
@@ -1678,6 +1838,10 @@ class DeltaTableWriter:
             os.write(fd, payload.encode())
         finally:
             os.close(fd)
+        if any("protocol" in a for a in actions):
+            # a feature set change (e.g. enabling rowTracking) must be
+            # seen by the NEXT commit's row-id assignment
+            self._rt_feature = None
         # delta-spark's checkpoint policy: every delta.checkpointInterval
         # commits (default 10, 0 disables) a classic checkpoint lands, so
         # log replay stays O(interval) actions forever — the property
@@ -1968,8 +2132,11 @@ class DeltaTableWriter:
         # domain metadata is tracked in snapshot state and carried
         # through checkpoints; this writer never removes a domain
         "domainMetadata",
-        # row ids are PRESERVED across DV deletes / restore / checkpoint;
-        # assigning FRESH ids is gated below on delta.enableRowTracking
+        # fresh ids are allocated per commit from the delta.rowTracking
+        # domain's high-water mark (_with_row_tracking); CoW rewrites
+        # preserve stable ids via the materialized columns
+        # (_rt_preserve_ctx/_rt_materialize); DV deletes / restore /
+        # checkpoint carry ids through
         "rowTracking",
         # constrains reader-side CDF availability bookkeeping only
         "checkpointProtection",
@@ -1989,10 +2156,7 @@ class DeltaTableWriter:
         """Protocol write gate: refuse to commit into a table whose
         writerFeatures include something this writer does not implement
         — the spec's rule, and the honest alternative to corrupting the
-        invariant the feature protects. Also refuses content-adding
-        commits when delta.enableRowTracking=true (fresh rows would need
-        newly ALLOCATED row ids from the rowTracking domain's high-water
-        mark, which this writer does not manage)."""
+        invariant the feature protects."""
         proto = snap.raw_protocol or {}
         feats = set(proto.get("writerFeatures", ()))
         bad = feats - DeltaTableWriter._SUPPORTED_WRITER_FEATURES
@@ -2001,19 +2165,57 @@ class DeltaTableWriter:
                 f"{what}: table requires writer feature(s) "
                 f"{sorted(bad)} this writer does not implement"
             )
-        if (
-            adds_content
-            and snap.configuration.get(
-                "delta.enableRowTracking", ""
-            ).lower()
+
+    def _rt_preserve_ctx(
+        self, snap: DeltaSnapshot, what: str
+    ) -> tuple | None:
+        """Should a REWRITE of existing rows materialize stable row
+        ids? Yes whenever the rowTracking feature is supported and the
+        materialized column names are configured (delta-spark preserves
+        in the 'suspended' state too, so re-enablement keeps working).
+        With delta.enableRowTracking=true preservation is MANDATORY
+        (spec § Row Tracking), so an enabled table without the
+        materialized-column config refuses the rewrite rather than
+        silently reassigning every row's identity."""
+        feats = set(
+            (snap.raw_protocol or {}).get("writerFeatures", ())
+        )
+        if "rowTracking" not in feats:
+            return None
+        mat = DeltaTableReader._rt_materialized(snap)
+        enabled = (
+            snap.configuration.get("delta.enableRowTracking", "").lower()
             == "true"
-        ):
+        )
+        if enabled and (mat is None or not mat[0]):
             raise DeltaProtocolError(
-                f"{what}: delta.enableRowTracking=true requires "
-                "allocating fresh row ids for new rows, which this "
-                "writer does not manage; disable row tracking or write "
-                "with a tracking-aware engine"
+                f"{what}: delta.enableRowTracking=true but delta."
+                "rowTracking.materializedRowIdColumnName is unset; "
+                "stable row ids cannot be preserved through this rewrite"
             )
+        return mat
+
+    @staticmethod
+    def _rt_materialize(
+        df: DataFrame, rtc: tuple, preserve_ver: bool
+    ) -> DataFrame:
+        """Stamp a rewrite batch's stable lineage (``__rt_sid`` /
+        ``__rt_sver`` from :meth:`DeltaTableReader._stable_lineage_scan`)
+        into the MATERIALIZED columns: row id always (identity survives
+        the rewrite), commit version only for rows NOT logically changed
+        — an updated row's NULL falls back to the new add's
+        defaultRowCommitVersion, i.e. 'last updated here'."""
+        mid, mver = rtc
+        if mid:
+            df = df.withColumn(mid, F.col("__rt_sid"))
+        if mver:
+            df = df.withColumn(
+                mver,
+                F.col("__rt_sver")
+                if preserve_ver
+                else F.lit(None).cast("long"),
+            )
+        return df.drop("__rt_sid", "__rt_sver")
 
     @staticmethod
     def _apply_generated_columns(
@@ -2597,13 +2799,46 @@ class DeltaTableWriter:
             )
 
         affected = [p for p, pv, _dv in snap.files if overlaps(p, pv)]
+        rtc = self._rt_preserve_ctx(snap, "merge (MERGE)")
         out = source
         live = None
+        mat_cols: list[str] = []
         if affected:
-            live = r.to_df(spark, _keep_paths=set(affected))
-            kept = live.join(kill, on=keys, how="left_anti")
-            out = kept.unionByName(source, allowMissingColumns=True)
-        out = out.select(*[f.name for f in table_schema.fields])
+            if rtc:
+                live = r._stable_lineage_scan(
+                    spark, snap, keep_paths=set(affected)
+                )
+                kept = self._rt_materialize(
+                    live.join(kill, on=keys, how="left_anti"),
+                    rtc,
+                    preserve_ver=True,
+                )
+                # a matched source row REPLACES the target row with the
+                # same key, so it inherits that row's stable id (NULL
+                # for genuinely new keys -> fresh baseRowId + position);
+                # its last-update version is this commit (NULL fallback)
+                # one id per key: a source row replacing N same-key
+                # target rows inherits one of their ids (key-unique
+                # tables, the MERGE contract, always have exactly one)
+                id_map = live.select(*keys, "__rt_sid").dropDuplicates(
+                    keys
+                )
+                src = self._rt_materialize(
+                    source.join(id_map, on=keys, how="left").withColumn(
+                        "__rt_sver", F.lit(None).cast("long")
+                    ),
+                    rtc,
+                    preserve_ver=True,
+                )
+                out = kept.unionByName(src, allowMissingColumns=True)
+                mat_cols = [c for c in rtc if c]
+            else:
+                live = r.to_df(spark, _keep_paths=set(affected))
+                kept = live.join(kill, on=keys, how="left_anti")
+                out = kept.unionByName(source, allowMissingColumns=True)
+        out = out.select(
+            *[f.name for f in table_schema.fields], *mat_cols
+        )
 
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
@@ -2744,7 +2979,12 @@ class DeltaTableWriter:
         if not affected:
             return snap.version
         to_physical, part_stage = self._physical_stage_ctx(snap)
-        live = r.to_df(spark, _keep_paths=set(affected))
+        rtc = self._rt_preserve_ctx(snap, "update_where (UPDATE)")
+        live = (
+            r._stable_lineage_scan(spark, snap, keep_paths=set(affected))
+            if rtc
+            else r.to_df(spark, _keep_paths=set(affected))
+        )
         matched = live.where(cond)
         updated = matched
         for col, expr in assignments.items():
@@ -2771,15 +3011,25 @@ class DeltaTableWriter:
                 snap,
             )
         self._check_constraints(updated, snap.configuration)
-        out = live.where(~F.coalesce(cond, F.lit(False))).unionByName(
-            updated
-        )
+        copied = live.where(~F.coalesce(cond, F.lit(False)))
+        if rtc:
+            # preserve stable ids: copied rows keep (id, version);
+            # updated rows keep their id, version falls back to this
+            # commit's defaultRowCommitVersion (last-updated-here)
+            copied = self._rt_materialize(copied, rtc, preserve_ver=True)
+            updated_m = self._rt_materialize(
+                updated, rtc, preserve_ver=False
+            )
+        else:
+            updated_m = updated
+        out = copied.unionByName(updated_m)
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
-            changes = matched.withColumn(
+            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
+            changes = matched.drop(*rt_drop).withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                updated.withColumn(
+                updated.drop(*rt_drop).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
             )
@@ -3153,7 +3403,14 @@ class DeltaTableWriter:
         time-travelable until vacuum."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
-        df = r.to_df(spark)
+        rtc = self._rt_preserve_ctx(snap, "optimize (OPTIMIZE)")
+        df = (
+            self._rt_materialize(
+                r._stable_lineage_scan(spark, snap), rtc, preserve_ver=True
+            )
+            if rtc
+            else r.to_df(spark)
+        )
         if snap.partition_columns:
             # hash by the partition key so each partition value lands in
             # ONE task -> one compacted file per partition; a round-robin
@@ -3368,30 +3625,21 @@ class DeltaTableWriter:
             os.path.join(self.path, dv_name), [b for _, _, b, _ in merged]
         )
         # With minReaderVersion 3 the feature LIST is authoritative: any
-        # capability the table already relies on must be re-declared, or
-        # conforming readers would stop honoring it
-        reader_feats = {"deletionVectors"}
-        if snap.configuration.get("delta.columnMapping.mode", "none") != "none":
-            reader_feats.add("columnMapping")
-        if any(
-            f.dataType.typeName() == "timestamp_ntz" for f in snap.schema.fields
-        ):
-            reader_feats.add("timestampNtz")
+        # capability the table already relies on must be RE-DECLARED
+        # alongside the deletionVectors upgrade — _feature_lists carries
+        # the prior lists + legacy-implied sets through (rebuilding from
+        # scratch here once silently DROPPED a table's rowTracking/
+        # domainMetadata features, a protocol downgrade)
+        rf, wf = self._feature_lists(
+            snap, extra_reader={"deletionVectors"}
+        )
         actions: list[dict] = [
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": sorted(reader_feats),
-                    "writerFeatures": sorted(
-                        {"appendOnly", "invariants"}
-                        | reader_feats
-                        | (
-                            {"changeDataFeed"}
-                            if self._cdf_enabled(snap.configuration)
-                            else set()
-                        )
-                    ),
+                    "readerFeatures": rf,
+                    "writerFeatures": wf,
                 }
             }
         ]

@@ -28,8 +28,9 @@ already-green primitives:
   / ``delete_where`` / ``append`` (CoW file rewrite with matched-file
   discovery / MoR tombstones / plain append; VALUES maps positionally).
 - Maintenance + metadata DDL: ``OPTIMIZE <t>`` (compaction),
-  ``VACUUM <t> [RETAIN n VERSIONS]`` (version-based retention — the
-  HOURS spelling fails loudly rather than meaning something else),
+  ``VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS]`` (version-based
+  retention; the Delta-SQL HOURS spelling maps onto versions from
+  commit timestamps, conservatively),
   ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>`` (metadata
   relations as DataFrames), ``ALTER TABLE <t> ADD CONSTRAINT <n>
   CHECK (<e>) / DROP CONSTRAINT <n> / SET TBLPROPERTIES (...)``.
@@ -111,9 +112,9 @@ _REF = r"(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)"
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+{_REF}\s*;?\s*$", re.IGNORECASE
 )
-#: delta SQL is RETAIN n HOURS; this engine's vacuum is version-based,
-#: so the shim speaks RETAIN n VERSIONS (documented deviation — an
-#: HOURS value would silently mean something else; loud instead)
+#: delta SQL is RETAIN n HOURS; this engine's vacuum is version-based.
+#: Both spellings parse: VERSIONS passes through, HOURS maps onto a
+#: trailing-version count from commit timestamps (Table._keep_for_hours)
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+{_REF}"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
@@ -491,13 +492,15 @@ def sql(
         return None
     m = _VACUUM_RE.match(statement)
     if m:
+        tbl = _require(m, tables, spark, "VACUUM")
         if (m.group("unit") or "").upper() == "HOURS":
-            raise ValueError(
-                "VACUUM ... RETAIN n HOURS is time-based; this engine's "
-                "retention is version-based — use RETAIN n VERSIONS"
-            )
-        keep = int(m.group("n")) if m.group("n") else 1
-        _require(m, tables, spark, "VACUUM").vacuum(keep=keep)
+            # Delta SQL's time-based retention: hours map onto trailing
+            # versions from commit timestamps (Table._keep_for_hours) —
+            # conservative vs delta-spark's file-mtime rule, never
+            # deleting a file a retained version still references
+            tbl.vacuum(hours=float(m.group("n")))
+        else:
+            tbl.vacuum(keep=int(m.group("n")) if m.group("n") else 1)
         return None
     m = _DESCRIBE_HISTORY_RE.match(statement)
     if m:

@@ -458,16 +458,65 @@ class Table:
         else:
             self._ice_writer().compact(spark)
 
-    def vacuum(self, keep: int = 1) -> list[str]:
+    def vacuum(self, keep: int = 1, hours: float | None = None) -> list[str]:
         """Physically remove files only unreachable snapshots reference;
         returns the deleted paths. ``keep`` = how many trailing
         versions/snapshots stay time-travelable, honored the same way on
-        all three formats."""
+        all three formats. ``hours`` (Delta SQL's ``RETAIN n HOURS``)
+        maps the time window onto versions from commit timestamps: every
+        version committed inside the window survives, plus the one
+        current at its edge. Conservative vs delta-spark's file-mtime
+        retention — a file is only deleted once NO retained version
+        references it — so nothing a time-based reader could still need
+        is ever dropped. ``keep`` is ignored when ``hours`` is given."""
+        if hours is not None:
+            keep = self._keep_for_hours(float(hours))
         if self.format == "lake":
             return self._lake().vacuum(keep_versions=keep)
         if self.format == "delta":
             return self._delta_writer().vacuum(keep_versions=keep)
         return self._ice_writer().expire_snapshots(keep_last=keep)
+
+    def _keep_for_hours(self, hours: float) -> int:
+        """hours -> trailing-version count, from each format's commit
+        timestamps (Delta: commitInfo/inCommitTimestamp via
+        version_at_timestamp; Iceberg: snapshot timestamp-ms; lake:
+        manifest mtime — that format records no commit instant).
+        Metadata-only at any table size."""
+        import time
+
+        cutoff = int((time.time() - hours * 3600.0) * 1000)
+        if self.format == "delta":
+            r = self._delta_reader()
+            tip = r.snapshot().version
+            try:
+                base = r.version_at_timestamp(cutoff)
+            except ValueError:
+                return tip + 1  # window predates the log: keep all
+            return tip - base + 1
+        if self.format == "iceberg":
+            hist = self._ice_reader().history()
+            if not hist:
+                return 1
+            newer = sum(
+                1
+                for h in hist
+                if (h.get("timestamp_ms") or 0) > cutoff
+            )
+            return min(newer + 1, len(hist))
+        lk = self._lake()
+        vs = lk._manifest_versions()
+        if not vs:
+            return 1
+        newer = 0
+        for v in vs:
+            p = os.path.join(lk._manifests, f"v{v}.json")
+            try:
+                if os.path.getmtime(p) * 1000 > cutoff:
+                    newer += 1
+            except OSError:
+                newer += 1  # unreadable commit instant: keep it
+        return min(newer + 1, len(vs))
 
     def stat_max(self, col: str):
         """Manifest-only MAX of a column (zero data I/O) — the CDC

@@ -2935,9 +2935,10 @@ def test_row_tracking_lineage_surfaces_and_survives_dv(spark, tmp_path):
 
 def test_writer_feature_gate_and_row_tracking_enablement(spark, tmp_path):
     """Protocol write gate: an unimplemented writerFeature refuses
-    writes (reads unaffected); delta.enableRowTracking=true refuses
-    content-adding commits (fresh ids would need allocation) but allows
-    DV deletes (ids preserved)."""
+    writes (reads unaffected). rowTracking tables take appends (fresh
+    ids allocated from the domain high-water mark) and DV deletes (ids
+    preserved); an ENABLED table without the materialized-column config
+    refuses row REWRITES (stable ids could not be preserved)."""
     import json
     import os
 
@@ -2982,12 +2983,27 @@ def test_writer_feature_gate_and_row_tracking_enablement(spark, tmp_path):
          "deletionVectors"],
         conf={"delta.enableRowTracking": "true"},
     )
-    with _pytest.raises(DeltaProtocolError, match="enableRowTracking"):
-        w2.append(spark.range(4, 6).selectExpr("id AS k"))
+    v = w2.append(spark.range(4, 6).selectExpr("id AS k").coalesce(1))
+    acts = [
+        json.loads(ln)
+        for ln in open(
+            os.path.join(p2, "_delta_log", f"{v:020d}.json")
+        )
+        if ln.strip()
+    ]
+    (add,) = [a["add"] for a in acts if "add" in a]
+    assert add["baseRowId"] == 0 and add["defaultRowCommitVersion"] == v
+    (dom,) = [a["domainMetadata"] for a in acts if "domainMetadata" in a]
+    assert dom["domain"] == "delta.rowTracking"
+    assert json.loads(dom["configuration"])["rowIdHighWaterMark"] == 1
     w2.delete_where(spark, "k = 1")  # DV delete: ids preserved, legal
     assert sorted(
         x["k"] for x in DeltaTableReader(p2).to_df(spark).collect()
-    ) == [0, 2, 3]
+    ) == [0, 2, 3, 4, 5]
+    # rewrite on an ENABLED table without materialized-column config:
+    # stable ids cannot be preserved -> loud refusal, never reassignment
+    with _pytest.raises(DeltaProtocolError, match="materializedRowId"):
+        w2.update_where(spark, "k = 2", {"k": "20"})
 
 
 def test_generated_columns_computed_and_validated(spark, tmp_path):
@@ -3087,14 +3103,16 @@ def test_domain_metadata_survives_our_checkpoint(spark, tmp_path):
     snap = DeltaTableReader(path).snapshot()
     assert snap.domains.get("delta.rowTracking", {}).get(
         "configuration"
-    ) == json.dumps({"rowIdHighWaterMark": 3})
+    ) == json.dumps({"rowIdHighWaterMark": 5})  # 3 + the 2 appended rows
     base_ids = set(snap.row_tracking.values())
     assert (0, 0) in base_ids  # the stamped file kept its baseRowId
     rl = DeltaTableReader(path).row_lineage(spark)
     tracked = sorted(
         x["_row_id"] for x in rl.collect() if x["_row_id"] is not None
     )
-    assert tracked == [0, 1, 2, 3]
+    # the stamped file's 4 rows keep ids 0-3; the appended rows now get
+    # FRESH ids allocated past the high-water mark (4, 5)
+    assert tracked == [0, 1, 2, 3, 4, 5]
 
 
 def test_clustered_table_writes_preserve_clustering_domain(spark, tmp_path):
@@ -3232,3 +3250,103 @@ def test_spark_stats_fallback_handles_decimal_columns(spark, tmp_path):
     assert amts, snap.stats  # decimal min/max present, JSON-encoded
     assert all(isinstance(v, str) for v in amts)
     assert DeltaTableReader(path).to_df(spark).count() == 3
+
+
+def test_row_tracking_preserved_through_rewrites(spark, tmp_path):
+    """delta.enableRowTracking=true end-to-end: appends allocate fresh
+    baseRowIds from the domain high-water mark; UPDATE / MERGE /
+    OPTIMIZE rewrites preserve every surviving row's STABLE id via the
+    materialized columns (spec § Row Tracking); merge inserts get fresh
+    ids; row_lineage() surfaces the stable values throughout."""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([], "k long, v long"))
+    cf = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(cf) if ln.strip()]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": [
+                    "appendOnly", "invariants", "rowTracking",
+                    "domainMetadata",
+                ],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_row_id_mat",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    "_row_ver_mat",
+            }
+    with open(cf, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+
+    w.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(5)], "k long, v long"
+        ).coalesce(1)
+    )
+    w.append(
+        spark.createDataFrame(
+            [(k, k * 10) for k in (5, 6, 7)], "k long, v long"
+        ).coalesce(1)
+    )
+    r = DeltaTableReader(path)
+    ids0 = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    assert sorted(ids0.values()) == list(range(8)), ids0
+
+    # UPDATE: rewrites the file holding k=2; every surviving row —
+    # updated AND copied — keeps its stable id
+    w.update_where(spark, "k = 2", {"v": "999"})
+    ids1 = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    assert ids1 == ids0, (ids0, ids1)
+
+    # the rewritten file physically carries the materialized columns
+    import pyarrow.parquet as pq
+    snap = DeltaTableReader(path).snapshot()
+    newest = max((p for p, _, _ in snap.files), key=os.path.getmtime)
+    assert "_row_id_mat" in pq.ParquetFile(newest).schema_arrow.names
+
+    # MERGE: k=6 updated in place (keeps id 6), k=100 inserted (fresh
+    # id past the high-water mark), untouched keys keep their ids
+    src = spark.createDataFrame(
+        [(6, 600), (100, 1000)], "k long, v long"
+    )
+    w.merge(spark, src, keys=["k"])
+    ids2 = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    assert {k: i for k, i in ids2.items() if k != 100} == ids0
+    assert ids2[100] is not None and ids2[100] >= 8
+
+    # OPTIMIZE: pure copy — every id survives compaction
+    w.optimize(spark)
+    ids3 = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    assert ids3 == ids2, (ids2, ids3)
+
+    # last-update commit versions: k=2/k=6 moved at their rewrites,
+    # untouched rows keep their append-commit version through both
+    # the CoW rewrites and OPTIMIZE
+    vers = {
+        x["k"]: x["_row_commit_version"]
+        for x in r.row_lineage(spark).collect()
+    }
+    assert vers[0] == vers[1] == vers[3] == vers[4] == 1
+    assert vers[5] == vers[7] == 2
+    assert vers[2] == 3 and vers[6] == 4 and vers[100] == 4

@@ -247,8 +247,10 @@ def test_insert_missing_column_fails_loudly(spark, tmp_path):
 
 def test_optimize_vacuum_describe_history(spark, tmp_path):
     """Maintenance statements as text: OPTIMIZE compacts, VACUUM honors
-    RETAIN n VERSIONS (HOURS fails loudly), DESCRIBE HISTORY returns the
-    snapshots relation."""
+    RETAIN n VERSIONS and the Delta-SQL RETAIN n HOURS spelling (hours
+    map onto versions from commit timestamps — a wide window keeps
+    everything, a zero window keeps only the tip), DESCRIBE HISTORY
+    returns the snapshots relation."""
     from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
 
     path = str(tmp_path / "t")
@@ -261,8 +263,12 @@ def test_optimize_vacuum_describe_history(spark, tmp_path):
     hist = sql(spark, f"DESCRIBE HISTORY delta.`{path}`")
     ops = [r["operation"] for r in hist.collect()]
     assert "OPTIMIZE" in ops and len(ops) == 3
-    with pytest.raises(ValueError, match="RETAIN n VERSIONS"):
-        sql(spark, f"VACUUM delta.`{path}` RETAIN 168 HOURS")
+    # 168 h window: every commit is inside it -> nothing deletable,
+    # prior versions stay time-travelable
+    assert sql(spark, f"VACUUM delta.`{path}` RETAIN 168 HOURS") is None
+    assert t.read(spark, version=0).count() == 1
+    # 0 h window: only the tip survives (== RETAIN 1 VERSIONS)
+    assert sql(spark, f"VACUUM delta.`{path}` RETAIN 0 HOURS") is None
     assert sql(spark, f"VACUUM delta.`{path}` RETAIN 1 VERSIONS") is None
     # content intact after compact+vacuum
     assert sorted(
