@@ -2132,6 +2132,11 @@ class DeltaTableWriter:
         # domain metadata is tracked in snapshot state and carried
         # through checkpoints; this writer never removes a domain
         "domainMetadata",
+        # IDENTITY values generated beyond delta.identity.highWaterMark
+        # on append/merge-insert (explicit values per
+        # allowExplicitInsert); the mark advances via a metaData action
+        # in the same commit; UPDATE on identity columns is refused
+        "identityColumns",
         # fresh ids are allocated per commit from the delta.rowTracking
         # domain's high-water mark (_with_row_tracking); CoW rewrites
         # preserve stable ids via the materialized columns
@@ -2250,6 +2255,219 @@ class DeltaTableWriter:
                     f"{len(sample)}+ incoming row(s), e.g. {sample[0]}"
                 )
         return df
+
+    @staticmethod
+    def _identity_fields(snap: DeltaSnapshot) -> dict:
+        """{column name: field metadata} for IDENTITY columns
+        (delta.identity.* field metadata — legacy minWriterVersion 6 /
+        writer feature identityColumns)."""
+        out = {}
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            if (
+                "delta.identity.start" in md
+                or "delta.identity.step" in md
+            ):
+                out[f.name] = dict(md)
+        return out
+
+    def _apply_identity_columns(
+        self, df: DataFrame, snap: DeltaSnapshot, what: str
+    ) -> tuple[DataFrame, dict]:
+        """Writer obligation for IDENTITY columns: rows arriving without
+        a value get one generated on the start/step lattice strictly
+        beyond the column's high-water mark; explicit values are refused
+        on GENERATED ALWAYS columns (allowExplicitInsert=false) and
+        accepted on GENERATED BY DEFAULT. Returns (df, {col: (base,
+        step)}) for the columns whose high-water mark this commit must
+        advance — the actual extreme is read from the STAGED files'
+        stats (the written values are the truth; re-evaluating a
+        nondeterministic expression in a second job could disagree).
+
+        Generation is ``base + step * monotonically_increasing_id()`` —
+        one deterministic-within-the-write-job codegen expression, no
+        extra shuffle or window. Values are unique and beyond the mark
+        but SPARSE (ids jump between partitions); the spec requires
+        uniqueness/direction, not density — delta-spark's allocator
+        leaves gaps too."""
+        ident = self._identity_fields(snap)
+        if not ident:
+            return df, {}
+        touched: dict = {}
+        for name, md in sorted(ident.items()):
+            step = int(md.get("delta.identity.step", 1))
+            start = int(md.get("delta.identity.start", 1))
+            hwm = md.get("delta.identity.highWaterMark")
+            base = (int(hwm) + step) if hwm is not None else start
+            allow = (
+                str(md.get("delta.identity.allowExplicitInsert", False))
+                .lower()
+                == "true"
+            )
+            target_t = snap.schema[name].dataType
+            if name in df.columns:
+                if not allow and not df.where(
+                    F.col(name).isNotNull()
+                ).isEmpty():
+                    raise ValueError(
+                        f"{what}: column {name!r} is GENERATED ALWAYS "
+                        "AS IDENTITY; explicit values are not allowed"
+                    )
+            else:
+                df = df.withColumn(name, F.lit(None).cast(target_t))
+            gen = (
+                F.lit(base) + F.lit(step) * F.monotonically_increasing_id()
+            ).cast(target_t)
+            df = df.withColumn(name, F.coalesce(F.col(name), gen))
+            touched[name] = (base, step)
+        return df, touched
+
+    def _apply_identity_merge(
+        self,
+        source: DataFrame,
+        live: DataFrame | None,
+        keys: Sequence[str],
+        snap: DeltaSnapshot,
+    ) -> tuple[DataFrame, dict]:
+        """IDENTITY columns under MERGE: a matched source row REPLACES
+        the target row, so when the source omits the column it inherits
+        the target's value (whenMatchedUpdateAll must not disturb
+        identity); unmatched (insert) rows generate on the lattice
+        beyond the high-water mark. Explicit values follow the same
+        allowExplicitInsert rule as append. Returns (source, touched)
+        for :meth:`_identity_meta_action`."""
+        ident = self._identity_fields(snap)
+        if not ident:
+            return source, {}
+        touched: dict = {}
+        for name, md in sorted(ident.items()):
+            step = int(md.get("delta.identity.step", 1))
+            start = int(md.get("delta.identity.start", 1))
+            hwm = md.get("delta.identity.highWaterMark")
+            base = (int(hwm) + step) if hwm is not None else start
+            allow = (
+                str(md.get("delta.identity.allowExplicitInsert", False))
+                .lower()
+                == "true"
+            )
+            target_t = snap.schema[name].dataType
+            if name in source.columns:
+                if not allow and not source.where(
+                    F.col(name).isNotNull()
+                ).isEmpty():
+                    raise ValueError(
+                        f"merge (MERGE): column {name!r} is GENERATED "
+                        "ALWAYS AS IDENTITY; explicit values are not "
+                        "allowed"
+                    )
+            elif live is not None and name not in keys:
+                carry = live.select(
+                    *keys, F.col(name).alias("__ident_carry")
+                ).dropDuplicates(list(keys))
+                source = (
+                    source.join(carry, on=list(keys), how="left")
+                    .withColumn(name, F.col("__ident_carry"))
+                    .drop("__ident_carry")
+                )
+            else:
+                source = source.withColumn(
+                    name, F.lit(None).cast(target_t)
+                )
+            gen = (
+                F.lit(base) + F.lit(step) * F.monotonically_increasing_id()
+            ).cast(target_t)
+            source = source.withColumn(name, F.coalesce(F.col(name), gen))
+            touched[name] = (base, step)
+        return source, touched
+
+    @staticmethod
+    def _staged_col_extreme(adds: list[dict], col: str, step: int):
+        """The staged batch's extreme value of ``col`` in the identity
+        step's direction, from the adds' stats (footer-derived, zero
+        data I/O). None when no add carries a stat for the column."""
+        vals = []
+        for a in adds:
+            st = a.get("stats")
+            if not st:
+                continue
+            d = json.loads(st) if isinstance(st, str) else st
+            v = (
+                d.get("maxValues", {}) if step > 0 else d.get(
+                    "minValues", {}
+                )
+            ).get(col)
+            if v is not None:
+                vals.append(int(v))
+        if not vals:
+            return None
+        return max(vals) if step > 0 else min(vals)
+
+    def _identity_meta_action(
+        self,
+        snap: DeltaSnapshot,
+        touched: dict,
+        adds: list[dict],
+        actions: list[dict],
+        what: str,
+    ) -> list[dict]:
+        """Advance delta.identity.highWaterMark in the table schema for
+        this commit's staged values. Re-runs per commit ATTEMPT against
+        the tip snapshot: a concurrent writer that advanced the mark
+        past the base this batch generated from means the staged values
+        may collide — surface the conflict (delta-spark's metadata
+        conflict), never commit colliding ids. Folds into an existing
+        metaData action (one per commit, protocol rule) or appends one."""
+        ident = self._identity_fields(snap)
+        schema_json = None
+        for name, (base, step) in sorted(touched.items()):
+            md = ident.get(name, {})
+            cur_hwm = md.get("delta.identity.highWaterMark")
+            cur_base = (
+                (int(cur_hwm) + step) if cur_hwm is not None
+                else int(md.get("delta.identity.start", 1))
+            )
+            if cur_base != base:
+                raise ConcurrentModificationError(
+                    f"{what} on {self.path}: identity column {name!r} "
+                    f"high-water mark moved concurrently (generated "
+                    f"from base {base}, table now at base {cur_base}); "
+                    "re-run against the new table state"
+                )
+            ext = self._staged_col_extreme(adds, name, step)
+            if ext is None:
+                continue  # statless batch: mark stays (empty adds)
+            if cur_hwm is not None and (
+                ext <= int(cur_hwm) if step > 0 else ext >= int(cur_hwm)
+            ):
+                continue  # explicit values inside the existing range
+            # fold into the commit's metaData action (or the current
+            # schema) — at most ONE metaData action per commit
+            existing_meta = next(
+                (a["metaData"] for a in actions if "metaData" in a), None
+            )
+            if schema_json is None:
+                src = (
+                    existing_meta["schemaString"]
+                    if existing_meta is not None
+                    else snap.raw_meta["schemaString"]
+                )
+                schema_json = json.loads(src)
+            for fld in schema_json["fields"]:
+                if fld["name"] == name:
+                    fld.setdefault("metadata", {})[
+                        "delta.identity.highWaterMark"
+                    ] = ext
+        if schema_json is None:
+            return actions
+        existing_meta = next(
+            (a["metaData"] for a in actions if "metaData" in a), None
+        )
+        if existing_meta is not None:
+            existing_meta["schemaString"] = json.dumps(schema_json)
+            return actions
+        meta = dict(snap.raw_meta)
+        meta["schemaString"] = json.dumps(schema_json)
+        return actions + [{"metaData": meta}]
 
     @staticmethod
     def _cdf_enabled(configuration: dict) -> bool:
@@ -2668,6 +2886,7 @@ class DeltaTableWriter:
         import time as _time
 
         adds: list[dict] | None = None
+        ident_touched: dict | None = None
         for _ in range(_MAX_COMMIT_RETRIES):
             snap = DeltaTableReader(self.path).snapshot()
             if txn is not None and (snap.txns or {}).get(
@@ -2688,6 +2907,12 @@ class DeltaTableWriter:
                 return snap.version
             self._check_writer_features(snap, "append (WRITE)")
             df = self._apply_generated_columns(df, snap)
+            if ident_touched is None:
+                # once: the generated values are fixed at staging, so
+                # re-applying on a retry would mis-flag them as explicit
+                df, ident_touched = self._apply_identity_columns(
+                    df, snap, "append (WRITE)"
+                )
             self._check_constraints(df, snap.configuration)
             actions, _ = self._schema_evolution_actions(
                 df, snap, merge_schema
@@ -2695,6 +2920,12 @@ class DeltaTableWriter:
             if adds is None:
                 to_phys, part_stage = self._physical_stage_ctx(snap)
                 adds = self._stage_files(to_phys(df), part_stage)
+            if ident_touched:
+                # per ATTEMPT: the tip's high-water mark must still be
+                # the one the batch generated from (collision guard)
+                actions = self._identity_meta_action(
+                    snap, ident_touched, adds, actions, "append (WRITE)"
+                )
             if txn is not None:
                 actions = actions + [
                     {
@@ -2804,10 +3035,18 @@ class DeltaTableWriter:
         live = None
         mat_cols: list[str] = []
         if affected:
-            if rtc:
-                live = r._stable_lineage_scan(
+            live = (
+                r._stable_lineage_scan(
                     spark, snap, keep_paths=set(affected)
                 )
+                if rtc
+                else r.to_df(spark, _keep_paths=set(affected))
+            )
+        source, ident_touched = self._apply_identity_merge(
+            source, live, keys, snap
+        )
+        if affected:
+            if rtc:
                 kept = self._rt_materialize(
                     live.join(kill, on=keys, how="left_anti"),
                     rtc,
@@ -2833,7 +3072,6 @@ class DeltaTableWriter:
                 out = kept.unionByName(src, allowMissingColumns=True)
                 mat_cols = [c for c in rtc if c]
             else:
-                live = r.to_df(spark, _keep_paths=set(affected))
                 kept = live.join(kill, on=keys, how="left_anti")
                 out = kept.unionByName(source, allowMissingColumns=True)
         out = out.select(
@@ -2923,9 +3161,19 @@ class DeltaTableWriter:
             )
 
         v = snap.version + 1
+        all_actions = (
+            actions + removes + [{"add": a} for a in adds] + cdc_actions
+        )
+        if ident_touched:
+            # conflict safety: a concurrent writer advancing the mark
+            # commits a metaData action, which _winner_conflicts always
+            # treats as a conflict — a rebase can never collide ids
+            all_actions = self._identity_meta_action(
+                snap, ident_touched, adds, all_actions, "merge (MERGE)"
+            )
         return self._commit_read_dependent(
             v,
-            actions + removes + [{"add": a} for a in adds] + cdc_actions,
+            all_actions,
             operation="MERGE",
             read_files={os.path.abspath(p) for p in affected},
             add_conflict=winner_add_conflicts,
@@ -2963,6 +3211,15 @@ class DeltaTableWriter:
             raise ValueError(
                 f"UPDATE assigns to unknown column(s) {sorted(bad)}; "
                 f"table columns are {sorted(known)}"
+            )
+        bad_ident = sorted(
+            set(assignments) & set(self._identity_fields(snap))
+        )
+        if bad_ident:
+            # delta-spark's rule: identity values are writer-managed
+            raise ValueError(
+                f"UPDATE on IDENTITY column(s) {bad_ident} is not "
+                "allowed"
             )
         # matched-file discovery: predicate pushes into the scan, the
         # agg returns |files with >=1 match| rows. _expose_pos keeps
@@ -3071,6 +3328,9 @@ class DeltaTableWriter:
         snap = r.snapshot()
         self._require_mutable(snap, "overwrite_partition")
         df = self._apply_generated_columns(df, snap)
+        df, ident_touched = self._apply_identity_columns(
+            df, snap, "overwrite_partition"
+        )
         self._check_constraints(df, snap.configuration)
         to_phys, part_stage = self._physical_stage_ctx(snap)
         # partitionValues in the log are keyed by PHYSICAL names; the
@@ -3111,9 +3371,15 @@ class DeltaTableWriter:
             ]
         adds = self._stage_files(to_phys(df), part_stage)
         v = snap.version + 1
+        all_actions = removes + [{"add": a} for a in adds] + cdc_actions
+        if ident_touched:
+            all_actions = self._identity_meta_action(
+                snap, ident_touched, adds, all_actions,
+                "overwrite_partition",
+            )
         return self._commit_read_dependent(
             v,
-            removes + [{"add": a} for a in adds] + cdc_actions,
+            all_actions,
             operation="WRITE",
             # read set = the replaced partition; a winner writing OTHER
             # partitions is disjoint and this overwrite rebases over it

@@ -2967,11 +2967,13 @@ def test_writer_feature_gate_and_row_tracking_enablement(spark, tmp_path):
     p1 = str(tmp_path / "ident")
     w1 = DeltaTableWriter(p1)
     w1.create(spark.range(4).selectExpr("id AS k"))
-    stamp(p1, ["appendOnly", "invariants", "identityColumns"])
+    # variantShredding changes the physical layout this writer cannot
+    # produce — the stand-in for "listed but unimplemented"
+    stamp(p1, ["appendOnly", "invariants", "variantShredding"])
     assert DeltaTableReader(p1).to_df(spark).count() == 4  # reads fine
-    with _pytest.raises(DeltaProtocolError, match="identityColumns"):
+    with _pytest.raises(DeltaProtocolError, match="variantShredding"):
         w1.append(spark.range(4, 6).selectExpr("id AS k"))
-    with _pytest.raises(DeltaProtocolError, match="identityColumns"):
+    with _pytest.raises(DeltaProtocolError, match="variantShredding"):
         w1.delete_where(spark, "k = 1")
 
     p2 = str(tmp_path / "rt")
@@ -3350,3 +3352,121 @@ def test_row_tracking_preserved_through_rewrites(spark, tmp_path):
     assert vers[0] == vers[1] == vers[3] == vers[4] == 1
     assert vers[5] == vers[7] == 2
     assert vers[2] == 3 and vers[6] == 4 and vers[100] == 4
+
+
+def _identity_table(spark, path, allow_explicit=False, min_writer=6):
+    """Hand-write the foreign shape: a v0 log whose schema carries
+    delta.identity.* field metadata (GENERATED [ALWAYS|BY DEFAULT] AS
+    IDENTITY (START WITH 10 INCREMENT BY 2)) under the legacy
+    minWriterVersion-6 protocol that IMPLIES identityColumns."""
+    import json
+    import os
+
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.identity.start": 10,
+                 "delta.identity.step": 2,
+                 "delta.identity.allowExplicitInsert": allow_explicit,
+             }},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": min_writer}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 0}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_identity_columns_generate_and_advance(spark, tmp_path):
+    """Writer feature identityColumns (legacy minWriterVersion 6 —
+    previously refused ALL writes): batches without the column get
+    values on the start/step lattice beyond the high-water mark, the
+    mark advances via a metaData action in the same commit, GENERATED
+    ALWAYS refuses explicit values, UPDATE on the column is refused,
+    and MERGE keeps matched rows' identities while inserts generate."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    _identity_table(spark, path)
+    w = DeltaTableWriter(path)
+    w.append(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    )
+    rows = {
+        r["v"]: r["id"]
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    }
+    ids = sorted(rows.values())
+    assert len(set(ids)) == 3 and min(ids) >= 10
+    assert all(i % 2 == 0 for i in ids)  # the start-10/step-2 lattice
+    snap = DeltaTableReader(path).snapshot()
+    hwm = snap.schema["id"].metadata["delta.identity.highWaterMark"]
+    assert hwm == max(ids)
+
+    # GENERATED ALWAYS: explicit values are refused
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        w.append(
+            spark.createDataFrame([(1, "x")], "id long, v string")
+        )
+    # UPDATE on the identity column is refused; on others it keeps ids
+    with _pytest.raises(ValueError, match="IDENTITY"):
+        w.update_where(spark, "v = 'a'", {"id": "999"})
+    w.update_where(spark, "v = 'a'", {"v": "'A'"})
+    rows2 = {
+        r["v"]: r["id"]
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    }
+    assert rows2["A"] == rows["a"]
+
+    # MERGE: matched key keeps its identity, the insert generates past
+    # the advanced mark
+    w.merge(
+        spark,
+        spark.createDataFrame([("b",), ("z",)], "v string"),
+        keys=["v"],
+    )
+    rows3 = {
+        r["v"]: r["id"]
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    }
+    assert rows3["b"] == rows["b"]
+    assert rows3["z"] > hwm and rows3["z"] % 2 == 0
+    snap3 = DeltaTableReader(path).snapshot()
+    assert snap3.schema["id"].metadata[
+        "delta.identity.highWaterMark"
+    ] == max(rows3.values())
+
+    # GENERATED BY DEFAULT: explicit values accepted, mark covers them
+    p2 = str(tmp_path / "t2")
+    _identity_table(spark, p2, allow_explicit=True)
+    w2 = DeltaTableWriter(p2)
+    w2.append(
+        spark.createDataFrame([(100, "e")], "id long, v string")
+    )
+    w2.append(spark.createDataFrame([("f",)], "v string"))
+    got = {
+        r["v"]: r["id"]
+        for r in DeltaTableReader(p2).to_df(spark).collect()
+    }
+    assert got["e"] == 100 and got["f"] > 100
