@@ -2344,12 +2344,14 @@ class IcebergTableWriter:
         operation: str,
         all_schemas: list[dict] | None = None,
         format_version: int | None = None,
+        branch: str = "main",
     ) -> None:
         import time as _time
 
         version = 1 if prev is None else prev["__version"] + 1
         now_ms = int(_time.time() * 1000)
         snapshots = list(prev.get("snapshots", [])) if prev else []
+        parent = self._branch_tip(prev, branch) if prev else None
         snapshots.append(
             {
                 "snapshot-id": snapshot_id,
@@ -2358,6 +2360,13 @@ class IcebergTableWriter:
                 "manifest-list": manifest_list_path,
                 "schema-id": schema_json.get("schema-id", 0),
                 "summary": {"operation": operation},
+                # ancestry (spec § snapshots): what fast_forward walks
+                # to prove one branch descends from another
+                **(
+                    {"parent-snapshot-id": parent}
+                    if parent is not None
+                    else {}
+                ),
             }
         )
         fv = (
@@ -2421,27 +2430,36 @@ class IcebergTableWriter:
             ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "current-snapshot-id": snapshot_id,
+            # a BRANCH commit leaves main's tip (and the snapshot-log,
+            # which tracks current-snapshot-id changes only) untouched
+            "current-snapshot-id": (
+                snapshot_id
+                if branch == "main" or prev is None
+                else prev["current-snapshot-id"]
+            ),
             "snapshots": snapshots,
-            "snapshot-log": [
-                {
-                    "snapshot-id": s["snapshot-id"],
-                    "timestamp-ms": s.get("timestamp-ms", 0),
-                }
-                for s in snapshots
-            ],
+            "snapshot-log": (
+                list((prev or {}).get("snapshot-log", []))
+                + (
+                    [
+                        {
+                            "snapshot-id": snapshot_id,
+                            "timestamp-ms": now_ms,
+                        }
+                    ]
+                    if branch == "main" or prev is None
+                    else []
+                )
+            ),
             "metadata-log": [],
             "properties": {},
-            # spec § refs: the main branch always tracks the current
-            # snapshot; tags (create_tag) pin snapshots by name and are
-            # carried forward across commits
+            # spec § refs: EVERY prior ref — tags and other branches —
+            # carries forward verbatim (dropping a foreign branch ref
+            # would orphan its line of history); this commit's branch
+            # advances to the new snapshot
             "refs": {
-                **{
-                    name: ref
-                    for name, ref in (prev or {}).get("refs", {}).items()
-                    if ref.get("type") == "tag"
-                },
-                "main": {"snapshot-id": snapshot_id, "type": "branch"},
+                **(prev or {}).get("refs", {}),
+                branch: {"snapshot-id": snapshot_id, "type": "branch"},
             },
         }
         if fv >= 3:
@@ -2821,11 +2839,22 @@ class IcebergTableWriter:
         )
         return IcebergTableReader(self.path)
 
-    def _manifest_list_of(self, prev: dict) -> list[dict]:
+    @staticmethod
+    def _branch_tip(prev: dict, branch: str) -> int:
+        """The snapshot id a write against ``branch`` parents on: the
+        ref's tip; a not-yet-existing branch forks from main (the WAP
+        auto-create behavior of spark.wap.branch)."""
+        ref = (prev.get("refs") or {}).get(branch)
+        if ref is not None:
+            return ref["snapshot-id"]
+        return prev["current-snapshot-id"]
+
+    def _manifest_list_of(
+        self, prev: dict, branch: str = "main"
+    ) -> list[dict]:
+        tip = self._branch_tip(prev, branch)
         cur = next(
-            s
-            for s in prev["snapshots"]
-            if s["snapshot-id"] == prev["current-snapshot-id"]
+            s for s in prev["snapshots"] if s["snapshot-id"] == tip
         )
         _, manifests, _ = read_container(cur["manifest-list"])
         return manifests
@@ -2887,7 +2916,12 @@ class IcebergTableWriter:
         }
         return schema_json, list(prev["schemas"]) + [schema_json]
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        branch: str | None = None,
+    ) -> int:
         """Append a batch (see :meth:`_resolve_batch_schema` for the
         mergeSchema contract).
 
@@ -2898,7 +2932,14 @@ class IcebergTableWriter:
         against it (a concurrent writer may have evolved it), re-issues
         snapshot/sequence ids past the new tip, rebuilds the (tiny)
         manifest + manifest list, and retries the O_EXCL metadata swap —
-        two concurrent appenders both land, in some serial order."""
+        two concurrent appenders both land, in some serial order.
+
+        ``branch``: commit to a NAMED BRANCH instead of main (Iceberg's
+        write-audit-publish staging flow, ``spark.wap.branch``): the new
+        snapshot parents on the branch tip (auto-created from main on
+        first write, spark's wap behavior), the ref advances, and main's
+        tip + snapshot-log stay untouched until :meth:`fast_forward`
+        publishes."""
         staged = None
         for _ in range(_MAX_COMMIT_RETRIES):
             prev = self._load_prev()
@@ -2929,7 +2970,9 @@ class IcebergTableWriter:
                 entries, pcols, sid, seq, schema_json,
                 spec_fields=spec_fields,
             )
-            manifests = self._manifest_list_of(prev) + [ml_entry]
+            manifests = self._manifest_list_of(
+                prev, branch or "main"
+            ) + [ml_entry]
             ml_path = os.path.join(
                 self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
             )
@@ -2941,6 +2984,7 @@ class IcebergTableWriter:
                 self._commit_metadata(
                     prev, schema_json, pcols, sid, seq, ml_path, "append",
                     all_schemas=all_schemas,
+                    branch=branch or "main",
                 )
                 return sid
             except FileExistsError:
@@ -3605,6 +3649,7 @@ class IcebergTableWriter:
         keys: Sequence[str],
         delete_keys: DataFrame | None = None,
         merge_schema: bool = False,
+        branch: str | None = None,
     ) -> int:
         """MERGE — the reference's Iceberg write (reference
         icberg/iceberg_tables.py:143-146 ``MERGE INTO ... WHEN MATCHED
@@ -3664,7 +3709,7 @@ class IcebergTableWriter:
                 dst, null_pv, n_del, os.path.getsize(dst),
                 _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
             )
-            manifests = self._manifest_list_of(pv) + [
+            manifests = self._manifest_list_of(pv, branch or "main") + [
                 self._write_manifest(
                     [del_entry], pcols, sid, seq, schema_json, content=1,
                     spec_fields=spec_fields,
@@ -3694,6 +3739,7 @@ class IcebergTableWriter:
             self._commit_metadata(
                 pv, schema_json, pcols, sid, seq, ml_path, "overwrite",
                 all_schemas=all_schemas,
+                branch=branch or "main",
             )
             return sid
 
@@ -3878,6 +3924,95 @@ class IcebergTableWriter:
         meta["refs"] = refs
         self._swap_metadata(prev, meta, "create_tag")
 
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> None:
+        """Fork a named BRANCH (spec § refs, type=branch) at a snapshot
+        (default: main's tip) — the explicit start of Iceberg's
+        write-audit-publish staging flow. Writes then target it via
+        ``append(df, branch=name)``, reads via ``to_df(spark,
+        ref=name)``, and :meth:`fast_forward` publishes. (A first write
+        to a nonexistent branch also auto-creates it from main, spark's
+        ``spark.wap.branch`` behavior.)"""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else prev["current-snapshot-id"]
+        )
+        if sid not in {s["snapshot-id"] for s in prev.get("snapshots", [])}:
+            raise ValueError(f"no snapshot {sid} to branch from")
+        if name in prev.get("refs", {}):
+            raise ValueError(f"ref {name!r} already exists")
+        meta = dict(prev)
+        meta.pop("__version", None)
+        refs = dict(meta.get("refs", {}))
+        refs[name] = {"snapshot-id": sid, "type": "branch"}
+        meta["refs"] = refs
+        self._swap_metadata(prev, meta, "create_branch")
+
+    def fast_forward(self, branch: str, source: str) -> int:
+        """PUBLISH: fast-forward ``branch`` to ``source``'s tip — the
+        write-audit-publish commit (Spark's
+        ``system.fast_forward(table, branch, source)`` procedure). The
+        target branch's tip must be an ANCESTOR of the source tip
+        (walked over parent-snapshot-id), i.e. nothing on the target
+        would be discarded — the procedure's rule; anything else needs
+        a real merge. Fast-forwarding main moves current-snapshot-id
+        and appends the snapshot-log entry (a time-travel-visible
+        change of the published state). Metadata-only: no file I/O at
+        any table size. Returns the published snapshot id."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        refs = dict(prev.get("refs", {}))
+        if source not in refs:
+            raise ValueError(f"no ref {source!r} to fast-forward from")
+        src_tip = refs[source]["snapshot-id"]
+        dst_tip = (
+            refs[branch]["snapshot-id"]
+            if branch in refs
+            else prev["current-snapshot-id"]
+            if branch == "main"
+            else None
+        )
+        if dst_tip is not None and dst_tip != src_tip:
+            by_id = {
+                s["snapshot-id"]: s for s in prev.get("snapshots", [])
+            }
+            is_ancestor = False
+            cur = by_id.get(src_tip)
+            while cur is not None:
+                p = cur.get("parent-snapshot-id")
+                if p == dst_tip:
+                    is_ancestor = True
+                    break
+                cur = by_id.get(p) if p is not None else None
+            if not is_ancestor:
+                raise ValueError(
+                    f"cannot fast-forward {branch!r} (tip {dst_tip}) to "
+                    f"{source!r} (tip {src_tip}): not an ancestor — "
+                    "the branches have diverged"
+                )
+        meta = dict(prev)
+        meta.pop("__version", None)
+        refs[branch] = {"snapshot-id": src_tip, "type": "branch"}
+        meta["refs"] = refs
+        if branch == "main":
+            meta["current-snapshot-id"] = src_tip
+            import time as _time
+
+            meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+                {
+                    "snapshot-id": src_tip,
+                    "timestamp-ms": int(_time.time() * 1000),
+                }
+            ]
+        self._swap_metadata(prev, meta, "fast_forward")
+        return src_tip
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the ``keep_last`` most recent snapshots from the
         metadata and physically delete manifests / manifest lists / data
@@ -3892,10 +4027,10 @@ class IcebergTableWriter:
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
         snaps = sorted(prev["snapshots"], key=lambda s: s["sequence-number"])
+        # every ref'd snapshot is protected: tags AND branch tips (an
+        # expire that dropped a staging branch's tip would brick it)
         tagged = {
-            ref["snapshot-id"]
-            for ref in prev.get("refs", {}).values()
-            if ref.get("type") == "tag"
+            ref["snapshot-id"] for ref in prev.get("refs", {}).values()
         }
         keep = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s["snapshot-id"] in tagged

@@ -2812,3 +2812,86 @@ def test_v3_cow_rehoming_preserves_row_ids(spark, tmp_path):
     # replacement rows take ids from the NEW snapshot's claimed range
     new_ids = {r["_row_id"] for r in rows if r["p"] == 1}
     assert len(new_ids) == 2 and all(i >= 10 for i in new_ids), new_ids
+
+
+def test_iceberg_wap_branch_flow(spark, tmp_path):
+    """Write-audit-publish (spec § refs, spark.wap.branch): branch
+    writes parent on the branch tip and never move main; branch reads
+    resolve the ref; fast_forward publishes when (and only when) the
+    target is an ancestor of the source; refs protect their snapshots
+    from expire_snapshots; a write to a nonexistent branch auto-creates
+    it from main."""
+    import pytest as _pytest
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+    w.create_branch("audit")
+    w.append(
+        spark.createDataFrame([(4, "d"), (5, "e")], "k long, v string"),
+        branch="audit",
+    )
+    # MoR MERGE into the branch: update k=2, insert k=10
+    w.merge(
+        spark.createDataFrame(
+            [(2, "B"), (10, "j")], "k long, v string"
+        ),
+        keys=["k"],
+        branch="audit",
+    )
+    r = IcebergTableReader(path)
+    main_rows = {x["k"]: x["v"] for x in r.to_df(spark).collect()}
+    audit_rows = {
+        x["k"]: x["v"] for x in r.to_df(spark, ref="audit").collect()
+    }
+    assert main_rows == {1: "a", 2: "b", 3: "c"}  # staging invisible
+    assert audit_rows == {
+        1: "a", 2: "B", 3: "c", 4: "d", 5: "e", 10: "j"
+    }
+
+    # PUBLISH: main fast-forwards to the audited state
+    w.fast_forward("main", "audit")
+    assert {
+        x["k"]: x["v"] for x in IcebergTableReader(path).to_df(spark).collect()
+    } == audit_rows
+
+    # divergence: a new main commit makes main NOT an ancestor of audit
+    w.append(spark.createDataFrame([(99, "z")], "k long, v string"))
+    with _pytest.raises(ValueError, match="diverged"):
+        w.fast_forward("main", "audit")
+    # ...but audit (behind) fast-forwards onto main cleanly
+    w.fast_forward("audit", "main")
+    assert 99 in {
+        x["k"]
+        for x in IcebergTableReader(path).to_df(spark, ref="audit").collect()
+    }
+
+    # auto-create on first write (spark.wap.branch behavior)
+    w.append(
+        spark.createDataFrame([(50, "w")], "k long, v string"),
+        branch="wap2",
+    )
+    r2 = IcebergTableReader(path)
+    assert 50 in {
+        x["k"] for x in r2.to_df(spark, ref="wap2").collect()
+    }
+    assert 50 not in {x["k"] for x in r2.to_df(spark).collect()}
+
+    # refs protect their tips from expiry; unpublished staging survives
+    w.expire_snapshots(keep_last=1)
+    r3 = IcebergTableReader(path)
+    assert 50 in {
+        x["k"] for x in r3.to_df(spark, ref="wap2").collect()
+    }
+    assert {x["k"] for x in r3.to_df(spark).collect()} == {
+        1, 2, 3, 4, 5, 10, 99,
+    }
