@@ -36,6 +36,7 @@ import decimal
 import json
 import os
 import re
+import time
 import urllib.parse
 import uuid
 from dataclasses import dataclass
@@ -131,6 +132,10 @@ class DeltaSnapshot:
     #: live domainMetadata actions ({domain: action dict}) — durable
     #: state our checkpoints must carry (never silently dropped)
     domains: dict = None  # type: ignore[assignment]
+    #: remove tombstones seen during replay ({raw path: remove dict}) —
+    #: re-emitted by checkpoints within the deletedFileRetentionDuration
+    #: window so checkpoint-only replayers see removals explicitly
+    tombstones: dict = None  # type: ignore[assignment]
 
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
@@ -456,8 +461,22 @@ class DeltaTableReader:
                 "base_row_id": a.get("baseRowId"),
                 "default_row_commit": a.get("defaultRowCommitVersion"),
             }
+            # a re-add (restore / DV rewrite) supersedes the tombstone
+            state.get("tombstones", {}).pop(a["path"], None)
         elif "remove" in action:
-            state["files"].pop(action["remove"]["path"], None)
+            rm = action["remove"]
+            state["files"].pop(rm["path"], None)
+            # tombstone (spec § Add/Remove): retained so checkpoints we
+            # write can re-emit it — a checkpoint-only replayer inside
+            # the retention window must see the file as REMOVED, not
+            # merely absent (absence + a racing vacuum can resurrect)
+            state.setdefault("tombstones", {})[rm["path"]] = {
+                "path": rm["path"],
+                "deletionTimestamp": int(
+                    rm.get("deletionTimestamp") or 0
+                ),
+                "dataChange": bool(rm.get("dataChange", True)),
+            }
         elif "txn" in action:
             t = action["txn"]
             txns = state.setdefault("txns", {})
@@ -609,6 +628,7 @@ class DeltaTableReader:
             raw_paths=raw_paths,
             row_tracking=row_tracking,
             domains=dict(state.get("domains", {})),
+            tombstones=dict(state.get("tombstones", {})),
         )
 
     def _abs_path(self, raw: str) -> str:
@@ -3137,7 +3157,7 @@ class DeltaTableWriter:
             {
                 "remove": {
                     "path": self._raw_key(snap, p),
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": True,
                 }
             }
@@ -3300,7 +3320,7 @@ class DeltaTableWriter:
             {
                 "remove": {
                     "path": self._raw_key(snap, p),
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": True,
                 }
             }
@@ -3346,7 +3366,7 @@ class DeltaTableWriter:
             {
                 "remove": {
                     "path": self._raw_key(snap, p),
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": True,
                 }
             }
@@ -3394,9 +3414,45 @@ class DeltaTableWriter:
             ),
         )
 
+    @staticmethod
+    def _live_tombstones(snap: DeltaSnapshot) -> list[dict]:
+        """Remove tombstones still inside the table's
+        delta.deletedFileRetentionDuration window (default 1 week) —
+        what a checkpoint must re-emit so checkpoint-only replayers see
+        recent removals explicitly instead of inferring them from
+        absence (protocol § Checkpoints: remove tombstones survive
+        until expired)."""
+        raw = (snap.configuration or {}).get(
+            "delta.deletedFileRetentionDuration", "interval 1 week"
+        )
+        m = re.match(r"(?i)\s*interval\s+(\d+)\s+(\w+?)s?\s*$", raw)
+        unit_ms = {
+            "millisecond": 1,
+            "second": 1000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+            "week": 604_800_000,
+        }
+        ms = (
+            int(m.group(1)) * unit_ms[m.group(2).lower()]
+            if m and m.group(2).lower() in unit_ms
+            else 604_800_000
+        )
+        cutoff = int(time.time() * 1000) - ms
+        return sorted(
+            (
+                t
+                for t in (snap.tombstones or {}).values()
+                if int(t.get("deletionTimestamp") or 0) >= cutoff
+            ),
+            key=lambda t: t["path"],
+        )
+
     def checkpoint(self, version: int | None = None) -> str:
         """Write a classic single-file parquet checkpoint of the snapshot
-        state (protocol + metaData + one add row per live file) and point
+        state (protocol + metaData + one add row per live file + one
+        remove row per unexpired tombstone) and point
         ``_last_checkpoint`` at it, so replay cost stays O(actions since
         last checkpoint) — the protocol's answer to unbounded logs."""
         import pyarrow as pa
@@ -3465,6 +3521,11 @@ class DeltaTableWriter:
                     },
                 }
             )
+        for t in self._live_tombstones(snap):
+            # unexpired remove tombstones must survive checkpoint-only
+            # replay (a reader racing a vacuum inside the retention
+            # window must see the removal, not resurrect the file)
+            rows.append({"remove": dict(t)})
         for d in sorted(
             (snap.domains or {}).values(), key=lambda x: x["domain"]
         ):
@@ -3538,6 +3599,16 @@ class DeltaTableWriter:
                     ),
                 ),
                 pa.field(
+                    "remove",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("deletionTimestamp", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+                pa.field(
                     "domainMetadata",
                     pa.struct(
                         [
@@ -3570,17 +3641,23 @@ class DeltaTableWriter:
             # that grows with the table) goes to a SIDECAR parquet under
             # _delta_log/_sidecars/ — the layout that lets huge tables
             # split checkpoint writes across workers.
-            adds = [r for r in rows if r.get("add")]
-            others = [r for r in rows if not r.get("add")]
+            # file actions — adds AND unexpired remove tombstones — go
+            # to the sidecar (protocol § sidecars: the file-action set)
+            file_rows = [
+                {"add": r["add"], "remove": None}
+                for r in rows
+                if r.get("add")
+            ] + [
+                {"add": None, "remove": r["remove"]}
+                for r in rows
+                if r.get("remove")
+            ]
+            others = [
+                r for r in rows if not r.get("add") and not r.get("remove")
+            ]
             os.makedirs(os.path.join(self._log, "_sidecars"), exist_ok=True)
             sc_name = f"{uuid.uuid4().hex}.parquet"
             sc_path = os.path.join(self._log, "_sidecars", sc_name)
-            # protocol sidecar schema carries BOTH add and remove; this
-            # writer checkpoints no remove tombstones (deviation: VACUUM
-            # here is immediate, so no foreign reader should rely on
-            # tombstones within a retention window — documented in the
-            # class docstring), but the column must exist or strict
-            # sidecar readers reject the file / replayers misparse it.
             sc_schema = pa.schema(
                 [
                     schema.field("add"),
@@ -3599,10 +3676,7 @@ class DeltaTableWriter:
                 ]
             )
             pq.write_table(
-                pa.Table.from_pylist(
-                    [{"add": r["add"], "remove": None} for r in adds],
-                    schema=sc_schema,
-                ),
+                pa.Table.from_pylist(file_rows, schema=sc_schema),
                 sc_path,
             )
             main_schema = pa.schema(
@@ -3649,7 +3723,9 @@ class DeltaTableWriter:
                         "version": snap.version,
                         "size": len(rows),
                         "sizeInBytes": os.path.getsize(cp),
-                        "numOfAddFiles": len(adds),
+                        "numOfAddFiles": sum(
+                            1 for r in file_rows if r.get("add")
+                        ),
                     },
                     f,
                 )
@@ -3700,7 +3776,7 @@ class DeltaTableWriter:
             {
                 "remove": {
                     "path": self._raw_key(snap, p),
-                    "deletionTimestamp": 0,
+                    "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": False,
                 }
             }
@@ -3915,7 +3991,7 @@ class DeltaTableWriter:
                 {
                     "remove": {
                         "path": rel,
-                        "deletionTimestamp": 0,
+                        "deletionTimestamp": int(time.time() * 1000),
                         "dataChange": True,
                     }
                 }
@@ -4022,7 +4098,7 @@ class DeltaTableWriter:
                 {
                     "remove": {
                         "path": rel,
-                        "deletionTimestamp": 0,
+                        "deletionTimestamp": int(time.time() * 1000),
                         "dataChange": True,
                     }
                 }
@@ -4036,7 +4112,7 @@ class DeltaTableWriter:
                     {
                         "remove": {
                             "path": rel,
-                            "deletionTimestamp": 0,
+                            "deletionTimestamp": int(time.time() * 1000),
                             "dataChange": True,
                         }
                     }

@@ -3470,3 +3470,77 @@ def test_identity_columns_generate_and_advance(spark, tmp_path):
         for r in DeltaTableReader(p2).to_df(spark).collect()
     }
     assert got["e"] == 100 and got["f"] > 100
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """Protocol § Checkpoints: unexpired remove tombstones must survive
+    into checkpoints (classic AND v2-sidecar layouts) so a
+    checkpoint-only replayer inside the retention window sees recent
+    removals explicitly; expired ones (deletedFileRetentionDuration)
+    are dropped."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    def tombstoned(path):
+        snap = DeltaTableReader(path).snapshot()
+        return snap, dict(snap.tombstones or {})
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(k, k) for k in range(4)],
+                                   "k long, v long").coalesce(1))
+    w.update_where(spark, "k = 1", {"v": "100"})  # CoW: remove + add
+    snap, ts = tombstoned(path)
+    assert len(ts) == 1
+    (t0,) = ts.values()
+    assert t0["deletionTimestamp"] > 0  # real clock, not the old 0
+    w.checkpoint()
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    snap2, ts2 = tombstoned(path)
+    assert set(ts2) == set(ts)  # survived checkpoint-only replay
+    assert snap2.version == snap.version
+    assert sorted(
+        x["v"] for x in DeltaTableReader(path).to_df(spark).collect()
+    ) == [0, 2, 3, 100]
+
+    # expired tombstones drop out of the checkpoint
+    p2 = str(tmp_path / "t2")
+    w2 = DeltaTableWriter(p2)
+    w2.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    w2.set_property(
+        "delta.deletedFileRetentionDuration", "interval 0 second"
+    )
+    w2.update_where(spark, "k = 1", {"v": "2"})
+    import time as _t
+    _t.sleep(0.01)
+    w2.checkpoint()
+    for j in glob.glob(os.path.join(p2, "_delta_log", "*.json")):
+        os.remove(j)
+    _, ts3 = tombstoned(p2)
+    assert ts3 == {}
+
+    # v2 layout: the tombstone rides the SIDECAR file-action set
+    p3 = str(tmp_path / "t3")
+    w3 = DeltaTableWriter(p3)
+    w3.create(spark.createDataFrame([(1, 1), (2, 2)],
+                                    "k long, v long").coalesce(1))
+    w3.set_checkpoint_policy_v2()
+    w3.update_where(spark, "k = 2", {"v": "20"})
+    w3.checkpoint()
+    (sc,) = glob.glob(os.path.join(p3, "_delta_log", "_sidecars",
+                                   "*.parquet"))
+    sc_rows = pq.read_table(sc).to_pylist()
+    assert any(r.get("remove") for r in sc_rows)
+    for j in glob.glob(os.path.join(p3, "_delta_log", "*.json")):
+        os.remove(j)
+    assert sorted(
+        x["v"] for x in DeltaTableReader(p3).to_df(spark).collect()
+    ) == [1, 20]
