@@ -2611,7 +2611,15 @@ class DeltaTableWriter:
     def set_property(self, key: str, value: str) -> int:
         """Generic SET TBLPROPERTIES commit — e.g.
         ``delta.checkpointInterval`` to tune (or ``0`` to disable) the
-        automatic checkpoint cadence."""
+        automatic checkpoint cadence. ``delta.enableRowTracking=true``
+        routes through :meth:`set_row_tracking` (the property alone
+        would be protocol-invalid: enablement needs the feature, the
+        materialized-column config, and a row-id backfill)."""
+        if (
+            str(key) == "delta.enableRowTracking"
+            and str(value).lower() == "true"
+        ):
+            return self.set_row_tracking(True)
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         meta = dict(snap.raw_meta)
@@ -2623,6 +2631,122 @@ class DeltaTableWriter:
             v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
             read_files=set(), add_conflict=False,
         )
+
+    def set_row_tracking(self, value: bool = True) -> int:
+        """Enable ROW TRACKING (delta-spark's ``ALTER TABLE ... SET
+        TBLPROPERTIES ('delta.enableRowTracking'='true')`` flow) in one
+        commit: the feature-list protocol gains rowTracking +
+        domainMetadata, the materialized-column names are configured,
+        every live file is BACKFILLED with a baseRowId range (metadata
+        re-adds, dataChange=false — no file bytes move at any table
+        size), and the delta.rowTracking domain records the high-water
+        mark. Disabling just flips the property — the feature, column
+        config and assigned ids stay (the spec's 'suspended' state, so
+        re-enablement keeps prior ids)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(snap, "set_row_tracking")
+        meta = dict(snap.raw_meta)
+        conf = dict(meta.get("configuration", {}) or {})
+        if not value:
+            conf["delta.enableRowTracking"] = "false"
+            meta["configuration"] = conf
+            v = snap.version + 1
+            return self._commit_read_dependent(
+                v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
+                read_files=set(), add_conflict=False,
+            )
+        conf["delta.enableRowTracking"] = "true"
+        conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{uuid.uuid4()}",
+        )
+        conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{uuid.uuid4()}",
+        )
+        meta["configuration"] = conf
+        rf, wf = self._feature_lists(
+            snap, extra_writer={"rowTracking", "domainMetadata"}
+        )
+        proto = (
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": rf,
+                "writerFeatures": wf,
+            }
+            if rf
+            else {
+                "minReaderVersion": (snap.raw_protocol or {}).get(
+                    "minReaderVersion", 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": wf,
+            }
+        )
+        v = snap.version + 1
+        # BACKFILL: each live file claims a fresh id range so every
+        # existing row has a stable id from the moment of enablement —
+        # metadata-only re-adds keyed by numRecords from the add stats
+        dom = (snap.domains or {}).get("delta.rowTracking") or {}
+        try:
+            hwm = int(
+                json.loads(dom.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, TypeError):
+            hwm = -1
+        adds: list[dict] = []
+        for p, pv, dv in snap.files:
+            rt = (snap.row_tracking or {}).get(p)
+            st = (snap.stats or {}).get(p)
+            if rt is not None:
+                continue  # already assigned (partial prior backfill)
+            if not st or st.get("numRecords") is None:
+                raise DeltaProtocolError(
+                    "set_row_tracking: cannot backfill "
+                    f"{p!r} — no numRecords stat to size its id range"
+                )
+            adds.append(
+                {
+                    "path": self._raw_key(snap, p),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                    "dataChange": False,
+                    "deletionVector": dv,
+                    "stats": json.dumps(st),
+                    "baseRowId": hwm + 1,
+                    "defaultRowCommitVersion": v,
+                }
+            )
+            hwm += int(st["numRecords"])
+        actions: list[dict] = [{"protocol": proto}, {"metaData": meta}]
+        actions += [{"add": a} for a in adds]
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        # STRICT commit (no rebase): the backfill's
+        # defaultRowCommitVersion and id ranges are baked against v —
+        # re-landing them at a later version would stamp stale lineage
+        try:
+            self._commit(v, actions, "SET TBLPROPERTIES")
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"set_row_tracking on {self.path} lost the version "
+                "race; re-run against the new table state"
+            ) from None
+        return v
 
     #: Features IMPLIED by each legacy protocol version (Delta protocol
     #: § "Table Features" compatibility table). On upgrade to the

@@ -3544,3 +3544,56 @@ def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
     assert sorted(
         x["v"] for x in DeltaTableReader(p3).to_df(spark).collect()
     ) == [1, 20]
+
+
+def test_set_row_tracking_enablement_backfill(spark, tmp_path):
+    """set_row_tracking(True) (also routed from SET TBLPROPERTIES
+    delta.enableRowTracking=true): one commit adds the feature,
+    configures the materialized columns, BACKFILLS every live file's
+    id range (metadata-only re-adds), and records the high-water mark;
+    subsequent appends allocate past it, rewrites preserve, and
+    disabling suspends without dropping ids."""
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(6)], "k long, v long"
+        ).coalesce(2)
+    )
+    w.set_property("delta.enableRowTracking", "true")
+    snap = DeltaTableReader(path).snapshot()
+    feats = set(snap.raw_protocol["writerFeatures"])
+    assert {"rowTracking", "domainMetadata"} <= feats
+    assert snap.configuration[
+        "delta.rowTracking.materializedRowIdColumnName"
+    ].startswith("_row-id-col-")
+    ids = {
+        x["k"]: x["_row_id"]
+        for x in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    assert sorted(ids.values()) == list(range(6))  # backfilled 0..5
+
+    w.append(spark.createDataFrame([(100, 0)], "k long, v long"))
+    w.update_where(spark, "k = 2", {"v": "999"})
+    after = {
+        x["k"]: x["_row_id"]
+        for x in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    assert {k: i for k, i in after.items() if k < 100} == ids
+    assert after[100] == 6  # allocated just past the backfill mark
+
+    # suspend: property flips, feature + config + ids stay
+    w.set_row_tracking(False)
+    snap2 = DeltaTableReader(path).snapshot()
+    assert snap2.configuration["delta.enableRowTracking"] == "false"
+    assert "rowTracking" in set(snap2.raw_protocol["writerFeatures"])
+    again = {
+        x["k"]: x["_row_id"]
+        for x in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    assert again == after
