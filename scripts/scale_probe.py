@@ -513,6 +513,92 @@ def writepaths_pipeline(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def rowtracking_pipeline(spark, sf_dir: str) -> dict:
+    """Round-11 write paths at scale: row-tracking enablement + an
+    id-preserving UPDATE on an ENABLED table. Contracts probed:
+    (a) set_row_tracking backfill is METADATA-ONLY — wall time tracks
+    the file count, not the row count (10× rows in the same 16 files
+    must cost ~the same); (b) UPDATE rewrites only the files its
+    predicate matches (remove counters) and every surviving row keeps
+    its stable id (sum/count checksum over the untouched band via
+    row_lineage, one scan per side)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = ev.approxQuantile("event_id", [0.70, 0.71, 0.80], 0.001)
+    full = ev.where(F.col("event_id") <= q[2]).repartitionByRange(
+        16, "event_id"
+    )
+    work = tempfile.mkdtemp(prefix="rowtracking_probe_")
+    out: dict = {}
+    try:
+        path = os.path.join(work, "rt")
+        w = DeltaTableWriter(path)
+        t0 = time.perf_counter()
+        w.create(full)
+        out["load_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        w.set_row_tracking(True)
+        out["enable_backfill_s"] = round(time.perf_counter() - t0, 3)
+        r = DeltaTableReader(path)
+        files_before = len(r.snapshot().files)
+        untouched = f"event_id > {q[1]}"
+
+        def checksum():
+            row = (
+                DeltaTableReader(path)
+                .row_lineage(spark)
+                .where(untouched)
+                .agg(
+                    F.sum("_row_id").alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .first()
+            )
+            return (row["s"], row["n"])
+
+        before = checksum()
+        t0 = time.perf_counter()
+        w.update_where(
+            spark,
+            f"event_id > {q[0]} AND event_id <= {q[1]}",
+            {"value": "value * 2"},
+        )
+        out["update_s"] = round(time.perf_counter() - t0, 3)
+        after = checksum()
+        removes = 0
+        v = DeltaTableReader(path).snapshot().version
+        with open(
+            os.path.join(path, "_delta_log", f"{v:020d}.json")
+        ) as f:
+            for line in f:
+                if line.strip() and "remove" in json.loads(line):
+                    removes += 1
+        out.update(
+            {
+                "files_before_update": files_before,
+                "update_removes": removes,
+                "pruned": removes < files_before,
+                "untouched_rows": before[1],
+                "ids_preserved": before == after,
+            }
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -570,6 +656,13 @@ def main() -> int:
             ("iceberg_v3_dv_delete",
              wp["iceberg_v3_dv"]["narrow_s"]
              + wp["iceberg_v3_dv"]["wide_s"]),
+        ):
+            result["timings"].setdefault(key, {})[scale] = secs
+        rt = rowtracking_pipeline(spark, sf_dir)
+        result[f"rowtracking_{scale}"] = rt
+        for key, secs in (
+            ("rowtracking_enable_backfill", rt["enable_backfill_s"]),
+            ("rowtracking_update", rt["update_s"]),
         ):
             result["timings"].setdefault(key, {})[scale] = secs
         spark.stop()
