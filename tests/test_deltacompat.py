@@ -3597,3 +3597,184 @@ def test_set_row_tracking_enablement_backfill(spark, tmp_path):
         for x in DeltaTableReader(path).row_lineage(spark).collect()
     }
     assert again == after
+
+
+def test_row_tracking_invariants_random_op_sequences(
+    spark, tmp_path_factory
+):
+    """Property test (spec § Row Tracking): across random sequences of
+    append / UPDATE / MERGE / DV-delete / OPTIMIZE on an ENABLED
+    table — (1) every live row has a non-null stable id, (2) ids stay
+    unique, (3) the domain high-water mark bounds them, (4) a row's id
+    NEVER changes while the row survives (tracked against a key->id
+    model), and new keys take ids above every id ever seen."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    KEYS = st.integers(0, 30)
+    OPS = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(KEYS, min_size=1, max_size=4, unique=True),
+            ),
+            st.tuples(st.just("update"), KEYS),
+            st.tuples(
+                st.just("merge"),
+                st.lists(KEYS, min_size=1, max_size=4, unique=True),
+            ),
+            st.tuples(st.just("delete"), KEYS),
+            st.tuples(st.just("optimize"), st.just(None)),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(ops=OPS)
+    def run(ops):
+        import json as _json
+        import os as _os
+
+        tmp = tmp_path_factory.mktemp("rt_prop")
+        path = str(tmp / "t")
+        w = DeltaTableWriter(path)
+        w.create(
+            spark.createDataFrame(
+                [(k, 0) for k in range(-4, 0)], "k long, v long"
+            ).coalesce(1)
+        )
+        w.set_row_tracking(True)
+        id_model: dict = {}  # key -> id while the key is live
+        next_key = [1000]  # appends use fresh keys to keep model simple
+
+        def lineage():
+            return {
+                r["k"]: r["_row_id"]
+                for r in DeltaTableReader(path).row_lineage(spark).collect()
+            }
+
+        id_model.update(lineage())
+        seen_max = max(id_model.values())
+        for kind, payload in ops:
+            if kind == "append":
+                ks = [next_key[0] + i for i in range(len(payload))]
+                next_key[0] += len(payload)
+                w.append(
+                    spark.createDataFrame(
+                        [(k, 0) for k in ks], "k long, v long"
+                    ).coalesce(1)
+                )
+            elif kind == "update":
+                k = payload % max(len(id_model), 1)
+                target = sorted(id_model)[k] if id_model else -1
+                w.update_where(spark, f"k = {target}", {"v": "v + 1"})
+            elif kind == "merge":
+                ks = [next_key[0] + i for i in range(len(payload))]
+                next_key[0] += len(payload)
+                upd = sorted(id_model)[: max(1, len(payload) // 2)]
+                src = spark.createDataFrame(
+                    [(k, 7) for k in list(upd) + ks], "k long, v long"
+                )
+                w.merge(spark, src, keys=["k"])
+            elif kind == "delete":
+                if id_model:
+                    target = sorted(id_model)[payload % len(id_model)]
+                    w.delete_where(spark, f"k = {target}")
+                    id_model.pop(target, None)
+            else:
+                w.optimize(spark)
+            got = lineage()
+            assert all(i is not None for i in got.values()), got
+            assert len(set(got.values())) == len(got), got
+            # survivors keep their ids
+            for k, i in id_model.items():
+                assert got.get(k) == i, (k, i, got.get(k))
+            # new keys take ids above everything ever seen
+            for k, i in got.items():
+                if k not in id_model:
+                    assert i > seen_max, (k, i, seen_max)
+            id_model.clear()
+            id_model.update(got)
+            seen_max = max([seen_max, *got.values()])
+            # the domain high-water mark bounds every assigned id
+            snap = DeltaTableReader(path).snapshot()
+            dom = (snap.domains or {}).get("delta.rowTracking") or {}
+            hwm = _json.loads(dom.get("configuration") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+            assert hwm >= max(got.values()), (hwm, got)
+
+    run()
+
+
+def test_row_tracking_with_cdf_and_identity(spark, tmp_path):
+    """Interaction pins: (a) with CDF enabled on a row-tracking table,
+    the cdc files must NOT leak the materialized lineage columns (CDF
+    schema is the table schema + _change_type); (b) an IDENTITY column
+    coexists with row tracking — both the identity value and the stable
+    row id survive an UPDATE."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    _identity_table(spark, path, allow_explicit=False, min_writer=6)
+    w = DeltaTableWriter(path)
+    w.append(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+        .coalesce(1)
+    )
+    w.set_row_tracking(True)
+    w.set_change_data_feed(True)
+    before = {
+        r["v"]: (r["id"], r["_row_id"])
+        for r in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    assert all(
+        i is not None and rid is not None for i, rid in before.values()
+    )
+    w.update_where(spark, "v = 'b'", {"v": "'B'"})
+    after = {
+        r["v"]: (r["id"], r["_row_id"])
+        for r in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    # identity value AND stable row id both survive the CoW rewrite
+    assert after["B"] == before["b"]
+    assert after["a"] == before["a"] and after["c"] == before["c"]
+    # cdc files carry only table columns + _change_type
+    cdcs = glob.glob(os.path.join(path, "_change_data", "*.parquet"))
+    assert cdcs
+    for cdc in cdcs:
+        names = set(pq.ParquetFile(cdc).schema_arrow.names)
+        assert "_change_type" in names
+        assert not any(
+            n.startswith("_row-id-col-") for n in names
+        ), names
+        assert not any(
+            n.startswith("_row-commit-version-col-") for n in names
+        ), names
+    # CDF replay surfaces the pre/post images
+    ch = DeltaTableReader(path).changes(
+        spark, DeltaTableReader(path).snapshot().version
+    )
+    kinds = sorted(r["_change_type"] for r in ch.collect())
+    assert kinds == ["update_postimage", "update_preimage"], kinds
