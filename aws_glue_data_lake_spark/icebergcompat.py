@@ -928,8 +928,26 @@ class IcebergTableReader:
 
     def snapshot_id_at_timestamp(self, timestamp_ms: int) -> int:
         """TIMESTAMP AS OF resolution (the spec's snapshot-log rule):
-        the latest snapshot committed at or before ``timestamp_ms``;
-        loud when the timestamp predates the first snapshot."""
+        the snapshot that was CURRENT at ``timestamp_ms`` — read from
+        the snapshot-log (which records every change of
+        current-snapshot-id, including rollbacks: after rollback_to, a
+        later timestamp resolves to the rolled-back state, not the
+        rolled-past one). Falls back to per-snapshot commit timestamps
+        for foreign metadata without a log; loud when the timestamp
+        predates the first entry."""
+        log = self._metadata().get("snapshot-log") or []
+        valid = {
+            s["snapshot-id"]
+            for s in self._metadata().get("snapshots", [])
+        }
+        candidates = [
+            e["snapshot-id"]
+            for e in log
+            if e.get("timestamp-ms", 0) <= timestamp_ms
+            and e.get("snapshot-id") in valid
+        ]
+        if candidates:
+            return candidates[-1]
         hist = sorted(self.history(), key=lambda h: h["sequence_number"])
         candidates = [
             h["snapshot_id"] for h in hist if h["timestamp_ms"] <= timestamp_ms
@@ -3748,7 +3766,10 @@ class IcebergTableWriter:
         )
 
     def equality_delete(
-        self, keys_df: DataFrame, equality_cols: Sequence[str] | None = None
+        self,
+        keys_df: DataFrame,
+        equality_cols: Sequence[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """EQUALITY-delete commit — the streaming-CDC write shape (what
         Flink's Iceberg sink emits for upserts): ``keys_df``'s rows land
@@ -3791,7 +3812,7 @@ class IcebergTableWriter:
                 dst, null_pv, n_del, os.path.getsize(dst),
                 _STATUS_ADDED, sid, seq, content=2, equality_ids=eq_ids,
             )
-            manifests = self._manifest_list_of(pv) + [
+            manifests = self._manifest_list_of(pv, branch or "main") + [
                 self._write_manifest(
                     [entry], pcols, sid, seq, schema_json, content=1
                 )
@@ -3804,7 +3825,8 @@ class IcebergTableWriter:
                 metadata={"format-version": "2"},
             )
             self._commit_metadata(
-                pv, schema_json, pcols, sid, seq, ml_path, "delete"
+                pv, schema_json, pcols, sid, seq, ml_path, "delete",
+                branch=branch or "main",
             )
             return sid
 
@@ -3898,6 +3920,17 @@ class IcebergTableWriter:
         refs = dict(meta.get("refs", {}))
         refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
         meta["refs"] = refs
+        import time as _time
+
+        # spec: snapshot-log records every change of current-snapshot-id
+        # — a rollback is one (timestamp time travel must resolve to the
+        # rolled-back state from this instant on)
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": int(_time.time() * 1000),
+            }
+        ]
         self._swap_metadata(prev, meta, "rollback_to")
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:

@@ -2895,3 +2895,62 @@ def test_iceberg_wap_branch_flow(spark, tmp_path):
     assert {x["k"] for x in r3.to_df(spark).collect()} == {
         1, 2, 3, 4, 5, 10, 99,
     }
+
+
+def test_iceberg_branch_equality_delete(spark, tmp_path):
+    """The streaming-CDC staging shape: equality deletes commit to a
+    branch (O(#keys), no table read), invisible on main until
+    fast-forward publishes."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(6)], "k long, v long"
+        )
+    )
+    w.equality_delete(
+        spark.createDataFrame([(1,), (4,)], "k long"), branch="stage"
+    )
+    r = IcebergTableReader(path)
+    assert r.to_df(spark).count() == 6  # main untouched
+    assert sorted(
+        x["k"] for x in r.to_df(spark, ref="stage").collect()
+    ) == [0, 2, 3, 5]
+    w.fast_forward("main", "stage")
+    assert sorted(
+        x["k"] for x in IcebergTableReader(path).to_df(spark).collect()
+    ) == [0, 2, 3, 5]
+
+
+def test_timestamp_travel_respects_rollback(spark, tmp_path):
+    """snapshot-log rule: after rollback_to, a timestamp AFTER the
+    rollback resolves to the rolled-back state — not the rolled-past
+    snapshot that happens to carry an earlier commit timestamp."""
+    import time as _t
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame([(1,)], "k long"))
+    r = IcebergTableReader(path)
+    v1 = r.snapshot().snapshot_id
+    _t.sleep(0.01)
+    w.append(spark.createDataFrame([(2,)], "k long"))
+    _t.sleep(0.01)
+    w.rollback_to(v1)
+    _t.sleep(0.01)
+    after = int(_t.time() * 1000)
+    r2 = IcebergTableReader(path)
+    assert r2.snapshot_id_at_timestamp(after) == v1
+    assert sorted(
+        x["k"] for x in r2.to_df(spark, timestamp_ms=after).collect()
+    ) == [1]
