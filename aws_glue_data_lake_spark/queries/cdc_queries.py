@@ -3187,3 +3187,74 @@ def lake_iceberg_wap_branch_state(
             F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Delta checkpoint TOMBSTONES + row-tracking ENABLEMENT (round-11):
+# drives the two remaining r11 write paths end-to-end through the
+# driver. set_row_tracking(True) performs delta-spark's enablement in
+# one commit (feature + materialized-column config + metadata-only
+# backfill of every live file's id range); an UPDATE then rewrites the
+# single data file (remove + add with preserved ids); checkpoint()
+# must re-emit the unexpired remove TOMBSTONE (classic layout's remove
+# column), and after simulated log cleanup (pre-checkpoint commit
+# JSONs deleted) the checkpoint alone must reconstruct: 25 live rows,
+# 25 distinct backfilled row ids (0..24 preserved through the CoW
+# rewrite), and exactly one tombstone inside the retention window.
+# Scale: enablement is O(#files) metadata; the checkpoint is the same
+# O(state) parquet every interval commit already writes.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_delta_checkpoint_tombstone_state",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(1 AS BIGINT) AS n_tombstones
+FROM nation
+""",
+)
+def lake_delta_checkpoint_tombstone_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+    )
+    path = session_tmpdir("cp_tombstone_") + "/t"
+    w = DeltaTableWriter(path)
+    w.create(n.coalesce(1).sortWithinPartitions("n_nationkey"))
+    w.set_row_tracking(True)  # enablement: backfill ids 0..24
+    ids_before = {
+        x["n_nationkey"]: x["_row_id"]
+        for x in DeltaTableReader(path).row_lineage(spark).collect()
+    }
+    w.update_where(spark, "n_nationkey = 5", {"n_name": "'UPDATED'"})
+    w.checkpoint()
+    # simulated delta-spark log cleanup: the checkpoint becomes the
+    # only record of everything before it
+    for j in _glob.glob(_os.path.join(path, "_delta_log", "*.json")):
+        _os.remove(j)
+    r = DeltaTableReader(path)
+    snap = r.snapshot()
+    rl = r.row_lineage(spark)
+    ids_after = {
+        x["n_nationkey"]: x["_row_id"] for x in rl.collect()
+    }
+    assert ids_after == ids_before, "stable ids lost through checkpoint"
+    return rl.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("_row_id").cast("bigint").alias("n_ids"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.lit(len(snap.tombstones or {})).cast("bigint").alias(
+            "n_tombstones"
+        ),
+    )
