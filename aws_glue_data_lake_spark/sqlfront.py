@@ -459,6 +459,13 @@ def _run_alter(
         t.drop_constraint(am.group(1))
         return
     am = re.match(
+        r"^ALTER COLUMN ([\w`]+) SET DEFAULT (.+)$", action,
+        re.IGNORECASE,
+    )
+    if am:
+        t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
+        return
+    am = re.match(
         r"^SET TBLPROPERTIES \(\s*(.+?)\s*\)$", action, re.IGNORECASE
     )
     if am:
@@ -473,6 +480,7 @@ def _run_alter(
     raise ValueError(
         f"unsupported ALTER TABLE action {action!r}: supported are "
         "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT <name>, "
+        "ALTER COLUMN <col> SET DEFAULT <expr>, "
         "SET TBLPROPERTIES ('k'='v', ...)"
     )
 

@@ -271,6 +271,21 @@ class Table:
                 "the Iceberg table spec has no CHECK constraints"
             )
 
+    def set_column_default(self, column: str, expr: str) -> None:
+        """ALTER TABLE ... ALTER COLUMN <c> SET DEFAULT <expr>: Delta
+        stamps CURRENT_DEFAULT field metadata + the allowColumnDefaults
+        writer feature (PROTOCOL.md § Default Columns); the other
+        layers have no column-default concept in their specs — loud,
+        not faked."""
+        if self.format == "delta":
+            self._delta_writer().set_column_default(column, expr)
+        else:
+            raise NotImplementedError(
+                f"{self.format} tables have no column-default concept "
+                "in this engine; supply the value in the writing "
+                "pipeline instead"
+            )
+
     def set_property(self, key: str, value: str) -> None:
         """ALTER TABLE SET TBLPROPERTIES: delta-backed tables commit the
         key into the log's configuration; other layers have no free-form
