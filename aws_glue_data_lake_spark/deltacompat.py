@@ -3155,7 +3155,13 @@ class DeltaTableWriter:
 
         adds: list[dict] | None = None
         ident_touched: dict | None = None
-        for _ in range(_MAX_COMMIT_RETRIES):
+        # two independent budgets: version-race losses (cheap — re-plan
+        # and re-PUT) and identity regenerations (costly — drop staged
+        # files and re-stage). One shared counter livelocks a herd of
+        # identity appenders: every foreign commit can charge BOTH a
+        # FileExists loss and a mark-moved regen to this writer.
+        losses = regens = 0
+        while losses < _MAX_COMMIT_RETRIES and regens <= _MAX_COMMIT_RETRIES:
             snap = DeltaTableReader(self.path).snapshot()
             if txn is not None and (snap.txns or {}).get(
                 txn[0], -1
@@ -3174,11 +3180,14 @@ class DeltaTableWriter:
                         pass
                 return snap.version
             self._check_writer_features(snap, "append (WRITE)")
+            if ident_touched is None:
+                df_in = df  # pre-identity batch, kept for regeneration
             df = self._apply_default_columns(df, snap)
             df = self._apply_generated_columns(df, snap)
             if ident_touched is None:
-                # once: the generated values are fixed at staging, so
-                # re-applying on a retry would mis-flag them as explicit
+                # once per GENERATION: the generated values are fixed at
+                # staging, so re-applying on a version-race retry would
+                # mis-flag them as explicit
                 df, ident_touched = self._apply_identity_columns(
                     df, snap, "append (WRITE)"
                 )
@@ -3191,10 +3200,31 @@ class DeltaTableWriter:
                 adds = self._stage_files(to_phys(df), part_stage)
             if ident_touched:
                 # per ATTEMPT: the tip's high-water mark must still be
-                # the one the batch generated from (collision guard)
-                actions = self._identity_meta_action(
-                    snap, ident_touched, adds, actions, "append (WRITE)"
-                )
+                # the one the batch generated from (collision guard). A
+                # concurrent winner moving the mark means the STAGED
+                # values may collide — delta-spark surfaces a metadata
+                # conflict and the application retries; here the retry
+                # is internal: drop the staged files, regenerate the
+                # identity values from the winner's mark, re-stage.
+                try:
+                    actions = self._identity_meta_action(
+                        snap, ident_touched, adds, actions,
+                        "append (WRITE)",
+                    )
+                except ConcurrentModificationError:
+                    for a in adds:
+                        try:
+                            os.remove(os.path.join(
+                                self.path,
+                                urllib.parse.unquote(a["path"]),
+                            ))
+                        except OSError:
+                            pass
+                    adds = None
+                    ident_touched = None
+                    df = df_in
+                    regens += 1
+                    continue
             if txn is not None:
                 actions = actions + [
                     {
@@ -3210,10 +3240,12 @@ class DeltaTableWriter:
                 self._commit(v, actions + [{"add": a} for a in adds])
                 return v
             except FileExistsError:
+                losses += 1
                 continue
         raise ConcurrentModificationError(
             f"append to {self.path} lost the commit race "
-            f"{_MAX_COMMIT_RETRIES} times in a row"
+            f"({losses} version losses, {regens} identity "
+            "regenerations)"
         )
 
     def merge(
