@@ -2665,25 +2665,6 @@ class IcebergTableWriter:
             for c in partition_by
         ]
 
-    @staticmethod
-    def _identity_partition_by(spec_fields: list[dict]) -> list[str]:
-        """Ops that take LOGICAL partition values from the caller
-        (overwrite_partition) support identity specs only — a
-        transformed-value kwarg would be ambiguous; refuse loudly.
-        append/merge/delete paths go through :meth:`_spec_partition_ctx`
-        instead, which applies the spec's transforms at stage time."""
-        bad = [
-            f["name"]
-            for f in spec_fields
-            if f.get("transform", "identity") != "identity"
-        ]
-        if bad:
-            raise IcebergProtocolError(
-                "this operation supports identity partition transforms "
-                f"only; fields {bad} use non-identity transforms"
-            )
-        return [f["name"] for f in spec_fields]
-
     def _spec_partition_ctx(
         self, st: StructType, schema_json: dict, spec_fields: list[dict]
     ) -> tuple[list[tuple[str, str]], dict]:
@@ -3016,7 +2997,19 @@ class IcebergTableWriter:
         """Replace one partition: prior manifests are REWRITTEN with the
         matching entries marked deleted (carried entries become
         status=existing), plus a fresh manifest for the new files — the
-        spec's overwrite-snapshot shape."""
+        spec's overwrite-snapshot shape.
+
+        Kwargs are keyed by SPEC FIELD name and carry the transform
+        RESULT value — identical to the logical value for identity
+        specs (the long-standing contract), and e.g. days-since-epoch
+        ``int`` for a ``day()`` field (what iceberg-spark's
+        ``overwritePartitions`` resolves to). Staging routes through
+        :meth:`_spec_partition_ctx`, so the incoming batch lands in
+        transform-correct partitions; rows whose transformed values
+        fall OUTSIDE the replaced partition land too (dynamic-overwrite
+        behavior would drop them silently — this engine keeps the
+        static contract: the named partition's old files die, every
+        staged file lives)."""
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
@@ -3026,16 +3019,62 @@ class IcebergTableWriter:
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
         spec_fields = prev["partition-specs"][0]["fields"]
-        partition_by = self._identity_partition_by(spec_fields)
-        pcols = self._partition_cols(
+        pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
             ),
-            partition_by,
+            schema_json,
+            spec_fields,
         )
         part = dict(partition)
+        unknown = set(part) - {n for n, _ in pcols}
+        if unknown:
+            raise IcebergProtocolError(
+                f"overwrite_partition: {sorted(unknown)} are not spec "
+                f"field names (spec has {[n for n, _ in pcols]}); pass "
+                "the TRANSFORM RESULT value keyed by spec field name "
+                "(e.g. ts_day=<days since epoch> for a day() field)"
+            )
+        # a LOGICAL value passed where a transform result is expected
+        # would match no entry and silently delete nothing — validate
+        # the kwarg against the transform's result domain instead
+        result_t = dict(pcols)
+        tr_of = {f["name"]: f.get("transform", "identity")
+                 for f in spec_fields}
+        for k, v in part.items():
+            tr = tr_of[k]
+            it = result_t[k]
+            ok_type = {
+                "int": lambda x: isinstance(x, int)
+                and not isinstance(x, bool),
+                "long": lambda x: isinstance(x, int)
+                and not isinstance(x, bool),
+                "string": lambda x: isinstance(x, str),
+            }.get(it)
+            if ok_type is not None and v is not None and not ok_type(v):
+                raise IcebergProtocolError(
+                    f"overwrite_partition: {k}={v!r} is not a "
+                    f"{tr} transform RESULT (expected {it}); e.g. a "
+                    "day() field takes days-since-epoch, bucket[N] "
+                    "takes the bucket id"
+                )
+            m = re.match(r"bucket\[(\d+)\]$", tr)
+            if m and v is not None and not (0 <= v < int(m.group(1))):
+                raise IcebergProtocolError(
+                    f"overwrite_partition: {k}={v!r} is outside "
+                    f"bucket[{m.group(1)}]'s id range [0, "
+                    f"{int(m.group(1)) - 1}]"
+                )
+            m = re.match(r"truncate\[(\d+)\]$", tr)
+            if m and v is not None and it in ("int", "long") \
+                    and v % int(m.group(1)) != 0:
+                raise IcebergProtocolError(
+                    f"overwrite_partition: {k}={v!r} is not a "
+                    f"truncate[{m.group(1)}] result (must be a "
+                    "multiple of the width)"
+                )
         base_live = self._live_files_in_partition(prev, part)
-        staged = self._stage_data_files(df, pcols)
+        staged = self._stage_data_files(df, pcols, part_exprs)
 
         def attempt(pmeta: dict) -> int:
             sid, seq = self._next_ids(pmeta)

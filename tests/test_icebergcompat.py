@@ -104,12 +104,22 @@ def test_unsupported_capabilities_fail_loudly(spark, tmp_path):
         pv for p, pv in snap.files if snap.file_seqs[p] == 2
     )
     assert new_file == {"bucket": _transform_value("bucket[16]", "b")}
-    with pytest.raises(IcebergProtocolError, match="identity"):
+    # (round-12) overwrite_partition accepts transform specs, but the
+    # kwarg must be the transform RESULT — a logical string where the
+    # int bucket id belongs refuses loudly instead of matching nothing
+    with pytest.raises(IcebergProtocolError, match="RESULT"):
         w.overwrite_partition(
             spark.createDataFrame(
                 [(3, "c", 3)], "k long, bucket string, v long"
             ),
             bucket="c",
+        )
+    with pytest.raises(IcebergProtocolError, match="id range"):
+        w.overwrite_partition(
+            spark.createDataFrame(
+                [(3, "c", 3)], "k long, bucket string, v long"
+            ),
+            bucket=99,
         )
     # re-read the CURRENT tip (the append above advanced it) before
     # poisoning the spec with an unknown transform
@@ -2954,3 +2964,92 @@ def test_timestamp_travel_respects_rollback(spark, tmp_path):
     assert sorted(
         x["k"] for x in r2.to_df(spark, timestamp_ms=after).collect()
     ) == [1]
+
+
+def test_overwrite_partition_day_transform(spark, tmp_path):
+    """Round-12 (VERDICT r11 item 6): overwrite ONE day()-partition of
+    a transform-partitioned table — the caller passes the transform
+    RESULT (days since epoch) keyed by spec field name, the old
+    partition's files die, the new batch stages transform-correctly,
+    and the untouched partition's file survives verbatim."""
+    import datetime
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 5), 10.0),
+            (2, datetime.datetime(2024, 1, 1, 9), 20.0),
+            (3, datetime.datetime(2024, 1, 2, 5), 30.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    w.create(df.limit(0))
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read())
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mpath))
+    src_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [
+            {"name": "ts_day", "transform": "day",
+             "source-id": src_ids["ts"], "field-id": 1000},
+        ],
+    }]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    w.append(df)
+    epoch = datetime.date(1970, 1, 1)
+    day1 = (datetime.date(2024, 1, 1) - epoch).days
+    day2_files = {
+        p for p, pv in IcebergTableReader(path).snapshot().files
+        if pv["ts_day"] == day1 + 1
+    }
+    assert day2_files
+    w.overwrite_partition(
+        spark.createDataFrame(
+            [
+                (10, datetime.datetime(2024, 1, 1, 1), 100.0),
+                (11, datetime.datetime(2024, 1, 1, 2), 110.0),
+            ],
+            "k long, ts timestamp, v double",
+        ),
+        ts_day=day1,
+    )
+    r = IcebergTableReader(path)
+    rows = {x["k"]: x["v"] for x in r.to_df(spark).collect()}
+    assert rows == {10: 100.0, 11: 110.0, 3: 30.0}
+    # the untouched day's file survives VERBATIM (no rewrite)
+    snap = r.snapshot()
+    assert day2_files == {
+        p for p, pv in snap.files if pv["ts_day"] == day1 + 1
+    }
+    # pruned read on the source value: only the replaced day changed
+    pruned = r.to_df(
+        spark,
+        partition_filter={"ts": datetime.datetime(2024, 1, 1, 12)},
+    )
+    assert sorted(x["k"] for x in pruned.collect()) == [10, 11]
+    # a STRING where days-since-epoch belongs refuses loudly
+    import pytest as _pytest
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergProtocolError,
+    )
+
+    with _pytest.raises(IcebergProtocolError, match="RESULT"):
+        w.overwrite_partition(
+            spark.createDataFrame(
+                [], "k long, ts timestamp, v double"
+            ),
+            ts_day="2024-01-01",
+        )
