@@ -1025,6 +1025,139 @@ def gen_delta_variant(root: str) -> None:
     print(f"delta_variant_golden: {path}")
 
 
+def gen_delta_variant_shredded(root: str) -> None:
+    """The SHREDDED twin of delta_variant_golden, hand-packed per
+    parquet-format VariantShredding.md: the variant group carries a
+    ``typed_value`` subtree next to the (metadata, value) pair, and the
+    reader must REASSEMBLE — shredded subcolumns merge with the
+    residual ``value`` object and per-field residuals. Spec rule worth
+    pinning: when the shredding schema is an OBJECT, every object
+    value shreds (fields in the schema must never appear in the
+    residual ``value`` — Spark's pushed variant_get relies on it);
+    only non-object values land whole in ``value``. Rows cover every
+    conforming reassembly path:
+      k=1 fully shredded              -> {"a":1,"tag":"odd"}
+      k=2 shredded + residual b=7     -> {"a":2,"b":7,"tag":"even"}
+      k=3 shredded, field a ABSENT    -> {"tag":"only"}
+      k=4 non-object (scalar) value   -> 5
+      k=5 field-level type-mismatch
+          residual (a is a string)    -> {"a":"str-a"}
+    """
+    path = os.path.join(root, "delta_variant_shredded_golden")
+    shutil.rmtree(path, ignore_errors=True)
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    def vmeta(keys: list[str]) -> bytes:
+        out = bytearray([0x01, len(keys)])
+        offs, acc = [0], 0
+        for k in keys:
+            acc += len(k)
+            offs.append(acc)
+        out += bytes(offs)
+        for k in keys:
+            out += k.encode()
+        return bytes(out)
+
+    def vstr(s: str) -> bytes:
+        return bytes([(len(s) << 2) | 1]) + s.encode()
+
+    def vint8(n: int) -> bytes:
+        return bytes([0x0C, n & 0xFF])
+
+    def vobj(fields: list[tuple[int, bytes]]) -> bytes:
+        out = bytearray([0x02, len(fields)])
+        out += bytes(fid for fid, _ in fields)
+        offs, acc = [], 0
+        for _, val in fields:
+            offs.append(acc)
+            acc += len(val)
+        out += bytes(offs + [acc])
+        for _, val in fields:
+            out += val
+        return bytes(out)
+
+    meta = vmeta(["a", "b", "tag"])  # sorted dict: a=0, b=1, tag=2
+    rows = [
+        {"metadata": meta, "value": None,
+         "typed_value": {"a": {"typed_value": 1, "value": None},
+                         "tag": {"typed_value": "odd", "value": None}}},
+        {"metadata": meta, "value": vobj([(1, vint8(7))]),
+         "typed_value": {"a": {"typed_value": 2, "value": None},
+                         "tag": {"typed_value": "even",
+                                 "value": None}}},
+        {"metadata": meta, "value": None,
+         "typed_value": {"a": {"typed_value": None, "value": None},
+                         "tag": {"typed_value": "only",
+                                 "value": None}}},
+        {"metadata": meta, "value": vint8(5), "typed_value": None},
+        {"metadata": meta, "value": None,
+         "typed_value": {"a": {"typed_value": None,
+                               "value": vstr("str-a")},
+                         "tag": {"typed_value": None, "value": None}}},
+    ]
+
+    def field_t(t):
+        return pa.struct([("typed_value", t), ("value", pa.binary())])
+
+    payload_t = pa.struct([
+        ("metadata", pa.binary()),
+        ("value", pa.binary()),
+        ("typed_value", pa.struct([
+            ("a", field_t(pa.int64())),
+            ("tag", field_t(pa.string())),
+        ])),
+    ])
+    t = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "payload": pa.array(rows, payload_t),
+    })
+    fp = os.path.join(path, "f0.parquet")
+    pq.write_table(t, fp)
+    s0 = os.path.getsize(fp)
+
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "payload", "type": "variant", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 1700000020000, "operation": "WRITE",
+            "operationParameters": {"mode": "ErrorIfExists",
+                                    "partitionBy": "[]"},
+            "engineInfo": "Apache-Spark/4.0.0 Delta-Lake/4.0.0",
+        }}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding"],
+            "writerFeatures": ["variantType", "variantShredding",
+                               "appendOnly", "invariants"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "aaaabbbb-cccc-dddd-eeee-ffff00001111",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {"delta.enableVariantShredding": "true"},
+            "createdTime": 1700000020000,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {},
+            "size": s0, "modificationTime": 1700000020000,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": 5,
+                                 "minValues": {"k": 1},
+                                 "maxValues": {"k": 5},
+                                 "nullCount": {"k": 0}}),
+        }}) + "\n")
+    print(f"delta_variant_shredded_golden: {path}")
+
+
 def gen_iceberg_v3_lineage(root: str) -> None:
     """v3 golden tree with ROW LINEAGE enabled the way a spec-v3 writer
     stamps it: metadata ``next-row-id``, per-snapshot ``first-row-id``,
@@ -1180,4 +1313,5 @@ if __name__ == "__main__":
     gen_iceberg_v3(ROOT)
     gen_iceberg_mixed(ROOT)
     gen_delta_variant(ROOT)
+    gen_delta_variant_shredded(ROOT)
     gen_iceberg_v3_lineage(ROOT)
