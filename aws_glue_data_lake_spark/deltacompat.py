@@ -1877,15 +1877,18 @@ class DeltaTableWriter:
         # post-commit snapshot read here is itself O(interval) by
         # induction. Failure never poisons the landed commit: the
         # checkpoint is an optimization, the next multiple retries it.
+        tip_snap = None  # shared by the checkpoint + uniform probes
         if version > 0:
             try:
                 interval = getattr(self, "_cp_interval", None)
                 if interval is None or any(
                     "metaData" in a for a in actions
                 ):
-                    snap = DeltaTableReader(self.path).snapshot(version)
+                    tip_snap = DeltaTableReader(self.path).snapshot(
+                        version
+                    )
                     interval = int(
-                        (snap.configuration or {}).get(
+                        (tip_snap.configuration or {}).get(
                             "delta.checkpointInterval", 10
                         )
                     )
@@ -1896,18 +1899,22 @@ class DeltaTableWriter:
                 pass
         # UniForm: the Iceberg metadata view moves in LOCKSTEP with the
         # delta log (the icebergCompatV2 writer obligation). Per-writer
-        # cache so non-uniform tables pay zero extra reads; invalidated
-        # by any config/protocol-touching commit. The gate already
-        # proved the protocol invariants pre-commit, so a failure here
-        # is I/O — it propagates loudly, but the message states the
-        # Delta commit itself is durable.
+        # cache so non-uniform tables pay zero extra reads (the probe
+        # reuses the checkpoint block's snapshot when both fire on the
+        # same first-commit/metaData-bearing calls); invalidated by any
+        # config/protocol-touching commit. The gate already proved the
+        # protocol invariants pre-commit, so a failure here is I/O — it
+        # propagates loudly, but the message states the Delta commit
+        # itself is durable.
         uni = getattr(self, "_uniform_on", None)
         if uni is None or any(
             ("metaData" in a) or ("protocol" in a) for a in actions
         ):
             try:
                 uni = self._uniform_active(
-                    DeltaTableReader(self.path).snapshot(version)
+                    tip_snap
+                    if tip_snap is not None
+                    else DeltaTableReader(self.path).snapshot(version)
                 )
             except FileNotFoundError:
                 uni = False

@@ -2363,6 +2363,7 @@ class IcebergTableWriter:
         all_schemas: list[dict] | None = None,
         format_version: int | None = None,
         branch: str = "main",
+        properties: dict | None = None,
     ) -> None:
         import time as _time
 
@@ -2470,7 +2471,14 @@ class IcebergTableWriter:
                 )
             ),
             "metadata-log": [],
-            "properties": {},
+            # spec § table metadata: properties carry forward verbatim
+            # (dropping a foreign table's properties on every commit
+            # would erase its configuration); an explicit dict REPLACES
+            "properties": (
+                properties
+                if properties is not None
+                else (prev or {}).get("properties", {}) or {}
+            ),
             # spec § refs: EVERY prior ref — tags and other branches —
             # carries forward verbatim (dropping a foreign branch ref
             # would orphan its line of history); this commit's branch
@@ -4257,12 +4265,16 @@ def sync_uniform(delta_path: str) -> None:
     the zero-copy twin Databricks maintains for UniForm tables, here
     in the Hadoop-catalog layout this engine's reader speaks.
 
-    FULL-STATE sync: each call writes one manifest covering every live
-    file (the prior Iceberg snapshots stay readable through their own
-    manifest lists). Cost is O(live files) driver-side metadata — the
-    same order as a Delta checkpoint, no data I/O; an incremental
-    adds/removes conversion is the scale refinement, not a semantic
-    change. Invariants the write gate enforces BEFORE the Delta commit
+    INCREMENTAL where it matters: the synced Delta version is stamped
+    into the Iceberg table properties (``uniform.delta-version``), and
+    when everything since the last sync was pure APPEND (the streaming
+    steady state) the new snapshot carries every prior manifest
+    verbatim and writes ONE manifest for just the added files —
+    O(added), no manifest reads. Commits that removed files (MERGE,
+    delete, optimize) fall back to a full-state manifest of the live
+    set — O(live files) driver-side metadata, the same order as a
+    Delta checkpoint, no data I/O either way. Invariants the write
+    gate enforces BEFORE the Delta commit
     (so this post-commit step cannot fail on protocol grounds):
     columnMapping active (parquet field ids match the Iceberg schema's
     ids — how Iceberg readers resolve columns), no partition columns
@@ -4270,6 +4282,7 @@ def sync_uniform(delta_path: str) -> None:
     implemented in this reader), no live deletion vectors (the spec
     disallows DV writes under icebergCompatV2), flat schema."""
     from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
         DeltaTableReader as _DTR,
     )
 
@@ -4330,10 +4343,40 @@ def sync_uniform(delta_path: str) -> None:
         prev = None  # dir exists but no metadata yet: first sync
     os.makedirs(w._meta_dir, exist_ok=True)
     sid, seq = w._next_ids(prev)
+
+    # incremental fast path: if every Delta commit since the stamped
+    # last-synced version only ADDED files, prior manifests carry
+    # verbatim and only the delta of files needs an entry
+    last = -1
+    if prev is not None:
+        try:
+            last = int(
+                (prev.get("properties") or {}).get(
+                    "uniform.delta-version", -1
+                )
+            )
+        except (TypeError, ValueError):
+            last = -1
+    cur_live = {p for p, _, _ in snap.files}
+    to_list: set | None = None  # None => full-state
+    if prev is not None and 0 <= last <= snap.version:
+        if last == snap.version:
+            return  # already synced (idempotent re-entry)
+        try:
+            prev_live = {
+                p
+                for p, _, _ in _DTR(delta_path).snapshot(last).files
+            }
+        except (FileNotFoundError, ValueError, DeltaProtocolError):
+            prev_live = None  # log tail gone (vacuumed): full sync
+        if prev_live is not None and prev_live <= cur_live:
+            to_list = cur_live - prev_live
     import pyarrow.parquet as _pq
 
     entries = []
     for p, _pv, _dv in snap.files:
+        if to_list is not None and p not in to_list:
+            continue
         st = (snap.stats or {}).get(p)
         if st and st.get("numRecords") is not None:
             rows = int(st["numRecords"])
@@ -4367,16 +4410,29 @@ def sync_uniform(delta_path: str) -> None:
                 schema_json=schema_json,
             )
         )
-    ml_entry = w._write_manifest(entries, [], sid, seq, schema_json)
+    manifests = []
+    if to_list is not None:
+        # pure-append window: every prior manifest carries verbatim
+        manifests.extend(w._manifest_list_of(prev))
+        op = "append"
+    else:
+        op = "replace"
+    if entries:
+        manifests.append(
+            w._write_manifest(entries, [], sid, seq, schema_json)
+        )
     ml_path = os.path.join(
         w._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
     )
     write_container(
-        ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
+        ml_path, _MANIFEST_LIST_SCHEMA, manifests,
         metadata={"format-version": "2"},
     )
+    props = dict((prev or {}).get("properties") or {})
+    props["uniform.delta-version"] = str(snap.version)
     w._commit_metadata(
-        prev, schema_json, [], sid, seq, ml_path, "replace"
+        prev, schema_json, [], sid, seq, ml_path, op,
+        properties=props,
     )
 
 

@@ -166,3 +166,50 @@ def test_icebergcompat_requires_column_mapping(spark, tmp_path):
         DeltaTableWriter(path).append(
             spark.createDataFrame([(1,)], "k long")
         )
+
+
+def test_uniform_sync_is_incremental_for_pure_appends(spark, tmp_path):
+    """Scale contract: a pure-append Delta commit must CARRY prior
+    Iceberg manifests verbatim (no rewrite — pinned on the manifest
+    paths) and add exactly one manifest for the new files; a
+    file-removing commit (MERGE CoW) falls back to a full-state
+    manifest. The synced Delta version is stamped in the table
+    properties."""
+    from aws_glue_data_lake_spark.avrolite import read_container
+
+    path = str(tmp_path / "t")
+    _uniform_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    def manifest_paths():
+        r = IcebergTableReader(path)
+        meta = r._metadata()
+        tip = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mls, _ = read_container(
+            tip["manifest-list"].removeprefix("file://")
+        )
+        return [m["manifest_path"] for m in mls], meta
+
+    m1, meta1 = manifest_paths()
+    assert len(m1) == 1
+    assert meta1["properties"]["uniform.delta-version"] == "1"
+    w.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    m2, meta2 = manifest_paths()
+    # prior manifest carried VERBATIM + one new manifest for the adds
+    assert m2[: len(m1)] == m1 and len(m2) == 2
+    assert meta2["properties"]["uniform.delta-version"] == "2"
+    # a remove-bearing commit rewrites to one full-state manifest
+    w.merge(
+        spark,
+        spark.createDataFrame([(1, "A")], "k long, v string"),
+        keys=["k"],
+    )
+    m3, meta3 = manifest_paths()
+    assert len(m3) == 1 and m3[0] not in m2
+    assert meta3["properties"]["uniform.delta-version"] == "3"
+    d, i = _both_reads(spark, path)
+    assert d == i == [(1, "A"), (2, "b")]
