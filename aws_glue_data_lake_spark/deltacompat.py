@@ -2786,6 +2786,83 @@ class DeltaTableWriter:
             read_files=set(), add_conflict=False,
         )
 
+    def add_column(
+        self, column: str, type_ddl: str, default: str | None = None
+    ) -> int:
+        """``ALTER TABLE … ADD COLUMN <c> <type>`` — metadata-only
+        schema evolution (the standalone twin of append's mergeSchema):
+        the new NULLABLE field joins the schemaString; rows in files
+        committed before it read as NULL (Spark's parquet scan
+        null-fills columns absent from the file bytes, and the
+        columnMapping read path aliases by id the same way). Under
+        columnMapping the field is assigned a fresh id + physicalName
+        and ``delta.columnMapping.maxColumnId`` advances in the same
+        commit — exactly what delta-spark stamps.
+
+        ``ADD COLUMN … DEFAULT`` is DISALLOWED by the protocol
+        (PROTOCOL.md § Default Columns: existing rows lack the column
+        and must read NULL, which SQL's add-with-default semantics
+        would contradict) — use :meth:`set_column_default` on the new
+        column afterwards if future inserts should default."""
+        if default is not None:
+            raise DeltaProtocolError(
+                "ADD COLUMN ... DEFAULT is disallowed by the Delta "
+                "protocol (existing rows must read NULL; a default "
+                "here would contradict SQL add-with-default "
+                "semantics). ALTER COLUMN ... SET DEFAULT on the new "
+                "column afterwards to default FUTURE inserts."
+            )
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "ADD COLUMN", adds_content=False
+        )
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        if any(f["name"] == column for f in sch["fields"]):
+            raise ValueError(
+                f"ADD COLUMN: column {column!r} already exists"
+            )
+        new_field = json.loads(
+            StructType.fromDDL(f"`{column}` {type_ddl}").json()
+        )["fields"][0]
+        new_field["nullable"] = True
+        conf = dict(meta.get("configuration", {}) or {})
+        cm = conf.get("delta.columnMapping.mode", "none")
+        if cm not in ("", "none"):
+            next_id = (
+                max(
+                    [int(conf.get("delta.columnMapping.maxColumnId", 0))]
+                    + [
+                        int(
+                            (f.get("metadata") or {}).get(
+                                "delta.columnMapping.id", 0
+                            )
+                        )
+                        for f in sch["fields"]
+                    ]
+                )
+                + 1
+            )
+            new_field["metadata"] = {
+                **(new_field.get("metadata") or {}),
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4()}",
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            meta["configuration"] = conf
+        sch["fields"].append(new_field)
+        meta["schemaString"] = json.dumps(sch)
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [{"metaData": meta}],
+            operation="ADD COLUMN",
+            read_files=set(),
+            add_conflict=False,
+        )
+
     def set_column_default(self, column: str, expr: str) -> int:
         """``ALTER TABLE … ALTER COLUMN <c> SET DEFAULT <expr>``
         (PROTOCOL.md § Default Columns): stamp ``CURRENT_DEFAULT`` on

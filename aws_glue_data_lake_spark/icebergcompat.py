@@ -2664,6 +2664,60 @@ class IcebergTableWriter:
             meta["__version"] = int(f.read().strip())
         return meta
 
+    def add_column(self, column: str, type_ddl: str) -> None:
+        """``ALTER TABLE … ADD COLUMN`` — the spec's schema evolution
+        as a SCHEMA-ONLY metadata commit (no snapshot: the data did not
+        change): a new schema with the field under a FRESH field id
+        (last-column-id + 1) becomes current; rows in every existing
+        file read NULL because no parquet footer carries the new id —
+        exactly the id-resolution contract that makes Iceberg renames/
+        adds safe. Optional (required=false) by construction."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        cur = next(
+            sc
+            for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        if any(f["name"] == column for f in cur["fields"]):
+            raise ValueError(
+                f"ADD COLUMN: column {column!r} already exists"
+            )
+        new_id = int(prev.get("last-column-id", 0)) + 1
+        spark_t = StructType.fromDDL(
+            f"`{column}` {type_ddl}"
+        ).fields[0].dataType
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                sc["schema-id"] for sc in prev["schemas"]
+            ) + 1,
+            "fields": list(cur["fields"]) + [{
+                "id": new_id,
+                "name": column,
+                "required": False,
+                "type": _spark_type_to_iceberg(spark_t),
+            }],
+        }
+        meta = {k: v for k, v in prev.items() if k != "__version"}
+        meta["schemas"] = list(prev["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = new_id
+        version = prev["__version"] + 1
+        target = os.path.join(
+            self._meta_dir, f"v{version}.metadata.json"
+        )
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(
+            os.path.join(self._meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(version))
+
     def _partition_cols(
         self, schema: StructType, partition_by: Sequence[str]
     ) -> list[tuple[str, str]]:

@@ -3628,3 +3628,69 @@ def lake_delta_variant_shredded_state(
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# ADD COLUMN schema-evolution DDL (round-12): standalone metadata-only
+# evolution through the SQL front door — the missing twin of append's
+# mergeSchema. The query creates a Delta table from nation, ADD
+# COLUMNs a bigint (old rows must read NULL — the files are untouched),
+# chains ALTER COLUMN ... SET DEFAULT (the protocol's two-step; ADD
+# COLUMN ... DEFAULT itself refuses, python-asserted), appends a batch
+# without the column (default fills), and one with it (explicit wins).
+# Scale: both DDLs are single metadata commits; no data file moves at
+# any table size.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_sql_add_column_state",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS score
+FROM nation
+UNION ALL SELECT 100, 7
+UNION ALL SELECT 101, 42
+ORDER BY k
+""",
+)
+def lake_sql_add_column_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("add_column_") + "/t"
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    w = DeltaTableWriter(path)
+    w.create(n)
+    tb = open_table(path, "delta")
+    try:
+        _sql(
+            spark,
+            "ALTER TABLE t ADD COLUMN score bigint DEFAULT 7",
+            tables={"t": tb},
+        )
+        raise AssertionError("ADD COLUMN DEFAULT accepted")
+    except DeltaProtocolError:
+        pass  # the spec's rule: defaults only on existing columns
+    _sql(spark, "ALTER TABLE t ADD COLUMN score bigint",
+         tables={"t": tb})
+    _sql(
+        spark,
+        "ALTER TABLE t ALTER COLUMN score SET DEFAULT 7",
+        tables={"t": tb},
+    )
+    w.append(spark.createDataFrame([(100,)], "k long"))  # default fills
+    w.append(spark.createDataFrame(
+        [(101, 42)], "k long, score long"
+    ))  # explicit wins
+    return DeltaTableReader(path).to_df(spark).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("score").cast("bigint").alias("score"),
+    ).orderBy("k")

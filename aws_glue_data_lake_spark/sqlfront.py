@@ -466,6 +466,24 @@ def _run_alter(
         t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
         return
     am = re.match(
+        r"^ADD COLUMNS? \(?\s*([\w`]+)\s+([^)]+?)\s*\)?$", action,
+        re.IGNORECASE,
+    )
+    if am:
+        type_ddl = am.group(2).strip()
+        dm = re.match(
+            r"^(.*?)\s+DEFAULT\s+(.+)$", type_ddl, re.IGNORECASE
+        )
+        if dm:
+            # surfaces the protocol's targeted refusal
+            t.add_column(
+                am.group(1).strip("`"), dm.group(1).strip(),
+                default=dm.group(2).strip(),
+            )
+            return
+        t.add_column(am.group(1).strip("`"), type_ddl)
+        return
+    am = re.match(
         r"^SET TBLPROPERTIES \(\s*(.+?)\s*\)$", action, re.IGNORECASE
     )
     if am:
@@ -481,6 +499,7 @@ def _run_alter(
         f"unsupported ALTER TABLE action {action!r}: supported are "
         "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT <name>, "
         "ALTER COLUMN <col> SET DEFAULT <expr>, "
+        "ADD COLUMN <col> <type>, "
         "SET TBLPROPERTIES ('k'='v', ...)"
     )
 

@@ -271,6 +271,33 @@ class Table:
                 "the Iceberg table spec has no CHECK constraints"
             )
 
+    def add_column(
+        self, column: str, type_ddl: str, default: str | None = None
+    ) -> None:
+        """ALTER TABLE ... ADD COLUMN <c> <type>: metadata-only schema
+        evolution — prior rows read NULL. Delta stamps columnMapping
+        id/physicalName when mapping is on; Iceberg appends a new
+        schema-id with a fresh field id. ADD COLUMN ... DEFAULT is
+        refused per the Delta protocol (set the default AFTERWARDS via
+        ALTER COLUMN ... SET DEFAULT for future inserts)."""
+        if self.format == "delta":
+            self._delta_writer().add_column(
+                column, type_ddl, default=default
+            )
+        elif self.format == "iceberg":
+            if default is not None:
+                raise NotImplementedError(
+                    "ADD COLUMN ... DEFAULT: Iceberg has no "
+                    "write-default concept in this engine; add the "
+                    "column and fill values in the writing pipeline"
+                )
+            self._ice_writer().add_column(column, type_ddl)
+        else:
+            raise NotImplementedError(
+                f"{self.format} tables evolve schema via "
+                "append(merge_schema=True), not standalone ADD COLUMN"
+            )
+
     def set_column_default(self, column: str, expr: str) -> None:
         """ALTER TABLE ... ALTER COLUMN <c> SET DEFAULT <expr>: Delta
         stamps CURRENT_DEFAULT field metadata + the allowColumnDefaults
