@@ -93,9 +93,9 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
     path = str(tmp_path / "d")
     w = DeltaTableWriter(path)
     w.create(spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"))
-    # doctor the log to demand variant shredding (a real protocol
-    # reader feature this implementation does not honor; typeWidening
-    # graduated to supported in r9)
+    # doctor the log to demand a made-up reader feature (typeWidening
+    # graduated to supported in r9, variantShredding in r12 — a fake
+    # name keeps this pinned to the gate itself)
     log = os.path.join(path, "_delta_log", f"{0:020d}.json")
     lines = [json.loads(ln) for ln in open(log)]
     for ln in lines:
@@ -103,14 +103,14 @@ def test_unsupported_reader_features_fail_loudly(spark, tmp_path):
             ln["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["variantShredding"],
-                "writerFeatures": ["variantShredding"],
+                "readerFeatures": ["futureLayoutFeature"],
+                "writerFeatures": ["futureLayoutFeature"],
             }
     os.remove(log)
     with open(log, "w") as f:
         for ln in lines:
             f.write(json.dumps(ln) + "\n")
-    with pytest.raises(DeltaProtocolError, match="variantShredding"):
+    with pytest.raises(DeltaProtocolError, match="futureLayoutFeature"):
         DeltaTableReader(path).to_df(spark)
 
 
@@ -2967,13 +2967,13 @@ def test_writer_feature_gate_and_row_tracking_enablement(spark, tmp_path):
     p1 = str(tmp_path / "ident")
     w1 = DeltaTableWriter(p1)
     w1.create(spark.range(4).selectExpr("id AS k"))
-    # variantShredding changes the physical layout this writer cannot
-    # produce — the stand-in for "listed but unimplemented"
-    stamp(p1, ["appendOnly", "invariants", "variantShredding"])
+    # a made-up writer feature stands in for "listed but
+    # unimplemented" (variantShredding graduated to supported in r12)
+    stamp(p1, ["appendOnly", "invariants", "futureWriteFeature"])
     assert DeltaTableReader(p1).to_df(spark).count() == 4  # reads fine
-    with _pytest.raises(DeltaProtocolError, match="variantShredding"):
+    with _pytest.raises(DeltaProtocolError, match="futureWriteFeature"):
         w1.append(spark.range(4, 6).selectExpr("id AS k"))
-    with _pytest.raises(DeltaProtocolError, match="variantShredding"):
+    with _pytest.raises(DeltaProtocolError, match="futureWriteFeature"):
         w1.delete_where(spark, "k = 1")
 
     p2 = str(tmp_path / "rt")
