@@ -3670,6 +3670,78 @@ class DeltaTableWriter:
             add_conflict=winner_add_conflicts,
         )
 
+    def _delete_where_cow(
+        self, spark: SparkSession, snap: DeltaSnapshot, cond
+    ) -> int:
+        """DELETE as ONE copy-on-write commit (delta-spark's shape on
+        DV-disabled tables; here the UniForm path, where the Iceberg
+        view cannot express DVs): files holding a matching row are
+        found via the pushed-predicate scan, rewritten WITHOUT the
+        matching rows, and swapped remove+add in one commit — untouched
+        files carried by reference, O(matched files) data I/O. Row
+        tracking ids are preserved on the surviving rows; under CDF the
+        removed rows land in a cdc file as ``delete``."""
+        r = DeltaTableReader(self.path)
+        affected = [
+            row["__fp"]
+            for row in r.to_df(spark, _expose_pos=True)
+            .where(cond)
+            .select(F.col("__dv_fp").alias("__fp"))
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return snap.version
+        to_physical, part_stage = self._physical_stage_ctx(snap)
+        rtc = self._rt_preserve_ctx(snap, "delete_where (DELETE)")
+        live = (
+            r._stable_lineage_scan(
+                spark, snap, keep_paths=set(affected)
+            )
+            if rtc
+            else r.to_df(spark, _keep_paths=set(affected))
+        )
+        kept = live.where(~F.coalesce(cond, F.lit(False)))
+        if rtc:
+            kept = self._rt_materialize(kept, rtc, preserve_ver=True)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
+            changes = live.where(cond).drop(*rt_drop).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            cdc_actions = [
+                {"cdc": c}
+                for c in self._stage_files(
+                    to_physical(changes), part_stage, cdc=True
+                )
+            ]
+        removes = [
+            {
+                "remove": {
+                    "path": self._raw_key(snap, p),
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
+            for p in affected
+        ]
+        adds = (
+            []
+            if kept.isEmpty()
+            else self._stage_files(to_physical(kept), part_stage)
+        )
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            removes + [{"add": a} for a in adds] + cdc_actions,
+            operation="DELETE",
+            read_files={os.path.abspath(p) for p in affected},
+            # a concurrent data add may hold rows this DELETE's
+            # arbitrary predicate would have matched: conservative abort
+            add_conflict=True,
+        )
+
     def update_where(
         self,
         spark: SparkSession,
@@ -4369,15 +4441,13 @@ class DeltaTableWriter:
         self._require_mutable(
             snap, "delete_where (DELETE)", adds_content=False
         )
-        if self._uniform_active(snap):
-            raise DeltaProtocolError(
-                "delete_where (DELETE): icebergCompatV2 disallows "
-                "writing deletion vectors (they have no zero-copy "
-                "representation in the UniForm Iceberg view); delete "
-                "copy-on-write instead via merge(source=<empty>, "
-                "delete_keys=<keys>) or update/overwrite paths"
-            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self._uniform_active(snap):
+            # icebergCompatV2 disallows writing deletion vectors (no
+            # zero-copy representation in the UniForm Iceberg view):
+            # route the DELETE through the copy-on-write path —
+            # delta-spark's own behavior on DV-disabled tables
+            return self._delete_where_cow(spark, snap, cond)
         # position scan WITHOUT DV subtraction: re-matching an
         # already-deleted row is idempotent under the union below
         matched = (

@@ -114,13 +114,32 @@ def test_uniform_append_merge_keep_views_in_lockstep(spark, tmp_path):
             os.path.abspath(path)
 
 
-def test_uniform_delete_where_refuses_dv_writes(spark, tmp_path):
+def test_uniform_delete_where_goes_copy_on_write(spark, tmp_path):
+    """icebergCompatV2 disallows DV writes, so DELETE on a UniForm
+    table must route copy-on-write: matching rows gone from BOTH
+    views, no deletionVector descriptor anywhere in the log, and the
+    untouched file carried by reference."""
     path = str(tmp_path / "t")
     _uniform_table(path)
     w = DeltaTableWriter(path)
-    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        w.delete_where(spark, "k = 1")
+    w.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1))  # one file holding k=1,2
+    w.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    untouched = {
+        p for p, _, _ in DeltaTableReader(path).snapshot().files
+    }
+    w.delete_where(spark, "k = 1")
+    d, i = _both_reads(spark, path)
+    assert d == i == [(2, "b"), (3, "c")]
+    snap = DeltaTableReader(path).snapshot()
+    assert all(dv is None for _, _, dv in snap.files)
+    # only the file holding k=1 was rewritten; k=3's file carried
+    assert len(untouched & {p for p, _, _ in snap.files}) == 1
+    # deleting EVERY row of a file leaves no empty-file add behind
+    w.delete_where(spark, "k >= 2")
+    d, i = _both_reads(spark, path)
+    assert d == i == []
 
 
 def test_uniform_partitioned_table_refuses_loudly(spark, tmp_path):
