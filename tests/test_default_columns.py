@@ -168,7 +168,7 @@ def test_coordinated_commits_targeted_refusal(spark, tmp_path):
                 "partitionColumns": [],
                 "configuration": {
                     "delta.coordinatedCommits.commitCoordinator-preview":
-                        "dynamodb",
+                        "acme-coordinator",
                 },
                 "createdTime": 0,
             }},
@@ -179,6 +179,6 @@ def test_coordinated_commits_targeted_refusal(spark, tmp_path):
             spark.createDataFrame([(1,)], "k long")
         )
     msg = str(ei.value)
-    assert "commit coordinator" in msg and "'dynamodb'" in msg
+    assert "commit coordinator" in msg and "'acme-coordinator'" in msg
     # reads of the published filesystem tail stay valid
     assert DeltaTableReader(path).to_df(spark).count() == 0
