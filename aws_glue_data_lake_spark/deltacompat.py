@@ -2307,15 +2307,6 @@ class DeltaTableWriter:
                         "requires parquet field ids so Iceberg readers "
                         "can resolve columns"
                     )
-                if DeltaTableWriter._uniform_active(snap) and \
-                        snap.partition_columns:
-                    raise DeltaProtocolError(
-                        f"{what}: UniForm sync of PARTITIONED Delta "
-                        "tables is not supported — partition columns "
-                        "are absent from the file bytes and the "
-                        "Iceberg reader here lacks identity-constant "
-                        "reconstruction for migrated files"
-                    )
 
     @staticmethod
     def _uniform_active(snap: DeltaSnapshot) -> bool:

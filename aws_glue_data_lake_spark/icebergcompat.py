@@ -1461,6 +1461,11 @@ class IcebergTableReader:
                     parquet_field_id_mappings,
                 )
 
+                ident_src = {
+                    src_col: fname
+                    for fname, tr, src_col in (snap.spec_fields or [])
+                    if tr == "identity"
+                }
                 for m, ps in group_paths_by_mapping(
                     paths, parquet_field_id_mappings(paths)
                 ):
@@ -1476,6 +1481,83 @@ class IcebergTableReader:
                                 if snap.field_ids.get(f.name) in m
                             ]
                         )
+                        # spec § Column Projection rule 2: a field
+                        # ABSENT from the file whose id sources an
+                        # IDENTITY partition field reads the partition
+                        # value as a CONSTANT — the migrated-file shape
+                        # (hive/delta add_files, UniForm): partition
+                        # columns live in dir layout + manifest, not in
+                        # the file bytes. Constants ride a broadcast
+                        # (file -> value) map joined on the scan's
+                        # _metadata path — one scan unit regardless of
+                        # partition count, same plan shape as the
+                        # equality-delete seq map.
+                        missing_ident = [
+                            f.name
+                            for f in snap.schema.fields
+                            if snap.field_ids.get(f.name) not in m
+                            and f.name in ident_src
+                        ]
+                        if missing_ident:
+                            in_group = set(ps)
+                            cmap = spark.createDataFrame(
+                                [
+                                    tuple(
+                                        [p]
+                                        + [
+                                            pv.get(ident_src[n])
+                                            for n in missing_ident
+                                        ]
+                                    )
+                                    for p, pv in files
+                                    if p in in_group
+                                ],
+                                StructType(
+                                    [StructField(
+                                        "__ic_fp", StringType(), False
+                                    )]
+                                    + [
+                                        StructField(
+                                            f"__ic_{n}",
+                                            snap.schema[n].dataType,
+                                            True,
+                                        )
+                                        for n in missing_ident
+                                    ]
+                                ),
+                            )
+                            src = (
+                                spark.read.schema(st)
+                                .parquet(*ps)
+                                .select(
+                                    "*",
+                                    F.regexp_replace(
+                                        F.col("_metadata.file_path"),
+                                        "^file:(//)?",
+                                        "",
+                                    ).alias("__del_fp"),
+                                    F.col("_metadata.row_index").alias(
+                                        "__del_pos"
+                                    ),
+                                )
+                                .join(
+                                    F.broadcast(cmap),
+                                    F.col("__del_fp")
+                                    == F.col("__ic_fp"),
+                                    "left",
+                                )
+                                .drop("__ic_fp")
+                            )
+                            sel = [
+                                F.col(f"__ic_{f.name}").alias(f.name)
+                                if f.name in missing_ident
+                                else e
+                                for f, e in zip(
+                                    snap.schema.fields, _id_select(m)
+                                )
+                            ]
+                            units.append((src, sel, fmt, True))
+                            continue
                         units.append(
                             (
                                 spark.read.schema(st).parquet(*ps),
@@ -4331,10 +4413,14 @@ def sync_uniform(delta_path: str) -> None:
     gate enforces BEFORE the Delta commit
     (so this post-commit step cannot fail on protocol grounds):
     columnMapping active (parquet field ids match the Iceberg schema's
-    ids — how Iceberg readers resolve columns), no partition columns
-    (identity-constant reconstruction for migrated files is not
-    implemented in this reader), no live deletion vectors (the spec
-    disallows DV writes under icebergCompatV2), flat schema."""
+    ids — how Iceberg readers resolve columns), no live deletion
+    vectors (the spec disallows DV writes under icebergCompatV2), flat
+    schema. PARTITIONED Delta tables sync as identity-partitioned
+    Iceberg: the partition column is absent from the file bytes (the
+    Hive-layout shape), so each entry carries the partition tuple and
+    readers reconstruct the column as a CONSTANT per the spec's
+    column-projection rule 2 (implemented in IcebergTableReader.to_df
+    via a broadcast file->value map)."""
     from aws_glue_data_lake_spark.deltacompat import (
         DeltaProtocolError,
         DeltaTableReader as _DTR,
@@ -4373,13 +4459,6 @@ def sync_uniform(delta_path: str) -> None:
                 "nested Iceberg types need per-element field ids this "
                 "sync does not assign yet"
             )
-    if snap.partition_columns:
-        raise IcebergProtocolError(
-            "uniform sync: partitioned Delta tables are not supported "
-            "— partition columns are absent from the file bytes and "
-            "this Iceberg reader does not implement identity-constant "
-            "reconstruction for migrated files"
-        )
     if any(dv for _, _, dv in snap.files):
         raise IcebergProtocolError(
             "uniform sync: live deletion vectors cannot be expressed "
@@ -4427,10 +4506,26 @@ def sync_uniform(delta_path: str) -> None:
             to_list = cur_live - prev_live
     import pyarrow.parquet as _pq
 
+    pcols = [
+        (c, ice_t[c]) for c in snap.partition_columns
+    ]
+    phys_of = {v: k for k, v in phys_to_logical.items()}
     entries = []
     for p, _pv, _dv in snap.files:
         if to_list is not None and p not in to_list:
             continue
+        # delta partitionValues are RAW strings keyed by PHYSICAL name;
+        # iceberg entries carry typed values keyed by spec field name
+        pv_ice = {
+            c: (
+                None
+                if _pv.get(phys_of.get(c, c)) is None
+                else IcebergTableWriter._parse_part_value(
+                    str(_pv.get(phys_of.get(c, c))), ice_t[c]
+                )
+            )
+            for c in snap.partition_columns
+        }
         st = (snap.stats or {}).get(p)
         if st and st.get("numRecords") is not None:
             rows = int(st["numRecords"])
@@ -4459,7 +4554,7 @@ def sync_uniform(delta_path: str) -> None:
             col_stats = col_stats or None
         entries.append(
             w._entry(
-                p, {}, rows, os.path.getsize(p), _STATUS_ADDED,
+                p, pv_ice, rows, os.path.getsize(p), _STATUS_ADDED,
                 sid, seq, col_stats=col_stats,
                 schema_json=schema_json,
             )
@@ -4473,7 +4568,7 @@ def sync_uniform(delta_path: str) -> None:
         op = "replace"
     if entries:
         manifests.append(
-            w._write_manifest(entries, [], sid, seq, schema_json)
+            w._write_manifest(entries, pcols, sid, seq, schema_json)
         )
     ml_path = os.path.join(
         w._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
@@ -4485,7 +4580,7 @@ def sync_uniform(delta_path: str) -> None:
     props = dict((prev or {}).get("properties") or {})
     props["uniform.delta-version"] = str(snap.version)
     w._commit_metadata(
-        prev, schema_json, [], sid, seq, ml_path, op,
+        prev, schema_json, pcols, sid, seq, ml_path, op,
         properties=props,
     )
 

@@ -3462,24 +3462,30 @@ def lake_iceberg_transform_overwrite_state(
 # UniForm / icebergCompatV2 (round-12, VERDICT r11 missing-item 2):
 # Databricks stamps icebergCompatV2 on UniForm-enabled tables, which
 # previously refused every write at the gate. The query builds the
-# foreign UniForm shape (compat feature + columnMapping(id) +
-# delta.universalFormat.enabledFormats=iceberg), appends nation, MERGEs
-# an update + an insert, CoW-deletes one key via merge delete_keys —
-# and after EVERY commit the zero-copy Iceberg metadata view under
-# <root>/metadata/ is regenerated (icebergcompat.sync_uniform). The
-# returned frame is the ICEBERG-side read; the python assert pins that
-# the Delta read of the same table is value-identical (both engines
-# resolve the shared parquet bytes by field id). Scale: sync is
-# O(live files) driver-side metadata per commit — the same order as a
-# Delta checkpoint; zero data copies ever.
+# foreign UniForm shape — PARTITIONED by region, columnMapping(id),
+# delta.universalFormat.enabledFormats=iceberg — appends nation,
+# CoW-DELETEs one key (DV writes are disallowed under icebergCompatV2,
+# so delete_where routes copy-on-write), MERGEs an update + an insert;
+# after EVERY commit the zero-copy Iceberg metadata view under
+# <root>/metadata/ regenerates (icebergcompat.sync_uniform). The
+# partition column is ABSENT from the Delta file bytes (Hive layout):
+# the Iceberg entries carry it in their partition tuples and the
+# reader reconstructs it as a constant (spec column-projection rule 2,
+# broadcast file->value map — one scan unit at any partition count).
+# The returned frame is the ICEBERG-side read; python asserts pin that
+# the Delta read is value-identical and that manifest partition
+# pruning works. Scale: pure-append syncs carry prior manifests
+# verbatim (O(added)); rewrites fall back to one full-state manifest —
+# O(live files) driver metadata, zero data copies ever.
 # --------------------------------------------------------------------------
 @_q(
     "lake_delta_uniform_state",
     oracle="""
 SELECT CAST(n_nationkey AS BIGINT) AS k,
-       CASE WHEN n_nationkey = 5 THEN 'UPDATED' ELSE n_name END AS v
+       CASE WHEN n_nationkey = 5 THEN 'UPDATED' ELSE n_name END AS v,
+       CAST(n_regionkey AS BIGINT) AS r
 FROM nation WHERE n_nationkey <> 3
-UNION ALL SELECT 100, 'INSERTED'
+UNION ALL SELECT 100, 'INSERTED', 9
 ORDER BY k
 """,
 )
@@ -3513,6 +3519,11 @@ def lake_delta_uniform_state(
                  "delta.columnMapping.id": 2,
                  "delta.columnMapping.physicalName": "col-bbbb",
              }},
+            {"name": "r", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 3,
+                 "delta.columnMapping.physicalName": "col-cccc",
+             }},
         ],
     })
     with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
@@ -3526,10 +3537,10 @@ def lake_delta_uniform_state(
                 "id": "t", "format": {
                     "provider": "parquet", "options": {}},
                 "schemaString": schema_string,
-                "partitionColumns": [],
+                "partitionColumns": ["r"],
                 "configuration": {
                     "delta.columnMapping.mode": "id",
-                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.columnMapping.maxColumnId": "3",
                     "delta.enableIcebergCompatV2": "true",
                     "delta.universalFormat.enabledFormats": "iceberg",
                 },
@@ -3541,34 +3552,42 @@ def lake_delta_uniform_state(
     n = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("k"),
         F.col("n_name").cast("string").alias("v"),
+        F.col("n_regionkey").cast("long").alias("r"),
     )
+    r5 = n.where("k = 5").select("r").collect()[0]["r"]
     w = DeltaTableWriter(path)
     w.append(n)  # v1 + iceberg snapshot 1
+    w.delete_where(spark, "k = 3")  # v2: CoW (DVs disallowed) + sync
     w.merge(
         spark,
         spark.createDataFrame(
-            [(5, "UPDATED"), (100, "INSERTED")], "k long, v string"
+            [(5, "UPDATED", r5), (100, "INSERTED", 9)],
+            "k long, v string, r long",
         ),
         keys=["k"],
-    )  # v2 + iceberg snapshot 2
-    w.merge(
-        spark,
-        spark.createDataFrame([], "k long, v string"),
-        keys=["k"],
-        delete_keys=spark.createDataFrame([(3,)], "k long"),
-    )  # v3 (CoW delete) + iceberg snapshot 3
+    )  # v3 + iceberg snapshot 3
     delta_rows = sorted(
-        (r["k"], r["v"])
-        for r in DeltaTableReader(path).to_df(spark).collect()
+        (x["k"], x["v"], x["r"])
+        for x in DeltaTableReader(path).to_df(spark).collect()
     )
     ice = IcebergTableReader(path)
     ice_rows = sorted(
-        (r["k"], r["v"]) for r in ice.to_df(spark).collect()
+        (x["k"], x["v"], x["r"]) for x in ice.to_df(spark).collect()
     )
     assert delta_rows == ice_rows, "views diverged"
     assert len(ice._metadata()["snapshots"]) == 3, "a commit skipped sync"
+    pruned = {
+        x["k"]
+        for x in ice.to_df(spark, partition_filter={"r": 9}).collect()
+    }
+    assert 100 in pruned and all(
+        k == 100 or k in {x["k"] for x in n.where("r = 9").collect()}
+        for k in pruned
+    ), "iceberg manifest pruning broke"
     return ice.to_df(spark).select(
-        F.col("k").cast("bigint").alias("k"), F.col("v")
+        F.col("k").cast("bigint").alias("k"),
+        F.col("v"),
+        F.col("r").cast("bigint").alias("r"),
     ).orderBy("k")
 
 

@@ -142,13 +142,39 @@ def test_uniform_delete_where_goes_copy_on_write(spark, tmp_path):
     assert d == i == []
 
 
-def test_uniform_partitioned_table_refuses_loudly(spark, tmp_path):
+def test_uniform_partitioned_table_syncs_with_constant_columns(
+    spark, tmp_path
+):
+    """Partitioned UniForm (round-12, second pass): the partition
+    column is absent from the Delta file bytes (Hive layout), so the
+    Iceberg view carries it in each entry's partition tuple and the
+    reader reconstructs it as a constant (spec column-projection
+    rule 2). Both views must agree INCLUDING the partition column, and
+    the Iceberg manifest partition values must prune."""
     path = str(tmp_path / "t")
     _uniform_table(path, partition=True)
-    with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
-        DeltaTableWriter(path).append(
-            spark.createDataFrame([(1, "a")], "k long, v string")
-        )
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, v string"
+    ))
+    d, i = _both_reads(spark, path)
+    assert d == i == [(1, "a"), (2, "b"), (3, "a")]
+    # manifest-level pruning on the partition column
+    pruned = sorted(
+        r["k"]
+        for r in IcebergTableReader(path)
+        .to_df(spark, partition_filter={"v": "a"})
+        .collect()
+    )
+    assert pruned == [1, 3]
+    # MERGE rewrites within partitions; views stay in lockstep
+    w.merge(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "c")], "k long, v string"),
+        keys=["k"],
+    )
+    d, i = _both_reads(spark, path)
+    assert d == i == [(1, "a"), (2, "B"), (3, "a"), (4, "c")]
 
 
 def test_icebergcompat_requires_column_mapping(spark, tmp_path):
