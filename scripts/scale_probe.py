@@ -599,6 +599,118 @@ def rowtracking_pipeline(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def uniform_pipeline(spark, sf_dir: str) -> dict:
+    """Round-12 UniForm sync at scale. Contracts probed: (a) a
+    PURE-APPEND sync costs O(added) — appending the same tiny batch to
+    a table 2× the size must cost ~the same wall time (prior manifests
+    carry verbatim, no manifest reads); (b) a remove-bearing commit's
+    full-state fallback is O(live files) metadata (recorded, not
+    gated); (c) the Iceberg view stays row-identical to the Delta view
+    throughout (count + sum checksum, one scan per side)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+    from aws_glue_data_lake_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("user_id").cast("long").alias("u"),
+        (F.col("user_id") % 8).cast("long").alias("part"),
+    )
+    q = ev.approxQuantile("k", [0.5], 0.001)[0]
+    full = ev.where(F.col("k") <= q).repartitionByRange(16, "k")
+    tiny = ev.where(F.col("k") > q).limit(1000)
+    work = tempfile.mkdtemp(prefix="uniform_probe_")
+    out: dict = {}
+    try:
+        path = os.path.join(work, "u")
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log)
+        schema_string = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": i + 1,
+                     "delta.columnMapping.physicalName": f"col-{i + 1}",
+                 }}
+                for i, n in enumerate(("k", "u", "part"))
+            ],
+        })
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in [
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping",
+                                       "icebergCompatV2"],
+                }},
+                {"metaData": {
+                    "id": "u", "format": {
+                        "provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": ["part"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "3",
+                        "delta.enableIcebergCompatV2": "true",
+                        "delta.universalFormat.enabledFormats":
+                            "iceberg",
+                    },
+                    "createdTime": 0,
+                }},
+            ]:
+                f.write(_json.dumps(a) + "\n")
+        w = DeltaTableWriter(path)
+        t0 = time.perf_counter()
+        w.append(full)
+        out["initial_load_sync_s"] = round(time.perf_counter() - t0, 3)
+        files_small = len(DeltaTableReader(path).snapshot().files)
+        t0 = time.perf_counter()
+        w.append(tiny)
+        out["tiny_append_small_table_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        # double the table, then the SAME tiny append must cost ~same
+        w.append(full.withColumn("k", F.col("k") + F.lit(10 ** 12)))
+        files_big = len(DeltaTableReader(path).snapshot().files)
+        t0 = time.perf_counter()
+        w.append(tiny.withColumn("k", F.col("k") + F.lit(2 * 10 ** 12)))
+        out["tiny_append_big_table_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        out["append_scale_ratio"] = round(
+            out["tiny_append_big_table_s"]
+            / max(out["tiny_append_small_table_s"], 1e-9),
+            2,
+        )
+        t0 = time.perf_counter()
+        w.delete_where(spark, f"k <= {q * 0.1}")  # CoW + full-state sync
+        out["cow_delete_fullstate_sync_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        d = DeltaTableReader(path).to_df(spark).agg(
+            F.count("*"), F.sum("k")).first()
+        i = IcebergTableReader(path).to_df(spark).agg(
+            F.count("*"), F.sum("k")).first()
+        out.update({
+            "files_small": files_small,
+            "files_big": files_big,
+            "views_identical": tuple(d) == tuple(i),
+        })
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -665,6 +777,11 @@ def main() -> int:
             ("rowtracking_update", rt["update_s"]),
         ):
             result["timings"].setdefault(key, {})[scale] = secs
+        uni = uniform_pipeline(spark, sf_dir)
+        result[f"uniform_{scale}"] = uni
+        result["timings"].setdefault("uniform_tiny_append_sync", {})[
+            scale
+        ] = uni["tiny_append_big_table_s"]
         spark.stop()
 
     superlinear = {}
