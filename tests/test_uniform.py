@@ -258,3 +258,84 @@ def test_uniform_sync_is_incremental_for_pure_appends(spark, tmp_path):
     assert meta3["properties"]["uniform.delta-version"] == "3"
     d, i = _both_reads(spark, path)
     assert d == i == [(1, "A"), (2, "b")]
+
+
+def test_uniform_with_row_tracking_cow_delete_preserves_ids(
+    spark, tmp_path
+):
+    """The realistic new-table combo (Databricks stamps rowTracking AND
+    icebergCompatV2 by default): the UniForm CoW delete must preserve
+    the surviving rows' stable row ids through the rewrite, the
+    materialized id columns must stay invisible to both views, and the
+    Iceberg view must match the Delta view after every commit."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-aaaa",
+             }},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-bbbb",
+             }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping", "icebergCompatV2",
+                                   "rowTracking", "domainMetadata"],
+            }},
+            {"metaData": {
+                "id": "t", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    # mode=name (equally valid UniForm; this reader's
+                    # materialized-row-id support is gated off id mode)
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.enableIcebergCompatV2": "true",
+                    "delta.universalFormat.enabledFormats": "iceberg",
+                    "delta.enableRowTracking": "true",
+                    "delta.rowTracking.materializedRowIdColumnName":
+                        "_row_id_mat",
+                    "delta.rowTracking."
+                    "materializedRowCommitVersionColumnName":
+                        "_row_ver_mat",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k long, v string"
+        ).coalesce(1).sortWithinPartitions("k")
+    )
+    r = DeltaTableReader(path)
+    before = {
+        x["k"]: x["_row_id"]
+        for x in r.row_lineage(spark).collect()
+    }
+    w.delete_where(spark, "k IN (2, 5)")  # CoW (uniform) rewrite
+    after = {
+        x["k"]: x["_row_id"]
+        for x in r.row_lineage(spark).collect()
+    }
+    assert set(after) == set(range(8)) - {2, 5}
+    assert all(after[k] == before[k] for k in after), "ids moved"
+    d, i = _both_reads(spark, path)
+    assert d == i and [k for k, _ in d] == sorted(after)
