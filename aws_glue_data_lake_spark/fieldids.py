@@ -28,7 +28,11 @@ from __future__ import annotations
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-__all__ = ["parquet_field_id_mappings", "group_paths_by_mapping"]
+__all__ = [
+    "parquet_field_id_mappings",
+    "group_paths_by_mapping",
+    "parquet_footer_columns",
+]
 
 #: (abs path, size, mtime_ns) -> {field id -> physical name}. Data files
 #: in every format here are IMMUTABLE once committed (uuid-named, never
@@ -73,6 +77,45 @@ def parquet_field_id_mappings(
             _CACHE.clear()
         _CACHE[key] = out
         return out
+
+    if not paths:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        return dict(zip(paths, ex.map(one, paths)))
+
+
+#: (abs path, size, mtime_ns) -> frozenset of top-level column names —
+#: same immutability argument and bounded eviction as _CACHE above.
+_NAME_CACHE: dict[tuple, frozenset] = {}
+
+
+def parquet_footer_columns(
+    paths: list[str], max_workers: int = 16
+) -> dict[str, frozenset]:
+    """Per file, the set of TOP-LEVEL column names in its footer
+    schema. Proves column ABSENCE by name for files without field IDs
+    (the migrated-file shape): an identity-partition source column
+    absent from the bytes must read as the partition constant, not
+    NULL. Loud on unreadable footers, memoized on (path, size,
+    mtime)."""
+    import pyarrow.parquet as pq
+
+    def one(p: str) -> frozenset:
+        try:
+            st = os.stat(p)
+            key = (os.path.abspath(p), st.st_size, st.st_mtime_ns)
+            hit = _NAME_CACHE.get(key)
+            if hit is not None:
+                return hit
+            names = frozenset(pq.ParquetFile(p).schema_arrow.names)
+        except Exception as exc:  # noqa: BLE001 — re-raised, loud
+            raise IOError(
+                f"cannot read parquet footer of {p}: {exc}"
+            ) from exc
+        if len(_NAME_CACHE) >= _CACHE_MAX:
+            _NAME_CACHE.clear()
+        _NAME_CACHE[key] = names
+        return names
 
     if not paths:
         return {}

@@ -1570,15 +1570,111 @@ class IcebergTableReader:
                         _needs_absence_proof(
                             "parquet file(s) without field IDs"
                         )
-                        units.append(
-                            (
-                                spark.read.schema(name_read_schema)
-                                .parquet(*ps),
-                                normalize,
-                                fmt,
-                                False,
-                            )
+                        # migrated files (hive add_files / migrate):
+                        # identity-partition source columns may be
+                        # ABSENT from the file bytes — prove absence
+                        # per file from the footer NAMES (ids don't
+                        # exist here) and read the partition value as
+                        # the constant (rule 2), instead of the silent
+                        # NULL a pinned-schema scan would produce.
+                        # Subgrouped by missing-column tuple: native
+                        # files (nothing missing) keep the plain scan.
+                        from aws_glue_data_lake_spark.fieldids import (
+                            parquet_footer_columns,
                         )
+
+                        def _has(cols: frozenset, name: str) -> bool:
+                            return name in cols or any(
+                                a in cols for a in alt.get(name, ())
+                            )
+
+                        sub: dict[tuple, list[str]] = {}
+                        if ident_src:
+                            names_of = parquet_footer_columns(ps)
+                            for p in ps:
+                                missing = tuple(sorted(
+                                    n
+                                    for n in ident_src
+                                    if n in {
+                                        f.name
+                                        for f in snap.schema.fields
+                                    }
+                                    and not _has(names_of[p], n)
+                                ))
+                                sub.setdefault(missing, []).append(p)
+                        else:
+                            sub[()] = list(ps)
+                        for missing, mps in sorted(sub.items()):
+                            if not missing:
+                                units.append(
+                                    (
+                                        spark.read.schema(
+                                            name_read_schema
+                                        ).parquet(*mps),
+                                        normalize,
+                                        fmt,
+                                        False,
+                                    )
+                                )
+                                continue
+                            in_group = set(mps)
+                            cmap = spark.createDataFrame(
+                                [
+                                    tuple(
+                                        [p]
+                                        + [
+                                            pv.get(ident_src[n])
+                                            for n in missing
+                                        ]
+                                    )
+                                    for p, pv in files
+                                    if p in in_group
+                                ],
+                                StructType(
+                                    [StructField(
+                                        "__ic_fp", StringType(), False
+                                    )]
+                                    + [
+                                        StructField(
+                                            f"__ic_{n}",
+                                            snap.schema[n].dataType,
+                                            True,
+                                        )
+                                        for n in missing
+                                    ]
+                                ),
+                            )
+                            src = (
+                                spark.read.schema(name_read_schema)
+                                .parquet(*mps)
+                                .select(
+                                    "*",
+                                    F.regexp_replace(
+                                        F.col("_metadata.file_path"),
+                                        "^file:(//)?",
+                                        "",
+                                    ).alias("__del_fp"),
+                                    F.col("_metadata.row_index").alias(
+                                        "__del_pos"
+                                    ),
+                                )
+                                .join(
+                                    F.broadcast(cmap),
+                                    F.col("__del_fp")
+                                    == F.col("__ic_fp"),
+                                    "left",
+                                )
+                                .drop("__ic_fp")
+                            )
+                            sel = [
+                                F.col(f"__ic_{f.name}").alias(f.name)
+                                if f.name in missing
+                                else e
+                                for f, e in zip(
+                                    snap.schema.fields, normalize
+                                )
+                            ]
+                            units.append((src, sel, fmt, True))
             elif fmt == "AVRO":
                 _needs_absence_proof("Avro data files")
                 units.append(
@@ -4323,19 +4419,13 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
     Iceberg v2 table: metadata tree at ``dest_path``, data_file entries
     referencing the lake table's parquet by absolute path (the add_files
     migration shape). Row counts come from the lake manifest — no data
-    read. Unpartitioned snapshots only: an identity-partitioned lake
-    file does not carry its partition column in the file bytes, and this
-    reader does not implement the spec's constant-reconstruction for
-    migrated files — use the Delta export for partitioned tables (its
-    layout matches 1:1). Live deletion vectors must be compacted away
-    first, enforced loudly."""
+    read. Identity-partitioned snapshots export too (round-12): the
+    partition column is absent from the lake file bytes, so each entry
+    carries its partition tuple and readers reconstruct the column as
+    a constant per the spec's column-projection rule 2 (this reader:
+    footer-name absence proof + broadcast file→value map). Live
+    deletion vectors must be compacted away first, enforced loudly."""
     snap = lake_table.snapshot(version)
-    if snap.partition_by:
-        raise IcebergProtocolError(
-            "zero-copy Iceberg export supports unpartitioned snapshots "
-            "only (identity partition columns are not in the lake file "
-            "bytes); use deltacompat.export_lake_snapshot instead"
-        )
     if any(f.get("dv") for f in snap.files):
         raise IcebergProtocolError(
             "snapshot has live deletion vectors; compact() to fold them "
@@ -4351,11 +4441,27 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
         raise FileExistsError(f"Iceberg table already exists: {dest_path}")
     os.makedirs(w._meta_dir, exist_ok=True)
     schema_json = w._schema_json(_ST.fromDDL(snap.schema))
+    ice_t = {fj["name"]: fj["type"] for fj in schema_json["fields"]}
+    pcols = [(c, ice_t[c]) for c in snap.partition_by]
+
+    def pv_of(f: dict) -> dict:
+        raw = f.get("partition") or {}
+        return {
+            c: (
+                None
+                if raw.get(c) is None
+                else IcebergTableWriter._parse_part_value(
+                    str(raw[c]), ice_t[c]
+                )
+            )
+            for c in snap.partition_by
+        }
+
     sid, seq = 1001, 1
     entries = [
         w._entry(
             lake_table._abs(f["path"]),
-            {},
+            pv_of(f),
             f["rows"],
             os.path.getsize(lake_table._abs(f["path"])),
             _STATUS_ADDED,
@@ -4373,13 +4479,13 @@ def export_lake_snapshot(lake_table, dest_path: str, version: int | None = None)
         )
         for f in snap.files
     ]
-    ml_entry = w._write_manifest(entries, [], sid, seq, schema_json)
+    ml_entry = w._write_manifest(entries, pcols, sid, seq, schema_json)
     ml_path = os.path.join(w._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro")
     write_container(
         ml_path, _MANIFEST_LIST_SCHEMA, [ml_entry],
         metadata={"format-version": "2"},
     )
-    w._commit_metadata(None, schema_json, [], sid, seq, ml_path, "append")
+    w._commit_metadata(None, schema_json, pcols, sid, seq, ml_path, "append")
     return IcebergTableReader(dest_path)
 
 

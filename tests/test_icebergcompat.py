@@ -380,8 +380,10 @@ def test_avro_long_zigzag_roundtrip(tmp_path_factory, xs, codec):
 def test_export_lake_snapshot_zero_copy(spark, tmp_path):
     """An unpartitioned LakeTable snapshot exports as a real Iceberg v2
     table zero-copy (absolute data_file paths, row counts from the lake
-    manifest); partitioned snapshots are refused with a pointer at the
-    Delta export."""
+    manifest). Partitioned snapshots export too (round-12): the
+    partition column is absent from the lake file bytes, so the reader
+    reconstructs it as the per-entry partition constant — values,
+    types, and manifest pruning all checked."""
     from aws_glue_data_lake_spark.icebergcompat import export_lake_snapshot
     from aws_glue_data_lake_spark.lake import LakeTable
 
@@ -394,14 +396,28 @@ def test_export_lake_snapshot_zero_copy(spark, tmp_path):
     assert got.agg({"v": "sum"}).first()[0] == sum(i * 3 for i in range(50))
     snap = reader.snapshot()
     assert all(os.path.isabs(p) for p, _ in snap.files)
-    # partitioned: refused
+    # partitioned: exports with identity spec + constant reconstruction
     part = LakeTable(str(tmp_path / "plake"))
     part.create(
-        spark.createDataFrame([(1, "a", 1)], "k long, bucket string, v long"),
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k long, bucket string, v long",
+        ),
         partition_by=["bucket"],
     )
-    with pytest.raises(IcebergProtocolError, match="unpartitioned"):
-        export_lake_snapshot(part, str(tmp_path / "ice2"))
+    r2 = export_lake_snapshot(part, str(tmp_path / "ice2"))
+    rows = sorted(
+        (x["k"], x["bucket"], x["v"])
+        for x in r2.to_df(spark).collect()
+    )
+    assert rows == [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    # manifest partition pruning over the reconstructed column
+    pruned = sorted(
+        x["k"]
+        for x in r2.to_df(spark, partition_filter={"bucket": "a"})
+        .collect()
+    )
+    assert pruned == [1, 3]
 
 
 def test_position_deletes_merge_on_read(spark, tmp_path):
