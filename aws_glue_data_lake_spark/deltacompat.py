@@ -2854,6 +2854,127 @@ class DeltaTableWriter:
             add_conflict=False,
         )
 
+    def _require_column_mapping(
+        self, snap: DeltaSnapshot, what: str
+    ) -> None:
+        cm = (snap.configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cm in ("", "none"):
+            raise DeltaProtocolError(
+                f"{what} requires columnMapping: file bytes are keyed "
+                "by physicalName/field id, so without mapping every "
+                "already-committed file would misread after the "
+                "schema change (delta-spark's rule)"
+            )
+
+    def _refuse_referenced_column(
+        self, snap: DeltaSnapshot, column: str, what: str
+    ) -> None:
+        """Conservative guard shared by RENAME/DROP: a column referenced
+        by a CHECK constraint or a generation expression must not be
+        renamed/dropped out from under the expression (delta-spark
+        blocks the same way)."""
+        pat = re.compile(rf"\b{re.escape(column)}\b")
+        for k, v in (snap.configuration or {}).items():
+            if k.startswith("delta.constraints.") and pat.search(v):
+                raise ValueError(
+                    f"{what}: column {column!r} is referenced by "
+                    f"constraint {k.removeprefix('delta.constraints.')!r}"
+                    f" ({v!r}); drop the constraint first"
+                )
+        for f in snap.schema.fields:
+            gen = (f.metadata or {}).get("delta.generationExpression")
+            if gen and pat.search(gen):
+                raise ValueError(
+                    f"{what}: column {column!r} is referenced by "
+                    f"generated column {f.name!r} ({gen!r})"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE … RENAME COLUMN`` — metadata-only under
+        columnMapping (the LOGICAL name changes; physicalName + field
+        id stay, so every committed file reads correctly unchanged).
+        Partition columns rename too (metaData.partitionColumns holds
+        logical names and is updated in the same commit)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "RENAME COLUMN", adds_content=False
+        )
+        self._require_column_mapping(snap, "RENAME COLUMN")
+        self._refuse_referenced_column(snap, old, "RENAME COLUMN")
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise ValueError(
+                f"RENAME COLUMN: no column {old!r} (have {names})"
+            )
+        if new in names:
+            raise ValueError(
+                f"RENAME COLUMN: column {new!r} already exists"
+            )
+        for f in sch["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta["schemaString"] = json.dumps(sch)
+        meta["partitionColumns"] = [
+            new if c == old else c
+            for c in (meta.get("partitionColumns") or [])
+        ]
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [{"metaData": meta}],
+            operation="RENAME COLUMN",
+            read_files=set(),
+            add_conflict=False,
+        )
+
+    def drop_column(self, column: str) -> int:
+        """``ALTER TABLE … DROP COLUMN`` — metadata-only under
+        columnMapping: the field leaves the schema; the physical column
+        stays in the already-committed file bytes and every reader
+        ignores it (resolution is by the schema's physicalName/id set).
+        Partition columns cannot be dropped (partitionValues and the
+        directory layout are keyed by them)."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "DROP COLUMN", adds_content=False
+        )
+        self._require_column_mapping(snap, "DROP COLUMN")
+        self._refuse_referenced_column(snap, column, "DROP COLUMN")
+        if column in (snap.partition_columns or ()):
+            raise ValueError(
+                f"DROP COLUMN: {column!r} is a partition column; "
+                "rewrite the table to change partitioning"
+            )
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if column not in names:
+            raise ValueError(
+                f"DROP COLUMN: no column {column!r} (have {names})"
+            )
+        if len(sch["fields"]) == 1:
+            raise ValueError(
+                "DROP COLUMN: cannot drop the table's last column"
+            )
+        sch["fields"] = [
+            f for f in sch["fields"] if f["name"] != column
+        ]
+        meta["schemaString"] = json.dumps(sch)
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [{"metaData": meta}],
+            operation="DROP COLUMN",
+            read_files=set(),
+            add_conflict=False,
+        )
+
     def set_column_default(self, column: str, expr: str) -> int:
         """``ALTER TABLE … ALTER COLUMN <c> SET DEFAULT <expr>``
         (PROTOCOL.md § Default Columns): stamp ``CURRENT_DEFAULT`` on

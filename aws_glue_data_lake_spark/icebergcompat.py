@@ -993,13 +993,22 @@ class IcebergTableReader:
                 f"no snapshot {sid} in {self._meta_dir} (have {sorted(snaps)})"
             )
         snap = snaps[sid]
-        # schema: v2 carries schemas[] + a per-snapshot schema-id
+        # schema: v2 carries schemas[] + a per-snapshot schema-id.
+        # Reads of the CURRENT snapshot use the table's CURRENT schema
+        # (iceberg-spark's rule — a schema-only commit like RENAME/
+        # ADD/DROP COLUMN produces no snapshot, so the tip snapshot's
+        # recorded schema-id predates it); time travel to an older
+        # snapshot pins the schema that snapshot was written under.
         schemas = meta.get("schemas")
         if schemas:
             by_id = {s["schema-id"]: s for s in schemas}
-            schema_json = by_id[
-                snap.get("schema-id", meta.get("current-schema-id", 0))
-            ]
+            if sid == meta.get("current-snapshot-id"):
+                sch_id = meta.get("current-schema-id", 0)
+            else:
+                sch_id = snap.get(
+                    "schema-id", meta.get("current-schema-id", 0)
+                )
+            schema_json = by_id[sch_id]
         else:  # v1 single-schema layout
             schema_json = meta["schema"]
         initial_defaults = {
@@ -2878,10 +2887,20 @@ class IcebergTableWriter:
                 "type": _spark_type_to_iceberg(spark_t),
             }],
         }
+        self._schema_only_commit(prev, new_schema, new_id)
+
+    def _schema_only_commit(self, prev: dict, new_schema: dict,
+                            last_column_id: int,
+                            properties: dict | None = None) -> None:
+        """Shared tail of the schema-evolution DDLs: a new CURRENT
+        schema becomes visible in a fresh metadata version with NO
+        snapshot (the data did not change)."""
         meta = {k: v for k, v in prev.items() if k != "__version"}
         meta["schemas"] = list(prev["schemas"]) + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
-        meta["last-column-id"] = new_id
+        meta["last-column-id"] = last_column_id
+        if properties is not None:
+            meta["properties"] = properties
         version = prev["__version"] + 1
         target = os.path.join(
             self._meta_dir, f"v{version}.metadata.json"
@@ -2895,6 +2914,106 @@ class IcebergTableWriter:
             os.path.join(self._meta_dir, "version-hint.text"), "w"
         ) as f:
             f.write(str(version))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE … RENAME COLUMN`` — a new schema-id where the
+        field keeps its ID under the new name. Files WITH field ids
+        resolve unchanged (the safety property ids exist for); files
+        WITHOUT ids (this engine's own staged parquet) keep reading
+        because the old name joins the field's
+        ``schema.name-mapping.default`` entry in the same commit — the
+        spec's rename-fallback mechanism for name-resolved files."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        cur = next(
+            sc for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        names = [f["name"] for f in cur["fields"]]
+        if old not in names:
+            raise ValueError(
+                f"RENAME COLUMN: no column {old!r} (have {names})"
+            )
+        if new in names:
+            raise ValueError(
+                f"RENAME COLUMN: column {new!r} already exists"
+            )
+        fid = next(
+            f["id"] for f in cur["fields"] if f["name"] == old
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                sc["schema-id"] for sc in prev["schemas"]
+            ) + 1,
+            "fields": [
+                {**f, "name": new} if f["name"] == old else dict(f)
+                for f in cur["fields"]
+            ],
+        }
+        props = dict(prev.get("properties") or {})
+        mapping = json.loads(
+            props.get("schema.name-mapping.default", "[]")
+        )
+        entry = next(
+            (e for e in mapping if e.get("field-id") == fid), None
+        )
+        if entry is None:
+            entry = {"field-id": fid, "names": []}
+            mapping.append(entry)
+        for n in (old, new):
+            if n not in entry.setdefault("names", []):
+                entry["names"].append(n)
+        props["schema.name-mapping.default"] = json.dumps(mapping)
+        self._schema_only_commit(
+            prev, new_schema, int(prev.get("last-column-id", 0)),
+            properties=props,
+        )
+
+    def drop_column(self, column: str) -> None:
+        """``ALTER TABLE … DROP COLUMN`` — a new schema-id without the
+        field; its id is never reused (last-column-id is monotonic),
+        so old files' bytes for it are simply never projected again.
+        Partition-source columns cannot be dropped (the spec forbids
+        dropping a field a partition spec sources)."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        cur = next(
+            sc for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        names = [f["name"] for f in cur["fields"]]
+        if column not in names:
+            raise ValueError(
+                f"DROP COLUMN: no column {column!r} (have {names})"
+            )
+        if len(cur["fields"]) == 1:
+            raise ValueError(
+                "DROP COLUMN: cannot drop the table's last column"
+            )
+        fid = next(
+            f["id"] for f in cur["fields"] if f["name"] == column
+        )
+        for spec in prev.get("partition-specs", []):
+            if any(pf.get("source-id") == fid for pf in spec["fields"]):
+                raise ValueError(
+                    f"DROP COLUMN: {column!r} sources partition spec "
+                    f"{spec['spec-id']}; evolve the spec first"
+                )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                sc["schema-id"] for sc in prev["schemas"]
+            ) + 1,
+            "fields": [
+                dict(f) for f in cur["fields"] if f["name"] != column
+            ],
+        }
+        self._schema_only_commit(
+            prev, new_schema, int(prev.get("last-column-id", 0))
+        )
 
     def _partition_cols(
         self, schema: StructType, partition_by: Sequence[str]

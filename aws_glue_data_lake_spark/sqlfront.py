@@ -466,6 +466,18 @@ def _run_alter(
         t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
         return
     am = re.match(
+        r"^RENAME COLUMN ([\w`]+) TO ([\w`]+)$", action, re.IGNORECASE
+    )
+    if am:
+        t.rename_column(am.group(1).strip("`"), am.group(2).strip("`"))
+        return
+    am = re.match(
+        r"^DROP COLUMNS? \(?\s*([\w`]+)\s*\)?$", action, re.IGNORECASE
+    )
+    if am:
+        t.drop_column(am.group(1).strip("`"))
+        return
+    am = re.match(
         r"^ADD COLUMNS? \(?\s*([\w`]+)\s+([^)]+?)\s*\)?$", action,
         re.IGNORECASE,
     )
@@ -499,7 +511,8 @@ def _run_alter(
         f"unsupported ALTER TABLE action {action!r}: supported are "
         "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT <name>, "
         "ALTER COLUMN <col> SET DEFAULT <expr>, "
-        "ADD COLUMN <col> <type>, "
+        "ADD COLUMN <col> <type>, RENAME COLUMN <a> TO <b>, "
+        "DROP COLUMN <col>, "
         "SET TBLPROPERTIES ('k'='v', ...)"
     )
 

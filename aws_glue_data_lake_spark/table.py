@@ -298,6 +298,33 @@ class Table:
                 "append(merge_schema=True), not standalone ADD COLUMN"
             )
 
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN: metadata-only — Delta keeps
+        physicalName/field id (columnMapping required), Iceberg keeps
+        the field id under the new name."""
+        if self.format == "delta":
+            self._delta_writer().rename_column(old, new)
+        elif self.format == "iceberg":
+            self._ice_writer().rename_column(old, new)
+        else:
+            raise NotImplementedError(
+                f"{self.format} tables have no rename-safe column "
+                "identity (no mapping/field ids) in this engine"
+            )
+
+    def drop_column(self, column: str) -> None:
+        """ALTER TABLE ... DROP COLUMN: metadata-only — the physical
+        data stays in committed files and is never projected again."""
+        if self.format == "delta":
+            self._delta_writer().drop_column(column)
+        elif self.format == "iceberg":
+            self._ice_writer().drop_column(column)
+        else:
+            raise NotImplementedError(
+                f"{self.format} tables have no drop-safe column "
+                "identity (no mapping/field ids) in this engine"
+            )
+
     def set_column_default(self, column: str, expr: str) -> None:
         """ALTER TABLE ... ALTER COLUMN <c> SET DEFAULT <expr>: Delta
         stamps CURRENT_DEFAULT field metadata + the allowColumnDefaults

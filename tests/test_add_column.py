@@ -150,3 +150,140 @@ def test_iceberg_add_column_new_schema_id(spark, tmp_path):
         for r in IcebergTableReader(path).to_df(spark).collect()
     )
     assert got == [(1, None), (2, 20)]
+
+
+def _mapped_table(path: str) -> None:
+    """FOREIGN id-mode columnMapping table, empty, 3 columns."""
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": i + 1,
+                 "delta.columnMapping.physicalName": f"col-{i + 1}",
+             }}
+            for i, (n, t) in enumerate(
+                [("k", "long"), ("v", "string"), ("x", "long")]
+            )
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping",
+                                   "checkConstraints"],
+            }},
+            {"metaData": {
+                "id": "t", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+
+
+def test_delta_rename_and_drop_column(spark, tmp_path):
+    """RENAME keeps physicalName/id so committed files read unchanged
+    under the new logical name; DROP stops projecting the field while
+    the physical bytes stay; both are metadata-only commits."""
+    path = str(tmp_path / "t")
+    _mapped_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, x long"
+    ))
+    t = open_table(path, "delta")
+    sql(spark, "ALTER TABLE t RENAME COLUMN v TO label",
+        tables={"t": t})
+    got = sorted(
+        (r["k"], r["label"], r["x"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, "a", 10), (2, "b", 20)]
+    # physicalName survived the rename (files untouched)
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.schema["label"].metadata[
+        "delta.columnMapping.physicalName"] == "col-2"
+    sql(spark, "ALTER TABLE t DROP COLUMN x", tables={"t": t})
+    df = DeltaTableReader(path).to_df(spark)
+    assert df.columns == ["k", "label"]
+    assert sorted((r["k"], r["label"]) for r in df.collect()) == [
+        (1, "a"), (2, "b")
+    ]
+    # appends after the evolution land correctly
+    w.append(spark.createDataFrame([(3, "c")], "k long, label string"))
+    assert DeltaTableReader(path).to_df(spark).count() == 3
+    with pytest.raises(ValueError, match="already exists"):
+        w.rename_column("k", "label")
+    w.drop_column("k")
+    with pytest.raises(ValueError, match="last column"):
+        w.drop_column("label")
+
+
+def test_delta_rename_drop_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # no columnMapping -> refuse (old files would misread)
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        w.rename_column("v", "w")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        w.drop_column("v")
+    # constraint-referenced column refuses rename/drop under mapping
+    path2 = str(tmp_path / "t2")
+    _mapped_table(path2)
+    w2 = DeltaTableWriter(path2)
+    w2.set_constraint("pos", "x > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        w2.drop_column("x")
+    with pytest.raises(ValueError, match="constraint"):
+        w2.rename_column("x", "y")
+
+
+def test_iceberg_rename_and_drop_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, "a", 10)], "k long, v string, x long"
+    ))
+    t = open_table(path, "iceberg")
+    sql(spark, "ALTER TABLE t RENAME COLUMN v TO label",
+        tables={"t": t})
+    got = IcebergTableReader(path).to_df(spark).collect()
+    assert sorted((r["k"], r["label"], r["x"]) for r in got) == [
+        (1, "a", 10)
+    ]
+    # field id survived the rename
+    meta = IcebergTableReader(path)._metadata()
+    cur = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    assert next(
+        f["id"] for f in cur["fields"] if f["name"] == "label"
+    ) == 2
+    sql(spark, "ALTER TABLE t DROP COLUMN x", tables={"t": t})
+    df = IcebergTableReader(path).to_df(spark)
+    assert df.columns == ["k", "label"]
+    # a partition-source column refuses to drop
+    path2 = str(tmp_path / "p")
+    w2 = IcebergTableWriter(path2)
+    w2.create(
+        spark.createDataFrame([(1, "a")], "k long, part string"),
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        w2.drop_column("part")
