@@ -148,6 +148,76 @@ class DeltaSnapshot:
 
 #: delta-spark indexes stats for the first 32 leaf columns by default
 #: (spark.databricks.delta.properties.defaults.dataSkippingNumIndexedCols)
+_WIDEN_LADDER = ("byte", "short", "integer", "long")
+#: decimal digits needed to hold each integral type exactly
+_WIDEN_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _widening_ok(frm: str, to: str) -> bool:
+    """Is ``frm`` -> ``to`` a legal type WIDENING (schema-JSON type
+    strings)? The set delta-spark's stable typeWidening feature allows
+    AND Spark 4's parquet reader upcasts natively under a pinned schema
+    (each pair verified empirically): the integral ladder, float→
+    double, integral→double/decimal, decimal precision/scale growth
+    that never shrinks integer digits, date→timestamp_ntz."""
+    dm_f = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", frm)
+    dm_t = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", to)
+    if frm in _WIDEN_LADDER and to in _WIDEN_LADDER:
+        return _WIDEN_LADDER.index(frm) < _WIDEN_LADDER.index(to)
+    if frm == "float" and to == "double":
+        return True
+    if frm in ("byte", "short", "integer") and to == "double":
+        return True
+    if frm == "date" and to == "timestamp_ntz":
+        return True
+    if frm in _WIDEN_LADDER and dm_t:
+        p, s = int(dm_t.group(1)), int(dm_t.group(2))
+        return p - s >= _WIDEN_INT_DIGITS[frm]
+    if dm_f and dm_t:
+        p1, s1 = int(dm_f.group(1)), int(dm_f.group(2))
+        p2, s2 = int(dm_t.group(1)), int(dm_t.group(2))
+        return (p2, s2) != (p1, s1) and s2 >= s1 and p2 - s2 >= p1 - s1
+    return False
+
+
+def _iceberg_promotion_ok(frm: str, to: str) -> bool:
+    """Iceberg spec § Schema Evolution's legal primitive promotions,
+    over schema-JSON type strings."""
+    if (frm, to) in (("integer", "long"), ("float", "double")):
+        return True
+    dm_f = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", frm)
+    dm_t = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", to)
+    return bool(
+        dm_f
+        and dm_t
+        and dm_f.group(2) == dm_t.group(2)
+        and int(dm_t.group(1)) > int(dm_f.group(1))
+    )
+
+
+def _normalize_char_varchar(t):
+    """Schema-JSON type with CHAR(n)/VARCHAR(n) collapsed to string —
+    Spark's own table-schema convention (preserveCharVarcharTypeInfo is
+    false by default and delta-spark stores the padded types as string
+    with a metadata hint, never raw in schemaString)."""
+    if isinstance(t, str):
+        return (
+            "string" if re.match(r"^(var)?char\(\s*\d+\s*\)$", t) else t
+        )
+    if isinstance(t, dict):
+        out = dict(t)
+        for k in ("elementType", "keyType", "valueType"):
+            if k in out:
+                out[k] = _normalize_char_varchar(out[k])
+        if out.get("type") == "struct":
+            out["fields"] = [
+                {**f, "type": _normalize_char_varchar(f["type"])}
+                for f in out["fields"]
+            ]
+        return out
+    return t
+
+
 _STATS_MAX_COLS = 32
 
 
@@ -268,8 +338,13 @@ def _file_stats_json(path: str) -> str | None:
             if not st.has_min_max:
                 ok = False
                 continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+            try:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            except NotImplementedError:
+                # pyarrow cannot decode stats for some physical types
+                # (e.g. decimal) — omitting bounds is always safe
+                ok = False
         if nc_known:
             nulls[name] = nc
         if ok and lo is not None and safe(lo) is not None:
@@ -2307,29 +2382,60 @@ class DeltaTableWriter:
                         "requires parquet field ids so Iceberg readers "
                         "can resolve columns"
                     )
+                # the FULL syncability check (schema expressible as an
+                # Iceberg schema, partition value types serializable)
+                # runs here, pre-commit: a post-commit sync refusal
+                # would leave the views permanently diverged while a
+                # retrying caller duplicates rows (ADVICE r12)
+                from aws_glue_data_lake_spark.icebergcompat import (
+                    IcebergProtocolError,
+                    check_uniform_syncable,
+                )
+
+                try:
+                    check_uniform_syncable(
+                        snap.schema.fields, snap.partition_columns
+                    )
+                except IcebergProtocolError as e:
+                    raise DeltaProtocolError(
+                        f"{what}: icebergCompat is active but the "
+                        f"table cannot be synced to an Iceberg view "
+                        f"— refusing BEFORE the commit: {e}"
+                    ) from e
 
     @staticmethod
-    def _uniform_active(snap: DeltaSnapshot) -> bool:
-        """Should every commit regenerate the Iceberg metadata view?
-        Yes when an icebergCompat feature is present, enabled in the
-        configuration, AND delta.universalFormat.enabledFormats names
-        iceberg (Databricks stamps all three together on UniForm
-        tables)."""
+    def _iceberg_compat_enabled(snap: DeltaSnapshot) -> bool:
+        """icebergCompat ACTIVE: the feature is declared AND
+        delta.enableIcebergCompatV1/V2 is true. This is the predicate
+        every compat INVARIANT keys on (no DV writes, columnMapping,
+        syncable schema) — it holds even when
+        delta.universalFormat.enabledFormats does not name iceberg,
+        because the invariants protect OTHER engines' ability to
+        generate the Iceberg view, not just this writer's own sync."""
         feats = set(
             (snap.raw_protocol or {}).get("writerFeatures", ())
         )
         if not ({"icebergCompatV1", "icebergCompatV2"} & feats):
             return False
         conf = snap.configuration or {}
-        enabled = any(
+        return any(
             conf.get(f"delta.enableIcebergCompat{v}", "").lower()
             == "true"
             for v in ("V1", "V2")
         )
-        formats = conf.get(
+
+    @staticmethod
+    def _uniform_active(snap: DeltaSnapshot) -> bool:
+        """Should every commit regenerate the Iceberg metadata view?
+        Yes when icebergCompat is enabled AND
+        delta.universalFormat.enabledFormats names iceberg (Databricks
+        stamps all three together on UniForm tables)."""
+        if not DeltaTableWriter._iceberg_compat_enabled(snap):
+            return False
+        formats = (snap.configuration or {}).get(
             "delta.universalFormat.enabledFormats", ""
         ).lower()
-        return enabled and "iceberg" in formats
+        return "iceberg" in formats
 
     def _rt_preserve_ctx(
         self, snap: DeltaSnapshot, what: str
@@ -2817,6 +2923,7 @@ class DeltaTableWriter:
         new_field = json.loads(
             StructType.fromDDL(f"`{column}` {type_ddl}").json()
         )["fields"][0]
+        new_field["type"] = _normalize_char_varchar(new_field["type"])
         new_field["nullable"] = True
         conf = dict(meta.get("configuration", {}) or {})
         cm = conf.get("delta.columnMapping.mode", "none")
@@ -3029,6 +3136,89 @@ class DeltaTableWriter:
             v,
             [{"protocol": new_proto}, {"metaData": meta}],
             operation="ALTER COLUMN SET DEFAULT",
+            read_files=set(),
+            add_conflict=False,
+        )
+
+    def widen_column_type(self, column: str, type_ddl: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN <c> TYPE <t>`` — Delta TYPE
+        WIDENING (PROTOCOL.md § Type Widening): a metadata-only commit
+        that widens the field's declared type, appends the change to
+        the field's ``delta.typeChanges`` metadata, and declares the
+        ``typeWidening`` reader+writer feature in the same commit.
+        Rows in files committed before the change read upcast — this
+        engine's scan pins the (widened) table schema and Spark 4's
+        parquet reader converts narrower physical types natively
+        (verified per pair in :func:`_widening_ok`); no data file is
+        rewritten. Narrowing or unrelated conversions refuse loudly."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "ALTER COLUMN TYPE", adds_content=False
+        )
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        hit = [f for f in sch["fields"] if f["name"] == column]
+        if not hit:
+            raise ValueError(
+                f"ALTER COLUMN TYPE: no column {column!r} "
+                f"(have {[f['name'] for f in sch['fields']]})"
+            )
+        if column in (snap.partition_columns or ()):
+            raise DeltaProtocolError(
+                "ALTER COLUMN TYPE: cannot widen partition column "
+                f"{column!r} — partitionValues serialization is typed "
+                "by the column (delta-spark refuses the same way)"
+            )
+        new_t = _normalize_char_varchar(
+            json.loads(
+                StructType.fromDDL(f"`{column}` {type_ddl}").json()
+            )["fields"][0]["type"]
+        )
+        old_t = hit[0]["type"]
+        if not isinstance(new_t, str) or not isinstance(old_t, str):
+            raise DeltaProtocolError(
+                "ALTER COLUMN TYPE supports primitive columns only"
+            )
+        if not _widening_ok(old_t, new_t):
+            raise DeltaProtocolError(
+                f"ALTER COLUMN TYPE: {old_t!r} -> {new_t!r} is not a "
+                "widening the protocol (and Spark's scan-time upcast) "
+                "supports"
+            )
+        if self._uniform_active(snap) and not _iceberg_promotion_ok(
+            old_t, new_t
+        ):
+            raise DeltaProtocolError(
+                f"ALTER COLUMN TYPE: {old_t!r} -> {new_t!r} is not a "
+                "legal Iceberg type promotion (spec § Schema Evolution)"
+                " — on a UniForm table the synced Iceberg view must "
+                "stay readable, so only int→long, float→double and "
+                "same-scale decimal precision growth are allowed"
+            )
+        md = dict(hit[0].get("metadata") or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({"fromType": old_t, "toType": new_t})
+        md["delta.typeChanges"] = changes
+        hit[0]["metadata"] = md
+        hit[0]["type"] = new_t
+        meta["schemaString"] = json.dumps(sch)
+        rf, wf = self._feature_lists(
+            snap,
+            extra_reader={"typeWidening"},
+            extra_writer={"typeWidening"},
+        )
+        new_proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": rf,
+            "writerFeatures": wf,
+        }
+        v = snap.version + 1
+        return self._commit_read_dependent(
+            v,
+            [{"protocol": new_proto}, {"metaData": meta}],
+            operation="ALTER COLUMN TYPE",
             read_files=set(),
             add_conflict=False,
         )
@@ -3556,6 +3746,9 @@ class DeltaTableWriter:
         keys: Sequence[str],
         delete_keys: DataFrame | None = None,
         merge_schema: bool = False,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict | None = None,
     ) -> int:
         """MERGE — the reference's central operation (reference
         delta/delta_tables.py:159-160 ``.merge(src, cond)
@@ -3571,14 +3764,46 @@ class DeltaTableWriter:
         ``source`` to one row per key (operators/cdc.py does) — like
         SQL MERGE, duplicate source keys would insert duplicates.
 
+        ``not_matched_by_source`` adds delta-spark's THIRD clause —
+        ``WHEN NOT MATCHED BY SOURCE [AND <condition>] THEN DELETE``
+        (``"delete"``) or ``THEN UPDATE SET <assignments>``
+        (``"update"`` with ``not_matched_by_source_set`` mapping column
+        -> SQL expression) — applied to target rows whose key tuple
+        appears in NEITHER ``source`` NOR ``delete_keys``; the
+        condition/assignments reference target columns bare. This is
+        the standard SCD / full-sync idiom one notch up from the
+        reference's whenMatchedDelete (delta/delta_tables.py:159-160).
+
         Scale: only files whose ``add.stats`` key-range overlaps the
         batch's key-range are read and rewritten; everything else is
         carried untouched in the log (no remove/add action). The
         pruning set is computed from driver-side log stats —
         O(#files) metadata, zero data I/O — exactly delta-spark's
-        MERGE file-pruning move. Rewriting a touched file folds its
-        deletion vector away; the orphaned DV bin is vacuumable.
+        MERGE file-pruning move. A NOT MATCHED BY SOURCE clause widens
+        the read to one full scan (any file may hold an unmatched row —
+        delta-spark pays the same scan), but still rewrites ONLY files
+        holding an eligible row; conflict detection then uses
+        whole-table read semantics, also matching delta-spark.
+        Rewriting a touched file folds its deletion vector away; the
+        orphaned DV bin is vacuumable.
         """
+        if not_matched_by_source not in (None, "delete", "update"):
+            raise ValueError(
+                "not_matched_by_source must be None, 'delete' or "
+                f"'update', got {not_matched_by_source!r}"
+            )
+        if not_matched_by_source == "update" and not \
+                not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source='update' requires "
+                "not_matched_by_source_set ({column: SQL expression})"
+            )
+        if not_matched_by_source != "update" and \
+                not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source_set only applies with "
+                "not_matched_by_source='update'"
+            )
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "merge (MERGE)")
@@ -3610,9 +3835,10 @@ class DeltaTableWriter:
         if delete_keys is not None:
             kill = kill.unionByName(delete_keys.select(*keys))
         kill = kill.dropDuplicates(keys)
-        if source.isEmpty() and (
+        batch_empty = source.isEmpty() and (
             delete_keys is None or delete_keys.isEmpty()
-        ):
+        )
+        if batch_empty and not not_matched_by_source:
             return snap.version  # no-op
         # one tiny agg → the batch's key-range; files outside it can't
         # hold a matching row (min/max ignore NULL keys, and NULL keys
@@ -3632,7 +3858,82 @@ class DeltaTableWriter:
                 (snap.stats or {}).get(path), prune_keys, bounds, pv=pv
             )
 
-        affected = [p for p, pv, _dv in snap.files if overlaps(p, pv)]
+        # an empty batch has NULL bounds (which prune nothing): no file
+        # can be KEY-affected, only NMBS-eligible
+        affected = (
+            []
+            if batch_empty
+            else [p for p, pv, _dv in snap.files if overlaps(p, pv)]
+        )
+        nmbs_cond = (
+            F.expr(not_matched_by_source_condition)
+            if not_matched_by_source_condition
+            else F.lit(True)
+        )
+        if not_matched_by_source:
+            bad = [
+                c
+                for c in (not_matched_by_source_set or {})
+                if c not in {f.name for f in table_schema.fields}
+            ]
+            if bad:
+                raise ValueError(
+                    f"NOT MATCHED BY SOURCE UPDATE targets unknown "
+                    f"column(s) {bad}"
+                )
+            # one full scan finds the files holding a NOT-matched row
+            # that satisfies the clause condition (delta-spark pays the
+            # same scan); only THOSE files join the rewrite set — the
+            # rest still carry by reference
+            eligible = {
+                os.path.abspath(row["__fp"])
+                for row in r.to_df(spark, _expose_pos=True)
+                .join(kill, on=keys, how="left_anti")
+                .where(nmbs_cond)
+                .select(F.col("__dv_fp").alias("__fp"))
+                .distinct()
+                .collect()
+            }
+            have = {os.path.abspath(p) for p in affected}
+            affected = affected + [
+                p
+                for p, _pv, _dv in snap.files
+                if os.path.abspath(p) in eligible
+                and os.path.abspath(p) not in have
+            ]
+
+        def apply_nmbs(df: DataFrame) -> DataFrame:
+            """The third clause, applied to anti-joined (= unmatched)
+            target rows: delete drops rows satisfying the condition;
+            update rewrites the assigned columns on them (and marks
+            row-tracking's last-update version as this commit)."""
+            if not not_matched_by_source:
+                return df
+            hit = F.coalesce(nmbs_cond, F.lit(False))
+            if not_matched_by_source == "delete":
+                return df.where(~hit)
+            assigns = {
+                c: F.expr(e)
+                for c, e in not_matched_by_source_set.items()
+            }
+            cols = []
+            for name in df.columns:
+                if name in assigns:
+                    cols.append(
+                        F.when(hit, assigns[name])
+                        .otherwise(F.col(name))
+                        .alias(name)
+                    )
+                elif name == "__rt_sver":
+                    cols.append(
+                        F.when(hit, F.lit(None).cast("long"))
+                        .otherwise(F.col(name))
+                        .alias(name)
+                    )
+                else:
+                    cols.append(F.col(name))
+            return df.select(*cols)
+
         rtc = self._rt_preserve_ctx(snap, "merge (MERGE)")
         out = source
         live = None
@@ -3651,7 +3952,7 @@ class DeltaTableWriter:
         if affected:
             if rtc:
                 kept = self._rt_materialize(
-                    live.join(kill, on=keys, how="left_anti"),
+                    apply_nmbs(live.join(kill, on=keys, how="left_anti")),
                     rtc,
                     preserve_ver=True,
                 )
@@ -3675,7 +3976,9 @@ class DeltaTableWriter:
                 out = kept.unionByName(src, allowMissingColumns=True)
                 mat_cols = [c for c in rtc if c]
             else:
-                kept = live.join(kill, on=keys, how="left_anti")
+                kept = apply_nmbs(
+                    live.join(kill, on=keys, how="left_anti")
+                )
                 out = kept.unionByName(source, allowMissingColumns=True)
         out = out.select(
             *[f.name for f in table_schema.fields], *mat_cols
@@ -3726,6 +4029,41 @@ class DeltaTableWriter:
                         live.join(del_only, on=keys, how="left_semi")
                     ).withColumn("_change_type", F.lit("delete"))
                     changes = changes.unionByName(dels)
+                if not_matched_by_source:
+                    # the third clause's row-level truth: unmatched
+                    # rows satisfying the condition are deletes, or
+                    # update pre/postimage pairs under the assignments
+                    unm = live.join(
+                        kill, on=keys, how="left_anti"
+                    ).where(F.coalesce(nmbs_cond, F.lit(False)))
+                    if not_matched_by_source == "delete":
+                        changes = changes.unionByName(
+                            align(unm).withColumn(
+                                "_change_type", F.lit("delete")
+                            )
+                        )
+                    else:
+                        upd = unm.select(
+                            *[
+                                F.expr(
+                                    not_matched_by_source_set[c]
+                                ).alias(c)
+                                if c in not_matched_by_source_set
+                                else F.col(c)
+                                for c in unm.columns
+                            ]
+                        )
+                        changes = changes.unionByName(
+                            align(unm).withColumn(
+                                "_change_type",
+                                F.lit("update_preimage"),
+                            )
+                        ).unionByName(
+                            align(upd).withColumn(
+                                "_change_type",
+                                F.lit("update_postimage"),
+                            )
+                        )
             else:
                 changes = align(source).withColumn(
                     "_change_type", F.lit("insert")
@@ -3774,12 +4112,22 @@ class DeltaTableWriter:
             all_actions = self._identity_meta_action(
                 snap, ident_touched, adds, all_actions, "merge (MERGE)"
             )
+        # a NOT MATCHED BY SOURCE clause read the WHOLE table (any
+        # concurrent add could hold a row this merge should have
+        # treated as unmatched): whole-table read semantics, exactly
+        # delta-spark's conflict rule for three-clause merges
         return self._commit_read_dependent(
             v,
             all_actions,
             operation="MERGE",
-            read_files={os.path.abspath(p) for p in affected},
-            add_conflict=winner_add_conflicts,
+            read_files=(
+                None
+                if not_matched_by_source
+                else {os.path.abspath(p) for p in affected}
+            ),
+            add_conflict=(
+                True if not_matched_by_source else winner_add_conflicts
+            ),
         )
 
     def _delete_where_cow(
@@ -4554,11 +4902,13 @@ class DeltaTableWriter:
             snap, "delete_where (DELETE)", adds_content=False
         )
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        if self._uniform_active(snap):
+        if self._iceberg_compat_enabled(snap):
             # icebergCompatV2 disallows writing deletion vectors (no
-            # zero-copy representation in the UniForm Iceberg view):
-            # route the DELETE through the copy-on-write path —
-            # delta-spark's own behavior on DV-disabled tables
+            # zero-copy representation in the Iceberg view) — whenever
+            # the compat is ENABLED, not only when this writer also
+            # maintains the uniform sync: route the DELETE through the
+            # copy-on-write path, delta-spark's own behavior on
+            # DV-disabled tables
             return self._delete_where_cow(spark, snap, cond)
         # position scan WITHOUT DV subtraction: re-matching an
         # already-deleted row is idempotent under the union below

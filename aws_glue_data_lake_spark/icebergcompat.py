@@ -146,6 +146,51 @@ def _bucket_hash_bytes(value) -> bytes:
     )
 
 
+def _pv_manifest_repr(value):
+    """A Spark-facing Python value -> its manifest partition
+    representation (spec § Partitioning): date as days-since-epoch,
+    datetime as epoch-micros; everything else already matches."""
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        dt = (
+            value
+            if value.tzinfo is None
+            else value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        )
+        td = dt - datetime.datetime(1970, 1, 1)
+        return (
+            td.days * 86_400 + td.seconds
+        ) * 1_000_000 + td.microseconds
+    if isinstance(value, datetime.date):
+        return (value - datetime.date(1970, 1, 1)).days
+    return value
+
+
+def _pv_spark_value(spark_type: DataType, value):
+    """The reverse of :func:`_pv_manifest_repr`: a manifest partition
+    value -> the Python value Spark's createDataFrame accepts for the
+    column's type (date columns store days ints in manifests)."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(spark_type, DateType) and isinstance(value, int):
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=value)
+    if isinstance(
+        spark_type, (TimestampType, TimestampNTZType)
+    ) and isinstance(value, int):
+        base = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=value
+        )
+        if isinstance(spark_type, TimestampType):
+            return base.replace(tzinfo=datetime.timezone.utc)
+        return base
+    return value
+
+
 def _transform_value(transform: str, value):
     """Apply one spec partition transform to a SOURCE value, returning
     the partition value a conforming writer would have recorded (used
@@ -252,6 +297,8 @@ def _iceberg_type_to_spark(t) -> DataType:
 def _spark_type_to_iceberg(t: DataType) -> str:
     if isinstance(t, DecimalType):
         return f"decimal({t.precision}, {t.scale})"
+    if t.typeName() in ("char", "varchar"):
+        return "string"  # Iceberg has no padded char types
     try:
         return _SPARK_TO_ICEBERG[t.typeName()]
     except KeyError:
@@ -265,7 +312,17 @@ def _partition_avro_fields(cols: list[tuple[str, str]]) -> list[dict]:
     prim = {
         "boolean": "boolean", "int": "int", "long": "long",
         "float": "float", "double": "double", "string": "string",
-        "date": "int", "timestamp": "long", "timestamptz": "long",
+        # spec § Avro: date/timestamp partition values are int days /
+        # long micros, annotated so foreign readers decode them typed
+        "date": {"type": "int", "logicalType": "date"},
+        "timestamp": {
+            "type": "long", "logicalType": "local-timestamp-micros"
+        },
+        "timestamptz": {
+            "type": "long",
+            "logicalType": "timestamp-micros",
+            "adjust-to-utc": True,
+        },
     }
     out = []
     for i, (name, ice_t) in enumerate(cols):
@@ -348,10 +405,18 @@ def _decode_bound(ice_type: str, raw: bytes | None):
     if ice_type == "int":
         return _struct.unpack("<i", raw)[0]
     if ice_type == "long":
+        if len(raw) == 4:
+            # bound written BEFORE an int->long promotion (spec
+            # § Schema Evolution): old manifests keep the narrow
+            # serialization; the promoted reader widens it
+            return _struct.unpack("<i", raw)[0]
         return _struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return _struct.unpack("<f", raw)[0]
     if ice_type == "double":
+        if len(raw) == 4:
+            # pre-promotion float bound, same rule as int->long
+            return _struct.unpack("<f", raw)[0]
         return _struct.unpack("<d", raw)[0]
     if ice_type == "date":
         return datetime.date(1970, 1, 1) + datetime.timedelta(
@@ -1314,7 +1379,14 @@ class IcebergTableReader:
                         f"source (spec: {snap.spec_fields})"
                     )
                 for name, transform in matched:
-                    tests.append((name, _transform_value(transform, v)))
+                    tests.append(
+                        (
+                            name,
+                            _pv_manifest_repr(
+                                _transform_value(transform, v)
+                            ),
+                        )
+                    )
             files = [
                 (p, pv)
                 for p, pv in files
@@ -1514,7 +1586,10 @@ class IcebergTableReader:
                                     tuple(
                                         [p]
                                         + [
-                                            pv.get(ident_src[n])
+                                            _pv_spark_value(
+                                                snap.schema[n].dataType,
+                                                pv.get(ident_src[n]),
+                                            )
                                             for n in missing_ident
                                         ]
                                     )
@@ -1632,7 +1707,10 @@ class IcebergTableReader:
                                     tuple(
                                         [p]
                                         + [
-                                            pv.get(ident_src[n])
+                                            _pv_spark_value(
+                                                snap.schema[n].dataType,
+                                                pv.get(ident_src[n]),
+                                            )
                                             for n in missing
                                         ]
                                     )
@@ -2304,8 +2382,15 @@ class IcebergTableWriter:
 
     @staticmethod
     def _parse_part_value(raw: str, ice_t: str):
+        """Raw partition STRING (Hive dir segment / Delta
+        partitionValues, both use the same serialization:
+        PROTOCOL.md § Partition Value Serialization) -> the MANIFEST
+        representation of that value (spec § Partitioning): date as
+        days-since-epoch int, timestamp/timestamptz as epoch-micros
+        long, primitives as themselves."""
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return None
+        import datetime
         import urllib.parse
 
         raw = urllib.parse.unquote(raw)
@@ -2317,6 +2402,20 @@ class IcebergTableWriter:
             return raw == "true"
         if ice_t == "string":
             return raw
+        if ice_t == "date":
+            d = datetime.date.fromisoformat(raw)
+            return (d - datetime.date(1970, 1, 1)).days
+        if ice_t in ("timestamp", "timestamptz"):
+            # 'yyyy-MM-dd HH:mm:ss[.ffffff]' (Delta/Hive) or ISO 'T'
+            dt = datetime.datetime.fromisoformat(raw.replace(" ", "T"))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            td = dt - datetime.datetime(1970, 1, 1)
+            return (
+                td.days * 86_400 + td.seconds
+            ) * 1_000_000 + td.microseconds
         raise IcebergProtocolError(
             f"unsupported partition column type {ice_t!r} for export"
         )
@@ -2589,8 +2688,10 @@ class IcebergTableWriter:
             "location": self.path,
             "last-sequence-number": sequence_number,
             "last-updated-ms": 0,
+            # monotonic even through DROP COLUMN (ids are never reused)
             "last-column-id": max(
-                f["id"] for f in schema_json["fields"]
+                [max(f["id"] for f in schema_json["fields"])]
+                + [int((prev or {}).get("last-column-id", 0))]
             ),
             "current-schema-id": schema_json.get("schema-id", 0),
             "schemas": (
@@ -2969,6 +3070,67 @@ class IcebergTableWriter:
         self._schema_only_commit(
             prev, new_schema, int(prev.get("last-column-id", 0)),
             properties=props,
+        )
+
+    def widen_column_type(self, column: str, type_ddl: str) -> None:
+        """``ALTER TABLE … ALTER COLUMN <c> TYPE <t>`` — Iceberg TYPE
+        PROMOTION (spec § Schema Evolution): a new schema-id where the
+        field keeps its id under the widened type. Legal promotions
+        only — int→long, float→double, decimal precision growth at the
+        same scale; files written under the narrower type read upcast
+        (the scan pins the current schema and Spark's parquet reader
+        converts natively — verified per pair in
+        deltacompat._widening_ok). Schema-only commit, no snapshot."""
+        from aws_glue_data_lake_spark.deltacompat import (
+            _iceberg_promotion_ok,
+        )
+
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        cur = next(
+            sc for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        hit = [f for f in cur["fields"] if f["name"] == column]
+        if not hit:
+            raise ValueError(
+                f"ALTER COLUMN TYPE: no column {column!r} "
+                f"(have {[f['name'] for f in cur['fields']]})"
+            )
+        spark_t = StructType.fromDDL(
+            f"`{column}` {type_ddl}"
+        ).fields[0].dataType
+        new_ice = _spark_type_to_iceberg(spark_t)
+        old_ice = hit[0]["type"]
+        if not isinstance(old_ice, str):
+            raise IcebergProtocolError(
+                "ALTER COLUMN TYPE supports primitive columns only"
+            )
+        # map the iceberg names onto the shared promotion rule's
+        # schema-JSON vocabulary (int/integer, decimal spellings align)
+        frm = {"int": "integer"}.get(old_ice, old_ice).replace(" ", "")
+        to = {"int": "integer"}.get(new_ice, new_ice).replace(" ", "")
+        if not _iceberg_promotion_ok(frm, to):
+            raise IcebergProtocolError(
+                f"ALTER COLUMN TYPE: {old_ice!r} -> {new_ice!r} is not "
+                "a legal Iceberg type promotion (spec § Schema "
+                "Evolution: int→long, float→double, decimal precision "
+                "growth at the same scale)"
+            )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                sc["schema-id"] for sc in prev["schemas"]
+            ) + 1,
+            "fields": [
+                {**f, "type": new_ice} if f["name"] == column
+                else dict(f)
+                for f in cur["fields"]
+            ],
+        }
+        self._schema_only_commit(
+            prev, new_schema, int(prev.get("last-column-id", 0))
         )
 
     def drop_column(self, column: str) -> None:
@@ -4066,6 +4228,9 @@ class IcebergTableWriter:
         delete_keys: DataFrame | None = None,
         merge_schema: bool = False,
         branch: str | None = None,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict | None = None,
     ) -> int:
         """MERGE — the reference's Iceberg write (reference
         icberg/iceberg_tables.py:143-146 ``MERGE INTO ... WHEN MATCHED
@@ -4078,11 +4243,32 @@ class IcebergTableWriter:
         every EARLIER data file's matching rows while this snapshot's
         own inserts survive. This is the Flink-sink upsert shape.
 
+        ``not_matched_by_source`` ("delete" / "update" with
+        ``not_matched_by_source_set``, optional bare-column
+        ``not_matched_by_source_condition``) adds the three-clause
+        MERGE's third leg, still merge-on-read: eligible unmatched
+        target rows' key tuples join the equality delete (and, for
+        update, their transformed rows join the inserted data files) —
+        one table SCAN to find them, but zero file rewrites. Because
+        the clause read the whole table, a lost commit race refuses to
+        rebase instead of silently missing concurrent rows.
+
         Scale: write cost is O(batch) — no table scan, no file
         rewrite; the read-side cost is one broadcast anti-join per
         equality-column set, reclaimed by :meth:`compact`. Callers
         dedupe ``source`` to one row per key (operators/cdc.py does).
         """
+        if not_matched_by_source not in (None, "delete", "update"):
+            raise ValueError(
+                "not_matched_by_source must be None, 'delete' or "
+                f"'update', got {not_matched_by_source!r}"
+            )
+        if not_matched_by_source == "update" and not \
+                not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source='update' requires "
+                "not_matched_by_source_set ({column: SQL expression})"
+            )
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
@@ -4096,6 +4282,44 @@ class IcebergTableWriter:
         kill = source.select(*keys)
         if delete_keys is not None:
             kill = kill.unionByName(delete_keys.select(*keys))
+        if not_matched_by_source:
+            from pyspark.sql import functions as F
+
+            spark = source.sparkSession
+            cond = (
+                F.expr(not_matched_by_source_condition)
+                if not_matched_by_source_condition
+                else F.lit(True)
+            )
+            unmatched = (
+                IcebergTableReader(self.path)
+                .to_df(spark)
+                .join(kill.dropDuplicates(keys), on=keys, how="left_anti")
+                .where(F.coalesce(cond, F.lit(False)))
+            )
+            kill = kill.unionByName(unmatched.select(*keys))
+            if not_matched_by_source == "update":
+                bad = [
+                    c
+                    for c in not_matched_by_source_set
+                    if c not in unmatched.columns
+                ]
+                if bad:
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE UPDATE targets unknown "
+                        f"column(s) {bad}"
+                    )
+                upd = unmatched.select(
+                    *[
+                        F.expr(not_matched_by_source_set[c]).alias(c)
+                        if c in not_matched_by_source_set
+                        else F.col(c)
+                        for c in unmatched.columns
+                    ]
+                )
+                source = source.unionByName(
+                    upd, allowMissingColumns=True
+                )
         if kill.isEmpty():
             return prev["current-snapshot-id"]  # no-op
         spec_fields = prev["partition-specs"][0]["fields"]
@@ -4160,7 +4384,17 @@ class IcebergTableWriter:
             return sid
 
         return self._retry_read_dependent(
-            prev, "merge (MERGE)", attempt, lambda b, n: None
+            prev,
+            "merge (MERGE)",
+            attempt,
+            (
+                (
+                    lambda b, n: "NOT MATCHED BY SOURCE read the whole "
+                    "table; a concurrent commit invalidates that read"
+                )
+                if not_matched_by_source
+                else (lambda b, n: None)
+            ),
         )
 
     def equality_delete(
@@ -4617,6 +4851,74 @@ _UNIFORM_BOUND_TYPES = {"int", "long", "float", "double", "string",
                        "boolean"}
 
 
+def uniform_schema_of(fields) -> dict:
+    """The Iceberg schema JSON the UniForm sync derives from a Delta
+    snapshot's schema fields, or :class:`IcebergProtocolError` when the
+    schema cannot be expressed (missing columnMapping ids, nested
+    types). Shared between :func:`sync_uniform` and the Delta write
+    gate so unsyncable schemas refuse BEFORE the Delta commit, never
+    after it is durable."""
+    fid_of = {}
+    for f in fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise IcebergProtocolError(
+                f"uniform sync: column {f.name!r} carries no "
+                "delta.columnMapping.id — icebergCompatV2 requires "
+                "columnMapping so parquet field ids resolve against "
+                "the Iceberg schema"
+            )
+        fid_of[f.name] = int(fid)
+    schema_json = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": fid_of[f.name],
+                "name": f.name,  # LOGICAL name; ids do the resolution
+                "required": False,
+                "type": _spark_type_to_iceberg(f.dataType),
+            }
+            for f in fields
+        ],
+    }
+    for fj in schema_json["fields"]:
+        if not isinstance(fj["type"], str):
+            raise IcebergProtocolError(
+                f"uniform sync: column {fj['name']!r} is nested; "
+                "nested Iceberg types need per-element field ids this "
+                "sync does not assign yet"
+            )
+    return schema_json
+
+
+def check_uniform_syncable(fields, partition_columns) -> None:
+    """Raise :class:`IcebergProtocolError` when a Delta table with this
+    schema / partitioning could not be synced to an Iceberg view —
+    called by the Delta write gate BEFORE any commit on an
+    icebergCompat table, so sync_uniform can only fail on I/O after a
+    durable commit, never on protocol grounds (ADVICE r12: a
+    post-commit refusal leaves the views permanently diverged and a
+    retrying caller duplicates rows)."""
+    schema_json = uniform_schema_of(fields)
+    ice_t = {fj["name"]: fj["type"] for fj in schema_json["fields"]}
+    # both the avro partition struct and the partition-value parser
+    # must speak every partition column's type
+    _partition_avro_fields(
+        [(c, ice_t[c]) for c in partition_columns]
+    )
+    unparseable = {
+        "binary", "uuid",
+    } | {t for t in ice_t.values() if t.startswith("decimal")}
+    for c in partition_columns:
+        if ice_t[c] in unparseable:
+            raise IcebergProtocolError(
+                f"uniform sync: partition column {c!r} has type "
+                f"{ice_t[c]!r}, which has no partition-value "
+                "serialization this sync speaks"
+            )
+
+
 def sync_uniform(delta_path: str) -> None:
     """Regenerate the UniForm Iceberg view of a Delta table (writer
     feature ``icebergCompatV2`` with
@@ -4653,37 +4955,7 @@ def sync_uniform(delta_path: str) -> None:
 
     snap = _DTR(delta_path).snapshot()
     fields = snap.schema.fields
-    fid_of = {}
-    for f in fields:
-        fid = (f.metadata or {}).get("delta.columnMapping.id")
-        if fid is None:
-            raise IcebergProtocolError(
-                f"uniform sync: column {f.name!r} carries no "
-                "delta.columnMapping.id — icebergCompatV2 requires "
-                "columnMapping so parquet field ids resolve against "
-                "the Iceberg schema"
-            )
-        fid_of[f.name] = int(fid)
-    schema_json = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
-            {
-                "id": fid_of[f.name],
-                "name": f.name,  # LOGICAL name; ids do the resolution
-                "required": False,
-                "type": _spark_type_to_iceberg(f.dataType),
-            }
-            for f in fields
-        ],
-    }
-    for fj in schema_json["fields"]:
-        if not isinstance(fj["type"], str):
-            raise IcebergProtocolError(
-                f"uniform sync: column {fj['name']!r} is nested; "
-                "nested Iceberg types need per-element field ids this "
-                "sync does not assign yet"
-            )
+    schema_json = uniform_schema_of(fields)
     if any(dv for _, _, dv in snap.files):
         raise IcebergProtocolError(
             "uniform sync: live deletion vectors cannot be expressed "
@@ -4702,6 +4974,32 @@ def sync_uniform(delta_path: str) -> None:
     os.makedirs(w._meta_dir, exist_ok=True)
     sid, seq = w._next_ids(prev)
 
+    # Iceberg schemas are APPEND-ONLY (spec § Table Metadata): prior
+    # snapshots record their schema-id, so a post-DDL sync must mint a
+    # NEW id for the evolved schema and carry every prior entry
+    # verbatim — rewriting id 0 in place would silently re-type time
+    # travel to older UniForm snapshots (ADVICE r12).
+    if prev is not None:
+        prior = prev.get("schemas") or []
+        cur_id = prev.get("current-schema-id", 0)
+        cur = next(
+            (sc for sc in prior if sc["schema-id"] == cur_id), None
+        )
+
+        def _shape(sc):
+            return [
+                {k: f[k] for k in ("id", "name", "required", "type")}
+                for f in sc["fields"]
+            ]
+
+        if cur is not None and _shape(cur) == _shape(schema_json):
+            schema_json = {**schema_json, "schema-id": cur_id}
+        elif prior:
+            schema_json = {
+                **schema_json,
+                "schema-id": max(sc["schema-id"] for sc in prior) + 1,
+            }
+
     # incremental fast path: if every Delta commit since the stamped
     # last-synced version only ADDED files, prior manifests carry
     # verbatim and only the delta of files needs an entry
@@ -4717,6 +5015,7 @@ def sync_uniform(delta_path: str) -> None:
             last = -1
     cur_live = {p for p, _, _ in snap.files}
     to_list: set | None = None  # None => full-state
+    removed: set = set()  # files live at last sync, gone now
     if prev is not None and 0 <= last <= snap.version:
         if last == snap.version:
             return  # already synced (idempotent re-entry)
@@ -4727,8 +5026,12 @@ def sync_uniform(delta_path: str) -> None:
             }
         except (FileNotFoundError, ValueError, DeltaProtocolError):
             prev_live = None  # log tail gone (vacuumed): full sync
-        if prev_live is not None and prev_live <= cur_live:
+        if prev_live is not None:
+            # both windows list only the ADDED delta of files; a
+            # remove-bearing window additionally rewrites the manifests
+            # holding removed files (below) — never the full state
             to_list = cur_live - prev_live
+            removed = prev_live - cur_live
     import pyarrow.parquet as _pq
 
     pcols = [
@@ -4785,10 +5088,60 @@ def sync_uniform(delta_path: str) -> None:
             )
         )
     manifests = []
-    if to_list is not None:
+    if to_list is not None and not removed:
         # pure-append window: every prior manifest carries verbatim
         manifests.extend(w._manifest_list_of(prev))
         op = "append"
+    elif to_list is not None:
+        # remove-bearing window (MERGE / DELETE / OPTIMIZE since the
+        # last sync): MANIFEST-LEVEL DIFF — prior manifests whose files
+        # are all untouched carry VERBATIM (no read of their bytes
+        # beyond membership, no rewrite); only manifests holding a
+        # removed file are rewritten with their survivors as EXISTING
+        # entries under their ORIGINAL snapshot/sequence ids. Sync cost
+        # is O(affected manifests + added files) driver metadata, not
+        # O(live files) — the r12 verdict's named scale cliff.
+        removed_abs = {os.path.abspath(p) for p in removed}
+        for mf in w._manifest_list_of(prev):
+            _, ents, _ = read_container(mf["manifest_path"])
+            live_ents = [
+                e for e in ents if e["status"] != _STATUS_DELETED
+            ]
+            if not any(
+                os.path.abspath(e["data_file"]["file_path"])
+                in removed_abs
+                for e in live_ents
+            ):
+                manifests.append(mf)  # untouched: carried verbatim
+                continue
+            keep = [
+                {
+                    **e,
+                    "status": _STATUS_EXISTING,
+                    # materialize inherited seqs so the rewritten
+                    # manifest preserves delete-applicability ordering
+                    "sequence_number": (
+                        e["sequence_number"]
+                        if e.get("sequence_number") is not None
+                        else mf["sequence_number"]
+                    ),
+                    "file_sequence_number": (
+                        e["file_sequence_number"]
+                        if e.get("file_sequence_number") is not None
+                        else mf["sequence_number"]
+                    ),
+                }
+                for e in live_ents
+                if os.path.abspath(e["data_file"]["file_path"])
+                not in removed_abs
+            ]
+            if keep:
+                manifests.append(
+                    w._write_manifest(
+                        keep, pcols, sid, seq, schema_json
+                    )
+                )
+        op = "overwrite"
     else:
         op = "replace"
     if entries:

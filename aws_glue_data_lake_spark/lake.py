@@ -609,6 +609,9 @@ class LakeTable:
         keys: Sequence[str],
         delete_keys: DataFrame | None = None,
         merge_schema: bool = False,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict | None = None,
     ) -> Snapshot:
         """Row-level MERGE, copy-on-write at file granularity.
 
@@ -645,6 +648,8 @@ class LakeTable:
             self._check_schema(upserts, prev)
             evolved = prev
         self._check_constraints(upserts, prev)
+        from pyspark.sql import functions as F
+
         spark = upserts.sparkSession
         kill = upserts.select(*keys)
         if delete_keys is not None:
@@ -652,13 +657,91 @@ class LakeTable:
         kill = kill.dropDuplicates(list(keys))
 
         affected, untouched = self._split_by_key_range(prev, kill, keys)
+        if not_matched_by_source not in (None, "delete", "update"):
+            raise ValueError(
+                "not_matched_by_source must be None, 'delete' or "
+                f"'update', got {not_matched_by_source!r}"
+            )
+        if not_matched_by_source == "update" and not \
+                not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source='update' requires "
+                "not_matched_by_source_set ({column: SQL expression})"
+            )
+        nmbs_cond = (
+            F.expr(not_matched_by_source_condition)
+            if not_matched_by_source_condition
+            else F.lit(True)
+        )
+        if not_matched_by_source and untouched:
+            # the third clause can touch ANY file: one probe scan over
+            # the carried set finds files holding an eligible unmatched
+            # row — only those move into the rewrite set (delta-spark
+            # pays the same full scan for its three-clause merge)
+            probe = self._read_files(
+                spark,
+                [f["path"] for f in untouched],
+                evolved,
+                with_name=True,
+            )
+            elig = {
+                row["__fp"]
+                for row in probe.join(kill, on=list(keys), how="left_anti")
+                .where(F.coalesce(nmbs_cond, F.lit(False)))
+                .select("__fp")
+                .distinct()
+                .collect()
+            }
+            moved = [
+                f
+                for f in untouched
+                if os.path.basename(f["path"]) in elig
+            ]
+            if moved:
+                affected = affected + moved
+                keep = {id(f) for f in moved}
+                untouched = [
+                    f for f in untouched if id(f) not in keep
+                ]
+
+        def apply_nmbs(df: DataFrame) -> DataFrame:
+            if not not_matched_by_source:
+                return df
+            hit = F.coalesce(nmbs_cond, F.lit(False))
+            if not_matched_by_source == "delete":
+                return df.where(~hit)
+            bad = [
+                c
+                for c in not_matched_by_source_set
+                if c not in df.columns
+            ]
+            if bad:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE targets unknown "
+                    f"column(s) {bad}"
+                )
+            return df.select(
+                *[
+                    F.when(
+                        hit, F.expr(not_matched_by_source_set[c])
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in not_matched_by_source_set
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
         stat_cols = sorted({*keys, *self._stat_cols(prev)})
         new_files: list[dict] = []
         if affected:
             # read affected files under the (possibly evolved) schema so
             # kept rows union cleanly with the widened batch
             live = self._read_files(spark, [f["path"] for f in affected], evolved)
-            kept = live.join(kill, on=list(keys), how="left_anti")
+            kept = apply_nmbs(
+                live.join(kill, on=list(keys), how="left_anti")
+            )
             merged = kept.unionByName(upserts, allowMissingColumns=False)
             new_files = self._write_files(merged, stat_cols, prev.partition_by)
         else:
@@ -743,7 +826,11 @@ class LakeTable:
         )
 
     def _read_files(
-        self, spark: SparkSession, rels: list[str], snap: Snapshot
+        self,
+        spark: SparkSession,
+        rels: list[str],
+        snap: Snapshot,
+        with_name: bool = False,
     ) -> DataFrame:
         """Plan a scan over an explicit file subset WITH the manifest
         schema declared on the reader. Declaring the schema (rather than
@@ -777,6 +864,14 @@ class LakeTable:
                 F.col("_metadata.row_index").alias("__dv_ri"),
             )
 
+        def with_name_col(d: DataFrame) -> DataFrame:
+            # per-row source file BASENAME (uuid-unique in this layout) —
+            # attached on the direct scan for callers that need per-file
+            # row attribution (e.g. the NOT MATCHED BY SOURCE probe)
+            return d.select(
+                "*", F.col("_metadata.file_name").alias("__fp")
+            )
+
         if snap.partition_by and any(os.path.isabs(r) for r in rels):
             # MIXED-ROOT partitioned scan (a shallow clone of a partitioned
             # table holds foreign absolute paths; after clone-local writes
@@ -801,6 +896,8 @@ class LakeTable:
                 g = spark.read.schema(data_st).parquet(*gpaths)
                 if dv_rels:
                     g = with_meta(g)
+                if with_name:
+                    g = with_name_col(g)
                 for f, v in zip(part_fields, key):
                     # The Hive path writer records a null partition value as
                     # the __HIVE_DEFAULT_PARTITION__ sentinel; Spark's own
@@ -815,6 +912,8 @@ class LakeTable:
                 out_cols = [f.name for f in st.fields]
                 if dv_rels:
                     out_cols += ["__dv_fn", "__dv_ri"]
+                if with_name:
+                    out_cols += ["__fp"]
                 parts_dfs.append(g.select(*out_cols))
             df = parts_dfs[0]
             for g in parts_dfs[1:]:
@@ -826,6 +925,8 @@ class LakeTable:
             df = reader.parquet(*paths)
             if dv_rels:
                 df = with_meta(df)
+            if with_name:
+                df = with_name_col(df)
         # Merge-on-read DELETION VECTORS: every read path (time travel,
         # upsert/merge rewrites, compaction) flows through here, so
         # applying DVs at this chokepoint keeps all of them consistent.
@@ -847,7 +948,10 @@ class LakeTable:
                 & (F.col("__dv_ri") == F.col("row_index")),
                 "anti",
             )
-        return df.select(*[F.col(f.name) for f in st.fields])
+        return df.select(
+            *[F.col(f.name) for f in st.fields],
+            *(["__fp"] if with_name else []),
+        )
 
     def read(
         self,

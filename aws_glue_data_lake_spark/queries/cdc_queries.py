@@ -3828,3 +3828,109 @@ def lake_sql_schema_evolution_state(
         F.col("label"),
         F.col("score").cast("bigint").alias("score"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# THREE-CLAUSE MERGE (round 13; delta-spark's WHEN NOT MATCHED BY SOURCE
+# — the standard SCD/full-sync generalization of the reference's
+# whenMatchedDelete, delta/delta_tables.py:159-160) on a REAL Delta
+# table. Two merges drive all three clauses end-to-end:
+#   1. matched customers (c_custkey % 7 = 0) replace; fresh keys insert;
+#      NOT MATCHED BY SOURCE AND mktsegment = 'BUILDING' THEN UPDATE
+#      marks unmatched BUILDING rows inactive;
+#   2. the SAME batch again, now with NOT MATCHED BY SOURCE AND NOT
+#      active THEN DELETE — removing exactly the rows step 1 marked.
+# Scale shape: the clause pays ONE scan to find eligible files but only
+# rewrites files holding an eligible row; conflict detection widens to
+# whole-table read semantics (delta-spark's own rule).
+# --------------------------------------------------------------------------
+@_q(
+    "lake_merge_three_clause_state",
+    oracle="""
+WITH t0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+),
+mx AS (SELECT MAX(k) AS mk FROM t0),
+src AS (
+  SELECT k, segment, bal + 10.0 AS bal FROM t0 WHERE k % 7 = 0
+  UNION ALL
+  SELECT t0.k + mx.mk + 1 AS k, 'FRESH' AS segment, 1.0 AS bal
+  FROM t0, mx WHERE t0.k % 500 = 0
+),
+m1 AS (
+  SELECT k, segment, bal, TRUE AS active FROM src
+  UNION ALL
+  SELECT k, segment, bal,
+         (segment <> 'BUILDING') AS active
+  FROM t0 WHERE k NOT IN (SELECT k FROM src)
+),
+m2 AS (
+  SELECT k, segment, bal, active FROM m1
+  WHERE k IN (SELECT k FROM src) OR active
+)
+SELECT segment, active,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM m2
+GROUP BY segment, active
+ORDER BY segment, active
+""",
+)
+def lake_merge_three_clause_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = session_tmpdir("merge3_") + "/t"
+    w = DeltaTableWriter(path)
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    w.create(c.withColumn("active", F.lit(True)))
+    mk = c.agg(F.max("k")).collect()[0][0]
+    src = (
+        c.where(F.col("k") % 7 == 0)
+        .select("k", "segment", (F.col("bal") + 10.0).alias("bal"))
+        .unionByName(
+            c.where(F.col("k") % 500 == 0).select(
+                (F.col("k") + F.lit(mk + 1)).alias("k"),
+                F.lit("FRESH").alias("segment"),
+                F.lit(1.0).alias("bal"),
+            )
+        )
+        .withColumn("active", F.lit(True))
+    )
+    w.merge(
+        spark, src, keys=["k"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="segment = 'BUILDING'",
+        not_matched_by_source_set={"active": "false"},
+    )
+    w.merge(
+        spark, src, keys=["k"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="NOT active",
+    )
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .groupBy("segment", "active")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("bal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("segment", "active")
+    )

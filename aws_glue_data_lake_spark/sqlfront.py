@@ -227,6 +227,53 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
             src = src.withColumnRenamed(scol, tcol)
     keys = [tcol for tcol, _ in pairs]
     clauses = re.sub(r"\s+", " ", m.group("clauses")).strip()
+    # optional THIRD clause (delta-spark's three-clause merge): WHEN
+    # NOT MATCHED BY SOURCE [AND <target pred>] THEN DELETE | UPDATE
+    # SET a = expr, ... — peeled off the tail before the two-clause
+    # shapes match below
+    nmbs_kwargs: dict = {}
+    nm = re.match(
+        r"^(?P<head>.+?)\s+WHEN NOT MATCHED BY SOURCE"
+        r"(?: AND (?P<pred>.+?))? THEN "
+        r"(?P<act>DELETE|UPDATE SET (?P<sets>.+))$",
+        clauses,
+        re.IGNORECASE,
+    )
+    if nm:
+        clauses = nm.group("head").strip()
+        pred = nm.group("pred")
+        if pred is not None:
+            if re.search(
+                rf"\b{re.escape(m.group('salias'))}\.", pred,
+                re.IGNORECASE,
+            ):
+                raise ValueError(
+                    f"NOT MATCHED BY SOURCE predicate {pred!r} "
+                    "references the source alias; by definition these "
+                    "rows have no source match — use target columns"
+                )
+            nmbs_kwargs["not_matched_by_source_condition"] = re.sub(
+                rf"\b{re.escape(m.group('talias'))}\.", "", pred,
+                flags=re.IGNORECASE,
+            )
+        if nm.group("act").upper() == "DELETE":
+            nmbs_kwargs["not_matched_by_source"] = "delete"
+        else:
+            assigns: dict[str, str] = {}
+            for part in _split_top_level(nm.group("sets")):
+                am = re.match(
+                    r"^\s*(?:\w+\.)?([\w`]+)\s*=\s*(.+?)\s*$", part
+                )
+                if not am:
+                    raise ValueError(
+                        f"cannot parse NMBS assignment {part!r}"
+                    )
+                assigns[am.group(1).strip("`")] = re.sub(
+                    rf"\b{re.escape(m.group('talias'))}\.", "",
+                    am.group(2), flags=re.IGNORECASE,
+                )
+            nmbs_kwargs["not_matched_by_source"] = "update"
+            nmbs_kwargs["not_matched_by_source_set"] = assigns
     cdc = re.match(
         r"^WHEN MATCHED AND (?P<pred>.+?) THEN DELETE\s+"
         r"WHEN MATCHED THEN UPDATE SET \*\s+"
@@ -240,14 +287,17 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
         # target rows matching the batch's keys are deleted; the caller
         # appends the deduped batch afterwards
         empty = src.limit(0)
-        target.upsert(empty, keys=keys, delete_keys=src.select(*keys))
+        target.upsert(
+            empty, keys=keys, delete_keys=src.select(*keys),
+            **nmbs_kwargs,
+        )
     elif up == (
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     ):
         tcols = target.read(spark).columns
         if all(c in src.columns for c in tcols):
             src = src.select(*tcols)  # drop source-only routing columns
-        target.upsert(src, keys=keys)
+        target.upsert(src, keys=keys, **nmbs_kwargs)
     elif cdc:
         # the full CDC shape delta-spark users write: a source-side
         # predicate (e.g. s.Op = 'D') routes rows to DELETE, the rest
@@ -282,15 +332,18 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
                 "required by UPDATE SET * / INSERT *"
             )
         target.upsert(
-            keep.select(*tcols), keys=keys, delete_keys=dels.select(*keys)
+            keep.select(*tcols), keys=keys,
+            delete_keys=dels.select(*keys), **nmbs_kwargs,
         )
     else:
         raise ValueError(
             f"unsupported MERGE clause shape {clauses!r}: supported are "
             "'WHEN MATCHED THEN DELETE', 'WHEN MATCHED THEN UPDATE "
-            "SET * WHEN NOT MATCHED THEN INSERT *', and the CDC shape "
+            "SET * WHEN NOT MATCHED THEN INSERT *', the CDC shape "
             "'WHEN MATCHED AND <src pred> THEN DELETE WHEN MATCHED THEN "
-            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *'"
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *', each "
+            "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
+            "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
         )
 
 
@@ -443,6 +496,37 @@ def _run_create_using(
     bind_table(spark, name, path, fmt)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas OUTSIDE parentheses (assignment lists whose
+    expressions may hold function calls)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parens_balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 def _run_alter(
     spark: SparkSession, m: re.Match, tables: dict | None
 ) -> None:
@@ -466,6 +550,12 @@ def _run_alter(
         t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
         return
     am = re.match(
+        r"^ALTER COLUMN ([\w`]+) TYPE (.+)$", action, re.IGNORECASE
+    )
+    if am:
+        t.widen_column_type(am.group(1).strip("`"), am.group(2).strip())
+        return
+    am = re.match(
         r"^RENAME COLUMN ([\w`]+) TO ([\w`]+)$", action, re.IGNORECASE
     )
     if am:
@@ -477,11 +567,26 @@ def _run_alter(
     if am:
         t.drop_column(am.group(1).strip("`"))
         return
-    am = re.match(
-        r"^ADD COLUMNS? \(?\s*([\w`]+)\s+([^)]+?)\s*\)?$", action,
-        re.IGNORECASE,
-    )
+    am = re.match(r"^ADD COLUMNS?\s+(.+)$", action, re.IGNORECASE)
     if am:
+        # parameterized types carry their own parens — DECIMAL(10,2),
+        # VARCHAR(32) — so the body is captured greedily and ONE outer
+        # balanced pair (the 'ADD COLUMNS (…)' wrapper) is stripped
+        # explicitly, never by excluding ')' from the type capture
+        body = am.group(1).strip()
+        if (
+            body.startswith("(")
+            and body.endswith(")")
+            and _parens_balanced(body[1:-1])
+        ):
+            body = body[1:-1].strip()
+        cm_ = re.match(r"^([\w`.]+)\s+(.+)$", body)
+        if not cm_:
+            raise ValueError(
+                f"unsupported ADD COLUMN body {body!r}: expected "
+                "'<col> <type> [DEFAULT <expr>]'"
+            )
+        am = cm_
         type_ddl = am.group(2).strip()
         dm = re.match(
             r"^(.*?)\s+DEFAULT\s+(.+)$", type_ddl, re.IGNORECASE
@@ -511,6 +616,7 @@ def _run_alter(
         f"unsupported ALTER TABLE action {action!r}: supported are "
         "ADD CONSTRAINT <name> CHECK (<expr>), DROP CONSTRAINT <name>, "
         "ALTER COLUMN <col> SET DEFAULT <expr>, "
+        "ALTER COLUMN <col> TYPE <type>, "
         "ADD COLUMN <col> <type>, RENAME COLUMN <a> TO <b>, "
         "DROP COLUMN <col>, "
         "SET TBLPROPERTIES ('k'='v', ...)"

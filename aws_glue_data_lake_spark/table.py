@@ -173,19 +173,39 @@ class Table:
         source: DataFrame,
         keys: Sequence[str],
         delete_keys: DataFrame | None = None,
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_set: dict | None = None,
     ) -> None:
         """MERGE: every target row whose key appears in ``source`` is
         replaced, the rest of ``source`` inserts; ``delete_keys``-only
         keys delete. Copy-on-write with stats file pruning on lake/delta,
-        merge-on-read (one equality-delete + data snapshot) on iceberg."""
+        merge-on-read (one equality-delete + data snapshot) on iceberg.
+
+        ``not_matched_by_source`` ("delete"/"update" +
+        ``not_matched_by_source_set``, optional bare-column condition)
+        adds the three-clause MERGE's ``WHEN NOT MATCHED BY SOURCE``
+        leg on every layer — delta-spark's SCD/full-sync idiom."""
+        nmbs = dict(
+            not_matched_by_source=not_matched_by_source,
+            not_matched_by_source_condition=(
+                not_matched_by_source_condition
+            ),
+            not_matched_by_source_set=not_matched_by_source_set,
+        )
         if self.format == "lake":
-            self._lake().upsert(source, keys=keys, delete_keys=delete_keys)
+            self._lake().upsert(
+                source, keys=keys, delete_keys=delete_keys, **nmbs
+            )
         elif self.format == "delta":
             self._delta_writer().merge(
-                source.sparkSession, source, keys, delete_keys=delete_keys
+                source.sparkSession, source, keys,
+                delete_keys=delete_keys, **nmbs,
             )
         else:
-            self._ice_writer().merge(source, keys, delete_keys=delete_keys)
+            self._ice_writer().merge(
+                source, keys, delete_keys=delete_keys, **nmbs
+            )
 
     def delete_where(self, spark: SparkSession, condition: str) -> None:
         self._impl_for_write().delete_where(spark, condition)
@@ -296,6 +316,22 @@ class Table:
             raise NotImplementedError(
                 f"{self.format} tables evolve schema via "
                 "append(merge_schema=True), not standalone ADD COLUMN"
+            )
+
+    def widen_column_type(self, column: str, type_ddl: str) -> None:
+        """ALTER TABLE ... ALTER COLUMN <c> TYPE <t>: metadata-only
+        type WIDENING — Delta stamps delta.typeChanges + the
+        typeWidening feature, Iceberg commits a new schema-id under the
+        spec's legal promotions. Old files read upcast; nothing is
+        rewritten."""
+        if self.format == "delta":
+            self._delta_writer().widen_column_type(column, type_ddl)
+        elif self.format == "iceberg":
+            self._ice_writer().widen_column_type(column, type_ddl)
+        else:
+            raise NotImplementedError(
+                "lake tables have no standalone ALTER COLUMN TYPE; "
+                "append(merge_schema=True) does not widen either"
             )
 
     def rename_column(self, old: str, new: str) -> None:

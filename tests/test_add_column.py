@@ -287,3 +287,36 @@ def test_iceberg_rename_and_drop_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition spec"):
         w2.drop_column("part")
+
+
+def test_sql_add_column_parameterized_type(spark, tmp_path):
+    """ADVICE r12: 'ADD COLUMN c DECIMAL(10,2)' must keep the type's
+    own parens (the old regex clipped the closing one), and the
+    wrapped 'ADD COLUMNS (c DECIMAL(10,2))' form must match at all."""
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t = open_table(path, "delta")
+    sql(spark, "ALTER TABLE t ADD COLUMN price DECIMAL(10,2)",
+        tables={"t": t})
+    sql(spark, "ALTER TABLE t ADD COLUMNS (tag VARCHAR(8))",
+        tables={"t": t})
+    sch = dict(
+        (f.name, f.dataType.simpleString())
+        for f in DeltaTableReader(path).snapshot().schema.fields
+    )
+    assert sch["price"] == "decimal(10,2)"
+    # VARCHAR normalizes to string — Spark/delta-spark's table-schema
+    # convention (preserveCharVarcharTypeInfo is false)
+    assert sch["tag"] == "string"
+    from decimal import Decimal
+
+    w.append(spark.createDataFrame(
+        [(2, "b", Decimal("3.50"), "x")],
+        "k long, v string, price decimal(10,2), tag string",
+    ))
+    got = sorted(
+        (r["k"], r["price"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, Decimal("3.50"))]

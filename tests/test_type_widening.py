@@ -1,0 +1,123 @@
+"""ALTER COLUMN ... TYPE — type WIDENING DDL (VERDICT r12 item 4):
+Delta stamps delta.typeChanges + the typeWidening reader/writer feature
+(PROTOCOL.md § Type Widening); Iceberg commits a new schema-id under
+the spec's legal promotions. Files written under the narrower type read
+upcast — no rewrite."""
+
+import json
+import os
+from decimal import Decimal
+
+import pytest
+
+from aws_glue_data_lake_spark.deltacompat import (
+    DeltaProtocolError,
+    DeltaTableReader,
+    DeltaTableWriter,
+)
+from aws_glue_data_lake_spark.icebergcompat import (
+    IcebergProtocolError,
+    IcebergTableReader,
+    IcebergTableWriter,
+)
+from aws_glue_data_lake_spark.sqlfront import sql
+from aws_glue_data_lake_spark.table import open_table
+
+
+def test_delta_widen_then_append_reads_upcast(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, 10, 1.5)], "k long, n int, x float"
+    ))
+    t = open_table(path, "delta")
+    sql(spark, "ALTER TABLE t ALTER COLUMN n TYPE bigint",
+        tables={"t": t})
+    sql(spark, "ALTER TABLE t ALTER COLUMN x TYPE double",
+        tables={"t": t})
+    # old file is NOT rewritten; its narrow bytes read upcast
+    w.append(spark.createDataFrame(
+        [(2, 2**40, 2.5)], "k long, n long, x double"
+    ))
+    got = sorted(
+        (r["k"], r["n"], r["x"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, 10, 1.5), (2, 2**40, 2.5)]
+    snap = DeltaTableReader(path).snapshot()
+    f = snap.schema["n"]
+    assert f.dataType.simpleString() == "bigint"
+    assert (f.metadata or {})["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    proto = snap.raw_protocol
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+
+
+def test_delta_widen_decimal_and_refusals(spark, tmp_path):
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, Decimal("12.34"), "s")],
+        "k long, d decimal(6,2), v string",
+    ))
+    w.widen_column_type("d", "decimal(12,4)")
+    got = DeltaTableReader(path).to_df(spark).collect()[0]["d"]
+    assert got == Decimal("12.3400")
+    # narrowing / non-widening refuse loudly
+    with pytest.raises(DeltaProtocolError, match="not a widening"):
+        w.widen_column_type("k", "int")
+    with pytest.raises(DeltaProtocolError, match="not a widening"):
+        w.widen_column_type("v", "binary")
+    with pytest.raises(DeltaProtocolError, match="not a widening"):
+        w.widen_column_type("d", "decimal(6,4)")  # int digits shrink
+
+
+def test_iceberg_widen_promotions_and_refusals(spark, tmp_path):
+    path = str(tmp_path / "i")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, 10, 1.5)], "k long, n int, x float"
+    ))
+    w.widen_column_type("n", "bigint")
+    w.widen_column_type("x", "double")
+    w.append(spark.createDataFrame(
+        [(2, 2**40, 2.5)], "k long, n long, x double"
+    ))
+    got = sorted(
+        (r["k"], r["n"], r["x"])
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, 10, 1.5), (2, 2**40, 2.5)]
+    meta = IcebergTableReader(path)._metadata()
+    cur = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    by = {f["name"]: f for f in cur["fields"]}
+    assert by["n"]["type"] == "long" and by["x"]["type"] == "double"
+    # field ids unchanged through the promotion (the safety property)
+    first = meta["schemas"][0]
+    assert {f["name"]: f["id"] for f in first["fields"]} == {
+        f["name"]: f["id"] for f in cur["fields"]
+    }
+    # date->timestamp_ntz is a DELTA widening but NOT an iceberg
+    # promotion; int->double likewise refused
+    with pytest.raises(IcebergProtocolError, match="not a legal"):
+        w.widen_column_type("k", "decimal(20,2)")
+
+
+def test_uniform_widen_restricted_to_iceberg_promotions(
+    spark, tmp_path
+):
+    """On a UniForm table the Delta widening set narrows to Iceberg's
+    legal promotions — the synced view must stay spec-readable."""
+    from tests.test_uniform import _uniform_table
+
+    path = str(tmp_path / "t")
+    _uniform_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(DeltaProtocolError, match="Iceberg type"):
+        w.widen_column_type("k", "decimal(22,0)")
