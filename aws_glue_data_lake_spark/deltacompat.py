@@ -68,6 +68,16 @@ _SUPPORTED_READER_FEATURES = {
     # runtimes stamp it into readerFeatures by default, so refusing it
     # refuses perfectly readable tables
     "vacuumProtocolCheck",
+    # collated string columns (preview): the collation annotation lives
+    # in field metadata and changes COMPARISON semantics, not the
+    # bytes->rows mapping — a snapshot scan returns exactly the same
+    # rows, and this reader performs no collation-sensitive stats
+    # pruning of its own. WRITES to a table with an actually-collated
+    # column are refused (targeted message in _check_writer_features):
+    # stats ordering and MERGE key equality under a non-binary
+    # collation are obligations this writer does not implement.
+    "collations",
+    "collations-preview",
     # VARIANT columns roundtrip natively: schemaString "variant" parses
     # via StructType.fromJson and Spark 4's parquet reader decodes the
     # (metadata, value) physical pair under a pinned VariantType schema
@@ -193,6 +203,134 @@ def _iceberg_promotion_ok(frm: str, to: str) -> bool:
         and dm_f.group(2) == dm_t.group(2)
         and int(dm_t.group(1)) > int(dm_f.group(1))
     )
+
+
+def _struct_fields_at(sch: dict, parts: list[str], what: str) -> list:
+    """The schema-JSON ``fields`` list of the struct at dotted path
+    ``parts`` (empty -> top level). DDL paths run through STRUCTS only
+    — list/map elements have no name to address."""
+    fields = sch["fields"]
+    for p in parts:
+        hit = [f for f in fields if f["name"] == p]
+        if not hit:
+            raise ValueError(
+                f"{what}: no column {p!r} on the path "
+                f"(have {[f['name'] for f in fields]})"
+            )
+        t = hit[0]["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"{what}: {p!r} is not a struct — nested DDL paths "
+                "address struct fields only (list/map elements have "
+                "no name)"
+            )
+        fields = t["fields"]
+    return fields
+
+
+def _strip_field_metadata(t):
+    """The dataType with every nested StructField's metadata removed
+    and nullability normalized — for SHAPE comparisons (metadata is
+    bookkeeping, and a non-nullable batch value always fits a nullable
+    field, delta-spark's own write rule)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(t, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _strip_field_metadata(f.dataType), True
+                )
+                for f in t.fields
+            ]
+        )
+    if isinstance(t, ArrayType):
+        return ArrayType(_strip_field_metadata(t.elementType), True)
+    if isinstance(t, MapType):
+        return MapType(
+            _strip_field_metadata(t.keyType),
+            _strip_field_metadata(t.valueType),
+            True,
+        )
+    return t
+
+
+#: delta-spark's metadata key for LIST/MAP element field ids (they have
+#: no StructField slot of their own): a {dotted physical path -> id}
+#: map stamped on the nearest ancestor field.
+_NESTED_IDS_KEY = "parquet.field.nested.ids"
+
+
+def _assign_mapping_ids(
+    field_json: dict, next_id: int, physical: str | None = None
+) -> int:
+    """Assign ``delta.columnMapping.id`` + ``physicalName`` to a
+    schema-JSON field and EVERY nested struct field (the Delta spec
+    requires ids on all nested fields under columnMapping), plus
+    ``parquet.field.nested.ids`` entries for list/map element
+    positions (icebergCompatV2's obligation). Nested physicalNames are
+    the logical names — spec-valid (the name is arbitrary; resolution
+    uses the metadata) and it keeps file bytes name-resolvable for the
+    UniForm Iceberg view. Returns the next free id."""
+    md = dict(field_json.get("metadata") or {})
+    md["delta.columnMapping.id"] = next_id
+    md["delta.columnMapping.physicalName"] = (
+        physical or field_json["name"]
+    )
+    next_id += 1
+    nested_ids: dict[str, int] = {}
+
+    def walk(t, path: str) -> None:
+        nonlocal next_id
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t["fields"]:
+                fmd = dict(f.get("metadata") or {})
+                fmd["delta.columnMapping.id"] = next_id
+                fmd["delta.columnMapping.physicalName"] = f["name"]
+                f["metadata"] = fmd
+                next_id += 1
+                walk(f["type"], f"{path}.{f['name']}")
+        elif isinstance(t, dict) and t.get("type") == "array":
+            nested_ids[f"{path}.element"] = next_id
+            next_id += 1
+            walk(t["elementType"], f"{path}.element")
+        elif isinstance(t, dict) and t.get("type") == "map":
+            nested_ids[f"{path}.key"] = next_id
+            next_id += 1
+            nested_ids[f"{path}.value"] = next_id
+            next_id += 1
+            walk(t["keyType"], f"{path}.key")
+            walk(t["valueType"], f"{path}.value")
+
+    walk(
+        field_json["type"], md["delta.columnMapping.physicalName"]
+    )
+    if nested_ids:
+        md[_NESTED_IDS_KEY] = nested_ids
+    field_json["metadata"] = md
+    return next_id
+
+
+def _all_mapping_ids(fields: list[dict]):
+    """Every columnMapping / nested-element id declared anywhere in a
+    schema-JSON field list (for maxColumnId maintenance)."""
+    for f in fields:
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" in md:
+            yield int(md["delta.columnMapping.id"])
+        for v in (md.get(_NESTED_IDS_KEY) or {}).values():
+            yield int(v)
+
+        def walk(t):
+            if isinstance(t, dict) and t.get("type") == "struct":
+                yield from _all_mapping_ids(t["fields"])
+            elif isinstance(t, dict) and t.get("type") == "array":
+                yield from walk(t["elementType"])
+            elif isinstance(t, dict) and t.get("type") == "map":
+                yield from walk(t["keyType"])
+                yield from walk(t["valueType"])
+
+        yield from walk(f["type"])
 
 
 def _normalize_char_varchar(t):
@@ -755,6 +893,41 @@ class DeltaTableReader:
         md = field.metadata or {}
         return md.get("delta.columnMapping.physicalName", field.name)
 
+    @staticmethod
+    def _physical_type(t):
+        """The dataType as it appears in FILE BYTES under columnMapping:
+        nested STRUCT fields are stored under their own physicalName
+        (delta-spark assigns ids/physicalNames to every nested field).
+        The scan pins this physical shape and casts back to the logical
+        type — struct casts are positional in Spark, so the cast is a
+        pure (deep) rename. Fields without nested mapping metadata keep
+        their names, so unmapped tables round-trip unchanged."""
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(t, StructType):
+            return StructType(
+                [
+                    StructField(
+                        DeltaTableReader._physical_name(f),
+                        DeltaTableReader._physical_type(f.dataType),
+                        f.nullable,
+                    )
+                    for f in t.fields
+                ]
+            )
+        if isinstance(t, ArrayType):
+            return ArrayType(
+                DeltaTableReader._physical_type(t.elementType),
+                t.containsNull,
+            )
+        if isinstance(t, MapType):
+            return MapType(
+                DeltaTableReader._physical_type(t.keyType),
+                DeltaTableReader._physical_type(t.valueType),
+                t.valueContainsNull,
+            )
+        return t
+
     # -- scan ---------------------------------------------------------------
     def _hive_layout_consistent(self, snap: DeltaSnapshot) -> bool:
         """True when every live file sits in Hive-style partition dirs
@@ -1059,9 +1232,10 @@ class DeltaTableReader:
                 "materialized row-tracking columns under "
                 "columnMapping=id are not supported by this reader"
             )
+        ptype = self._physical_type
         data_st = StructType(
             [
-                StructField(phys(f), f.dataType, f.nullable)
+                StructField(phys(f), ptype(f.dataType), f.nullable)
                 for f in data_fields
             ]
             + rt_fields
@@ -1105,8 +1279,17 @@ class DeltaTableReader:
             )
 
         def logical(df: DataFrame) -> DataFrame:
+            # struct casts are positional: casting the physical-named
+            # nested shape to the logical dataType is a pure deep rename
             return df.select(
-                *[F.col(phys(f)).alias(f.name) for f in data_fields],
+                *[
+                    (
+                        F.col(phys(f)).cast(f.dataType).alias(f.name)
+                        if ptype(f.dataType) != f.dataType
+                        else F.col(phys(f)).alias(f.name)
+                    )
+                    for f in data_fields
+                ],
                 *rt_cols,
                 *pos_cols,
             )
@@ -1139,7 +1322,7 @@ class DeltaTableReader:
                     )
                 st = StructType(
                     [
-                        StructField(m[fid], fld.dataType, True)
+                        StructField(m[fid], ptype(fld.dataType), True)
                         for fid, fld in sorted(fid_of.items())
                         if fid in m
                     ]
@@ -1148,7 +1331,9 @@ class DeltaTableReader:
                     (
                         F.col(m[fid]).alias(phys(fld))
                         if fid in m
-                        else F.lit(None).cast(fld.dataType).alias(phys(fld))
+                        else F.lit(None)
+                        .cast(ptype(fld.dataType))
+                        .alias(phys(fld))
                     )
                     for fid, fld in (
                         (int((f.metadata or {})["delta.columnMapping.id"]), f)
@@ -1376,7 +1561,12 @@ class DeltaTableReader:
         # alias back to logical — the same move as to_df.
         phys = self._physical_name
         data_st = StructType(
-            [StructField(phys(f), f.dataType, f.nullable) for f in data_fields]
+            [
+                StructField(
+                    phys(f), self._physical_type(f.dataType), f.nullable
+                )
+                for f in data_fields
+            ]
         )
         cdc_st = StructType(
             list(data_st.fields)
@@ -1399,7 +1589,15 @@ class DeltaTableReader:
                 groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
             ):
                 g = spark.read.schema(file_schema).parquet(*paths).select(
-                    *[F.col(phys(f)).alias(f.name) for f in data_fields],
+                    *[
+                        (
+                            F.col(phys(f)).cast(f.dataType).alias(f.name)
+                            if self._physical_type(f.dataType)
+                            != f.dataType
+                            else F.col(phys(f)).alias(f.name)
+                        )
+                        for f in data_fields
+                    ],
                     *extra,
                 )
                 for f, v in zip(part_fields, key):
@@ -2300,6 +2498,15 @@ class DeltaTableWriter:
         # never correctness. Databricks stamps this on most new tables,
         # so refusing it would refuse most real destinations.
         "clusteredTable",
+        # collations (preview): the FEATURE alone is write-safe — it is
+        # stamped proactively on tables with zero collated columns, and
+        # binary-collated data has no special obligations. A column
+        # that actually DECLARES a non-binary collation makes stats
+        # ordering and MERGE equality collation-sensitive, which this
+        # writer does not implement — _check_writer_features refuses
+        # exactly that case with a targeted message.
+        "collations",
+        "collations-preview",
         # column defaults (CURRENT_DEFAULT field metadata): a defaulted
         # column absent from an incoming batch is filled with its
         # default expression by _apply_default_columns on every
@@ -2363,6 +2570,17 @@ class DeltaTableWriter:
                 f"{what}: table requires writer feature(s) "
                 f"{sorted(bad)} this writer does not implement"
             )
+        if {"collations", "collations-preview"} & feats:
+            collated = DeltaTableWriter._collated_columns(snap)
+            if collated:
+                raise DeltaProtocolError(
+                    f"{what}: column(s) {sorted(collated)} declare a "
+                    "non-binary collation; stats ordering and MERGE "
+                    "key equality under a collation are writer "
+                    "obligations this engine does not implement — "
+                    "reads remain valid (the annotation does not "
+                    "change the bytes->rows mapping)"
+                )
         # icebergCompat invariants are checked BEFORE the commit so the
         # post-commit uniform sync can only fail on I/O, never on
         # protocol grounds (the Delta commit would already be durable)
@@ -2402,6 +2620,32 @@ class DeltaTableWriter:
                         f"table cannot be synced to an Iceberg view "
                         f"— refusing BEFORE the commit: {e}"
                     ) from e
+
+    @staticmethod
+    def _collated_columns(snap: DeltaSnapshot) -> set[str]:
+        """Columns declaring a NON-BINARY collation. The preview stores
+        them in StructField metadata under ``__COLLATIONS``, which
+        Spark 4's ``StructType.fromJson`` CONSUMES into a collated
+        ``StringType`` — so detection walks the TYPES."""
+        out: set[str] = set()
+
+        def collated(t) -> bool:
+            coll = getattr(t, "collation", None)
+            if coll and str(coll).upper() != "UTF8_BINARY":
+                return True
+            tn = t.typeName()
+            if tn == "array":
+                return collated(t.elementType)
+            if tn == "map":
+                return collated(t.keyType) or collated(t.valueType)
+            if tn == "struct":
+                return any(collated(f.dataType) for f in t.fields)
+            return False
+
+        for f in snap.schema.fields:
+            if collated(f.dataType):
+                out.add(f.name)
+        return out
 
     @staticmethod
     def _iceberg_compat_enabled(snap: DeltaSnapshot) -> bool:
@@ -2916,12 +3160,15 @@ class DeltaTableWriter:
         )
         meta = dict(snap.raw_meta)
         sch = json.loads(meta["schemaString"])
-        if any(f["name"] == column for f in sch["fields"]):
+        parts = column.split(".")
+        leaf = parts[-1]
+        parent_fields = _struct_fields_at(sch, parts[:-1], "ADD COLUMN")
+        if any(f["name"] == leaf for f in parent_fields):
             raise ValueError(
                 f"ADD COLUMN: column {column!r} already exists"
             )
         new_field = json.loads(
-            StructType.fromDDL(f"`{column}` {type_ddl}").json()
+            StructType.fromDDL(f"`{leaf}` {type_ddl}").json()
         )["fields"][0]
         new_field["type"] = _normalize_char_varchar(new_field["type"])
         new_field["nullable"] = True
@@ -2931,27 +3178,29 @@ class DeltaTableWriter:
             next_id = (
                 max(
                     [int(conf.get("delta.columnMapping.maxColumnId", 0))]
-                    + [
-                        int(
-                            (f.get("metadata") or {}).get(
-                                "delta.columnMapping.id", 0
-                            )
-                        )
-                        for f in sch["fields"]
-                    ]
+                    + list(_all_mapping_ids(sch["fields"]))
                 )
                 + 1
             )
-            new_field["metadata"] = {
-                **(new_field.get("metadata") or {}),
-                "delta.columnMapping.id": next_id,
-                "delta.columnMapping.physicalName":
-                    f"col-{uuid.uuid4()}",
-            }
-            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            # ids/physicalNames land on EVERY nested struct field and
+            # list/map element positions get parquet.field.nested.ids —
+            # the spec requires ids on all nested fields; top-level-only
+            # assignment committed a schemaString foreign readers reject.
+            # NESTED adds keep physicalName == name (this engine's
+            # nested convention — file bytes stay name-resolvable for
+            # the UniForm view); top-level adds get a fresh uuid name.
+            next_id = _assign_mapping_ids(
+                new_field,
+                next_id,
+                physical=(
+                    f"col-{uuid.uuid4()}" if len(parts) == 1 else None
+                ),
+            )
+            conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
             meta["configuration"] = conf
-        sch["fields"].append(new_field)
+        parent_fields.append(new_field)
         meta["schemaString"] = json.dumps(sch)
+        self._require_uniform_syncable(snap, meta, "ADD COLUMN")
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -3011,10 +3260,20 @@ class DeltaTableWriter:
         )
         self._require_column_mapping(snap, "RENAME COLUMN")
         self._refuse_referenced_column(snap, old, "RENAME COLUMN")
+        if "." in new:
+            raise ValueError(
+                "RENAME COLUMN: the new name is a bare field name "
+                "(renames stay within the same struct)"
+            )
         meta = dict(snap.raw_meta)
         sch = json.loads(meta["schemaString"])
-        names = [f["name"] for f in sch["fields"]]
-        if old not in names:
+        parts = old.split(".")
+        leaf = parts[-1]
+        parent_fields = _struct_fields_at(
+            sch, parts[:-1], "RENAME COLUMN"
+        )
+        names = [f["name"] for f in parent_fields]
+        if leaf not in names:
             raise ValueError(
                 f"RENAME COLUMN: no column {old!r} (have {names})"
             )
@@ -3022,14 +3281,44 @@ class DeltaTableWriter:
             raise ValueError(
                 f"RENAME COLUMN: column {new!r} already exists"
             )
-        for f in sch["fields"]:
-            if f["name"] == old:
+        for f in parent_fields:
+            if f["name"] == leaf:
+                # the rename is LOGICAL: physicalName + id pin the file
+                # bytes. A nested field that never had them stamped
+                # gets them NOW, under the OLD name (exactly what its
+                # committed files carry), so the physical-pinned scan
+                # keeps resolving it after the rename.
+                md = dict(f.get("metadata") or {})
+                md.setdefault(
+                    "delta.columnMapping.physicalName", leaf
+                )
+                if "delta.columnMapping.id" not in md:
+                    conf = dict(meta.get("configuration", {}) or {})
+                    nid = (
+                        max(
+                            [
+                                int(
+                                    conf.get(
+                                        "delta.columnMapping.maxColumnId",
+                                        0,
+                                    )
+                                )
+                            ]
+                            + list(_all_mapping_ids(sch["fields"]))
+                        )
+                        + 1
+                    )
+                    md["delta.columnMapping.id"] = nid
+                    conf["delta.columnMapping.maxColumnId"] = str(nid)
+                    meta["configuration"] = conf
+                f["metadata"] = md
                 f["name"] = new
         meta["schemaString"] = json.dumps(sch)
         meta["partitionColumns"] = [
             new if c == old else c
             for c in (meta.get("partitionColumns") or [])
         ]
+        self._require_uniform_syncable(snap, meta, "RENAME COLUMN")
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -3060,19 +3349,27 @@ class DeltaTableWriter:
             )
         meta = dict(snap.raw_meta)
         sch = json.loads(meta["schemaString"])
-        names = [f["name"] for f in sch["fields"]]
-        if column not in names:
+        parts = column.split(".")
+        leaf = parts[-1]
+        parent_fields = _struct_fields_at(
+            sch, parts[:-1], "DROP COLUMN"
+        )
+        names = [f["name"] for f in parent_fields]
+        if leaf not in names:
             raise ValueError(
                 f"DROP COLUMN: no column {column!r} (have {names})"
             )
-        if len(sch["fields"]) == 1:
+        if len(parent_fields) == 1:
             raise ValueError(
-                "DROP COLUMN: cannot drop the table's last column"
+                "DROP COLUMN: cannot drop the last field of "
+                + ("the table" if len(parts) == 1 else
+                   f"struct {'.'.join(parts[:-1])!r}")
             )
-        sch["fields"] = [
-            f for f in sch["fields"] if f["name"] != column
+        parent_fields[:] = [
+            f for f in parent_fields if f["name"] != leaf
         ]
         meta["schemaString"] = json.dumps(sch)
+        self._require_uniform_syncable(snap, meta, "DROP COLUMN")
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -3139,6 +3436,35 @@ class DeltaTableWriter:
             read_files=set(),
             add_conflict=False,
         )
+
+    def _require_uniform_syncable(
+        self, snap: DeltaSnapshot, meta: dict, what: str
+    ) -> None:
+        """Pre-commit gate for schema-changing DDL on UniForm tables:
+        the POST-DDL schema must still be expressible as an Iceberg
+        view, else the metadata commit would land durably and the
+        post-commit sync would strand the views diverged (the same
+        failure mode the write gate closes for data commits)."""
+        if not self._uniform_active(snap):
+            return
+        from aws_glue_data_lake_spark.icebergcompat import (
+            IcebergProtocolError,
+            check_uniform_syncable,
+        )
+
+        fields = StructType.fromJson(
+            json.loads(meta["schemaString"])
+        ).fields
+        try:
+            check_uniform_syncable(
+                fields, tuple(meta.get("partitionColumns") or ())
+            )
+        except IcebergProtocolError as e:
+            raise DeltaProtocolError(
+                f"{what}: the schema change would make the UniForm "
+                f"Iceberg view unsyncable — refusing BEFORE the "
+                f"commit: {e}"
+            ) from e
 
     def widen_column_type(self, column: str, type_ddl: str) -> int:
         """``ALTER TABLE … ALTER COLUMN <c> TYPE <t>`` — Delta TYPE
@@ -3442,20 +3768,65 @@ class DeltaTableWriter:
             f.name: (f.metadata or {}).get("delta.columnMapping.id")
             for f in snap.schema.fields
         }
+        from pyspark.sql.types import ArrayType, MapType
+
+        def id_typed(t):
+            """The physical write shape of a nested type: struct fields
+            under their physicalName carrying ``parquet.field.id``
+            metadata (Spark's parquet writer emits nested struct field
+            ids from StructField metadata — verified empirically; list/
+            map element ids have no metadata slot and resolve by name
+            mapping instead)."""
+            if isinstance(t, StructType):
+                out = []
+                for f in t.fields:
+                    md = f.metadata or {}
+                    nid = md.get("delta.columnMapping.id")
+                    out.append(
+                        StructField(
+                            DeltaTableReader._physical_name(f),
+                            id_typed(f.dataType),
+                            f.nullable,
+                            {"parquet.field.id": int(nid)}
+                            if nid is not None
+                            else None,
+                        )
+                    )
+                return StructType(out)
+            if isinstance(t, ArrayType):
+                return ArrayType(id_typed(t.elementType), t.containsNull)
+            if isinstance(t, MapType):
+                return MapType(
+                    id_typed(t.keyType),
+                    id_typed(t.valueType),
+                    t.valueContainsNull,
+                )
+            return t
+
+        by_name = {f.name: f for f in snap.schema.fields}
 
         def to_physical(df: DataFrame) -> DataFrame:
             cols = []
             for c in df.columns:
                 pn = phys_of.get(c, c)
                 fid = fid_of.get(c)
+                fld = by_name.get(c)
+                nested = fld is not None and fld.dataType.typeName() in (
+                    "struct", "array", "map"
+                )
+                expr = F.col(c)
+                if nested:
+                    # positional cast renames nested fields to their
+                    # physicalNames and stamps nested field ids
+                    expr = expr.cast(id_typed(fld.dataType))
                 if fid is not None:
                     cols.append(
-                        F.col(c).alias(
+                        expr.alias(
                             pn, metadata={"parquet.field.id": int(fid)}
                         )
                     )
                 else:
-                    cols.append(F.col(c).alias(pn))
+                    cols.append(expr.alias(pn))
             return df.select(*cols)
 
         return to_physical, tuple(
@@ -3595,7 +3966,11 @@ class DeltaTableWriter:
         new_fields = [f for f in df.schema.fields if f.name not in existing]
         for f in df.schema.fields:
             old = existing.get(f.name)
-            if old is not None and old.dataType != f.dataType:
+            # nested StructFields carry columnMapping metadata the
+            # batch lacks; equality must compare SHAPE, not metadata
+            if old is not None and _strip_field_metadata(
+                old.dataType
+            ) != _strip_field_metadata(f.dataType):
                 raise ValueError(
                     f"column {f.name!r} type mismatch: table has "
                     f"{old.dataType.simpleString()}, batch has "

@@ -52,6 +52,7 @@ from aws_glue_data_lake_spark.deltacompat import (  # noqa: E402
     _MAX_COMMIT_RETRIES,
 )
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DataType,
@@ -61,6 +62,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -291,6 +293,17 @@ def _iceberg_type_to_spark(t) -> DataType:
                 for f in t["fields"]
             ]
         )
+    if isinstance(t, dict) and t.get("type") == "list":
+        return ArrayType(
+            _iceberg_type_to_spark(t["element"]),
+            not t.get("element-required", False),
+        )
+    if isinstance(t, dict) and t.get("type") == "map":
+        return MapType(
+            _iceberg_type_to_spark(t["key"]),
+            _iceberg_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
@@ -305,6 +318,116 @@ def _spark_type_to_iceberg(t: DataType) -> str:
         raise IcebergProtocolError(
             f"unsupported Spark type for Iceberg export: {t}"
         ) from None
+
+
+def _strip_ids(t):
+    """An Iceberg type JSON with every field/element id removed — the
+    shape used for TYPE EQUALITY checks (ids are identity, not type)."""
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {"name": f["name"], "type": _strip_ids(f["type"])}
+                for f in t["fields"]
+            ],
+        }
+    if isinstance(t, dict) and t.get("type") == "list":
+        return {"type": "list", "element": _strip_ids(t["element"])}
+    if isinstance(t, dict) and t.get("type") == "map":
+        return {
+            "type": "map",
+            "key": _strip_ids(t["key"]),
+            "value": _strip_ids(t["value"]),
+        }
+    return t
+
+
+def _ice_struct_fields_at(
+    fields: list, parts: list[str], what: str
+) -> list:
+    """The Iceberg schema-JSON field list of the struct at dotted path
+    ``parts`` (empty -> top level); struct hops only."""
+    for p in parts:
+        hit = [f for f in fields if f["name"] == p]
+        if not hit:
+            raise ValueError(
+                f"{what}: no column {p!r} on the path "
+                f"(have {[f['name'] for f in fields]})"
+            )
+        t = hit[0]["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"{what}: {p!r} is not a struct — nested DDL paths "
+                "address struct fields only"
+            )
+        fields = t["fields"]
+    return fields
+
+
+def _max_field_id(schema_json: dict) -> int:
+    """Highest field id anywhere in an Iceberg schema JSON — nested
+    struct fields and list/map element ids included."""
+    best = 0
+
+    def walk(t) -> None:
+        nonlocal best
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t["fields"]:
+                best = max(best, int(f["id"]))
+                walk(f["type"])
+        elif isinstance(t, dict) and t.get("type") == "list":
+            best = max(best, int(t["element-id"]))
+            walk(t["element"])
+        elif isinstance(t, dict) and t.get("type") == "map":
+            best = max(best, int(t["key-id"]), int(t["value-id"]))
+            walk(t["key"])
+            walk(t["value"])
+
+    walk(schema_json)
+    return best
+
+
+def _spark_type_to_iceberg_json(t: DataType, alloc):
+    """Spark type -> Iceberg schema-JSON type, allocating a FRESH field
+    id (``alloc() -> int``) for every nested position — struct fields,
+    list elements, map keys/values — as the spec requires (primitives
+    return the plain type string)."""
+    tn = t.typeName()
+    if tn == "struct":
+        fields = []
+        for f in t.fields:
+            fid = alloc()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_type_to_iceberg_json(
+                        f.dataType, alloc
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if tn == "array":
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _spark_type_to_iceberg_json(t.elementType, alloc),
+            "element-required": False,
+        }
+    if tn == "map":
+        kid = alloc()
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_type_to_iceberg_json(t.keyType, alloc),
+            "value-id": vid,
+            "value": _spark_type_to_iceberg_json(t.valueType, alloc),
+            "value-required": False,
+        }
+    return _spark_type_to_iceberg(t)
 
 
 #: Avro schema for the partition struct given [(name, iceberg type)].
@@ -326,7 +449,7 @@ def _partition_avro_fields(cols: list[tuple[str, str]]) -> list[dict]:
     }
     out = []
     for i, (name, ice_t) in enumerate(cols):
-        base = prim.get(ice_t)
+        base = prim.get(ice_t) if isinstance(ice_t, str) else None
         if base is None:
             raise IcebergProtocolError(
                 f"unsupported partition column type {ice_t!r}"
@@ -2366,19 +2489,26 @@ class IcebergTableWriter:
 
     # -- helpers ------------------------------------------------------------
     def _schema_json(self, schema: StructType) -> dict:
-        return {
-            "type": "struct",
-            "schema-id": 0,
-            "fields": [
+        counter = {"next": 0}
+
+        def alloc() -> int:
+            counter["next"] += 1
+            return counter["next"]
+
+        fields = []
+        for f in schema.fields:
+            fid = alloc()
+            fields.append(
                 {
-                    "id": i + 1,
+                    "id": fid,
                     "name": f.name,
                     "required": False,
-                    "type": _spark_type_to_iceberg(f.dataType),
+                    "type": _spark_type_to_iceberg_json(
+                        f.dataType, alloc
+                    ),
                 }
-                for i, f in enumerate(schema.fields)
-            ],
-        }
+            )
+        return {"type": "struct", "schema-id": 0, "fields": fields}
 
     @staticmethod
     def _parse_part_value(raw: str, ice_t: str):
@@ -2688,9 +2818,10 @@ class IcebergTableWriter:
             "location": self.path,
             "last-sequence-number": sequence_number,
             "last-updated-ms": 0,
-            # monotonic even through DROP COLUMN (ids are never reused)
+            # monotonic even through DROP COLUMN (ids are never
+            # reused); nested element/field ids count too
             "last-column-id": max(
-                [max(f["id"] for f in schema_json["fields"])]
+                [_max_field_id(schema_json)]
                 + [int((prev or {}).get("last-column-id", 0))]
             ),
             "current-schema-id": schema_json.get("schema-id", 0),
@@ -2968,27 +3099,38 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        if any(f["name"] == column for f in cur["fields"]):
-            raise ValueError(
-                f"ADD COLUMN: column {column!r} already exists"
-            )
-        new_id = int(prev.get("last-column-id", 0)) + 1
-        spark_t = StructType.fromDDL(
-            f"`{column}` {type_ddl}"
-        ).fields[0].dataType
         new_schema = {
             "type": "struct",
             "schema-id": max(
                 sc["schema-id"] for sc in prev["schemas"]
             ) + 1,
-            "fields": list(cur["fields"]) + [{
-                "id": new_id,
-                "name": column,
-                "required": False,
-                "type": _spark_type_to_iceberg(spark_t),
-            }],
+            "fields": json.loads(json.dumps(cur["fields"])),
         }
-        self._schema_only_commit(prev, new_schema, new_id)
+        parts = column.split(".")
+        parent = _ice_struct_fields_at(
+            new_schema["fields"], parts[:-1], "ADD COLUMN"
+        )
+        if any(f["name"] == parts[-1] for f in parent):
+            raise ValueError(
+                f"ADD COLUMN: column {column!r} already exists"
+            )
+        counter = {"next": int(prev.get("last-column-id", 0))}
+
+        def alloc() -> int:
+            counter["next"] += 1
+            return counter["next"]
+
+        new_id = alloc()
+        spark_t = StructType.fromDDL(
+            f"`{parts[-1]}` {type_ddl}"
+        ).fields[0].dataType
+        parent.append({
+            "id": new_id,
+            "name": parts[-1],
+            "required": False,
+            "type": _spark_type_to_iceberg_json(spark_t, alloc),
+        })
+        self._schema_only_commit(prev, new_schema, counter["next"])
 
     def _schema_only_commit(self, prev: dict, new_schema: dict,
                             last_column_id: int,
@@ -3024,6 +3166,13 @@ class IcebergTableWriter:
         because the old name joins the field's
         ``schema.name-mapping.default`` entry in the same commit — the
         spec's rename-fallback mechanism for name-resolved files."""
+        if "." in old:
+            raise IcebergProtocolError(
+                "RENAME COLUMN: nested renames are not supported on "
+                "Iceberg tables here — this engine's own staged files "
+                "carry no nested field ids, so a renamed nested field "
+                "could no longer resolve against them by name"
+            )
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
@@ -3146,33 +3295,37 @@ class IcebergTableWriter:
             sc for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        names = [f["name"] for f in cur["fields"]]
-        if column not in names:
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(
+                sc["schema-id"] for sc in prev["schemas"]
+            ) + 1,
+            "fields": json.loads(json.dumps(cur["fields"])),
+        }
+        parts = column.split(".")
+        leaf = parts[-1]
+        parent = _ice_struct_fields_at(
+            new_schema["fields"], parts[:-1], "DROP COLUMN"
+        )
+        names = [f["name"] for f in parent]
+        if leaf not in names:
             raise ValueError(
                 f"DROP COLUMN: no column {column!r} (have {names})"
             )
-        if len(cur["fields"]) == 1:
+        if len(parent) == 1:
             raise ValueError(
-                "DROP COLUMN: cannot drop the table's last column"
+                "DROP COLUMN: cannot drop the last field of "
+                + ("the table" if len(parts) == 1 else
+                   f"struct {'.'.join(parts[:-1])!r}")
             )
-        fid = next(
-            f["id"] for f in cur["fields"] if f["name"] == column
-        )
+        fid = next(f["id"] for f in parent if f["name"] == leaf)
         for spec in prev.get("partition-specs", []):
             if any(pf.get("source-id") == fid for pf in spec["fields"]):
                 raise ValueError(
                     f"DROP COLUMN: {column!r} sources partition spec "
                     f"{spec['spec-id']}; evolve the spec first"
                 )
-        new_schema = {
-            "type": "struct",
-            "schema-id": max(
-                sc["schema-id"] for sc in prev["schemas"]
-            ) + 1,
-            "fields": [
-                dict(f) for f in cur["fields"] if f["name"] != column
-            ],
-        }
+        parent[:] = [f for f in parent if f["name"] != leaf]
         self._schema_only_commit(
             prev, new_schema, int(prev.get("last-column-id", 0))
         )
@@ -3397,15 +3550,23 @@ class IcebergTableWriter:
         cur_names = {f["name"] for f in schema_json["fields"]}
         new_cols = [f for f in df.schema.fields if f.name not in cur_names]
         by_name = {f["name"]: f for f in schema_json["fields"]}
+        def batch_shape(t: DataType):
+            dummy = {"n": 0}
+
+            def alloc() -> int:
+                dummy["n"] += 1
+                return dummy["n"]
+
+            return _strip_ids(_spark_type_to_iceberg_json(t, alloc))
+
         for f in df.schema.fields:
             old = by_name.get(f.name)
-            if old is not None and _spark_type_to_iceberg(
-                f.dataType
-            ) != old["type"]:
+            if old is not None and batch_shape(f.dataType) != \
+                    _strip_ids(old["type"]):
                 raise ValueError(
                     f"column {f.name!r} type mismatch: table has "
                     f"{old['type']}, batch has "
-                    f"{_spark_type_to_iceberg(f.dataType)}"
+                    f"{batch_shape(f.dataType)}"
                 )
         if not new_cols:
             return schema_json, None
@@ -3414,19 +3575,29 @@ class IcebergTableWriter:
                 f"batch adds columns {[f.name for f in new_cols]}; "
                 "pass merge_schema=True to evolve the table schema"
             )
-        next_id = prev.get(
-            "last-column-id",
-            max(f["id"] for f in schema_json["fields"]),
-        )
+        counter = {
+            "next": int(
+                prev.get(
+                    "last-column-id",
+                    _max_field_id(schema_json),
+                )
+            )
+        }
+
+        def alloc() -> int:
+            counter["next"] += 1
+            return counter["next"]
+
         evolved_fields = list(schema_json["fields"])
         for f in new_cols:
-            next_id += 1
             evolved_fields.append(
                 {
-                    "id": next_id,
+                    "id": alloc(),
                     "name": f.name,
                     "required": False,
-                    "type": _spark_type_to_iceberg(f.dataType),
+                    "type": _spark_type_to_iceberg_json(
+                        f.dataType, alloc
+                    ),
                 }
             )
         schema_json = {
@@ -4858,9 +5029,94 @@ def uniform_schema_of(fields) -> dict:
     types). Shared between :func:`sync_uniform` and the Delta write
     gate so unsyncable schemas refuse BEFORE the Delta commit, never
     after it is durable."""
-    fid_of = {}
+    def nested_type(
+        t: DataType, path: str, nested_ids: dict, col: str
+    ):
+        """Spark type -> Iceberg type JSON, ids from the Delta stamps:
+        nested STRUCT fields carry their own delta.columnMapping.id;
+        list/map element positions read parquet.field.nested.ids
+        (keyed by dotted physical path) on the top-level field."""
+        tn = t.typeName()
+        if tn == "struct":
+            out = []
+            for f in t.fields:
+                md = f.metadata or {}
+                nid = md.get("delta.columnMapping.id")
+                if nid is None:
+                    raise IcebergProtocolError(
+                        f"uniform sync: nested field "
+                        f"{col}.{f.name} carries no "
+                        "delta.columnMapping.id — assign nested "
+                        "mapping ids first (add_column does; foreign "
+                        "tables get them at icebergCompat enablement)"
+                    )
+                pn = md.get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if pn != f.name:
+                    raise IcebergProtocolError(
+                        f"uniform sync: nested field {col}.{f.name} "
+                        f"has physicalName {pn!r} != its name; the "
+                        "name-resolved Iceberg view cannot express a "
+                        "nested rename"
+                    )
+                out.append(
+                    {
+                        "id": int(nid),
+                        "name": f.name,
+                        "required": False,
+                        "type": nested_type(
+                            f.dataType,
+                            f"{path}.{pn}",
+                            nested_ids,
+                            f"{col}.{f.name}",
+                        ),
+                    }
+                )
+            return {"type": "struct", "fields": out}
+        if tn in ("array", "map"):
+            def pos_id(marker: str) -> int:
+                key = f"{path}.{marker}"
+                nid = nested_ids.get(key)
+                if nid is None:
+                    raise IcebergProtocolError(
+                        f"uniform sync: no parquet.field.nested.ids "
+                        f"entry for {key!r} on column {col!r} — "
+                        "list/map element ids are icebergCompatV2's "
+                        "obligation (add_column assigns them)"
+                    )
+                return int(nid)
+
+            if tn == "array":
+                return {
+                    "type": "list",
+                    "element-id": pos_id("element"),
+                    "element": nested_type(
+                        t.elementType,
+                        f"{path}.element",
+                        nested_ids,
+                        col,
+                    ),
+                    "element-required": False,
+                }
+            return {
+                "type": "map",
+                "key-id": pos_id("key"),
+                "key": nested_type(
+                    t.keyType, f"{path}.key", nested_ids, col
+                ),
+                "value-id": pos_id("value"),
+                "value": nested_type(
+                    t.valueType, f"{path}.value", nested_ids, col
+                ),
+                "value-required": False,
+            }
+        return _spark_type_to_iceberg(t)
+
+    out_fields = []
     for f in fields:
-        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        md = f.metadata or {}
+        fid = md.get("delta.columnMapping.id")
         if fid is None:
             raise IcebergProtocolError(
                 f"uniform sync: column {f.name!r} carries no "
@@ -4868,28 +5124,58 @@ def uniform_schema_of(fields) -> dict:
                 "columnMapping so parquet field ids resolve against "
                 "the Iceberg schema"
             )
-        fid_of[f.name] = int(fid)
-    schema_json = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
+        pn = md.get("delta.columnMapping.physicalName", f.name)
+        nested_ids = {
+            k: int(v)
+            for k, v in (
+                md.get("parquet.field.nested.ids") or {}
+            ).items()
+        }
+        out_fields.append(
             {
-                "id": fid_of[f.name],
+                "id": int(fid),
                 "name": f.name,  # LOGICAL name; ids do the resolution
                 "required": False,
-                "type": _spark_type_to_iceberg(f.dataType),
+                "type": nested_type(f.dataType, pn, nested_ids, f.name),
             }
-            for f in fields
-        ],
-    }
-    for fj in schema_json["fields"]:
-        if not isinstance(fj["type"], str):
-            raise IcebergProtocolError(
-                f"uniform sync: column {fj['name']!r} is nested; "
-                "nested Iceberg types need per-element field ids this "
-                "sync does not assign yet"
-            )
-    return schema_json
+        )
+    return {"type": "struct", "schema-id": 0, "fields": out_fields}
+
+
+def _name_mapping_of(schema_json: dict) -> list[dict]:
+    """``schema.name-mapping.default`` entries for the synced schema
+    (spec § Name Mapping Serialization): every field and nested
+    position resolvable BY NAME for file bytes that carry no field id
+    at that position — Spark's parquet writer emits struct field ids
+    but not list/map element ids, so the mapping is the spec's bridge
+    for those."""
+
+    def entries_of(t) -> list[dict] | None:
+        if isinstance(t, dict) and t.get("type") == "struct":
+            out = []
+            for f in t["fields"]:
+                e = {"field-id": f["id"], "names": [f["name"]]}
+                sub = entries_of(f["type"])
+                if sub:
+                    e["fields"] = sub
+                out.append(e)
+            return out
+        if isinstance(t, dict) and t.get("type") == "list":
+            e = {"field-id": t["element-id"], "names": ["element"]}
+            sub = entries_of(t["element"])
+            if sub:
+                e["fields"] = sub
+            return [e]
+        if isinstance(t, dict) and t.get("type") == "map":
+            k = {"field-id": t["key-id"], "names": ["key"]}
+            v = {"field-id": t["value-id"], "names": ["value"]}
+            sub = entries_of(t["value"])
+            if sub:
+                v["fields"] = sub
+            return [k, v]
+        return None
+
+    return entries_of(schema_json) or []
 
 
 def check_uniform_syncable(fields, partition_columns) -> None:
@@ -4907,14 +5193,13 @@ def check_uniform_syncable(fields, partition_columns) -> None:
     _partition_avro_fields(
         [(c, ice_t[c]) for c in partition_columns]
     )
-    unparseable = {
-        "binary", "uuid",
-    } | {t for t in ice_t.values() if t.startswith("decimal")}
     for c in partition_columns:
-        if ice_t[c] in unparseable:
+        t = ice_t[c]
+        if not isinstance(t, str) or t in ("binary", "uuid") or \
+                t.startswith("decimal"):
             raise IcebergProtocolError(
                 f"uniform sync: partition column {c!r} has type "
-                f"{ice_t[c]!r}, which has no partition-value "
+                f"{t!r}, which has no partition-value "
                 "serialization this sync speaks"
             )
 
@@ -5067,8 +5352,9 @@ def sync_uniform(delta_path: str) -> None:
             nulls = st.get("nullCount") or {}
             for pn, lo in mins.items():
                 name = phys_to_logical.get(pn)
-                if name is None or ice_t[name] not in \
-                        _UNIFORM_BOUND_TYPES:
+                if name is None or not isinstance(
+                    ice_t[name], str
+                ) or ice_t[name] not in _UNIFORM_BOUND_TYPES:
                     continue
                 hi = maxs.get(pn)
                 if hi is None:
@@ -5157,6 +5443,9 @@ def sync_uniform(delta_path: str) -> None:
     )
     props = dict((prev or {}).get("properties") or {})
     props["uniform.delta-version"] = str(snap.version)
+    props["schema.name-mapping.default"] = json.dumps(
+        _name_mapping_of(schema_json)
+    )
     w._commit_metadata(
         prev, schema_json, pcols, sid, seq, ml_path, op,
         properties=props,

@@ -3934,3 +3934,379 @@ def lake_merge_three_clause_state(
         )
         .orderBy("segment", "active")
     )
+
+
+# --------------------------------------------------------------------------
+# NESTED UniForm (round 13; VERDICT r12 item 1): a Delta table with
+# struct and array columns under icebergCompatV2 — nested struct fields
+# carry delta.columnMapping.ids (written into parquet as nested field
+# ids), array elements get parquet.field.nested.ids + a name-mapping in
+# the synced Iceberg view. append + MERGE land on the Delta side; the
+# RESULT IS READ THROUGH THE ICEBERG VIEW — proving the zero-copy twin
+# stays in lockstep through nested data. The oracle recomputes the same
+# final state relationally in DuckDB.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_delta_uniform_nested_state",
+    oracle="""
+WITH t0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal,
+         CAST(c_nationkey AS BIGINT) AS nk
+  FROM customer
+),
+mx AS (SELECT MAX(k) AS mk FROM t0),
+src AS (
+  SELECT k, seg, bal + 100.0 AS bal, nk, 2 AS n_tags
+  FROM t0 WHERE k % 10 = 0
+  UNION ALL
+  SELECT t0.k + mx.mk + 1, 'FRESH', 5.0, t0.nk, 1
+  FROM t0, mx WHERE t0.k % 400 = 0
+),
+merged AS (
+  SELECT k, seg, bal, n_tags FROM src
+  UNION ALL
+  SELECT k, seg, bal, 2 AS n_tags
+  FROM t0 WHERE k NOT IN (SELECT k FROM src)
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(SUM(n_tags) AS BIGINT) AS total_tags,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM merged
+GROUP BY seg
+ORDER BY seg
+""",
+)
+def lake_delta_uniform_nested_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableWriter
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableReader
+
+    path = session_tmpdir("uniform_nested_") + "/t"
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "s", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "bal", "type": "double", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "bal"}},
+                 {"name": "seg", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "seg"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s"}},
+            {"name": "tags", "nullable": True,
+             "type": {"type": "array", "elementType": "string",
+                      "containsNull": True},
+             "metadata": {
+                 "delta.columnMapping.id": 5,
+                 "delta.columnMapping.physicalName": "col-tags",
+                 "parquet.field.nested.ids": {"col-tags.element": 6},
+             }},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping", "icebergCompatV2"],
+            }},
+            {"metaData": {
+                "id": "uniform-nested-query",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "6",
+                    "delta.enableIcebergCompatV2": "true",
+                    "delta.universalFormat.enabledFormats": "iceberg",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.struct(
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("s"),
+        F.array(
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("tags"),
+    )
+    w = DeltaTableWriter(path)
+    w.append(c)
+    mk = c.agg(F.max("k")).collect()[0][0]
+    src = (
+        c.where(F.col("k") % 10 == 0)
+        .select(
+            "k",
+            F.struct(
+                (F.col("s.bal") + 100.0).alias("bal"),
+                F.col("s.seg").alias("seg"),
+            ).alias("s"),
+            "tags",
+        )
+        .unionByName(
+            c.where(F.col("k") % 400 == 0).select(
+                (F.col("k") + F.lit(mk + 1)).alias("k"),
+                F.struct(
+                    F.lit(5.0).alias("bal"),
+                    F.lit("FRESH").alias("seg"),
+                ).alias("s"),
+                F.array(F.col("s.seg")).alias("tags"),
+            )
+        )
+    )
+    w.merge(spark, src, keys=["k"])
+    # read back through the ICEBERG view of the same bytes
+    return (
+        IcebergTableReader(path)
+        .to_df(spark)
+        .groupBy(F.col("s.seg").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("s.bal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.sum(F.size("tags")).cast("bigint").alias("total_tags"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# TYPE-WIDENING DDL (round 13): ALTER COLUMN ... TYPE through the SQL
+# front door on a real Delta table — int->bigint and float->double are
+# metadata-only (delta.typeChanges + the typeWidening feature); the
+# pre-widening file is NOT rewritten and reads upcast, then an append
+# lands values only the widened type can hold.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_sql_type_widening_state",
+    oracle="""
+WITH t0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(CAST(c_nationkey AS INTEGER) AS BIGINT) AS n,
+         CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS x
+  FROM customer
+),
+mx AS (SELECT MAX(k) AS mk FROM t0),
+appended AS (
+  SELECT t0.k + mx.mk + 1 AS k,
+         4294967296 + t0.k AS n,
+         1e40 AS x
+  FROM t0, mx WHERE t0.k % 250 = 0
+),
+allrows AS (SELECT * FROM t0 UNION ALL SELECT * FROM appended)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST(SUM(x) AS DOUBLE) AS sum_x,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM allrows
+""",
+)
+def lake_sql_type_widening_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("widen_") + "/t"
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").cast("int").alias("n"),
+        F.col("c_acctbal").cast("float").alias("x"),
+    )
+    w = DeltaTableWriter(path)
+    w.create(c)
+    tb = open_table(path, "delta")
+    _sql(spark, "ALTER TABLE t ALTER COLUMN n TYPE bigint",
+         tables={"t": tb})
+    _sql(spark, "ALTER TABLE t ALTER COLUMN x TYPE double",
+         tables={"t": tb})
+    snap = DeltaTableReader(path).snapshot()
+    assert "typeWidening" in (snap.raw_protocol or {}).get(
+        "writerFeatures", ()
+    ), "typeWidening feature must be declared"
+    mk = c.agg(F.max("k")).collect()[0][0]
+    w.append(
+        c.where(F.col("k") % 250 == 0).select(
+            (F.col("k") + F.lit(mk + 1)).alias("k"),
+            (F.lit(4294967296).cast("long") + F.col("k")).alias("n"),
+            F.lit(1e40).alias("x"),
+        )
+    )
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n").cast("bigint").alias("sum_n"),
+            F.max("n").cast("bigint").alias("max_n"),
+            F.sum("x").cast("double").alias("sum_x"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NESTED-FIELD DDL (round 13): dotted-path ADD / RENAME / DROP of struct
+# subfields through the SQL front door on a columnMapping Delta table —
+# all metadata-only; the pre-DDL file reads unchanged through the rename
+# (nested physicalName pins the bytes) and null-fills the added field.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_sql_nested_ddl_state",
+    oracle="""
+WITH t0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+),
+mx AS (SELECT MAX(k) AS mk FROM t0),
+appended AS (
+  SELECT t0.k + mx.mk + 1 AS k, 'FRESH' AS seg, 2.5 AS bal,
+         CAST(t0.k AS BIGINT) AS score
+  FROM t0, mx WHERE t0.k % 300 = 0
+),
+allrows AS (
+  SELECT k, seg, bal, CAST(NULL AS BIGINT) AS score FROM t0
+  UNION ALL SELECT * FROM appended
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(SUM(score) AS BIGINT) AS total_score,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM allrows
+GROUP BY seg
+ORDER BY seg
+""",
+)
+def lake_sql_nested_ddl_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("nested_ddl_") + "/t"
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "s", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "seg", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName":
+                                   "seg"}},
+                 {"name": "bal", "type": "double", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName":
+                                   "bal"}},
+                 {"name": "junk", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName":
+                                   "junk"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s"}},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "nested-ddl-query",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+                          "createdTime": 0}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.lit("x").alias("junk"),
+        ).alias("s"),
+    )
+    w = DeltaTableWriter(path)
+    w.append(c)
+    tb = open_table(path, "delta")
+    _sql(spark, "ALTER TABLE t ADD COLUMN s.score bigint",
+         tables={"t": tb})
+    _sql(spark, "ALTER TABLE t RENAME COLUMN s.seg TO segment",
+         tables={"t": tb})
+    _sql(spark, "ALTER TABLE t DROP COLUMN s.junk", tables={"t": tb})
+    mk = c.agg(F.max("k")).collect()[0][0]
+    w.append(
+        c.where(F.col("k") % 300 == 0).select(
+            (F.col("k") + F.lit(mk + 1)).alias("k"),
+            F.struct(
+                F.lit("FRESH").alias("segment"),
+                F.lit(2.5).alias("bal"),
+                F.col("k").cast("long").alias("score"),
+            ).alias("s"),
+        )
+    )
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .groupBy(F.col("s.segment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("s.bal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.sum("s.score").cast("bigint").alias("total_score"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("seg")
+    )

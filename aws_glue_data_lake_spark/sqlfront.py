@@ -550,19 +550,19 @@ def _run_alter(
         t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
         return
     am = re.match(
-        r"^ALTER COLUMN ([\w`]+) TYPE (.+)$", action, re.IGNORECASE
+        r"^ALTER COLUMN ([\w`.]+) TYPE (.+)$", action, re.IGNORECASE
     )
     if am:
         t.widen_column_type(am.group(1).strip("`"), am.group(2).strip())
         return
     am = re.match(
-        r"^RENAME COLUMN ([\w`]+) TO ([\w`]+)$", action, re.IGNORECASE
+        r"^RENAME COLUMN ([\w`.]+) TO ([\w`]+)$", action, re.IGNORECASE
     )
     if am:
         t.rename_column(am.group(1).strip("`"), am.group(2).strip("`"))
         return
     am = re.match(
-        r"^DROP COLUMNS? \(?\s*([\w`]+)\s*\)?$", action, re.IGNORECASE
+        r"^DROP COLUMNS? \(?\s*([\w`.]+)\s*\)?$", action, re.IGNORECASE
     )
     if am:
         t.drop_column(am.group(1).strip("`"))

@@ -229,7 +229,7 @@ def test_delta_rename_and_drop_column(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         w.rename_column("k", "label")
     w.drop_column("k")
-    with pytest.raises(ValueError, match="last column"):
+    with pytest.raises(ValueError, match="last field"):
         w.drop_column("label")
 
 
@@ -320,3 +320,170 @@ def test_sql_add_column_parameterized_type(spark, tmp_path):
         for r in DeltaTableReader(path).to_df(spark).collect()
     )
     assert got == [(1, None), (2, Decimal("3.50"))]
+
+
+def test_delta_nested_field_ddl(spark, tmp_path):
+    """Dotted-path DDL (round 13): ADD/RENAME/DROP a struct subfield on
+    a columnMapping table — metadata-only; committed files read
+    unchanged through the rename (physicalName pins the bytes)."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "t")
+    # mapped table with a struct column, nested ids stamped
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "s", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "integer", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "a"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "b"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s"}},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "nested-ddl-test",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+                          "createdTime": 0}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, (10, "x"))], "k long, s struct<a:int,b:string>"
+    ))
+    t = open_table(path, "delta")
+    # nested ADD: old rows read NULL for s.c
+    sql(spark, "ALTER TABLE t ADD COLUMN s.c bigint", tables={"t": t})
+    # nested RENAME: logical only; the committed file's bytes resolve
+    # through the pinned physicalName 'a'
+    sql(spark, "ALTER TABLE t RENAME COLUMN s.a TO a2", tables={"t": t})
+    snap = DeltaTableReader(path).snapshot()
+    s_fields = {f.name: f for f in snap.schema["s"].dataType.fields}
+    assert set(s_fields) == {"a2", "b", "c"}
+    assert s_fields["a2"].metadata[
+        "delta.columnMapping.physicalName"] == "a"
+    assert s_fields["c"].metadata["delta.columnMapping.id"] == 5
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "5"
+    w.append(spark.createDataFrame(
+        [(2, (20, "y", 7))], "k long, s struct<a2:int,b:string,c:long>"
+    ))
+    got = sorted(
+        (r["k"], (r["s"]["a2"], r["s"]["b"], r["s"]["c"]))
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, (10, "x", None)), (2, (20, "y", 7))]
+    # nested DROP: bytes stay, never projected
+    sql(spark, "ALTER TABLE t DROP COLUMN s.b", tables={"t": t})
+    got = sorted(
+        (r["k"], tuple(r["s"].asDict().items()))
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [
+        (1, (("a2", 10), ("c", None))),
+        (2, (("a2", 20), ("c", 7))),
+    ]
+    with pytest.raises(ValueError, match="not a struct"):
+        w.add_column("k.x", "int")
+
+
+def test_iceberg_nested_column_types_roundtrip(spark, tmp_path):
+    """Native Iceberg writer: struct/array/map columns get per-element
+    field ids at create and through merge_schema evolution."""
+    path = str(tmp_path / "i")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, (10, "x"), [1, 2], {"p": 1})],
+        "k long, s struct<a:int,b:string>, arr array<long>, "
+        "m map<string,long>",
+    ))
+    meta = IcebergTableReader(path)._metadata()
+    cur = meta["schemas"][0]
+    by = {f["name"]: f for f in cur["fields"]}
+    ids = set()
+
+    def collect(t):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for f in t["fields"]:
+                ids.add(f["id"])
+                collect(f["type"])
+        elif isinstance(t, dict) and t.get("type") == "list":
+            ids.add(t["element-id"])
+            collect(t["element"])
+        elif isinstance(t, dict) and t.get("type") == "map":
+            ids.add(t["key-id"])
+            ids.add(t["value-id"])
+            collect(t["key"])
+            collect(t["value"])
+
+    collect({"type": "struct", "fields": cur["fields"]})
+    assert len(ids) == 9 and meta["last-column-id"] == 9
+    assert by["s"]["type"]["fields"][0]["id"] != by["arr"]["type"][
+        "element-id"]
+    got = sorted(
+        (r["k"], (r["s"]["a"], r["s"]["b"]), tuple(r["arr"]),
+         tuple(sorted(r["m"].items())))
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, (10, "x"), (1, 2), (("p", 1),))]
+
+
+def test_iceberg_nested_add_and_drop(spark, tmp_path):
+    """Iceberg nested DDL: ADD/DROP a struct subfield via dotted path —
+    new schema-id, fresh/retired nested ids; old files null-fill the
+    added subfield. Nested RENAME refuses loudly (this engine's staged
+    files resolve nested fields by name)."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergProtocolError,
+    )
+
+    path = str(tmp_path / "i")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, (10, "x"))], "k long, s struct<a:int,b:string>"
+    ))
+    w.add_column("s.c", "bigint")
+    w.append(spark.createDataFrame(
+        [(2, (20, "y", 7))], "k long, s struct<a:int,b:string,c:long>"
+    ))
+    got = sorted(
+        (r["k"], (r["s"]["a"], r["s"]["c"]))
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, (10, None)), (2, (20, 7))]
+    meta = IcebergTableReader(path)._metadata()
+    cur = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    s_t = next(f for f in cur["fields"] if f["name"] == "s")["type"]
+    ids = [f["id"] for f in s_t["fields"]]
+    assert len(set(ids)) == 3 and max(ids) == meta["last-column-id"]
+    w.drop_column("s.b")
+    got = sorted(
+        (r["k"], tuple(r["s"].asDict()))
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, ("a", "c")), (2, ("a", "c"))]
+    with pytest.raises(IcebergProtocolError, match="nested renames"):
+        w.rename_column("s.a", "a2")

@@ -3778,3 +3778,68 @@ def test_row_tracking_with_cdf_and_identity(spark, tmp_path):
     )
     kinds = sorted(r["_change_type"] for r in ch.collect())
     assert kinds == ["update_postimage", "update_preimage"], kinds
+
+
+def test_collations_feature_scan_inert_but_collated_writes_refuse(
+    spark, tmp_path
+):
+    """collations (preview) adjudication (round 13): the FEATURE alone
+    is read- and write-safe (Databricks stamps it proactively); a
+    column that actually declares a non-binary collation refuses writes
+    with a targeted message while reads keep returning every row."""
+    import json as _json
+    import os as _os
+
+    def mk(path, collated):
+        log = _os.path.join(path, "_delta_log")
+        _os.makedirs(log)
+        v_meta = {"delta.columnMapping.id": 2,
+                  "delta.columnMapping.physicalName": "col-v"}
+        if collated:
+            v_meta["__COLLATIONS"] = {"v": "ICU.UNICODE_CI"}
+        schema_string = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 1,
+                     "delta.columnMapping.physicalName": "col-k"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": v_meta},
+            ],
+        })
+        with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in [
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping",
+                                       "collations-preview"],
+                    "writerFeatures": ["columnMapping",
+                                       "collations-preview"],
+                }},
+                {"metaData": {
+                    "id": "coll", "format": {"provider": "parquet",
+                                             "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "2"},
+                    "createdTime": 0,
+                }},
+            ]:
+                f.write(_json.dumps(a) + "\n")
+
+    # feature alone: append + read work
+    p1 = str(tmp_path / "plain")
+    mk(p1, collated=False)
+    w = DeltaTableWriter(p1)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert DeltaTableReader(p1).to_df(spark).count() == 1
+    # actually-collated column: write refuses, read still returns rows
+    p2 = str(tmp_path / "collated")
+    mk(p2, collated=True)
+    w2 = DeltaTableWriter(p2)
+    with pytest.raises(DeltaProtocolError, match="collation"):
+        w2.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert DeltaTableReader(p2).to_df(spark).count() == 0
