@@ -806,6 +806,12 @@ class IcebergSnapshot:
     #: source column name). partition_by above holds the SPEC FIELD
     #: names (== source names for identity transforms).
     spec_fields: list = None  # type: ignore[assignment]
+    #: EVERY spec's resolved fields (spec-id -> same tuples as
+    #: spec_fields) — a spec-evolved table's older manifests record
+    #: partition values under THEIR spec, so pruning resolves per file
+    all_spec_fields: dict = None  # type: ignore[assignment]
+    #: abs data-file path -> the partition-spec id of its manifest
+    file_specs: dict = None  # type: ignore[assignment]
     #: per-file column statistics decoded from the manifest's
     #: value_counts / null_value_counts / lower_bounds / upper_bounds
     #: (abs path -> {col name: {"count","nulls","min","max"}}); absent
@@ -1212,25 +1218,33 @@ class IcebergTableReader:
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
         part_cols: tuple[str, ...] = ()
         spec_fields: list[tuple[str, str, str]] = []
+        all_spec_fields: dict[int, list] = {}
         if by_spec:
-            spec = by_spec[meta.get("default-spec-id", 0)]
-            for f in spec.get("fields", []):
-                # Non-identity transforms are FINE to read: Iceberg data
-                # files carry their source columns, so the partition
-                # struct matters only for manifest pruning (which
-                # _transform_value reproduces). Unknown transforms
-                # surface lazily — only if a partition_filter actually
-                # needs them.
-                transform = f.get("transform", "identity")
-                source = field_names.get(f.get("source-id"), f["name"])
-                part_cols += (f["name"],)
-                spec_fields.append((f["name"], transform, source))
+            # Non-identity transforms are FINE to read: Iceberg data
+            # files carry their source columns, so the partition
+            # struct matters only for manifest pruning (which
+            # _transform_value reproduces). Unknown transforms
+            # surface lazily — only if a partition_filter actually
+            # needs them.
+            for sid_, spec_ in by_spec.items():
+                resolved = [
+                    (
+                        f["name"],
+                        f.get("transform", "identity"),
+                        field_names.get(f.get("source-id"), f["name"]),
+                    )
+                    for f in spec_.get("fields", [])
+                ]
+                all_spec_fields[sid_] = resolved
+            spec_fields = all_spec_fields[meta.get("default-spec-id", 0)]
+            part_cols = tuple(n for n, _, _ in spec_fields)
         field_types = {
             f["id"]: f["type"]
             for f in schema_json["fields"]
             if isinstance(f["type"], str)
         }
         files: list[tuple[str, dict]] = []
+        file_specs: dict[str, int] = {}
         file_seqs: dict = {}
         record_counts: dict = {}
         file_sizes: dict = {}
@@ -1305,6 +1319,9 @@ class IcebergTableReader:
                     continue
                 if content == 0:
                     files.append((abs_path, df_rec.get("partition", {})))
+                    file_specs[abs_path] = mf.get(
+                        "partition_spec_id", 0
+                    )
                     file_seqs[abs_path] = seq
                     fri = df_rec.get("first_row_id")
                     if fri is not None:
@@ -1378,6 +1395,8 @@ class IcebergTableReader:
             file_seqs=file_seqs,
             eq_deletes=sorted(eq_deletes),
             spec_fields=spec_fields,
+            all_spec_fields=all_spec_fields,
+            file_specs=file_specs,
             col_stats=col_stats,
             alt_names=alt_names,
             field_ids={
@@ -1488,32 +1507,56 @@ class IcebergTableReader:
             # filter keys are SOURCE column values; each spec field whose
             # source matches prunes on transform(value) vs the manifest's
             # recorded partition value (identity included: transform is
-            # the identity function there)
-            tests: list[tuple[str, object]] = []
-            for k, v in partition_filter.items():
-                matched = [
-                    (name, transform)
-                    for name, transform, source in snap.spec_fields
-                    if source == k
-                ]
-                if not matched:
+            # the identity function there). A SPEC-EVOLVED table's older
+            # manifests record values under THEIR OWN spec, so the tests
+            # resolve per file's spec — a file whose spec has no field
+            # for the filter column is conservatively KEPT (its data
+            # still carries the source column; the caller's predicate
+            # applies at scan time).
+            for k in partition_filter:
+                if not any(
+                    source == k for _, _, source in snap.spec_fields
+                ):
                     raise ValueError(
-                        f"partition_filter column {k!r} is not a partition "
-                        f"source (spec: {snap.spec_fields})"
+                        f"partition_filter column {k!r} is not a "
+                        f"partition source (spec: {snap.spec_fields})"
                     )
-                for name, transform in matched:
-                    tests.append(
-                        (
-                            name,
-                            _pv_manifest_repr(
-                                _transform_value(transform, v)
-                            ),
+            tests_of: dict[int, list] = {}
+            for sid_, sfields in (
+                snap.all_spec_fields or {0: snap.spec_fields}
+            ).items():
+                tests: list[tuple[str, object]] = []
+                for k, v in partition_filter.items():
+                    for name, transform, source in sfields:
+                        if source != k:
+                            continue
+                        tests.append(
+                            (
+                                name,
+                                _pv_manifest_repr(
+                                    _transform_value(transform, v)
+                                ),
+                            )
                         )
-                    )
+                tests_of[sid_] = tests
+            default_sid = next(
+                (
+                    s
+                    for s, f in (snap.all_spec_fields or {}).items()
+                    if f == snap.spec_fields
+                ),
+                0,
+            )
             files = [
                 (p, pv)
                 for p, pv in files
-                if all(pv.get(name) == tv for name, tv in tests)
+                if all(
+                    pv.get(name) == tv
+                    for name, tv in tests_of.get(
+                        (snap.file_specs or {}).get(p, default_sid),
+                        [],
+                    )
+                )
             ]
         if stats_filter:
             # manifest-level data skipping from the per-file column
@@ -2624,6 +2667,7 @@ class IcebergTableWriter:
         content: int = 0,
         v3_dv: bool = False,
         spec_fields: list[dict] | None = None,
+        spec_id: int = 0,
     ) -> dict:
         """Write one manifest Avro -> its manifest-list entry. ``content``
         0 = data manifest, 1 = (position-)delete manifest. ``v3_dv``
@@ -2667,7 +2711,7 @@ class IcebergTableWriter:
                         for i, (n, _) in enumerate(partition_cols)
                     ]
                 ),
-                "partition-spec-id": "0",
+                "partition-spec-id": str(spec_id),
                 "format-version": "2",
                 "content": "data" if content == 0 else "deletes",
             },
@@ -2694,7 +2738,7 @@ class IcebergTableWriter:
         return {
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": sequence_number,
             "min_sequence_number": min(live_seqs, default=sequence_number),
@@ -2840,6 +2884,17 @@ class IcebergTableWriter:
                 )
             ),
             "default-spec-id": (prev or {}).get("default-spec-id", 0),
+            # v2 metadata requirement: highest assigned partition
+            # field-id across ALL specs (999 when none ever assigned)
+            "last-partition-id": max(
+                [int((prev or {}).get("last-partition-id", 999))]
+                + [
+                    int(pf["field-id"])
+                    for s in (prev or {}).get("partition-specs", [])
+                    for pf in s.get("fields", [])
+                ]
+                + [999 + len(partition_cols)]
+            ),
             # a FOREIGN table's spec may use non-identity transforms:
             # carry it verbatim — rebuilding identity fields here would
             # corrupt the table's partitioning contract for every other
@@ -3060,13 +3115,27 @@ class IcebergTableWriter:
         walk (no data I/O), used as the read/write-set fingerprint for
         overwrite_partition's conflict validation."""
         out: set[str] = set()
+        default_sid = self._default_spec(meta)["spec-id"]
         for mf in self._manifest_list_of(meta):
             if mf.get("content", 0) == 1:
                 continue
             _, entries, _ = read_container(mf["manifest_path"])
-            for e in entries:
-                if e["status"] == _STATUS_DELETED:
-                    continue
+            live = [
+                e for e in entries if e["status"] != _STATUS_DELETED
+            ]
+            if live and mf.get("partition_spec_id", 0) != default_sid:
+                # an older spec recorded DIFFERENT partition keys for
+                # these files: whether they belong to the overwritten
+                # partition is not decidable from metadata — refuse
+                # rather than silently keep stale rows
+                raise IcebergProtocolError(
+                    "overwrite_partition across partition-spec "
+                    "generations is not supported: live files exist "
+                    f"under spec {mf.get('partition_spec_id', 0)} "
+                    f"(default is {default_sid}); compact() first to "
+                    "migrate them to the current spec"
+                )
+            for e in live:
                 pvd = e["data_file"].get("partition", {}) or {}
                 if all(pvd.get(k) == v for k, v in partition.items()):
                     out.add(e["data_file"]["file_path"])
@@ -3082,6 +3151,18 @@ class IcebergTableWriter:
         with open(hint) as f:
             meta["__version"] = int(f.read().strip())
         return meta
+
+    @staticmethod
+    def _default_spec(prev: dict) -> dict:
+        """The table's DEFAULT partition spec (writes always use it;
+        older specs remain readable per-manifest)."""
+        specs = prev.get("partition-specs") or [
+            {"spec-id": 0, "fields": []}
+        ]
+        sid = prev.get("default-spec-id", 0)
+        return next(
+            (s for s in specs if s["spec-id"] == sid), specs[0]
+        )
 
     def add_column(self, column: str, type_ddl: str) -> None:
         """``ALTER TABLE … ADD COLUMN`` — the spec's schema evolution
@@ -3281,6 +3362,155 @@ class IcebergTableWriter:
         self._schema_only_commit(
             prev, new_schema, int(prev.get("last-column-id", 0))
         )
+
+    #: transform spellings accepted by add_partition_field — the SQL
+    #: function names map onto the spec's transform strings
+    _TRANSFORM_SUFFIX = {
+        "identity": "", "year": "_year", "month": "_month",
+        "day": "_day", "hour": "_hour",
+    }
+
+    def add_partition_field(
+        self,
+        source: str,
+        transform: str = "identity",
+        name: str | None = None,
+    ) -> None:
+        """``ALTER TABLE … ADD PARTITION FIELD <transform>(<col>)`` —
+        PARTITION SPEC EVOLUTION (spec § Partition Evolution): a new
+        spec (fresh spec-id, fresh partition field-id past every id any
+        spec ever used) becomes the default in a METADATA-ONLY commit.
+        Data is NEVER rewritten: files committed under older specs keep
+        their manifests (stamped with their spec-id) and stay readable
+        — manifest pruning resolves each file under ITS OWN spec, and
+        files whose spec lacks a filtered field are conservatively
+        scanned (they carry the source column in their bytes). New
+        writes partition by the new default spec. ``compact()``
+        rewrites everything under the current spec, migrating old
+        files forward."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        cur = next(
+            sc for sc in prev["schemas"]
+            if sc["schema-id"] == prev.get("current-schema-id", 0)
+        )
+        src_f = next(
+            (f for f in cur["fields"] if f["name"] == source), None
+        )
+        if src_f is None:
+            raise ValueError(
+                f"ADD PARTITION FIELD: no column {source!r} "
+                f"(have {[f['name'] for f in cur['fields']]})"
+            )
+        if not isinstance(src_f["type"], str):
+            raise IcebergProtocolError(
+                "ADD PARTITION FIELD: partition sources must be "
+                "primitive columns"
+            )
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", transform)
+        if name is None:
+            if m:
+                name = f"{source}_{m.group(1)}"
+            elif transform in self._TRANSFORM_SUFFIX:
+                name = source + self._TRANSFORM_SUFFIX[transform]
+            else:
+                raise IcebergProtocolError(
+                    f"unknown partition transform {transform!r}"
+                )
+        specs = prev.get("partition-specs") or [
+            {"spec-id": 0, "fields": []}
+        ]
+        default = self._default_spec(prev)
+        if any(
+            pf["name"] == name for pf in default.get("fields", [])
+        ):
+            raise ValueError(
+                f"ADD PARTITION FIELD: spec field {name!r} already "
+                "exists in the default spec"
+            )
+        next_pfid = max(
+            [999]
+            + [
+                int(pf["field-id"])
+                for s in specs
+                for pf in s.get("fields", [])
+            ]
+        ) + 1
+        new_spec = {
+            "spec-id": max(s["spec-id"] for s in specs) + 1,
+            "fields": [dict(pf) for pf in default.get("fields", [])]
+            + [
+                {
+                    "name": name,
+                    "transform": transform,
+                    "source-id": src_f["id"],
+                    "field-id": next_pfid,
+                }
+            ],
+        }
+        self._spec_only_commit(prev, specs + [new_spec], new_spec)
+
+    def remove_partition_field(self, name: str) -> None:
+        """``ALTER TABLE … DROP PARTITION FIELD <name>`` — the default
+        spec loses the field under a fresh spec-id; committed files
+        keep their manifests and partition values (readable under
+        their own spec); new writes stop partitioning by it."""
+        prev = self._load_prev()
+        if prev is None:
+            raise FileNotFoundError(f"no Iceberg table at {self.path}")
+        specs = prev.get("partition-specs") or [
+            {"spec-id": 0, "fields": []}
+        ]
+        default = self._default_spec(prev)
+        if not any(
+            pf["name"] == name for pf in default.get("fields", [])
+        ):
+            raise ValueError(
+                f"DROP PARTITION FIELD: no spec field {name!r} in the "
+                f"default spec (have "
+                f"{[pf['name'] for pf in default.get('fields', [])]})"
+            )
+        new_spec = {
+            "spec-id": max(s["spec-id"] for s in specs) + 1,
+            "fields": [
+                dict(pf)
+                for pf in default.get("fields", [])
+                if pf["name"] != name
+            ],
+        }
+        self._spec_only_commit(prev, specs + [new_spec], new_spec)
+
+    def _spec_only_commit(
+        self, prev: dict, specs: list[dict], new_default: dict
+    ) -> None:
+        """Metadata-only partition-spec change: specs are APPEND-ONLY
+        (older manifests reference theirs by id); the new spec becomes
+        default. No snapshot — the data did not change."""
+        meta = {k: v for k, v in prev.items() if k != "__version"}
+        meta["partition-specs"] = specs
+        meta["default-spec-id"] = new_default["spec-id"]
+        meta["last-partition-id"] = max(
+            [int(prev.get("last-partition-id", 999))]
+            + [
+                int(pf["field-id"])
+                for s in specs
+                for pf in s.get("fields", [])
+            ]
+        )
+        version = prev["__version"] + 1
+        target = os.path.join(
+            self._meta_dir, f"v{version}.metadata.json"
+        )
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(meta, indent=1).encode())
+        finally:
+            os.close(fd)
+        with open(
+            os.path.join(self._meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(version))
 
     def drop_column(self, column: str) -> None:
         """``ALTER TABLE … DROP COLUMN`` — a new schema-id without the
@@ -3639,7 +3869,9 @@ class IcebergTableWriter:
             schema_json, all_schemas = self._resolve_batch_schema(
                 df, prev, merge_schema
             )
-            spec_fields = prev["partition-specs"][0]["fields"]
+            spec_ = self._default_spec(prev)
+            spec_id = spec_["spec-id"]
+            spec_fields = spec_["fields"]
             pcols, part_exprs = self._spec_partition_ctx(
                 _iceberg_type_to_spark(
                     {"type": "struct", "fields": schema_json["fields"]}
@@ -3659,7 +3891,7 @@ class IcebergTableWriter:
             ]
             ml_entry = self._write_manifest(
                 entries, pcols, sid, seq, schema_json,
-                spec_fields=spec_fields,
+                spec_fields=spec_fields, spec_id=spec_id,
             )
             manifests = self._manifest_list_of(
                 prev, branch or "main"
@@ -3710,7 +3942,9 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -3809,7 +4043,7 @@ class IcebergTableWriter:
                     new_manifests.append(
                         self._write_manifest(
                             rewritten, pcols, sid, seq, schema_json,
-                            spec_fields=spec_fields,
+                            spec_fields=spec_fields, spec_id=spec_id,
                         )
                     )
             entries = [
@@ -3823,7 +4057,7 @@ class IcebergTableWriter:
                 new_manifests.append(
                     self._write_manifest(
                         entries, pcols, sid, seq, schema_json,
-                        spec_fields=spec_fields,
+                        spec_fields=spec_fields, spec_id=spec_id,
                     )
                 )
             ml_path = os.path.join(
@@ -3878,7 +4112,9 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         st = _iceberg_type_to_spark(
             {"type": "struct", "fields": schema_json["fields"]}
         )
@@ -3960,7 +4196,7 @@ class IcebergTableWriter:
                     new_manifests.append(
                         self._write_manifest(
                             rewritten, pcols, sid, seq, schema_json,
-                            spec_fields=spec_fields,
+                            spec_fields=spec_fields, spec_id=spec_id,
                         )
                     )
             entries = [
@@ -3974,7 +4210,7 @@ class IcebergTableWriter:
                 new_manifests.append(
                     self._write_manifest(
                         entries, pcols, sid, seq, schema_json,
-                        spec_fields=spec_fields,
+                        spec_fields=spec_fields, spec_id=spec_id,
                     )
                 )
             ml_path = os.path.join(
@@ -4029,7 +4265,9 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         pcols, _ = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -4493,7 +4731,9 @@ class IcebergTableWriter:
                 )
         if kill.isEmpty():
             return prev["current-snapshot-id"]  # no-op
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -4523,7 +4763,7 @@ class IcebergTableWriter:
             manifests = self._manifest_list_of(pv, branch or "main") + [
                 self._write_manifest(
                     [del_entry], pcols, sid, seq, schema_json, content=1,
-                    spec_fields=spec_fields,
+                    spec_fields=spec_fields, spec_id=spec_id,
                 )
             ]
             if staged:
@@ -4537,7 +4777,7 @@ class IcebergTableWriter:
                 manifests.append(
                     self._write_manifest(
                         data_entries, pcols, sid, seq, schema_json,
-                        spec_fields=spec_fields,
+                        spec_fields=spec_fields, spec_id=spec_id,
                     )
                 )
             ml_path = os.path.join(
@@ -4590,7 +4830,9 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         pcols, _ = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -4651,7 +4893,9 @@ class IcebergTableWriter:
             for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        spec_fields = prev["partition-specs"][0]["fields"]
+        spec_ = self._default_spec(prev)
+        spec_id = spec_["spec-id"]
+        spec_fields = spec_["fields"]
         pcols, part_exprs = self._spec_partition_ctx(
             _iceberg_type_to_spark(
                 {"type": "struct", "fields": schema_json["fields"]}
@@ -4669,7 +4913,10 @@ class IcebergTableWriter:
             )
             for p, pv, rows, size, fstats in staged
         ]
-        ml_entry = self._write_manifest(entries, pcols, sid, seq, schema_json)
+        ml_entry = self._write_manifest(
+            entries, pcols, sid, seq, schema_json,
+            spec_fields=spec_fields, spec_id=spec_id,
+        )
         ml_path = os.path.join(
             self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
         )

@@ -4310,3 +4310,92 @@ def lake_sql_nested_ddl_state(
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# ICEBERG PARTITION-SPEC EVOLUTION (round 13): ALTER TABLE ... ADD
+# PARTITION FIELD through the SQL front door — metadata-only, zero data
+# rewrite. An orders table partitioned by priority gains bucket(8,
+# o_orderkey); pre-evolution files stay readable under THEIR spec while
+# new appends land under the evolved one; a partition_filter on the
+# shared source column prunes BOTH generations, and a MERGE spanning
+# them lands merge-on-read. The oracle reproduces the final state.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_spec_evolution_state",
+    oracle="""
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+gen2 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+merged AS (
+  SELECT k, pri,
+         CASE WHEN k % 20 = 0 THEN price + 1000.0 ELSE price END
+             AS price
+  FROM (SELECT * FROM t0 UNION ALL SELECT * FROM gen2)
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM merged
+GROUP BY pri
+ORDER BY pri
+""",
+)
+def lake_iceberg_spec_evolution_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("spec_evo_") + "/t"
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    w = IcebergTableWriter(path)
+    w.create(o.where(F.col("k") % 2 == 0), partition_by=["pri"])
+    tb = open_table(path, "iceberg")
+    _sql(spark, "ALTER TABLE t ADD PARTITION FIELD bucket(8, k)",
+         tables={"t": tb})
+    w.append(o.where(F.col("k") % 2 == 1))  # lands under the NEW spec
+    # MERGE spans both spec generations, merge-on-read
+    w.merge(
+        o.where(F.col("k") % 20 == 0).select(
+            "k", "pri", (F.col("price") + 1000.0).alias("price")
+        ),
+        keys=["k"],
+    )
+    r = IcebergTableReader(path)
+    meta = r._metadata()
+    assert meta["default-spec-id"] == 1, "spec must have evolved"
+    snap = r.snapshot()
+    assert {0, 1} <= set(snap.file_specs.values()), (
+        "live files must span both spec generations"
+    )
+    return (
+        r.to_df(spark)
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("pri")
+    )

@@ -496,6 +496,35 @@ def _run_create_using(
     bind_table(spark, name, path, fmt)
 
 
+def _parse_partition_transform(expr: str) -> tuple[str, str]:
+    """Iceberg SQL transform expression -> (source column, spec
+    transform string): bucket(N, col), truncate(N, col),
+    years/months/days/hours(col) (singular accepted), or a bare
+    column (identity)."""
+    m = re.match(
+        r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*`?([\w]+)`?\s*\)$",
+        expr,
+        re.IGNORECASE,
+    )
+    if m:
+        return m.group(3), f"{m.group(1).lower()}[{m.group(2)}]"
+    m = re.match(
+        r"^(years?|months?|days?|hours?)\s*\(\s*`?([\w]+)`?\s*\)$",
+        expr,
+        re.IGNORECASE,
+    )
+    if m:
+        return m.group(2), m.group(1).lower().rstrip("s")
+    m = re.match(r"^`?([\w]+)`?$", expr)
+    if m:
+        return m.group(1), "identity"
+    raise ValueError(
+        f"cannot parse partition transform {expr!r}: expected "
+        "bucket(N, col), truncate(N, col), years|months|days|hours"
+        "(col) or a bare column"
+    )
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas OUTSIDE parentheses (assignment lists whose
     expressions may hold function calls)."""
@@ -548,6 +577,28 @@ def _run_alter(
     )
     if am:
         t.set_column_default(am.group(1).strip("`"), am.group(2).strip())
+        return
+    am = re.match(
+        r"^ADD PARTITION FIELD\s+(?P<expr>.+?)"
+        r"(?:\s+AS\s+(?P<name>[\w`]+))?$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        source, transform = _parse_partition_transform(
+            am.group("expr").strip()
+        )
+        t.add_partition_field(
+            source,
+            transform=transform,
+            name=(am.group("name") or "").strip("`") or None,
+        )
+        return
+    am = re.match(
+        r"^DROP PARTITION FIELD\s+([\w`]+)$", action, re.IGNORECASE
+    )
+    if am:
+        t.remove_partition_field(am.group(1).strip("`"))
         return
     am = re.match(
         r"^ALTER COLUMN ([\w`.]+) TYPE (.+)$", action, re.IGNORECASE

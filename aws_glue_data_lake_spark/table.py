@@ -334,6 +334,30 @@ class Table:
                 "append(merge_schema=True) does not widen either"
             )
 
+    def add_partition_field(
+        self, source: str, transform: str = "identity",
+        name: str | None = None,
+    ) -> None:
+        """ALTER TABLE ... ADD PARTITION FIELD: Iceberg partition-spec
+        evolution — metadata-only; no data rewrite; old files stay
+        readable under their own spec."""
+        if self.format != "iceberg":
+            raise NotImplementedError(
+                "partition-spec evolution is an Iceberg capability; "
+                f"{self.format} tables fix partitioning at create"
+            )
+        self._ice_writer().add_partition_field(
+            source, transform=transform, name=name
+        )
+
+    def remove_partition_field(self, name: str) -> None:
+        """ALTER TABLE ... DROP PARTITION FIELD (Iceberg only)."""
+        if self.format != "iceberg":
+            raise NotImplementedError(
+                "partition-spec evolution is an Iceberg capability"
+            )
+        self._ice_writer().remove_partition_field(name)
+
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN: metadata-only — Delta keeps
         physicalName/field id (columnMapping required), Iceberg keeps

@@ -600,13 +600,16 @@ def rowtracking_pipeline(spark, sf_dir: str) -> dict:
 
 
 def uniform_pipeline(spark, sf_dir: str) -> dict:
-    """Round-12 UniForm sync at scale. Contracts probed: (a) a
-    PURE-APPEND sync costs O(added) — appending the same tiny batch to
-    a table 2× the size must cost ~the same wall time (prior manifests
-    carry verbatim, no manifest reads); (b) a remove-bearing commit's
-    full-state fallback is O(live files) metadata (recorded, not
-    gated); (c) the Iceberg view stays row-identical to the Delta view
-    throughout (count + sum checksum, one scan per side)."""
+    """UniForm sync at scale (round 12; diffed sync round 13).
+    Contracts probed: (a) a PURE-APPEND sync costs O(added) —
+    appending the same tiny batch to a table 2× the size must cost
+    ~the same wall time (prior manifests carry verbatim, no manifest
+    reads); (b) a REMOVE-BEARING sync is MANIFEST-DIFFED — a tiny
+    delete on the 2× table must cost ~the same as on the 1× table
+    (untouched manifests carry verbatim; only affected ones rewrite,
+    O(affected), never O(live files)); (c) the Iceberg view stays
+    row-identical to the Delta view throughout (count + sum checksum,
+    one scan per side)."""
     import json as _json
     import shutil
     import tempfile
@@ -669,6 +672,22 @@ def uniform_pipeline(spark, sf_dir: str) -> dict:
                 }},
             ]:
                 f.write(_json.dumps(a) + "\n")
+        def manifest_count() -> int:
+            r = IcebergTableReader(path)
+            meta = r._metadata()
+            tip = next(
+                s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            from aws_glue_data_lake_spark.avrolite import (
+                read_container,
+            )
+
+            _, mls, _ = read_container(
+                tip["manifest-list"].removeprefix("file://")
+            )
+            return len(mls)
+
         w = DeltaTableWriter(path)
         t0 = time.perf_counter()
         w.append(full)
@@ -677,6 +696,14 @@ def uniform_pipeline(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         w.append(tiny)
         out["tiny_append_small_table_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        # remove-bearing sync on the SMALL table: delete one tiny key
+        # range (touches ~1 file -> rewrites ~1 manifest)
+        lo = full.agg(F.min("k")).first()[0]
+        t0 = time.perf_counter()
+        w.delete_where(spark, f"k <= {lo}")
+        out["tiny_delete_small_table_s"] = round(
             time.perf_counter() - t0, 3
         )
         # double the table, then the SAME tiny append must cost ~same
@@ -692,9 +719,26 @@ def uniform_pipeline(spark, sf_dir: str) -> dict:
             / max(out["tiny_append_small_table_s"], 1e-9),
             2,
         )
+        # manifest-DIFFED remove-bearing sync (round 13): the same
+        # tiny delete on the 2x table must cost ~the same — untouched
+        # manifests carry verbatim, O(affected) not O(live files)
+        mcount_before = manifest_count()
+        lo2 = 10 ** 12 + lo
         t0 = time.perf_counter()
-        w.delete_where(spark, f"k <= {q * 0.1}")  # CoW + full-state sync
-        out["cow_delete_fullstate_sync_s"] = round(
+        w.delete_where(spark, f"k > {10 ** 12} AND k <= {lo2}")
+        out["tiny_delete_big_table_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        out["delete_scale_ratio"] = round(
+            out["tiny_delete_big_table_s"]
+            / max(out["tiny_delete_small_table_s"], 1e-9),
+            2,
+        )
+        out["manifests_before_diff_delete"] = mcount_before
+        out["manifests_after_diff_delete"] = manifest_count()
+        t0 = time.perf_counter()
+        w.delete_where(spark, f"k <= {q * 0.1}")  # broad CoW delete
+        out["cow_delete_broad_sync_s"] = round(
             time.perf_counter() - t0, 3
         )
         d = DeltaTableReader(path).to_df(spark).agg(
