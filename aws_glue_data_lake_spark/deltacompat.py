@@ -3748,25 +3748,29 @@ class DeltaTableWriter:
         return sorted(reader), sorted(writer)
 
     @staticmethod
-    def _physical_stage_ctx(snap: DeltaSnapshot):
+    def _physical_stage_ctx(
+        snap: DeltaSnapshot, schema: StructType | None = None
+    ):
         """(to_physical fn, physical partition columns) for staging data
         under a columnMapping table: file bytes and partitionValues use
         PHYSICAL names + parquet field IDs (what delta-spark's writer
         emits; logical-named files would read back as silent nulls).
         Identity for unmapped tables. ``_change_type`` in cdc files is a
-        literal column, never mapped."""
+        literal column, never mapped. ``schema`` overrides the
+        snapshot's (the EVOLVED schema when this commit mergeSchemas —
+        its new columns carry the just-assigned mapping ids)."""
+        fields = (schema or snap.schema).fields
         cm = (snap.configuration or {}).get(
             "delta.columnMapping.mode", "none"
         )
         if cm in ("", "none"):
             return (lambda df: df), snap.partition_columns
         phys_of = {
-            f.name: DeltaTableReader._physical_name(f)
-            for f in snap.schema.fields
+            f.name: DeltaTableReader._physical_name(f) for f in fields
         }
         fid_of = {
             f.name: (f.metadata or {}).get("delta.columnMapping.id")
-            for f in snap.schema.fields
+            for f in fields
         }
         from pyspark.sql.types import ArrayType, MapType
 
@@ -3803,7 +3807,7 @@ class DeltaTableWriter:
                 )
             return t
 
-        by_name = {f.name: f for f in snap.schema.fields}
+        by_name = {f.name: f for f in fields}
 
         def to_physical(df: DataFrame) -> DataFrame:
             cols = []
@@ -3983,12 +3987,45 @@ class DeltaTableWriter:
                 f"batch adds columns {[f.name for f in new_fields]}; "
                 "pass merge_schema=True to evolve the table schema"
             )
-        merged = StructType(
-            list(snap.schema.fields)
-            + [StructField(f.name, f.dataType, True) for f in new_fields]
-        )
         meta = dict(snap.raw_meta)
-        meta["schemaString"] = json.dumps(merged.jsonValue())
+        sch = json.loads(meta["schemaString"])
+        conf = dict(meta.get("configuration", {}) or {})
+        cm = conf.get("delta.columnMapping.mode", "none")
+        new_jsons = []
+        for f in new_fields:
+            fj = json.loads(
+                StructType([StructField(f.name, f.dataType, True)]).json()
+            )["fields"][0]
+            fj["type"] = _normalize_char_varchar(fj["type"])
+            fj["nullable"] = True
+            new_jsons.append(fj)
+        if cm not in ("", "none"):
+            # mergeSchema under columnMapping: every evolved column
+            # (and its nested fields / element positions) gets fresh
+            # mapping ids in the SAME commit — the spec's requirement;
+            # staging then writes the new columns under their physical
+            # names + field ids (the evolved-schema stage ctx)
+            next_id = (
+                max(
+                    [int(conf.get("delta.columnMapping.maxColumnId", 0))]
+                    + list(_all_mapping_ids(sch["fields"]))
+                )
+                + 1
+            )
+            for fj in new_jsons:
+                next_id = _assign_mapping_ids(
+                    fj, next_id, physical=f"col-{uuid.uuid4()}"
+                )
+            conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+            meta["configuration"] = conf
+        sch["fields"] = list(sch["fields"]) + new_jsons
+        meta["schemaString"] = json.dumps(sch)
+        self._require_uniform_syncable(
+            snap, meta, "mergeSchema evolution"
+        )
+        # parse back so the returned schema CARRIES the assigned ids —
+        # callers build the staging context from it
+        merged = StructType.fromJson(json.loads(meta["schemaString"]))
         return [{"metaData": meta}], merged
 
     def append(
@@ -4027,6 +4064,7 @@ class DeltaTableWriter:
         # identity appenders: every foreign commit can charge BOTH a
         # FileExists loss and a mark-moved regen to this writer.
         losses = regens = 0
+        staged_sig: str | None = None
         while losses < _MAX_COMMIT_RETRIES and regens <= _MAX_COMMIT_RETRIES:
             snap = DeltaTableReader(self.path).snapshot()
             if txn is not None and (snap.txns or {}).get(
@@ -4058,11 +4096,34 @@ class DeltaTableWriter:
                     df, snap, "append (WRITE)"
                 )
             self._check_constraints(df, snap.configuration)
-            actions, _ = self._schema_evolution_actions(
+            actions, evolved_schema = self._schema_evolution_actions(
                 df, snap, merge_schema
             )
+            evo_sig = (
+                actions[0]["metaData"]["schemaString"]
+                if actions
+                else None
+            )
+            if adds is not None and staged_sig != evo_sig:
+                # a racing winner changed the schema under us: the
+                # staged files embed mapping ids assigned against the
+                # OLD tip — drop and restage under the new assignment
+                for a in adds:
+                    try:
+                        os.remove(
+                            os.path.join(
+                                self.path,
+                                urllib.parse.unquote(a["path"]),
+                            )
+                        )
+                    except OSError:
+                        pass
+                adds = None
             if adds is None:
-                to_phys, part_stage = self._physical_stage_ctx(snap)
+                staged_sig = evo_sig
+                to_phys, part_stage = self._physical_stage_ctx(
+                    snap, schema=evolved_schema
+                )
                 adds = self._stage_files(to_phys(df), part_stage)
             if ident_touched:
                 # per ATTEMPT: the tip's high-water mark must still be
@@ -4182,15 +4243,6 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "merge (MERGE)")
-        cm_mode = (snap.configuration or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if cm_mode not in ("", "none") and merge_schema:
-            raise DeltaProtocolError(
-                "merge_schema into a columnMapping table is not "
-                "supported: new columns would need fresh "
-                "columnMapping ids/physicalNames assigned"
-            )
         source = self._apply_default_columns(source, snap)
         source = self._apply_generated_columns(source, snap)
         self._check_constraints(source, snap.configuration)
@@ -4201,7 +4253,11 @@ class DeltaTableWriter:
             f.name: DeltaTableReader._physical_name(f)
             for f in snap.schema.fields
         }
-        to_physical, part_stage = self._physical_stage_ctx(snap)
+        # stage under the EVOLVED schema: mergeSchema-added columns
+        # carry their freshly assigned mapping ids
+        to_physical, part_stage = self._physical_stage_ctx(
+            snap, schema=table_schema
+        )
         keys = list(keys)
         missing = [k for k in keys if k not in source.columns]
         if missing:

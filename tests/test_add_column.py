@@ -487,3 +487,58 @@ def test_iceberg_nested_add_and_drop(spark, tmp_path):
     assert got == [(1, ("a", "c")), (2, ("a", "c"))]
     with pytest.raises(IcebergProtocolError, match="nested renames"):
         w.rename_column("s.a", "a2")
+
+
+def test_merge_schema_under_column_mapping(spark, tmp_path):
+    """mergeSchema on a columnMapping table (round 13; previously
+    refused on merge and spec-invalid on append): evolved columns get
+    fresh mapping ids/physicalNames IN THE SAME COMMIT, file bytes land
+    under the physical names + field ids, old rows read NULL."""
+    path = str(tmp_path / "t")
+    _mapped_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, "a", 10)], "k long, v string, x long"
+    ))
+    # append-side evolution
+    w.append(
+        spark.createDataFrame(
+            [(2, "b", 20, 2.5)], "k long, v string, x long, score double"
+        ),
+        merge_schema=True,
+    )
+    snap = DeltaTableReader(path).snapshot()
+    md = snap.schema["score"].metadata
+    assert md["delta.columnMapping.id"] == 4
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+    got = sorted(
+        (r["k"], r["score"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, 2.5)]
+    # merge-side evolution (was a hard refusal): nested type too
+    w.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", 21, 3.5, (1, "t"))],
+            "k long, v string, x long, score double, "
+            "info struct<n:int,s:string>",
+        ),
+        keys=["k"],
+        merge_schema=True,
+    )
+    snap = DeltaTableReader(path).snapshot()
+    info = snap.schema["info"]
+    assert info.metadata["delta.columnMapping.id"] == 5
+    nested_ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in info.dataType.fields
+    }
+    assert nested_ids == {"n": 6, "s": 7}
+    got = sorted(
+        (r["k"], r["score"], (r["info"]["n"], r["info"]["s"])
+         if r["info"] else None)
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    assert got == [(1, None, None), (2, 3.5, (1, "t"))]

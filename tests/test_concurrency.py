@@ -725,3 +725,76 @@ def test_delta_threaded_identity_ids_stay_unique_on_lattice(
         r.snapshot().schema["id"].metadata["delta.identity.highWaterMark"]
     )
     assert hwm == max(ids)
+
+
+def test_delta_nmbs_merge_conflicts_with_any_concurrent_add(
+    spark, tmp_path
+):
+    """A three-clause MERGE (WHEN NOT MATCHED BY SOURCE) read the WHOLE
+    table: even a key-range-DISJOINT winner add would have been an
+    unmatched row the clause should have processed — the rebase that a
+    plain merge takes must instead surface a conflict (delta-spark's
+    rule for three-clause merges)."""
+    path = str(tmp_path / "t")
+    w1 = DeltaTableWriter(path)
+    w1.create(_df(spark, 0, 20, "base"))
+
+    orig = DeltaTableWriter._stage_files
+    state = {"raced": False}
+
+    def racy_stage(self, df, partition_by, cdc=False):
+        if not state["raced"]:
+            state["raced"] = True
+            # DISJOINT keys 200.. — a plain merge would rebase past it
+            DeltaTableWriter(path).append(_df(spark, 200, 203, "winner"))
+        return orig(self, df, partition_by, cdc=cdc)
+
+    w1._stage_files = types.MethodType(racy_stage, w1)
+    with pytest.raises(ConcurrentModificationError, match="MERGE"):
+        w1.merge(
+            spark, _df(spark, 0, 3, "upd"), keys=["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 10",
+        )
+    # no partial commit: winner intact, victim's delete never applied
+    rows = DeltaTableReader(path).to_df(spark).groupBy(
+        "src").count().collect()
+    assert {r["src"]: r["count"] for r in rows} == {
+        "base": 20, "winner": 3
+    }
+
+
+def test_iceberg_nmbs_merge_refuses_rebase(spark, tmp_path):
+    """Iceberg three-clause MERGE: a lost version race refuses to
+    rebase (the equality-delete set was computed from a whole-table
+    scan a concurrent commit invalidates), where a plain MoR merge
+    rebases freely."""
+    path = str(tmp_path / "i")
+    w = IcebergTableWriter(path)
+    w.create(_df(spark, 0, 20, "base"))
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        ConcurrentModificationError as IceConflict,
+    )
+
+    orig = IcebergTableWriter._write_manifest
+    state = {"raced": False}
+
+    def racy_manifest(self, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            IcebergTableWriter(path).append(_df(spark, 200, 203, "win"))
+        return orig(self, *a, **kw)
+
+    w._write_manifest = types.MethodType(racy_manifest, w)
+    with pytest.raises(IceConflict, match="NOT MATCHED BY SOURCE"):
+        w.merge(
+            _df(spark, 0, 3, "upd"), keys=["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="k >= 10",
+        )
+    rows = IcebergTableReader(path).to_df(spark).groupBy(
+        "src").count().collect()
+    assert {r["src"]: r["count"] for r in rows} == {
+        "base": 20, "win": 3
+    }

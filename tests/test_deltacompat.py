@@ -2653,14 +2653,24 @@ def test_merge_into_column_mapping_table(spark, tmp_path):
             int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
         }
         assert fids == {1, 2}
-    # merge_schema into a mapped table still gates loudly
-    with pytest.raises(DeltaProtocolError, match="merge_schema"):
-        w.merge(
-            spark,
-            spark.createDataFrame([(7, 70, "x")], "k long, v long, w string"),
-            keys=["k"],
-            merge_schema=True,
-        )
+    # merge_schema into a mapped table EVOLVES (round 13, was a
+    # refusal): the new column gets a fresh mapping id/physicalName in
+    # the same commit and stages under them
+    w.merge(
+        spark,
+        spark.createDataFrame([(7, 70, "x")], "k long, v long, w string"),
+        keys=["k"],
+        merge_schema=True,
+    )
+    snap2 = r.snapshot()
+    md = snap2.schema["w"].metadata
+    assert md["delta.columnMapping.id"] == 3
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    got = sorted(
+        (row["k"], row["w"])
+        for row in r.to_df(spark).collect()
+    )
+    assert got == [(1, None), (2, None), (5, None), (7, "x")]
 
 
 def test_column_mapping_append_optimize_overwrite(spark, tmp_path):

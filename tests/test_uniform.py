@@ -524,3 +524,35 @@ def test_uniform_unsyncable_partition_refuses_before_commit(
         ))
     # nothing was committed: version is still the bootstrap 0
     assert DeltaTableReader(path).snapshot().version == 0
+
+
+def test_uniform_merge_schema_append_evolves_both_views(
+    spark, tmp_path
+):
+    """mergeSchema append on a UniForm table (round 13): the evolved
+    column gets mapping ids in the same commit, the post-commit sync
+    mints a fresh APPEND-ONLY Iceberg schema-id, and both views read
+    the evolved rows identically."""
+    path = str(tmp_path / "t")
+    _uniform_table(path)
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    meta0 = IcebergTableReader(path)._metadata()
+    w.append(
+        spark.createDataFrame(
+            [(2, "b", 9)], "k long, v string, score long"
+        ),
+        merge_schema=True,
+    )
+    meta1 = IcebergTableReader(path)._metadata()
+    assert meta1["current-schema-id"] > meta0["current-schema-id"]
+    assert len(meta1["schemas"]) == len(meta0["schemas"]) + 1
+    d = sorted(
+        (r["k"], r["v"], r["score"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    i = sorted(
+        (r["k"], r["v"], r["score"])
+        for r in IcebergTableReader(path).to_df(spark).collect()
+    )
+    assert d == i == [(1, "a", None), (2, "b", 9)]
