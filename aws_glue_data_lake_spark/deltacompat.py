@@ -205,6 +205,88 @@ def _iceberg_promotion_ok(frm: str, to: str) -> bool:
     )
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-ORDER key column: each column maps to a ``bits``-bit bucket id
+    (equi-width over the observed min/max for numerics/dates/
+    timestamps — ONE tiny agg job; big-endian 7-byte prefix for
+    strings, delta-spark's own truncation trick), then the bucket bits
+    INTERLEAVE into one long — rows close in z-value are close in every
+    dimension, so sorting by it packs files whose per-column min/max
+    stats are tight on ALL the z-order columns at once. Entirely
+    codegen expressions: no UDF, no extra shuffle beyond the rewrite's
+    own repartition."""
+    n = (1 << bits) - 1
+    parts = []
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        col = F.col(c)
+        if t in ("byte", "short", "integer", "long"):
+            v = col.cast("double")
+        elif t in ("float", "double"):
+            v = col.cast("double")
+        elif t in ("decimal",) or t.startswith("decimal"):
+            v = col.cast("double")
+        elif t == "date":
+            v = F.datediff(col, F.lit("1970-01-01")).cast("double")
+        elif t in ("timestamp", "timestamp_ntz"):
+            v = F.unix_timestamp(col).cast("double")
+        elif t == "string":
+            # EXACT 56-bit number of the first 7 codepoints (clamped
+            # to one byte each — ASCII-faithful, lexicographic for the
+            # common case): exactness matters because real keys share
+            # long prefixes and the discriminating low characters must
+            # survive; the (v - min) the bucketing uses keeps the span
+            # small enough for the double math downstream
+            v = F.lit(0).cast("long")
+            for i in range(1, 8):
+                cp = F.least(
+                    F.coalesce(
+                        F.ascii(F.substring(col, i, 1)), F.lit(0)
+                    ),
+                    F.lit(255),
+                ).cast("long")
+                v = v * F.lit(256) + cp
+        else:
+            raise ValueError(
+                f"ZORDER BY column {c!r}: type {t!r} has no z-order "
+                "mapping (numeric, decimal, date, timestamp, string)"
+            )
+        parts.append((c, v))
+    stats = df.agg(
+        *[F.min(v).alias(f"__lo_{i}") for i, (_, v) in enumerate(parts)],
+        *[F.max(v).alias(f"__hi_{i}") for i, (_, v) in enumerate(parts)],
+    ).collect()[0]
+    buckets = []
+    for i, (_, v) in enumerate(parts):
+        lo = stats[f"__lo_{i}"]
+        hi = stats[f"__hi_{i}"]
+        if lo is None or hi is None or hi <= lo:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        # subtract BEFORE the double cast: long-typed keys (string
+        # prefixes) stay exact over the span even when their absolute
+        # magnitude exceeds double's 53-bit mantissa
+        scaled = (
+            (v - F.lit(lo)).cast("double")
+            / F.lit((float(hi) - float(lo)) / n)
+        ).cast("long")
+        buckets.append(
+            F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(n)),
+                F.lit(0),
+            )
+        )
+    ncols = len(buckets)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * ncols + j,
+            )
+    return z
+
+
 def _struct_fields_at(sch: dict, parts: list[str], what: str) -> list:
     """The schema-JSON ``fields`` list of the struct at dotted path
     ``parts`` (empty -> top level). DDL paths run through STRUCTS only
@@ -5171,15 +5253,40 @@ class DeltaTableWriter:
             json.dump({"version": snap.version, "size": len(rows)}, f)
         return cp
 
-    def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        zorder_by: Sequence[str] = (),
+    ) -> int:
         """OPTIMIZE (bin-packing compaction): rewrite the current
         snapshot's rows into ``target_files`` files and commit remove+add
         actions with ``dataChange: false`` — the protocol's marker that
         the commit reshuffles bytes without changing table content
         (streaming log readers skip it). Prior versions stay
-        time-travelable until vacuum."""
+        time-travelable until vacuum.
+
+        ``zorder_by`` adds delta-spark's ``OPTIMIZE … ZORDER BY``
+        multi-dimensional clustering: rows are range-partitioned and
+        sorted by an interleaved-bit z-key over the named columns
+        (:func:`_zorder_key`), so each rewritten file's min/max stats
+        are tight on EVERY z-order column at once — point/range
+        predicates on any of them prune files, the entire reason the
+        command exists at 100 TB. Same commit shape; layout only."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
+        zorder_by = list(zorder_by)
+        bad = [
+            c
+            for c in zorder_by
+            if c not in {f.name for f in snap.schema.fields}
+            or c in (snap.partition_columns or ())
+        ]
+        if bad:
+            raise ValueError(
+                f"ZORDER BY column(s) {bad} must exist and not be "
+                "partition columns"
+            )
         rtc = self._rt_preserve_ctx(snap, "optimize (OPTIMIZE)")
         df = (
             self._rt_materialize(
@@ -5188,6 +5295,12 @@ class DeltaTableWriter:
             if rtc
             else r.to_df(spark)
         )
+        if zorder_by and target_files <= 1:
+            # clustering into ONE file defeats the point (a single
+            # file's stats span everything): keep the live granularity
+            target_files = max(len(snap.files), 1)
+        if zorder_by:
+            df = df.withColumn("__z", _zorder_key(df, zorder_by))
         if snap.partition_columns:
             # hash by the partition key so each partition value lands in
             # ONE task -> one compacted file per partition; a round-robin
@@ -5197,12 +5310,23 @@ class DeltaTableWriter:
                 max(target_files, 1),
                 *[F.col(c) for c in snap.partition_columns],
             )
+            if zorder_by:
+                df = df.sortWithinPartitions(
+                    *snap.partition_columns, "__z"
+                )
+        elif zorder_by:
+            # range split on the z-key -> files own disjoint z-ranges
+            df = df.repartitionByRange(
+                max(target_files, 1), "__z"
+            ).sortWithinPartitions("__z")
         else:
             df = (
                 df.repartition(target_files)
                 if target_files > 1
                 else df.coalesce(1)
             )
+        if zorder_by:
+            df = df.drop("__z")
         to_phys, part_stage = self._physical_stage_ctx(snap)
         adds = self._stage_files(to_phys(df), part_stage)
         for a in adds:

@@ -4399,3 +4399,92 @@ def lake_iceberg_spec_evolution_state(
         )
         .orderBy("pri")
     )
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE ... ZORDER BY (round 13): multi-dimensional clustering on a
+# real Delta table. The query Z-ORDERS lineitem's shipment slice on
+# (l_orderkey, l_partkey) — two independently-distributed dimensions —
+# then PROVES the layout: a point probe on EACH dimension must be
+# containable in at most half the rewritten files' min/max stats (a
+# plain sort could only deliver one dimension), while the rows stay
+# bit-identical (the oracle recomputes the same aggregate with no
+# knowledge of layout). dataChange:false commit — streaming readers
+# skip it.
+# --------------------------------------------------------------------------
+@_q(
+    "lake_optimize_zorder_state",
+    oracle="""
+WITH t0 AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+         CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(ok) AS BIGINT) AS min_ok,
+       CAST(MAX(pk) AS BIGINT) AS max_pk
+FROM t0
+""",
+)
+def lake_optimize_zorder_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("zorder_") + "/t"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .repartition(8)  # scrambled layout: every file spans both dims
+    )
+    w = DeltaTableWriter(path)
+    w.create(li)
+    tb = open_table(path, "delta")  # noqa: F841 — SQL routing is
+    # exercised in tests/test_zorder.py; 16 files aligns the morton
+    # curve on a 4x4 grid so each file's bounding box is one cell
+    w.optimize(spark, target_files=16, zorder_by=["ok", "pk"])
+
+    def files_containing(col, v):
+        snap = DeltaTableReader(path).snapshot()
+        cnt = 0
+        for p, _, _ in snap.files:
+            st = (snap.stats or {}).get(p) or {}
+            lo = (st.get("minValues") or {}).get(col)
+            hi = (st.get("maxValues") or {}).get(col)
+            if lo is not None and lo <= v <= hi:
+                cnt += 1
+        return cnt, len(snap.files)
+
+    probe = li.agg(
+        F.expr("percentile_approx(ok, 0.5)"),
+        F.expr("percentile_approx(pk, 0.5)"),
+    ).collect()[0]
+    for col, v in (("ok", probe[0]), ("pk", probe[1])):
+        hit, total = files_containing(col, int(v))
+        assert hit <= max(total // 2, 1), (
+            f"z-order failed to cluster {col}: {hit}/{total} files "
+            "contain the median probe"
+        )
+    return (
+        DeltaTableReader(path)
+        .to_df(spark)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("ok").cast("bigint").alias("min_ok"),
+            F.max("pk").cast("bigint").alias("max_pk"),
+        )
+    )

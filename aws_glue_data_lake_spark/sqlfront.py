@@ -27,7 +27,8 @@ already-green primitives:
   reach for, delegating to the facade's single-commit ``update_where``
   / ``delete_where`` / ``append`` (CoW file rewrite with matched-file
   discovery / MoR tombstones / plain append; VALUES maps positionally).
-- Maintenance + metadata DDL: ``OPTIMIZE <t>`` (compaction),
+- Maintenance + metadata DDL: ``OPTIMIZE <t> [ZORDER BY (c, ...)]``
+  (compaction; z-ordered multi-dimensional clustering on delta),
   ``VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS]`` (version-based
   retention; the Delta-SQL HOURS spelling maps onto versions from
   commit timestamps, conservatively),
@@ -110,7 +111,10 @@ _INSERT_RE = re.compile(
 )
 _REF = r"(?P<target>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)"
 _OPTIMIZE_RE = re.compile(
-    rf"^\s*OPTIMIZE\s+{_REF}\s*;?\s*$", re.IGNORECASE
+    rf"^\s*OPTIMIZE\s+{_REF}"
+    r"(?:\s+ZORDER\s+BY\s*\(?\s*(?P<zcols>[\w`,\s]+?)\s*\)?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 #: delta SQL is RETAIN n HOURS; this engine's vacuum is version-based.
 #: Both spellings parse: VERSIONS passes through, HOURS maps onto a
@@ -685,7 +689,14 @@ def sql(
     the DataFrame of the rewritten query."""
     m = _OPTIMIZE_RE.match(statement)
     if m:
-        _require(m, tables, spark, "OPTIMIZE").compact(spark)
+        zcols = [
+            c.strip().strip("`")
+            for c in (m.group("zcols") or "").split(",")
+            if c.strip()
+        ]
+        _require(m, tables, spark, "OPTIMIZE").compact(
+            spark, zorder_by=zcols
+        )
         return None
     m = _VACUUM_RE.match(statement)
     if m:

@@ -577,14 +577,32 @@ class Table:
         )
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, spark: SparkSession, target_files: int = 1) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        zorder_by: Sequence[str] = (),
+    ) -> None:
         """Fold small files (and, on iceberg, merge-on-read tombstones)
-        into a compacted snapshot — OPTIMIZE in Delta's vocabulary."""
+        into a compacted snapshot — OPTIMIZE in Delta's vocabulary.
+        ``zorder_by`` (Delta) clusters the rewrite on an interleaved
+        z-key so every named column's file stats stay tight."""
         if self.format == "lake":
+            if zorder_by:
+                raise NotImplementedError(
+                    "ZORDER BY is a delta capability here"
+                )
             self._lake().compact(spark, target_files=target_files)
         elif self.format == "delta":
-            self._delta_writer().optimize(spark, target_files=target_files)
+            self._delta_writer().optimize(
+                spark, target_files=target_files, zorder_by=zorder_by
+            )
         else:
+            if zorder_by:
+                raise NotImplementedError(
+                    "ZORDER BY is a delta capability here; Iceberg "
+                    "re-clusters via sort orders (not implemented)"
+                )
             self._ice_writer().compact(spark)
 
     def vacuum(self, keep: int = 1, hours: float | None = None) -> list[str]:
