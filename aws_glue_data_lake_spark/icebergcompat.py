@@ -4879,12 +4879,19 @@ class IcebergTableWriter:
             prev, "equality_delete (DELETE)", attempt, lambda b, n: None
         )
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(
+        self, spark: SparkSession, zorder_by: Sequence[str] = ()
+    ) -> int:
         """REWRITE the live rows into fresh data files and drop every
         tombstone — Iceberg's ``rewrite_data_files`` maintenance action:
         the new snapshot's manifest list holds ONE data manifest of the
         rewritten files (position-delete debt folded away), while prior
-        snapshots stay time-travelable until expire_snapshots."""
+        snapshots stay time-travelable until expire_snapshots.
+        ``zorder_by`` applies the rewrite_data_files ``sort``/z-order
+        strategy: rows range-partition + sort on the interleaved-bit
+        z-key (deltacompat._zorder_key — format-agnostic), keeping
+        every named column's per-file bounds tight for manifest-level
+        data skipping."""
         prev = self._load_prev()
         if prev is None:
             raise FileNotFoundError(f"no Iceberg table at {self.path}")
@@ -4904,6 +4911,23 @@ class IcebergTableWriter:
             spec_fields,
         )
         df = IcebergTableReader(self.path).to_df(spark)  # deletes applied
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from aws_glue_data_lake_spark.deltacompat import _zorder_key
+
+            bad = [c for c in zorder_by if c not in df.columns]
+            if bad:
+                raise ValueError(f"ZORDER BY unknown column(s) {bad}")
+            n_files = max(
+                len(IcebergTableReader(self.path).snapshot().files), 1
+            )
+            df = (
+                df.withColumn("__z", _zorder_key(df, list(zorder_by)))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         sid, seq = self._next_ids(prev)
         staged = self._stage_data_files(df, pcols, part_exprs)
         entries = [

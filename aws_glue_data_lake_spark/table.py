@@ -588,22 +588,18 @@ class Table:
         ``zorder_by`` (Delta) clusters the rewrite on an interleaved
         z-key so every named column's file stats stay tight."""
         if self.format == "lake":
-            if zorder_by:
-                raise NotImplementedError(
-                    "ZORDER BY is a delta capability here"
-                )
-            self._lake().compact(spark, target_files=target_files)
+            self._lake().compact(
+                spark, target_files=target_files,
+                zorder_by=list(zorder_by),
+            )
         elif self.format == "delta":
             self._delta_writer().optimize(
                 spark, target_files=target_files, zorder_by=zorder_by
             )
         else:
-            if zorder_by:
-                raise NotImplementedError(
-                    "ZORDER BY is a delta capability here; Iceberg "
-                    "re-clusters via sort orders (not implemented)"
-                )
-            self._ice_writer().compact(spark)
+            self._ice_writer().compact(
+                spark, zorder_by=list(zorder_by)
+            )
 
     def vacuum(self, keep: int = 1, hours: float | None = None) -> list[str]:
         """Physically remove files only unreachable snapshots reference;

@@ -95,3 +95,42 @@ def test_zorder_validation_and_string_dates(spark, tmp_path):
     assert _files_containing(path, "name", "user050") <= 6
     with pytest.raises(ValueError, match="ZORDER"):
         w.optimize(spark, zorder_by=["nope"])
+
+
+def test_iceberg_compact_zorder(spark, tmp_path):
+    """Iceberg rewrite_data_files z-order strategy: compact(zorder_by)
+    keeps manifest-level bounds tight on both clustered columns."""
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    path = str(tmp_path / "i")
+    n = 2048
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 2654435761) % n).alias("x"),
+            ((F.col("id") * 40503) % n).alias("y"),
+        )
+        .repartition(16)
+    )
+    w = IcebergTableWriter(path)
+    w.create(df)
+    w.compact(spark, zorder_by=["x", "y"])
+    r = IcebergTableReader(path)
+    snap = r.snapshot()
+    assert len(snap.files) == 16
+    got = r.to_df(spark)
+    assert got.count() == n
+
+    def hits(col, v):
+        c = 0
+        for p, _ in snap.files:
+            st = (snap.col_stats or {}).get(p, {}).get(col)
+            if st and st["min"] <= v <= st["max"]:
+                c += 1
+        return c
+
+    assert hits("x", 123) <= 8 and hits("y", 456) <= 8
