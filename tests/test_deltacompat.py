@@ -3725,7 +3725,9 @@ def test_row_tracking_invariants_random_op_sequences(
             hwm = _json.loads(dom.get("configuration") or "{}").get(
                 "rowIdHighWaterMark", -1
             )
-            assert hwm >= max(got.values()), (hwm, got)
+            # (a sequence of deletes can empty the table: no live ids
+            # to bound, the mark simply stays at its high water)
+            assert hwm >= max(got.values(), default=-1), (hwm, got)
 
     run()
 
