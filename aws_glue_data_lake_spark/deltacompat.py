@@ -3566,11 +3566,16 @@ class DeltaTableWriter:
         )
         meta = dict(snap.raw_meta)
         sch = json.loads(meta["schemaString"])
-        hit = [f for f in sch["fields"] if f["name"] == column]
+        parts = column.split(".")
+        leaf = parts[-1]
+        parent_fields = _struct_fields_at(
+            sch, parts[:-1], "ALTER COLUMN TYPE"
+        )
+        hit = [f for f in parent_fields if f["name"] == leaf]
         if not hit:
             raise ValueError(
                 f"ALTER COLUMN TYPE: no column {column!r} "
-                f"(have {[f['name'] for f in sch['fields']]})"
+                f"(have {[f['name'] for f in parent_fields]})"
             )
         if column in (snap.partition_columns or ()):
             raise DeltaProtocolError(
@@ -3580,7 +3585,7 @@ class DeltaTableWriter:
             )
         new_t = _normalize_char_varchar(
             json.loads(
-                StructType.fromDDL(f"`{column}` {type_ddl}").json()
+                StructType.fromDDL(f"`{leaf}` {type_ddl}").json()
             )["fields"][0]["type"]
         )
         old_t = hit[0]["type"]
@@ -3611,6 +3616,7 @@ class DeltaTableWriter:
         hit[0]["metadata"] = md
         hit[0]["type"] = new_t
         meta["schemaString"] = json.dumps(sch)
+        self._require_uniform_syncable(snap, meta, "ALTER COLUMN TYPE")
         rf, wf = self._feature_lists(
             snap,
             extra_reader={"typeWidening"},

@@ -3322,14 +3322,20 @@ class IcebergTableWriter:
             sc for sc in prev["schemas"]
             if sc["schema-id"] == prev.get("current-schema-id", 0)
         )
-        hit = [f for f in cur["fields"] if f["name"] == column]
+        new_fields = json.loads(json.dumps(cur["fields"]))
+        parts = column.split(".")
+        leaf = parts[-1]
+        parent = _ice_struct_fields_at(
+            new_fields, parts[:-1], "ALTER COLUMN TYPE"
+        )
+        hit = [f for f in parent if f["name"] == leaf]
         if not hit:
             raise ValueError(
                 f"ALTER COLUMN TYPE: no column {column!r} "
-                f"(have {[f['name'] for f in cur['fields']]})"
+                f"(have {[f['name'] for f in parent]})"
             )
         spark_t = StructType.fromDDL(
-            f"`{column}` {type_ddl}"
+            f"`{leaf}` {type_ddl}"
         ).fields[0].dataType
         new_ice = _spark_type_to_iceberg(spark_t)
         old_ice = hit[0]["type"]
@@ -3348,16 +3354,13 @@ class IcebergTableWriter:
                 "Evolution: int→long, float→double, decimal precision "
                 "growth at the same scale)"
             )
+        hit[0]["type"] = new_ice
         new_schema = {
             "type": "struct",
             "schema-id": max(
                 sc["schema-id"] for sc in prev["schemas"]
             ) + 1,
-            "fields": [
-                {**f, "type": new_ice} if f["name"] == column
-                else dict(f)
-                for f in cur["fields"]
-            ],
+            "fields": new_fields,
         }
         self._schema_only_commit(
             prev, new_schema, int(prev.get("last-column-id", 0))

@@ -121,3 +121,65 @@ def test_uniform_widen_restricted_to_iceberg_promotions(
     w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     with pytest.raises(DeltaProtocolError, match="Iceberg type"):
         w.widen_column_type("k", "decimal(22,0)")
+
+
+def test_nested_field_widening_both_formats(spark, tmp_path):
+    """Dotted-path ALTER COLUMN TYPE (round 13): widen a struct
+    subfield — Spark's parquet reader upcasts nested leaves natively
+    under the pinned schema (verified empirically), so the change is
+    metadata-only on both formats."""
+    # Delta
+    dp = str(tmp_path / "d")
+    wd = DeltaTableWriter(dp)
+    wd.create(spark.createDataFrame(
+        [(1, (10, 1.5))], "k long, s struct<a:int,x:float>"
+    ))
+    t = open_table(dp, "delta")
+    sql(spark, "ALTER TABLE t ALTER COLUMN s.a TYPE bigint",
+        tables={"t": t})
+    wd.widen_column_type("s.x", "double")
+    wd.append(spark.createDataFrame(
+        [(2, (2**40, 2.5))], "k long, s struct<a:long,x:double>"
+    ))
+    got = sorted(
+        (r["k"], (r["s"]["a"], r["s"]["x"]))
+        for r in DeltaTableReader(dp).to_df(spark).collect()
+    )
+    assert got == [(1, (10, 1.5)), (2, (2**40, 2.5))]
+    sf = {
+        f.name: f
+        for f in DeltaTableReader(dp).snapshot()
+        .schema["s"].dataType.fields
+    }
+    assert sf["a"].dataType.simpleString() == "bigint"
+    assert (sf["a"].metadata or {})["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    # Iceberg
+    ip = str(tmp_path / "i")
+    wi = IcebergTableWriter(ip)
+    wi.create(spark.createDataFrame(
+        [(1, (10, 1.5))], "k long, s struct<a:int,x:float>"
+    ))
+    wi.widen_column_type("s.a", "bigint")
+    wi.append(spark.createDataFrame(
+        [(2, (2**40, 2.5))], "k long, s struct<a:long,x:float>"
+    ))
+    got = sorted(
+        (r["k"], r["s"]["a"])
+        for r in IcebergTableReader(ip).to_df(spark).collect()
+    )
+    assert got == [(1, 10), (2, 2**40)]
+    meta = IcebergTableReader(ip)._metadata()
+    cur = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    s_t = next(f for f in cur["fields"] if f["name"] == "s")["type"]
+    a = next(f for f in s_t["fields"] if f["name"] == "a")
+    # the nested field keeps its id through the promotion
+    old = next(
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "s"
+    )["type"]["fields"]
+    assert a["id"] == next(f for f in old if f["name"] == "a")["id"]
+    assert a["type"] == "long"
