@@ -283,3 +283,81 @@ def test_uniform_nested_rename_refuses_precommit(spark, tmp_path):
         r["kk"] for r in IcebergTableReader(path).to_df(spark).collect()
     )
     assert got == [1]
+
+
+def test_uniform_nested_rowtracking_three_clause_merge(
+    spark, tmp_path
+):
+    """The full realistic stack in one table (Databricks' default
+    stamps): NESTED schema + UniForm + rowTracking, driven by a
+    THREE-CLAUSE merge. Surviving rows keep their stable row ids
+    through the CoW rewrite, the NMBS-updated row keeps its id too
+    (same entity, new version), and the Delta and Iceberg views agree
+    after every commit."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    _uniform_nested_table(path)
+    # retrofit rowTracking onto the nested fixture's v0 log
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    actions = [_json.loads(l) for l in open(log)]
+    actions[0]["protocol"]["writerFeatures"] += [
+        "rowTracking", "domainMetadata"
+    ]
+    conf = actions[1]["metaData"]["configuration"]
+    conf["delta.columnMapping.mode"] = "name"  # materialized-id gate
+    conf["delta.enableRowTracking"] = "true"
+    conf["delta.rowTracking.materializedRowIdColumnName"] = \
+        "_row_id_mat"
+    conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = \
+        "_row_ver_mat"
+    with open(log, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(i, (i * 10, f"s{i}"), [i], {"m": i}) for i in range(6)],
+        _DDL,
+    ).coalesce(1).sortWithinPartitions("k"))
+    r = DeltaTableReader(path)
+    before = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    # three clauses: k=1 matched-replace, k=9 insert, k=4 NMBS-update
+    # (s.a flipped negative), k=5 NMBS-delete
+    w.merge(
+        spark,
+        spark.createDataFrame(
+            [(1, (99, "S1"), [9], {"m": 9}),
+             (9, (90, "s9"), [], {})],
+            _DDL,
+        ),
+        keys=["k"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="k = 4",
+        not_matched_by_source_set={
+            "s": "named_struct('a', -s.a, 'b', s.b)"
+        },
+    )
+    w.merge(
+        spark,
+        spark.createDataFrame([], _DDL),
+        keys=["k"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="k = 5",
+    )
+    after = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    assert set(after) == {0, 1, 2, 3, 4, 9}
+    # untouched + NMBS-updated rows keep their stable ids
+    for k in (0, 2, 3, 4):
+        assert after[k] == before[k], (k, before.get(k), after.get(k))
+    # the matched-replaced row inherits the old entity's id
+    assert after[1] == before[1]
+    # fresh insert takes a new id above everything seen
+    assert after[9] > max(before.values())
+    # NMBS-update applied inside the nested struct; views agree
+    d, i = _both(spark, path)
+    assert d == i
+    assert next(row for row in d if row[0] == 4)[1] == (-40, "s4")
