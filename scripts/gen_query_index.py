@@ -5,6 +5,11 @@ can diff coverage against CORRECTNESS_r*.json without parsing SURVEY
 §2.13's prose tables.
 
 Run:  python scripts/gen_query_index.py   (rewrites QUERY_INDEX.md)
+
+Convention (same as BENCH_FULL.json): the driver writes CORRECTNESS_r{N}
+AFTER the round's last commit, so the index is regenerated and committed
+as the FIRST commit of the next round — all CORRECTNESS_r*.json files on
+disk (committed or not) are folded in at generation time.
 """
 
 from __future__ import annotations
