@@ -2484,6 +2484,108 @@ class DeltaTableWriter:
         )
         return DeltaTableReader(self.path)
 
+    def clone_from(
+        self,
+        src_path: str,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> "DeltaTableReader":
+        """SHALLOW CLONE of a real Delta table (delta-spark's
+        ``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n]``; the
+        reference's destination is exactly such a table,
+        delta/delta_tables.py:87-88, and forking a dev copy of it is
+        the standard maintenance idiom): ONE metadata-only v0 commit at
+        THIS path whose add actions reference the source snapshot's
+        live files by absolute ``file://`` URI — the protocol-blessed
+        mechanism the reader already resolves (raw_paths /
+        _raw_key). Zero data bytes move; cost is O(#live files) of
+        driver-side metadata.
+
+        Carried verbatim from the source snapshot: protocol (feature
+        lists), schemaString, partitionColumns, table configuration,
+        per-file partitionValues + stats (so data skipping keeps
+        working), row-tracking base ids + the ``delta.rowTracking``
+        high-water-mark domain (stable row ids survive the clone), and
+        every other live domainMetadata. The metaData ``id`` is FRESH —
+        the clone is a new table. Deletion vectors carry rebased to
+        absolute-path (``storageType 'p'``) descriptors pointing at the
+        source's DV bins, since 'u' references resolve relative to the
+        table root. SetTransaction state does NOT carry (delta-spark:
+        stream metadata is not cloned).
+
+        The clone then diverges freely both ways: its writes land
+        clone-local files (removes of carried files use the raw
+        absolute key), the source never learns the clone exists, and
+        ``vacuum`` on either side only ever deletes files under its OWN
+        root — with the standard Delta caveat that vacuuming the SOURCE
+        past the cloned version can collect files the clone still
+        references."""
+        r = DeltaTableReader(src_path)
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_ms, not both")
+            version = r.version_at_timestamp(timestamp_ms)
+        snap = r.snapshot(version)
+        if os.path.isdir(self._log) and any(
+            _COMMIT_RE.match(n) for n in os.listdir(self._log)
+        ):
+            raise FileExistsError(
+                f"Delta table already exists: {self.path}"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        meta = dict(snap.raw_meta or {})
+        meta["id"] = str(uuid.uuid4())
+        proto = snap.raw_protocol or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        src_root = os.path.abspath(src_path)
+        actions: list[dict] = [
+            {"protocol": proto},
+            {"metaData": meta},
+        ]
+        for name, dom in sorted((snap.domains or {}).items()):
+            actions.append({"domainMetadata": dom})
+        rt = snap.row_tracking or {}
+        for p, pv, dv in snap.files:
+            ap = os.path.abspath(p)
+            add: dict = {
+                "path": "file://" + urllib.parse.quote(ap),
+                "partitionValues": pv,
+                "size": os.path.getsize(ap),
+                "modificationTime": int(os.path.getmtime(ap) * 1000),
+                "dataChange": True,
+            }
+            st = (snap.stats or {}).get(p)
+            if st is not None:
+                add["stats"] = json.dumps(st)
+            if dv:
+                dvc = dict(dv)
+                if dvc.get("storageType") == "u":
+                    from aws_glue_data_lake_spark.roaring64 import (
+                        z85_decode,
+                    )
+
+                    ref = dvc["pathOrInlineDv"]
+                    prefix, encoded = ref[:-20], ref[-20:]
+                    dv_uuid = uuid.UUID(bytes=z85_decode(encoded))
+                    dvc["storageType"] = "p"
+                    dvc["pathOrInlineDv"] = os.path.join(
+                        src_root,
+                        *([prefix] if prefix else []),
+                        f"deletion_vector_{dv_uuid}.bin",
+                    )
+                add["deletionVector"] = dvc
+            base = rt.get(p)
+            if base is not None:
+                if base[0] is not None:
+                    add["baseRowId"] = int(base[0])
+                if base[1] is not None:
+                    add["defaultRowCommitVersion"] = int(base[1])
+            actions.append({"add": add})
+        self._commit(0, actions, operation="CLONE")
+        return DeltaTableReader(self.path)
+
     @staticmethod
     def _check_constraints(df: DataFrame, configuration: dict) -> None:
         """Enforce ``delta.constraints.<name>`` CHECK expressions on the
@@ -3599,15 +3701,21 @@ class DeltaTableWriter:
                 "widening the protocol (and Spark's scan-time upcast) "
                 "supports"
             )
-        if self._uniform_active(snap) and not _iceberg_promotion_ok(
+        # gate on icebergCompat (not just active UniForm): the compat
+        # invariants protect OTHER engines' ability to generate the
+        # Iceberg view later, so a compat-enabled table must refuse
+        # Iceberg-illegal promotions even before universalFormat names
+        # iceberg (ADVICE r13; same keying as delete_where's DV routing)
+        if self._iceberg_compat_enabled(snap) and not _iceberg_promotion_ok(
             old_t, new_t
         ):
             raise DeltaProtocolError(
                 f"ALTER COLUMN TYPE: {old_t!r} -> {new_t!r} is not a "
                 "legal Iceberg type promotion (spec § Schema Evolution)"
-                " — on a UniForm table the synced Iceberg view must "
-                "stay readable, so only int→long, float→double and "
-                "same-scale decimal precision growth are allowed"
+                " — on an icebergCompat table the (current or future) "
+                "Iceberg view must stay readable, so only int→long, "
+                "float→double and same-scale decimal precision growth "
+                "are allowed"
             )
         md = dict(hit[0].get("metadata") or {})
         changes = list(md.get("delta.typeChanges") or [])
@@ -4403,10 +4511,17 @@ class DeltaTableWriter:
             # one full scan finds the files holding a NOT-matched row
             # that satisfies the clause condition (delta-spark pays the
             # same scan); only THOSE files join the rewrite set — the
-            # rest still carry by reference
+            # rest still carry by reference. DVs are subtracted FIRST
+            # (ADVICE r13): a DV-deleted row must not mark its file
+            # NMBS-eligible and force a needless full-file rewrite.
             eligible = {
                 os.path.abspath(row["__fp"])
-                for row in r.to_df(spark, _expose_pos=True)
+                for row in r._apply_dvs(
+                    spark,
+                    r.to_df(spark, _expose_pos=True),
+                    snap,
+                    keep_meta=True,
+                )
                 .join(kill, on=keys, how="left_anti")
                 .where(nmbs_cond)
                 .select(F.col("__dv_fp").alias("__fp"))
@@ -4661,9 +4776,15 @@ class DeltaTableWriter:
         tracking ids are preserved on the surviving rows; under CDF the
         removed rows land in a cdc file as ``delete``."""
         r = DeltaTableReader(self.path)
+        # DVs subtract BEFORE the probe so an already-DV-deleted row
+        # cannot force a needless rewrite of its file (no-op when the
+        # table has no DVs)
         affected = [
             row["__fp"]
-            for row in r.to_df(spark, _expose_pos=True)
+            for row in r._apply_dvs(
+                spark, r.to_df(spark, _expose_pos=True), snap,
+                keep_meta=True,
+            )
             .where(cond)
             .select(F.col("__dv_fp").alias("__fp"))
             .distinct()
@@ -4765,11 +4886,15 @@ class DeltaTableWriter:
             )
         # matched-file discovery: predicate pushes into the scan, the
         # agg returns |files with >=1 match| rows. _expose_pos keeps
-        # __dv_fp attached; DV-deleted rows can only over-include a
-        # file, and the rewrite below re-applies DVs before writing.
+        # __dv_fp attached; DVs subtract before the probe so a
+        # DV-deleted match cannot over-include (= needlessly rewrite)
+        # its file — no-op on DV-less tables.
         affected = [
             row["__fp"]
-            for row in r.to_df(spark, _expose_pos=True)
+            for row in r._apply_dvs(
+                spark, r.to_df(spark, _expose_pos=True), snap,
+                keep_meta=True,
+            )
             .where(cond)
             .select(F.col("__dv_fp").alias("__fp"))
             .distinct()

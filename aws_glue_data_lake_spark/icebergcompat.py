@@ -1503,6 +1503,7 @@ class IcebergTableReader:
             snapshot_id = self.snapshot_id_at_timestamp(timestamp_ms)
         snap = self.snapshot(snapshot_id, ref=ref)
         files = snap.files
+        residual: dict[str, object] = {}
         if partition_filter:
             # filter keys are SOURCE column values; each spec field whose
             # source matches prunes on transform(value) vs the manifest's
@@ -1510,9 +1511,13 @@ class IcebergTableReader:
             # the identity function there). A SPEC-EVOLVED table's older
             # manifests record values under THEIR OWN spec, so the tests
             # resolve per file's spec — a file whose spec has no field
-            # for the filter column is conservatively KEPT (its data
-            # still carries the source column; the caller's predicate
-            # applies at scan time).
+            # for the filter column is KEPT by manifest pruning, and the
+            # key is then enforced EXACTLY as a row predicate on the
+            # whole scan (see `residual` below): without it a caller
+            # filtering an evolved table on a newly added source column
+            # would silently get rows that do not match the filter,
+            # while Delta/lake partition_filter stay exact and
+            # Table.read exposes all three uniformly.
             for k in partition_filter:
                 if not any(
                     source == k for _, _, source in snap.spec_fields
@@ -1558,6 +1563,28 @@ class IcebergTableReader:
                     )
                 )
             ]
+            # residual row predicate (spec evolution): a kept file whose
+            # own spec has NO field on a filter key went unexamined by
+            # the manifest tests — enforce that key exactly, row-level,
+            # on the whole scan (a plain codegen filter, pushed to the
+            # parquet scan since data files carry source columns).
+            # Tables whose live files all carry the key keep the
+            # documented transform-granularity results (e.g. bucket
+            # filters return the whole bucket).
+            all_sf = snap.all_spec_fields or {0: snap.spec_fields}
+            specs_present = {
+                (snap.file_specs or {}).get(p, default_sid)
+                for p, _ in files
+            }
+            for k, v in partition_filter.items():
+                if any(
+                    not any(
+                        source == k
+                        for _, _, source in all_sf.get(sid, [])
+                    )
+                    for sid in specs_present
+                ):
+                    residual[k] = v
         if stats_filter:
             # manifest-level data skipping from the per-file column
             # bounds (spec fields 125/128): conservative — files whose
@@ -1962,6 +1989,15 @@ class IcebergTableReader:
                         False,
                     )
                 )
+        def _apply_residual(df: DataFrame) -> DataFrame:
+            for k, v in residual.items():
+                df = df.where(
+                    F.col(k).eqNullSafe(
+                        F.lit(v).cast(snap.schema[k].dataType)
+                    )
+                )
+            return df
+
         if (
             not snap.delete_files
             and not snap.eq_deletes
@@ -1972,7 +2008,7 @@ class IcebergTableReader:
             df = dfs[0]
             for g in dfs[1:]:
                 df = df.unionByName(g)
-            return df
+            return _apply_residual(df)
 
         def with_meta(
             src: DataFrame, sel: list, fmt: str, has_pos: bool
@@ -2173,7 +2209,7 @@ class IcebergTableReader:
                 for c in names:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                 scan = scan.join(F.broadcast(drows), cond, "anti")
-        return scan.select(*out_cols, *meta_cols)
+        return _apply_residual(scan.select(*out_cols, *meta_cols))
 
     def changes(
         self,
@@ -4680,6 +4716,12 @@ class IcebergTableWriter:
             raise ValueError(
                 "not_matched_by_source='update' requires "
                 "not_matched_by_source_set ({column: SQL expression})"
+            )
+        if not_matched_by_source != "update" and \
+                not_matched_by_source_set:
+            raise ValueError(
+                "not_matched_by_source_set only applies with "
+                "not_matched_by_source='update'"
             )
         prev = self._load_prev()
         if prev is None:

@@ -142,6 +142,18 @@ _CREATE_USING_RE = re.compile(
     r"(?:AS\s+(?P<body>SELECT\b.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: delta-spark's CREATE TABLE <tgt> SHALLOW CLONE <src>
+#: [VERSION AS OF n | TIMESTAMP AS OF ts] — metadata-only table fork
+_CREATE_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)\s+"
+    r"SHALLOW\s+CLONE\s+"
+    r"(?P<src>`[^`]+`|[\w./$-]+(?:\.`[^`]+`)?)"
+    r"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\S+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+{_REF}\s+(?P<action>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -386,20 +398,8 @@ def _run_update(
             "(bind it in the catalog, pass tables=, or use fmt.`/path`)"
         )
     assignments: dict[str, str] = {}
-    # split SET list on top-level commas (no parens nesting tracking
-    # needed beyond depth counting — expressions may contain calls)
-    depth, start, parts = 0, 0, []
-    sets = m.group("sets")
-    for i, ch in enumerate(sets):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(sets[start:i])
-            start = i + 1
-    parts.append(sets[start:])
-    for part in parts:
+    # split SET list on top-level commas, string-literal-aware
+    for part in _split_top_level(m.group("sets")):
         am = re.match(r"^\s*`?(\w+)`?\s*=\s*(.+?)\s*$", part, re.DOTALL)
         if not am:
             raise ValueError(f"unsupported UPDATE assignment {part!r}")
@@ -500,6 +500,70 @@ def _run_create_using(
     bind_table(spark, name, path, fmt)
 
 
+def _run_create_clone(
+    spark: SparkSession, m: re.Match, tables: dict | None
+) -> None:
+    """CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n |
+    TIMESTAMP AS OF ms]: resolve the source through the standard chain
+    (tables= mapping, fmt.`/path` literal, bare path, catalog binding)
+    and fork it metadata-only at the target. The target is a
+    fmt.`/path` literal, a bare path, or a catalog name (placed under
+    the session warehouse dir and bound, like CREATE TABLE ... USING);
+    its format always follows the source."""
+    import os as _os
+
+    from aws_glue_data_lake_spark.catalog import bind_table, binding
+
+    src = _resolve(m.group("src"), tables, spark)
+    if src is None:
+        raise ValueError(
+            f"SHALLOW CLONE source {m.group('src')!r} is not a known "
+            "table (bind it in the catalog, pass tables=, or use the "
+            "fmt.`/path` literal form)"
+        )
+    version = timestamp_ms = None
+    if m.group("kind"):
+        val = m.group("val").strip("'")
+        if m.group("kind").upper() == "VERSION":
+            version = int(val)
+        else:
+            timestamp_ms = int(val)
+    tgt = m.group("name").strip()
+    ine = re.match(
+        r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", m.string, re.IGNORECASE
+    )
+    pm = _PATH_LITERAL_RE.match(tgt)
+    if pm:
+        if pm.group("fmt").lower() != src.format:
+            raise ValueError(
+                f"SHALLOW CLONE target format {pm.group('fmt')!r} must "
+                f"match the source's ({src.format!r})"
+            )
+        dest, bind_name = pm.group("path"), None
+    elif "/" in tgt.strip("`"):
+        dest, bind_name = tgt.strip("`"), None
+    else:
+        bind_name = tgt.strip("`")
+        if binding(spark, bind_name) is not None:
+            if ine:
+                return
+            raise FileExistsError(
+                f"catalog already has a table named {bind_name!r} "
+                "(CREATE TABLE IF NOT EXISTS to tolerate)"
+            )
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        dest = _os.path.join(warehouse, *bind_name.lower().split("."))
+    if ine and open_table(dest, src.format).exists():
+        return
+    src.clone_to(
+        _os.path.abspath(dest), version=version, timestamp_ms=timestamp_ms
+    )
+    if bind_name:
+        bind_table(spark, bind_name, dest, src.format)
+
+
 def _parse_partition_transform(expr: str) -> tuple[str, str]:
     """Iceberg SQL transform expression -> (source column, spec
     transform string): bucket(N, col), truncate(N, col),
@@ -530,11 +594,22 @@ def _parse_partition_transform(expr: str) -> tuple[str, str]:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas OUTSIDE parentheses (assignment lists whose
-    expressions may hold function calls)."""
-    out, depth, cur = [], 0, []
+    """Split on commas OUTSIDE parentheses and OUTSIDE single-quoted
+    string literals (assignment lists whose expressions may hold
+    function calls or quoted text like ``concat(v, ')')`` — SQL
+    escapes a quote inside a literal by doubling it, which this scan
+    sees as two adjacent literals, same net effect)."""
+    out: list[str] = []
+    depth, in_str, cur = 0, False, []
     for ch in s:
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            cur.append(ch)
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -549,15 +624,23 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _parens_balanced(s: str) -> bool:
-    depth = 0
+    """Balanced parens check that ignores parens inside single-quoted
+    SQL literals ('' escaping reduces to two adjacent literals)."""
+    depth, in_str = 0, False
     for ch in s:
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth < 0:
                 return False
-    return depth == 0
+    return depth == 0 and not in_str
 
 
 def _run_alter(
@@ -718,6 +801,10 @@ def sql(
     m = _DESCRIBE_DETAIL_RE.match(statement)
     if m:
         return _require(m, tables, spark, "DESCRIBE DETAIL").detail(spark)
+    m = _CREATE_CLONE_RE.match(statement)
+    if m:
+        _run_create_clone(spark, m, tables)
+        return None
     m = _CREATE_USING_RE.match(statement)
     if m and m.group("fmt"):
         _run_create_using(spark, m, tables)

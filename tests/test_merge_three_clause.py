@@ -253,3 +253,61 @@ def test_sql_front_door_three_clause(spark, tmp_path):
         tables={"t": t},
     )
     assert _rows(spark, path) == [(1, "A", True)]
+
+
+def test_iceberg_nmbs_set_without_update_raises(spark, tmp_path):
+    """ADVICE r13: the Iceberg writer mirrors Delta's third validation
+    — not_matched_by_source_set without not_matched_by_source='update'
+    is an error, never silently ignored."""
+    from aws_glue_data_lake_spark.icebergcompat import IcebergTableWriter
+
+    path = str(tmp_path / "i")
+    w = IcebergTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, "a", True)], "k long, v string, active boolean"
+    ))
+    src = spark.createDataFrame(
+        [(1, "A", True)], "k long, v string, active boolean"
+    )
+    with pytest.raises(ValueError, match="only applies"):
+        w.merge(
+            src, keys=["k"],
+            not_matched_by_source="delete",
+            not_matched_by_source_set={"active": "false"},
+        )
+    with pytest.raises(ValueError, match="only applies"):
+        w.merge(
+            src, keys=["k"],
+            not_matched_by_source_set={"active": "false"},
+        )
+
+
+def test_delta_nmbs_probe_ignores_dv_deleted_rows(spark, tmp_path):
+    """ADVICE r13: a DV-deleted row must not mark its file
+    NMBS-eligible. file2's only clause-satisfying row is dead under a
+    deletion vector, so the merge must carry file2 by reference (same
+    path in the next snapshot), not rewrite it."""
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(spark.createDataFrame(
+        [(1, "a", True)], "k long, v string, active boolean"
+    ).coalesce(1))
+    w.append(spark.createDataFrame(
+        [(9, "z", False)], "k long, v string, active boolean"
+    ).coalesce(1))
+    w.delete_where(spark, "k = 9")  # DV tombstone — file kept
+    snap0 = DeltaTableReader(path).snapshot()
+    (dv_file,) = [p for p, _pv, dv in snap0.files if dv]
+    src = spark.createDataFrame(
+        [(1, "A", True)], "k long, v string, active boolean"
+    )
+    w.merge(
+        spark, src, keys=["k"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="active = false",
+    )
+    snap1 = DeltaTableReader(path).snapshot()
+    assert dv_file in {p for p, _pv, _dv in snap1.files}, (
+        "DV-dead row forced a needless rewrite of its file"
+    )
+    assert _rows(spark, path) == [(1, "A", True)]

@@ -56,10 +56,13 @@ def test_spec_evolution_add_field_and_mixed_reads(spark, tmp_path):
     assert _rows(spark, path, partition_filter={"part": 0}) == [
         (1, 0, "a"), (3, 0, "c")
     ]
-    # pruning on the NEW source: old-spec files conservatively kept
+    # pruning on the NEW source: old-spec files have no k field, so
+    # the key is enforced EXACTLY as a residual row predicate — no
+    # rows with k != 3 leak back (ADVICE r13: Delta/lake
+    # partition_filter are exact; an evolved Iceberg read must not
+    # silently return non-matching rows)
     got = _rows(spark, path, partition_filter={"k": 3})
-    assert (3, 0, "c") in got and (4, 1, "d") not in got
-    assert (1, 0, "a") in got and (2, 1, "b") in got  # old spec: kept
+    assert got == [(3, 0, "c")]
     # MERGE / eq-deletes still work across the evolution
     w.merge(
         spark.createDataFrame([(2, 1, "B")], "k long, part long, v string"),

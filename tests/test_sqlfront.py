@@ -397,3 +397,32 @@ def test_create_table_using_partitioned_managed(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ctasdb.part_kv")
         shutil.rmtree(managed_dir, ignore_errors=True)
+
+
+def test_update_assignment_with_quoted_parens_and_commas(
+    spark, tmp_path
+):
+    """ADVICE r13: the top-level comma/paren scanners must skip
+    single-quoted literals — an assignment like ``concat(v, '),')``
+    would otherwise mis-split (stray paren + quoted comma at what the
+    scanner thinks is depth 0) and parse wrongly instead of running."""
+    path = str(tmp_path / "t")
+    t = open_table(path, "delta").create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    sql(
+        spark,
+        f"UPDATE delta.`{path}` "
+        "SET v = concat(v, '),'), k = k + 10 WHERE k = 1",
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(2, "b"), (11, "a),")]
+    # '' escaping inside a literal: two adjacent literals, same scan
+    sql(
+        spark,
+        f"UPDATE delta.`{path}` SET v = 'it''s (ok,)' WHERE k = 2",
+    )
+    assert {
+        r["v"] for r in t.read(spark).where("k = 2").collect()
+    } == {"it's (ok,)"}

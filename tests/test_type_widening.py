@@ -183,3 +183,59 @@ def test_nested_field_widening_both_formats(spark, tmp_path):
     )["type"]["fields"]
     assert a["id"] == next(f for f in old if f["name"] == "a")["id"]
     assert a["type"] == "long"
+
+
+def test_iceberg_compat_without_uniform_restricts_widening(
+    spark, tmp_path
+):
+    """ADVICE r13: the promotion gate keys on icebergCompat being
+    ENABLED, not on universalFormat naming iceberg — the compat
+    invariants protect other engines' ability to generate the Iceberg
+    view later, so a compat table that is not (yet) UniForm still
+    refuses Iceberg-illegal widenings."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "t")
+    log = _os.path.join(path, "_delta_log")
+    _os.makedirs(log)
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-aaaa",
+             }},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {
+                 "delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-bbbb",
+             }},
+        ],
+    })
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping", "icebergCompatV2"],
+            }},
+            {"metaData": {
+                "id": "compat-no-uniform", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.enableIcebergCompatV2": "true",
+                },
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(DeltaProtocolError, match="Iceberg type"):
+        w.widen_column_type("k", "decimal(22,0)")
