@@ -232,6 +232,41 @@ class Table:
             return self._delta_writer()
         return self._ice_writer()
 
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> "Table":
+        """SHALLOW CLONE this table to ``dest_path`` (same format): one
+        metadata-only commit referencing the source's live files by
+        absolute path — zero data bytes move; both sides then diverge
+        independently. Delta supports ``VERSION AS OF`` /
+        ``TIMESTAMP AS OF`` clones; lake clones the current snapshot.
+        Iceberg's spec has no CLONE command (its idiom is
+        register_table / snapshot refs) — loud, not faked."""
+        if self.format == "delta":
+            from aws_glue_data_lake_spark.deltacompat import (
+                DeltaTableWriter,
+            )
+
+            DeltaTableWriter(dest_path).clone_from(
+                self.path, version=version, timestamp_ms=timestamp_ms
+            )
+            return open_table(dest_path, "delta")
+        if self.format == "lake":
+            if version is not None or timestamp_ms is not None:
+                raise NotImplementedError(
+                    "lake clone_to clones the CURRENT snapshot only"
+                )
+            self._lake().clone_to(dest_path)
+            return open_table(dest_path, "lake")
+        raise NotImplementedError(
+            "Iceberg has no SHALLOW CLONE command; use snapshot "
+            "refs/branches (append(branch=...)) or catalog "
+            "register_table for the equivalent workflows"
+        )
+
     # -- change feed / history --------------------------------------------------
     def changes(self, spark: SparkSession, **kw) -> DataFrame:
         """Row-level change feed between commits/snapshots (CDF). Delta
