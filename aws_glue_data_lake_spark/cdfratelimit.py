@@ -35,7 +35,94 @@ I/O, no extra planning beyond what the batch would do anyway.
 
 from __future__ import annotations
 
-__all__ = ["CdfRateLimiter", "offset_vk", "slice_version_range"]
+import re as _re
+
+__all__ = [
+    "CdfRateLimiter",
+    "offset_vk",
+    "slice_version_range",
+    "pa_type_of",
+    "schema_changed_error",
+]
+
+
+def pa_type_of(simple: str):
+    """Spark simpleString type -> pyarrow type, for NULL-backfilling a
+    column a pre-evolution file predates (the parquet
+    missing-column contract, applied inside the CDF sources'
+    Arrow-batch readers). Loud on types the map doesn't cover — a
+    wrongly typed null column would mis-bind positionally."""
+    import pyarrow as pa
+
+    m = {
+        "tinyint": pa.int8(), "smallint": pa.int16(),
+        "int": pa.int32(), "bigint": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "string": pa.string(),
+        "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if simple in m:
+        return m[simple]
+    dm = _re.match(r"^decimal\((\d+),(\d+)\)$", simple)
+    if dm:
+        return pa.decimal128(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(
+        f"cannot NULL-backfill a column of type {simple!r} in a "
+        "streaming read (pre-evolution file misses it)"
+    )
+
+
+def ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Session-free DDL -> [(name, lowercased type)] for the CDF
+    sources' schema-stability checks: ``StructType.fromDDL`` needs a
+    live SparkSession, which the Python data-source PLANNING worker
+    does not have. Top-level commas split the field list; ``<>``/``()``
+    nesting (struct/map/array/decimal) is depth-tracked."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition(" ")
+        typ = " ".join(typ.split()).lower()
+        if typ.endswith(" not null"):
+            typ = typ[: -len(" not null")]
+        out.append((name.strip("`"), typ.replace(" ", "")))
+    return out
+
+
+def schema_changed_error(source: str, version: int, old, new) -> ValueError:
+    """The pinned mid-stream schema-evolution behavior (VERDICT r13
+    item 3): a commit that CHANGES the table schema past the stream's
+    start-pinned schema fails the stream loudly — delta-spark's
+    behavior without schemaTrackingLocation — instead of silently
+    dropping the new column (positional Arrow binding would never
+    surface it) or crashing deep in the Arrow reader. Restarting the
+    stream picks up the new schema; files written under OLDER schemas
+    keep streaming fine (NULL backfill)."""
+    return ValueError(
+        f"{source}: table schema changed at version {version} "
+        f"(stream started on [{old}], commit declares [{new}]); "
+        "a running stream cannot widen its schema — restart the "
+        "stream to pick up the new columns (files written under "
+        "older schemas replay fine with NULL backfill)"
+    )
 
 
 def offset_vk(off: dict) -> tuple[int, int]:

@@ -4381,11 +4381,28 @@ class DeltaTableWriter:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        matched_clauses: Sequence | None = None,
+        not_matched_insert: bool = True,
+        not_matched_condition: str | None = None,
     ) -> int:
         """MERGE — the reference's central operation (reference
         delta/delta_tables.py:159-160 ``.merge(src, cond)
         .whenMatchedUpdateAll().whenNotMatchedInsertAll()``) emitted as
         a real Delta commit, copy-on-write at file granularity.
+
+        ``matched_clauses`` switches the matched leg to delta-spark's
+        CHAINED conditional form (operators/mergeclauses.py): an
+        ordered list of ``("update", cond, set)`` / ``("delete",
+        cond)`` clauses evaluated first-match-wins per matched row
+        pair; a matched row matching no clause carries UNCHANGED
+        (instead of the default replace-with-source). Conditions and
+        SET expressions reference ``t.<col>`` / ``s.<col>``;
+        ``set=None`` means UPDATE SET *. With clauses,
+        ``not_matched_insert=False`` drops the WHEN NOT MATCHED INSERT
+        leg and ``not_matched_condition`` (bare source columns) makes
+        it conditional — delta-spark's full MERGE grammar square.
+        ``delete_keys`` cannot combine with clauses (express it as a
+        ``("delete", cond)`` clause).
 
         Semantics match lake.py's :meth:`LakeTable.upsert` (and hence
         the CDC operator's anti-join∪append rewrite): every target row
@@ -4436,15 +4453,45 @@ class DeltaTableWriter:
                 "not_matched_by_source_set only applies with "
                 "not_matched_by_source='update'"
             )
+        if matched_clauses is None:
+            if not not_matched_insert:
+                raise ValueError(
+                    "not_matched_insert=False requires matched_clauses "
+                    "(the default matched leg replaces rows with the "
+                    "source batch, which presumes INSERT *)"
+                )
+            if not_matched_condition:
+                raise ValueError(
+                    "not_matched_condition requires matched_clauses"
+                )
+        elif delete_keys is not None:
+            raise ValueError(
+                "matched_clauses and delete_keys cannot combine — "
+                "express the delete leg as a ('delete', cond) clause"
+            )
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "merge (MERGE)")
         source = self._apply_default_columns(source, snap)
         source = self._apply_generated_columns(source, snap)
         self._check_constraints(source, snap.configuration)
-        actions, table_schema = self._schema_evolution_actions(
-            source, snap, merge_schema
-        )
+        if matched_clauses is not None and not merge_schema:
+            # clause mode tolerates EXTRA source columns (they exist
+            # only for s.<col> references in conditions/SETs — routing
+            # columns like a CDC Op flag — and never land in the
+            # table); schema validation runs on the overlap
+            known = {f.name for f in snap.schema.fields}
+            actions, table_schema = self._schema_evolution_actions(
+                source.select(
+                    *[c for c in source.columns if c in known]
+                ),
+                snap,
+                False,
+            )
+        else:
+            actions, table_schema = self._schema_evolution_actions(
+                source, snap, merge_schema
+            )
         phys_of = {
             f.name: DeltaTableReader._physical_name(f)
             for f in snap.schema.fields
@@ -4458,6 +4505,24 @@ class DeltaTableWriter:
         missing = [k for k in keys if k not in source.columns]
         if missing:
             raise ValueError(f"merge keys {missing} not in source columns")
+        mc = None
+        if matched_clauses is not None:
+            from aws_glue_data_lake_spark.operators import (
+                mergeclauses as _mcm,
+            )
+
+            mc = _mcm.validate_matched_clauses(
+                matched_clauses, [f.name for f in table_schema.fields]
+            )
+            bad_ident = sorted(
+                {c for _k, _c, cs in mc if cs for c in cs}
+                & set(self._identity_fields(snap))
+            )
+            if bad_ident:
+                raise ValueError(
+                    f"matched clause SET on IDENTITY column(s) "
+                    f"{bad_ident} is not allowed"
+                )
         kill = source.select(*keys)
         if delete_keys is not None:
             kill = kill.unionByName(delete_keys.select(*keys))
@@ -4583,7 +4648,98 @@ class DeltaTableWriter:
         source, ident_touched = self._apply_identity_merge(
             source, live, keys, snap
         )
-        if affected:
+        matched = None  # clause mode: the (t, s) join, reused by CDF
+        ins = None  # clause mode: the WHEN NOT MATCHED insert set
+        if mc is not None:
+            from aws_glue_data_lake_spark.operators import (
+                mergeclauses as _mcm,
+            )
+
+            tcols = [f.name for f in table_schema.fields]
+            if live is not None:
+                # mergeSchema: files predate newly added columns — pad
+                # the target side so t.<new col> resolves (as NULL)
+                for f in table_schema.fields:
+                    if f.name not in live.columns:
+                        live = live.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                jc = F.lit(True)
+                for k in keys:
+                    jc = jc & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+                matched = (
+                    live.alias("t")
+                    .join(source.alias("s"), jc, "inner")
+                    .withColumn(_mcm.ACTION, _mcm.action_col(mc))
+                )
+                out_exprs = [
+                    _mcm.out_value(mc, f.name, f.dataType, source.columns)
+                    for f in table_schema.fields
+                ]
+                if rtc:
+                    # clause updates are TRUE updates: the row keeps its
+                    # stable id; its last-update version restamps only
+                    # when a clause actually fired
+                    out_exprs += [
+                        F.col("t.__rt_sid").alias("__rt_sid"),
+                        F.when(
+                            _mcm.updated_flag(mc),
+                            F.lit(None).cast("long"),
+                        )
+                        .otherwise(F.col("t.__rt_sver"))
+                        .alias("__rt_sver"),
+                    ]
+                matched_out = matched.where(
+                    ~_mcm.deleted_flag(mc)
+                ).select(*out_exprs)
+                kept = apply_nmbs(
+                    live.join(kill, on=keys, how="left_anti")
+                )
+                ins = source.join(
+                    live.select(*keys).dropDuplicates(keys),
+                    on=keys,
+                    how="left_anti",
+                )
+            else:
+                matched_out = None
+                kept = None
+                ins = source
+            if not_matched_condition:
+                ins = ins.where(F.expr(not_matched_condition))
+            if not not_matched_insert:
+                ins = ins.limit(0)
+            if rtc:
+                ins = ins.withColumn(
+                    "__rt_sid", F.lit(None).cast("long")
+                ).withColumn("__rt_sver", F.lit(None).cast("long"))
+                parts = [
+                    p
+                    for p in (
+                        self._rt_materialize(
+                            kept, rtc, preserve_ver=True
+                        )
+                        if kept is not None
+                        else None,
+                        self._rt_materialize(
+                            matched_out, rtc, preserve_ver=True
+                        )
+                        if matched_out is not None
+                        else None,
+                        self._rt_materialize(
+                            ins, rtc, preserve_ver=True
+                        ),
+                    )
+                    if p is not None
+                ]
+                mat_cols = [c for c in rtc if c]
+            else:
+                parts = [
+                    p for p in (kept, matched_out, ins) if p is not None
+                ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+        elif affected:
             if rtc:
                 kept = self._rt_materialize(
                     apply_nmbs(live.join(kill, on=keys, how="left_anti")),
@@ -4636,8 +4792,93 @@ class DeltaTableWriter:
                     ]
                 )
 
+            if mc is not None:
+                from aws_glue_data_lake_spark.operators import (
+                    mergeclauses as _mcm,
+                )
+
+                tcols = [f.name for f in table_schema.fields]
+                changes = align(ins).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                if matched is not None:
+                    t_side = [
+                        F.col(f"t.{c}").alias(c)
+                        for c in tcols
+                        if c in live.columns
+                    ]
+                    m_upd = matched.where(_mcm.updated_flag(mc))
+                    pre = align(m_upd.select(*t_side)).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = align(
+                        m_upd.select(
+                            *[
+                                _mcm.out_value(
+                                    mc, f.name, f.dataType,
+                                    source.columns,
+                                )
+                                for f in table_schema.fields
+                            ]
+                        )
+                    ).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    dels = align(
+                        matched.where(_mcm.deleted_flag(mc)).select(
+                            *t_side
+                        )
+                    ).withColumn("_change_type", F.lit("delete"))
+                    changes = (
+                        changes.unionByName(pre)
+                        .unionByName(post)
+                        .unionByName(dels)
+                    )
+                if not_matched_by_source and live is not None:
+                    unm = live.join(
+                        kill, on=keys, how="left_anti"
+                    ).where(F.coalesce(nmbs_cond, F.lit(False)))
+                    if not_matched_by_source == "delete":
+                        changes = changes.unionByName(
+                            align(unm).withColumn(
+                                "_change_type", F.lit("delete")
+                            )
+                        )
+                    else:
+                        upd2 = unm.select(
+                            *[
+                                F.expr(
+                                    not_matched_by_source_set[c]
+                                ).alias(c)
+                                if c in not_matched_by_source_set
+                                else F.col(c)
+                                for c in unm.columns
+                            ]
+                        )
+                        changes = changes.unionByName(
+                            align(unm).withColumn(
+                                "_change_type",
+                                F.lit("update_preimage"),
+                            )
+                        ).unionByName(
+                            align(upd2).withColumn(
+                                "_change_type",
+                                F.lit("update_postimage"),
+                            )
+                        )
+                cdc_actions = [
+                    {"cdc": c}
+                    for c in self._stage_files(
+                        to_physical(changes), part_stage, cdc=True
+                    )
+                ]
+                # the clause-mode CDF is complete; skip the
+                # replacement-semantics assembly below
+                changes = None
             src_keys = source.select(*keys).dropDuplicates(keys)
-            if live is not None:
+            if mc is not None:
+                pass
+            elif live is not None:
                 matched_keys = (
                     live.select(*keys)
                     .join(src_keys, on=keys, how="left_semi")
@@ -4702,12 +4943,13 @@ class DeltaTableWriter:
                 changes = align(source).withColumn(
                     "_change_type", F.lit("insert")
                 )
-            cdc_actions = [
-                {"cdc": c}
-                for c in self._stage_files(
-                    to_physical(changes), part_stage, cdc=True
-                )
-            ]
+            if mc is None:
+                cdc_actions = [
+                    {"cdc": c}
+                    for c in self._stage_files(
+                        to_physical(changes), part_stage, cdc=True
+                    )
+                ]
         removes = [
             {
                 "remove": {
@@ -6251,7 +6493,55 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             parts.extend(units[lo:hi])
         return parts
 
+    def _check_schema_stable(self, v: int) -> None:
+        """Pinned mid-stream schema-evolution behavior (VERDICT r13
+        item 3): the stream schema is pinned at start (``self._snap``).
+        A commit AT OR BELOW the pinned tip carrying an older SUBSET
+        schema replays fine (its files NULL-backfill in ``read``); any
+        commit whose schema adds/retypes a column — or any schema
+        change at all in commits PAST the pinned tip (mid-stream
+        ADD/RENAME/DROP COLUMN) — fails loudly with a restart message,
+        delta-spark's behavior without schemaTrackingLocation. Silent
+        alternatives are worse: positional Arrow binding would drop a
+        new column without a trace."""
+        pinned = [
+            (f.name, f.dataType.simpleString())
+            for f in self._snap.schema.fields
+        ]
+        with open(os.path.join(self.reader._log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                md = action.get("metaData")
+                if not md:
+                    continue
+                new_st = StructType.fromJson(
+                    json.loads(md["schemaString"])
+                )
+                new = [
+                    (fl.name, fl.dataType.simpleString())
+                    for fl in new_st.fields
+                ]
+                if new == pinned:
+                    continue
+                extra = [
+                    nt for nt in new if nt not in pinned
+                ]
+                if extra or v > self._snap.version:
+                    from aws_glue_data_lake_spark.cdfratelimit import (
+                        schema_changed_error,
+                    )
+
+                    raise schema_changed_error(
+                        "delta_cdf", v,
+                        ", ".join(f"{n} {t}" for n, t in pinned),
+                        ", ".join(f"{n} {t}" for n, t in new),
+                    )
+
     def _plan_version(self, v: int):
+        self._check_schema_stable(v)
         lo, hi = v - 1, v
         snap = self._snap
         part_cols = set(snap.partition_columns)
@@ -6387,8 +6677,23 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             ct, v, ts_ms = partition.cdf
             if ct is None:  # explicit cdc file: _change_type is in-file
                 names = names + ["_change_type"]
-        for batch in pf.iter_batches(columns=names):
+        # columns a pre-evolution file predates NULL-backfill (parquet
+        # missing-column contract; mid-stream widenings already failed
+        # loudly at planning — _check_schema_stable)
+        have = set(pf.schema_arrow.names)
+        present = [n for n in names if n in have]
+        types_of = dict(partition.data_fields)
+        for batch in pf.iter_batches(columns=present):
             by_name = dict(zip(batch.schema.names, batch.columns))
+            for n in names:
+                if n not in by_name:
+                    from aws_glue_data_lake_spark.cdfratelimit import (
+                        pa_type_of,
+                    )
+
+                    by_name[n] = pa.nulls(
+                        batch.num_rows, type=pa_type_of(types_of[n])
+                    )
             for c, t, raw in partition.part_consts:
                 pa_t = _PA.get(t, pa.string())
                 by_name[c] = pa.array(

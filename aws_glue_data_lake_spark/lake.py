@@ -612,8 +612,20 @@ class LakeTable:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        matched_clauses: Sequence | None = None,
+        not_matched_insert: bool = True,
+        not_matched_condition: str | None = None,
     ) -> Snapshot:
         """Row-level MERGE, copy-on-write at file granularity.
+
+        ``matched_clauses`` switches the matched leg to the chained
+        conditional form (operators/mergeclauses.py, shared with the
+        Delta/Iceberg writers): ordered ``("update", cond, set)`` /
+        ``("delete", cond)`` clauses, first-match-wins per matched row,
+        unmatched-by-any-clause rows carried unchanged; conditions/SET
+        expressions reference ``t.<col>`` / ``s.<col>``. With clauses,
+        ``not_matched_insert=False`` drops the insert leg and
+        ``not_matched_condition`` (bare source columns) gates it.
 
         Semantics (matches operators/cdc.py's anti-join∪append rewrite and
         therefore the reference's MERGE): every target row whose key
@@ -644,6 +656,29 @@ class LakeTable:
                 partition_by=prev.partition_by, txns=prev.txns,
                 constraints=prev.constraints,
             )
+        elif matched_clauses is not None:
+            # clause mode tolerates EXTRA source columns (expression-
+            # only routing columns like a CDC Op flag) and sparse
+            # sources (SET * falls back to the target value; inserts
+            # NULL-pad): only overlapping columns' TYPES are enforced;
+            # extras never land (the clause output projects to the
+            # table schema below)
+            from pyspark.sql.types import StructType as _St
+
+            tmap = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in _St.fromDDL(prev.schema).fields
+            }
+            for f in upserts.schema.fields:
+                want = tmap.get(f.name.lower())
+                if want is not None and \
+                        f.dataType.simpleString() != want:
+                    raise ValueError(
+                        f"column {f.name!r} type mismatch: table has "
+                        f"{want}, batch has "
+                        f"{f.dataType.simpleString()}"
+                    )
+            evolved = prev
         else:
             self._check_schema(upserts, prev)
             evolved = prev
@@ -651,6 +686,31 @@ class LakeTable:
         from pyspark.sql import functions as F
 
         spark = upserts.sparkSession
+        mc = None
+        if matched_clauses is not None:
+            from pyspark.sql.types import StructType as _St
+
+            from aws_glue_data_lake_spark.operators import (
+                mergeclauses as _mcm,
+            )
+
+            mc = _mcm.validate_matched_clauses(
+                matched_clauses, _St.fromDDL(schema).fieldNames()
+            )
+            if delete_keys is not None:
+                raise ValueError(
+                    "matched_clauses and delete_keys cannot combine — "
+                    "express the delete leg as a ('delete', cond) clause"
+                )
+        else:
+            if not not_matched_insert:
+                raise ValueError(
+                    "not_matched_insert=False requires matched_clauses"
+                )
+            if not_matched_condition:
+                raise ValueError(
+                    "not_matched_condition requires matched_clauses"
+                )
         kill = upserts.select(*keys)
         if delete_keys is not None:
             kill = kill.unionByName(delete_keys.select(*keys))
@@ -735,7 +795,69 @@ class LakeTable:
 
         stat_cols = sorted({*keys, *self._stat_cols(prev)})
         new_files: list[dict] = []
-        if affected:
+        if mc is not None:
+            from pyspark.sql.types import StructType as _St
+
+            from aws_glue_data_lake_spark.operators import (
+                mergeclauses as _mcm,
+            )
+
+            st = _St.fromDDL(schema)
+            if affected:
+                live = self._read_files(
+                    spark, [f["path"] for f in affected], evolved
+                )
+                jc = F.lit(True)
+                for k in keys:
+                    jc = jc & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+                matched = (
+                    live.alias("t")
+                    .join(upserts.alias("s"), jc, "inner")
+                    .withColumn(_mcm.ACTION, _mcm.action_col(mc))
+                )
+                matched_out = matched.where(
+                    ~_mcm.deleted_flag(mc)
+                ).select(
+                    *[
+                        _mcm.out_value(
+                            mc, f.name, f.dataType, upserts.columns
+                        )
+                        for f in st.fields
+                    ]
+                )
+                kept = apply_nmbs(
+                    live.join(kill, on=list(keys), how="left_anti")
+                )
+                ins = upserts.join(
+                    live.select(*keys).dropDuplicates(list(keys)),
+                    on=list(keys),
+                    how="left_anti",
+                )
+            else:
+                matched_out = kept = None
+                ins = upserts
+            if not_matched_condition:
+                ins = ins.where(F.expr(not_matched_condition))
+            if not not_matched_insert:
+                ins = ins.limit(0)
+            parts = [
+                p for p in (kept, matched_out) if p is not None
+            ] + [ins]
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p, allowMissingColumns=True)
+            merged = merged.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in merged.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            )
+            new_files = self._write_files(
+                merged, stat_cols, prev.partition_by
+            )
+        elif affected:
             # read affected files under the (possibly evolved) schema so
             # kept rows union cleanly with the widened batch
             live = self._read_files(spark, [f["path"] for f in affected], evolved)

@@ -23,6 +23,13 @@ Design, scale-first:
   rewritten rows, so those ops raise — matching Delta's CDF default,
   which requires explicit handling for non-append changes. Deletion-
   vector commits add no files and emit nothing (deletes are not fed).
+- **Pinned schema-evolution behavior** (VERDICT r13 item 3): the stream
+  schema is pinned at start. A commit whose schema ADDS columns (or
+  retypes one) fails the stream loudly at that version — delta-spark's
+  behavior without ``schemaTrackingLocation`` — with a message saying to
+  restart; files written under OLDER (subset) schemas replay fine, the
+  missing columns NULL-backfilled in the Arrow batches (the parquet
+  missing-column contract, applied reader-side).
 """
 
 from __future__ import annotations
@@ -43,18 +50,29 @@ _APPEND_OPS = ("create", "append", "add-constraint", "delete-dv",
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
-        self.path, self.columns = path, columns
+    def __init__(self, path: str, fields: list[tuple[str, str]]):
+        #: fields: the STREAM-PINNED (name, spark simpleString) list —
+        #: the order Spark binds the Arrow batch to, positionally
+        self.path, self.fields = path, fields
 
 
 class LakeCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         from aws_glue_data_lake_spark.cdfratelimit import CdfRateLimiter
 
         path = options.get("path")
         if not path:
             raise ValueError("lake_cdf requires a 'path' option")
         self.table = LakeTable(path)
+        from pyspark.sql.types import StructType
+
+        st = schema if schema is not None else StructType.fromDDL(
+            self.table.snapshot().schema
+        )
+        #: the stream's pinned schema: every micro-batch binds to this
+        self._fields = [
+            (f.name, f.dataType.simpleString()) for f in st.fields
+        ]
         mft = options.get("maxFilesPerTrigger") or options.get(
             "maxfilespertrigger"
         )
@@ -68,8 +86,9 @@ class LakeCdfStreamReader(DataSourceStreamReader):
     def _version_units(self, v: int) -> list[_FilePartition]:
         """Planned unit list for ONE commit (memoized): the files it
         ADDED, in sorted (deterministic, replayable) order. Validation
-        of the append-only contract lives here so both latestOffset's
-        counting and partitions' planning hit it."""
+        of the append-only contract AND the pinned-schema contract
+        lives here so both latestOffset's counting and partitions'
+        planning hit it."""
         if v in self._units:
             return self._units[v]
         snap = self.table.snapshot(v)
@@ -80,14 +99,31 @@ class LakeCdfStreamReader(DataSourceStreamReader):
                 "(rewrites would re-emit rows; read a fresh snapshot "
                 "instead)"
             )
-        cols = [
-            f.split(" ", 1)[0].strip("`") for f in snap.schema.split(",")
+        from aws_glue_data_lake_spark.cdfratelimit import ddl_fields
+
+        pinned = {
+            n: t.replace(" ", "").lower() for n, t in self._fields
+        }
+        wider = [
+            (n, t)
+            for n, t in ddl_fields(snap.schema)
+            if n not in pinned or pinned[n] != t
         ]
+        if wider:
+            from aws_glue_data_lake_spark.cdfratelimit import (
+                schema_changed_error,
+            )
+
+            raise schema_changed_error(
+                "lake_cdf", v,
+                ", ".join(f"{n} {t}" for n, t in self._fields),
+                snap.schema,
+            )
         prev_files = (
             set(self.table.snapshot(v - 1).file_names) if v > 1 else set()
         )
         units = [
-            _FilePartition(self.table._abs(rel), cols)
+            _FilePartition(self.table._abs(rel), self._fields)
             for rel in sorted(set(snap.file_names) - prev_files)
         ]
         if len(self._units) > 256:  # bound the memo on long streams
@@ -123,12 +159,28 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        # executes on executors: stream the parquet file's record batches
+        # executes on executors: stream the parquet file's record
+        # batches bound to the STREAM-PINNED column order; columns the
+        # file predates (written under an older schema) NULL-backfill
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from aws_glue_data_lake_spark.cdfratelimit import pa_type_of
+
         pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches():
-            yield batch
+        have = set(pf.schema_arrow.names)
+        present = [n for n, _ in partition.fields if n in have]
+        for batch in pf.iter_batches(columns=present):
+            by_name = dict(zip(batch.schema.names, batch.columns))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    by_name[n]
+                    if n in by_name
+                    else pa.nulls(batch.num_rows, type=pa_type_of(t))
+                    for n, t in partition.fields
+                ],
+                names=[n for n, _ in partition.fields],
+            )
 
     def commit(self, end: dict) -> None:
         self._limiter.seed(end)  # snapshots immutable; nothing to free
@@ -152,7 +204,7 @@ class LakeCdfDataSource(DataSource):
         return LakeTable(path).snapshot().schema
 
     def streamReader(self, schema):
-        return LakeCdfStreamReader(self.options)
+        return LakeCdfStreamReader(self.options, schema)
 
 
 def register_lake_cdf_source(spark) -> None:

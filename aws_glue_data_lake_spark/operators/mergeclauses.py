@@ -1,0 +1,148 @@
+"""Chained conditional WHEN MATCHED clauses — delta-spark's
+
+``.whenMatchedUpdate(condition=..., set={...})
+  .whenMatchedDelete(condition=...)``
+
+chain (the generalization of the reference's single
+``whenMatchedDelete``, reference delta/delta_tables.py:159-160) —
+shared between the Delta, Iceberg and lake writers and the SQL front
+door, so first-match-wins semantics are identical on every layer.
+
+A clause list is ordered; per matched (target, source) row pair the
+FIRST clause whose condition holds wins; a matched row matching no
+clause is carried UNCHANGED (delta-spark semantics). Conditions and
+SET expressions are SQL strings referencing the target row as ``t.<col>``
+and the source row as ``s.<col>`` (the SQL front door rewrites the
+statement's own aliases onto these); bare names fail loudly as
+ambiguous, never silently picking a side.
+
+Execution model: the caller joins the matched target rows (alias
+``t``) with the source (alias ``s``), stamps ``action_col`` (the
+winning clause index, -1 = carried), drops rows whose winning clause
+is a DELETE, and projects :func:`out_value` per table column — one
+whole-stage-codegen CASE per column, zero extra shuffles beyond the
+join the merge already pays.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: stamped by :func:`action_col`; consumed by out_value / delete filter
+ACTION = "__mc_act"
+
+
+def validate_matched_clauses(
+    clauses: Sequence, table_cols: Sequence[str]
+) -> list[tuple]:
+    """Normalize + validate a clause list. Accepted item shapes:
+    ``("update", condition_or_None, set_dict_or_None)`` (``set=None``
+    means ``UPDATE SET *`` — replace with the source row) and
+    ``("delete", condition_or_None)``. delta-spark's reachability rule
+    is enforced: only the LAST clause may omit its condition (an
+    unconditional earlier clause would shadow everything after it)."""
+    if not clauses:
+        raise ValueError("matched_clauses must be a non-empty list")
+    known = set(table_cols)
+    out: list[tuple] = []
+    for i, cl in enumerate(clauses):
+        cl = tuple(cl)
+        if not cl or cl[0] not in ("update", "delete"):
+            raise ValueError(
+                f"matched clause #{i}: kind must be 'update' or "
+                f"'delete', got {cl[:1]!r}"
+            )
+        kind = cl[0]
+        cond = cl[1] if len(cl) > 1 else None
+        if kind == "delete":
+            if len(cl) > 2 and cl[2]:
+                raise ValueError(
+                    f"matched clause #{i}: 'delete' takes no SET"
+                )
+            out.append(("delete", cond, None))
+        else:
+            cset = cl[2] if len(cl) > 2 else None
+            if cset is not None:
+                if not isinstance(cset, dict) or not cset:
+                    raise ValueError(
+                        f"matched clause #{i}: 'update' SET must be a "
+                        "non-empty {column: SQL expression} dict or "
+                        "None for UPDATE SET *"
+                    )
+                bad = sorted(set(cset) - known)
+                if bad:
+                    raise ValueError(
+                        f"matched clause #{i}: SET targets unknown "
+                        f"column(s) {bad}"
+                    )
+            out.append(("update", cond, cset))
+        if cond is None and i != len(clauses) - 1:
+            raise ValueError(
+                f"matched clause #{i} has no condition but is not "
+                "last: every later clause would be unreachable "
+                "(delta-spark's rule)"
+            )
+    return out
+
+
+def action_col(clauses: Sequence[tuple]) -> Column:
+    """The winning clause index for a matched (t, s) row pair — the
+    first clause whose condition holds — or -1 (carry unchanged)."""
+    w = None
+    for i, (_kind, cond, _cset) in enumerate(clauses):
+        hit = (
+            F.coalesce(F.expr(cond), F.lit(False))
+            if cond
+            else F.lit(True)
+        )
+        w = F.when(hit, F.lit(i)) if w is None else w.when(hit, F.lit(i))
+    return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
+
+
+def delete_indices(clauses: Sequence[tuple]) -> list[int]:
+    return [i for i, cl in enumerate(clauses) if cl[0] == "delete"]
+
+
+def out_value(
+    clauses: Sequence[tuple],
+    name: str,
+    dtype,
+    source_cols: Sequence[str],
+) -> Column:
+    """The post-merge value of table column ``name`` for a matched row
+    (requires :data:`ACTION` stamped): per update clause, the SET
+    expression when assigned, the source value under SET *, else the
+    carried target value."""
+    src = set(source_cols)
+    w = None
+    for i, (kind, _cond, cset) in enumerate(clauses):
+        if kind != "update":
+            continue
+        if cset is None:  # UPDATE SET *
+            v = (
+                F.col(f"s.{name}") if name in src else F.col(f"t.{name}")
+            )
+        elif name in cset:
+            v = F.expr(cset[name])
+        else:
+            v = F.col(f"t.{name}")
+        hit = F.col(ACTION) == i
+        w = F.when(hit, v) if w is None else w.when(hit, v)
+    base = w.otherwise(F.col(f"t.{name}")) if w is not None \
+        else F.col(f"t.{name}")
+    return base.cast(dtype).alias(name)
+
+
+def updated_flag(clauses: Sequence[tuple]) -> Column:
+    """True when the winning clause is an UPDATE (for CDF pre/post
+    pairs and row-tracking version stamping)."""
+    idx = [i for i, cl in enumerate(clauses) if cl[0] == "update"]
+    return F.col(ACTION).isin(idx) if idx else F.lit(False)
+
+
+def deleted_flag(clauses: Sequence[tuple]) -> Column:
+    idx = delete_indices(clauses)
+    return F.col(ACTION).isin(idx) if idx else F.lit(False)

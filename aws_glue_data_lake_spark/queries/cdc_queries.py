@@ -4606,3 +4606,317 @@ def lake_delta_shallow_clone_state(
         )
         .orderBy("side", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained conditional WHEN MATCHED clauses (round 14, VERDICT r13 item
+# 2 + stretch 7): delta-spark's full MERGE grammar — an ordered chain
+# WHEN MATCHED AND op='D' THEN DELETE / AND op='U' ... THEN UPDATE SET
+# col-level / AND op='T' ... THEN UPDATE SET expr, evaluated
+# first-match-wins per matched row (no-clause rows carried unchanged),
+# plus a CONDITIONAL WHEN NOT MATCHED INSERT * whose routing column
+# never lands. Replayed TWICE — on Delta through the SQL front door
+# (CoW) and on Iceberg through the fluent writer (MoR, eq-delete of
+# fired keys only) — and returned side-by-side, so one hash certifies
+# byte-identical clause semantics across both write paths against the
+# DuckDB mirror of the first-match-wins CASE. Unit pins (validation,
+# CDF truth, row-tracking id survival, literal-aware SQL parsing):
+# tests/test_merge_chained_clauses.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_merge_chained_clauses_state",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+batch AS (
+  SELECT o_orderkey AS k, lower(o_orderstatus) AS st,
+         CAST(o_totalprice AS DOUBLE) * 2 AS price,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+              WHEN o_orderkey % 4 = 0 THEN 'U' ELSE 'T' END AS op
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged_matched AS (
+  SELECT t.k AS k,
+         CASE
+           WHEN b.op = 'U' AND b.price > t.price THEN b.st
+           WHEN b.op = 'T' AND t.price < 5000 THEN t.st || '+'
+           ELSE t.st END AS st,
+         CASE
+           WHEN b.op = 'U' AND b.price > t.price THEN b.price
+           ELSE t.price END AS price
+  FROM tgt t JOIN batch b USING (k)
+  WHERE b.op <> 'D'
+),
+unmatched_tgt AS (
+  SELECT t.k, t.st, t.price
+  FROM tgt t LEFT JOIN batch b USING (k) WHERE b.k IS NULL
+),
+ins AS (
+  SELECT b.k, b.st, b.price
+  FROM batch b LEFT JOIN tgt t USING (k)
+  WHERE t.k IS NULL AND b.op <> 'D'
+),
+final AS (
+  SELECT * FROM merged_matched
+  UNION ALL SELECT * FROM unmatched_tgt
+  UNION ALL SELECT * FROM ins
+)
+SELECT side, st,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT 'delta' AS side, * FROM final
+  UNION ALL
+  SELECT 'iceberg' AS side, * FROM final
+)
+GROUP BY side, st
+ORDER BY side, st
+""",
+)
+def lake_merge_chained_clauses_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    o = t(spark, sf_dir, "orders")
+    tgt = o.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lower("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 4 == 0, "U")
+        .otherwise("T")
+        .alias("op"),
+    )
+    root = session_tmpdir("merge_chain_")
+    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+    batch.createOrReplaceTempView("merge_chain_batch")
+    _sql(
+        spark,
+        "MERGE INTO tbl AS tg USING merge_chain_batch AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' AND s.price > tg.price "
+        "THEN UPDATE SET st = s.st, price = s.price "
+        "WHEN MATCHED AND s.op = 'T' AND tg.price < 5000 "
+        "THEN UPDATE SET st = concat(tg.st, '+') "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *",
+        tables={"tbl": td},
+    )
+    ti.upsert(
+        batch,
+        keys=["k"],
+        matched_clauses=[
+            ("delete", "s.op = 'D'"),
+            ("update", "s.op = 'U' AND s.price > t.price",
+             {"st": "s.st", "price": "s.price"}),
+            ("update", "s.op = 'T' AND t.price < 5000",
+             {"st": "concat(t.st, '+')"}),
+        ],
+        not_matched_condition="op <> 'D'",
+    )
+    both = (
+        td.read(spark).select(F.lit("delta").alias("side"), "*")
+        .unionByName(
+            ti.read(spark).select(F.lit("iceberg").alias("side"), "*")
+        )
+    )
+    return (
+        both.groupBy("side", "st")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("side", "st")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg DECLARED sort order (round 14, VERDICT r13 item 4): ALTER
+# TABLE ... WRITE ORDERED BY stamps a real sort-orders entry +
+# default-sort-order-id; every subsequent append clusters each staged
+# file by the order (sortWithinPartitions — no global shuffle) and
+# stamps data_file.sort_order_id (spec field 140) so FOREIGN engines
+# can see and rely on the clustering. The query asserts the metadata
+# declaration, the per-file monotonic clustering, and the manifest
+# stamps in-line, then hash-certifies the table state. Unit pins
+# (foreign-order carry, compact re-clustering, z-order honesty):
+# tests/test_sort_order.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_sort_order_state",
+    oracle="""
+SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderkey % 8
+ORDER BY bucket
+""",
+)
+def lake_iceberg_sort_order_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pyarrow.parquet as _pq
+
+    from aws_glue_data_lake_spark.avrolite import read_container
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("bigint").alias("bucket"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = session_tmpdir("ice_sort_") + "/t"
+    w = IcebergTableWriter(path)
+    w.create(o.limit(0))
+    tb = open_table(path, "iceberg")
+    _sql(spark, "ALTER TABLE t WRITE ORDERED BY (price DESC)",
+         tables={"t": tb})
+    w.append(o.repartition(4))
+    r = IcebergTableReader(path)
+    meta = r._metadata()
+    oid = meta["default-sort-order-id"]
+    assert oid != 0, "order must be declared"
+    (order,) = [o2 for o2 in meta["sort-orders"] if o2["order-id"] == oid]
+    assert order["fields"][0]["direction"] == "desc"
+    tip = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests, _ = read_container(tip["manifest-list"])
+    checked = 0
+    for m in manifests:
+        _, entries, _ = read_container(m["manifest_path"])
+        for e in entries:
+            d = e["data_file"]
+            if e["status"] != 1 or d["record_count"] == 0:
+                continue
+            assert d["sort_order_id"] == oid, "manifest stamp missing"
+            ps = _pq.read_table(
+                d["file_path"], columns=["price"]
+            )["price"].to_pylist()
+            assert ps == sorted(ps, reverse=True), "file not clustered"
+            checked += 1
+    assert checked >= 4, f"expected >=4 clustered files, saw {checked}"
+    return (
+        r.to_df(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native Iceberg v3 table end-to-end (round 14, VERDICT r13 item 5):
+# create(format_version=3) initializes next-row-id / v3 manifest
+# lineage fields on a SELF-CREATED table, then the full v3 write
+# surface runs on it — append (fresh row ids continue from
+# next-row-id; committed ids immutable), DELETE via puffin deletion
+# vectors (merge-on-read, zero rewrites), and the changelog derives
+# the DV commit's row-level deletes. Lineage stability is asserted
+# in-query (ids are positions in the create/append order — closed
+# form); the hash certifies the surviving state. Unit pins:
+# tests/test_iceberg_v3_create.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_iceberg_v3_lineage_state",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+live AS (SELECT * FROM base WHERE k % 3 <> 0)
+SELECT st,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM live
+GROUP BY st
+ORDER BY st
+""",
+)
+def lake_iceberg_v3_lineage_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.icebergcompat import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = session_tmpdir("ice_v3_") + "/t"
+    w = IcebergTableWriter(path)
+    half = o.where(F.col("k") % 8 == 0)
+    w.create(half.coalesce(2), format_version=3)
+    m0 = IcebergTableReader(path)._metadata()
+    n0 = half.count()
+    assert m0["format-version"] == 3 and m0["next-row-id"] == n0, (
+        "v3 create must initialize next-row-id to the created rows"
+    )
+    ids0 = {
+        x["k"]: x["_row_id"]
+        for x in IcebergTableReader(path).row_lineage(spark).collect()
+    }
+    w.append(o.where(F.col("k") % 8 != 0).coalesce(2))
+    w.delete_where(spark, "k % 3 = 0")  # puffin DVs, merge-on-read
+    r = IcebergTableReader(path)
+    assert r.snapshot().dv_deletes, "v3 delete must land as puffin DVs"
+    lineage = {
+        x["k"]: x["_row_id"] for x in r.row_lineage(spark).collect()
+    }
+    for k, rid in ids0.items():
+        if k % 3 != 0:
+            assert lineage[k] == rid, "committed row id changed"
+    ch = r.changes(spark).groupBy("_change_type").count().collect()
+    by_t = {x["_change_type"]: x["count"] for x in ch}
+    assert by_t.get("insert", 0) == o.count()
+    assert by_t.get("delete", 0) == o.where(F.col("k") % 3 == 0).count()
+    return (
+        r.to_df(spark)
+        .groupBy("st")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("st")
+    )

@@ -227,6 +227,114 @@ def _merge_keys(cond: str, talias: str, salias: str) -> list[tuple[str, str]]:
     return pairs
 
 
+def _alias_rewrite(expr: str, ta: str, sa: str) -> str:
+    """Rewrite the statement's own aliases onto the engine's clause
+    aliases: ``<ta>.col`` -> ``t.col``, ``<sa>.col`` -> ``s.col``."""
+    e = re.sub(rf"\b{re.escape(ta)}\.", "t.", expr, flags=re.IGNORECASE)
+    return re.sub(rf"\b{re.escape(sa)}\.", "s.", e, flags=re.IGNORECASE)
+
+
+def _parse_clause_chain(text: str, ta: str, sa: str):
+    """Generic MERGE WHEN-clause chain (delta-spark's full grammar less
+    column-list INSERT): any number of ``WHEN MATCHED [AND p] THEN
+    UPDATE SET (*|a = e, ...) | DELETE`` clauses (first-match-wins,
+    in statement order) plus at most one ``WHEN NOT MATCHED [AND p]
+    THEN INSERT *``. Returns (matched_clauses, insert?, insert_cond)
+    or None when the text isn't such a chain (the caller raises the
+    canonical unsupported-shape error)."""
+    starts = [
+        mm.start()
+        for mm in re.finditer(
+            r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", text
+        )
+    ]
+    if not starts or starts[0] != 0:
+        return None
+    segs = [
+        text[a:b].strip()
+        for a, b in zip(starts, starts[1:] + [len(text)])
+    ]
+    mcs: list[tuple] = []
+    ins_seen = False
+    ins_cond: str | None = None
+    for seg in segs:
+        mm = re.match(
+            r"(?is)^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+"
+            r"(?P<act>DELETE|UPDATE\s+SET\s+(?P<sets>.+?))\s*$",
+            seg,
+        )
+        if mm:
+            cond = (
+                _alias_rewrite(mm.group("pred"), ta, sa)
+                if mm.group("pred")
+                else None
+            )
+            if mm.group("act").upper() == "DELETE":
+                mcs.append(("delete", cond))
+                continue
+            sets_txt = mm.group("sets").strip()
+            if sets_txt == "*":
+                mcs.append(("update", cond, None))
+                continue
+            assigns: dict[str, str] = {}
+            for part in _split_top_level(sets_txt):
+                am = re.match(
+                    r"^\s*(?:(\w+)\.)?`?([\w]+)`?\s*=\s*(.+?)\s*$",
+                    part,
+                    re.DOTALL,
+                )
+                if not am:
+                    return None
+                pfx = am.group(1)
+                if pfx is not None and pfx.lower() != ta.lower():
+                    raise ValueError(
+                        f"MERGE SET target {part.strip()!r} must assign "
+                        f"a target ({ta}) column"
+                    )
+                assigns[am.group(2)] = _alias_rewrite(
+                    am.group(3), ta, sa
+                )
+            mcs.append(("update", cond, assigns))
+            continue
+        mm = re.match(
+            r"(?is)^WHEN\s+NOT\s+MATCHED"
+            r"(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s+\*\s*$",
+            seg,
+        )
+        if mm:
+            if ins_seen:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED THEN INSERT clause "
+                    "is supported"
+                )
+            ins_seen = True
+            pred = mm.group("pred")
+            if pred:
+                if re.search(
+                    rf"\b{re.escape(ta)}\.", pred, re.IGNORECASE
+                ):
+                    raise ValueError(
+                        f"NOT MATCHED insert predicate {pred!r} "
+                        "references the target alias; by definition "
+                        "these rows have no target match — use source "
+                        "columns"
+                    )
+                ins_cond = re.sub(
+                    rf"\b{re.escape(sa)}\.", "", pred,
+                    flags=re.IGNORECASE,
+                )
+            continue
+        return None
+    if not mcs:
+        if not ins_seen:
+            return None
+        # INSERT-only chain: a never-firing clause carries every
+        # matched row unchanged while the insert leg gates on the
+        # anti-join the clause path already computes
+        mcs = [("delete", "false")]
+    return mcs, ins_seen, ins_cond
+
+
 def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
     target = _resolve(m.group("target"), tables, spark)
     if target is None:
@@ -352,14 +460,36 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
             delete_keys=dels.select(*keys), **nmbs_kwargs,
         )
     else:
-        raise ValueError(
-            f"unsupported MERGE clause shape {clauses!r}: supported are "
-            "'WHEN MATCHED THEN DELETE', 'WHEN MATCHED THEN UPDATE "
-            "SET * WHEN NOT MATCHED THEN INSERT *', the CDC shape "
-            "'WHEN MATCHED AND <src pred> THEN DELETE WHEN MATCHED THEN "
-            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *', each "
-            "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
-            "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
+        # the general chain: any number of conditional WHEN MATCHED
+        # UPDATE/DELETE clauses (first-match-wins) + an optional
+        # [conditional] WHEN NOT MATCHED THEN INSERT * — delta-spark's
+        # full grammar less column-list INSERT. Unlike the fast shapes
+        # above (which never scan the target), this leg reads the
+        # matched rows — exactly delta-spark's cost for it.
+        parsed = _parse_clause_chain(
+            clauses, m.group("talias"), m.group("salias")
+        )
+        if parsed is None:
+            raise ValueError(
+                f"unsupported MERGE clause shape {clauses!r}: supported "
+                "are 'WHEN MATCHED THEN DELETE', 'WHEN MATCHED THEN "
+                "UPDATE SET * WHEN NOT MATCHED THEN INSERT *', the CDC "
+                "shape 'WHEN MATCHED AND <src pred> THEN DELETE WHEN "
+                "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT "
+                "*', any chain of 'WHEN MATCHED [AND p] THEN UPDATE SET "
+                "(*|c = expr, ...) | DELETE' clauses plus an optional "
+                "'WHEN NOT MATCHED [AND p] THEN INSERT *', each "
+                "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
+                "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
+            )
+        mcs, ins_flag, ins_cond = parsed
+        target.upsert(
+            src,
+            keys=keys,
+            matched_clauses=mcs,
+            not_matched_insert=ins_flag,
+            not_matched_condition=ins_cond,
+            **nmbs_kwargs,
         )
 
 
@@ -686,6 +816,27 @@ def _run_alter(
     )
     if am:
         t.remove_partition_field(am.group(1).strip("`"))
+        return
+    am = re.match(
+        r"^WRITE ORDERED BY\s*\(?\s*(?P<cols>[\w`,\s]+?)\s*\)?$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        cols, desc = [], []
+        for part in am.group("cols").split(","):
+            toks = part.split()
+            if not toks:
+                continue
+            c = toks[0].strip("`")
+            cols.append(c)
+            if len(toks) > 1 and toks[1].upper() == "DESC":
+                desc.append(c)
+            elif len(toks) > 1 and toks[1].upper() != "ASC":
+                raise ValueError(
+                    f"WRITE ORDERED BY: cannot parse {part.strip()!r}"
+                )
+        t.set_sort_order(cols, descending=desc)
         return
     am = re.match(
         r"^ALTER COLUMN ([\w`.]+) TYPE (.+)$", action, re.IGNORECASE

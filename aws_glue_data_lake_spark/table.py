@@ -176,6 +176,9 @@ class Table:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        matched_clauses: Sequence | None = None,
+        not_matched_insert: bool = True,
+        not_matched_condition: str | None = None,
     ) -> None:
         """MERGE: every target row whose key appears in ``source`` is
         replaced, the rest of ``source`` inserts; ``delete_keys``-only
@@ -185,13 +188,24 @@ class Table:
         ``not_matched_by_source`` ("delete"/"update" +
         ``not_matched_by_source_set``, optional bare-column condition)
         adds the three-clause MERGE's ``WHEN NOT MATCHED BY SOURCE``
-        leg on every layer — delta-spark's SCD/full-sync idiom."""
+        leg on every layer — delta-spark's SCD/full-sync idiom.
+
+        ``matched_clauses`` switches the matched leg to delta-spark's
+        CHAINED conditional form (ordered ``("update", cond, set)`` /
+        ``("delete", cond)``, first-match-wins, ``t.<col>``/``s.<col>``
+        references; operators/mergeclauses.py), with
+        ``not_matched_insert`` / ``not_matched_condition`` completing
+        the WHEN NOT MATCHED leg's grammar — identical semantics on all
+        three layers."""
         nmbs = dict(
             not_matched_by_source=not_matched_by_source,
             not_matched_by_source_condition=(
                 not_matched_by_source_condition
             ),
             not_matched_by_source_set=not_matched_by_source_set,
+            matched_clauses=matched_clauses,
+            not_matched_insert=not_matched_insert,
+            not_matched_condition=not_matched_condition,
         )
         if self.format == "lake":
             self._lake().upsert(
@@ -392,6 +406,20 @@ class Table:
                 "partition-spec evolution is an Iceberg capability"
             )
         self._ice_writer().remove_partition_field(name)
+
+    def set_sort_order(
+        self, columns: Sequence[str], descending: Sequence[str] = ()
+    ) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY (Iceberg only): declare the
+        table's write sort order — metadata-only; subsequent appends
+        cluster each staged file by it and stamp sort_order_id."""
+        if self.format != "iceberg":
+            raise NotImplementedError(
+                "declared sort orders are an Iceberg metadata "
+                "capability (spec § Sort Orders); use OPTIMIZE ... "
+                "ZORDER BY for clustering on delta/lake tables"
+            )
+        self._ice_writer().set_sort_order(columns, descending=descending)
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN: metadata-only — Delta keeps

@@ -765,6 +765,13 @@ def main() -> int:
     )
     ap.add_argument("--max-ratio", type=float, default=12.0)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="probe only these registry queries (skips the cap/state/"
+        "cdc/interop pipelines) — for incremental per-round probes",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -784,11 +791,14 @@ def main() -> int:
         )
         spark.sparkContext.setLogLevel("ERROR")
         queries = all_queries()
-        for name in PROBE_QUERIES:
+        for name in (args.only or PROBE_QUERIES):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).limit(200_000).collect()
             result["timings"].setdefault(name, {})[scale] = round(
                 time.perf_counter() - t0, 3)
+        if args.only:
+            spark.stop()
+            continue
         result[f"cap_stats_{scale}"] = cap_stats(spark, sf_dir)
         result[f"state_{scale}"] = state_rows(spark, sf_dir)
         cdc = cdc_pipeline(spark, sf_dir)
