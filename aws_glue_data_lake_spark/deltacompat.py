@@ -205,6 +205,95 @@ def _iceberg_promotion_ok(frm: str, to: str) -> bool:
     )
 
 
+#: z-order-eligible primitives — exactly the types _zorder_key maps;
+#: clustering columns must be one of these so OPTIMIZE can cluster
+_CLUSTERABLE_TYPES = (
+    "byte", "short", "integer", "long", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string",
+)
+
+
+def _clustering_paths(
+    schema: StructType,
+    cluster_by: Sequence[str],
+    partition_by: Sequence[str],
+) -> list[list[str]]:
+    """Validate CLUSTER BY columns and return the protocol's
+    ``clusteringColumns`` value: one physical-name path per column
+    (§ Clustered Table stores PHYSICAL names so the domain survives
+    RENAME COLUMN under columnMapping). Mirrors delta-spark's rules:
+    at most 4 columns, top-level, stats-eligible types, never a
+    partition column, no duplicates."""
+    cols = list(cluster_by)
+    if len(cols) > 4:
+        raise ValueError(
+            f"CLUSTER BY takes at most 4 columns, got {len(cols)}"
+        )
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"CLUSTER BY has duplicate columns: {cols}")
+    by_name = {f.name: f for f in schema.fields}
+    paths: list[list[str]] = []
+    for c in cols:
+        if "." in c:
+            raise ValueError(
+                f"CLUSTER BY column {c!r}: nested clustering columns "
+                "are not supported (top-level only)"
+            )
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(
+                f"CLUSTER BY column {c!r} not in table schema "
+                f"{sorted(by_name)}"
+            )
+        if c in partition_by:
+            raise ValueError(
+                f"CLUSTER BY column {c!r} is a partition column — "
+                "clustered tables cannot also partition on the key"
+            )
+        t = f.dataType.typeName()
+        if t not in _CLUSTERABLE_TYPES and not t.startswith("decimal"):
+            raise ValueError(
+                f"CLUSTER BY column {c!r}: type {t!r} is not "
+                "stats-eligible (numeric, decimal, date, timestamp, "
+                "string)"
+            )
+        md = f.metadata or {}
+        paths.append(
+            [md.get("delta.columnMapping.physicalName", f.name)]
+        )
+    return paths
+
+
+def _clustering_logical_cols(snap) -> list[str]:
+    """The snapshot's declared clustering columns, mapped back from
+    the domain's physical-name paths to LOGICAL names (empty when the
+    table is not clustered or was CLUSTER BY NONE'd)."""
+    dom = (snap.domains or {}).get("delta.clustering")
+    if not dom:
+        return []
+    try:
+        paths = json.loads(dom.get("configuration") or "{}").get(
+            "clusteringColumns"
+        ) or []
+    except (ValueError, TypeError):
+        return []
+    phys_to_logical = {}
+    for f in snap.schema.fields:
+        md = f.metadata or {}
+        phys_to_logical[
+            md.get("delta.columnMapping.physicalName", f.name)
+        ] = f.name
+    out = []
+    for p in paths:
+        if len(p) != 1:
+            raise DeltaProtocolError(
+                f"clustering column path {p!r}: nested clustering "
+                "columns are not supported by this writer"
+            )
+        out.append(phys_to_logical.get(p[0], p[0]))
+    return out
+
+
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
     """Z-ORDER key column: each column maps to a ``bits``-bit bucket id
     (equi-width over the observed min/max for numerics/dates/
@@ -2469,20 +2558,112 @@ class DeltaTableWriter:
         ]
 
     def create(
-        self, df: DataFrame, partition_by: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
     ) -> "DeltaTableReader":
+        """``cluster_by`` creates a LIQUID-CLUSTERED table (protocol
+        § Clustered Table — Databricks' default layout for new tables,
+        ``CREATE TABLE … CLUSTER BY``): writer features
+        ``clusteredTable`` + ``domainMetadata`` and the
+        ``delta.clustering`` domain naming the clustering columns (as
+        physical-name paths). Clustering is best-effort LAYOUT — the
+        data lands as given here; :meth:`optimize` (no ZORDER args)
+        reads the domain and clusters by it."""
         if os.path.isdir(self._log) and any(
             _COMMIT_RE.match(n) for n in os.listdir(self._log)
         ):
             raise FileExistsError(f"Delta table already exists: {self.path}")
         os.makedirs(self.path, exist_ok=True)
+        meta_actions = self._meta_actions(df.schema, partition_by)
+        if cluster_by:
+            paths = _clustering_paths(
+                df.schema, cluster_by, partition_by
+            )
+            proto = meta_actions[0]["protocol"]
+            wf = set(proto.get("writerFeatures", ()))
+            if not wf:
+                # legacy (1,2) implies these; naming a feature list
+                # requires writer v7 with ALL features spelled out
+                wf = {"appendOnly", "invariants"}
+            wf |= {"clusteredTable", "domainMetadata"}
+            proto["minWriterVersion"] = 7
+            proto["writerFeatures"] = sorted(wf)
+            meta_actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {"clusteringColumns": paths}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
         adds = self._stage_files(df, partition_by)
         self._commit(
             0,
-            self._meta_actions(df.schema, partition_by)
-            + [{"add": a} for a in adds],
+            meta_actions + [{"add": a} for a in adds],
         )
         return DeltaTableReader(self.path)
+
+    def set_cluster_by(self, cluster_by: Sequence[str]) -> int:
+        """``ALTER TABLE … CLUSTER BY (cols)`` / ``CLUSTER BY NONE``
+        (empty ``cluster_by``): one metadata-only commit replacing the
+        ``delta.clustering`` domain (delta-spark keeps the domain with
+        an empty column list for NONE — the feature, once stamped,
+        stays). Upgrades the protocol if the table was not clustered
+        before. Data files do not move; the next :meth:`optimize`
+        clusters by the new columns."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(snap, "set_cluster_by")
+        paths = (
+            _clustering_paths(
+                snap.schema, cluster_by, snap.partition_columns or ()
+            )
+            if cluster_by
+            else []
+        )
+        rf, wf = self._feature_lists(
+            snap, extra_writer={"clusteredTable", "domainMetadata"}
+        )
+        proto = (
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": rf,
+                "writerFeatures": wf,
+            }
+            if rf
+            else {
+                "minReaderVersion": (snap.raw_protocol or {}).get(
+                    "minReaderVersion", 1
+                ),
+                "minWriterVersion": 7,
+                "writerFeatures": wf,
+            }
+        )
+        actions = [
+            {"protocol": proto},
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": paths}
+                    ),
+                    "removed": False,
+                }
+            },
+        ]
+        return self._commit_read_dependent(
+            snap.version + 1,
+            actions,
+            operation="CLUSTER BY",
+            read_files=set(),
+            add_conflict=False,
+        )
 
     def clone_from(
         self,
@@ -2677,10 +2858,13 @@ class DeltaTableWriter:
         "checkpointProtection",
         # liquid clustering: clustering is best-effort LAYOUT — the
         # feature's writer obligation is preserving the clustering
-        # domain metadata, which this writer now carries through state
+        # domain metadata, which this writer carries through state
         # and checkpoints; not clustering new files degrades locality,
         # never correctness. Databricks stamps this on most new tables,
-        # so refusing it would refuse most real destinations.
+        # so refusing it would refuse most real destinations. This
+        # writer also creates/alters clustered tables (create
+        # cluster_by / set_cluster_by) and OPTIMIZE clusters by the
+        # declared columns (_clustering_logical_cols).
         "clusteredTable",
         # collations (preview): the FEATURE alone is write-safe — it is
         # stamped proactively on tables with zero collated columns, and
@@ -3748,25 +3932,188 @@ class DeltaTableWriter:
     def set_property(self, key: str, value: str) -> int:
         """Generic SET TBLPROPERTIES commit — e.g.
         ``delta.checkpointInterval`` to tune (or ``0`` to disable) the
-        automatic checkpoint cadence. ``delta.enableRowTracking=true``
-        routes through :meth:`set_row_tracking` (the property alone
-        would be protocol-invalid: enablement needs the feature, the
-        materialized-column config, and a row-id backfill)."""
+        automatic checkpoint cadence. Keys match case-insensitively
+        and commit under their canonical spelling (DeltaConfigs'
+        behavior). Protocol-bearing enables ROUTE instead of landing
+        naively — the property alone would be protocol-invalid:
+        ``delta.enableRowTracking`` → :meth:`set_row_tracking` (needs
+        the feature + materialized-column config + row-id backfill),
+        ``delta.columnMapping.mode`` → :meth:`enable_column_mapping`
+        (needs minted ids + reader 2/writer 5),
+        ``delta.enableChangeDataFeed`` → :meth:`set_change_data_feed`
+        (needs writer 4 / the changeDataFeed feature),
+        ``delta.enableInCommitTimestamps`` /
+        ``delta.enableDeletionVectors`` (need their v7 features)."""
+        key = self._CANONICAL_PROPS.get(str(key).lower(), str(key))
         if (
-            str(key) == "delta.enableRowTracking"
+            key == "delta.enableRowTracking"
             and str(value).lower() == "true"
         ):
             return self.set_row_tracking(True)
+        if key == "delta.columnMapping.mode":
+            return self.enable_column_mapping(str(value))
+        if key == "delta.enableChangeDataFeed":
+            return self.set_change_data_feed(
+                str(value).lower() == "true"
+            )
+        feature_needed = {
+            "delta.enableInCommitTimestamps": (None, "inCommitTimestamp"),
+            "delta.enableDeletionVectors": (
+                "deletionVectors", "deletionVectors",
+            ),
+        }.get(key)
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         meta = dict(snap.raw_meta)
         conf = dict(meta.get("configuration", {}) or {})
-        conf[str(key)] = str(value)
+        conf[key] = str(value)
         meta["configuration"] = conf
+        actions: list[dict] = []
+        if feature_needed and str(value).lower() == "true":
+            need_r, need_w = feature_needed
+            rf, wf = self._feature_lists(
+                snap,
+                extra_reader={need_r} if need_r else (),
+                extra_writer={need_w},
+            )
+            proto = (
+                {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": rf,
+                    "writerFeatures": wf,
+                }
+                if need_r or (snap.raw_protocol or {}).get(
+                    "minReaderVersion", 1
+                ) >= 3
+                else {
+                    "minReaderVersion": (snap.raw_protocol or {}).get(
+                        "minReaderVersion", 1
+                    ),
+                    "minWriterVersion": 7,
+                    "writerFeatures": wf,
+                }
+            )
+            actions.append({"protocol": proto})
+        actions.append({"metaData": meta})
         v = snap.version + 1
         return self._commit_read_dependent(
-            v, [{"metaData": meta}], operation="SET TBLPROPERTIES",
+            v, actions, operation="SET TBLPROPERTIES",
             read_files=set(), add_conflict=False,
+        )
+
+    #: canonical spellings for the delta properties this writer treats
+    #: specially (DeltaConfigs matches keys case-insensitively; a
+    #: lowercased key must still hit the routing above, not land as a
+    #: second, dead configuration entry)
+    _CANONICAL_PROPS = {
+        k.lower(): k
+        for k in (
+            "delta.enableRowTracking",
+            "delta.columnMapping.mode",
+            "delta.columnMapping.maxColumnId",
+            "delta.enableChangeDataFeed",
+            "delta.enableInCommitTimestamps",
+            "delta.enableDeletionVectors",
+            "delta.checkpointInterval",
+            "delta.enableIcebergCompatV1",
+            "delta.enableIcebergCompatV2",
+            "delta.universalFormat.enabledFormats",
+            "delta.appendOnly",
+            "delta.logRetentionDuration",
+            "delta.deletedFileRetentionDuration",
+        )
+    }
+
+    def enable_column_mapping(self, mode: str = "name") -> int:
+        """``ALTER TABLE … SET TBLPROPERTIES
+        ('delta.columnMapping.mode'='name')`` — delta-spark's upgrade
+        flow for an EXISTING table (the prerequisite for
+        RENAME/DROP COLUMN). One metadata-only commit that mints
+        ``delta.columnMapping.id`` + ``physicalName`` for every field
+        (physicalName = the CURRENT name, so every already-committed
+        file — keyed by name — keeps resolving; only columns added
+        later get fresh ``col-<uuid>`` physical names), records
+        ``maxColumnId``, and upgrades the protocol (legacy
+        reader 2 / writer 5, or the feature lists when the table is
+        already feature-versioned). Stats keys stay valid for the same
+        reason (physical == logical for existing columns).
+
+        ``mode='id'`` is refused on existing tables and ``'none'`` is
+        a refusal to DISABLE — both delta-spark's rules (file bytes
+        written under mapping cannot be re-keyed by a property flip).
+        """
+        mode = (mode or "").lower()
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(
+            snap, "columnMapping upgrade", adds_content=False
+        )
+        cur = (snap.configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if cur not in ("", "none"):
+            if mode == cur:
+                return snap.version  # idempotent re-declare
+            raise DeltaProtocolError(
+                f"columnMapping mode is {cur!r} and cannot change to "
+                f"{mode!r}: committed file bytes are keyed under the "
+                "current mapping (delta-spark refuses the same way)"
+            )
+        if mode == "none":
+            return snap.version  # none -> none: nothing to do
+        if mode != "name":
+            raise DeltaProtocolError(
+                f"columnMapping mode {mode!r} cannot be enabled on an "
+                "existing table: 'id' mode requires files written with "
+                "parquet field ids from the start — only 'name' "
+                "upgrades in place (delta-spark's rule)"
+            )
+        meta = dict(snap.raw_meta)
+        sch = json.loads(meta["schemaString"])
+        have = list(_all_mapping_ids(sch["fields"]))
+        next_id = (max(have) + 1) if have else 1
+        for f in sch["fields"]:
+            md = f.get("metadata") or {}
+            if "delta.columnMapping.id" not in md:
+                next_id = _assign_mapping_ids(f, next_id)
+        meta["schemaString"] = json.dumps(sch)
+        conf = dict(meta.get("configuration", {}) or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(
+            max(_all_mapping_ids(sch["fields"]), default=0)
+        )
+        meta["configuration"] = conf
+        proto = dict(snap.raw_protocol or {})
+        if proto.get("minWriterVersion", 1) == 7 or proto.get(
+            "minReaderVersion", 1
+        ) == 3:
+            rf, wf = self._feature_lists(
+                snap,
+                extra_reader={"columnMapping"},
+                extra_writer={"columnMapping"},
+            )
+            proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": rf,
+                "writerFeatures": wf,
+            }
+        else:
+            proto = {
+                "minReaderVersion": max(
+                    proto.get("minReaderVersion", 1), 2
+                ),
+                "minWriterVersion": max(
+                    proto.get("minWriterVersion", 1), 5
+                ),
+            }
+        return self._commit_read_dependent(
+            snap.version + 1,
+            [{"protocol": proto}, {"metaData": meta}],
+            operation="SET TBLPROPERTIES",
+            read_files=set(),
+            add_conflict=False,
         )
 
     def set_row_tracking(self, value: bool = True) -> int:
@@ -4384,6 +4731,7 @@ class DeltaTableWriter:
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
+        not_matched_set: dict | None = None,
     ) -> int:
         """MERGE — the reference's central operation (reference
         delta/delta_tables.py:159-160 ``.merge(src, cond)
@@ -4506,11 +4854,17 @@ class DeltaTableWriter:
         if missing:
             raise ValueError(f"merge keys {missing} not in source columns")
         mc = None
-        if matched_clauses is not None:
+        if matched_clauses is not None or not_matched_set:
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
+            _mcm.validate_not_matched_set(
+                not_matched_set,
+                [f.name for f in table_schema.fields],
+                matched_clauses,
+                not_matched_insert,
+            )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, [f.name for f in table_schema.fields]
             )
@@ -4708,6 +5062,14 @@ class DeltaTableWriter:
                 ins = ins.where(F.expr(not_matched_condition))
             if not not_matched_insert:
                 ins = ins.limit(0)
+            if not_matched_set:
+                # column-list INSERT: assigned columns evaluate over
+                # the (bare) source row; the rest NULL-pad
+                ins = ins.select(
+                    *_mcm.insert_projection(
+                        not_matched_set, table_schema.fields
+                    )
+                )
             if rtc:
                 ins = ins.withColumn(
                     "__rt_sid", F.lit(None).cast("long")
@@ -5645,10 +6007,26 @@ class DeltaTableWriter:
         (:func:`_zorder_key`), so each rewritten file's min/max stats
         are tight on EVERY z-order column at once — point/range
         predicates on any of them prune files, the entire reason the
-        command exists at 100 TB. Same commit shape; layout only."""
+        command exists at 100 TB. Same commit shape; layout only.
+
+        On a LIQUID-CLUSTERED table (``delta.clustering`` domain,
+        § Clustered Table) OPTIMIZE clusters by the table's declared
+        CLUSTER BY columns automatically — delta-spark's behavior —
+        and an explicit ``zorder_by`` is refused the way delta-spark
+        refuses it (the declared clustering owns the layout)."""
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         zorder_by = list(zorder_by)
+        cluster_cols = _clustering_logical_cols(snap)
+        if zorder_by and cluster_cols:
+            raise ValueError(
+                "OPTIMIZE ... ZORDER BY is not supported on a "
+                f"clustered table (CLUSTER BY {cluster_cols}): "
+                "OPTIMIZE clusters by the declared columns; change "
+                "them with ALTER TABLE ... CLUSTER BY"
+            )
+        if not zorder_by:
+            zorder_by = cluster_cols
         bad = [
             c
             for c in zorder_by

@@ -4831,6 +4831,7 @@ class IcebergTableWriter:
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
+        not_matched_set: dict | None = None,
     ) -> int:
         """MERGE — the reference's Iceberg write (reference
         icberg/iceberg_tables.py:143-146 ``MERGE INTO ... WHEN MATCHED
@@ -4904,13 +4905,19 @@ class IcebergTableWriter:
             raise ValueError(f"merge keys {missing} not in source columns")
         src_keys = source.select(*keys)
         mc = None
-        if matched_clauses is not None:
+        if matched_clauses is not None or not_matched_set:
             from pyspark.sql import functions as F
 
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
+            _mcm.validate_not_matched_set(
+                not_matched_set,
+                [f["name"] for f in schema_json["fields"]],
+                matched_clauses,
+                not_matched_insert,
+            )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, [f["name"] for f in schema_json["fields"]]
             )
@@ -4973,19 +4980,27 @@ class IcebergTableWriter:
             if not not_matched_insert:
                 ins = ins.limit(0)
             # project inserts to the table schema: extra source columns
-            # (clause-expression-only routing columns) never land
-            ins = ins.select(
-                *[
-                    (
-                        F.col(f2.name)
-                        if f2.name in ins.columns
-                        else F.lit(None)
+            # (clause-expression-only routing columns) never land;
+            # a column-list INSERT evaluates its assignments instead
+            if not_matched_set:
+                ins = ins.select(
+                    *_mcm.insert_projection(
+                        not_matched_set, spark_st.fields
                     )
-                    .cast(f2.dataType)
-                    .alias(f2.name)
-                    for f2 in spark_st.fields
-                ]
-            )
+                )
+            else:
+                ins = ins.select(
+                    *[
+                        (
+                            F.col(f2.name)
+                            if f2.name in ins.columns
+                            else F.lit(None)
+                        )
+                        .cast(f2.dataType)
+                        .alias(f2.name)
+                        for f2 in spark_st.fields
+                    ]
+                )
             source = updates_out.unionByName(ins)
         else:
             if not not_matched_insert:

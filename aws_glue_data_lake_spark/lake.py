@@ -615,6 +615,7 @@ class LakeTable:
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
+        not_matched_set: dict | None = None,
     ) -> Snapshot:
         """Row-level MERGE, copy-on-write at file granularity.
 
@@ -687,13 +688,19 @@ class LakeTable:
 
         spark = upserts.sparkSession
         mc = None
-        if matched_clauses is not None:
+        if matched_clauses is not None or not_matched_set:
             from pyspark.sql.types import StructType as _St
 
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
+            _mcm.validate_not_matched_set(
+                not_matched_set,
+                _St.fromDDL(schema).fieldNames(),
+                matched_clauses,
+                not_matched_insert,
+            )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, _St.fromDDL(schema).fieldNames()
             )
@@ -840,6 +847,10 @@ class LakeTable:
                 ins = ins.where(F.expr(not_matched_condition))
             if not not_matched_insert:
                 ins = ins.limit(0)
+            if not_matched_set:
+                ins = ins.select(
+                    *_mcm.insert_projection(not_matched_set, st.fields)
+                )
             parts = [
                 p for p in (kept, matched_out) if p is not None
             ] + [ins]

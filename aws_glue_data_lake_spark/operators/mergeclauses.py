@@ -136,6 +136,50 @@ def out_value(
     return base.cast(dtype).alias(name)
 
 
+def validate_not_matched_set(
+    not_matched_set: dict | None,
+    table_cols: Sequence[str],
+    matched_clauses,
+    not_matched_insert: bool,
+) -> None:
+    if not not_matched_set:
+        return
+    if matched_clauses is None:
+        raise ValueError(
+            "not_matched_set (column-list INSERT) requires "
+            "matched_clauses"
+        )
+    if not not_matched_insert:
+        raise ValueError(
+            "not_matched_set contradicts not_matched_insert=False"
+        )
+    bad = sorted(set(not_matched_set) - set(table_cols))
+    if bad:
+        raise ValueError(
+            f"NOT MATCHED INSERT targets unknown column(s) {bad}"
+        )
+
+
+def insert_projection(
+    not_matched_set: dict,
+    fields,
+) -> list[Column]:
+    """Column-list INSERT (``WHEN NOT MATCHED THEN INSERT (cols)
+    VALUES (exprs)``): project the insert set to the table schema —
+    assigned columns evaluate their expression (bare source columns),
+    unassigned columns NULL-pad (SQL MERGE semantics)."""
+    return [
+        (
+            F.expr(not_matched_set[f.name])
+            if f.name in not_matched_set
+            else F.lit(None)
+        )
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in fields
+    ]
+
+
 def updated_flag(clauses: Sequence[tuple]) -> Column:
     """True when the winning clause is an UPDATE (for CDF pre/post
     pairs and row-tracking version stamping)."""

@@ -4920,3 +4920,337 @@ def lake_iceberg_v3_lineage_state(
         )
         .orderBy("st")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-list INSERT (round 14, VERDICT r13 stretch item 7): WHEN NOT
+# MATCHED [AND p] THEN INSERT (cols) VALUES (exprs) — the last cell of
+# the MERGE grammar square. Assigned columns evaluate their expression
+# over the source row; unassigned columns NULL-pad (SQL MERGE
+# semantics). Exercised through all three writers: Delta via the SQL
+# front door, Iceberg and lake via the fluent not_matched_set. The
+# n_priced column certifies the NULL-padding (COUNT(price) counts only
+# non-padded rows). Unit pins: tests/test_merge_chained_clauses.py::
+# test_column_list_insert / test_sql_column_list_insert.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_merge_insert_cols_state",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+batch AS (
+  SELECT o_orderkey AS k, lower(o_orderstatus) AS st,
+         CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+matched AS (
+  SELECT t.k AS k, t.st AS st, t.price + b.price AS price
+  FROM tgt t JOIN batch b USING (k)
+),
+unmatched_tgt AS (
+  SELECT t.k, t.st, t.price
+  FROM tgt t LEFT JOIN batch b USING (k) WHERE b.k IS NULL
+),
+ins AS (
+  SELECT b.k, upper(b.st) AS st, CAST(NULL AS DOUBLE) AS price
+  FROM batch b LEFT JOIN tgt t USING (k)
+  WHERE t.k IS NULL AND b.price > 100000
+),
+final AS (
+  SELECT * FROM matched
+  UNION ALL SELECT * FROM unmatched_tgt
+  UNION ALL SELECT * FROM ins
+)
+SELECT side, st,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(price) AS BIGINT) AS n_priced,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT 'delta' AS side, * FROM final
+  UNION ALL SELECT 'iceberg' AS side, * FROM final
+  UNION ALL SELECT 'lake' AS side, * FROM final
+)
+GROUP BY side, st
+ORDER BY side, st
+""",
+)
+def lake_merge_insert_cols_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    o = t(spark, sf_dir, "orders")
+    tgt = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lower("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("double") * 2).alias("price"),
+    )
+    root = session_tmpdir("merge_inscols_")
+    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+    batch.createOrReplaceTempView("merge_inscols_batch")
+    _sql(
+        spark,
+        "MERGE INTO tbl AS tg USING merge_inscols_batch AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = tg.price + s.price "
+        "WHEN NOT MATCHED AND s.price > 100000 "
+        "THEN INSERT (k, st) VALUES (s.k, upper(s.st))",
+        tables={"tbl": td},
+    )
+    fluent = dict(
+        keys=["k"],
+        matched_clauses=[
+            ("update", None, {"price": "t.price + s.price"}),
+        ],
+        not_matched_condition="price > 100000",
+        not_matched_set={"k": "k", "st": "upper(st)"},
+    )
+    ti.upsert(batch, **fluent)
+    tl.upsert(batch, **fluent)
+    allsides = (
+        td.read(spark).select(F.lit("delta").alias("side"), "*")
+        .unionByName(
+            ti.read(spark).select(F.lit("iceberg").alias("side"), "*")
+        )
+        .unionByName(
+            tl.read(spark).select(F.lit("lake").alias("side"), "*")
+        )
+    )
+    return (
+        allsides.groupBy("side", "st")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count("price").cast("bigint").alias("n_priced"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("side", "st")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Liquid clustering (round 14): CREATE ... CLUSTER BY + OPTIMIZE on a
+# real Delta table (protocol § Clustered Table — Databricks' default
+# layout for new tables). The declaration is the delta.clustering
+# domain (physical-name paths); plain OPTIMIZE reads it and clusters
+# by the declared columns, PROVEN in-query the same way as the z-order
+# state (quartile point probes containable in <=65% of the rewritten
+# files' min/max stats on BOTH declared dimensions at once). The
+# returned row then certifies the declaration LIFECYCLE through
+# DESCRIBE DETAIL: as created (ok,pk), after ALTER TABLE ... CLUSTER
+# BY (price), and after CLUSTER BY NONE — all via the SQL front door.
+# Unit pins (protocol stamping, physical paths under columnMapping,
+# validation, ZORDER refusal): tests/test_liquid_clustering.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_delta_liquid_cluster_state",
+    oracle="""
+WITH t0 AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+         CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem WHERE l_linenumber = 2
+)
+SELECT 'ok,pk' AS created_cluster,
+       'price' AS altered_cluster,
+       '' AS final_cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(ok) AS BIGINT) AS min_ok,
+       CAST(MAX(pk) AS BIGINT) AS max_pk
+FROM t0
+""",
+)
+def lake_delta_liquid_cluster_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("liquidcluster_") + "/t"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 2)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+        .repartition(8)  # scrambled: every file spans both dims
+    )
+    tb = open_table(path, "delta").create(li, cluster_by=["ok", "pk"])
+
+    def detail_cluster() -> str:
+        return ",".join(
+            _sql(
+                spark, "DESCRIBE DETAIL t", tables={"t": tb}
+            ).first()["clustering_columns"]
+        )
+
+    created = detail_cluster()
+    # plain OPTIMIZE clusters by the DECLARED columns (no ZORDER arg)
+    _sql(spark, "OPTIMIZE t", tables={"t": tb})
+
+    def files_containing(col, v):
+        snap = DeltaTableReader(path).snapshot()
+        cnt = 0
+        for p, _, _ in snap.files:
+            st = (snap.stats or {}).get(p) or {}
+            lo = (st.get("minValues") or {}).get(col)
+            hi = (st.get("maxValues") or {}).get(col)
+            if lo is not None and lo <= v <= hi:
+                cnt += 1
+        return cnt, len(snap.files)
+
+    probe = li.agg(
+        F.expr("percentile_approx(ok, 0.25)"),
+        F.expr("percentile_approx(pk, 0.25)"),
+    ).collect()[0]
+    for col, v in (("ok", probe[0]), ("pk", probe[1])):
+        hit, total = files_containing(col, int(v))
+        assert hit <= max(1, int(total * 0.65)), (
+            f"liquid clustering failed on {col}: {hit}/{total} files "
+            "contain the quartile probe"
+        )
+    _sql(spark, "ALTER TABLE t CLUSTER BY (price)", tables={"t": tb})
+    altered = detail_cluster()
+    _sql(spark, "ALTER TABLE t CLUSTER BY NONE", tables={"t": tb})
+    final = detail_cluster()
+    return (
+        tb.read(spark)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("ok").cast("bigint").alias("min_ok"),
+            F.max("pk").cast("bigint").alias("max_pk"),
+        )
+        .select(
+            F.lit(created).alias("created_cluster"),
+            F.lit(altered).alias("altered_cluster"),
+            F.lit(final).alias("final_cluster"),
+            "n_rows",
+            "total_price",
+            "min_ok",
+            "max_pk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# columnMapping UPGRADE on an existing table (round 14): delta-spark's
+# ALTER TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
+# flow, then the schema-evolution family it unlocks — RENAME COLUMN +
+# ADD COLUMN + append — all through the SQL front door on a real Delta
+# table built from customer. The in-query asserts certify the protocol
+# mechanics (ids minted with physicalName == current name so committed
+# files keep resolving with ZERO rewrites; the post-upgrade ADD gets a
+# fresh col-<uuid> physical name; reader 2 / writer 5 minimums); the
+# returned aggregate certifies the DATA: pre-upgrade rows read back
+# bit-identical through the mapping (NULL in the added column), the
+# post-upgrade append lands under physical names. Unit pins:
+# tests/test_enable_column_mapping.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_column_mapping_upgrade_state",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS k, c_name AS cname,
+         CAST(c_acctbal AS DOUBLE) AS bal,
+         CAST(NULL AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 3 = 0
+),
+extra AS (
+  SELECT c_custkey AS k, c_name AS cname,
+         CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 3 = 1
+),
+final AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+SELECT COALESCE(seg, '(pre-upgrade)') AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       MIN(cname) AS first_name
+FROM final GROUP BY 1 ORDER BY 1
+""",
+)
+def lake_column_mapping_upgrade_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    c = t(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = session_tmpdir("cmupgrade_") + "/t"
+    tb = open_table(path, "delta").create(base.repartition(4))
+    _sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.columnMapping.mode'='name')",
+        tables={"t": tb},
+    )
+    snap = DeltaTableReader(path).snapshot()
+    assert snap.raw_protocol["minReaderVersion"] >= 2
+    assert snap.raw_protocol["minWriterVersion"] >= 5
+    for f in snap.schema.fields:
+        # upgrade rule: physical == current name -> zero rewrites
+        assert (
+            f.metadata["delta.columnMapping.physicalName"] == f.name
+        ), f"upgrade must not re-key committed files: {f.name}"
+    _sql(spark, "ALTER TABLE t RENAME COLUMN nm TO cname",
+         tables={"t": tb})
+    _sql(spark, "ALTER TABLE t ADD COLUMN seg string",
+         tables={"t": tb})
+    snap = DeltaTableReader(path).snapshot()
+    by_name = {f.name: f for f in snap.schema.fields}
+    assert by_name["cname"].metadata[
+        "delta.columnMapping.physicalName"
+    ] == "nm", "rename is logical-only; physicalName pins the bytes"
+    assert by_name["seg"].metadata[
+        "delta.columnMapping.physicalName"
+    ].startswith("col-"), "post-upgrade ADD mints a uuid physical name"
+    extra = c.where(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("cname"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    tb.append(extra.repartition(4))
+    return (
+        tb.read(spark)
+        .groupBy(
+            F.coalesce(F.col("seg"), F.lit("(pre-upgrade)")).alias(
+                "seg"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("bal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("cname").alias("first_name"),
+        )
+        .orderBy("seg")
+    )

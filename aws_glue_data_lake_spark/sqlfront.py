@@ -34,11 +34,14 @@ already-green primitives:
   commit timestamps, conservatively),
   ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>`` (metadata
   relations as DataFrames), ``ALTER TABLE <t> ADD CONSTRAINT <n>
-  CHECK (<e>) / DROP CONSTRAINT <n> / SET TBLPROPERTIES (...)``.
+  CHECK (<e>) / DROP CONSTRAINT <n> / SET TBLPROPERTIES (...) /
+  CLUSTER BY (<cols>) | NONE`` (delta liquid clustering — OPTIMIZE
+  then clusters by the declared columns).
 - ``CREATE TABLE [IF NOT EXISTS] <name> USING delta|iceberg|lake
-  [PARTITIONED BY (...)] [LOCATION '<path>'] AS SELECT ...`` — CTAS
-  that creates the format table AND binds the name; managed placement
-  under the warehouse dir when LOCATION is omitted.
+  [PARTITIONED BY (...)] [CLUSTER BY (...)] [LOCATION '<path>']
+  AS SELECT ...`` — CTAS that creates the format table AND binds the
+  name; managed placement under the warehouse dir when LOCATION is
+  omitted; CLUSTER BY creates a delta liquid-clustered table.
 - ``SELECT ... FROM table_changes('<t>', start[, end])`` — delta-spark's
   CDF table-valued function, rewritten to the facade ``changes()`` read.
 
@@ -138,6 +141,7 @@ _CREATE_USING_RE = re.compile(
     r"(?P<name>`[^`]+`|[\w.]+)\s+"
     r"USING\s+(?P<fmt>delta|iceberg|lake)\s*"
     r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pby>[\w,\s`]+?)\s*\)\s*)?"
+    r"(?:CLUSTER\s+BY\s*\(\s*(?P<cby>[\w,\s`]+?)\s*\)\s*)?"
     r"(?:LOCATION\s+'(?P<path>[^']+)'\s*)?"
     r"(?:AS\s+(?P<body>SELECT\b.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -257,6 +261,7 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
     mcs: list[tuple] = []
     ins_seen = False
     ins_cond: str | None = None
+    ins_set: dict | None = None
     for seg in segs:
         mm = re.match(
             r"(?is)^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+"
@@ -298,7 +303,9 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
             continue
         mm = re.match(
             r"(?is)^WHEN\s+NOT\s+MATCHED"
-            r"(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s+\*\s*$",
+            r"(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s+"
+            r"(?:\*|\(\s*(?P<cols>[^)]*?)\s*\)\s+VALUES\s+"
+            r"\(\s*(?P<vals>.+?)\s*\))\s*$",
             seg,
         )
         if mm:
@@ -323,6 +330,42 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
                     rf"\b{re.escape(sa)}\.", "", pred,
                     flags=re.IGNORECASE,
                 )
+            if mm.group("cols") is not None:
+                # column-list INSERT: assigned columns evaluate their
+                # VALUES expression over the (bare) source row;
+                # unassigned columns NULL-pad — SQL MERGE semantics
+                cols = [
+                    c.strip().strip("`")
+                    for c in mm.group("cols").split(",")
+                    if c.strip()
+                ]
+                cols = [
+                    re.sub(
+                        rf"(?i)^{re.escape(ta)}\.", "", c
+                    ) for c in cols
+                ]
+                vals = _split_top_level(mm.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT column list has {len(cols)} columns "
+                        f"but VALUES has {len(vals)} expressions"
+                    )
+                ins_set = {
+                    c: re.sub(
+                        rf"\b{re.escape(sa)}\.", "", v.strip(),
+                        flags=re.IGNORECASE,
+                    )
+                    for c, v in zip(cols, vals)
+                }
+                for v in ins_set.values():
+                    if re.search(
+                        rf"\b{re.escape(ta)}\.", v, re.IGNORECASE
+                    ):
+                        raise ValueError(
+                            f"INSERT VALUES expression {v!r} "
+                            "references the target alias; inserts "
+                            "have no target row"
+                        )
             continue
         return None
     if not mcs:
@@ -332,7 +375,7 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
         # matched row unchanged while the insert leg gates on the
         # anti-join the clause path already computes
         mcs = [("delete", "false")]
-    return mcs, ins_seen, ins_cond
+    return mcs, ins_seen, ins_cond, ins_set
 
 
 def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
@@ -462,8 +505,9 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
     else:
         # the general chain: any number of conditional WHEN MATCHED
         # UPDATE/DELETE clauses (first-match-wins) + an optional
-        # [conditional] WHEN NOT MATCHED THEN INSERT * — delta-spark's
-        # full grammar less column-list INSERT. Unlike the fast shapes
+        # [conditional] WHEN NOT MATCHED THEN INSERT * or INSERT
+        # (cols) VALUES (exprs) — delta-spark's full matched/not-
+        # matched grammar. Unlike the fast shapes
         # above (which never scan the target), this leg reads the
         # matched rows — exactly delta-spark's cost for it.
         parsed = _parse_clause_chain(
@@ -482,22 +526,25 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
                 "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
                 "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
             )
-        mcs, ins_flag, ins_cond = parsed
+        mcs, ins_flag, ins_cond, ins_set = parsed
         target.upsert(
             src,
             keys=keys,
             matched_clauses=mcs,
             not_matched_insert=ins_flag,
             not_matched_condition=ins_cond,
+            not_matched_set=ins_set,
             **nmbs_kwargs,
         )
 
 
 def _parse_props(raw: str | None) -> dict[str, str]:
-    """TBLPROPERTIES body: 'k'='v' pairs, comma-separated."""
+    """TBLPROPERTIES body: 'k'='v' pairs, comma-separated. Keys keep
+    their spelling (delta property keys are canonical-cased; the
+    writer matches protocol-bearing ones case-insensitively)."""
     props: dict[str, str] = {}
     for k, v in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", raw or ""):
-        props[k.lower()] = v
+        props[k] = v
     return props
 
 
@@ -511,7 +558,7 @@ def _run_create_external(spark: SparkSession, m: re.Match) -> None:
     from aws_glue_data_lake_spark.catalog import bind_table, binding
 
     name = m.group("name").strip("`")
-    props = _parse_props(m.group("props"))
+    props = {k.lower(): v for k, v in _parse_props(m.group("props")).items()}
     fmt = props.get("table_type", "").lower() or None
     if m.group("ine") and binding(spark, name) is not None:
         return
@@ -626,7 +673,14 @@ def _run_create_using(
         for c in (m.group("pby") or "").split(",")
         if c.strip()
     ]
-    open_table(_os.path.abspath(path), fmt).create(df, partition_by=pby)
+    cby = [
+        c.strip().strip("`")
+        for c in (m.group("cby") or "").split(",")
+        if c.strip()
+    ]
+    open_table(_os.path.abspath(path), fmt).create(
+        df, partition_by=pby, cluster_by=cby
+    )
     bind_table(spark, name, path, fmt)
 
 
@@ -839,6 +893,20 @@ def _run_alter(
         t.set_sort_order(cols, descending=desc)
         return
     am = re.match(
+        r"^CLUSTER BY (?:NONE|\(\s*(?P<cols>[\w`,\s]+?)\s*\))$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        t.set_cluster_by(
+            [
+                c.strip().strip("`")
+                for c in (am.group("cols") or "").split(",")
+                if c.strip()
+            ]
+        )
+        return
+    am = re.match(
         r"^ALTER COLUMN ([\w`.]+) TYPE (.+)$", action, re.IGNORECASE
     )
     if am:
@@ -907,7 +975,7 @@ def _run_alter(
         "ALTER COLUMN <col> SET DEFAULT <expr>, "
         "ALTER COLUMN <col> TYPE <type>, "
         "ADD COLUMN <col> <type>, RENAME COLUMN <a> TO <b>, "
-        "DROP COLUMN <col>, "
+        "DROP COLUMN <col>, CLUSTER BY (<cols>) | NONE, "
         "SET TBLPROPERTIES ('k'='v', ...)"
     )
 

@@ -103,8 +103,22 @@ class Table:
         return detect_format(self.path) == self.format
 
     def create(
-        self, df: DataFrame, partition_by: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
     ) -> "Table":
+        if cluster_by and self.format != "delta":
+            raise ValueError(
+                "CLUSTER BY (liquid clustering) is a Delta feature; "
+                f"for {self.format!r} use compact(zorder_by=...) or "
+                "an Iceberg sort order (set_sort_order)"
+            )
+        if cluster_by:
+            self._delta_writer().create(
+                df, partition_by=partition_by, cluster_by=cluster_by
+            )
+            return self
         if self.format == "lake":
             # record footer stats for every primitive column so
             # stat_max/read_pruned work out of the box (Delta/Iceberg
@@ -179,6 +193,7 @@ class Table:
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
+        not_matched_set: dict | None = None,
     ) -> None:
         """MERGE: every target row whose key appears in ``source`` is
         replaced, the rest of ``source`` inserts; ``delete_keys``-only
@@ -206,6 +221,7 @@ class Table:
             matched_clauses=matched_clauses,
             not_matched_insert=not_matched_insert,
             not_matched_condition=not_matched_condition,
+            not_matched_set=not_matched_set,
         )
         if self.format == "lake":
             self._lake().upsert(
@@ -421,6 +437,19 @@ class Table:
             )
         self._ice_writer().set_sort_order(columns, descending=descending)
 
+    def set_cluster_by(self, columns: Sequence[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE (empty
+        ``columns``) — Delta liquid clustering (protocol § Clustered
+        Table): metadata-only; the next compact()/OPTIMIZE clusters by
+        the declared columns."""
+        if self.format != "delta":
+            raise NotImplementedError(
+                "CLUSTER BY (liquid clustering) is a Delta protocol "
+                "feature; use compact(zorder_by=...) on lake tables "
+                "or WRITE ORDERED BY on Iceberg"
+            )
+        self._delta_writer().set_cluster_by(columns)
+
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN: metadata-only — Delta keeps
         physicalName/field id (columnMapping required), Iceberg keeps
@@ -531,12 +560,14 @@ class Table:
     _DETAIL_DDL = (
         "format string, location string, num_files long, "
         "size_in_bytes long, partition_columns array<string>, "
-        "num_versions long"
+        "clustering_columns array<string>, num_versions long"
     )
 
     def detail(self, spark: SparkSession) -> DataFrame:
         """DESCRIBE DETAIL: one row of table-level facts — format,
         location, live file count + total bytes, partition columns,
+        clustering columns (delta-spark's ``clusteringColumns`` field:
+        the liquid CLUSTER BY declaration; empty on other formats),
         version count. Pure manifest/log metadata like the other
         metadata relations: constant cost at any table size."""
         from pyspark.sql import functions as F
@@ -545,12 +576,17 @@ class Table:
             F.count("*").cast("long").alias("num_files"),
             F.sum("file_size_bytes").cast("long").alias("size_in_bytes"),
         ).first()
+        ccols: list[str] = []
         if self.format == "lake":
             pcols = list(self._lake().snapshot().partition_by or ())
         elif self.format == "delta":
-            pcols = list(
-                self._delta_reader().snapshot().partition_columns
+            from aws_glue_data_lake_spark.deltacompat import (
+                _clustering_logical_cols,
             )
+
+            snap = self._delta_reader().snapshot()
+            pcols = list(snap.partition_columns)
+            ccols = _clustering_logical_cols(snap)
         else:
             pcols = list(self._ice_reader().snapshot().partition_by)
         return spark.createDataFrame(
@@ -561,6 +597,7 @@ class Table:
                     f["num_files"],
                     f["size_in_bytes"],
                     pcols,
+                    ccols,
                     len(self.history()),
                 )
             ],

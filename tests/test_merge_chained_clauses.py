@@ -315,3 +315,67 @@ def test_quoted_literal_in_clause_condition(spark, tmp_path):
     )
     got = {r["k"]: (r["v"], r["price"]) for r in t.read(spark).collect()}
     assert got[1] == ("A),", 6.0)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "lake"])
+def test_column_list_insert(spark, tmp_path, fmt):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): assigned
+    columns evaluate over the source row, unassigned NULL-pad — the
+    last cell of the MERGE grammar square."""
+    t, src = _mk(spark, tmp_path, fmt)
+    t.upsert(
+        src, keys=["k"],
+        matched_clauses=[("update", None, None)],
+        not_matched_set={"k": "k", "v": "upper(v)"},
+    )
+    got = {
+        r["k"]: (r["v"], r["price"])
+        for r in t.read(spark).collect()
+    }
+    assert got[9] == ("I", None)  # price unassigned -> NULL
+    assert got[2] == ("B", 200.0)  # matched: SET *
+    with pytest.raises(ValueError, match="unknown column"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_set={"nope": "1"},
+        )
+    with pytest.raises(ValueError, match="requires matched_clauses"):
+        t.upsert(src, keys=["k"], not_matched_set={"k": "k"})
+    with pytest.raises(ValueError, match="contradicts"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_insert=False,
+            not_matched_set={"k": "k"},
+        )
+
+
+def test_sql_column_list_insert(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, "delta")
+    spark.createDataFrame(
+        [(1, "new", 1.0), (42, "fresh", 42.0)],
+        "k long, v string, price double",
+    ).createOrReplaceTempView("colins_batch")
+    sql(
+        spark,
+        "MERGE INTO tgt AS tg USING colins_batch AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.price > 10 "
+        "THEN INSERT (k, v, price) VALUES (s.k, concat(s.v, '!'), "
+        "s.price * 2)",
+        tables={"tgt": t},
+    )
+    got = {
+        r["k"]: (r["v"], r["price"]) for r in t.read(spark).collect()
+    }
+    assert got[1] == ("new", 10.0)  # matched: only v updated
+    assert got[42] == ("fresh!", 84.0)  # column-list insert
+    with pytest.raises(ValueError, match="columns but VALUES"):
+        sql(
+            spark,
+            "MERGE INTO tgt AS tg USING colins_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)",
+            tables={"tgt": t},
+        )

@@ -91,13 +91,23 @@ def test_select_with_version_as_of(spark, tmp_path):
 
 def test_unsupported_shapes_fail_loudly(spark, tmp_path):
     path = str(tmp_path / "d")
-    open_table(path, "delta").create(_mk(spark, [(1, 10)]))
-    _mk(spark, [(1, 11)]).createOrReplaceTempView("u2")
+    t = open_table(path, "delta").create(_mk(spark, [(1, 10), (2, 20)]))
+    _mk(spark, [(1, 11), (9, 90)]).createOrReplaceTempView("u2")
+    # matched-only column UPDATE is a SUPPORTED shape since the
+    # chained-clause grammar landed: updates matches, inserts nothing
+    sql(
+        spark,
+        f"MERGE INTO delta.`{path}` AS t USING u2 AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, 11), (2, 20)]
     with pytest.raises(ValueError, match="clause shape"):
         sql(
             spark,
             f"MERGE INTO delta.`{path}` AS t USING u2 AS s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = s.v",
+            "WHEN MATCHED THEN TRUNCATE",
         )
     with pytest.raises(ValueError, match="condition clause"):
         sql(
