@@ -4732,6 +4732,7 @@ class DeltaTableWriter:
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
         not_matched_set: dict | None = None,
+        not_matched_clauses: Sequence | None = None,
     ) -> int:
         """MERGE — the reference's central operation (reference
         delta/delta_tables.py:159-160 ``.merge(src, cond)
@@ -4820,6 +4821,11 @@ class DeltaTableWriter:
         r = DeltaTableReader(self.path)
         snap = r.snapshot()
         self._require_mutable(snap, "merge (MERGE)")
+        # columns the WRITER synthesizes on the batch (defaults /
+        # generation expressions here; identity values later): a
+        # column-list INSERT that does not assign them keeps the
+        # synthesized value instead of NULL-padding (delta-spark)
+        _pre_synth_cols = set(source.columns)
         source = self._apply_default_columns(source, snap)
         source = self._apply_generated_columns(source, snap)
         self._check_constraints(source, snap.configuration)
@@ -4854,16 +4860,23 @@ class DeltaTableWriter:
         if missing:
             raise ValueError(f"merge keys {missing} not in source columns")
         mc = None
-        if matched_clauses is not None or not_matched_set:
+        nmc = None
+        if (
+            matched_clauses is not None
+            or not_matched_set
+            or not_matched_clauses is not None
+        ):
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
-            _mcm.validate_not_matched_set(
+            nmc = _mcm.resolve_not_matched(
+                not_matched_clauses,
+                not_matched_insert,
+                not_matched_condition,
                 not_matched_set,
                 [f.name for f in table_schema.fields],
                 matched_clauses,
-                not_matched_insert,
             )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, [f.name for f in table_schema.fields]
@@ -5062,12 +5075,36 @@ class DeltaTableWriter:
                 ins = ins.where(F.expr(not_matched_condition))
             if not not_matched_insert:
                 ins = ins.limit(0)
-            if not_matched_set:
+            synth = (
+                set(ins.columns) - _pre_synth_cols
+            )  # defaults / generated / identity values on the batch
+            if nmc:
+                # chained not-matched clauses: first-match-wins per
+                # unmatched source row; a row matching no clause does
+                # not insert — one codegen CASE per column, no union
+                ins = (
+                    ins.withColumn(
+                        _mcm.ACTION, _mcm.not_matched_action_col(nmc)
+                    )
+                    .where(F.col(_mcm.ACTION) >= 0)
+                    .select(
+                        *_mcm.not_matched_projection(
+                            nmc,
+                            table_schema.fields,
+                            source.columns,
+                            fallback_cols=synth,
+                        )
+                    )
+                )
+            elif not_matched_set:
                 # column-list INSERT: assigned columns evaluate over
-                # the (bare) source row; the rest NULL-pad
+                # the (bare) source row; the rest NULL-pad (except
+                # writer-synthesized values)
                 ins = ins.select(
                     *_mcm.insert_projection(
-                        not_matched_set, table_schema.fields
+                        not_matched_set,
+                        table_schema.fields,
+                        fallback_cols=synth,
                     )
                 )
             if rtc:
@@ -6105,6 +6142,125 @@ class DeltaTableWriter:
             add_conflict=False,
         )
 
+    def reorg_purge(self, spark: SparkSession) -> int:
+        """``REORG TABLE … APPLY (PURGE)`` — delta-spark's targeted
+        rewrite that makes SOFT deletes physical: every file carrying a
+        deletion vector is rewritten without its tombstoned rows, and
+        every file physically retaining bytes of a DROPPED column
+        (legal remnants under columnMapping — DROP COLUMN is
+        metadata-only) is rewritten to the CURRENT physical schema.
+        Untouched files (no DV, schema-clean) are carried by reference
+        — unlike OPTIMIZE this never rewrites the whole table, which is
+        the point at 100 TB: the I/O bill is exactly the purge set.
+        Commit shape matches OPTIMIZE (remove+add, ``dataChange:
+        false`` — logical content is unchanged, streaming readers skip
+        it); vacuum later collects the purged bytes (that is what
+        "purge" buys: deleted rows stop being recoverable once the old
+        versions expire).
+
+        Dropped-column detection reads parquet FOOTERS, distributed
+        (``mapInPandas`` over the candidate paths) — metadata-only
+        I/O, never data pages, O(#files) total across the cluster."""
+        import pandas as pd
+
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(snap, "REORG PURGE")
+        dv_files = {
+            os.path.abspath(p) for p, _, dv in snap.files if dv
+        }
+        # physical names the CURRENT schema maps — anything else in a
+        # footer is a dropped-column remnant. Row-tracking materialized
+        # columns and (defensively) physical partition columns are
+        # expected extras, never purge triggers.
+        allowed = {
+            DeltaTableReader._physical_name(f)
+            for f in snap.schema.fields
+        }
+        rt_mat = DeltaTableReader._rt_materialized(snap)
+        if rt_mat:
+            allowed |= {c for c in rt_mat if c}
+        allowed |= set(snap.partition_columns or ())
+        candidates = [
+            os.path.abspath(p)
+            for p, _, _ in snap.files
+            if os.path.abspath(p) not in dv_files
+        ]
+        stale_files: set[str] = set()
+        if candidates:
+            def _footer_scan(batches):
+                import pyarrow.parquet as pq
+
+                for pdf in batches:
+                    out = []
+                    for p in pdf["path"]:
+                        names = set(
+                            pq.ParquetFile(p).schema_arrow.names
+                        )
+                        out.append(bool(names - allowed))
+                    yield pd.DataFrame(
+                        {"path": pdf["path"], "stale": out}
+                    )
+
+            res = (
+                spark.createDataFrame(
+                    [(p,) for p in candidates], "path string"
+                )
+                .repartition(min(len(candidates), 32))
+                .mapInPandas(
+                    _footer_scan, "path string, stale boolean"
+                )
+                .where("stale")
+                .collect()
+            )
+            stale_files = {row["path"] for row in res}
+        targets = dv_files | stale_files
+        if not targets:
+            return snap.version  # nothing to purge: no-op, no commit
+        rtc = self._rt_preserve_ctx(snap, "reorg (REORG PURGE)")
+        df = (
+            self._rt_materialize(
+                r._stable_lineage_scan(
+                    spark, snap, keep_paths=targets
+                ),
+                rtc,
+                preserve_ver=True,
+            )
+            if rtc
+            else r.to_df(spark, _keep_paths=targets)
+        )
+        # keep roughly the purged files' granularity; one task per
+        # partition value when partitioned (same reasoning as OPTIMIZE)
+        if snap.partition_columns:
+            df = df.repartition(
+                max(len(targets), 1),
+                *[F.col(c) for c in snap.partition_columns],
+            )
+        else:
+            df = df.repartition(max(len(targets), 1))
+        to_phys, part_stage = self._physical_stage_ctx(snap)
+        adds = self._stage_files(to_phys(df), part_stage)
+        for a in adds:
+            a["dataChange"] = False
+        removes = [
+            {
+                "remove": {
+                    "path": self._raw_key(snap, p),
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+            for p, _, _ in snap.files
+            if os.path.abspath(p) in targets
+        ]
+        return self._commit_read_dependent(
+            snap.version + 1,
+            removes + [{"add": a} for a in adds],
+            operation="REORG",
+            read_files=targets,
+            add_conflict=False,
+        )
+
     def convert_parquet_dir(
         self, spark: SparkSession, partition_by: Sequence[str] = ()
     ) -> "DeltaTableReader":
@@ -6528,7 +6684,9 @@ class DeltaTableWriter:
                     removed.append(p)
         return removed
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, dry_run: bool = False
+    ) -> list[str]:
         """Physically delete data files under the table root that the
         trailing ``keep_versions`` snapshots no longer reference —
         Delta's VACUUM. Older versions whose files are collected stop
@@ -6537,7 +6695,8 @@ class DeltaTableWriter:
         versions stay replayable). The log is retained — reads still
         replay it, remove-actions already exclude the vacuumed files.
         Absolute (foreign) references from zero-copy exports are never
-        touched. Deletion-vector bins (``deletion_vector_*.bin``) whose
+        touched. ``dry_run`` (delta-spark's ``VACUUM ... DRY RUN``)
+        returns the would-be-deleted paths without deleting. Deletion-vector bins (``deletion_vector_*.bin``) whose
         uuid no retained snapshot's descriptor references are collected
         too — they become orphans when OPTIMIZE folds the DVs into
         rewritten files or a later DELETE supersedes them."""
@@ -6593,11 +6752,13 @@ class DeltaTableWriter:
                 continue  # checkpoints are log structure, not data
             if os.sep + "_change_data" + os.sep in ap:
                 if ap not in cdc_live:
-                    os.remove(ap)
+                    if not dry_run:
+                        os.remove(ap)
                     removed.append(ap)
                 continue
             if ap not in live:
-                os.remove(ap)
+                if not dry_run:
+                    os.remove(ap)
                 removed.append(ap)
         for p in g.glob(
             os.path.join(self.path, "**", "deletion_vector_*.bin"),
@@ -6606,7 +6767,8 @@ class DeltaTableWriter:
             name = os.path.basename(p)
             dv_uuid = name[len("deletion_vector_") : -len(".bin")]
             if dv_uuid not in live_dv_uuids:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed.append(os.path.abspath(p))
         return removed
 

@@ -4832,6 +4832,7 @@ class IcebergTableWriter:
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
         not_matched_set: dict | None = None,
+        not_matched_clauses: Sequence | None = None,
     ) -> int:
         """MERGE — the reference's Iceberg write (reference
         icberg/iceberg_tables.py:143-146 ``MERGE INTO ... WHEN MATCHED
@@ -4905,18 +4906,25 @@ class IcebergTableWriter:
             raise ValueError(f"merge keys {missing} not in source columns")
         src_keys = source.select(*keys)
         mc = None
-        if matched_clauses is not None or not_matched_set:
+        nmc = None
+        if (
+            matched_clauses is not None
+            or not_matched_set
+            or not_matched_clauses is not None
+        ):
             from pyspark.sql import functions as F
 
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
-            _mcm.validate_not_matched_set(
+            nmc = _mcm.resolve_not_matched(
+                not_matched_clauses,
+                not_matched_insert,
+                not_matched_condition,
                 not_matched_set,
                 [f["name"] for f in schema_json["fields"]],
                 matched_clauses,
-                not_matched_insert,
             )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, [f["name"] for f in schema_json["fields"]]
@@ -4982,7 +4990,21 @@ class IcebergTableWriter:
             # project inserts to the table schema: extra source columns
             # (clause-expression-only routing columns) never land;
             # a column-list INSERT evaluates its assignments instead
-            if not_matched_set:
+            if nmc:
+                # chained not-matched clauses: first-match-wins per
+                # unmatched source row; no match -> no insert
+                ins = (
+                    ins.withColumn(
+                        _mcm.ACTION, _mcm.not_matched_action_col(nmc)
+                    )
+                    .where(F.col(_mcm.ACTION) >= 0)
+                    .select(
+                        *_mcm.not_matched_projection(
+                            nmc, spark_st.fields, source.columns
+                        )
+                    )
+                )
+            elif not_matched_set:
                 ins = ins.select(
                     *_mcm.insert_projection(
                         not_matched_set, spark_st.fields
@@ -5470,14 +5492,17 @@ class IcebergTableWriter:
         self._swap_metadata(prev, meta, "fast_forward")
         return src_tip
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, dry_run: bool = False
+    ) -> list[str]:
         """Drop all but the ``keep_last`` most recent snapshots from the
         metadata and physically delete manifests / manifest lists / data
         and delete files referenced ONLY by the expired ones — Iceberg's
         ``expire_snapshots`` maintenance action. Only files under the
         table root are ever deleted (zero-copy-exported absolute paths
         are foreign and survive, same contract as the lake layer's
-        vacuum). Returns the deleted paths."""
+        vacuum). Returns the deleted paths. ``dry_run`` reports them
+        without deleting or touching the metadata."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         prev = self._load_prev()
@@ -5533,8 +5558,11 @@ class IcebergTableWriter:
         for path in (drop_meta - live_meta) | (drop_files - live_files):
             p = self._abs_under_root(path)
             if p and os.path.exists(p):
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed.append(p)
+        if dry_run:
+            return removed
         meta = dict(prev)
         meta.pop("__version", None)
         keep_ids = {s["snapshot-id"] for s in keep}

@@ -616,6 +616,7 @@ class LakeTable:
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
         not_matched_set: dict | None = None,
+        not_matched_clauses: Sequence | None = None,
     ) -> Snapshot:
         """Row-level MERGE, copy-on-write at file granularity.
 
@@ -688,18 +689,25 @@ class LakeTable:
 
         spark = upserts.sparkSession
         mc = None
-        if matched_clauses is not None or not_matched_set:
+        nmc = None
+        if (
+            matched_clauses is not None
+            or not_matched_set
+            or not_matched_clauses is not None
+        ):
             from pyspark.sql.types import StructType as _St
 
             from aws_glue_data_lake_spark.operators import (
                 mergeclauses as _mcm,
             )
 
-            _mcm.validate_not_matched_set(
+            nmc = _mcm.resolve_not_matched(
+                not_matched_clauses,
+                not_matched_insert,
+                not_matched_condition,
                 not_matched_set,
                 _St.fromDDL(schema).fieldNames(),
                 matched_clauses,
-                not_matched_insert,
             )
             mc = _mcm.validate_matched_clauses(
                 matched_clauses, _St.fromDDL(schema).fieldNames()
@@ -847,7 +855,21 @@ class LakeTable:
                 ins = ins.where(F.expr(not_matched_condition))
             if not not_matched_insert:
                 ins = ins.limit(0)
-            if not_matched_set:
+            if nmc:
+                # chained not-matched clauses: first-match-wins per
+                # unmatched source row; no match -> no insert
+                ins = (
+                    ins.withColumn(
+                        _mcm.ACTION, _mcm.not_matched_action_col(nmc)
+                    )
+                    .where(F.col(_mcm.ACTION) >= 0)
+                    .select(
+                        *_mcm.not_matched_projection(
+                            nmc, st.fields, upserts.columns
+                        )
+                    )
+                )
+            elif not_matched_set:
                 ins = ins.select(
                     *_mcm.insert_projection(not_matched_set, st.fields)
                 )
@@ -1682,7 +1704,9 @@ class LakeTable:
             partition_by=tuple(partition_by),
         )
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, dry_run: bool = False
+    ) -> list[str]:
         """Drop data files unreferenced by the ``keep_versions`` most recent
         snapshots (and the older manifests themselves), plus ORPHANS —
         data files referenced by no manifest at all, which a writer that
@@ -1695,7 +1719,9 @@ class LakeTable:
         data files look orphaned until its manifest lands (Delta solves
         this with a retention window on file age; at this layer the
         contract is simply that vacuum is a maintenance operation scheduled
-        apart from writes)."""
+        apart from writes). ``dry_run`` returns the would-be-removed
+        paths with NO mutation (no deletes, no manifest
+        materialization)."""
         if keep_versions < 1:
             # keep_versions=0 would compute keep = snaps[i >= n] = nothing
             # and delete the CURRENT TIP (manifest + data). No retention
@@ -1718,6 +1744,8 @@ class LakeTable:
         # its reconstruction chain — materialize it as a full manifest
         # first (the snapshot is already reconstructed in `snaps`).
         for s in keep:
+            if dry_run:
+                break
             if s.parent is not None and s.parent not in keep_versions_set:
                 mpath = os.path.join(self._manifests, f"v{s.version}.json")
                 raw = self._load_manifest(s.version)
@@ -1732,31 +1760,48 @@ class LakeTable:
         live = {f for s in keep for f in s.file_names}
         live |= {d for s in keep for d in s.dv_paths}
         removed = []
+        seen = set()  # dedupe: consecutive snapshots share files (under
+        # dry_run os.path.exists never starts returning False)
         for s in drop:
             for f in s.file_names + s.dv_paths:
                 if os.path.isabs(f):
                     continue  # foreign reference (shallow clone): never
                     # delete another table's data
-                if f not in live and os.path.exists(self._abs(f)):
-                    os.remove(self._abs(f))
+                if (
+                    f not in live
+                    and f not in seen
+                    and os.path.exists(self._abs(f))
+                ):
+                    if not dry_run:
+                        os.remove(self._abs(f))
+                    seen.add(f)
                     removed.append(f)
-            os.remove(os.path.join(self._manifests, f"v{s.version}.json"))
+            if not dry_run:
+                os.remove(
+                    os.path.join(self._manifests, f"v{s.version}.json")
+                )
         referenced = {f for s in snaps for f in s.file_names}
         referenced |= {d for s in snaps for d in s.dv_paths}
         for path in glob.glob(os.path.join(self.path, "_dv", "*.parquet")):
             rel = os.path.relpath(path, self.path)
-            if rel not in referenced:
-                os.remove(path)
+            if rel not in referenced and rel not in seen:
+                if not dry_run:
+                    os.remove(path)
+                seen.add(rel)
                 removed.append(rel)
         for path in glob.glob(
             os.path.join(self._data, "**", "*.parquet"), recursive=True
         ):
             rel = os.path.relpath(path, self.path)
-            if rel not in referenced:
-                os.remove(path)
+            if rel not in referenced and rel not in seen:
+                if not dry_run:
+                    os.remove(path)
+                seen.add(rel)
                 removed.append(rel)
-        for stage in glob.glob(os.path.join(self.path, "_stage_*")):
-            shutil.rmtree(stage, ignore_errors=True)  # crashed-writer debris
+        if not dry_run:
+            for stage in glob.glob(os.path.join(self.path, "_stage_*")):
+                # crashed-writer debris
+                shutil.rmtree(stage, ignore_errors=True)
         return removed
 
     # -- pruning ------------------------------------------------------------

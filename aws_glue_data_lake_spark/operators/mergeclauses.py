@@ -163,21 +163,161 @@ def validate_not_matched_set(
 def insert_projection(
     not_matched_set: dict,
     fields,
+    fallback_cols: Sequence[str] = (),
 ) -> list[Column]:
     """Column-list INSERT (``WHEN NOT MATCHED THEN INSERT (cols)
     VALUES (exprs)``): project the insert set to the table schema —
     assigned columns evaluate their expression (bare source columns),
-    unassigned columns NULL-pad (SQL MERGE semantics)."""
+    unassigned columns NULL-pad (SQL MERGE semantics) EXCEPT those in
+    ``fallback_cols``, which keep the value the writer synthesized on
+    the source row (column DEFAULTs, generation expressions, IDENTITY
+    values — delta-spark fills these, never NULL-pads them)."""
+    fb = set(fallback_cols)
     return [
         (
             F.expr(not_matched_set[f.name])
             if f.name in not_matched_set
-            else F.lit(None)
+            else (F.col(f.name) if f.name in fb else F.lit(None))
         )
         .cast(f.dataType)
         .alias(f.name)
         for f in fields
     ]
+
+
+def validate_not_matched_clauses(
+    clauses: Sequence, table_cols: Sequence[str]
+) -> list[tuple]:
+    """Chained ``WHEN NOT MATCHED [AND p] THEN INSERT`` clauses —
+    delta-spark's ``.whenNotMatchedInsert(condition=…, values=…)``
+    chain. Item shape: ``(condition_or_None, set_dict_or_None)``
+    where ``set=None`` means ``INSERT *``; per unmatched source row
+    the FIRST clause whose condition holds wins, a row matching no
+    clause does not insert. Reachability rule mirrors the matched
+    side: only the LAST clause may omit its condition."""
+    if not clauses:
+        raise ValueError("not_matched_clauses must be a non-empty list")
+    known = set(table_cols)
+    out: list[tuple] = []
+    for i, cl in enumerate(clauses):
+        cl = tuple(cl)
+        if len(cl) != 2:
+            raise ValueError(
+                f"not-matched clause #{i}: expected "
+                "(condition_or_None, set_dict_or_None), got "
+                f"{cl!r}"
+            )
+        cond, cset = cl
+        if cset is not None:
+            if not isinstance(cset, dict) or not cset:
+                raise ValueError(
+                    f"not-matched clause #{i}: INSERT set must be a "
+                    "non-empty {column: SQL expression} dict or None "
+                    "for INSERT *"
+                )
+            bad = sorted(set(cset) - known)
+            if bad:
+                raise ValueError(
+                    f"not-matched clause #{i}: INSERT targets unknown "
+                    f"column(s) {bad}"
+                )
+        if cond is None and i != len(clauses) - 1:
+            raise ValueError(
+                f"not-matched clause #{i} has no condition but is not "
+                "last: every later clause would be unreachable "
+                "(delta-spark's rule)"
+            )
+        out.append((cond, cset))
+    return out
+
+
+def resolve_not_matched(
+    not_matched_clauses,
+    not_matched_insert: bool,
+    not_matched_condition,
+    not_matched_set,
+    table_cols: Sequence[str],
+    matched_clauses,
+) -> list[tuple] | None:
+    """One validation entry for the NOT MATCHED leg: returns the
+    normalized clause list when ``not_matched_clauses`` is given
+    (refusing contradictory legacy params), else validates the legacy
+    single-clause params and returns None (caller keeps the legacy
+    path)."""
+    if not_matched_clauses is None:
+        validate_not_matched_set(
+            not_matched_set, table_cols, matched_clauses,
+            not_matched_insert,
+        )
+        return None
+    if matched_clauses is None:
+        raise ValueError(
+            "not_matched_clauses requires matched_clauses"
+        )
+    if not_matched_condition or not_matched_set:
+        raise ValueError(
+            "not_matched_clauses cannot combine with "
+            "not_matched_condition/not_matched_set (fold them into "
+            "the clause list)"
+        )
+    if not not_matched_insert:
+        raise ValueError(
+            "not_matched_clauses contradicts not_matched_insert=False"
+        )
+    return validate_not_matched_clauses(
+        not_matched_clauses, table_cols
+    )
+
+
+def not_matched_action_col(clauses: Sequence[tuple]) -> Column:
+    """The winning not-matched clause index for an unmatched source
+    row — the first clause whose condition (over bare source columns)
+    holds — or -1 (do not insert)."""
+    w = None
+    for i, (cond, _cset) in enumerate(clauses):
+        hit = (
+            F.coalesce(F.expr(cond), F.lit(False))
+            if cond
+            else F.lit(True)
+        )
+        w = F.when(hit, F.lit(i)) if w is None else w.when(hit, F.lit(i))
+    return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
+
+
+def not_matched_projection(
+    clauses: Sequence[tuple],
+    fields,
+    source_cols: Sequence[str],
+    fallback_cols: Sequence[str] = (),
+) -> list[Column]:
+    """Post-insert value per table column for an unmatched source row
+    (requires :data:`ACTION` stamped with
+    :func:`not_matched_action_col`): per clause, the assigned
+    expression, the source value under INSERT *, else NULL-pad —
+    except ``fallback_cols`` (writer-synthesized DEFAULT / generated /
+    IDENTITY values), which keep the source-row value."""
+    src = set(source_cols)
+    fb = set(fallback_cols)
+    out: list[Column] = []
+    for f in fields:
+        w = None
+        for i, (_cond, cset) in enumerate(clauses):
+            if cset is None:  # INSERT *
+                v = (
+                    F.col(f.name) if f.name in src
+                    else F.lit(None)
+                )
+            elif f.name in cset:
+                v = F.expr(cset[f.name])
+            elif f.name in fb:
+                v = F.col(f.name)
+            else:
+                v = F.lit(None)
+            hit = F.col(ACTION) == i
+            w = F.when(hit, v) if w is None else w.when(hit, v)
+        base = w.otherwise(F.lit(None)) if w is not None else F.lit(None)
+        out.append(base.cast(f.dataType).alias(f.name))
+    return out
 
 
 def updated_flag(clauses: Sequence[tuple]) -> Column:

@@ -5254,3 +5254,213 @@ def lake_column_mapping_upgrade_state(
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained WHEN NOT MATCHED clauses (round 14): delta-spark's
+# .whenNotMatchedInsert(condition=..., values=...) chain — several
+# conditional INSERT clauses, FIRST-MATCH-WINS per unmatched source
+# row, a row matching no clause does not insert — run through all
+# three writers (Delta via SQL text, Iceberg + lake via the fluent
+# not_matched_clauses list). Clause 0 is a column-list insert tagging
+# high-value rows (price NULL-padded); clause 1 is a conditional
+# INSERT *; low-value unmatched rows fall through and never land. The
+# DuckDB oracle rebuilds the same routing with CASE over the
+# anti-join. Unit pins: tests/test_merge_chained_clauses.py::
+# test_chained_not_matched_clauses / test_sql_chained_not_matched.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_merge_nm_chain_state",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+batch AS (
+  SELECT o_orderkey AS k, lower(o_orderstatus) AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+matched AS (
+  SELECT t.k, b.st, b.price
+  FROM tgt t JOIN batch b USING (k)
+),
+unmatched_tgt AS (
+  SELECT t.* FROM tgt t LEFT JOIN batch b USING (k) WHERE b.k IS NULL
+),
+ins AS (
+  SELECT b.k,
+         CASE WHEN b.price > 150000 THEN upper(b.st) || '+'
+              ELSE b.st END AS st,
+         CASE WHEN b.price > 150000 THEN CAST(NULL AS DOUBLE)
+              ELSE b.price END AS price
+  FROM batch b LEFT JOIN tgt t USING (k)
+  WHERE t.k IS NULL AND (b.price > 150000 OR b.price > 50000)
+),
+final AS (
+  SELECT * FROM matched
+  UNION ALL SELECT * FROM unmatched_tgt
+  UNION ALL SELECT * FROM ins
+)
+SELECT side, st,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(price) AS BIGINT) AS n_priced,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT 'delta' AS side, * FROM final
+  UNION ALL SELECT 'iceberg' AS side, * FROM final
+  UNION ALL SELECT 'lake' AS side, * FROM final
+)
+GROUP BY side, st
+ORDER BY side, st
+""",
+)
+def lake_merge_nm_chain_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    o = t(spark, sf_dir, "orders")
+    tgt = o.where(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lower("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = session_tmpdir("merge_nmchain_")
+    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+    batch.createOrReplaceTempView("merge_nmchain_batch")
+    _sql(
+        spark,
+        "MERGE INTO tbl AS tg USING merge_nmchain_batch AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.price > 150000 "
+        "THEN INSERT (k, st) VALUES (s.k, concat(upper(s.st), '+')) "
+        "WHEN NOT MATCHED AND s.price > 50000 THEN INSERT *",
+        tables={"tbl": td},
+    )
+    fluent = dict(
+        keys=["k"],
+        matched_clauses=[("update", None, None)],
+        not_matched_clauses=[
+            ("price > 150000",
+             {"k": "k", "st": "concat(upper(st), '+')"}),
+            ("price > 50000", None),
+        ],
+    )
+    ti.upsert(batch, **fluent)
+    tl.upsert(batch, **fluent)
+    allsides = (
+        td.read(spark).select(F.lit("delta").alias("side"), "*")
+        .unionByName(
+            ti.read(spark).select(F.lit("iceberg").alias("side"), "*")
+        )
+        .unionByName(
+            tl.read(spark).select(F.lit("lake").alias("side"), "*")
+        )
+    )
+    return (
+        allsides.groupBy("side", "st")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count("price").cast("bigint").alias("n_priced"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("side", "st")
+    )
+
+
+# ---------------------------------------------------------------------------
+# REORG TABLE ... APPLY (PURGE) (round 14): delta-spark's targeted
+# rewrite that makes DV soft-deletes physical. The query DV-deletes a
+# key band (merge-on-read: no file rewritten), REORGs through the SQL
+# front door, and asserts the command's contract in-query: the purge
+# set is EXACTLY the DV-bearing files (clean files carried by
+# reference — the 100 TB point vs OPTIMIZE), zero DVs remain, and the
+# dataChange:false commit makes a second REORG a no-op. The returned
+# aggregate certifies the logical content never changed. Unit pins
+# (dropped-column remnants, vacuum collection, format refusals):
+# tests/test_reorg_purge.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_reorg_purge_state",
+    oracle="""
+WITH t0 AS (
+  SELECT l_orderkey AS k, l_partkey AS pk,
+         CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem WHERE l_linenumber = 3
+),
+kept AS (SELECT * FROM t0 WHERE NOT (k % 10 < 3))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(SUM(pk) AS BIGINT) AS pk_sum
+FROM kept
+""",
+)
+def lake_reorg_purge_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    path = session_tmpdir("reorg_") + "/t"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 3)
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+    w = DeltaTableWriter(path)
+    # range-partition on the SAME expression the delete bands on, so
+    # the DV set lands on a strict subset of files and the
+    # carry-by-reference contract is observable (not vacuous)
+    w.create(li.repartitionByRange(8, F.col("k") % 10))
+    tb = open_table(path, "delta")
+    tb.delete_where(spark, "k % 10 < 3")  # MoR: DVs, no rewrite
+    snap = DeltaTableReader(path).snapshot()
+    dv_files = {
+        _os.path.abspath(p) for p, _, dv in snap.files if dv
+    }
+    clean = {
+        _os.path.abspath(p) for p, _, dv in snap.files if not dv
+    }
+    assert dv_files and clean, "probe needs both file kinds live"
+    _sql(spark, "REORG TABLE t APPLY (PURGE)", tables={"t": tb})
+    snap2 = DeltaTableReader(path).snapshot()
+    after = {_os.path.abspath(p) for p, _, _ in snap2.files}
+    assert not any(dv for _, _, dv in snap2.files), "DVs must be gone"
+    assert clean <= after, "clean files must carry by reference"
+    assert not (dv_files & after), "DV files must be rewritten"
+    # dataChange:false + nothing left to purge -> idempotent no-op
+    assert w.reorg_purge(spark) == snap2.version
+    return tb.read(spark).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum("pk").cast("bigint").alias("pk_sum"),
+    )

@@ -29,9 +29,15 @@ already-green primitives:
   discovery / MoR tombstones / plain append; VALUES maps positionally).
 - Maintenance + metadata DDL: ``OPTIMIZE <t> [ZORDER BY (c, ...)]``
   (compaction; z-ordered multi-dimensional clustering on delta),
-  ``VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS]`` (version-based
-  retention; the Delta-SQL HOURS spelling maps onto versions from
-  commit timestamps, conservatively),
+  ``VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``
+  (version-based retention; the Delta-SQL HOURS spelling maps onto
+  versions from commit timestamps, conservatively; DRY RUN returns the
+  would-be-deleted paths as a DataFrame, deleting nothing),
+  ``REORG TABLE <t> APPLY (PURGE)`` (targeted rewrite of DV-bearing /
+  dropped-column-bearing files only),
+  ``RESTORE TABLE <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'``
+  (roll the live state back as a new commit; TIMESTAMP on delta),
+  ``SHOW TBLPROPERTIES <t> [('key')]`` (property map as a DataFrame),
   ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>`` (metadata
   relations as DataFrames), ``ALTER TABLE <t> ADD CONSTRAINT <n>
   CHECK (<e>) / DROP CONSTRAINT <n> / SET TBLPROPERTIES (...) /
@@ -119,12 +125,32 @@ _OPTIMIZE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+#: delta-spark's REORG TABLE <t> APPLY (PURGE): targeted rewrite of
+#: DV-bearing / dropped-column-bearing files
+_REORG_RE = re.compile(
+    rf"^\s*REORG\s+TABLE\s+{_REF}\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 #: delta SQL is RETAIN n HOURS; this engine's vacuum is version-based.
 #: Both spellings parse: VERSIONS passes through, HOURS maps onto a
 #: trailing-version count from commit timestamps (Table._keep_for_hours)
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+{_REF}"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+(?P<unit>VERSIONS|HOURS))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: delta-spark's RESTORE TABLE <t> TO VERSION AS OF n (TIMESTAMP AS OF
+#: maps through version_at_timestamp on delta)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+{_REF}\s+TO\s+"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>'[^']*'|\S+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TBLPROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+{_REF}"
+    r"(?:\s*\(\s*'(?P<key>[^']*)'\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_HISTORY_RE = re.compile(
@@ -259,9 +285,7 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
         for a, b in zip(starts, starts[1:] + [len(text)])
     ]
     mcs: list[tuple] = []
-    ins_seen = False
-    ins_cond: str | None = None
-    ins_set: dict | None = None
+    nm_list: list[tuple] = []  # (cond_or_None, set_dict_or_None=*)
     for seg in segs:
         mm = re.match(
             r"(?is)^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+"
@@ -309,12 +333,8 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
             seg,
         )
         if mm:
-            if ins_seen:
-                raise ValueError(
-                    "at most one WHEN NOT MATCHED THEN INSERT clause "
-                    "is supported"
-                )
-            ins_seen = True
+            ins_cond = None
+            ins_set = None
             pred = mm.group("pred")
             if pred:
                 if re.search(
@@ -366,16 +386,28 @@ def _parse_clause_chain(text: str, ta: str, sa: str):
                             "references the target alias; inserts "
                             "have no target row"
                         )
+            if nm_list and nm_list[-1][0] is None:
+                raise ValueError(
+                    "WHEN NOT MATCHED clause without a condition must "
+                    "be last: every later clause would be unreachable "
+                    "(delta-spark's rule)"
+                )
+            nm_list.append((ins_cond, ins_set))
             continue
         return None
     if not mcs:
-        if not ins_seen:
+        if not nm_list:
             return None
         # INSERT-only chain: a never-firing clause carries every
         # matched row unchanged while the insert leg gates on the
         # anti-join the clause path already computes
         mcs = [("delete", "false")]
-    return mcs, ins_seen, ins_cond, ins_set
+    if len(nm_list) > 1:
+        # chained not-matched clauses: first-match-wins, shipped as
+        # the not_matched_clauses list (mergeclauses machinery)
+        return mcs, True, None, None, nm_list
+    ins_cond, ins_set = nm_list[0] if nm_list else (None, None)
+    return mcs, bool(nm_list), ins_cond, ins_set, None
 
 
 def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
@@ -521,12 +553,13 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
                 "shape 'WHEN MATCHED AND <src pred> THEN DELETE WHEN "
                 "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT "
                 "*', any chain of 'WHEN MATCHED [AND p] THEN UPDATE SET "
-                "(*|c = expr, ...) | DELETE' clauses plus an optional "
-                "'WHEN NOT MATCHED [AND p] THEN INSERT *', each "
+                "(*|c = expr, ...) | DELETE' clauses plus a chain of "
+                "'WHEN NOT MATCHED [AND p] THEN INSERT * | (cols) "
+                "VALUES (exprs)' clauses, each "
                 "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
                 "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
             )
-        mcs, ins_flag, ins_cond, ins_set = parsed
+        mcs, ins_flag, ins_cond, ins_set, nm_clauses = parsed
         target.upsert(
             src,
             keys=keys,
@@ -534,6 +567,7 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
             not_matched_insert=ins_flag,
             not_matched_condition=ins_cond,
             not_matched_set=ins_set,
+            not_matched_clauses=nm_clauses,
             **nmbs_kwargs,
         )
 
@@ -1000,18 +1034,59 @@ def sql(
             spark, zorder_by=zcols
         )
         return None
+    m = _REORG_RE.match(statement)
+    if m:
+        _require(m, tables, spark, "REORG").reorg_purge(spark)
+        return None
     m = _VACUUM_RE.match(statement)
     if m:
         tbl = _require(m, tables, spark, "VACUUM")
+        dry = bool(m.group("dry"))
         if (m.group("unit") or "").upper() == "HOURS":
             # Delta SQL's time-based retention: hours map onto trailing
             # versions from commit timestamps (Table._keep_for_hours) —
             # conservative vs delta-spark's file-mtime rule, never
             # deleting a file a retained version still references
-            tbl.vacuum(hours=float(m.group("n")))
+            paths = tbl.vacuum(hours=float(m.group("n")), dry_run=dry)
         else:
-            tbl.vacuum(keep=int(m.group("n")) if m.group("n") else 1)
+            paths = tbl.vacuum(
+                keep=int(m.group("n")) if m.group("n") else 1,
+                dry_run=dry,
+            )
+        if dry:  # delta-spark's DRY RUN returns the path result set
+            return spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
         return None
+    m = _RESTORE_RE.match(statement)
+    if m:
+        tbl = _require(m, tables, spark, "RESTORE")
+        val = m.group("val").strip("'")
+        if m.group("kind").upper() == "TIMESTAMP":
+            if tbl.format != "delta":
+                raise ValueError(
+                    "RESTORE ... TIMESTAMP AS OF is a Delta capability"
+                    " (iceberg/lake restore by version/snapshot-id)"
+                )
+            import datetime as _dt
+
+            ts_ms = int(
+                _dt.datetime.fromisoformat(val).timestamp() * 1000
+            )
+            ver = tbl._delta_reader().version_at_timestamp(ts_ms)
+        else:
+            ver = int(val)
+        tbl.restore(ver, spark=spark)
+        return None
+    m = _SHOW_TBLPROPS_RE.match(statement)
+    if m:
+        props = _require(m, tables, spark, "SHOW TBLPROPERTIES").properties()
+        if m.group("key") is not None:
+            k = m.group("key")
+            props = {k: props.get(k)}
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
     m = _DESCRIBE_HISTORY_RE.match(statement)
     if m:
         return _require(m, tables, spark, "DESCRIBE HISTORY").snapshots(

@@ -194,6 +194,7 @@ class Table:
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
         not_matched_set: dict | None = None,
+        not_matched_clauses: Sequence | None = None,
     ) -> None:
         """MERGE: every target row whose key appears in ``source`` is
         replaced, the rest of ``source`` inserts; ``delete_keys``-only
@@ -222,6 +223,7 @@ class Table:
             not_matched_insert=not_matched_insert,
             not_matched_condition=not_matched_condition,
             not_matched_set=not_matched_set,
+            not_matched_clauses=not_matched_clauses,
         )
         if self.format == "lake":
             self._lake().upsert(
@@ -504,6 +506,20 @@ class Table:
                 "store in this engine"
             )
 
+    def properties(self) -> dict[str, str]:
+        """``SHOW TBLPROPERTIES``: the table's property map — Delta's
+        log ``configuration``, Iceberg's metadata ``properties``; lake
+        tables have no free-form store (empty, consistent with
+        :meth:`set_property`'s refusal)."""
+        if self.format == "delta":
+            return dict(
+                self._delta_reader().snapshot().configuration or {}
+            )
+        if self.format == "iceberg":
+            meta = self._ice_writer()._load_prev()
+            return dict((meta or {}).get("properties") or {})
+        return {}
+
     def history(self) -> list[dict]:
         if self.format == "lake":
             return [
@@ -701,7 +717,26 @@ class Table:
                 spark, zorder_by=list(zorder_by)
             )
 
-    def vacuum(self, keep: int = 1, hours: float | None = None) -> list[str]:
+    def reorg_purge(self, spark: SparkSession) -> None:
+        """``REORG TABLE … APPLY (PURGE)`` (Delta): rewrite ONLY the
+        files carrying deletion vectors or dropped-column bytes so the
+        soft-deleted data becomes physically removable by the next
+        vacuum. Unlike :meth:`compact` this never rewrites clean
+        files."""
+        if self.format != "delta":
+            raise NotImplementedError(
+                "REORG ... APPLY (PURGE) is a Delta command; iceberg "
+                "merge-on-read tombstones are folded by compact(), "
+                "lake tables are copy-on-write (nothing soft-deleted)"
+            )
+        self._delta_writer().reorg_purge(spark)
+
+    def vacuum(
+        self,
+        keep: int = 1,
+        hours: float | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Physically remove files only unreachable snapshots reference;
         returns the deleted paths. ``keep`` = how many trailing
         versions/snapshots stay time-travelable, honored the same way on
@@ -711,14 +746,39 @@ class Table:
         current at its edge. Conservative vs delta-spark's file-mtime
         retention — a file is only deleted once NO retained version
         references it — so nothing a time-based reader could still need
-        is ever dropped. ``keep`` is ignored when ``hours`` is given."""
+        is ever dropped. ``keep`` is ignored when ``hours`` is given.
+        ``dry_run`` (delta-spark's ``VACUUM ... DRY RUN``) reports the
+        would-be-deleted paths with zero mutation on every format."""
         if hours is not None:
             keep = self._keep_for_hours(float(hours))
         if self.format == "lake":
-            return self._lake().vacuum(keep_versions=keep)
+            return self._lake().vacuum(keep_versions=keep, dry_run=dry_run)
         if self.format == "delta":
-            return self._delta_writer().vacuum(keep_versions=keep)
-        return self._ice_writer().expire_snapshots(keep_last=keep)
+            return self._delta_writer().vacuum(
+                keep_versions=keep, dry_run=dry_run
+            )
+        return self._ice_writer().expire_snapshots(
+            keep_last=keep, dry_run=dry_run
+        )
+
+    def restore(
+        self,
+        version: int,
+        spark: SparkSession | None = None,
+    ) -> None:
+        """``RESTORE TABLE … TO VERSION AS OF n`` — roll the live table
+        state back to an earlier version/snapshot as a NEW commit
+        (history preserved, nothing rewritten; files the target still
+        references must not have been vacuumed). Delta takes the commit
+        version (pass ``spark`` when CDF is enabled so the row-level
+        feed stays truthful); lake takes its version; iceberg takes the
+        SNAPSHOT ID (``rollback_to``)."""
+        if self.format == "lake":
+            self._lake().restore(int(version))
+        elif self.format == "delta":
+            self._delta_writer().restore(int(version), spark=spark)
+        else:
+            self._ice_writer().rollback_to(int(version))
 
     def _keep_for_hours(self, hours: float) -> int:
         """hours -> trailing-version count, from each format's commit

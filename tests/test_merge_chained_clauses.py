@@ -275,7 +275,9 @@ def test_sql_chain_rejects_bad_shapes(spark, tmp_path):
     spark.createDataFrame(
         [(1, "x", 1.0)], "k long, v string, price double"
     ).createOrReplaceTempView("bad_batch")
-    with pytest.raises(ValueError, match="at most one"):
+    # chained NOT MATCHED is now legal, but an unconditional clause
+    # anywhere except last shadows everything after it
+    with pytest.raises(ValueError, match="unreachable"):
         sql(
             spark,
             "MERGE INTO tgt AS tg USING bad_batch AS s ON tg.k = s.k "
@@ -379,3 +381,168 @@ def test_sql_column_list_insert(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)",
             tables={"tgt": t},
         )
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "lake"])
+def test_chained_not_matched_clauses(spark, tmp_path, fmt):
+    """Chained WHEN NOT MATCHED clauses: first-match-wins per
+    unmatched source row; a row matching no clause does not insert.
+    Mirrors the matched side's semantics (delta-spark's
+    .whenNotMatchedInsert(condition=..., values=...) chain)."""
+    t, _ = _mk(spark, tmp_path, fmt)
+    src = spark.createDataFrame(
+        [(1, "A", 5.0),     # matched -> SET *
+         (10, "big", 200.0),   # clause 0 (price > 100): tagged insert
+         (11, "mid", 50.0),    # clause 1 (price > 20): INSERT *
+         (12, "tiny", 1.0)],   # no clause -> NOT inserted
+        "k long, v string, price double",
+    )
+    t.upsert(
+        src, keys=["k"],
+        matched_clauses=[("update", None, None)],
+        not_matched_clauses=[
+            ("price > 100", {"k": "k", "v": "concat(v, '!')"}),
+            ("price > 20", None),  # INSERT *
+        ],
+    )
+    got = {r["k"]: (r["v"], r["price"]) for r in t.read(spark).collect()}
+    assert got[1] == ("A", 5.0)        # matched replace
+    assert got[10] == ("big!", None)   # clause 0: column-list, NULL pad
+    assert got[11] == ("mid", 50.0)    # clause 1: INSERT *
+    assert 12 not in got               # matched no clause
+    assert got[4] == ("d", 40.0)       # untouched target
+
+
+def test_chained_not_matched_validation(spark, tmp_path):
+    t, src = _mk(spark, tmp_path, "delta")
+    with pytest.raises(ValueError, match="requires matched_clauses"):
+        t.upsert(src, keys=["k"],
+                 not_matched_clauses=[(None, None)])
+    with pytest.raises(ValueError, match="cannot combine"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_condition="price > 1",
+            not_matched_clauses=[(None, None)],
+        )
+    with pytest.raises(ValueError, match="contradicts"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_insert=False,
+            not_matched_clauses=[(None, None)],
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_clauses=[(None, None), ("price > 1", None)],
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        t.upsert(
+            src, keys=["k"],
+            matched_clauses=[("update", None, None)],
+            not_matched_clauses=[(None, {"nope": "1"})],
+        )
+
+
+def test_sql_chained_not_matched(spark, tmp_path):
+    """Several WHEN NOT MATCHED [AND p] THEN INSERT clauses through
+    the SQL front door — first-match-wins, and an unconditional
+    clause anywhere but last is refused."""
+    t, _ = _mk(spark, tmp_path, "delta")
+    spark.createDataFrame(
+        [(20, "x", 500.0), (21, "y", 50.0), (22, "z", 0.5)],
+        "k long, v string, price double",
+    ).createOrReplaceTempView("nmchain_batch")
+    sql(
+        spark,
+        "MERGE INTO tgt AS tg USING nmchain_batch AS s ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.price > 100 "
+        "THEN INSERT (k, v) VALUES (s.k, upper(s.v)) "
+        "WHEN NOT MATCHED AND s.price > 10 THEN INSERT * ",
+        tables={"tgt": t},
+    )
+    got = {r["k"]: (r["v"], r["price"]) for r in t.read(spark).collect()}
+    assert got[20] == ("X", None)
+    assert got[21] == ("y", 50.0)
+    assert 22 not in got
+    with pytest.raises(ValueError, match="unreachable"):
+        sql(
+            spark,
+            "MERGE INTO tgt AS tg USING nmchain_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED AND s.price > 10 THEN INSERT *",
+            tables={"tgt": t},
+        )
+
+
+def test_column_list_insert_fills_defaults(spark, tmp_path):
+    """delta-spark parity: a column-list INSERT that does not assign a
+    DEFAULT-bearing column gets the DEFAULT value, not a NULL pad
+    (PROTOCOL.md § Default Columns applies to MERGE inserts)."""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableWriter
+
+    path = str(tmp_path / "t")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "status", "type": "string", "nullable": True,
+             "metadata": {"CURRENT_DEFAULT": "'active'"}},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants",
+                                   "allowColumnDefaults"],
+            }},
+            {"metaData": {
+                "id": "defaults-merge", "format": {
+                    "provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    t = open_table(path, "delta")
+    t.append(spark.createDataFrame(
+        [(1, "a", "old")], "k long, v string, status string"
+    ))
+    src = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, v string"  # status ABSENT
+    )
+    # single column-list clause: status unassigned -> DEFAULT
+    t.upsert(
+        src, keys=["k"],
+        matched_clauses=[("update", None, {"v": "s.v"})],
+        not_matched_set={"k": "k", "v": "lower(v)"},
+    )
+    got = {r["k"]: (r["v"], r["status"])
+           for r in t.read(spark).collect()}
+    assert got[1] == ("A", "old")      # matched: status kept
+    assert got[2] == ("b", "active")   # insert: DEFAULT, not NULL
+    # chained clauses: same fallback
+    src2 = spark.createDataFrame([(3, "C")], "k long, v string")
+    t.upsert(
+        src2, keys=["k"],
+        matched_clauses=[("update", None, None)],
+        not_matched_clauses=[("true", {"k": "k", "v": "v"})],
+    )
+    got = {r["k"]: (r["v"], r["status"])
+           for r in t.read(spark).collect()}
+    assert got[3] == ("C", "active")
