@@ -5172,6 +5172,20 @@ class DeltaTableWriter:
         out = out.select(
             *[f.name for f in table_schema.fields], *mat_cols
         )
+        if (mc is not None or not_matched_by_source) and any(
+            k.startswith("delta.constraints.")
+            for k in (snap.configuration or {})
+        ):
+            # clause SETs / column-list inserts / NMBS updates can
+            # synthesize values the raw source never held, so the
+            # early source-side CHECK is not enough — validate the
+            # FINAL written rows (delta-spark checks post-projection
+            # too). One extra pass over the rewrite set, only when
+            # constraints exist.
+            self._check_constraints(
+                out.select(*[f.name for f in table_schema.fields]),
+                snap.configuration,
+            )
 
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):

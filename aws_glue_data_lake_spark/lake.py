@@ -887,6 +887,10 @@ class LakeTable:
                     for f in st.fields
                 ]
             )
+            if prev.constraints:
+                # clause SETs / column-list inserts synthesize values
+                # the raw batch never held — validate the FINAL rows
+                self._check_constraints(merged, prev)
             new_files = self._write_files(
                 merged, stat_cols, prev.partition_by
             )
@@ -898,6 +902,10 @@ class LakeTable:
                 live.join(kill, on=list(keys), how="left_anti")
             )
             merged = kept.unionByName(upserts, allowMissingColumns=False)
+            if not_matched_by_source == "update" and prev.constraints:
+                # NMBS UPDATE assignments synthesize values the batch
+                # never held — validate the final rows too
+                self._check_constraints(merged, prev)
             new_files = self._write_files(merged, stat_cols, prev.partition_by)
         else:
             new_files = self._write_files(upserts, stat_cols, prev.partition_by)

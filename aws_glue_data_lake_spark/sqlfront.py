@@ -870,7 +870,7 @@ def _run_alter(
         r"^ADD CONSTRAINT (\w+) CHECK \((.+)\)$", action, re.IGNORECASE
     )
     if am:
-        t.set_constraint(am.group(1), am.group(2))
+        t.set_constraint(am.group(1), am.group(2), spark=spark)
         return
     am = re.match(r"^DROP CONSTRAINT (\w+)$", action, re.IGNORECASE)
     if am:

@@ -314,14 +314,23 @@ class Table:
             return self._delta_reader().changes(spark, **kw)
         return self._ice_reader().changes(spark, **kw)
 
-    def set_constraint(self, name: str, expr: str) -> None:
+    def set_constraint(
+        self, name: str, expr: str, spark: SparkSession | None = None
+    ) -> None:
         """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>): recorded in
         table metadata and enforced on every subsequent write. Iceberg
-        has no CHECK-constraint concept in its spec — loud, not faked."""
+        has no CHECK-constraint concept in its spec — loud, not faked.
+        Lake tables prove the EXISTING rows satisfy the constraint
+        before registering it, which needs a ``spark`` session."""
         if self.format == "delta":
             self._delta_writer().set_constraint(name, expr)
         elif self.format == "lake":
-            self._lake().add_check_constraint(name, expr)
+            if spark is None:
+                raise ValueError(
+                    "lake set_constraint validates existing rows: "
+                    "pass spark (set_constraint(name, expr, spark))"
+                )
+            self._lake().add_check_constraint(spark, name, expr)
         else:
             raise NotImplementedError(
                 "the Iceberg table spec has no CHECK constraints; "

@@ -295,11 +295,11 @@ def test_iceberg_append_retries_past_concurrent_append(spark, tmp_path):
     orig = IcebergTableWriter._stage_data_files
     state = {"raced": False}
 
-    def racy_stage(self, df, pcols, part_exprs=None):
+    def racy_stage(self, df, pcols, part_exprs=None, **kw):
         if not state["raced"]:
             state["raced"] = True
             IcebergTableWriter(path).append(_df(spark, 100, 103, "winner"))
-        return orig(self, df, pcols, part_exprs)
+        return orig(self, df, pcols, part_exprs, **kw)
 
     w1._stage_data_files = types.MethodType(racy_stage, w1)
     sid = w1.append(_df(spark, 10, 14, "loser"))

@@ -546,3 +546,39 @@ def test_column_list_insert_fills_defaults(spark, tmp_path):
     got = {r["k"]: (r["v"], r["status"])
            for r in t.read(spark).collect()}
     assert got[3] == ("C", "active")
+
+
+@pytest.mark.parametrize("fmt", ["delta", "lake"])
+def test_constraints_checked_post_projection(spark, tmp_path, fmt):
+    """A CHECK constraint must hold on the FINAL written rows: a
+    clause SET expression that synthesizes a violating value fails the
+    commit even though the raw source batch is clean (delta-spark
+    validates post-projection; checking only the source would let the
+    violation poison the table)."""
+    from aws_glue_data_lake_spark.lake import ConstraintViolation
+
+    t, _ = _mk(spark, tmp_path, fmt)
+    t.set_constraint("pos_price", "price > 0", spark=spark)
+    clean_src = spark.createDataFrame(
+        [(1, "A", 5.0)], "k long, v string, price double"
+    )
+    with pytest.raises(
+        (ValueError, ConstraintViolation), match="pos_price"
+    ):
+        t.upsert(
+            clean_src, keys=["k"],
+            matched_clauses=[
+                ("update", None, {"price": "t.price - 100"}),
+            ],
+        )
+    # nothing landed
+    assert sorted(r["price"] for r in t.read(spark).collect()) == [
+        10.0, 20.0, 30.0, 40.0,
+    ]
+    # a clean SET commits
+    t.upsert(
+        clean_src, keys=["k"],
+        matched_clauses=[("update", None, {"price": "t.price + 1"})],
+    )
+    got = {r["k"]: r["price"] for r in t.read(spark).collect()}
+    assert got[1] == 11.0
