@@ -4728,6 +4728,7 @@ class DeltaTableWriter:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        not_matched_by_source_clauses: Sequence | None = None,
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
@@ -4897,7 +4898,11 @@ class DeltaTableWriter:
         batch_empty = source.isEmpty() and (
             delete_keys is None or delete_keys.isEmpty()
         )
-        if batch_empty and not not_matched_by_source:
+        has_nmbs = (
+            not_matched_by_source is not None
+            or not_matched_by_source_clauses is not None
+        )
+        if batch_empty and not has_nmbs:
             return snap.version  # no-op
         # one tiny agg → the batch's key-range; files outside it can't
         # hold a matching row (min/max ignore NULL keys, and NULL keys
@@ -4924,22 +4929,47 @@ class DeltaTableWriter:
             if batch_empty
             else [p for p, pv, _dv in snap.files if overlaps(p, pv)]
         )
-        nmbs_cond = (
-            F.expr(not_matched_by_source_condition)
-            if not_matched_by_source_condition
-            else F.lit(True)
+        from aws_glue_data_lake_spark.operators import (
+            mergeclauses as _mcmn,
         )
-        if not_matched_by_source:
-            bad = [
-                c
-                for c in (not_matched_by_source_set or {})
-                if c not in {f.name for f in table_schema.fields}
-            ]
-            if bad:
-                raise ValueError(
-                    f"NOT MATCHED BY SOURCE UPDATE targets unknown "
-                    f"column(s) {bad}"
-                )
+
+        nmbs = _mcmn.normalize_nmbs(
+            not_matched_by_source,
+            not_matched_by_source_condition,
+            not_matched_by_source_set,
+            not_matched_by_source_clauses,
+            [f.name for f in table_schema.fields],
+        )
+        _gen_cols = [
+            f.name
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("delta.generationExpression")
+        ]
+        _nmbs_assigned = {
+            c
+            for cl in (nmbs or ())
+            if cl[0] == "update" and cl[2]
+            for c in cl[2]
+        }
+
+        def regen(df, assigned=frozenset()):
+            """Recompute generated columns after a row transform
+            (delta-spark's UPDATE contract, same split as
+            update_where): a generated column NOT explicitly assigned
+            is dropped and re-derived from its expression over the
+            POST-transform row; one explicitly assigned is validated.
+            Identity when the table has no generated columns."""
+            if not _gen_cols or df is None:
+                return df
+            return self._apply_generated_columns(
+                df.drop(
+                    *[g for g in _gen_cols if g not in assigned]
+                ),
+                snap,
+            )
+
+        if nmbs:
+            nmbs_hit = _mcmn.nmbs_any_hit(nmbs)
             # one full scan finds the files holding a NOT-matched row
             # that satisfies the clause condition (delta-spark pays the
             # same scan); only THOSE files join the rewrite set — the
@@ -4955,7 +4985,7 @@ class DeltaTableWriter:
                     keep_meta=True,
                 )
                 .join(kill, on=keys, how="left_anti")
-                .where(nmbs_cond)
+                .where(nmbs_hit)
                 .select(F.col("__dv_fp").alias("__fp"))
                 .distinct()
                 .collect()
@@ -4969,36 +4999,30 @@ class DeltaTableWriter:
             ]
 
         def apply_nmbs(df: DataFrame) -> DataFrame:
-            """The third clause, applied to anti-joined (= unmatched)
-            target rows: delete drops rows satisfying the condition;
-            update rewrites the assigned columns on them (and marks
-            row-tracking's last-update version as this commit)."""
-            if not not_matched_by_source:
+            """The third leg, applied to anti-joined (= unmatched)
+            target rows: the FIRST clause whose condition holds wins —
+            a winning delete drops the row, a winning update rewrites
+            its assigned columns (and marks row-tracking's last-update
+            version as this commit); no clause -> carried unchanged."""
+            if not nmbs:
                 return df
-            hit = F.coalesce(nmbs_cond, F.lit(False))
-            if not_matched_by_source == "delete":
-                return df.where(~hit)
-            assigns = {
-                c: F.expr(e)
-                for c, e in not_matched_by_source_set.items()
-            }
+            df2 = df.withColumn(
+                _mcmn.ACTION, _mcmn.action_col(nmbs)
+            ).where(~_mcmn.deleted_flag(nmbs))
             cols = []
             for name in df.columns:
-                if name in assigns:
+                if name == "__rt_sver":
                     cols.append(
-                        F.when(hit, assigns[name])
-                        .otherwise(F.col(name))
-                        .alias(name)
-                    )
-                elif name == "__rt_sver":
-                    cols.append(
-                        F.when(hit, F.lit(None).cast("long"))
+                        F.when(
+                            _mcmn.updated_flag(nmbs),
+                            F.lit(None).cast("long"),
+                        )
                         .otherwise(F.col(name))
                         .alias(name)
                     )
                 else:
-                    cols.append(F.col(name))
-            return df.select(*cols)
+                    cols.append(_mcmn.nmbs_out_value(nmbs, name))
+            return regen(df2.select(*cols), _nmbs_assigned)
 
         rtc = self._rt_preserve_ctx(snap, "merge (MERGE)")
         out = source
@@ -5056,9 +5080,17 @@ class DeltaTableWriter:
                         .otherwise(F.col("t.__rt_sver"))
                         .alias("__rt_sver"),
                     ]
-                matched_out = matched.where(
-                    ~_mcm.deleted_flag(mc)
-                ).select(*out_exprs)
+                matched_out = regen(
+                    matched.where(~_mcm.deleted_flag(mc)).select(
+                        *out_exprs
+                    ),
+                    {
+                        c
+                        for _k, _c, cs in mc
+                        if cs
+                        for c in cs
+                    },
+                )
                 kept = apply_nmbs(
                     live.join(kill, on=keys, how="left_anti")
                 )
@@ -5106,6 +5138,23 @@ class DeltaTableWriter:
                         table_schema.fields,
                         fallback_cols=synth,
                     )
+                )
+            if nmc or not_matched_set:
+                # a column-list assignment may feed a generated
+                # column's input: re-derive non-assigned generated
+                # columns over the POST-projection row
+                ins = regen(
+                    ins,
+                    (
+                        {
+                            c
+                            for _cond, cs in nmc
+                            if cs
+                            for c in cs
+                        }
+                        if nmc
+                        else set(not_matched_set)
+                    ),
                 )
             if rtc:
                 ins = ins.withColumn(
@@ -5172,7 +5221,7 @@ class DeltaTableWriter:
         out = out.select(
             *[f.name for f in table_schema.fields], *mat_cols
         )
-        if (mc is not None or not_matched_by_source) and any(
+        if (mc is not None or has_nmbs) and any(
             k.startswith("delta.constraints.")
             for k in (snap.configuration or {})
         ):
@@ -5225,14 +5274,22 @@ class DeltaTableWriter:
                         "_change_type", F.lit("update_preimage")
                     )
                     post = align(
-                        m_upd.select(
-                            *[
-                                _mcm.out_value(
-                                    mc, f.name, f.dataType,
-                                    source.columns,
-                                )
-                                for f in table_schema.fields
-                            ]
+                        regen(
+                            m_upd.select(
+                                *[
+                                    _mcm.out_value(
+                                        mc, f.name, f.dataType,
+                                        source.columns,
+                                    )
+                                    for f in table_schema.fields
+                                ]
+                            ),
+                            {
+                                c
+                                for _k, _c, cs in mc
+                                if cs
+                                for c in cs
+                            },
                         )
                     ).withColumn(
                         "_change_type", F.lit("update_postimage")
@@ -5247,34 +5304,35 @@ class DeltaTableWriter:
                         .unionByName(post)
                         .unionByName(dels)
                     )
-                if not_matched_by_source and live is not None:
+                if nmbs and live is not None:
                     unm = live.join(
                         kill, on=keys, how="left_anti"
-                    ).where(F.coalesce(nmbs_cond, F.lit(False)))
-                    if not_matched_by_source == "delete":
-                        changes = changes.unionByName(
-                            align(unm).withColumn(
-                                "_change_type", F.lit("delete")
-                            )
+                    ).withColumn(
+                        _mcmn.ACTION, _mcmn.action_col(nmbs)
+                    )
+                    dels_nmbs = align(
+                        unm.where(_mcmn.deleted_flag(nmbs))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    changes = changes.unionByName(dels_nmbs)
+                    if any(cl[0] == "update" for cl in nmbs):
+                        upd_rows = unm.where(_mcmn.updated_flag(nmbs))
+                        post_rows = regen(
+                            upd_rows.select(
+                                *[
+                                    _mcmn.nmbs_out_value(nmbs, c)
+                                    for c in upd_rows.columns
+                                    if c != _mcmn.ACTION
+                                ]
+                            ),
+                            _nmbs_assigned,
                         )
-                    else:
-                        upd2 = unm.select(
-                            *[
-                                F.expr(
-                                    not_matched_by_source_set[c]
-                                ).alias(c)
-                                if c in not_matched_by_source_set
-                                else F.col(c)
-                                for c in unm.columns
-                            ]
-                        )
                         changes = changes.unionByName(
-                            align(unm).withColumn(
+                            align(upd_rows).withColumn(
                                 "_change_type",
                                 F.lit("update_preimage"),
                             )
                         ).unionByName(
-                            align(upd2).withColumn(
+                            align(post_rows).withColumn(
                                 "_change_type",
                                 F.lit("update_postimage"),
                             )
@@ -5317,37 +5375,38 @@ class DeltaTableWriter:
                         live.join(del_only, on=keys, how="left_semi")
                     ).withColumn("_change_type", F.lit("delete"))
                     changes = changes.unionByName(dels)
-                if not_matched_by_source:
-                    # the third clause's row-level truth: unmatched
-                    # rows satisfying the condition are deletes, or
-                    # update pre/postimage pairs under the assignments
+                if nmbs:
+                    # the third leg's row-level truth: winning deletes
+                    # emit delete rows, winning updates emit pre/post
+                    # pairs under their clause's assignments
                     unm = live.join(
                         kill, on=keys, how="left_anti"
-                    ).where(F.coalesce(nmbs_cond, F.lit(False)))
-                    if not_matched_by_source == "delete":
-                        changes = changes.unionByName(
-                            align(unm).withColumn(
-                                "_change_type", F.lit("delete")
-                            )
+                    ).withColumn(
+                        _mcmn.ACTION, _mcmn.action_col(nmbs)
+                    )
+                    dels_nmbs = align(
+                        unm.where(_mcmn.deleted_flag(nmbs))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    changes = changes.unionByName(dels_nmbs)
+                    if any(cl[0] == "update" for cl in nmbs):
+                        upd_rows = unm.where(_mcmn.updated_flag(nmbs))
+                        post_rows = regen(
+                            upd_rows.select(
+                                *[
+                                    _mcmn.nmbs_out_value(nmbs, c)
+                                    for c in upd_rows.columns
+                                    if c != _mcmn.ACTION
+                                ]
+                            ),
+                            _nmbs_assigned,
                         )
-                    else:
-                        upd = unm.select(
-                            *[
-                                F.expr(
-                                    not_matched_by_source_set[c]
-                                ).alias(c)
-                                if c in not_matched_by_source_set
-                                else F.col(c)
-                                for c in unm.columns
-                            ]
-                        )
                         changes = changes.unionByName(
-                            align(unm).withColumn(
+                            align(upd_rows).withColumn(
                                 "_change_type",
                                 F.lit("update_preimage"),
                             )
                         ).unionByName(
-                            align(upd).withColumn(
+                            align(post_rows).withColumn(
                                 "_change_type",
                                 F.lit("update_postimage"),
                             )
@@ -5411,11 +5470,11 @@ class DeltaTableWriter:
             operation="MERGE",
             read_files=(
                 None
-                if not_matched_by_source
+                if has_nmbs
                 else {os.path.abspath(p) for p in affected}
             ),
             add_conflict=(
-                True if not_matched_by_source else winner_add_conflicts
+                True if has_nmbs else winner_add_conflicts
             ),
         )
 

@@ -4828,6 +4828,7 @@ class IcebergTableWriter:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        not_matched_by_source_clauses: Sequence | None = None,
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
@@ -5036,47 +5037,46 @@ class IcebergTableWriter:
             kill = src_keys
             if delete_keys is not None:
                 kill = kill.unionByName(delete_keys.select(*keys))
-        if not_matched_by_source:
+        from aws_glue_data_lake_spark.operators import (
+            mergeclauses as _mcmn,
+        )
+
+        nmbs = _mcmn.normalize_nmbs(
+            not_matched_by_source,
+            not_matched_by_source_condition,
+            not_matched_by_source_set,
+            not_matched_by_source_clauses,
+            [f["name"] for f in schema_json["fields"]],
+        )
+        if nmbs:
             from pyspark.sql import functions as F
 
             spark = source.sparkSession
-            cond = (
-                F.expr(not_matched_by_source_condition)
-                if not_matched_by_source_condition
-                else F.lit(True)
-            )
             # "not matched" means not matched by the BATCH's keys —
             # in clause mode the kill set (fired keys) is narrower, so
             # anti-join the original source keys (∪ delete_keys covers
             # the default mode identically)
             nmbs_anti = src_keys if mc is not None else kill
-            unmatched = (
+            fired = (
                 IcebergTableReader(self.path)
                 .to_df(spark)
                 .join(
                     nmbs_anti.dropDuplicates(keys), on=keys,
                     how="left_anti",
                 )
-                .where(F.coalesce(cond, F.lit(False)))
+                .withColumn(_mcmn.ACTION, _mcmn.action_col(nmbs))
+                .where(F.col(_mcmn.ACTION) >= 0)
             )
-            kill = kill.unionByName(unmatched.select(*keys))
-            if not_matched_by_source == "update":
-                bad = [
-                    c
-                    for c in not_matched_by_source_set
-                    if c not in unmatched.columns
-                ]
-                if bad:
-                    raise ValueError(
-                        "NOT MATCHED BY SOURCE UPDATE targets unknown "
-                        f"column(s) {bad}"
-                    )
-                upd = unmatched.select(
+            # MoR: every FIRED row (winning delete OR update) joins
+            # the equality delete; winning updates re-insert their
+            # transformed version in the same snapshot
+            kill = kill.unionByName(fired.select(*keys))
+            if any(cl[0] == "update" for cl in nmbs):
+                upd = fired.where(_mcmn.updated_flag(nmbs)).select(
                     *[
-                        F.expr(not_matched_by_source_set[c]).alias(c)
-                        if c in not_matched_by_source_set
-                        else F.col(c)
-                        for c in unmatched.columns
+                        _mcmn.nmbs_out_value(nmbs, c)
+                        for c in fired.columns
+                        if c != _mcmn.ACTION
                     ]
                 )
                 source = source.unionByName(

@@ -612,6 +612,7 @@ class LakeTable:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        not_matched_by_source_clauses: Sequence | None = None,
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
@@ -743,12 +744,20 @@ class LakeTable:
                 "not_matched_by_source='update' requires "
                 "not_matched_by_source_set ({column: SQL expression})"
             )
-        nmbs_cond = (
-            F.expr(not_matched_by_source_condition)
-            if not_matched_by_source_condition
-            else F.lit(True)
+        from pyspark.sql.types import StructType as _StN
+
+        from aws_glue_data_lake_spark.operators import (
+            mergeclauses as _mcmn,
         )
-        if not_matched_by_source and untouched:
+
+        nmbs = _mcmn.normalize_nmbs(
+            not_matched_by_source,
+            not_matched_by_source_condition,
+            not_matched_by_source_set,
+            not_matched_by_source_clauses,
+            _StN.fromDDL(schema).fieldNames(),
+        )
+        if nmbs and untouched:
             # the third clause can touch ANY file: one probe scan over
             # the carried set finds files holding an eligible unmatched
             # row — only those move into the rewrite set (delta-spark
@@ -762,7 +771,7 @@ class LakeTable:
             elig = {
                 row["__fp"]
                 for row in probe.join(kill, on=list(keys), how="left_anti")
-                .where(F.coalesce(nmbs_cond, F.lit(False)))
+                .where(_mcmn.nmbs_any_hit(nmbs))
                 .select("__fp")
                 .distinct()
                 .collect()
@@ -780,32 +789,13 @@ class LakeTable:
                 ]
 
         def apply_nmbs(df: DataFrame) -> DataFrame:
-            if not not_matched_by_source:
+            if not nmbs:
                 return df
-            hit = F.coalesce(nmbs_cond, F.lit(False))
-            if not_matched_by_source == "delete":
-                return df.where(~hit)
-            bad = [
-                c
-                for c in not_matched_by_source_set
-                if c not in df.columns
-            ]
-            if bad:
-                raise ValueError(
-                    "NOT MATCHED BY SOURCE UPDATE targets unknown "
-                    f"column(s) {bad}"
-                )
-            return df.select(
-                *[
-                    F.when(
-                        hit, F.expr(not_matched_by_source_set[c])
-                    )
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in not_matched_by_source_set
-                    else F.col(c)
-                    for c in df.columns
-                ]
+            df2 = df.withColumn(
+                _mcmn.ACTION, _mcmn.action_col(nmbs)
+            ).where(~_mcmn.deleted_flag(nmbs))
+            return df2.select(
+                *[_mcmn.nmbs_out_value(nmbs, c) for c in df.columns]
             )
 
         stat_cols = sorted({*keys, *self._stat_cols(prev)})
@@ -902,7 +892,8 @@ class LakeTable:
                 live.join(kill, on=list(keys), how="left_anti")
             )
             merged = kept.unionByName(upserts, allowMissingColumns=False)
-            if not_matched_by_source == "update" and prev.constraints:
+            if any(cl[0] == "update" for cl in (nmbs or ())) \
+                    and prev.constraints:
                 # NMBS UPDATE assignments synthesize values the batch
                 # never held — validate the final rows too
                 self._check_constraints(merged, prev)

@@ -231,6 +231,75 @@ def validate_not_matched_clauses(
     return out
 
 
+def normalize_nmbs(
+    action,
+    condition,
+    aset,
+    clauses,
+    table_cols: Sequence[str],
+) -> list[tuple] | None:
+    """Normalize the NOT MATCHED BY SOURCE leg to a clause list —
+    delta-spark's ``.whenNotMatchedBySourceUpdate(condition=, set=)
+    .whenNotMatchedBySourceDelete(condition=)`` chain. Accepts either
+    the legacy single-action params (``action``/``condition``/``aset``)
+    or ``clauses`` (ordered ``("update", cond, set)`` / ``("delete",
+    cond)``, first-match-wins per unmatched target row, carried when no
+    clause fires; conditions/SETs reference bare TARGET columns).
+    Returns None when the leg is absent."""
+    if clauses is not None:
+        if action is not None or condition or aset:
+            raise ValueError(
+                "not_matched_by_source_clauses cannot combine with "
+                "the single-clause not_matched_by_source params (fold "
+                "them into the clause list)"
+            )
+        out = validate_matched_clauses(clauses, table_cols)
+        for i, (kind, _cond, cset) in enumerate(out):
+            if kind == "update" and cset is None:
+                raise ValueError(
+                    f"NMBS clause #{i}: UPDATE SET * is meaningless "
+                    "for NOT MATCHED BY SOURCE rows (there is no "
+                    "source row) — name the assignments"
+                )
+        return out
+    if action is None:
+        return None
+    return validate_matched_clauses(
+        [(action, condition, aset if action == "update" else None)],
+        table_cols,
+    )
+
+
+def nmbs_any_hit(clauses: Sequence[tuple]) -> Column:
+    """True when ANY clause's condition holds (bare target columns) —
+    the eligibility predicate for probe scans / CDF row selection."""
+    out = None
+    for _kind, cond, _cset in clauses:
+        e = (
+            F.coalesce(F.expr(cond), F.lit(False))
+            if cond
+            else F.lit(True)
+        )
+        out = e if out is None else (out | e)
+    return out if out is not None else F.lit(False)
+
+
+def nmbs_out_value(clauses: Sequence[tuple], name: str) -> Column:
+    """Post-clause value of column ``name`` for an unmatched target
+    row (requires :data:`ACTION` stamped with :func:`action_col`): the
+    winning update clause's assignment when present, else the carried
+    value."""
+    w = None
+    for i, (kind, _cond, cset) in enumerate(clauses):
+        if kind != "update":
+            continue
+        v = F.expr(cset[name]) if name in cset else F.col(name)
+        hit = F.col(ACTION) == i
+        w = F.when(hit, v) if w is None else w.when(hit, v)
+    base = w.otherwise(F.col(name)) if w is not None else F.col(name)
+    return base.alias(name)
+
+
 def resolve_not_matched(
     not_matched_clauses,
     not_matched_insert: bool,

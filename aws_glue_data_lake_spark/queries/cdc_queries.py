@@ -5464,3 +5464,126 @@ def lake_reorg_purge_state(
         F.min("k").cast("bigint").alias("min_k"),
         F.sum("pk").cast("bigint").alias("pk_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chained NOT MATCHED BY SOURCE clauses (round 14): the THIRD merge leg
+# completed the same way as the other two — several conditional
+# UPDATE/DELETE clauses over unmatched TARGET rows, FIRST-MATCH-WINS, a
+# row matching no clause carries unchanged (delta-spark's
+# .whenNotMatchedBySourceUpdate/Delete chain). Run on all three writers
+# (Delta via SQL text, Iceberg + lake fluent): stale low-value rows
+# delete (clause 0), mid-value rows flag + discount (clause 1), the
+# rest carry. The DuckDB oracle rebuilds the routing with CASE over the
+# full outer join. MoR note: on Iceberg the fired rows join the
+# equality delete and updates re-insert in the SAME snapshot — zero
+# rewrites. Unit pins: tests/test_nmbs_chain.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_merge_nmbs_chain_state",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+batch AS (
+  SELECT o_orderkey AS k, lower(o_orderstatus) AS st,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 6 = 0
+),
+matched AS (
+  SELECT t.k, b.st, b.price FROM tgt t JOIN batch b USING (k)
+),
+unmatched AS (
+  SELECT t.* FROM tgt t LEFT JOIN batch b USING (k) WHERE b.k IS NULL
+),
+routed AS (
+  SELECT k,
+         CASE WHEN NOT price < 50000 AND price < 150000
+              THEN st || '-disc' ELSE st END AS st,
+         CASE WHEN NOT price < 50000 AND price < 150000
+              THEN price * 0.9 ELSE price END AS price
+  FROM unmatched WHERE NOT price < 50000
+),
+final AS (
+  SELECT * FROM matched UNION ALL SELECT * FROM routed
+)
+SELECT side, st,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM (
+  SELECT 'delta' AS side, * FROM final
+  UNION ALL SELECT 'iceberg' AS side, * FROM final
+  UNION ALL SELECT 'lake' AS side, * FROM final
+)
+GROUP BY side, st
+ORDER BY side, st
+""",
+)
+def lake_merge_nmbs_chain_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    o = t(spark, sf_dir, "orders")
+    tgt = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    batch = o.where(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lower("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = session_tmpdir("merge_nmbschain_")
+    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+    batch.createOrReplaceTempView("merge_nmbschain_batch")
+    _sql(
+        spark,
+        "MERGE INTO tbl AS tg USING merge_nmbschain_batch AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND tg.price < 50000 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND tg.price < 150000 "
+        "THEN UPDATE SET st = concat(tg.st, '-disc'), "
+        "price = tg.price * 0.9",
+        tables={"tbl": td},
+    )
+    fluent = dict(
+        keys=["k"],
+        matched_clauses=[("update", None, None)],
+        not_matched_insert=True,
+        not_matched_by_source_clauses=[
+            ("delete", "price < 50000"),
+            ("update", "price < 150000",
+             {"st": "concat(st, '-disc')", "price": "price * 0.9"}),
+        ],
+    )
+    ti.upsert(batch, **fluent)
+    tl.upsert(batch, **fluent)
+    allsides = (
+        td.read(spark).select(F.lit("delta").alias("side"), "*")
+        .unionByName(
+            ti.read(spark).select(F.lit("iceberg").alias("side"), "*")
+        )
+        .unionByName(
+            tl.read(spark).select(F.lit("lake").alias("side"), "*")
+        )
+    )
+    return (
+        allsides.groupBy("side", "st")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("price").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("side", "st")
+    )

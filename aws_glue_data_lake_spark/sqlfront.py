@@ -431,48 +431,71 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
     # SET a = expr, ... — peeled off the tail before the two-clause
     # shapes match below
     nmbs_kwargs: dict = {}
-    nm = re.match(
-        r"^(?P<head>.+?)\s+WHEN NOT MATCHED BY SOURCE"
-        r"(?: AND (?P<pred>.+?))? THEN "
-        r"(?P<act>DELETE|UPDATE SET (?P<sets>.+))$",
-        clauses,
-        re.IGNORECASE,
+    nmbs_parts = re.split(
+        r"(?i)\s+(?=WHEN NOT MATCHED BY SOURCE\b)", clauses
     )
-    if nm:
-        clauses = nm.group("head").strip()
-        pred = nm.group("pred")
-        if pred is not None:
-            if re.search(
-                rf"\b{re.escape(m.group('salias'))}\.", pred,
-                re.IGNORECASE,
-            ):
-                raise ValueError(
-                    f"NOT MATCHED BY SOURCE predicate {pred!r} "
-                    "references the source alias; by definition these "
-                    "rows have no source match — use target columns"
-                )
-            nmbs_kwargs["not_matched_by_source_condition"] = re.sub(
-                rf"\b{re.escape(m.group('talias'))}\.", "", pred,
-                flags=re.IGNORECASE,
+    if len(nmbs_parts) > 1:
+        clauses = nmbs_parts[0].strip()
+        nmbs_clauses: list[tuple] = []
+        for seg in nmbs_parts[1:]:
+            nm = re.match(
+                r"^WHEN NOT MATCHED BY SOURCE"
+                r"(?: AND (?P<pred>.+?))? THEN "
+                r"(?P<act>DELETE|UPDATE SET (?P<sets>.+?))\s*$",
+                seg.strip(),
+                re.IGNORECASE | re.DOTALL,
             )
-        if nm.group("act").upper() == "DELETE":
-            nmbs_kwargs["not_matched_by_source"] = "delete"
-        else:
-            assigns: dict[str, str] = {}
-            for part in _split_top_level(nm.group("sets")):
-                am = re.match(
-                    r"^\s*(?:\w+\.)?([\w`]+)\s*=\s*(.+?)\s*$", part
+            if not nm:
+                raise ValueError(
+                    f"cannot parse NMBS clause {seg.strip()!r}: "
+                    "expected WHEN NOT MATCHED BY SOURCE [AND <pred>] "
+                    "THEN DELETE | UPDATE SET c = expr, ..."
                 )
-                if not am:
+            pred = nm.group("pred")
+            cond = None
+            if pred is not None:
+                if re.search(
+                    rf"\b{re.escape(m.group('salias'))}\.", pred,
+                    re.IGNORECASE,
+                ):
                     raise ValueError(
-                        f"cannot parse NMBS assignment {part!r}"
+                        f"NOT MATCHED BY SOURCE predicate {pred!r} "
+                        "references the source alias; by definition "
+                        "these rows have no source match — use target "
+                        "columns"
                     )
-                assigns[am.group(1).strip("`")] = re.sub(
-                    rf"\b{re.escape(m.group('talias'))}\.", "",
-                    am.group(2), flags=re.IGNORECASE,
+                cond = re.sub(
+                    rf"\b{re.escape(m.group('talias'))}\.", "", pred,
+                    flags=re.IGNORECASE,
                 )
-            nmbs_kwargs["not_matched_by_source"] = "update"
-            nmbs_kwargs["not_matched_by_source_set"] = assigns
+            if nm.group("act").upper() == "DELETE":
+                nmbs_clauses.append(("delete", cond))
+            else:
+                assigns: dict[str, str] = {}
+                for part in _split_top_level(nm.group("sets")):
+                    am = re.match(
+                        r"^\s*(?:\w+\.)?([\w`]+)\s*=\s*(.+?)\s*$",
+                        part,
+                    )
+                    if not am:
+                        raise ValueError(
+                            f"cannot parse NMBS assignment {part!r}"
+                        )
+                    assigns[am.group(1).strip("`")] = re.sub(
+                        rf"\b{re.escape(m.group('talias'))}\.", "",
+                        am.group(2), flags=re.IGNORECASE,
+                    )
+                nmbs_clauses.append(("update", cond, assigns))
+        if len(nmbs_clauses) == 1:
+            # single clause: the legacy params (back-compat spelling)
+            cl = nmbs_clauses[0]
+            nmbs_kwargs["not_matched_by_source"] = cl[0]
+            if cl[1] is not None:
+                nmbs_kwargs["not_matched_by_source_condition"] = cl[1]
+            if cl[0] == "update":
+                nmbs_kwargs["not_matched_by_source_set"] = cl[2]
+        else:
+            nmbs_kwargs["not_matched_by_source_clauses"] = nmbs_clauses
     cdc = re.match(
         r"^WHEN MATCHED AND (?P<pred>.+?) THEN DELETE\s+"
         r"WHEN MATCHED THEN UPDATE SET \*\s+"
@@ -556,8 +579,9 @@ def _run_merge(spark: SparkSession, m: re.Match, tables: dict | None) -> None:
                 "(*|c = expr, ...) | DELETE' clauses plus a chain of "
                 "'WHEN NOT MATCHED [AND p] THEN INSERT * | (cols) "
                 "VALUES (exprs)' clauses, each "
-                "optionally followed by 'WHEN NOT MATCHED BY SOURCE "
-                "[AND <pred>] THEN DELETE | UPDATE SET c = expr, ...'"
+                "optionally followed by a chain of 'WHEN NOT MATCHED "
+                "BY SOURCE [AND <pred>] THEN DELETE | UPDATE SET "
+                "c = expr, ...' clauses"
             )
         mcs, ins_flag, ins_cond, ins_set, nm_clauses = parsed
         target.upsert(

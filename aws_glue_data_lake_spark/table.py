@@ -190,6 +190,7 @@ class Table:
         not_matched_by_source: str | None = None,
         not_matched_by_source_condition: str | None = None,
         not_matched_by_source_set: dict | None = None,
+        not_matched_by_source_clauses: Sequence | None = None,
         matched_clauses: Sequence | None = None,
         not_matched_insert: bool = True,
         not_matched_condition: str | None = None,
@@ -219,6 +220,7 @@ class Table:
                 not_matched_by_source_condition
             ),
             not_matched_by_source_set=not_matched_by_source_set,
+            not_matched_by_source_clauses=not_matched_by_source_clauses,
             matched_clauses=matched_clauses,
             not_matched_insert=not_matched_insert,
             not_matched_condition=not_matched_condition,

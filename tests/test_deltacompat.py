@@ -2083,10 +2083,15 @@ def test_stats_omit_nullcount_when_footer_lacks_it(spark, tmp_path):
 
 
 def test_cdf_stream_schema_pinned_across_merge_schema(spark, tmp_path):
-    """A readChangeFeed stream's column order is fixed at stream start: a
-    mid-stream mergeSchema append must NOT widen partitions()'s out_order
-    beyond the pinned snapshot (the batch builder has no arrays for the
-    new column — ADVICE finding 4 crashed with KeyError here)."""
+    """A readChangeFeed stream's schema is PINNED at start: a
+    mid-stream mergeSchema append fails the stream LOUDLY at that
+    version with a restart message (the round-14 pinned contract,
+    tests/test_cdf_schema_evolution.py — previously the stream
+    silently dropped the new column, which hid data from the feed; a
+    RESTARTED stream re-pins the evolved schema and replays with NULL
+    backfill)."""
+    import pytest as _pytest
+
     from aws_glue_data_lake_spark.deltacompat import DeltaCdfStreamReader
 
     path = str(tmp_path / "d")
@@ -2103,15 +2108,20 @@ def test_cdf_stream_schema_pinned_across_merge_schema(spark, tmp_path):
         merge_schema=True,
     )
     end = rdr.latestOffset()
-    parts = rdr.partitions(start, end)
-    assert parts, "the new commit must surface as a partition"
+    with _pytest.raises(ValueError, match="schema changed"):
+        rdr.partitions(start, end)
+    # a fresh reader (the restart) pins the evolved schema and replays
+    rdr2 = DeltaCdfStreamReader(
+        {"path": path, "readChangeFeed": "true"}
+    )
+    parts = rdr2.partitions(rdr2.initialOffset(), rdr2.latestOffset())
+    assert parts
     for p in parts:
         assert p.out_order == [
-            "k", "v", "_change_type", "_commit_version", "_commit_timestamp"
+            "k", "v", "extra",
+            "_change_type", "_commit_version", "_commit_timestamp",
         ]
-        # and the builder can actually produce every declared column
-        batches = list(rdr.read(p))
-        for b in batches:
+        for b in rdr2.read(p):
             assert set(b.schema.names) == set(p.out_order)
 
 

@@ -582,3 +582,79 @@ def test_constraints_checked_post_projection(spark, tmp_path, fmt):
     )
     got = {r["k"]: r["price"] for r in t.read(spark).collect()}
     assert got[1] == 11.0
+
+
+def test_clause_update_recomputes_generated_columns(spark, tmp_path):
+    """delta-spark's UPDATE contract in MERGE: a generated column
+    whose INPUT a clause SET touches is re-derived over the
+    post-update row — table content, NMBS updates, and the CDF
+    postimage all agree (a stale derived value would silently break
+    partition pruning on it)."""
+    import json
+    import os
+
+    from aws_glue_data_lake_spark.deltacompat import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    path = str(tmp_path / "t")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "price", "type": "double", "nullable": True,
+             "metadata": {}},
+            {"name": "bucket", "type": "long", "nullable": True,
+             "metadata": {
+                 "delta.generationExpression": "CAST(price AS LONG)"
+             }},
+        ],
+    })
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "invariants",
+                               "generatedColumns", "changeDataFeed"],
+        }}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "gen-merge",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 0,
+        }}) + "\n")
+    w = DeltaTableWriter(path)
+    w.append(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+    ))
+    src = spark.createDataFrame([(1, 100.0)], "k long, price double")
+    w.merge(
+        spark, src, keys=["k"],
+        matched_clauses=[
+            ("update", None, {"price": "t.price + s.price"}),
+        ],
+        not_matched_by_source_clauses=[
+            ("update", "price < 25", {"price": "price * 2"}),
+        ],
+    )
+    got = sorted(
+        (r["k"], r["price"], r["bucket"])
+        for r in DeltaTableReader(path).to_df(spark).collect()
+    )
+    # k=1 matched (10+100=110 -> bucket 110), k=2 NMBS update
+    # (20*2=40 -> bucket 40), k=3 carried (bucket 30)
+    assert got == [
+        (1, 110.0, 110), (2, 40.0, 40), (3, 30.0, 30),
+    ], got
+    post = sorted(
+        (r["k"], r["bucket"])
+        for r in DeltaTableReader(path)
+        .changes(spark, starting_version=2)
+        .where("_change_type = 'update_postimage'")
+        .collect()
+    )
+    assert post == [(1, 110), (2, 40)], post
