@@ -6215,6 +6215,60 @@ class DeltaTableWriter:
             add_conflict=False,
         )
 
+    def truncate(self, spark: SparkSession | None = None) -> int:
+        """TRUNCATE TABLE: remove every live file in ONE metadata-only
+        commit (``dataChange: true`` — this IS a content change, unlike
+        OPTIMIZE) — schema, protocol and configuration survive, prior
+        versions stay time-travelable until vacuum. delta-spark's
+        TRUNCATE is the same remove-all commit. Under CDF the row-level
+        feed gets explicit delete rows (one scan — the honest price of
+        a replayable feed, same contract as RESTORE), which needs the
+        ``spark`` session; a CDF table refuses a sparkless truncate
+        rather than silently breaking its feed."""
+        r = DeltaTableReader(self.path)
+        snap = r.snapshot()
+        self._check_writer_features(snap, "TRUNCATE")
+        self._require_mutable(snap, "TRUNCATE")
+        if not snap.files:
+            return snap.version  # already empty: no-op
+        actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            if spark is None:
+                raise ValueError(
+                    "TRUNCATE on a CDF table records row-level "
+                    "deletes: pass the SparkSession (truncate(spark))"
+                )
+            changes = r.to_df(spark).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            to_physical, part_stage = self._physical_stage_ctx(snap)
+            actions += [
+                {"cdc": c}
+                for c in self._stage_files(
+                    to_physical(changes), part_stage, cdc=True
+                )
+            ]
+        now = int(time.time() * 1000)
+        actions += [
+            {
+                "remove": {
+                    "path": self._raw_key(snap, p),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p, _, _ in snap.files
+        ]
+        # whole-table semantics: a concurrent writer's rows must not
+        # survive a truncate that serialized after it
+        return self._commit_read_dependent(
+            snap.version + 1,
+            actions,
+            operation="TRUNCATE",
+            read_files=None,
+            add_conflict=True,
+        )
+
     def reorg_purge(self, spark: SparkSession) -> int:
         """``REORG TABLE … APPLY (PURGE)`` — delta-spark's targeted
         rewrite that makes SOFT deletes physical: every file carrying a

@@ -4105,6 +4105,51 @@ class IcebergTableWriter:
             f"{_MAX_COMMIT_RETRIES} times in a row"
         )
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: a new snapshot whose manifest list is EMPTY
+        (operation ``delete``) — zero data or delete manifests, so
+        readers see no rows; schema, specs, sort orders and properties
+        survive, prior snapshots stay time-travelable until
+        expire_snapshots. Metadata-only at any table size (no manifest
+        is read or rewritten; the spec allows a snapshot with no
+        manifests)."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            prev = self._load_prev()
+            if prev is None:
+                raise FileNotFoundError(
+                    f"no Iceberg table at {self.path}"
+                )
+            schema_json = next(
+                sc
+                for sc in prev["schemas"]
+                if sc["schema-id"] == prev.get("current-schema-id", 0)
+            )
+            sid, seq = self._next_ids(prev)
+            ml_path = os.path.join(
+                self._meta_dir, f"snap-{sid}-{uuid.uuid4().hex}.avro"
+            )
+            write_container(
+                ml_path, _MANIFEST_LIST_SCHEMA, [],
+                metadata={"format-version": "2"},
+            )
+            try:
+                self._commit_metadata(
+                    prev,
+                    schema_json,
+                    [],
+                    sid,
+                    seq,
+                    ml_path,
+                    "delete",
+                )
+                return sid
+            except FileExistsError:
+                continue
+        raise ConcurrentModificationError(
+            f"truncate of {self.path} lost the commit race "
+            f"{_MAX_COMMIT_RETRIES} times in a row"
+        )
+
     def overwrite_partition(self, df: DataFrame, **partition) -> int:
         """Replace one partition: prior manifests are REWRITTEN with the
         matching entries marked deleted (carried entries become

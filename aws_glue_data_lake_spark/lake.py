@@ -1178,6 +1178,19 @@ class LakeTable:
         )
         return clone
 
+    def truncate(self) -> Snapshot:
+        """TRUNCATE TABLE: one metadata-only commit whose live set is
+        empty — schema, partitioning and constraints survive, prior
+        snapshots stay time-travelable until vacuum. The lake_cdf
+        stream treats it as a non-append op (loud, like every rewrite
+        commit — the append-only feed contract)."""
+        prev = self.snapshot()
+        return self._commit(
+            [], prev.schema, "truncate", prev,
+            partition_by=prev.partition_by,
+            constraints=prev.constraints,
+        )
+
     def restore(self, version: int) -> Snapshot:
         """RESTORE the table to an earlier snapshot as a NEW commit
         (Delta's ``RESTORE TABLE ... VERSION AS OF n``): the new tip

@@ -5587,3 +5587,95 @@ def lake_merge_nmbs_chain_state(
         )
         .orderBy("side", "st")
     )
+
+
+# ---------------------------------------------------------------------------
+# TRUNCATE TABLE (round 14): drop every row in ONE metadata-only commit
+# on all three formats — schema/partitioning survive, the prior version
+# stays time-travelable, the next append lands on the empty state. The
+# in-query asserts certify the mechanics (count 0 after truncate with
+# the schema intact; delta's commit is remove-only — zero adds — and
+# the pre-truncate version still reads); the returned aggregate is the
+# POST-truncate reload, which the oracle computes directly (a stale
+# surviving row would break the hash). Unit pins (CDF delete rows,
+# iceberg empty manifest list, vacuum collection):
+# tests/test_truncate.py.
+# ---------------------------------------------------------------------------
+@_q(
+    "lake_truncate_state",
+    oracle="""
+WITH reload AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT side, seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM (
+  SELECT 'delta' AS side, * FROM reload
+  UNION ALL SELECT 'iceberg' AS side, * FROM reload
+  UNION ALL SELECT 'lake' AS side, * FROM reload
+)
+GROUP BY side, seg
+ORDER BY side, seg
+""",
+)
+def lake_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_glue_data_lake_spark.deltacompat import DeltaTableReader
+    from aws_glue_data_lake_spark.sqlfront import sql as _sql
+    from aws_glue_data_lake_spark.table import open_table
+
+    c = t(spark, sf_dir, "customer")
+    initial = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    reload = c.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    root = session_tmpdir("truncate_")
+    sides = {
+        "delta": open_table(root + "/d", "delta"),
+        "iceberg": open_table(root + "/i", "iceberg"),
+        "lake": open_table(root + "/l", "lake"),
+    }
+    for tb in sides.values():
+        tb.create(initial.repartition(4))
+    pre_v = DeltaTableReader(root + "/d").snapshot().version
+    for tb in sides.values():
+        _sql(spark, "TRUNCATE TABLE tt", tables={"tt": tb})
+    for name, tb in sides.items():
+        empt = tb.read(spark)
+        assert empt.count() == 0, f"{name}: rows survived TRUNCATE"
+        assert empt.columns == ["k", "seg", "bal"], name
+    # delta: remove-only commit, prior version still time-travelable
+    snap = DeltaTableReader(root + "/d").snapshot()
+    assert snap.files == []
+    assert (
+        sides["delta"].read(spark, version=pre_v).count()
+        == initial.count()
+    )
+    for tb in sides.values():
+        tb.append(reload.repartition(4))
+    allsides = None
+    for name, tb in sides.items():
+        part = tb.read(spark).select(F.lit(name).alias("side"), "*")
+        allsides = part if allsides is None else allsides.unionByName(
+            part
+        )
+    return (
+        allsides.groupBy("side", "seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.col("bal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("side", "seg")
+    )

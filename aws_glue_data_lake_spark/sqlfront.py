@@ -35,6 +35,7 @@ already-green primitives:
   would-be-deleted paths as a DataFrame, deleting nothing),
   ``REORG TABLE <t> APPLY (PURGE)`` (targeted rewrite of DV-bearing /
   dropped-column-bearing files only),
+  ``TRUNCATE TABLE <t>`` (drop every row, metadata-only commit),
   ``RESTORE TABLE <t> TO VERSION AS OF n | TIMESTAMP AS OF 'ts'``
   (roll the live state back as a new commit; TIMESTAMP on delta),
   ``SHOW TBLPROPERTIES <t> [('key')]`` (property map as a DataFrame),
@@ -124,6 +125,9 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(?\s*(?P<zcols>[\w`,\s]+?)\s*\)?)?"
     r"\s*;?\s*$",
     re.IGNORECASE,
+)
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+{_REF}\s*;?\s*$", re.IGNORECASE
 )
 #: delta-spark's REORG TABLE <t> APPLY (PURGE): targeted rewrite of
 #: DV-bearing / dropped-column-bearing files
@@ -1057,6 +1061,10 @@ def sql(
         _require(m, tables, spark, "OPTIMIZE").compact(
             spark, zorder_by=zcols
         )
+        return None
+    m = _TRUNCATE_RE.match(statement)
+    if m:
+        _require(m, tables, spark, "TRUNCATE").truncate(spark)
         return None
     m = _REORG_RE.match(statement)
     if m:

@@ -728,6 +728,19 @@ class Table:
                 spark, zorder_by=list(zorder_by)
             )
 
+    def truncate(self, spark: SparkSession | None = None) -> None:
+        """``TRUNCATE TABLE``: drop every row in one metadata-only
+        commit — schema/partitioning/properties survive, prior
+        versions stay time-travelable until vacuum. Delta needs
+        ``spark`` when CDF is enabled (the feed records row-level
+        deletes)."""
+        if self.format == "lake":
+            self._lake().truncate()
+        elif self.format == "delta":
+            self._delta_writer().truncate(spark)
+        else:
+            self._ice_writer().truncate()
+
     def reorg_purge(self, spark: SparkSession) -> None:
         """``REORG TABLE … APPLY (PURGE)`` (Delta): rewrite ONLY the
         files carrying deletion vectors or dropped-column bytes so the
