@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from aws_glue_data_lake_spark.localdf import local_df
+
 #: Reader features this implementation actually honors (protocol §
 #: "reader version 3"). Anything else in readerFeatures must hard-fail:
 #: silently ignoring deletionVectors or columnMapping would return wrong
@@ -1176,11 +1178,15 @@ class DeltaTableReader:
                         }
                     )
 
-        desc_df = spark.createDataFrame(
-            dv_rows, "file_path string, dv string"
+        # One slice per descriptor (cap 32): each row expands a whole DV
+        # blob in mapInPandas, so slices = concurrency, and a local_df
+        # avoids the 32-empty-pickle-task job a plain createDataFrame pays.
+        desc_df = local_df(
+            spark,
+            dv_rows,
+            "file_path string, dv string",
+            slices=min(len(dv_rows), 32),
         )
-        if len(dv_rows) > 1:
-            desc_df = desc_df.repartition(min(len(dv_rows), 32))
         tomb = desc_df.mapInPandas(expand, "file_path string, pos long")
         return scan.join(
             F.broadcast(tomb),
@@ -1251,8 +1257,8 @@ class DeltaTableReader:
             )
             for p, _pv, _dv in files
         ]
-        fmap = spark.createDataFrame(
-            rows, "__rt_fp string, __rt_base long, __rt_ver long"
+        fmap = local_df(
+            spark, rows, "__rt_fp string, __rt_base long, __rt_ver long"
         )
         default_id = (F.col("__rt_base") + F.col("__dv_pos")).cast("long")
         sid = F.coalesce(F.col(mid), default_id) if mid else default_id
@@ -1860,7 +1866,8 @@ class DeltaTableReader:
                 if ct is None
                 else snap.schema
             )
-            vmap = spark.createDataFrame(
+            vmap = local_df(
+                spark,
                 [
                     (p, v, ts_by_version[v])
                     for p, (_raw, _pv, v) in zip(paths, ents)
@@ -6330,10 +6337,12 @@ class DeltaTableWriter:
                     )
 
             res = (
-                spark.createDataFrame(
-                    [(p,) for p in candidates], "path string"
+                local_df(
+                    spark,
+                    [(p,) for p in candidates],
+                    "path string",
+                    slices=min(len(candidates), 32),
                 )
-                .repartition(min(len(candidates), 32))
                 .mapInPandas(
                     _footer_scan, "path string, stale boolean"
                 )

@@ -71,6 +71,7 @@ from pyspark.sql.types import (
 )
 
 from aws_glue_data_lake_spark.avrolite import read_container, write_container
+from aws_glue_data_lake_spark.localdf import local_df
 
 
 class IcebergProtocolError(NotImplementedError):
@@ -997,9 +998,12 @@ class IcebergTableReader:
                         out[with_source_path] = p
                     yield out
 
-        src = spark.createDataFrame([(p,) for p in paths], "path string")
-        if len(paths) > 1:
-            src = src.repartition(min(len(paths), 64))
+        # slices = file-read concurrency (cap 64); local_df skips the
+        # 32-pickle-slice default AND the repartition shuffle it forced.
+        src = local_df(
+            spark, [(p,) for p in paths], "path string",
+            slices=min(len(paths), 64),
+        )
         return src.mapInPandas(gen, out_schema_ddl)
 
     @staticmethod
@@ -1069,9 +1073,10 @@ class IcebergTableReader:
                     out["__del_pos"] = list(range(n_rows))
                     yield out
 
-        src = spark.createDataFrame([(p,) for p in paths], "path string")
-        if len(paths) > 1:
-            src = src.repartition(min(len(paths), 64))
+        src = local_df(
+            spark, [(p,) for p in paths], "path string",
+            slices=min(len(paths), 64),
+        )
         return src.mapInPandas(gen, out_st)
 
     @staticmethod
@@ -1107,12 +1112,12 @@ class IcebergTableReader:
                         }
                     )
 
-        desc = spark.createDataFrame(
+        desc = local_df(
+            spark,
             [(puf, ref, off, size) for puf, ref, off, size in dvs],
             "puffin string, ref string, off long, size long",
+            slices=min(len(dvs), 32),
         )
-        if len(dvs) > 1:
-            desc = desc.repartition(min(len(dvs), 32))
         return desc.mapInPandas(expand_dvs, "file_path string, pos long")
 
     def history(self) -> list[dict]:
@@ -1442,7 +1447,8 @@ class IcebergTableReader:
                 "CAST(NULL AS LONG) AS _row_id",
                 "CAST(NULL AS LONG) AS _last_updated_sequence_number",
             ).drop("__del_fp", "__del_pos")
-        fmap = spark.createDataFrame(
+        fmap = local_df(
+            spark,
             [
                 (
                     p,
@@ -1784,7 +1790,8 @@ class IcebergTableReader:
                         ]
                         if missing_ident:
                             in_group = set(ps)
-                            cmap = spark.createDataFrame(
+                            cmap = local_df(
+                                spark,
                                 [
                                     tuple(
                                         [p]
@@ -1905,7 +1912,8 @@ class IcebergTableReader:
                                 )
                                 continue
                             in_group = set(mps)
-                            cmap = spark.createDataFrame(
+                            cmap = local_df(
+                                spark,
                                 [
                                     tuple(
                                         [p]
@@ -2094,7 +2102,8 @@ class IcebergTableReader:
                 "anti",
             )
         if snap.eq_deletes:
-            seq_map = spark.createDataFrame(
+            seq_map = local_df(
+                spark,
                 [(p, int(snap.file_seqs.get(p, 0))) for p, _ in files],
                 "__sm_fp string, __seq long",
             )
@@ -2107,8 +2116,8 @@ class IcebergTableReader:
             for path, names, seq in snap.eq_deletes:
                 groups.setdefault(names, []).append((path, int(seq)))
             for names, dpaths in sorted(groups.items()):
-                dseq_map = spark.createDataFrame(
-                    dpaths, "__dm_fp string, __dseq long"
+                dseq_map = local_df(
+                    spark, dpaths, "__dm_fp string, __dseq long"
                 )
                 # equality-delete files resolve by the same per-file
                 # rule as data files: field IDs from their own footers
@@ -2467,7 +2476,8 @@ class IcebergTableReader:
                 base = self.to_df(
                     spark, snapshot_id=parent_sid, _with_meta=True
                 )
-                seq_map = spark.createDataFrame(
+                seq_map = local_df(
+                    spark,
                     [
                         (p, int(prev_snap.file_seqs.get(p, 0)))
                         for p, _ in prev_snap.files
@@ -2532,8 +2542,8 @@ class IcebergTableReader:
                         )
                     )
             else:
-                vmap = spark.createDataFrame(
-                    ins_all, "__v_fp string, __o int, __sid long"
+                vmap = local_df(
+                    spark, ins_all, "__v_fp string, __o int, __sid long"
                 )
                 scan = (
                     spark.read.schema(cur_schema)

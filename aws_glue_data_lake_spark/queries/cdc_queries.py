@@ -11,6 +11,8 @@ the oracle recomputes the same state in pure SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from aws_glue_data_lake_spark.localdf import local_df
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.operators.cdc import full_load, incremental_merge
@@ -716,8 +718,8 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat_cols=["user_id"],
     )
     erased = ev.where(F.col("user_id") % _ERASE_MOD == 0).select("user_id").distinct()
-    empty_fact = spark.createDataFrame([], fact.read(spark).schema)
-    empty_dim = spark.createDataFrame([], dim.read(spark).schema)
+    empty_fact = local_df(spark, [], fact.read(spark).schema)
+    empty_dim = local_df(spark, [], dim.read(spark).schema)
     fact.upsert(empty_fact, keys=["user_id"], delete_keys=erased)
     dim.upsert(empty_dim, keys=["user_id"], delete_keys=erased)
     fact_after = fact.read(spark)
@@ -1400,7 +1402,7 @@ def lake_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in table.history()
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version int, op string, n_files int, n_rows bigint"
     ).orderBy("version")
 
@@ -1549,7 +1551,7 @@ def lake_convert_in_place_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     return (
-        spark.createDataFrame(v1_rows, v1.schema).unionAll(v2).orderBy("phase")
+        local_df(spark, v1_rows, v1.schema).unionAll(v2).orderBy("phase")
     )
 
 
@@ -1810,7 +1812,7 @@ def lake_iceberg_compat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality-delete keys 2 and 7 (snap 4), then RE-INSERT key 2 with
     # its final name (snap 5): the seq gate must keep the re-insert
     w.equality_delete(
-        spark.createDataFrame([(2,), (7,)], "n_nationkey long")
+        local_df(spark, [(2,), (7,)], "n_nationkey long")
     )
     reinsert = n.where(F.col("n_nationkey") == 2).withColumn(
         "n_name",
@@ -2610,7 +2612,7 @@ def lake_sql_maintenance_state(
         "CHECK (n_nationkey >= 0)",
     )
     # the constraint must ENFORCE: a violating append fails loudly
-    bad = spark.createDataFrame(
+    bad = local_df(spark, 
         [(-1, "bad")], "n_nationkey long, n_name string"
     )
     try:
@@ -2879,7 +2881,7 @@ def lake_delta_generated_cols_state(
     )
     try:  # divergent generated value must REFUSE
         w.append(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(35, False, 999)],
                 "o_orderkey long, flagged boolean, key_bucket long",
             )
@@ -2946,7 +2948,7 @@ def lake_delta_row_tracking_state(
 
     path = session_tmpdir("row_tracking_") + "/t"
     w = DeltaTableWriter(path)
-    w.create(spark.createDataFrame([], "n_nationkey long, n_name string"))
+    w.create(local_df(spark, [], "n_nationkey long, n_name string"))
     # re-stamp v0 into the FOREIGN shape a tracking-enabling writer
     # leaves: rowTracking in the feature list, enablement + materialized
     # column names in the table config
@@ -2984,7 +2986,7 @@ def lake_delta_row_tracking_state(
     )  # v2: CoW rewrite, ids preserved
     w.merge(
         spark,
-        spark.createDataFrame(
+        local_df(spark, 
             [(7, "MERGED"), (100, "INSERTED")],
             "n_nationkey long, n_name string",
         ),
@@ -3091,7 +3093,7 @@ def lake_delta_identity_state(
     assert hwm == max(before.values()), (hwm, max(before.values()))
     # explicit values into GENERATED ALWAYS must refuse
     try:
-        w.append(spark.createDataFrame(
+        w.append(local_df(spark, 
             [(1, 999, "bad")], "id long, n_nationkey long, n_name string"
         ))
         raise AssertionError("explicit identity insert accepted")
@@ -3100,7 +3102,7 @@ def lake_delta_identity_state(
     # MERGE: key 3 updated (keeps its id), key 100 inserted (fresh id)
     w.merge(
         spark,
-        spark.createDataFrame(
+        local_df(spark, 
             [(3, "UPDATED"), (100, "INSERTED")],
             "n_nationkey long, n_name string",
         ),
@@ -3164,7 +3166,7 @@ def lake_iceberg_wap_branch_state(
     batch = n.where(F.col("n_nationkey") % 5 == 0).withColumn(
         "n_name", F.lit("AUDITED")
     ).unionByName(
-        spark.createDataFrame(
+        local_df(spark, 
             [(100, "AUDITED")], "n_nationkey long, n_name string"
         )
     )
@@ -3342,7 +3344,7 @@ def lake_delta_default_columns_state(
     )
     w = DeltaTableWriter(path)
     w.append(n)  # v1: status/score absent -> both filled
-    w.append(spark.createDataFrame(
+    w.append(local_df(spark, 
         [(999, "EXPLICIT", None)],
         "n_nationkey long, n_name string, status string",
     ))  # v2: explicit NULL status survives; score still fills
@@ -3353,7 +3355,7 @@ def lake_delta_default_columns_state(
     )  # v3: metadata-only re-point of the default
     w.merge(
         spark,
-        spark.createDataFrame(
+        local_df(spark, 
             [(5, "UPDATED"), (100, "INSERTED")],
             "n_nationkey long, n_name string",
         ),
@@ -3438,7 +3440,7 @@ def lake_iceberg_transform_overwrite_state(
         if pv["ts_day"] != day1
     }
     w.overwrite_partition(
-        spark.createDataFrame(
+        local_df(spark, 
             [
                 (200, _dt.datetime(2024, 1, 2, 1)),
                 (201, _dt.datetime(2024, 1, 2, 2)),
@@ -3560,7 +3562,7 @@ def lake_delta_uniform_state(
     w.delete_where(spark, "k = 3")  # v2: CoW (DVs disallowed) + sync
     w.merge(
         spark,
-        spark.createDataFrame(
+        local_df(spark, 
             [(5, "UPDATED", r5), (100, "INSERTED", 9)],
             "k long, v string, r long",
         ),
@@ -3705,8 +3707,8 @@ def lake_sql_add_column_state(
         "ALTER TABLE t ALTER COLUMN score SET DEFAULT 7",
         tables={"t": tb},
     )
-    w.append(spark.createDataFrame([(100,)], "k long"))  # default fills
-    w.append(spark.createDataFrame(
+    w.append(local_df(spark, [(100,)], "k long"))  # default fills
+    w.append(local_df(spark, 
         [(101, 42)], "k long, score long"
     ))  # explicit wins
     return DeltaTableReader(path).to_df(spark).select(
@@ -3803,7 +3805,7 @@ def lake_sql_schema_evolution_state(
          tables={"t": tb})  # v3: physicalName col-2 unchanged
     _sql(spark, "ALTER TABLE t DROP COLUMN junk",
          tables={"t": tb})  # v4: bytes stay, never projected
-    w.append(spark.createDataFrame(
+    w.append(local_df(spark, 
         [(100, "NEW", 7)], "k long, label string, score long"
     ))  # v5: post-evolution shape lands
     snap = DeltaTableReader(path).snapshot()
@@ -3815,7 +3817,7 @@ def lake_sql_schema_evolution_state(
     # guards: rename/drop without mapping refuse loudly
     bare = session_tmpdir("schema_evo_bare_") + "/t"
     wb = DeltaTableWriter(bare)
-    wb.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    wb.create(local_df(spark, [(1, "a")], "k long, v string"))
     for fn in (lambda: wb.rename_column("v", "w"),
                lambda: wb.drop_column("v")):
         try:

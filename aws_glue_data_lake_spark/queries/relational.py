@@ -11,6 +11,8 @@ cross-engine determinism, unique tiebreakers on every LIMIT.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from aws_glue_data_lake_spark.localdf import local_df
 from pyspark.sql import functions as F
 
 from aws_glue_data_lake_spark.queries.base import Registry, davg_sql, dsum_sql, session_tmpdir, t
@@ -2570,7 +2572,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = hist.collect()
     schema = hist.schema
     ranged.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # --------------------------------------------------------------------------
@@ -2861,7 +2863,7 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
     )
     margin = int(math.ceil(_CMS_EPS * row["n"]))
-    est = spark.createDataFrame(
+    est = local_df(spark, 
         [(k, int(cms.estimateCount(k))) for k in range(_CMS_PROBE_KEYS)],
         "user_id long, est long",
     )
@@ -3499,7 +3501,7 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         observed.agg(F.countDistinct("l_returnflag").cast("bigint")).first()[0]
     )
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(m["n_rows"], m["n_discounted"], m["qty_sum"], n_flags)],
         "n_rows bigint, n_discounted bigint, qty_sum double, n_flags bigint",
     )

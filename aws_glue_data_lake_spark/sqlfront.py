@@ -72,6 +72,8 @@ import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_glue_data_lake_spark.localdf import local_df
+
 from aws_glue_data_lake_spark.table import Table, open_table
 
 __all__ = ["sql"]
@@ -1086,9 +1088,7 @@ def sql(
                 dry_run=dry,
             )
         if dry:  # delta-spark's DRY RUN returns the path result set
-            return spark.createDataFrame(
-                [(p,) for p in paths], "path string"
-            )
+            return local_df(spark, [(p,) for p in paths], "path string")
         return None
     m = _RESTORE_RE.match(statement)
     if m:
@@ -1116,8 +1116,8 @@ def sql(
         if m.group("key") is not None:
             k = m.group("key")
             props = {k: props.get(k)}
-        return spark.createDataFrame(
-            sorted(props.items()), "key string, value string"
+        return local_df(
+            spark, sorted(props.items()), "key string, value string"
         )
     m = _DESCRIBE_HISTORY_RE.match(statement)
     if m:

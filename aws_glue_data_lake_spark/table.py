@@ -35,6 +35,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_glue_data_lake_spark.localdf import local_df
+
 FORMATS = ("lake", "delta", "iceberg")
 
 
@@ -582,7 +584,7 @@ class Table:
                  h.get("sequence_number"), h.get("operation"))
                 for h in self._ice_reader().history()
             ]
-        return spark.createDataFrame(rows, self._SNAPSHOTS_DDL)
+        return local_df(spark, rows, self._SNAPSHOTS_DDL)
 
     _DETAIL_DDL = (
         "format string, location string, num_files long, "
@@ -616,7 +618,8 @@ class Table:
             ccols = _clustering_logical_cols(snap)
         else:
             pcols = list(self._ice_reader().snapshot().partition_by)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     self.format,
@@ -678,7 +681,7 @@ class Table:
                         (snap.file_sizes or {}).get(p),
                     )
                 )
-        return spark.createDataFrame(rows, self._FILES_DDL)
+        return local_df(spark, rows, self._FILES_DDL)
 
     def partitions(self, spark: SparkSession) -> DataFrame:
         """Live partitions at the tip with file and row counts — the

@@ -79,7 +79,7 @@ def main() -> int:
                 "sec": dur,
                 "desc": (j.description().get() if j.description().isDefined() else j.name())[:140],
                 "tasks": j.numTasks(),
-                "stages": len(j.stageIds()),
+                "stages": j.stageIds().size(),
             }
         )
     out.sort(key=lambda d: d["job"])
