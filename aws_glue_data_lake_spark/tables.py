@@ -32,6 +32,14 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (applicationId, sf_dir, name, merge_schema) -> DataFrame. A DataFrame
+#: is an immutable logical plan, so handing the same one to every caller
+#: is free sharing: building a fresh one costs a schema-inference/footer
+#: job (~0.05-0.4 s) that nearly every registered query repaid per table
+#: reference. No data is cached — each action still scans the parquet.
+_LOAD_MEMO: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -46,11 +54,17 @@ def load_table(
     # factory) so driver-provided sessions work too. Consumers must NOT
     # assume which physical type they got: normalize via ts_us_col, which
     # dispatches on the dtype actually read.
+    key = (spark.sparkContext.applicationId, sf_dir, name, merge_schema)
+    memo = _LOAD_MEMO.get(key)
+    if memo is not None:
+        return memo
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _LOAD_MEMO[key] = df
+    return df
 
 
 def ts_us_col(df: DataFrame, name: str = "ts") -> Column:
