@@ -146,12 +146,21 @@ def stage_ordered_batches(batches: list[DataFrame]) -> str:
     ``maxFilesPerTrigger=1`` replays them as micro-batches in exactly this
     order (FileStreamSource schedules by modification time). This is the
     deterministic stand-in for 'events arriving out of order over time' —
-    the late-data fixture a watermark test needs."""
+    the late-data fixture a watermark test needs.
+
+    The N batch writes are independent single-task jobs (each a filter of
+    the fixture scan), so they run from a small thread pool (guide §2.6 —
+    concurrent jobs back-fill idle cores; ~0.4 s apiece sequentially).
+    Replay ORDER does not ride on write completion order: the mtimes that
+    FileStreamSource schedules by are stamped explicitly afterwards."""
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     stage = _staged_tmpdir("events_batches_")
     now = time.time()
-    for i, df in enumerate(batches):
+
+    def _write(i_df):
+        i, df = i_df
         tmp = os.path.join(stage, f"_tmp_{i}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         (part,) = [
@@ -160,6 +169,11 @@ def stage_ordered_batches(batches: list[DataFrame]) -> str:
         dst = os.path.join(stage, f"b{i}.parquet")
         shutil.move(os.path.join(tmp, part), dst)
         shutil.rmtree(tmp)
+        return dst
+
+    with ThreadPoolExecutor(max_workers=min(4, len(batches) or 1)) as pool:
+        dsts = list(pool.map(_write, enumerate(batches)))
+    for i, dst in enumerate(dsts):
         os.utime(dst, (now + 10 * i, now + 10 * i))
     return stage
 

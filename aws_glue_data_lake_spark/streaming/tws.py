@@ -120,27 +120,46 @@ def ensure_protobuf_env(spark) -> bool:
     return True
 
 
+#: Commit mechanics for the scoped RocksDB provider. Changelog
+#: checkpointing persists the per-batch DELTA instead of a full snapshot
+#: zip per store instance per commit — O(changed keys) commit cost, which
+#: is both the measured local win (~1 s per drained query) and the right
+#: production setting for frequent micro-batch commits (snapshots still
+#: happen, on the background maintenance thread). trackTotalNumberOfRows
+#: spends a lookup per write to maintain a metrics-only row counter —
+#: results are unaffected.
+_ROCKSDB_TUNING: dict[str, str] = {
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": "false",
+}
+
+
 @contextlib.contextmanager
 def rocksdb_state_store(spark):
-    """Scope ``RocksDBStateStoreProvider`` to one streaming query start.
+    """Scope ``RocksDBStateStoreProvider`` (+ commit tuning) to one
+    streaming query start.
 
     The provider is captured into the query's offset log at ``start()``,
     so it must be set before and can be restored right after the drain —
     leaving the session's other streaming queries on their default store.
     """
-    had = True
-    try:
-        prev = spark.conf.get(_PROVIDER_CONF)
-    except Exception:
-        had, prev = False, None
-    spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    scoped = {_PROVIDER_CONF: _ROCKSDB_PROVIDER, **_ROCKSDB_TUNING}
+    prev: dict[str, str | None] = {}
+    for k in scoped:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        if had and prev is not None:
-            spark.conf.set(_PROVIDER_CONF, prev)
-        else:
-            spark.conf.unset(_PROVIDER_CONF)
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 try:  # gate: StatefulProcessor only exists on PySpark >= 4.0
