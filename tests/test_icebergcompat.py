@@ -3069,3 +3069,31 @@ def test_overwrite_partition_day_transform(spark, tmp_path):
             ),
             ts_day="2024-01-01",
         )
+
+
+def test_vectorized_bucket_hash_matches_scalar():
+    """The numpy whole-array murmur3 used by the bucket-transform write
+    path must be bit-identical to the scalar spec implementation (incl.
+    Appendix B's hash(34L) vector) for any int64 — same bytes hashed,
+    same 31-bit mask."""
+    import random
+
+    import numpy as np
+
+    from aws_glue_data_lake_spark.icebergcompat import (
+        _bucket_hash_bytes,
+        _murmur3_32,
+        _murmur3_32_long_np,
+    )
+
+    rng = random.Random(42)
+    vals = [0, 1, -1, 34, 2**31, -(2**31), 2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(2000)
+    ]
+    scalar = np.array(
+        [(_murmur3_32(_bucket_hash_bytes(v)) & 0x7FFFFFFF) for v in vals],
+        dtype=np.int64,
+    )
+    vec = _murmur3_32_long_np(np.array(vals, dtype=np.int64))
+    assert np.array_equal(scalar, vec)
+    assert vec[3] == 2017239379 & 0x7FFFFFFF  # spec Appendix B: hash(34L)
