@@ -818,7 +818,16 @@ def _norm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _NORM_CACHE.get(key)
     if cached is not None:
         return cached
-    nv = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings")
+    # The fixture parquet has ONE row group, so the scan is one task and
+    # every decimal-exact norm (64 ops/row) and each downstream k-means /
+    # banding pass over the persisted table would run single-threaded.
+    # Up-partition only when the scan is narrower than the cores (at real
+    # scale the corpus arrives in many files and this is a no-op).
+    cores = spark.sparkContext.defaultParallelism
+    if len(e.inputFiles()) < cores:
+        e = e.repartition(cores)
+    nv = e.select(
         "vec_id",
         "label",
         "embedding",

@@ -50,13 +50,13 @@ nv AS (
 
 
 def _nv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(ddot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    # The same (vec_id, label, embedding, norm) projection dedup already
+    # memoizes+persists per (session, fixture) — one norm build (32-way,
+    # see _norm_table) serves every sim_* consumer and all the k-means
+    # Lloyd passes instead of each rebuilding it on the one-row-group scan.
+    from aws_glue_data_lake_spark.queries.dedup import _norm_table
+
+    return _norm_table(spark, sf_dir)
 
 
 def _cosine(ea, na, eb, nb):
@@ -1233,9 +1233,34 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
     )
+    # Two-phase ε-test (guide §1.2 "per-task work"): a plain double dot is
+    # ~an order of magnitude cheaper per pair than the exact-decimal one.
+    # Both paths multiply the same doubles; they differ only in summation:
+    # ddot quantizes each product to decimal(38,12) (≤5e-13/element, ×64 =
+    # 3.2e-11 on the dot) and the double sum adds ≤63·eps·Σ|p_i| ≈
+    # 7e-15·na·nb (Cauchy-Schwarz). So |double_cos − exact_cos| ≤
+    # 3.2e-11/(na·nb) + 7e-15 — far under the 1e-7 guard for any na·nb ≥
+    # 3.3e-4 (corpus norms are O(1)). Pairs with double_cos below the
+    # decision boundary (exact ≥ EPS−5e-7 after HALF_UP ROUND(·,6)) minus
+    # the guard can NEVER pass the exact test — the exact-decimal cosine
+    # runs only on the prefilter's survivors (few: the corpus is
+    # near-orthogonal). Results are bit-identical; the exact predicate
+    # still decides.
+    fast_dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     removed = (
         a.join(b, "centroid_id")
         .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            fast_dot / (F.col("na") * F.col("nb"))
+            >= F.lit(_SEM_EPS - 5e-7 - 1e-7)
+        )
         .where(
             _cosine(F.col("ea"), F.col("na"), F.col("eb"), F.col("nb"))
             >= _SEM_EPS
