@@ -64,19 +64,22 @@ def main() -> int:
     for i in range(n):
         j = jlist.apply(i)
         dur = None
+        sub = end = None
         try:
             st = j.submissionTime()
             ct = j.completionTime()
             if st.isDefined() and ct.isDefined():
-                dur = (
-                    ct.get().getTime() - st.get().getTime()
-                ) / 1000.0
+                sub = st.get().getTime() / 1000.0
+                end = ct.get().getTime() / 1000.0
+                dur = end - sub
         except Exception:
             pass
         out.append(
             {
                 "job": j.jobId(),
                 "sec": dur,
+                "sub": sub,
+                "end": end,
                 "desc": (j.description().get() if j.description().isDefined() else j.name())[:140],
                 "tasks": j.numTasks(),
                 "stages": j.stageIds().size(),
@@ -86,8 +89,18 @@ def main() -> int:
     total_job = sum(d["sec"] or 0 for d in out)
     print(f"\n== {name} @ {sf_dir}: build {t_build:.2f}s, action {t_collect:.2f}s, rows {len(rows)} ==")
     print(f"{len(out)} jobs, sum of job durations {total_job:.2f}s (gaps = driver/Python time)")
+    prev_end = None
     for d in out:
-        print(f"  job {d['job']:>4} {d['sec'] if d['sec'] is not None else -1:7.3f}s tasks={d['tasks']:<4} stages={d['stages']} {d['desc']}")
+        # gap = idle driver/Python time between the previous job's finish
+        # and this job's submission — where Catalyst/py4j/pure-Python cost
+        # hides (jobs overlap under concurrent actions; negative gaps mean
+        # overlap, printed as 0).
+        gap = 0.0
+        if prev_end is not None and d["sub"] is not None:
+            gap = max(0.0, d["sub"] - prev_end)
+        if d["end"] is not None:
+            prev_end = d["end"] if prev_end is None else max(prev_end, d["end"])
+        print(f"  job {d['job']:>4} {d['sec'] if d['sec'] is not None else -1:7.3f}s gap={gap:6.3f}s tasks={d['tasks']:<4} stages={d['stages']} {d['desc']}")
     if want_explain:
         df.explain("formatted")
     return 0

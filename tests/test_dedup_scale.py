@@ -93,3 +93,17 @@ def test_bloom_prefilter_invariants(spark):
         assert r.n_false_pos == r.n_candidates - r.n_confirmed
         assert r.n_new == r.n_batch - r.n_confirmed
         assert 0 <= r.n_confirmed <= r.n_batch
+
+
+def test_components_local_unionfind_matches_bsp(spark, monkeypatch):
+    """dedup_components solves small edge graphs with a driver-local
+    union-find and large ones with the BSP min-label loop; both must
+    produce identical component rows (min-id labels, sorted members)."""
+    import aws_glue_data_lake_spark.queries.dedup as dd
+
+    sf = "/root/testdata/sf0.01"
+    local = dd.dedup_components(spark, sf).collect()
+    monkeypatch.setattr(dd, "_LOCAL_CC_MAX_EDGES", -1)  # force BSP
+    bsp = dd.dedup_components(spark, sf).collect()
+    assert local == bsp
+    assert len(local) > 0
