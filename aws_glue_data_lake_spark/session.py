@@ -43,6 +43,18 @@ _BASE_CONF: dict[str, str] = {
     # and file-skipping. Micros is also what delta-spark and Iceberg
     # writers emit.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Commit path for staged parquet writes (guide §6): the v1 committer
+    # double-renames every file (task _temporary → job _temporary →
+    # destination) and stamps a _SUCCESS marker nothing in this engine
+    # reads (the Python data source writes its OWN manifest). v2 renames
+    # once at task commit — the standard production setting wherever the
+    # object store/FS lacks cheap directory rename — and the lake/Delta/
+    # Iceberg writers glob the staged dir only after the job returns, so
+    # partial-task debris on failure lands in a _stage_* dir that the
+    # failed commit never references. Measured 0.21 s → 0.15 s per staged
+    # write; the suite performs hundreds.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
     # Long-lived sessions run hundreds of queries (the bench suite, the
     # driver's correctness sweep): the UI server and its listeners retain
     # per-execution plan graphs and job/stage data for all of them, which
