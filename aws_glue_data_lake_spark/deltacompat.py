@@ -2051,7 +2051,15 @@ class DeltaTableWriter:
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # Fan-out writes invert the committer trade-off the session
+            # default (v2, session.py) makes for flat stages: v2 renames
+            # every file serially inside task commit, and with many Hive
+            # dirs per task that serial chain beats v1's dir-level merge
+            # (measured +1.3 s on a 124-dir append). Per-write option —
+            # DataFrameWriter options merge into the job's Hadoop conf.
+            writer = writer.partitionBy(*partition_by).option(
+                "mapreduce.fileoutputcommitter.algorithm.version", "1"
+            )
         writer.parquet(stage)
         staged = sorted(
             glob.glob(

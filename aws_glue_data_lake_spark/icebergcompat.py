@@ -2732,8 +2732,11 @@ class IcebergTableWriter:
             staged_df = staged_df.repartition(
                 *[staged_df[f"__pb_{c}"] for c in partition_by]
             )
+            # v1 committer for fan-out stages (see deltacompat._stage_files).
             _clustered(staged_df).write.mode("overwrite").partitionBy(
                 *[f"__pb_{c}" for c in partition_by]
+            ).option(
+                "mapreduce.fileoutputcommitter.algorithm.version", "1"
             ).parquet(stage)
         else:
             _clustered(df).write.mode("overwrite").parquet(stage)

@@ -351,7 +351,12 @@ class LakeTable:
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # v1 committer for fan-out stages (see deltacompat._stage_files:
+            # v2's per-file task-commit renames lose to v1's dir merge when
+            # one task commits many Hive dirs).
+            writer = writer.partitionBy(*partition_by).option(
+                "mapreduce.fileoutputcommitter.algorithm.version", "1"
+            )
         writer.parquet(stage)
         entries = []
         for src in sorted(

@@ -291,7 +291,10 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("vec_id", "embedding", "norm", "centroid_id")
     )
     d = session_tmpdir("ivf_store_")
-    assigned.write.partitionBy("centroid_id").parquet(f"{d}/assignments")
+    # v1 committer for the fan-out write (see deltacompat._stage_files).
+    assigned.write.partitionBy("centroid_id").option(
+        "mapreduce.fileoutputcommitter.algorithm.version", "1"
+    ).parquet(f"{d}/assignments")
     cent.write.parquet(f"{d}/centroids")
     _IVF_STORE[key] = d
     return d
