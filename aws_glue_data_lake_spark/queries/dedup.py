@@ -31,9 +31,6 @@ hamming ≤ 9; we report pairs at hamming ≤ 7 (fixture near-dups land at
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -654,29 +651,36 @@ ORDER BY doc_a, doc_b
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two boundaries: h feeds 60 bit-term filters; simhash feeds 10 band
-    # projections and both join sides (see _shingle_table).
-    hs = (
-        _shingle_table(spark, sf_dir)
-        .select("doc_id", F.transform("s", lambda x: F.md5(x)).alias("h"))
-        .persist()
+    # One boundary: simhash feeds 10 band projections and both join sides
+    # (see _shingle_table).
+    #
+    # Bit-layout identity: the oracle's bit j is bit (3 − j%4) of hex
+    # nibble j//4 of md5(x) — for the 15-nibble prefix parsed as one
+    # integer v, that is exactly bit (59 − j) of v. So instead of 60
+    # separate filter-lambda passes over the hash array (which cost ~5 s
+    # of driver lambda-construction/analysis per session and 60 array
+    # traversals per row at runtime), parse v ONCE per element and fold
+    # all 60 majority counts in a single aggregate pass. Same simhash
+    # value bit-for-bit; the oracle is untouched.
+    hs = _shingle_table(spark, sf_dir).select(
+        "doc_id", F.transform("s", lambda x: F.md5(x)).alias("h")
     )
-    n_sh = F.size("h")
-
-    def bit_term(j: int) -> Column:
-        p, k = j // 4 + 1, 3 - j % 4
-        # nibble value via base conversion (Spark's conv == DuckDB's instr map)
-        nib = lambda x: F.conv(x.substr(p, 1), 16, 10).cast("int")
-        n_set = F.size(
-            F.filter("h", lambda x: F.shiftright(nib(x), k).bitwiseAND(1) == 1)
-        )
-        return F.when(2 * n_set > n_sh, F.lit(1 << j)).otherwise(F.lit(0))
-
+    counts = f"""aggregate(
+      transform(h, x -> CAST(conv(substr(x, 1, 15), 16, 10) AS BIGINT)),
+      array_repeat(CAST(0 AS BIGINT), {_SIM_BITS}),
+      (acc, v) -> zip_with(
+        acc,
+        transform(sequence(0, {_SIM_BITS - 1}),
+                  i -> shiftright(v, {_SIM_BITS - 1} - i) & CAST(1 AS BIGINT)),
+        (a, b) -> a + b))"""
+    sim_expr = f"""CAST(aggregate(
+      zip_with({counts}, sequence(0, {_SIM_BITS - 1}),
+               (c, j) -> IF(2 * c > size(h),
+                            shiftleft(CAST(1 AS BIGINT), j),
+                            CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"""
     sim = hs.select(
-        "doc_id",
-        reduce(add, [bit_term(j) for j in range(_SIM_BITS)]).cast("bigint").alias(
-            "simhash"
-        ),
+        "doc_id", F.expr(sim_expr).alias("simhash")
     ).persist()
     band_val = lambda j: F.shiftright("simhash", _BITS_PER_BAND * j).bitwiseAND(
         (1 << _BITS_PER_BAND) - 1
