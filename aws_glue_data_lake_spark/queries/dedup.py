@@ -845,11 +845,11 @@ def _norm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _embedding_cosine_pairs(
+def _embedding_cosine_cand(
     spark: SparkSession, sf_dir: str, with_label: bool
 ) -> DataFrame:
-    """All banded candidate pairs with exact cosine — shared by the
-    per-label and global top-k variants (and by the superset test)."""
+    """Distinct banded candidate pairs (vec_a, vec_b) — the shared
+    blocker of the per-label and global variants."""
     nv = _norm_table(spark, sf_dir)
 
     def bucket(i: int, p: int) -> Column:
@@ -880,12 +880,16 @@ def _embedding_cosine_pairs(
     keys = _cap_buckets(keys, keys=tuple(join_cols)).persist()
     a = keys.select(F.col("vec_id").alias("vec_a"), *join_cols)
     b = keys.select(F.col("vec_id").alias("vec_b"), *join_cols)
-    cand = (
+    return (
         a.join(b, join_cols)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()  # a pair can match under several phase vectors
     )
+
+
+def _embedding_sides(spark: SparkSession, sf_dir: str):
+    nv = _norm_table(spark, sf_dir)
     na = nv.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
@@ -894,6 +898,16 @@ def _embedding_cosine_pairs(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
         F.col("norm").alias("nb"),
     )
+    return na, nb
+
+
+def _embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, with_label: bool
+) -> DataFrame:
+    """All banded candidate pairs with exact cosine (the superset test's
+    view; the top-k variants rescore in two phases instead)."""
+    cand = _embedding_cosine_cand(spark, sf_dir, with_label)
+    na, nb = _embedding_sides(spark, sf_dir)
     cosine = F.round(
         ddot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
@@ -907,8 +921,48 @@ def _embedding_cosine_pairs(
 def _embedding_cosine_topk(
     spark: SparkSession, sf_dir: str, with_label: bool
 ) -> DataFrame:
+    """Top-20 pairs by exact rounded cosine, computed in two phases
+    (guide §1.2): score every candidate with the plain-double cosine
+    (~10× cheaper per pair than the exact-decimal ddot), find the 20th
+    double score, and run the exact decimal rescore ONLY on pairs within
+    a conservative margin of it. Safety: |double − raw| ≤ ~1e-7 (same
+    two summation error sources as dedup_semdedup) and ROUND(·,6) moves
+    a value ≤ 5e-7, so any pair whose ROUNDED cosine can reach the final
+    top-20 has double score ≥ (20th double) − 1.2e-6; the filter keeps a
+    2e-6 margin. The exact predicate still orders the final rows — the
+    output is bit-identical, degrading only to a full rescore if the
+    margin captures everything."""
+    cand = _embedding_cosine_cand(spark, sf_dir, with_label)
+    na, nb = _embedding_sides(spark, sf_dir)
+    fast = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("na") * F.col("nb"))
+    scored = (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", fast.alias("fcos"))
+        .persist()  # tiny: (id, id, double) per candidate pair
+    )
+    th = (
+        scored.orderBy(F.desc("fcos"))
+        .limit(20)
+        .agg(F.min("fcos").alias("th"))
+    )
+    cosine = F.round(
+        ddot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
-        _embedding_cosine_pairs(spark, sf_dir, with_label)
+        scored.crossJoin(F.broadcast(th))
+        .where(F.col("fcos") >= F.col("th") - 2e-6)
+        .select("vec_a", "vec_b")
+        .join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
     )
