@@ -4910,22 +4910,23 @@ class DeltaTableWriter:
         if delete_keys is not None:
             kill = kill.unionByName(delete_keys.select(*keys))
         kill = kill.dropDuplicates(keys)
-        batch_empty = source.isEmpty() and (
-            delete_keys is None or delete_keys.isEmpty()
-        )
         has_nmbs = (
             not_matched_by_source is not None
             or not_matched_by_source_clauses is not None
         )
-        if batch_empty and not has_nmbs:
-            return snap.version  # no-op
-        # one tiny agg → the batch's key-range; files outside it can't
-        # hold a matching row (min/max ignore NULL keys, and NULL keys
-        # never equi-match, so range pruning stays sound)
+        # ONE tiny agg → batch emptiness AND the batch's key-range
+        # (kill is empty iff source and delete_keys both are; the two
+        # isEmpty probes this folds were separate jobs). Files outside
+        # the range can't hold a matching row (min/max ignore NULL keys,
+        # and NULL keys never equi-match, so range pruning stays sound).
         bounds = kill.agg(
+            F.count(F.lit(1)).alias("__n"),
             *[F.min(k).alias(f"__lo_{i}") for i, k in enumerate(keys)],
             *[F.max(k).alias(f"__hi_{i}") for i, k in enumerate(keys)],
         ).collect()[0]
+        batch_empty = bounds["__n"] == 0
+        if batch_empty and not has_nmbs:
+            return snap.version  # no-op
 
         # stats/partitionValues in the log are keyed by PHYSICAL names;
         # bounds are positional, so pruning just looks keys up under
