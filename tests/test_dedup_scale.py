@@ -107,3 +107,59 @@ def test_components_local_unionfind_matches_bsp(spark, monkeypatch):
     bsp = dd.dedup_components(spark, sf).collect()
     assert local == bsp
     assert len(local) > 0
+
+
+def test_cosine_topk_two_phase_matches_full_rescore(spark):
+    """The two-phase top-20 (double-precision threshold + exact rescore
+    of survivors) must reproduce the exact-cosine-on-every-pair ranking
+    bit for bit, for both banding variants."""
+    import aws_glue_data_lake_spark.queries.dedup as dd
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    for with_label in (True, False):
+        full = (
+            dd._embedding_cosine_pairs(spark, sf, with_label)
+            .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+            .limit(20)
+            .collect()
+        )
+        two_phase = dd._embedding_cosine_topk(spark, sf, with_label).collect()
+        assert two_phase == full
+        assert len(full) > 0
+
+
+def test_semdedup_prefilter_is_conservative(spark):
+    """No pair that passes the exact ε-test may be rejected by the
+    double-precision prefilter margin (the prefilter can only shrink the
+    exact test's INPUT, never its output)."""
+    import aws_glue_data_lake_spark.queries.similarity as sim
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    nv = sim._nv(spark, sf)
+    _, assigned = sim._km_assigned(spark, sf)
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    fast = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / (F.col("na") * F.col("nb"))
+    exact_pass = sim._cosine(
+        F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")
+    ) >= sim._SEM_EPS
+    violations = (
+        a.join(b, "centroid_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(exact_pass)
+        .where(fast < F.lit(sim._SEM_EPS - 5e-7 - 1e-7))
+        .count()
+    )
+    assert violations == 0
