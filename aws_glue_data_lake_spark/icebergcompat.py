@@ -5207,8 +5207,6 @@ class IcebergTableWriter:
                 source = source.unionByName(
                     upd, allowMissingColumns=True
                 )
-        if kill.isEmpty() and (mc is None or source.isEmpty()):
-            return prev["current-snapshot-id"]  # no-op
         spec_ = self._default_spec(prev)
         spec_id = spec_["spec-id"]
         spec_fields = spec_["fields"]
@@ -5223,6 +5221,17 @@ class IcebergTableWriter:
             kill, keys, schema_json
         )
         staged = self._stage_data_files(source, pcols, part_exprs)
+        # No-op detection rides the staging results instead of paying
+        # kill.isEmpty() + source.isEmpty() probe jobs up front (the
+        # Delta merge's bounds-aggregate fold, mirrored): n_del == 0 iff
+        # kill is empty, and staged == [] iff source staged zero rows
+        # (zero-row files are skipped). In the default mode kill ⊇
+        # src_keys, so kill empty implies source empty — the old
+        # `kill.isEmpty() and (mc is None or source.isEmpty())` is
+        # exactly `n_del == 0 and not staged` in both clause modes.
+        if n_del == 0 and not staged:
+            os.remove(dst)  # the zero-row staged equality-delete file
+            return prev["current-snapshot-id"]  # no-op
 
         def attempt(pv: dict) -> int:
             # manifests are rebuilt per attempt (they embed the
