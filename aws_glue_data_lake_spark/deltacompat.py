@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from aws_glue_data_lake_spark.concurrency import run_jobs
 from aws_glue_data_lake_spark.localdf import local_df
 
 #: Reader features this implementation actually honors (protocol §
@@ -5253,6 +5254,7 @@ class DeltaTableWriter:
             )
 
         cdc_actions: list[dict] = []
+        cdc_df: DataFrame | None = None
         if self._cdf_enabled(snap.configuration):
             # CDF: the copy-on-write remove/add churn below misstates
             # carried-along rows as changes, so an explicit cdc file
@@ -5260,6 +5262,10 @@ class DeltaTableWriter:
             # update_preimage/postimage pairs, new keys as insert,
             # delete-only keys as delete. Readers then use the cdc file
             # and ignore this commit's add/remove actions entirely.
+            # The cdc frame is only RECORDED here; it is staged
+            # concurrently with the main rewrite below (both writes
+            # land in their own unique _stage_* dirs and only the
+            # commit consumes them).
             def align(df: DataFrame) -> DataFrame:
                 return df.select(
                     *[
@@ -5353,12 +5359,7 @@ class DeltaTableWriter:
                                 F.lit("update_postimage"),
                             )
                         )
-                cdc_actions = [
-                    {"cdc": c}
-                    for c in self._stage_files(
-                        to_physical(changes), part_stage, cdc=True
-                    )
-                ]
+                cdc_df = changes
                 # the clause-mode CDF is complete; skip the
                 # replacement-semantics assembly below
                 changes = None
@@ -5432,12 +5433,7 @@ class DeltaTableWriter:
                     "_change_type", F.lit("insert")
                 )
             if mc is None:
-                cdc_actions = [
-                    {"cdc": c}
-                    for c in self._stage_files(
-                        to_physical(changes), part_stage, cdc=True
-                    )
-                ]
+                cdc_df = changes
         removes = [
             {
                 "remove": {
@@ -5448,7 +5444,21 @@ class DeltaTableWriter:
             }
             for p in affected
         ]
-        adds = self._stage_files(to_physical(out), part_stage)
+        if cdc_df is not None:
+            # overlap the two independent staging writes (guide §2.6):
+            # the cdc file job and the main rewrite job each target
+            # their own unique _stage_* dir; the commit only reads the
+            # returned action lists after both finish, so commit-log
+            # content and ordering are unchanged.
+            staged_cdc, adds = run_jobs(
+                lambda: self._stage_files(
+                    to_physical(cdc_df), part_stage, cdc=True
+                ),
+                lambda: self._stage_files(to_physical(out), part_stage),
+            )
+            cdc_actions = [{"cdc": c} for c in staged_cdc]
+        else:
+            adds = self._stage_files(to_physical(out), part_stage)
 
         def winner_add_conflicts(add: dict) -> bool:
             # the same key-range pruning that picked this MERGE's
@@ -5534,18 +5544,6 @@ class DeltaTableWriter:
         kept = live.where(~F.coalesce(cond, F.lit(False)))
         if rtc:
             kept = self._rt_materialize(kept, rtc, preserve_ver=True)
-        cdc_actions: list[dict] = []
-        if self._cdf_enabled(snap.configuration):
-            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
-            changes = live.where(cond).drop(*rt_drop).withColumn(
-                "_change_type", F.lit("delete")
-            )
-            cdc_actions = [
-                {"cdc": c}
-                for c in self._stage_files(
-                    to_physical(changes), part_stage, cdc=True
-                )
-            ]
         removes = [
             {
                 "remove": {
@@ -5556,11 +5554,28 @@ class DeltaTableWriter:
             }
             for p in affected
         ]
-        adds = (
-            []
-            if kept.isEmpty()
-            else self._stage_files(to_physical(kept), part_stage)
-        )
+        # The kept-rows rewrite needs no isEmpty pre-probe: staging an
+        # empty frame writes only zero-row part files, which
+        # _stage_files already skips, so adds == [] exactly when kept
+        # is empty — one fewer driver job per DELETE. With CDF on, the
+        # cdc file and the rewrite are staged concurrently (guide
+        # §2.6): independent writes into unique _stage_* dirs, only the
+        # commit consumes the results.
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
+            changes = live.where(cond).drop(*rt_drop).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            staged_cdc, adds = run_jobs(
+                lambda: self._stage_files(
+                    to_physical(changes), part_stage, cdc=True
+                ),
+                lambda: self._stage_files(to_physical(kept), part_stage),
+            )
+            cdc_actions = [{"cdc": c} for c in staged_cdc]
+        else:
+            adds = self._stage_files(to_physical(kept), part_stage)
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -5677,22 +5692,6 @@ class DeltaTableWriter:
         else:
             updated_m = updated
         out = copied.unionByName(updated_m)
-        cdc_actions: list[dict] = []
-        if self._cdf_enabled(snap.configuration):
-            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
-            changes = matched.drop(*rt_drop).withColumn(
-                "_change_type", F.lit("update_preimage")
-            ).unionByName(
-                updated.drop(*rt_drop).withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
-            )
-            cdc_actions = [
-                {"cdc": c}
-                for c in self._stage_files(
-                    to_physical(changes), part_stage, cdc=True
-                )
-            ]
         removes = [
             {
                 "remove": {
@@ -5703,7 +5702,27 @@ class DeltaTableWriter:
             }
             for p in affected
         ]
-        adds = self._stage_files(to_physical(out), part_stage)
+        # cdc file ∥ rewrite staging (guide §2.6): independent writes
+        # into unique _stage_* dirs; the commit reads both results.
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap.configuration):
+            rt_drop = ["__rt_sid", "__rt_sver"] if rtc else []
+            changes = matched.drop(*rt_drop).withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                updated.drop(*rt_drop).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            staged_cdc, adds = run_jobs(
+                lambda: self._stage_files(
+                    to_physical(changes), part_stage, cdc=True
+                ),
+                lambda: self._stage_files(to_physical(out), part_stage),
+            )
+            cdc_actions = [{"cdc": c} for c in staged_cdc]
+        else:
+            adds = self._stage_files(to_physical(out), part_stage)
         v = snap.version + 1
         return self._commit_read_dependent(
             v,
@@ -5751,6 +5770,8 @@ class DeltaTableWriter:
             for p, pv, _dv in snap.files
             if all(pv.get(k) == v for k, v in part_phys.items())
         ]
+        # cdc file ∥ overwrite staging (guide §2.6): independent writes
+        # into unique _stage_* dirs; the commit reads both results.
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap.configuration):
             spark = df.sparkSession
@@ -5761,13 +5782,15 @@ class DeltaTableWriter:
             new = df.select(*cols).withColumn(
                 "_change_type", F.lit("insert")
             )
-            cdc_actions = [
-                {"cdc": c}
-                for c in self._stage_files(
+            staged_cdc, adds = run_jobs(
+                lambda: self._stage_files(
                     to_phys(old.unionByName(new)), part_stage, cdc=True
-                )
-            ]
-        adds = self._stage_files(to_phys(df), part_stage)
+                ),
+                lambda: self._stage_files(to_phys(df), part_stage),
+            )
+            cdc_actions = [{"cdc": c} for c in staged_cdc]
+        else:
+            adds = self._stage_files(to_phys(df), part_stage)
         v = snap.version + 1
         all_actions = removes + [{"add": a} for a in adds] + cdc_actions
         if ident_touched:

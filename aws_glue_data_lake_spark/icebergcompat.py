@@ -71,6 +71,7 @@ from pyspark.sql.types import (
 )
 
 from aws_glue_data_lake_spark.avrolite import read_container, write_container
+from aws_glue_data_lake_spark.concurrency import run_jobs
 from aws_glue_data_lake_spark.localdf import local_df
 
 
@@ -5217,10 +5218,13 @@ class IcebergTableWriter:
             schema_json,
             spec_fields,
         )
-        dst, n_del, eq_ids = self._stage_eq_delete_file(
-            kill, keys, schema_json
+        # The equality-delete file and the data files are independent
+        # staging writes into unique temp dirs — overlap them (guide
+        # §2.6); the manifest build below consumes both results.
+        (dst, n_del, eq_ids), staged = run_jobs(
+            lambda: self._stage_eq_delete_file(kill, keys, schema_json),
+            lambda: self._stage_data_files(source, pcols, part_exprs),
         )
-        staged = self._stage_data_files(source, pcols, part_exprs)
         # No-op detection rides the staging results instead of paying
         # kill.isEmpty() + source.isEmpty() probe jobs up front (the
         # Delta merge's bounds-aggregate fold, mirrored): n_del == 0 iff

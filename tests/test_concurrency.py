@@ -798,3 +798,71 @@ def test_iceberg_nmbs_merge_refuses_rebase(spark, tmp_path):
     assert {r["src"]: r["count"] for r in rows} == {
         "base": 20, "win": 3
     }
+
+
+# ---------------------------------------------------------------------------
+# run_jobs — the §2.6 overlap helper the staging writes go through
+# ---------------------------------------------------------------------------
+
+
+def test_run_jobs_preserves_order_and_results(spark):
+    from aws_glue_data_lake_spark.concurrency import run_jobs
+
+    a, b, c = run_jobs(
+        lambda: spark.range(10).count(),
+        lambda: "plain",
+        lambda: spark.range(3).count(),
+    )
+    assert (a, b, c) == (10, "plain", 3)
+
+
+def test_run_jobs_single_thunk_falls_through(spark):
+    from aws_glue_data_lake_spark.concurrency import run_jobs
+
+    assert run_jobs(lambda: 42) == [42]
+
+
+def test_run_jobs_propagates_exception_after_all_finish(spark):
+    from aws_glue_data_lake_spark.concurrency import run_jobs
+
+    done = {"other": False}
+
+    def ok():
+        done["other"] = True
+        return 1
+
+    def boom():
+        raise ValueError("staging failed")
+
+    with pytest.raises(ValueError, match="staging failed"):
+        run_jobs(boom, ok)
+    # the sibling thunk ran to completion (its staged side effects are
+    # in a unique dir the failed commit never consumes)
+    assert done["other"]
+
+
+def test_delta_merge_cdf_staged_concurrently_matches_content(
+    spark, tmp_path
+):
+    """CDF content written by the concurrent cdc ∥ rewrite staging is
+    the same row-level delta the sequential path produced."""
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(path)
+    w.create(_df(spark, 0, 10, "base"))
+    w.set_change_data_feed(True)
+    w.merge(spark, _df(spark, 5, 15, "new"), keys=["k"])
+    r = DeltaTableReader(path)
+    cdf = r.changes(spark, starting_version=2, ending_version=2)
+    by_type = {
+        row["_change_type"]: row["n"]
+        for row in cdf.groupBy("_change_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_type == {
+        "update_preimage": 5,
+        "update_postimage": 5,
+        "insert": 5,
+    }
+    rows = r.to_df(spark).groupBy("src").count().collect()
+    assert {x["src"]: x["count"] for x in rows} == {"base": 5, "new": 10}
