@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_glue_data_lake_spark.concurrency import run_jobs
 from aws_glue_data_lake_spark.localdf import local_df
 from pyspark.sql import functions as F
 
@@ -1865,8 +1866,11 @@ def lake_open_table_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     root = session_tmpdir("open_table_")
-    outs = []
-    for fmt in ("delta", "iceberg", "lake"):
+
+    # Each format's lifecycle chain is independent (own dir, own commit
+    # log) — run the three chains concurrently (guide §2.6); commits
+    # inside one chain stay strictly ordered in its thunk.
+    def _chain(fmt: str) -> DataFrame:
         tbl = open_table(f"{root}/{fmt}", fmt)
         tbl.create(n.where(F.col("n_nationkey") < 20))
         tbl.append(n.where(F.col("n_nationkey") >= 20))
@@ -1880,7 +1884,11 @@ def lake_open_table_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-open with auto-detection: the layout on disk must identify
         # itself (facade contract), then read the tip snapshot
         got = open_table(f"{root}/{fmt}").read(spark)
-        outs.append(got.select(F.lit(fmt).alias("fmt"), "*"))
+        return got.select(F.lit(fmt).alias("fmt"), "*")
+
+    outs = run_jobs(
+        *[lambda f=fmt: _chain(f) for fmt in ("delta", "iceberg", "lake")]
+    )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -4701,33 +4709,43 @@ def lake_merge_chained_clauses_state(
         .alias("op"),
     )
     root = session_tmpdir("merge_chain_")
-    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
-    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
     batch.createOrReplaceTempView("merge_chain_batch")
-    _sql(
-        spark,
-        "MERGE INTO tbl AS tg USING merge_chain_batch AS s "
-        "ON tg.k = s.k "
-        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
-        "WHEN MATCHED AND s.op = 'U' AND s.price > tg.price "
-        "THEN UPDATE SET st = s.st, price = s.price "
-        "WHEN MATCHED AND s.op = 'T' AND tg.price < 5000 "
-        "THEN UPDATE SET st = concat(tg.st, '+') "
-        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *",
-        tables={"tbl": td},
-    )
-    ti.upsert(
-        batch,
-        keys=["k"],
-        matched_clauses=[
-            ("delete", "s.op = 'D'"),
-            ("update", "s.op = 'U' AND s.price > t.price",
-             {"st": "s.st", "price": "s.price"}),
-            ("update", "s.op = 'T' AND t.price < 5000",
-             {"st": "concat(t.st, '+')"}),
-        ],
-        not_matched_condition="op <> 'D'",
-    )
+
+    # Two independent per-side commit chains on disjoint dirs —
+    # overlapped (guide §2.6); in-side commit order preserved.
+    def _delta():
+        td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+        _sql(
+            spark,
+            "MERGE INTO tbl AS tg USING merge_chain_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+            "WHEN MATCHED AND s.op = 'U' AND s.price > tg.price "
+            "THEN UPDATE SET st = s.st, price = s.price "
+            "WHEN MATCHED AND s.op = 'T' AND tg.price < 5000 "
+            "THEN UPDATE SET st = concat(tg.st, '+') "
+            "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *",
+            tables={"tbl": td},
+        )
+        return td
+
+    def _iceberg():
+        ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+        ti.upsert(
+            batch,
+            keys=["k"],
+            matched_clauses=[
+                ("delete", "s.op = 'D'"),
+                ("update", "s.op = 'U' AND s.price > t.price",
+                 {"st": "s.st", "price": "s.price"}),
+                ("update", "s.op = 'T' AND t.price < 5000",
+                 {"st": "concat(t.st, '+')"}),
+            ],
+            not_matched_condition="op <> 'D'",
+        )
+        return ti
+
+    td, ti = run_jobs(_delta, _iceberg)
     both = (
         td.read(spark).select(F.lit("delta").alias("side"), "*")
         .unionByName(
@@ -4998,19 +5016,7 @@ def lake_merge_insert_cols_state(
         (F.col("o_totalprice").cast("double") * 2).alias("price"),
     )
     root = session_tmpdir("merge_inscols_")
-    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
-    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
-    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
     batch.createOrReplaceTempView("merge_inscols_batch")
-    _sql(
-        spark,
-        "MERGE INTO tbl AS tg USING merge_inscols_batch AS s "
-        "ON tg.k = s.k "
-        "WHEN MATCHED THEN UPDATE SET price = tg.price + s.price "
-        "WHEN NOT MATCHED AND s.price > 100000 "
-        "THEN INSERT (k, st) VALUES (s.k, upper(s.st))",
-        tables={"tbl": td},
-    )
     fluent = dict(
         keys=["k"],
         matched_clauses=[
@@ -5019,8 +5025,33 @@ def lake_merge_insert_cols_state(
         not_matched_condition="price > 100000",
         not_matched_set={"k": "k", "st": "upper(st)"},
     )
-    ti.upsert(batch, **fluent)
-    tl.upsert(batch, **fluent)
+
+    # Three independent per-side commit chains on disjoint dirs —
+    # overlapped (guide §2.6); in-side commit order preserved.
+    def _delta():
+        td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+        _sql(
+            spark,
+            "MERGE INTO tbl AS tg USING merge_inscols_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET price = tg.price + s.price "
+            "WHEN NOT MATCHED AND s.price > 100000 "
+            "THEN INSERT (k, st) VALUES (s.k, upper(s.st))",
+            tables={"tbl": td},
+        )
+        return td
+
+    def _iceberg():
+        ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+        ti.upsert(batch, **fluent)
+        return ti
+
+    def _lake():
+        tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+        tl.upsert(batch, **fluent)
+        return tl
+
+    td, ti, tl = run_jobs(_delta, _iceberg, _lake)
     allsides = (
         td.read(spark).select(F.lit("delta").alias("side"), "*")
         .unionByName(
@@ -5337,20 +5368,7 @@ def lake_merge_nm_chain_state(
         F.col("o_totalprice").cast("double").alias("price"),
     )
     root = session_tmpdir("merge_nmchain_")
-    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
-    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
-    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
     batch.createOrReplaceTempView("merge_nmchain_batch")
-    _sql(
-        spark,
-        "MERGE INTO tbl AS tg USING merge_nmchain_batch AS s "
-        "ON tg.k = s.k "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED AND s.price > 150000 "
-        "THEN INSERT (k, st) VALUES (s.k, concat(upper(s.st), '+')) "
-        "WHEN NOT MATCHED AND s.price > 50000 THEN INSERT *",
-        tables={"tbl": td},
-    )
     fluent = dict(
         keys=["k"],
         matched_clauses=[("update", None, None)],
@@ -5360,8 +5378,34 @@ def lake_merge_nm_chain_state(
             ("price > 50000", None),
         ],
     )
-    ti.upsert(batch, **fluent)
-    tl.upsert(batch, **fluent)
+
+    # Three independent per-side commit chains on disjoint dirs —
+    # overlapped (guide §2.6); in-side commit order preserved.
+    def _delta():
+        td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+        _sql(
+            spark,
+            "MERGE INTO tbl AS tg USING merge_nmchain_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.price > 150000 "
+            "THEN INSERT (k, st) VALUES (s.k, concat(upper(s.st), '+')) "
+            "WHEN NOT MATCHED AND s.price > 50000 THEN INSERT *",
+            tables={"tbl": td},
+        )
+        return td
+
+    def _iceberg():
+        ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+        ti.upsert(batch, **fluent)
+        return ti
+
+    def _lake():
+        tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+        tl.upsert(batch, **fluent)
+        return tl
+
+    td, ti, tl = run_jobs(_delta, _iceberg, _lake)
     allsides = (
         td.read(spark).select(F.lit("delta").alias("side"), "*")
         .unionByName(
@@ -5542,21 +5586,7 @@ def lake_merge_nmbs_chain_state(
         F.col("o_totalprice").cast("double").alias("price"),
     )
     root = session_tmpdir("merge_nmbschain_")
-    td = open_table(root + "/d", "delta").create(tgt.repartition(4))
-    ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
-    tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
     batch.createOrReplaceTempView("merge_nmbschain_batch")
-    _sql(
-        spark,
-        "MERGE INTO tbl AS tg USING merge_nmbschain_batch AS s "
-        "ON tg.k = s.k "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED BY SOURCE AND tg.price < 50000 THEN DELETE "
-        "WHEN NOT MATCHED BY SOURCE AND tg.price < 150000 "
-        "THEN UPDATE SET st = concat(tg.st, '-disc'), "
-        "price = tg.price * 0.9",
-        tables={"tbl": td},
-    )
     fluent = dict(
         keys=["k"],
         matched_clauses=[("update", None, None)],
@@ -5567,8 +5597,36 @@ def lake_merge_nmbs_chain_state(
              {"st": "concat(st, '-disc')", "price": "price * 0.9"}),
         ],
     )
-    ti.upsert(batch, **fluent)
-    tl.upsert(batch, **fluent)
+
+    # The three sides are fully independent commit chains on disjoint
+    # table dirs — overlap them (guide §2.6); each side's own commits
+    # stay strictly ordered inside its thunk.
+    def _delta():
+        td = open_table(root + "/d", "delta").create(tgt.repartition(4))
+        _sql(
+            spark,
+            "MERGE INTO tbl AS tg USING merge_nmbschain_batch AS s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE AND tg.price < 50000 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND tg.price < 150000 "
+            "THEN UPDATE SET st = concat(tg.st, '-disc'), "
+            "price = tg.price * 0.9",
+            tables={"tbl": td},
+        )
+        return td
+
+    def _iceberg():
+        ti = open_table(root + "/i", "iceberg").create(tgt.repartition(4))
+        ti.upsert(batch, **fluent)
+        return ti
+
+    def _lake():
+        tl = open_table(root + "/l", "lake").create(tgt.repartition(4))
+        tl.upsert(batch, **fluent)
+        return tl
+
+    td, ti, tl = run_jobs(_delta, _iceberg, _lake)
     allsides = (
         td.read(spark).select(F.lit("delta").alias("side"), "*")
         .unionByName(
@@ -5646,15 +5704,26 @@ def lake_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iceberg": open_table(root + "/i", "iceberg"),
         "lake": open_table(root + "/l", "lake"),
     }
-    for tb in sides.values():
+    # per-side chains are independent (guide §2.6) — but the delta
+    # pre-truncate version probe must sit between ITS create and ITS
+    # truncate, so the create+truncate pair runs per side in one thunk
+    pre_v_box = {}
+
+    def _side(name, tb):
         tb.create(initial.repartition(4))
-    pre_v = DeltaTableReader(root + "/d").snapshot().version
-    for tb in sides.values():
+        if name == "delta":
+            pre_v_box["v"] = DeltaTableReader(root + "/d").snapshot().version
         _sql(spark, "TRUNCATE TABLE tt", tables={"tt": tb})
-    for name, tb in sides.items():
+
+    run_jobs(*[lambda n=n, tb=tb: _side(n, tb) for n, tb in sides.items()])
+    pre_v = pre_v_box["v"]
+
+    def _check(name, tb):
         empt = tb.read(spark)
         assert empt.count() == 0, f"{name}: rows survived TRUNCATE"
         assert empt.columns == ["k", "seg", "bal"], name
+
+    run_jobs(*[lambda n=n, tb=tb: _check(n, tb) for n, tb in sides.items()])
     # delta: remove-only commit, prior version still time-travelable
     snap = DeltaTableReader(root + "/d").snapshot()
     assert snap.files == []
@@ -5662,8 +5731,10 @@ def lake_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         sides["delta"].read(spark, version=pre_v).count()
         == initial.count()
     )
-    for tb in sides.values():
-        tb.append(reload.repartition(4))
+    run_jobs(
+        *[lambda tb=tb: tb.append(reload.repartition(4))
+          for tb in sides.values()]
+    )
     allsides = None
     for name, tb in sides.items():
         part = tb.read(spark).select(F.lit(name).alias("side"), "*")
