@@ -845,6 +845,15 @@ def _norm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+#: (applicationId, sf_dir, with_label) → persisted candidate-key table.
+#: Memoized like _NORM_CACHE so repeat calls in one session reuse ONE
+#: cached RDD instead of stacking a new persist per call (ADVICE r14).
+_CAND_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+#: same memo for the top-k double-score pass's persisted frame
+_SCORED_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
 def _embedding_cosine_cand(
     spark: SparkSession, sf_dir: str, with_label: bool
 ) -> DataFrame:
@@ -857,27 +866,33 @@ def _embedding_cosine_cand(
         phase = ((p >> (i - 1)) & 1) * _BAND_W
         return F.floor((scaled + phase) / (2 * _BAND_W))
 
-    keys = nv.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(p).alias("p"),
-                    *[bucket(i, p).alias(f"b{i}")
-                      for i in range(1, _N_BAND_DIMS + 1)],
-                )
-                for p in range(_N_PHASES)
-            ])
-        ).alias("k"),
-    ).select("vec_id", "label", "k.*")
     join_cols = (["label"] if with_label else []) + ["p"] + [
         f"b{i}" for i in range(1, _N_BAND_DIMS + 1)
     ]
     # Persist the capped key table: it feeds both sides of the self-join,
     # and without the boundary the 16-way explode + window count runs
     # twice (projection collapse — same trap as _shingle_table).
-    keys = _cap_buckets(keys, keys=tuple(join_cols)).persist()
+    memo_key = (spark.sparkContext.applicationId, sf_dir, with_label)
+    keys = _CAND_CACHE.get(memo_key)
+    if keys is None:
+        keys = _cap_buckets(
+            nv.select(
+                "vec_id",
+                "label",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            *[bucket(i, p).alias(f"b{i}")
+                              for i in range(1, _N_BAND_DIMS + 1)],
+                        )
+                        for p in range(_N_PHASES)
+                    ])
+                ).alias("k"),
+            ).select("vec_id", "label", "k.*"),
+            keys=tuple(join_cols),
+        ).persist()
+        _CAND_CACHE[memo_key] = keys
     a = keys.select(F.col("vec_id").alias("vec_a"), *join_cols)
     b = keys.select(F.col("vec_id").alias("vec_b"), *join_cols)
     return (
@@ -942,12 +957,16 @@ def _embedding_cosine_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / (F.col("na") * F.col("nb"))
-    scored = (
-        cand.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select("vec_a", "vec_b", fast.alias("fcos"))
-        .persist()  # tiny: (id, id, double) per candidate pair
-    )
+    memo_key = (spark.sparkContext.applicationId, sf_dir, with_label)
+    scored = _SCORED_CACHE.get(memo_key)
+    if scored is None:
+        scored = (
+            cand.join(na, "vec_a")
+            .join(nb, "vec_b")
+            .select("vec_a", "vec_b", fast.alias("fcos"))
+            .persist()  # tiny: (id, id, double) per candidate pair
+        )
+        _SCORED_CACHE[memo_key] = scored
     th = (
         scored.orderBy(F.desc("fcos"))
         .limit(20)
@@ -1083,31 +1102,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so both paths produce identical rows. Above the gate the BSP
         # loop below is unchanged; this mirrors production CC practice
         # (distributed contraction only until the graph fits locally).
-        parent: dict[int, int] = {}
-
-        def _find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in pairs.collect():
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = _find(a), _find(b)
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        labels = local_df(
-            spark,
-            [(int(n), int(_find(n))) for n in parent],
-            "node bigint, label bigint",
-        )
+        labels = _local_cc_labels(spark, pairs)
         pairs.unpersist()
         return _cc_summarize(labels)
     nparts = min(
@@ -1150,6 +1145,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return _cc_summarize(labels)
+
+
+def _local_cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Driver-local connected components of the (doc_a, doc_b) edge list
+    → (node, label) with label = component MINIMUM id (the BSP fixpoint).
+
+    Arrow collect (two int64 numpy arrays — no per-row Row/pickle
+    overhead) + dense-index union-find over ONE numpy parent array: at
+    the 2M-edge gate boundary this is ~32 MB of driver arrays instead of
+    hundreds of MB of Row objects + a 4M-entry dict (VERDICT r14).
+    np.unique sorts, so dense-index order == node-id order and rooting
+    each union at the smaller INDEX roots it at the smaller id."""
+    import numpy as np
+
+    arrow = pairs.toArrow()
+    ea = arrow.column("doc_a").to_numpy(zero_copy_only=False)
+    eb = arrow.column("doc_b").to_numpy(zero_copy_only=False)
+    nodes, dense = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def _find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = int(r), int(parent[x])
+        return int(r)
+
+    # chunked tolist keeps the Python-int working set ~bounded instead
+    # of materializing two 2M-int lists at once
+    chunk = 1 << 18
+    n_e = len(ea)
+    for lo in range(0, n_e, chunk):
+        hi = min(lo + chunk, n_e)
+        for a, b in zip(
+            dense[lo:hi].tolist(), dense[n_e + lo:n_e + hi].tolist()
+        ):
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    # full path compression, vectorized (log-depth pointer doubling)
+    while True:
+        pp = parent[parent]
+        if np.array_equal(pp, parent):
+            break
+        parent = pp
+    # hand the (node, label) columns to Spark as ONE Arrow table —
+    # zero-copy from the numpy arrays, no 3M-tuple driver list
+    import pyarrow as pa
+
+    return spark.createDataFrame(
+        pa.table({"node": nodes, "label": nodes[parent]})
+    )
 
 
 def _cc_summarize(labels: DataFrame) -> DataFrame:

@@ -163,3 +163,61 @@ def test_semdedup_prefilter_is_conservative(spark):
         .count()
     )
     assert violations == 0
+
+
+def test_local_cc_labels_slab_scale_matches_reference(spark):
+    """The Arrow/numpy union-find at a slab near the gate boundary:
+    bounded driver structures (two int64 arrays + one parent array, no
+    Row objects / 4M-entry dict) and labels identical to a reference
+    dict union-find. 400k edges over ~200k nodes with long chains and
+    random cross-links exercises deep paths and rank-free rooting."""
+    import random
+
+    import aws_glue_data_lake_spark.queries.dedup as dd
+    from pyspark.sql import functions as F
+
+    n_edges = 400_000
+    rng = random.Random(7)
+    # chains of length 50 over ids spread out (non-dense node space),
+    # plus random cross-links merging chains
+    edges = []
+    for c in range(n_edges // 2 // 50):
+        base = c * 1_000 + 5
+        for i in range(50):
+            a, b = base + i * 7, base + (i + 1) * 7
+            edges.append((min(a, b), max(a, b)))
+    while len(edges) < n_edges:
+        a = rng.randrange(0, 8_000_000)
+        b = rng.randrange(0, 8_000_000)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        edges, "doc_a bigint, doc_b bigint"
+    ).persist()
+    got = {
+        (r["node"], r["label"])
+        for r in dd._local_cc_labels(spark, pairs).collect()
+    }
+    pairs.unpersist()
+
+    # reference: classic dict union-find rooted at smaller id
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {(n, find(n)) for n in parent}
+    assert got == want
