@@ -632,3 +632,74 @@ def test_arrow_udf_is_arrow_eval(spark):
     plan = plan_of(spark, "text_arrow_udf_vowels")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zscore_prefix_sum_envelope_and_boundary_exactness(spark):
+    """window_trailing_zscore_anomalies replaced O(rows×200) sliding
+    decimal frames with whole-partition prefix sums (r14). The prefix
+    p2 = running SUM(value²) accumulates into decimal(38,12) over the
+    WHOLE partition — capacity 10^26 — where the old frame never held
+    more than 200 values. Two pins (VERDICT r14 item 6):
+
+    1. corpus guard — per-event_type value-mass stays ≥6 orders of
+       magnitude under the envelope, so a future fixture change that
+       could overflow fails HERE, not as an ANSI error mid-bench;
+    2. boundary exactness — on a synthetic slab pushed near the
+       envelope (50 rows of the decimal(18,6) max, prefix ≈ 5×10^25),
+       the lag-difference frame sums are still bit-identical to the
+       direct sliding-frame sums.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from aws_glue_data_lake_spark.queries import windows as W
+    from aws_glue_data_lake_spark.tables import load_table, with_ts_us
+
+    # -- 1. corpus envelope guard (sf0.1: the bench fixture) ------------
+    ev = with_ts_us(load_table(spark, "/root/testdata/sf0.1", "events"))
+    dec = F.col("value").cast("decimal(18,6)")
+    mass = ev.groupBy("event_type").agg(
+        F.sum(dec * dec).cast("double").alias("m2"),
+        F.sum(F.abs(dec)).cast("double").alias("m1"),
+    )
+    for r in mass.collect():
+        assert r["m2"] < 1e20, f"{r}: p2 mass approaching decimal(38,12)"
+        assert r["m1"] < 1e16, f"{r}: p1 mass approaching decimal(28,6)"
+
+    # -- 2. exactness at the envelope boundary --------------------------
+    big = "999999999999.999999"  # decimal(18,6) max
+    # 75 max-magnitude rows → prefix p2 ≈ 7.5×10^25, just under the
+    # decimal(38,12) capacity of 10^26
+    rows = [
+        (i, 1, big if i % 4 == 0 else "0.000001") for i in range(300)
+    ]
+    slab = spark.createDataFrame(
+        rows, "rn int, g int, v string"
+    ).select("rn", "g", F.col("v").cast("decimal(18,6)").alias("dec"))
+    order_w = Window.partitionBy("g").orderBy("rn")
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame = order_w.rowsBetween(-W._ZWIN, -1)
+    p2 = F.sum(F.col("dec") * F.col("dec")).over(run)
+    direct = F.sum(F.col("dec") * F.col("dec")).over(frame)
+    z = F.lit(0).cast("decimal(38,12)")
+    pre = slab.select(
+        "rn",
+        F.row_number().over(order_w).alias("rown"),
+        p2.alias("p2"),
+        direct.alias("direct"),
+    )
+    lagged = pre.select(
+        "rn",
+        "direct",
+        F.when(
+            F.col("rown") > 1,
+            F.coalesce(F.lag("p2", 1).over(Window.orderBy("rn")), z)
+            - F.coalesce(F.lag("p2", W._ZWIN + 1).over(Window.orderBy("rn")), z),
+        ).alias("viaprefix"),
+    )
+    bad = lagged.where(
+        ~(
+            (F.col("direct").isNull() & F.col("viaprefix").isNull())
+            | (F.col("direct") == F.col("viaprefix"))
+        )
+    ).count()
+    assert bad == 0
