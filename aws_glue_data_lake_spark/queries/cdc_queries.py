@@ -1179,8 +1179,6 @@ _MV_KEYS = ["o_orderstatus", "o_orderpriority"]
 
 def maintain_mv_batch(mv, batch: DataFrame) -> None:
     """Merge one change-feed batch's delta aggregate into the MV table."""
-    if batch.isEmpty():  # A2-class emptiness guard, as in the reference
-        return
     delta = batch.groupBy(*_MV_KEYS).agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1189,28 +1187,41 @@ def maintain_mv_batch(mv, batch: DataFrame) -> None:
     )
     # The MV is dimension-sized: one file per commit, not one per shuffle
     # partition (32 near-empty files per upsert would dominate the I/O).
-    delta = delta.coalesce(1)
-    if not mv.exists():
-        mv.create(delta, stat_cols=list(_MV_KEYS))
-        return
-    cur = mv.read(batch.sparkSession).select(
-        *_MV_KEYS,
-        F.col("n_orders").alias("_n"),
-        F.col("total_price").alias("_tp"),
-    )
-    merged = delta.join(cur, _MV_KEYS, "left").select(
-        *_MV_KEYS,
-        (F.col("n_orders") + F.coalesce(F.col("_n"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_orders"),
-        (
-            F.col("total_price")
-            + F.coalesce(F.col("_tp"), F.lit(0).cast("decimal(28,6)"))
+    # Persist it for the drain: every action below (emptiness guard, the
+    # upsert's key-bounds aggregate, the rewrite) re-executes its lineage
+    # — without the cache each one re-runs the CDF batch scan, measured
+    # 4 source scans / ~11 jobs per drain instead of 1 / ~4 (guide §5:
+    # reuse > recompute; the cached rows are |status|×|priority|).
+    delta = delta.coalesce(1).persist()
+    try:
+        # A2-class emptiness guard, as in the reference — on the delta
+        # (empty ⟺ batch empty: a grouped aggregate of zero rows is
+        # zero rows), so the batch is scanned exactly once.
+        if delta.isEmpty():
+            return
+        if not mv.exists():
+            mv.create(delta, stat_cols=list(_MV_KEYS))
+            return
+        cur = mv.read(batch.sparkSession).select(
+            *_MV_KEYS,
+            F.col("n_orders").alias("_n"),
+            F.col("total_price").alias("_tp"),
         )
-        .cast("decimal(28,6)")
-        .alias("total_price"),
-    )
-    mv.upsert(merged.coalesce(1), keys=_MV_KEYS)
+        merged = delta.join(cur, _MV_KEYS, "left").select(
+            *_MV_KEYS,
+            (F.col("n_orders") + F.coalesce(F.col("_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.col("total_price")
+                + F.coalesce(F.col("_tp"), F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("decimal(28,6)")
+            .alias("total_price"),
+        )
+        mv.upsert(merged.coalesce(1), keys=_MV_KEYS)
+    finally:
+        delta.unpersist()
 
 
 @_q(

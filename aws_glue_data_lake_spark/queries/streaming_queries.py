@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_glue_data_lake_spark.concurrency import run_jobs
 from aws_glue_data_lake_spark.lake import LakeTable
 from aws_glue_data_lake_spark.operators.cdc import merge_cdc_batch
 from aws_glue_data_lake_spark.queries.base import Registry, session_tmpdir
@@ -1965,12 +1966,23 @@ def streaming_two_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("value_sum"),
         )
-        for table, df in ((bronze, raw), (silver, delta)):
+        # bronze and silver are independent tables — their per-batch
+        # appends overlap (guide §2.6); one thread per table
+        def _sink_to(table, df):
             if not table.exists():
                 # empty CTAS pins the schema so batch 0 goes through the
                 # same idempotent append path as every other batch
                 table.create(df.limit(0))
-            table.append_stream_batch(df, writer_id="medallion", batch_id=batch_id)
+            table.append_stream_batch(
+                df, writer_id="medallion", batch_id=batch_id
+            )
+
+        run_jobs(
+            *[
+                lambda tb=table, d=df: _sink_to(tb, d)
+                for table, df in ((bronze, raw), (silver, delta))
+            ]
+        )
 
     q = (
         stream.writeStream.foreachBatch(fan_out)
@@ -2089,10 +2101,22 @@ def streaming_dlq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_reason"
         )
         bad = classified.where(F.col("reject_reason").isNotNull())
-        for table, df in ((main, good), (dlq, bad)):
+
+        # main and dlq are independent tables — their per-batch appends
+        # overlap (guide §2.6); each table is touched by one thread only
+        def _route_to(table, df):
             if not table.exists():
                 table.create(df.limit(0))
-            table.append_stream_batch(df, writer_id="dlq_route", batch_id=batch_id)
+            table.append_stream_batch(
+                df, writer_id="dlq_route", batch_id=batch_id
+            )
+
+        run_jobs(
+            *[
+                lambda tb=table, d=df: _route_to(tb, d)
+                for table, df in ((main, good), (dlq, bad))
+            ]
+        )
 
     q = (
         feed.writeStream.foreachBatch(route)
@@ -2169,10 +2193,16 @@ def streaming_cdf_rate_limited(
     batch_rows: list[int] = []
 
     def sink(df, _bid):
-        n = df.count()
-        if n:
-            batch_rows.append(n)
-            df.write.mode("append").parquet(out)
+        # cache for the drain: count + write would otherwise each run
+        # the Python-datasource CDF scan (guide §5 — reuse > recompute)
+        df = df.persist()
+        try:
+            n = df.count()
+            if n:
+                batch_rows.append(n)
+                df.write.mode("append").parquet(out)
+        finally:
+            df.unpersist()
 
     feed = (
         spark.readStream.format("lake_cdf")
