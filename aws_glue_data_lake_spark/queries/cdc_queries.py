@@ -707,22 +707,34 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _feed(spark, sf_dir).drop("op")
     tmp = session_tmpdir("gdpr_")
     fact = LakeTable(f"{tmp}/fact")
-    # Stat/cluster on user_id — erasure is keyed on it, so file pruning
-    # applies to the delete pass itself.
-    fact.create(ev, stat_cols=["user_id"])
     dim = LakeTable(f"{tmp}/dim")
-    dim.create(
-        full_load(
-            _feed(spark, sf_dir), ["user_id"], "ts",
-            tiebreakers=["event_id"], sentinel=_SENTINEL_US,
-        ).table.select("user_id", "event_id"),
-        stat_cols=["user_id"],
-    )
     erased = ev.where(F.col("user_id") % _ERASE_MOD == 0).select("user_id").distinct()
-    empty_fact = local_df(spark, [], fact.read(spark).schema)
-    empty_dim = local_df(spark, [], dim.read(spark).schema)
-    fact.upsert(empty_fact, keys=["user_id"], delete_keys=erased)
-    dim.upsert(empty_dim, keys=["user_id"], delete_keys=erased)
+
+    # fact and dim are independent tables — overlap the two create +
+    # erase chains (guide §2.6); per-table commit order preserved.
+    def _fact():
+        # Stat/cluster on user_id — erasure is keyed on it, so file
+        # pruning applies to the delete pass itself.
+        fact.create(ev, stat_cols=["user_id"])
+        fact.upsert(
+            local_df(spark, [], fact.read(spark).schema),
+            keys=["user_id"], delete_keys=erased,
+        )
+
+    def _dim():
+        dim.create(
+            full_load(
+                _feed(spark, sf_dir), ["user_id"], "ts",
+                tiebreakers=["event_id"], sentinel=_SENTINEL_US,
+            ).table.select("user_id", "event_id"),
+            stat_cols=["user_id"],
+        )
+        dim.upsert(
+            local_df(spark, [], dim.read(spark).schema),
+            keys=["user_id"], delete_keys=erased,
+        )
+
+    run_jobs(_fact, _dim)
     fact_after = fact.read(spark)
     dim_after = dim.read(spark)
     n_erased = erased.agg(F.count("*").cast("bigint").alias("n_erased_users"))
@@ -4589,20 +4601,30 @@ def lake_delta_shallow_clone_state(
 
     assert not local_files(fork), "SHALLOW CLONE must copy zero bytes"
     cw = DeltaTableWriter(fork)
-    # clone-side: DV-delete, append a repriced slab, delete again
-    cw.delete_where(spark, "o_totalprice < 1000")
-    cw.append(
-        o.where(F.col("o_orderkey") % 100 == 0).select(
-            (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
-            F.lit("R").alias("o_orderstatus"),
-            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+
+    # clone-side chain and the source-side delete are independent commit
+    # logs (the clone references the source's immutable files by
+    # absolute path; delete tombstones, never removes) — overlap them
+    # (guide §2.6). The leak assertions below run after both.
+    def _clone_chain():
+        # clone-side: DV-delete, append a repriced slab, delete again
+        cw.delete_where(spark, "o_totalprice < 1000")
+        cw.append(
+            o.where(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+                F.lit("R").alias("o_orderstatus"),
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
         )
-    )
-    cw.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
-    # source-side: an unrelated delete — must not leak into the clone
-    DeltaTableWriter(src).delete_where(
-        spark, "o_orderstatus = 'O' AND o_orderkey % 7 = 0"
-    )
+        cw.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+
+    def _src_delete():
+        # source-side: an unrelated delete — must not leak into the clone
+        DeltaTableWriter(src).delete_where(
+            spark, "o_orderstatus = 'O' AND o_orderkey % 7 = 0"
+        )
+
+    run_jobs(_clone_chain, _src_delete)
     # vacuum the clone: collections stay under the clone's own root
     src_before = local_files(src)
     for p in DeltaTableWriter(fork).vacuum(keep_versions=1):

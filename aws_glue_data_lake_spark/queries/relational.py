@@ -1184,6 +1184,9 @@ ORDER BY o_orderpriority
 """,
 )
 def agg_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured r15: up-partitioning the single-file scan (the _norm_table
+    # pattern) did NOT help here — the countDistinct expand's cost rides
+    # the post-shuffle final aggregate, not the scan stage. Left as-is.
     o = t(spark, sf_dir, "orders")
     approx = F.approx_count_distinct("o_custkey", rsd=_APPROX_RSD)
     exact = F.countDistinct("o_custkey").cast("bigint")
@@ -2852,7 +2855,16 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     ev = t(spark, sf_dir, "events")
-    row = ev.agg(
+    sk_in = ev.select("user_id")
+    # single-file fixture → single-task CMS partial aggregate (0.8 s on
+    # one core); up-partition the one projected column when the scan is
+    # narrower than the cores (no-op at real scale — _norm_table pattern,
+    # guide §2.5). CMS merge is elementwise counter addition with a fixed
+    # seed: partitioning cannot change the sketch.
+    cores = spark.sparkContext.defaultParallelism
+    if len(sk_in.inputFiles()) < cores:
+        sk_in = sk_in.repartition(cores)
+    row = sk_in.agg(
         F.expr(
             f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
         ).alias("sk"),
