@@ -64,6 +64,14 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.ui.retainedExecutions": "20",
     "spark.ui.retainedJobs": "100",
     "spark.ui.retainedStages": "100",
+    # PySpark walks the Python stack on EVERY DataFrame method to enrich
+    # error messages with the user call site (pyspark.errors.utils
+    # is_debugging_enabled — documented there as a performance option).
+    # A headless engine building thousands of expressions per commit pays
+    # real time for it: cProfile showed 0.56 s of _capture_call_site in
+    # one merge query. Plans and results are unaffected — only error
+    # messages lose the "called from" line.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -193,26 +193,35 @@ class UserTypeStatsProcessor(StatefulProcessor):
     """
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        self._agg = handle.getValueState("agg", "n BIGINT, vsum_us BIGINT")
+        # n_types rides in the ValueState instead of being recounted by
+        # iterating the whole MapState per key per batch — every state
+        # access is a protobuf round trip to the JVM state server, and
+        # the keys() walk paid one per entry (guide §4: cut boundary
+        # crossings). The count is maintained exactly: +1 whenever a
+        # type key is first inserted, so it always equals the map's key
+        # cardinality.
+        self._agg = handle.getValueState(
+            "agg", "n BIGINT, vsum_us BIGINT, ntypes BIGINT"
+        )
         self._types = handle.getMapState("type_counts", "t STRING", "c BIGINT")
 
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
         (user_id,) = key
-        n, vsum_us = self._agg.get() if self._agg.exists() else (0, 0)
+        # get() returns None when absent — one round trip, not exists()+get()
+        st = self._agg.get()
+        n, vsum_us, n_types = st if st is not None else (0, 0, 0)
         for pdf in rows:
             n += len(pdf)
             vsum_us += int((pdf["value"] * 1e6).round().astype("int64").sum())
             for etype, cnt in pdf["event_type"].value_counts().items():
-                prev = (
-                    self._types.getValue((etype,))
-                    if self._types.containsKey((etype,))
-                    else (0,)
-                )
+                prev = self._types.getValue((etype,))
+                if prev is None:
+                    n_types += 1
+                    prev = (0,)
                 self._types.updateValue((etype,), (prev[0] + int(cnt),))
-        self._agg.update((n, vsum_us))
-        n_types = sum(1 for _ in self._types.keys())
+        self._agg.update((n, vsum_us, n_types))
         yield pd.DataFrame(
             [
                 {
@@ -255,7 +264,8 @@ class SeededUserStatsProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        n, vsum_us = self._agg.get() if self._agg.exists() else (0, 0)
+        st = self._agg.get()  # None when absent: one state round trip
+        n, vsum_us = st if st is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
             vsum_us += int((pdf["value"] * 1e6).round().astype("int64").sum())
@@ -345,7 +355,8 @@ class TimerFlushStatsProcessor(StatefulProcessor):
         self._agg = handle.getValueState("agg", "n BIGINT, vsum_us BIGINT")
 
     def handleInputRows(self, key, rows, timerValues):
-        n, vsum_us = self._agg.get() if self._agg.exists() else (0, 0)
+        st = self._agg.get()  # None when absent: one state round trip
+        n, vsum_us = st if st is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
             vsum_us += int((pdf["value"] * 1e6).round().astype("int64").sum())
@@ -359,9 +370,10 @@ class TimerFlushStatsProcessor(StatefulProcessor):
         import pandas as pd
 
         (user_id,) = key
-        if not self._agg.exists():  # pragma: no cover - defensive
+        st = self._agg.get()
+        if st is None:  # pragma: no cover - defensive
             return
-        n, vsum_us = self._agg.get()
+        n, vsum_us = st
         yield pd.DataFrame(
             [
                 {
