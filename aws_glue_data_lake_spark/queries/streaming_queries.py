@@ -1142,44 +1142,34 @@ def streaming_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         bspark = b.sparkSession
         keys = b.select("user_id").distinct()
-        # dim (target ⋈ batch keys) feeds FOUR subtrees (open-rows
-        # pseudo-events, version offsets, had-open marker, and through
-        # them the upsert's bounds + rewrite); cache it for the batch so
-        # the growing dimension table is scanned once, not per subtree
-        # (guide §5 — reuse > recompute).
-        dim = (
-            table.read(bspark).join(F.broadcast(keys), "user_id").persist()
+        # dim (target ⋈ batch keys) feeds four subtrees; caching it was
+        # A/B-measured in r15 (3 interleaved isolated runs each way) as
+        # neutral-to-worse — the broadcast-join recomputes are cheaper
+        # than the eager cache materialization. Left uncached.
+        dim = table.read(bspark).join(F.broadcast(keys), "user_id")
+        open_rows = dim.where(F.col("is_current") == 1)
+        offsets = dim.groupBy("user_id").agg(F.max("version").alias("voff"))
+        pseudo = open_rows.select(
+            "user_id", "event_id", "event_type",
+            F.lit("I").alias("op"),
+            F.col("valid_from_us").alias("ts_us"),
         )
-        try:
-            open_rows = dim.where(F.col("is_current") == 1)
-            offsets = dim.groupBy("user_id").agg(
-                F.max("version").alias("voff")
+        combined = pseudo.unionByName(
+            b.select("user_id", "event_id", "event_type", "op", "ts_us")
+        )
+        had_open = open_rows.select("user_id").withColumn("had_open", F.lit(1))
+        adj = (
+            scd2_history(combined)
+            .join(F.broadcast(offsets), "user_id", "left")
+            .join(F.broadcast(had_open), "user_id", "left")
+            .withColumn(
+                "version",
+                F.col("version")
+                + F.coalesce(F.col("voff"), F.lit(0))
+                - F.coalesce(F.col("had_open"), F.lit(0)),
             )
-            pseudo = open_rows.select(
-                "user_id", "event_id", "event_type",
-                F.lit("I").alias("op"),
-                F.col("valid_from_us").alias("ts_us"),
-            )
-            combined = pseudo.unionByName(
-                b.select("user_id", "event_id", "event_type", "op", "ts_us")
-            )
-            had_open = open_rows.select("user_id").withColumn(
-                "had_open", F.lit(1)
-            )
-            adj = (
-                scd2_history(combined)
-                .join(F.broadcast(offsets), "user_id", "left")
-                .join(F.broadcast(had_open), "user_id", "left")
-                .withColumn(
-                    "version",
-                    F.col("version")
-                    + F.coalesce(F.col("voff"), F.lit(0))
-                    - F.coalesce(F.col("had_open"), F.lit(0)),
-                )
-            )
-            table.upsert(adj.select(*dim_cols), keys=["user_id", "version"])
-        finally:
-            dim.unpersist()
+        )
+        table.upsert(adj.select(*dim_cols), keys=["user_id", "version"])
 
     q = (
         feed.writeStream.foreachBatch(apply_batch)
